@@ -1,0 +1,89 @@
+"""Pipeline configuration.
+
+Analogue of the reference's ``horus.ini`` / ``HorusConfig`` extension surface
+(reference: src/config.py:16-155 — paths, engine choice, thresholds, module
+toggles). Here a plain dataclass: every knob the engine exposes, with defaults
+sized for the sandbox (single node, 32 CPUs) but designed for a multi-node
+cluster (see field docs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# BM25 constants — the standard Okapi defaults, fixed so the brute-force
+# oracle scorer and the distributed engine are bit-comparable.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# Tokenizer rule (shared with the DuckDB oracle SQL in __ray_entry__):
+# lowercase, then maximal runs of [a-z0-9].  Matches the reference's
+# case-insensitive term key (UPPER(term) probe, definitions_sql.py:7) in
+# spirit: terms are case-folded before entering the term dictionary.
+TOKEN_PATTERN = "[a-z0-9]+"
+SPLIT_PATTERN = "[^a-z0-9]+"
+
+
+@dataclass
+class PipelineConfig:
+    # ---- index layout --------------------------------------------------
+    num_shards: int = 16
+    """Document-range shards of the global index.  Each shard holds the full
+    posting data for a contiguous doc_id range, so query-time top-k is a
+    per-shard heap + tiny global merge.  At 100 TB / 1e12 turns raise to
+    O(10^4-10^5) so one shard's postings stay ~1-2 GB."""
+
+    postings_block: int = 128
+    """Postings per block for block-max metadata (WAND-style skipping)."""
+
+    with_positions: bool = False
+    """Store per-term position lists (phrase/AND queries).  Off for the
+    headline build; positions roughly double index size."""
+
+    # ---- scoring -------------------------------------------------------
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    # ---- skew / salting ------------------------------------------------
+    hot_df_threshold: int = 100_000
+    """Terms whose estimated df exceeds this are 'hot' (stopword-class, e.g.
+    role tokens appearing in every turn).  Hot terms' postings are already
+    split across doc-range shards by construction; within a shard the
+    run/merge machinery bounds any single in-memory group (see
+    pipelines/build_index.py docstring on salting)."""
+
+    # ---- doc id assignment --------------------------------------------
+    doc_id_mode: str = "rank"
+    """'rank': dense doc_id = rank of (conv_id, turn_idx) under conv_id-sorted
+    order — exact, needs a conv-level offset table (small: one row per conv,
+    built by a pre-aggregated groupby; broadcast via ray.put).
+    'hash': doc_id = xxhash48(conv_id) << 16 | turn_idx — no global state, for
+    corpora whose conv count exceeds broadcastable size; doc ids sparse."""
+
+    # ---- execution sizing ---------------------------------------------
+    tokenize_batch_size: int = 4096
+    """Turns per tokenize batch.  ~75 tokens/turn -> ~300k postings rows per
+    batch; Arrow-side memory a few tens of MB."""
+
+    merge_concurrency: int | None = None
+    """Actor-pool size for the shard merge stage; None = Ray default."""
+
+    query_concurrency: int = 4
+    """Scorer actor pool size for batched query scoring."""
+
+    # ---- analysis / dedupe knobs --------------------------------------
+    minhash_perms: int = 64
+    minhash_bands: int = 16
+    shingle_k: int = 3
+    simhash_bits: int = 64
+
+    # ---- misc ----------------------------------------------------------
+    seed: int = 42
+
+    def rows_per_band(self) -> int:
+        assert self.minhash_perms % self.minhash_bands == 0
+        return self.minhash_perms // self.minhash_bands
+
+
+DEFAULT_CONFIG = PipelineConfig()

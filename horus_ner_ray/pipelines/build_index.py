@@ -1,0 +1,425 @@
+"""Index build: tokenize -> sorted runs -> per-shard k-way merge -> shards.
+
+Two phases, both expressed as Ray Data ``map_batches`` over a Dataset and
+both **resumable per partition** (the reference's ``processed``-flag
+idempotency, SURVEY.md D2, re-expressed as per-fragment / per-shard manifest
+files: rerunning skips every partition whose manifest exists).
+
+Phase A — map (one task per input Parquet fragment, shuffle-free):
+    read fragment (column-pruned, row-group streaming) -> assign doc_ids
+    (pure function of (conv_id, turn_idx)) -> vectorized tokenize + explode
+    to (term, doc_id, tf) -> tag each row with its doc-range shard -> per
+    touched shard, write ONE sorted run file (sorted by (term, doc_id),
+    atomic tmp+rename) -> write the docstore part -> emit a lineage manifest
+    row.  Because sharding is by doc range and input files are conv-
+    contiguous, a fragment touches few shards and NO all-to-all shuffle of
+    postings ever happens — the "shuffle" is the run-file exchange on shared
+    storage, the same trade external-sort index builders (and Spark's
+    external shuffle) make.  At 256 nodes / 100 TB each node writes runs for
+    its own fragments independently; scaling is embarrassingly parallel.
+
+Phase B — merge (one task per shard):
+    streaming k-way merge of the shard's sorted runs, term-at-a-time
+    (heap over run cursors' head terms; per term the runs' doc-sorted slices
+    merge into one ascending doc list), delta+varint encode, block-max
+    metadata, atomic shard publish.  Hot terms are bounded by the shard's
+    doc range — this is where the north-star's "salted partial posting
+    lists + streaming k-way merge per term" lives: the salt is the doc
+    range (uniform, deterministic), the partials are the per-fragment runs.
+
+Phase C — collection stats + global df table (vocab-sized groupby).
+
+Determinism: the merged index content is a pure function of the corpus
+(doc ids from keys, term order sorted, doc order sorted), independent of
+fragment arrival order or parallelism — verified byte-identical by
+tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.stages import docstore as dstore
+from horus_ner_ray.stages.tokenize import explode_to_postings, token_counts
+from horus_ner_ray.state.shards import (
+    IndexPaths,
+    ShardWriter,
+    atomic_write_json,
+    atomic_write_table,
+    shard_of_hash,
+    shard_of_rank,
+)
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+
+
+# ---------------------------------------------------------------------------
+# Phase A: fragment -> sorted runs + docstore part
+# ---------------------------------------------------------------------------
+
+
+class TokenizeFragmentWorker:
+    """Actor-pool callable: per-fragment tokenize + run writing.
+
+    Stateful setup (offset-table broadcast fetch, config) happens once per
+    actor in ``__init__`` (SURVEY.md section 2.3 actor-pool pattern);
+    ``__call__`` handles a batch of fragment descriptors.
+    """
+
+    def __init__(self, index_dir: str, cfg: PipelineConfig, offsets=None, n_docs: int = 0):
+        import ray
+
+        if offsets is not None and isinstance(offsets, ray.ObjectRef):
+            offsets = ray.get(offsets)
+        self.offsets: dstore.ConvOffsets | None = offsets
+        self.cfg = cfg
+        self.paths = IndexPaths(index_dir)
+        self.n_docs = n_docs
+
+    def _shard_of(self, doc_ids: np.ndarray) -> np.ndarray:
+        if self.cfg.doc_id_mode == "rank":
+            return shard_of_rank(doc_ids, self.n_docs, self.cfg.num_shards)
+        return shard_of_hash(doc_ids, self.cfg.num_shards)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = [self.process_fragment(int(r.frag_id), r.path) for r in batch.itertuples()]
+        return pd.DataFrame(out)
+
+    def process_fragment(self, frag_id: int, path: str) -> dict:
+        mpath = self.paths.frag_manifest(frag_id)
+        if mpath.exists():
+            m = json.loads(mpath.read_text())
+            if m.get("path") == path:  # already done (resume)
+                return m
+        t0 = time.time()
+        pf = pq.ParquetFile(path)
+        shard_tables: dict[int, list[pa.Table]] = {}
+        doc_parts: list[pa.Table] = []
+        n_turns = 0
+        n_tokens = 0
+        for rb in pf.iter_batches(
+            batch_size=self.cfg.tokenize_batch_size, columns=TRANSCRIPT_COLUMNS
+        ):
+            tbl = pa.Table.from_batches([rb])
+            if self.cfg.doc_id_mode == "rank":
+                doc_ids = dstore.assign_doc_ids_rank(tbl, self.offsets)
+            else:
+                doc_ids = dstore.assign_doc_ids_hash(tbl)
+            dl = token_counts(tbl["text"])
+            doc_parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids, pa.int64()),
+                        "conv_id": tbl["conv_id"],
+                        "turn_idx": tbl["turn_idx"],
+                        "role": tbl["role"],
+                        "text": tbl["text"],
+                        "dl": pa.array(dl, pa.int32()),
+                    }
+                )
+            )
+            n_turns += len(tbl)
+            n_tokens += int(dl.sum())
+            post = explode_to_postings(doc_ids, tbl["text"], self.cfg.with_positions)
+            if len(post) == 0:
+                continue
+            shards = self._shard_of(np.asarray(post["doc_id"], dtype=np.int64))
+            post = post.append_column("shard", pa.array(shards, pa.int32()))
+            order = np.argsort(shards, kind="stable")
+            post = post.take(order)
+            uniq, starts = np.unique(shards[order], return_index=True)
+            bounds = np.append(starts, len(post))
+            for i, s in enumerate(uniq):
+                shard_tables.setdefault(int(s), []).append(
+                    post.slice(bounds[i], bounds[i + 1] - bounds[i]).drop(["shard"])
+                )
+        run_files = []
+        for s, tables in sorted(shard_tables.items()):
+            runs_dir = self.paths.run_dir(s)
+            runs_dir.mkdir(parents=True, exist_ok=True)
+            merged = pa.concat_tables(tables).sort_by(
+                [("term", "ascending"), ("doc_id", "ascending")]
+            )
+            fname = runs_dir / f"run-frag{frag_id:05d}.parquet"
+            atomic_write_table(fname, merged, row_group_size=131072)
+            run_files.append(str(fname))
+        doc_tbl = pa.concat_tables(doc_parts).sort_by([("doc_id", "ascending")])
+        atomic_write_table(self.paths.docstore / f"part-{frag_id:05d}.parquet", doc_tbl)
+        manifest = {
+            "frag_id": frag_id,
+            "path": path,
+            "n_turns": n_turns,
+            "n_tokens": n_tokens,
+            "n_runs": len(run_files),
+            "run_files": json.dumps(run_files),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        atomic_write_json(mpath, manifest)
+        return manifest
+
+
+# ---------------------------------------------------------------------------
+# Phase B: k-way merge of a shard's sorted runs
+# ---------------------------------------------------------------------------
+
+
+class RunCursor:
+    """Streams one sorted run file row-group-by-row-group (bounded memory);
+    exposes head term and extracts each term's (doc_id, tf) slice."""
+
+    def __init__(self, path: str | Path):
+        self.pf = pq.ParquetFile(path)
+        self.n_rg = self.pf.metadata.num_row_groups
+        self.rg = 0
+        self.pos = 0
+        self.terms: np.ndarray = np.zeros(0, dtype=object)
+        self.docs: np.ndarray = np.zeros(0, dtype=np.int64)
+        self.tfs: np.ndarray = np.zeros(0, dtype=np.int32)
+        self._advance_rg()
+
+    def _advance_rg(self) -> bool:
+        while self.rg < self.n_rg:
+            t = self.pf.read_row_group(self.rg, columns=["term", "doc_id", "tf"])
+            self.rg += 1
+            if len(t):
+                self.terms = np.asarray(t["term"], dtype=object)
+                self.docs = np.asarray(t["doc_id"], dtype=np.int64)
+                self.tfs = np.asarray(t["tf"], dtype=np.int32)
+                self.pos = 0
+                return True
+        self.terms = np.zeros(0, dtype=object)
+        self.pos = 0
+        return False
+
+    @property
+    def exhausted(self) -> bool:
+        return self.pos >= len(self.terms)
+
+    def head_term(self) -> str | None:
+        return None if self.exhausted else self.terms[self.pos]
+
+    def take_term(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Collect all rows for ``term`` at the cursor head (may span row
+        groups); advances the cursor past them."""
+        docs: list[np.ndarray] = []
+        tfs: list[np.ndarray] = []
+        while not self.exhausted and self.terms[self.pos] == term:
+            end = int(np.searchsorted(self.terms, term, side="right"))
+            docs.append(self.docs[self.pos : end])
+            tfs.append(self.tfs[self.pos : end])
+            self.pos = end
+            if self.pos >= len(self.terms):
+                self._advance_rg()
+        if len(docs) == 1:
+            return docs[0], tfs[0]
+        return np.concatenate(docs), np.concatenate(tfs)
+
+
+class MergeShardWorker:
+    """Actor-pool callable: merges one shard's runs into the final shard."""
+
+    def __init__(self, index_dir: str, cfg: PipelineConfig, avgdl: float):
+        self.paths = IndexPaths(index_dir)
+        self.cfg = cfg
+        self.avgdl = avgdl
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([self.merge_shard(int(s)) for s in batch["shard_id"]])
+
+    def merge_shard(self, shard_id: int) -> dict:
+        final = self.paths.shard_dir(shard_id)
+        mpath = final / "manifest.json"
+        if mpath.exists():
+            m = json.loads(mpath.read_text())
+            return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
+        run_files = sorted(str(p) for p in self.paths.run_dir(shard_id).glob("run-*.parquet"))
+        # Pass 1: per-doc lengths from (doc_id, tf) columns only (column-
+        # pruned read).  dl = sum of tfs — exact because no token filtering.
+        all_docs: list[np.ndarray] = []
+        all_tfs: list[np.ndarray] = []
+        for f in run_files:
+            t = pq.read_table(f, columns=["doc_id", "tf"])
+            all_docs.append(np.asarray(t["doc_id"], dtype=np.int64))
+            all_tfs.append(np.asarray(t["tf"], dtype=np.int64))
+        if all_docs:
+            cat_docs = np.concatenate(all_docs)
+            cat_tfs = np.concatenate(all_tfs)
+            doc_ids, inverse = np.unique(cat_docs, return_inverse=True)
+            dl = np.bincount(inverse, weights=cat_tfs).astype(np.int32)
+            base = int(doc_ids[0])
+        else:
+            doc_ids = np.zeros(0, dtype=np.int64)
+            dl = np.zeros(0, dtype=np.int32)
+            base = 0
+        del all_docs, all_tfs
+        dl_lookup_docs = doc_ids
+        # Pass 2: streaming k-way, term-at-a-time merge.
+        writer = ShardWriter(final, shard_id, self.cfg, self.avgdl, base)
+        cursors = [RunCursor(f) for f in run_files]
+        while True:
+            heads = [c.head_term() for c in cursors if not c.exhausted]
+            if not heads:
+                break
+            term = min(heads)
+            parts = [c.take_term(term) for c in cursors if c.head_term() == term]
+            if len(parts) == 1:
+                d, tf = parts[0]
+            else:
+                d = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts])
+                order = np.argsort(d, kind="stable")
+                d, tf = d[order], tf[order]
+            dls = dl[np.searchsorted(dl_lookup_docs, d)]
+            writer.add_term(term, d, tf, dls)
+        m = writer.finish(doc_ids, dl, {"run_files": run_files})
+        return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    total_tokens: int
+    avgdl: float
+    n_shards: int
+    n_fragments: int
+    wall_s: float
+
+
+def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=None) -> pd.DataFrame:
+    """Run worker_cls over items — Ray Data actor pool when Ray is up,
+    sequential local fallback otherwise (unit tests without a session)."""
+    import ray
+
+    if ray.is_initialized():
+        import ray.data as rd
+
+        from horus_ner_ray.util import worker_runtime_env
+
+        n = min(len(items), concurrency or 32)
+        ds = rd.from_items(items).map_batches(
+            worker_cls,
+            fn_constructor_kwargs=ctor_kwargs,
+            batch_format="pandas",
+            batch_size=1,
+            concurrency=max(n, 1),
+            num_cpus=1,
+            runtime_env=worker_runtime_env(),
+        )
+        return ds.to_pandas()
+    w = worker_cls(**ctor_kwargs)
+    return w(pd.DataFrame(items))
+
+
+def build_index(
+    corpus_files: list[str],
+    index_dir: str | Path,
+    cfg: PipelineConfig | None = None,
+    concurrency: int | None = None,
+) -> BuildResult:
+    """Full build over a list of transcript Parquet fragments."""
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    t0 = time.time()
+    paths = IndexPaths(index_dir)
+    paths.ensure()
+    paths.clean_tmp()
+
+    # Phase 0: conv offsets (rank mode) — one small pre-aggregated groupby.
+    offsets = None
+    n_docs = 0
+    offsets_arg = None
+    if cfg.doc_id_mode == "rank":
+        if ray.is_initialized():
+            import ray.data as rd
+
+            offsets = dstore.conv_offsets_from_dataset(
+                rd.read_parquet(corpus_files, columns=["conv_id"])
+            )
+        else:
+            tbls = [pq.read_table(f, columns=["conv_id"]) for f in corpus_files]
+            offsets = dstore.conv_offsets_from_table(pa.concat_tables(tbls))
+        n_docs = offsets.n_docs
+        offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
+
+    # Phase A: fragments -> runs.
+    items = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
+    frag_mani = _map_items(
+        items,
+        TokenizeFragmentWorker,
+        {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "n_docs": n_docs},
+        concurrency,
+    )
+    total_tokens = int(frag_mani["n_tokens"].sum())
+    if cfg.doc_id_mode != "rank":
+        n_docs = int(frag_mani["n_turns"].sum())
+    avgdl = total_tokens / n_docs if n_docs else 0.0
+
+    # Phase B: shard merges.
+    shard_items = [{"shard_id": s} for s in range(cfg.num_shards)]
+    _map_items(
+        shard_items,
+        MergeShardWorker,
+        {"index_dir": str(index_dir), "cfg": cfg, "avgdl": avgdl},
+        concurrency or cfg.merge_concurrency,
+    )
+
+    # Phase C: global stats + df table (vocab-sized per-shard dict groupby).
+    _write_df_table(paths, cfg)
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "n_shards": cfg.num_shards,
+        "doc_id_mode": cfg.doc_id_mode,
+        "k1": cfg.k1,
+        "b": cfg.b,
+        "with_positions": cfg.with_positions,
+        "n_fragments": len(corpus_files),
+        "corpus_files": corpus_files,
+    }
+    atomic_write_json(paths.stats_json, stats)
+    return BuildResult(
+        str(index_dir), n_docs, total_tokens, avgdl, cfg.num_shards, len(corpus_files),
+        round(time.time() - t0, 3),
+    )
+
+
+def _write_df_table(paths: IndexPaths, cfg: PipelineConfig) -> None:
+    """Global (term, df, cf): sum of per-shard dict entries.  Vocab-sized —
+    at sandbox scale a single Arrow group_by; at 10^12-turn scale this is a
+    Ray Data ``read_parquet(dicts).groupby('term')`` with the same schema."""
+    dict_files = sorted(paths.shards.glob("shard-*/dict.parquet"))
+    tbls = [pq.read_table(f, columns=["term", "df", "cf"]) for f in dict_files]
+    tbls = [t for t in tbls if len(t)]
+    if not tbls:
+        atomic_write_table(
+            paths.df_parquet,
+            pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())}),
+        )
+        return
+    cat = pa.concat_tables(tbls)
+    g = (
+        cat.group_by("term", use_threads=False)
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .sort_by([("term", "ascending")])
+    )
+    atomic_write_table(
+        paths.df_parquet,
+        pa.table({"term": g["term"], "df": g["df_sum"], "cf": g["cf_sum"]}),
+    )

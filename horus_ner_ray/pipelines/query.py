@@ -1,0 +1,336 @@
+"""BM25 scoring: brute-force oracle + sharded query engine (actor pool).
+
+Two independent implementations of the same math; the test suite asserts
+their top-k results are rank-identical (SURVEY.md section 5 item b):
+
+* ``BruteForceBM25`` — single-process, pure-Python dict postings, Python
+  ``re`` tokenizer.  The correctness oracle; deliberately shares NO code
+  with the distributed path beyond the two constants and the token regex
+  string.
+
+* ``QueryEngine`` — opens the sharded index (state/shards.py), scores
+  term-at-a-time with vectorized numpy over each shard's doc range, takes a
+  per-shard top-k heap and merges the tiny per-shard results.  This is the
+  query plan the doc-partitioned layout buys: every shard computes complete
+  scores for its own docs, so "global top-k" is `S * k` candidate rows, not
+  a shuffle.  AND-mode intersection uses the block-max metadata to skip
+  decoding blocks that cannot contain candidates.
+
+Determinism / rank-identity (SURVEY.md section 7.4): both sides accumulate
+per-document scores in ascending-term order over IEEE float64 and tie-break
+(score desc, doc_id asc), so scores are bitwise equal, not merely close.
+
+Scoring formula (Okapi BM25, Lucene-style non-negative idf):
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+Query terms are set-deduplicated (the reference's term dictionary is
+case-insensitively deduped the same way — UPPER(term) UNIQUE probe,
+reference: horus0.1.5.db.sql:123-127).
+
+The reference analogue of the engine side is the per-term evidence lookup +
+vote aggregation + heapq top-2 (reference:
+src/core/feature_extraction/features.py:283-311,452-475); the actor pool
+holding mmap'd shards mirrors its persistent SQLite connection + loaded
+models (features.py:83, SURVEY.md A7).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from horus_ner_ray.config import BM25_B, BM25_K1, TOKEN_PATTERN
+from horus_ner_ray.state.shards import IndexPaths, ShardReader
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def query_terms(text: str) -> list[str]:
+    """Sorted, deduplicated query terms (shared query parsing rule)."""
+    return sorted(set(_TOKEN_RE.findall(text.lower())))
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# Oracle
+# ---------------------------------------------------------------------------
+
+
+class BruteForceBM25:
+    """Single-process exact BM25 over (doc_id, text) pairs."""
+
+    def __init__(self, k1: float = BM25_K1, b: float = BM25_B):
+        self.k1, self.b = k1, b
+        self.postings: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        self.dl: dict[int, int] = {}
+        self.n_docs = 0
+        self.total_tokens = 0
+
+    def add_doc(self, doc_id: int, text: str) -> None:
+        toks = _TOKEN_RE.findall(text.lower())
+        self.n_docs += 1
+        self.total_tokens += len(toks)
+        self.dl[doc_id] = len(toks)
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        for t, f in tf.items():
+            self.postings[t].append((doc_id, f))
+
+    @classmethod
+    def from_corpus_files(cls, files: list[str], k1: float = BM25_K1, b: float = BM25_B):
+        """Builds doc ids with the same rank rule (offset of sorted conv_id
+        + turn_idx) but via an independent pandas path."""
+        self = cls(k1, b)
+        frames = [
+            pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+            for f in files
+        ]
+        df = pd.concat(frames, ignore_index=True).sort_values(
+            ["conv_id", "turn_idx"], kind="stable"
+        )
+        df["doc_id"] = range(len(df))
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            self.add_doc(int(doc_id), text)
+        return self
+
+    @property
+    def avgdl(self) -> float:
+        return self.total_tokens / self.n_docs if self.n_docs else 0.0
+
+    def _contrib(self, idf: float, tf: int, dl: int) -> float:
+        return idf * (tf * (self.k1 + 1.0)) / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        )
+
+    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms:
+            return []
+        if mode == "and":
+            if len(terms) != len(all_terms):  # absent term -> empty conjunction
+                return []
+            cand = None
+            for t in terms:
+                docs = {d for d, _ in self.postings[t]}
+                cand = docs if cand is None else (cand & docs)
+            if not cand:
+                return []
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:  # ascending term order == engine accumulation order
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                if mode == "and" and d not in cand:
+                    continue
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+# ---------------------------------------------------------------------------
+# Distributed engine
+# ---------------------------------------------------------------------------
+
+
+class QueryEngine:
+    """Scores queries against a built index.  Query-time state (stats, the
+    vocab df arrays, per-shard mmaps) loads once; shard readers open
+    lazily so an actor restart re-mmaps on first use (SURVEY.md 7.4)."""
+
+    def __init__(self, index_dir: str | Path):
+        self.paths = IndexPaths(index_dir)
+        self.stats = json.loads(self.paths.stats_json.read_text())
+        self.k1 = float(self.stats["k1"])
+        self.b = float(self.stats["b"])
+        self.avgdl = max(float(self.stats["avgdl"]), 1e-9)
+        self.n_docs = int(self.stats["n_docs"])
+        t = pq.read_table(self.paths.df_parquet)
+        self._vocab = np.asarray(t["term"], dtype=object)  # sorted
+        self._df = np.asarray(t["df"], dtype=np.int64)
+        self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
+        self._readers: dict[int, ShardReader] = {}
+
+    def global_df(self, term: str) -> int:
+        i = int(np.searchsorted(self._vocab, term))
+        if i < len(self._vocab) and self._vocab[i] == term:
+            return int(self._df[i])
+        return 0
+
+    def _reader(self, si: int) -> ShardReader:
+        r = self._readers.get(si)
+        if r is None:
+            r = self._readers[si] = ShardReader(self._shard_dirs[si])
+        return r
+
+    # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
+
+    def _score_shard_or(
+        self, si: int, terms: list[str], idfs: list[float], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        r = self._reader(si)
+        nd = len(r.docids)
+        if nd == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        acc = np.zeros(nd, dtype=np.float64)
+        hit = np.zeros(nd, dtype=bool)
+        dl_arr = np.asarray(r.dl, dtype=np.float64)
+        docids = np.asarray(r.docids)
+        for term, idf in zip(terms, idfs):  # terms already sorted ascending
+            ti = r.term_index(term)
+            if ti is None:
+                continue
+            d, tf = r.postings(ti)
+            li = np.searchsorted(docids, d)
+            tff = tf.astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
+            acc[li] += idf * (tff * (self.k1 + 1.0)) / denom
+            hit[li] = True
+        cand = np.flatnonzero(hit)
+        if len(cand) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        return _topk_with_ties(docids[cand], acc[cand], k)
+
+    # -- AND (conjunctive) with block-max skipping -------------------------
+
+    def _score_shard_and(
+        self, si: int, terms: list[str], idfs: list[float], k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        r = self._reader(si)
+        tis = []
+        for t in terms:
+            ti = r.term_index(t)
+            if ti is None:  # term absent in this shard -> empty intersection
+                return np.zeros(0, dtype=np.int64), np.zeros(0)
+            tis.append(ti)
+        # process in ascending local-df order; rarest term drives skipping
+        order = np.argsort([r.df[ti] for ti in tis], kind="stable")
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        first = tis[order[0]]
+        cand, _tf = r.postings(first)
+        decoded[first] = (cand, _tf)
+        B = r.manifest["postings_block"]
+        for oi in order[1:]:
+            ti = tis[oi]
+            if len(cand) == 0:
+                return np.zeros(0, dtype=np.int64), np.zeros(0)
+            lasts = np.asarray(r.block_last[ti].as_py(), dtype=np.int64)
+            blocks = np.unique(np.searchsorted(lasts, cand))
+            blocks = blocks[blocks < len(lasts)]
+            d, tf = r.postings_blocks(ti, blocks)
+            decoded[ti] = (d, tf)
+            cand = cand[np.isin(cand, d, assume_unique=True)]
+        if len(cand) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        dls = r.doc_length(cand).astype(np.float64)
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for term, idf, ti in zip(terms, idfs, tis):  # ascending-term order
+            d, tf = decoded[ti]
+            pos = np.searchsorted(d, cand)
+            tff = tf[pos].astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+            acc += idf * (tff * (self.k1 + 1.0)) / denom
+        return _topk_with_ties(cand, acc, k)
+
+    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        if not terms:
+            return []
+        if mode == "and" and any(self.global_df(t) == 0 for t in query_terms(text)):
+            return []
+        idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
+        score_fn = self._score_shard_or if mode == "or" else self._score_shard_and
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):  # per-shard top-k heaps
+            d, s = score_fn(si, terms, idfs, k)
+            docs.append(d)
+            scores.append(s)
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]  # (score desc, doc_id asc)
+        return [(int(d[i]), float(s[i])) for i in order]
+
+
+def _topk_with_ties(docs: np.ndarray, scores: np.ndarray, k: int):
+    """Deterministic per-shard top-k: argpartition prunes to the kth score,
+    ties at the boundary are kept, then the (small) survivor set is ordered
+    by (score desc, doc_id asc) and cut to k — so the global merge sees the
+    same k docs regardless of shard layout."""
+    if k <= 0:
+        return docs[:0], scores[:0]
+    if len(docs) > k:
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        keep = scores >= kth
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+# ---------------------------------------------------------------------------
+# Batched query scoring (actor pool over a Dataset of queries)
+# ---------------------------------------------------------------------------
+
+
+class ScorerActor:
+    """``map_batches`` callable: one engine per actor (mmaps opened once in
+    ``__init__`` — the reference loads its scorer models exactly once per
+    process the same way, reference: src/core/feature_extraction/features.py:51-106)."""
+
+    def __init__(self, index_dir: str, mode: str = "or"):
+        self.engine = QueryEngine(index_dir)
+        self.mode = mode
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for row in batch.itertuples():
+            hits = self.engine.search(row.text, int(row.k), self.mode)
+            for rank, (doc, score) in enumerate(hits, 1):
+                out["query_id"].append(int(row.query_id))
+                out["rank"].append(rank)
+                out["doc_id"].append(doc)
+                out["score"].append(score)
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(out["query_id"], dtype="int64"),
+                "rank": pd.Series(out["rank"], dtype="int64"),
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "score": pd.Series(out["score"], dtype="float64"),
+            }
+        )
+
+
+def score_queries(
+    index_dir: str, queries: list[dict], concurrency: int = 4, mode: str = "or"
+):
+    """queries: [{query_id, text, k}] -> Dataset of (query_id, rank, doc_id,
+    score) via an actor pool.  Single-node actors hold all shards (mmap;
+    page cache shared).  Multi-node variant: partition shard dirs across
+    actors and add a per-query partial-merge stage — same per-shard top-k
+    contract, documented here rather than built because the sandbox is one
+    node."""
+    import ray.data as rd
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    ds = rd.from_items(queries)
+    return ds.map_batches(
+        ScorerActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "mode": mode},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+        runtime_env=worker_runtime_env(),
+    )

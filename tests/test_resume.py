@@ -1,0 +1,86 @@
+"""Resume / checkpoint semantics (FIXTURES.md section 4; SURVEY.md D2):
+a build killed after partial output, then resumed, is byte-identical to a
+clean build; completed partitions are skipped on rerun."""
+
+import json
+import shutil
+from pathlib import Path
+
+import pytest
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.pipelines.build_index import (
+    MergeShardWorker,
+    TokenizeFragmentWorker,
+    build_index,
+)
+from horus_ner_ray.state.shards import IndexPaths
+
+
+def _index_bytes(idx: Path) -> dict[str, bytes]:
+    out = {}
+    for p in sorted((idx / "shards").rglob("*")):
+        if p.is_file() and p.name != "manifest.json":  # manifests carry wall times
+            out[str(p.relative_to(idx))] = p.read_bytes()
+    return out
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return PipelineConfig(num_shards=3)
+
+
+def test_kill_after_partial_phase_a(small_corpus, tmp_path, cfg, ray_session):
+    clean = tmp_path / "clean"
+    build_index(small_corpus, clean, cfg)
+
+    # simulate a killed run: only fragment 0 completed, plus a stray tmp file
+    partial = tmp_path / "partial"
+    paths = IndexPaths(partial)
+    paths.ensure()
+    w = TokenizeFragmentWorker(str(partial), cfg, offsets=_offsets(small_corpus), n_docs=_n(small_corpus))
+    w.process_fragment(0, small_corpus[0])
+    (paths.runs / "shard-00000" / "run-frag00099.parquet.tmp").write_bytes(b"junk")
+
+    build_index(small_corpus, partial, cfg)  # resume
+    assert _index_bytes(clean) == _index_bytes(partial)
+
+
+def test_kill_after_partial_phase_b(small_corpus, tmp_path, cfg, ray_session):
+    clean = tmp_path / "clean2"
+    build_index(small_corpus, clean, cfg)
+
+    partial = tmp_path / "partial2"
+    shutil.copytree(clean, partial)
+    # wipe one finished shard and leave another half-written (.tmp)
+    shutil.rmtree(IndexPaths(partial).shard_dir(1))
+    tmpdir = IndexPaths(partial).shards / "shard-00002.tmp"
+    tmpdir.mkdir()
+    (tmpdir / "postings.bin").write_bytes(b"half")
+
+    build_index(small_corpus, partial, cfg)
+    assert _index_bytes(clean) == _index_bytes(partial)
+
+
+def test_completed_fragments_are_skipped(small_corpus, tmp_path, cfg, ray_session):
+    idx = tmp_path / "skip"
+    build_index(small_corpus, idx, cfg)
+    mpath = IndexPaths(idx).frag_manifest(1)
+    before = mpath.stat().st_mtime_ns
+    build_index(small_corpus, idx, cfg)  # no-op rerun
+    assert mpath.stat().st_mtime_ns == before
+
+
+def _offsets(files):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.stages.docstore import conv_offsets_from_table
+
+    return conv_offsets_from_table(
+        pa.concat_tables([pq.read_table(f, columns=["conv_id"]) for f in files])
+    )
+
+
+def _n(files):
+    return _offsets(files).n_docs
