@@ -1,44 +1,482 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 top-k)
+on /root/testdata/sf0.001 documents.  ``queries()`` exposes one callable
+per implemented operator family from SURVEY.md section 2; ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible one (same
+column names; floats are published as ``*_e6`` integers via
+CAST(FLOOR(x*1e6+0.5) AS BIGINT) on BOTH sides so value hashes compare
+exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+import numpy as np
+import pandas as pd
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from horus_ner_ray.config import BM25_B, BM25_K1, PipelineConfig  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+_TOKRE = "[a-z0-9]+"  # keep in sync with horus_ner_ray.config.TOKEN_PATTERN
+
+# fixed reference query sets over the documents vocabulary
+DOC_QUERIES = [
+    "batch join",
+    "customer window slow",
+    "scan",
+    "data stream filter sort",
+    "spark merge",
+    "zzzqnotfound",
+]
+DOC_AND_QUERIES = ["batch join", "customer slow", "spark merge window", "scan zzzqnotfound"]
+TOPK = 10
+
+_STOPLIST = (
+    "the to a and of in is you that it for on with as are this be have from or at"
+).split()
+
+
+def _docs(sf_dir: str) -> str:
+    return str(Path(sf_dir) / "documents.parquet")
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+
+def _e6(x: np.ndarray | pd.Series) -> np.ndarray:
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+
+
+def _doc_index_dir(sf_dir: str) -> str:
+    """Build (once, cached) the inverted index over sf_dir's documents."""
+    from horus_ner_ray.pipelines.build_index import build_index
+
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_docidx_{key}"
+    if not (idx / "stats.json").exists():
+        cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
+        build_index([_docs(sf_dir)], idx, cfg)
+    return str(idx)
+
+
+def _bm25_topk_frame(sf_dir: str, texts: list[str], mode: str) -> pd.DataFrame:
+    """Engine top-k, re-ranked by (score_e6 desc, doc_id asc) to match the
+    SQL oracle's integer-rounded ordering (full-precision order first, with
+    padding, so boundary ties resolve identically)."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, text in enumerate(texts):
+        hits = eng.search(text, TOPK * 3 + 20, mode=mode)
+        if not hits:
+            continue
+        d = np.array([h[0] for h in hits], dtype=np.int64)
+        s6 = _e6([h[1] for h in hits])
+        order = np.lexsort((d, -s6))[:TOPK]
+        rows["query_id"] += [qid] * len(order)
+        rows["rank"] += list(range(1, len(order) + 1))
+        rows["doc_id"] += d[order].tolist()
+        rows["score_e6"] += s6[order].tolist()
+    return pd.DataFrame(rows).astype(np.int64) if rows["query_id"] else pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: index-build + BM25 top-k over sf0.001 documents."""
+    return _bm25_topk_frame("/root/testdata/sf0.001", DOC_QUERIES, "or")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_term_df(sf_dir: str):
+    from horus_ner_ray.stages.termstats import term_df_dataset
+
+    return term_df_dataset(_read_docs(sf_dir))
+
+
+def _q_collection_stats(sf_dir: str):
+    from horus_ner_ray.stages.docstore import collection_stats_from_dataset
+
+    s = collection_stats_from_dataset(_read_docs(sf_dir))
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([s.n_docs], dtype=np.int64),
+            "total_tokens": pd.Series([s.total_tokens], dtype=np.int64),
+            "avgdl": pd.Series([s.avgdl], dtype=np.float64),
+        }
+    )
+
+
+def _q_doc_lengths(sf_dir: str):
+    from horus_ner_ray.stages.termstats import doc_lengths_dataset
+
+    return doc_lengths_dataset(_read_docs(sf_dir))
+
+
+def _q_top_terms(sf_dir: str):
+    from horus_ner_ray.stages.termstats import term_cf_dataset
+
+    df = term_cf_dataset(_read_docs(sf_dir)).to_pandas()
+    df = df.sort_values(["cf", "term"], ascending=[False, True], kind="stable").head(100)
+    return df.reset_index(drop=True)
+
+
+def _q_bm25_topk(sf_dir: str):
+    return _bm25_topk_frame(sf_dir, DOC_QUERIES, "or")
+
+
+def _q_bm25_topk_and(sf_dir: str):
+    return _bm25_topk_frame(sf_dir, DOC_AND_QUERIES, "and")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from horus_ner_ray.stages.dedupe import exact_dedup_keep_min
+
+    return exact_dedup_keep_min(_read_docs(sf_dir))
+
+
+def _q_quality(sf_dir: str):
+    from horus_ner_ray.stages.analysis import quality_dataset
+
+    return quality_dataset(_read_docs(sf_dir))
+
+
+def _q_bpeish(sf_dir: str):
+    from horus_ner_ray.stages.analysis import bpeish_count_dataset
+
+    return bpeish_count_dataset(_read_docs(sf_dir))
+
+
+def _q_events_tumbling(sf_dir: str):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import tumbling_window_dataset
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = tumbling_window_dataset(ds, window_s=3600).to_pandas()
+    out["sum_value_e6"] = _e6(out["sum_value"])
+    return out[["user_id", "window_start", "n_events", "sum_value_e6"]]
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import session_windows_dataset
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"])
+    return session_windows_dataset(ds, gap_s=1800)
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    res = ann_topk_bruteforce(
+        rd.read_parquet(path),
+        qt["vec_id"].to_numpy(np.int64),
+        np.array(qt["embedding"].tolist(), dtype=np.float64),
+        k=TOPK,
+    )
+    # integer-rounded rerank to match the SQL oracle exactly
+    out = []
+    for qid, g in res.groupby("query_id", sort=True):
+        g = g.assign(cosine_e6=_e6(g["cosine"]))
+        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True], kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "vec_id", "cosine_e6"]])
+    return pd.concat(out, ignore_index=True).astype(np.int64)
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import embedding_dup_pairs
+
+    out = embedding_dup_pairs(
+        rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet")), threshold=0.4
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "cosine_e6")}
+        )
+    out["cosine_e6"] = _e6(out["cosine"])
+    return out[["doc_a", "doc_b", "cosine_e6"]].astype(np.int64)
+
+
+# --- rows-only checks (non-SQL-expressible; see SURVEY.md section 5) -------
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from horus_ner_ray.stages.dedupe import minhash_candidate_pairs
+
+    cfg = PipelineConfig()
+    return minhash_candidate_pairs(_read_docs(sf_dir), cfg)
+
+
+def _q_simhash(sf_dir: str):
+    from horus_ner_ray.stages.dedupe import simhash_dataset
+
+    return simhash_dataset(_read_docs(sf_dir))
+
+
+def _q_langid(sf_dir: str):
+    from horus_ner_ray.stages.analysis import langid_dataset
+
+    return langid_dataset(_read_docs(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from horus_ner_ray.stages.analysis import fingerprint_dataset
+
+    return fingerprint_dataset(_read_docs(sf_dir))
+
+
+def _q_transcripts_bm25(sf_dir: str):
+    """Flagship over the synthetic transcript corpus (input_hint schema):
+    synth -> build (rank doc ids, salted runs, k-way merge) -> actor-pool
+    scoring.  Rank-identity vs the brute-force oracle is asserted in
+    pytest; the driver records rows here."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import score_queries
+    from horus_ner_ray.synth import reference_queries, synth_transcripts, transcript_files
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    n_convs = max(100, int(float(sf) * 50000))
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    corpus = synth_transcripts(tmp / f"horus_tr_{sf}", n_convs=n_convs, seed=42)
+    idx = tmp / f"horus_tridx_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(transcript_files(corpus), idx, PipelineConfig(num_shards=8))
+    return score_queries(str(idx), reference_queries(k=10), concurrency=2)
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column -> actor-pool decode ->
+    feature vectors (decoder stubbed; schema/batching real)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import decode_features_dataset, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(n=64, seed=42))
+    return decode_features_dataset(media, decoder="fake")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "term_df": _q_term_df,
+        "collection_stats": _q_collection_stats,
+        "doc_lengths": _q_doc_lengths,
+        "top_terms": _q_top_terms,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_topk_and": _q_bm25_topk_and,
+        "exact_dedup": _q_exact_dedup,
+        "quality": _q_quality,
+        "bpeish_counts": _q_bpeish,
+        "events_tumbling": _q_events_tumbling,
+        "session_windows": _q_sessions,
+        "ann_topk": _q_ann_topk,
+        "embedding_dups": _q_embedding_dups,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "langid": _q_langid,
+        "fingerprint": _q_fingerprint,
+        "transcripts_bm25": _q_transcripts_bm25,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _sql_tok(col: str = "text") -> str:
+    return f"regexp_extract_all(lower({col}), '{_TOKRE}')"
+
+
+def _sql_values_queries(texts: list[str]) -> str:
+    """Deduplicated (query_id, term) VALUES rows — set semantics, matching
+    horus_ner_ray.pipelines.query.query_terms."""
+    import re
+
+    rows = []
+    for qid, t in enumerate(texts):
+        for term in sorted(set(re.findall(_TOKRE, t.lower()))):
+            rows.append(f"({qid}, '{term}')")
+    return ", ".join(rows)
+
+
+def _sql_bm25(texts: list[str], conjunctive: bool) -> str:
+    and_filter = (
+        "JOIN (SELECT query_id, count(*) nt FROM q GROUP BY query_id) qn USING (query_id) "
+        "WHERE nhit = nt"
+        if conjunctive
+        else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score,
+         count(*) nhit
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored {and_filter}
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_sql = ", ".join(f"'{w}'" for w in _STOPLIST)
+    return {
+        "term_df": f"""
+            SELECT term, count(*)::BIGINT AS df FROM (
+              SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents
+            ) GROUP BY term
+        """,
+        "collection_stats": f"""
+            SELECT count(*)::BIGINT AS n_docs,
+                   coalesce(sum(len({_sql_tok()})), 0)::BIGINT AS total_tokens,
+                   coalesce(sum(len({_sql_tok()})), 0)::DOUBLE / count(*) AS avgdl
+            FROM documents
+        """,
+        "doc_lengths": f"""
+            SELECT doc_id, len({_sql_tok()})::BIGINT AS dl FROM documents
+        """,
+        "top_terms": f"""
+            SELECT term, count(*)::BIGINT AS cf FROM (
+              SELECT unnest({_sql_tok()}) AS term FROM documents
+            ) GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100
+        """,
+        "bm25_topk": _sql_bm25(DOC_QUERIES, conjunctive=False),
+        "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
+        "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "quality": f"""
+            SELECT doc_id,
+                   len({_sql_tok()})::BIGINT AS n_tokens,
+                   len(list_distinct({_sql_tok()}))::BIGINT AS n_unique,
+                   len(list_filter({_sql_tok()}, t -> t IN ({stop_sql})))::BIGINT AS n_stopwords,
+                   coalesce(list_sum(list_transform({_sql_tok()}, t -> length(t))), 0)::BIGINT AS n_alnum_chars,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "bpeish_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpeish
+            FROM documents
+        """,
+        "events_tumbling": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(FLOOR(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH o AS (
+              SELECT user_id, epoch_us(ts) tsu,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ),
+            s AS (
+              SELECT user_id, tsu,
+                     sum(new) OVER (PARTITION BY user_id ORDER BY tsu
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   make_timestamp(min(tsu)) AS session_start,
+                   make_timestamp(max(tsu)) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+            s AS (
+              SELECT q.qid AS query_id, e.vec_id,
+                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+              FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+              SELECT query_id, vec_id, CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) DESC, vec_id
+                     ) AS rk
+              FROM s
+            )
+            SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                     CAST(b.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+    }

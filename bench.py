@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: transcripts inverted-index build (synth corpus sized to the sf of
+$GRAFT_SF_DIR) + BM25 query batch through the scorer actor pool, plus the
+secondary pipelines (term stats, dedup, ANN, windowed aggregate) over the
+testdata tables.
+
+    GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
+    --scaling       run the headline twice in fresh processes at 8 and 32
+                    CPUs on the same input; report both throughputs and the
+                    scaling efficiency (sandbox substitute for N vs 4N
+                    nodes; see BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+QUERY_REPEATS = 20  # 10 reference queries x repeats
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import score_queries
+    from horus_ner_ray.synth import reference_queries, synth_transcripts, transcript_files
+
+    sf = _sf_of(SF_DIR)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- corpus (cached, untimed) + page-cache warm read ----------------
+    n_convs = max(500, int(200_000 * sf))
+    corpus = synth_transcripts(
+        Path(tempfile.gettempdir()) / f"bench_corpus_{sf}",
+        n_convs=n_convs,
+        convs_per_file=max(100, n_convs // 64),
+    )
+    files = transcript_files(corpus)
+    for f in files:
+        Path(f).read_bytes()
+
+    # ---- headline: index build ------------------------------------------
+    idx = tempfile.mkdtemp(prefix=f"bench_idx_{sf}_{NCPU}_")
+    shutil.rmtree(idx)
+    t0 = time.time()
+    res = build_index(files, idx, PipelineConfig(num_shards=32), concurrency=NCPU)
+    timings["index_build"] = round(time.time() - t0, 3)
+    extras["turns"] = res.n_docs
+    extras["tokens"] = res.total_tokens
+    extras["build_turns_per_s"] = round(res.n_docs / timings["index_build"], 1)
+
+    # ---- headline: BM25 query batch (actor pool) ------------------------
+    queries = []
+    base = reference_queries(k=10)
+    for r in range(QUERY_REPEATS):
+        for q in base:
+            queries.append({"query_id": r * len(base) + q["query_id"], "text": q["text"], "k": 10})
+    t0 = time.time()
+    n_out = score_queries(idx, queries, concurrency=min(8, NCPU)).count()
+    timings["bm25_queries"] = round(time.time() - t0, 3)
+    extras["n_queries"] = len(queries)
+    extras["qps"] = round(len(queries) / timings["bm25_queries"], 1)
+    extras["query_rows"] = n_out
+
+    # ---- secondary pipelines over the sf tables -------------------------
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.stages.dedupe import minhash_candidate_pairs
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+    from horus_ner_ray.stages.termstats import term_df_dataset
+    from horus_ner_ray.stages.windows import tumbling_window_dataset
+
+    docs = rd.read_parquet(str(Path(SF_DIR) / "documents.parquet"), columns=["doc_id", "text"])
+    t0 = time.time()
+    term_df_dataset(docs).count()
+    timings["term_df"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_candidate_pairs(docs, PipelineConfig()).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 3)
+
+    emb_path = str(Path(SF_DIR) / "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas().head(16)
+    t0 = time.time()
+    ann_topk_bruteforce(
+        rd.read_parquet(emb_path),
+        qt["vec_id"].to_numpy(np.int64),
+        np.array(qt["embedding"].tolist(), dtype=np.float64),
+        k=10,
+    )
+    timings["ann_topk"] = round(time.time() - t0, 3)
+
+    ev = rd.read_parquet(str(Path(SF_DIR) / "events.parquet"), columns=["user_id", "ts", "value"])
+    t0 = time.time()
+    tumbling_window_dataset(ev).count()
+    timings["events_window"] = round(time.time() - t0, 3)
+
+    shutil.rmtree(idx, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "headline index-build + BM25 batch + secondary pipelines wall time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": NCPU,
+        **extras,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["index_build"]
+    t_hi = r_hi["queries"]["index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "index-build scaling efficiency (num_cpus 8 vs 32; sandbox substitute for N vs 4N nodes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_s_8": r_lo["build_turns_per_s"],
+        "turns_per_s_32": r_hi["build_turns_per_s"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    print(json.dumps(result))

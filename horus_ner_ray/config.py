@@ -53,13 +53,21 @@ class PipelineConfig:
     run/merge machinery bounds any single in-memory group (see
     pipelines/build_index.py docstring on salting)."""
 
+    # ---- input shape ----------------------------------------------------
+    doc_id_col: str = "doc_id"
+    """'provided' mode: column holding the caller's int64 doc ids."""
+
+    text_col: str = "text"
+
     # ---- doc id assignment --------------------------------------------
     doc_id_mode: str = "rank"
     """'rank': dense doc_id = rank of (conv_id, turn_idx) under conv_id-sorted
     order — exact, needs a conv-level offset table (small: one row per conv,
     built by a pre-aggregated groupby; broadcast via ray.put).
     'hash': doc_id = xxhash48(conv_id) << 16 | turn_idx — no global state, for
-    corpora whose conv count exceeds broadcastable size; doc ids sparse."""
+    corpora whose conv count exceeds broadcastable size; doc ids sparse.
+    'provided': the input table already carries an int64 id column
+    (doc_id_col) — e.g. the testdata ``documents`` table."""
 
     # ---- execution sizing ---------------------------------------------
     tokenize_batch_size: int = 4096

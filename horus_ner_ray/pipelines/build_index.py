@@ -52,11 +52,11 @@ from horus_ner_ray.stages import docstore as dstore
 from horus_ner_ray.stages.tokenize import explode_to_postings, token_counts
 from horus_ner_ray.state.shards import (
     IndexPaths,
-    ShardWriter,
     atomic_write_json,
     atomic_write_table,
     shard_of_hash,
     shard_of_rank,
+    write_shard,
 )
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
@@ -75,7 +75,9 @@ class TokenizeFragmentWorker:
     ``__call__`` handles a batch of fragment descriptors.
     """
 
-    def __init__(self, index_dir: str, cfg: PipelineConfig, offsets=None, n_docs: int = 0):
+    def __init__(
+        self, index_dir: str, cfg: PipelineConfig, offsets=None, id_space: int = 0
+    ):
         import ray
 
         if offsets is not None and isinstance(offsets, ray.ObjectRef):
@@ -83,12 +85,17 @@ class TokenizeFragmentWorker:
         self.offsets: dstore.ConvOffsets | None = offsets
         self.cfg = cfg
         self.paths = IndexPaths(index_dir)
-        self.n_docs = n_docs
+        self.id_space = id_space  # doc ids live in [0, id_space)
 
     def _shard_of(self, doc_ids: np.ndarray) -> np.ndarray:
-        if self.cfg.doc_id_mode == "rank":
-            return shard_of_rank(doc_ids, self.n_docs, self.cfg.num_shards)
+        if self.cfg.doc_id_mode in ("rank", "provided"):
+            return shard_of_rank(doc_ids, self.id_space, self.cfg.num_shards)
         return shard_of_hash(doc_ids, self.cfg.num_shards)
+
+    def _columns(self) -> list[str]:
+        if self.cfg.doc_id_mode == "provided":
+            return [self.cfg.doc_id_col, self.cfg.text_col]
+        return TRANSCRIPT_COLUMNS
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = [self.process_fragment(int(r.frag_id), r.path) for r in batch.itertuples()]
@@ -107,29 +114,26 @@ class TokenizeFragmentWorker:
         n_turns = 0
         n_tokens = 0
         for rb in pf.iter_batches(
-            batch_size=self.cfg.tokenize_batch_size, columns=TRANSCRIPT_COLUMNS
+            batch_size=self.cfg.tokenize_batch_size, columns=self._columns()
         ):
             tbl = pa.Table.from_batches([rb])
             if self.cfg.doc_id_mode == "rank":
                 doc_ids = dstore.assign_doc_ids_rank(tbl, self.offsets)
+            elif self.cfg.doc_id_mode == "provided":
+                doc_ids = np.asarray(tbl[self.cfg.doc_id_col], dtype=np.int64)
             else:
                 doc_ids = dstore.assign_doc_ids_hash(tbl)
-            dl = token_counts(tbl["text"])
-            doc_parts.append(
-                pa.table(
-                    {
-                        "doc_id": pa.array(doc_ids, pa.int64()),
-                        "conv_id": tbl["conv_id"],
-                        "turn_idx": tbl["turn_idx"],
-                        "role": tbl["role"],
-                        "text": tbl["text"],
-                        "dl": pa.array(dl, pa.int32()),
-                    }
-                )
-            )
+            text = tbl[self.cfg.text_col]
+            dl = token_counts(text)
+            store_cols = {"doc_id": pa.array(doc_ids, pa.int64())}
+            for c in self._columns():
+                if c != self.cfg.doc_id_col:
+                    store_cols[c] = tbl[c]
+            store_cols["dl"] = pa.array(dl, pa.int32())
+            doc_parts.append(pa.table(store_cols))
             n_turns += len(tbl)
             n_tokens += int(dl.sum())
-            post = explode_to_postings(doc_ids, tbl["text"], self.cfg.with_positions)
+            post = explode_to_postings(doc_ids, text, self.cfg.with_positions)
             if len(post) == 0:
                 continue
             shards = self._shard_of(np.asarray(post["doc_id"], dtype=np.int64))
@@ -261,10 +265,15 @@ class MergeShardWorker:
             dl = np.zeros(0, dtype=np.int32)
             base = 0
         del all_docs, all_tfs
-        dl_lookup_docs = doc_ids
-        # Pass 2: streaming k-way, term-at-a-time merge.
-        writer = ShardWriter(final, shard_id, self.cfg, self.avgdl, base)
+        # Pass 2: streaming k-way, term-at-a-time merge into contiguous
+        # arrays; the whole shard is then encoded in one vectorized pass
+        # (state/shards.py write_shard).
         cursors = [RunCursor(f) for f in run_files]
+        terms: list[str] = []
+        starts: list[int] = []
+        doc_chunks: list[np.ndarray] = []
+        tf_chunks: list[np.ndarray] = []
+        pos = 0
         while True:
             heads = [c.head_term() for c in cursors if not c.exhausted]
             if not heads:
@@ -278,9 +287,19 @@ class MergeShardWorker:
                 tf = np.concatenate([p[1] for p in parts])
                 order = np.argsort(d, kind="stable")
                 d, tf = d[order], tf[order]
-            dls = dl[np.searchsorted(dl_lookup_docs, d)]
-            writer.add_term(term, d, tf, dls)
-        m = writer.finish(doc_ids, dl, {"run_files": run_files})
+            terms.append(term)
+            starts.append(pos)
+            doc_chunks.append(d)
+            tf_chunks.append(tf)
+            pos += len(d)
+        m = write_shard(
+            final, shard_id, self.cfg, self.avgdl, base,
+            np.array(terms, dtype=object),
+            np.array(starts, dtype=np.int64),
+            np.concatenate(doc_chunks) if doc_chunks else np.zeros(0, np.int64),
+            np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, np.int32),
+            doc_ids, dl, {"run_files": run_files},
+        )
         return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
 
 
@@ -340,9 +359,11 @@ def build_index(
     paths.ensure()
     paths.clean_tmp()
 
-    # Phase 0: conv offsets (rank mode) — one small pre-aggregated groupby.
+    # Phase 0: conv offsets (rank mode) — one small pre-aggregated groupby;
+    # provided mode: id space bounds from Parquet row-group statistics only.
     offsets = None
     n_docs = 0
+    id_space = 0
     offsets_arg = None
     if cfg.doc_id_mode == "rank":
         if ray.is_initialized():
@@ -355,18 +376,21 @@ def build_index(
             tbls = [pq.read_table(f, columns=["conv_id"]) for f in corpus_files]
             offsets = dstore.conv_offsets_from_table(pa.concat_tables(tbls))
         n_docs = offsets.n_docs
+        id_space = n_docs
         offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
+    elif cfg.doc_id_mode == "provided":
+        n_docs, id_space = _scan_id_space(corpus_files, cfg.doc_id_col)
 
     # Phase A: fragments -> runs.
     items = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
     frag_mani = _map_items(
         items,
         TokenizeFragmentWorker,
-        {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "n_docs": n_docs},
+        {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "id_space": id_space},
         concurrency,
     )
     total_tokens = int(frag_mani["n_tokens"].sum())
-    if cfg.doc_id_mode != "rank":
+    if cfg.doc_id_mode == "hash":
         n_docs = int(frag_mani["n_turns"].sum())
     avgdl = total_tokens / n_docs if n_docs else 0.0
 
@@ -398,6 +422,25 @@ def build_index(
         str(index_dir), n_docs, total_tokens, avgdl, cfg.num_shards, len(corpus_files),
         round(time.time() - t0, 3),
     )
+
+
+def _scan_id_space(files: list[str], col: str) -> tuple[int, int]:
+    """(row count, max_id + 1) from Parquet footer statistics — no data read."""
+    n = 0
+    hi = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        n += md.num_rows
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                hi = max(hi, int(st.max) + 1)
+            else:  # no stats: fall back to reading the column
+                t = pq.read_table(f, columns=[col])
+                hi = max(hi, int(np.asarray(t[col]).max()) + 1)
+                break
+    return n, hi
 
 
 def _write_df_table(paths: IndexPaths, cfg: PipelineConfig) -> None:

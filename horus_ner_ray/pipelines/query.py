@@ -104,6 +104,17 @@ class BruteForceBM25:
             self.add_doc(int(doc_id), text)
         return self
 
+    @classmethod
+    def from_document_files(cls, files: list[str], doc_id_col: str = "doc_id",
+                            text_col: str = "text", k1: float = BM25_K1, b: float = BM25_B):
+        """Documents variant: the table already carries int64 ids."""
+        self = cls(k1, b)
+        for f in files:
+            t = pq.read_table(f, columns=[doc_id_col, text_col])
+            for doc_id, text in zip(t[doc_id_col].to_pylist(), t[text_col].to_pylist()):
+                self.add_doc(int(doc_id), text or "")
+        return self
+
     @property
     def avgdl(self) -> float:
         return self.total_tokens / self.n_docs if self.n_docs else 0.0

@@ -1,0 +1,473 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference's only dedup is the exact, case-insensitive UNIQUE term probe
+(SURVEY.md D1; reference: horus0.1.5.db.sql:123-127) — re-expressed here as
+hash-partitioned groupby + per-group first.  Near-dup (MinHash & friends)
+has no reference analogue; it is part of the training-data-pipeline surface
+this engine adds (task brief), built on the same combiner/groupby patterns.
+
+Determinism: every hash is seeded and vectorized (pandas hash_array +
+uint64 polynomial mixes); no Python ``hash()``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.util import worker_runtime_env as _rte
+from horus_ner_ray.stages.tokenize import tokenize_column
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_N_BUCKETS = 256  # coarse shuffle buckets; per-bucket work is vectorized
+
+
+def _bucket_pairs(g: pd.DataFrame, key_col: str, max_bucket: int,
+                  extra: dict | None = None) -> pd.DataFrame:
+    """Within one coarse group: emit all intra-bucket (doc_a < doc_b) pairs,
+    buckets delimited by equal ``key_col`` values.  Vectorized bucket
+    discovery; the Python loop only touches buckets with >= 2 members."""
+    keys = g[key_col].to_numpy(dtype=np.int64)
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, keys))
+    keys, ids = keys[order], ids[order]
+    if extra:
+        extra_sorted = {k: v.to_numpy()[order] for k, v in extra.items()}
+    boundaries = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+    out_a, out_b, out_extra = [], [], {k: [] for k in (extra or {})}
+    for i in range(len(boundaries) - 1):
+        lo, hi = boundaries[i], boundaries[i + 1]
+        if hi - lo < 2:
+            continue
+        sub = np.unique(ids[lo:hi])[:max_bucket]
+        if len(sub) < 2:
+            continue
+        ia, ib = np.triu_indices(len(sub), k=1)
+        out_a.append(sub[ia])
+        out_b.append(sub[ib])
+        for k in out_extra:
+            # carry the first row's value per doc (bucket-constant payloads)
+            vals = pd.Series(extra_sorted[k][lo:hi], index=ids[lo:hi])
+            vals = vals[~vals.index.duplicated()]
+            out_extra[k].append((vals.loc[sub[ia]].to_numpy(), vals.loc[sub[ib]].to_numpy()))
+    if not out_a:
+        cols = {"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64)}
+        return pd.DataFrame(cols)
+    res = pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+    )
+    for k in out_extra:
+        res[k + "_a"] = np.concatenate([x[0] for x in out_extra[k]])
+        res[k + "_b"] = np.concatenate([x[1] for x in out_extra[k]])
+    return res
+
+
+def _distinct_pairs(pairs_ds):
+    """Distinct (doc_a, doc_b) rows via coarse pair-hash buckets (a pair can
+    surface from several bands); vectorized drop_duplicates per bucket."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64)
+        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % _N_BUCKETS
+        return batch.append_column("pk", pa.array(pk.astype(np.int64), pa.int64()))
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True, runtime_env=_rte())
+        .groupby("pk")
+        .map_groups(
+            lambda g: g.drop_duplicates(["doc_a", "doc_b"]).drop(columns=["pk"]),
+            batch_format="pandas", runtime_env=_rte(),
+        )
+    )
+
+
+def _hash_strings(arr: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of a string array (vectorized)."""
+    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (SURVEY.md D1)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset(docs) -> Dataset(doc_id) of survivors: per distinct text, the
+    row with the minimum doc_id survives.
+
+    Plan: vectorized content-hash per batch -> groupby(hash) shuffle (moves
+    only (hash, id, text)) -> per-group exact-text group + min.  Comparing
+    the actual text inside the group makes 64-bit hash collisions harmless.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = _hash_strings(np.asarray(batch[text_col], dtype=object))
+        return pa.table(
+            {
+                "bucket": pa.array((h % _N_BUCKETS).astype(np.int64), pa.int64()),
+                "doc_id": batch[id_col],
+                text_col: batch[text_col],
+            }
+        )
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per hash BUCKET (not per text) — a per-distinct-value
+        # map_groups costs a Python call per group, which measured ~100x
+        # slower; inside the bucket a vectorized pandas groupby finishes it
+        out = g.groupby(text_col, sort=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": out.to_numpy(dtype=np.int64)})
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(keep_min, batch_format="pandas", runtime_env=_rte())
+        .select_columns(["doc_id"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per row: hashes of word k-shingles (vectorized polynomial mix of
+    token hashes over a sliding window).  Returns (flat_hashes, row_lengths);
+    rows with fewer than k tokens get a single sentinel shingle so they can
+    still be compared (empty-vs-empty)."""
+    import pyarrow.compute as pc
+
+    toks = tokenize_column(texts)
+    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    th = _hash_strings(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    out_h: list[np.ndarray] = []
+    out_n = np.zeros(len(lens), dtype=np.int64)
+    for i in range(len(lens)):
+        h = th[offsets[i] : offsets[i + 1]]
+        if len(h) < k:
+            sh = (
+                np.array([np.uint64(0xDEAD)], dtype=np.uint64)
+                if len(h) == 0
+                else (h * _MIX).astype(np.uint64)[:1]
+            )
+        else:
+            sh = h[: len(h) - k + 1].copy()
+            for j in range(1, k):
+                sh = sh * _MIX + h[j : len(h) - k + 1 + j]
+        sh = np.unique(sh)
+        out_h.append(sh)
+        out_n[i] = len(sh)
+    return (np.concatenate(out_h) if out_h else np.zeros(0, np.uint64)), out_n
+
+
+def _minhash_params(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(cfg.seed)
+    a = rng.randint(1, (1 << 61) - 1, size=cfg.minhash_perms).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=cfg.minhash_perms).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(cfg: PipelineConfig, text_col: str = "text", id_col: str = "doc_id"):
+    """map_batches fn: batch -> (doc_id, band, band_hash) rows, P perms
+    folded into ``bands`` bands of ``rows_per_band`` each."""
+    a, b = _minhash_params(cfg)
+    P = cfg.minhash_perms
+    nb = cfg.minhash_bands
+    rpb = cfg.rows_per_band()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh, ns = _shingle_hashes(batch[text_col], cfg.shingle_k)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        starts = np.zeros(len(ns), dtype=np.int64)
+        np.cumsum(ns[:-1], out=starts[1:])
+        # (P, n_shingles) permuted hashes; per-doc min via reduceat
+        x = (sh % _MERSENNE).astype(np.uint64)
+        sigs = np.empty((len(ns), P), dtype=np.uint64)
+        for p in range(P):
+            hx = (a[p] * x + b[p]) % _MERSENNE
+            sigs[:, p] = np.minimum.reduceat(hx, starts) if len(hx) else 0
+        # fold rows into band hashes
+        band_h = np.zeros((len(ns), nb), dtype=np.uint64)
+        for bi in range(nb):
+            acc = np.zeros(len(ns), dtype=np.uint64)
+            for r in range(rpb):
+                acc = acc * _MIX + sigs[:, bi * rpb + r]
+            band_h[:, bi] = acc
+        bh = band_h.reshape(-1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
+                "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ns)), pa.int32()),
+                "band_hash": pa.array(bh.astype(np.int64), pa.int64()),
+                "band_bucket": pa.array((bh % _N_BUCKETS).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def minhash_candidate_pairs(ds, cfg: PipelineConfig, text_col: str = "text",
+                            id_col: str = "doc_id", max_bucket: int = 200):
+    """Dataset(docs) -> Dataset(doc_a, doc_b) candidate near-dup pairs.
+
+    shingle -> minhash -> band -> groupby(band, band_hash) -> in-bucket
+    pairs.  Buckets larger than ``max_bucket`` are truncated to their
+    ``max_bucket`` smallest doc_ids (deterministic) — a hot bucket means a
+    degenerate near-identical cluster; pairing its first M members still
+    connects the cluster for a later connected-components pass.
+    """
+
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        minhash_signatures(cfg, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True, runtime_env=_rte(),
+    )
+    # shuffle key is (band, coarse hash bucket): one Python group per COARSE
+    # bucket with vectorized intra-bucket pairing — not one map_groups call
+    # per LSH bucket, which measured ~100x slower at ~80k tiny buckets
+    cand = sigs.groupby(["band", "band_bucket"]).map_groups(
+        lambda g: _bucket_pairs(g, "band_hash", max_bucket),
+        batch_format="pandas", runtime_env=_rte(),
+    )
+    return _distinct_pairs(cand)
+
+
+def exact_jaccard_for_pairs(
+    corpus_files: list[str], pairs: pd.DataFrame, cfg: PipelineConfig,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Verification stage: exact shingle-set Jaccard for candidate pairs.
+
+    Driver-side (the candidate set is small after LSH); the 100 TB path
+    re-expresses this as a partitioned join of (doc_id -> shingle set)
+    against the pair list — same math, documented not built.
+    """
+    import pyarrow.parquet as pq
+
+    need = np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])) if len(pairs) else np.zeros(0, np.int64)
+    sets: dict[int, np.ndarray] = {}
+    for f in corpus_files:
+        t = pq.read_table(f, columns=[id_col, text_col])
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        mask = np.isin(ids, need)
+        if not mask.any():
+            continue
+        sub = t.filter(pa.array(mask))
+        sh, ns = _shingle_hashes(sub[text_col], cfg.shingle_k)
+        starts = np.zeros(len(ns) + 1, dtype=np.int64)
+        np.cumsum(ns, out=starts[1:])
+        for i, d in enumerate(np.asarray(sub[id_col], dtype=np.int64)):
+            sets[int(d)] = sh[starts[i] : starts[i + 1]]
+    jac = np.zeros(len(pairs))
+    for i, (da, db) in enumerate(zip(pairs["doc_a"], pairs["doc_b"])):
+        sa, sb = sets[int(da)], sets[int(db)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac[i] = inter / union if union else 1.0
+    out = pairs.copy()
+    out["jaccard"] = jac
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(text_col: str = "text", id_col: str = "doc_id"):
+    """map_batches fn: batch -> (doc_id, simhash int64): 64-bit sign-sum of
+    term hashes weighted by tf (vectorized bit unpack, no per-token loop)."""
+    import pyarrow.compute as pc
+
+    bits = np.arange(64, dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        n = len(batch)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(flat):
+            h = _hash_strings(flat)
+            bm = ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+            np.add.at(acc, parents, bm)
+        sig = (acc > 0).astype(np.uint64)
+        out = np.zeros(n, dtype=np.uint64)
+        for j in range(64):
+            out |= sig[:, j] << np.uint64(j)
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "simhash": pa.array(out.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def simhash_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        simhash_signatures(text_col, id_col), batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+    )
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a).astype(np.int64).view(np.uint64)) ^ (
+        np.asarray(b).astype(np.int64).view(np.uint64)
+    )
+    cnt = np.zeros(len(x) if x.shape else (), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
+                            id_col: str = "doc_id", max_bucket: int = 200):
+    """SimHash near-dup: band the 64-bit signature into 4 x 16-bit chunks
+    (any pair within hamming distance 3 shares at least one exact chunk),
+    groupby chunk -> in-bucket pairs -> exact hamming verify."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        chunks = [(sig >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(np.tile(sig.view(np.int64), 4), pa.int64()),
+                "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(ids)), pa.int32()),
+                "chunk_val": pa.array(np.concatenate(chunks).astype(np.int64), pa.int64()),
+                "chunk_bucket": pa.array(
+                    (np.concatenate(chunks) % _N_BUCKETS).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse group per (chunk, chunk_val % buckets); vectorized pairing
+        res = _bucket_pairs(g, "chunk_val", max_bucket, extra={"simhash": g["simhash"]})
+        if len(res) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "hamming")}
+            )
+        hd = hamming_distance(res["simhash_a"].to_numpy(np.int64),
+                              res["simhash_b"].to_numpy(np.int64))
+        keep = hd <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": res["doc_a"][keep], "doc_b": res["doc_b"][keep], "hamming": hd[keep]}
+        )
+
+    cand = (
+        simhash_dataset(ds, text_col, id_col)
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby(["chunk", "chunk_bucket"])
+        .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
+    )
+    return _distinct_pairs(cand)
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
+                        vec_col: str = "embedding", seed: int = 42, planes: int = 12,
+                        exact: bool = True):
+    """Near-dup pairs by cosine >= threshold over an embedding column.
+
+    exact=True (oracle-matched): every batch computes cosine against the
+    full broadcast matrix (ray.put once, fetched per actor) — fine while
+    the table fits one node's memory; the scale path sets exact=False:
+    sign-LSH bucketing (``planes`` seeded hyperplanes) then in-bucket
+    pairwise cosine, trading recall near the threshold for locality.
+    """
+    import ray
+
+    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    order = np.argsort(ids, kind="stable")
+    ids, mat, norms = ids[order], mat[order], norms[order]
+    matn = mat / norms[:, None]
+
+    if exact:
+        ref = ray.put((ids, mat, norms)) if ray.is_initialized() else (ids, mat, norms)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            rids, rmat, rn = ray.get(ref) if ray.is_initialized() else ref
+            bids = np.asarray(batch[id_col], dtype=np.int64)
+            bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            bn = np.linalg.norm(bmat, axis=1)
+            bn[bn == 0] = 1.0
+            # dot / (|a||b|): the same arithmetic shape as the SQL oracle's
+            # list_cosine_similarity, so *_e6 roundings agree
+            sims = (bmat @ rmat.T) / (bn[:, None] * rn[None, :])
+            ai, bi = np.nonzero(sims >= threshold)
+            da, db = bids[ai], rids[bi]
+            keep = da < db
+            return pa.table(
+                {
+                    "doc_a": pa.array(da[keep], pa.int64()),
+                    "doc_b": pa.array(db[keep], pa.int64()),
+                    "cosine": pa.array(sims[ai, bi][keep], pa.float64()),
+                }
+            )
+
+        return emb_ds.select_columns([id_col, vec_col]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+        )
+
+    # LSH-bucketed approximate variant
+    rng = np.random.RandomState(seed)
+    hp = rng.normal(size=(matn.shape[1], planes))
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch[id_col], dtype=np.int64)
+        bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(bmat, axis=1)
+        bn[bn == 0] = 1.0
+        bmat = bmat / bn[:, None]
+        signs = (bmat @ hp) > 0
+        key = np.zeros(len(bids), dtype=np.int64)
+        for j in range(planes):
+            key |= signs[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                "bucket": pa.array(key, pa.int64()),
+                "vec_id": pa.array(bids, pa.int64()),
+                "vec": pa.array(list(bmat), pa.list_(pa.float64())),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids_ = g["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(g["vec"].tolist(), dtype=np.float64)
+        if len(ids_) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+        sims = m @ m.T
+        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+        da, db = ids_[ia], ids_[ib]
+        swap = da > db
+        da[swap], db[swap] = db[swap], da[swap]
+        return pd.DataFrame({"doc_a": da, "doc_b": db, "cosine": sims[ia, ib]})
+
+    return (
+        emb_ds.select_columns([id_col, vec_col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
+    )

@@ -34,6 +34,7 @@ import pandas as pd
 import pyarrow as pa
 
 from horus_ner_ray.stages.tokenize import token_counts
+from horus_ner_ray.util import worker_runtime_env as _rte
 
 
 @dataclass
@@ -76,7 +77,7 @@ def conv_offsets_from_dataset(ds) -> ConvOffsets:
         return pa.table({"conv_id": g["conv_id"], "n": g["conv_id_count"]})
 
     parts = ds.select_columns(["conv_id"]).map_batches(
-        partial_counts, batch_format="pyarrow", zero_copy_batch=True
+        partial_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, runtime_env=_rte()
     )
     from ray.data.aggregate import Sum
 
@@ -140,6 +141,6 @@ def collection_stats_from_dataset(ds) -> CollectionStats:
         )
 
     parts = ds.select_columns(["text"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, runtime_env=_rte()
     ).to_pandas()
     return CollectionStats(int(parts["n"].sum()), int(parts["tok"].sum()))

@@ -21,11 +21,15 @@ import numpy as np
 CODEC_VERSION = "delta-varint-1"
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """uint64 array -> LEB128 bytes (vectorized over values)."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """uint64 array -> (LEB128 bytes, per-value byte counts).
+
+    Vectorized over values; the byte-count array lets callers slice the
+    stream per logical group (per-term posting blobs) without re-encoding.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if len(v) == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nb = np.ones(len(v), dtype=np.int64)
     x = v >> np.uint64(7)
     while x.any():
@@ -39,7 +43,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         byte |= ((nb[m] - 1 > j).astype(np.uint8) << 7)
         out[starts[m] + j] = byte
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """uint64 array -> LEB128 bytes (vectorized over values)."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray) -> np.ndarray:

@@ -1,0 +1,67 @@
+"""Driver-contract conformance at sf0.001: every queries() entry runs and
+SQL-expressible ones match their DuckDB oracle (full sweep at sf0.01 lives
+in tools/conformance.py; the driver runs the real gate)."""
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __ray_entry__ as E
+from tools.conformance import TABLES, canon, to_pandas
+
+SF = "/root/testdata/sf0.001"
+
+# fast subset for pytest; the full sweep runs in tools/conformance.py
+ORACLE_SUBSET = [
+    "term_df",
+    "collection_stats",
+    "doc_lengths",
+    "top_terms",
+    "bm25_topk",
+    "bm25_topk_and",
+    "exact_dedup",
+    "quality",
+    "bpeish_counts",
+    "ann_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF) / f"{t}.parquet"
+        if p.exists():
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return c
+
+
+def test_entry_smoke(ray_session):
+    out = to_pandas(E.entry())
+    assert len(out) >= 0
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "score_e6"]
+    assert len(out) > 0  # corpus terms exist in the doc queries
+
+
+def test_queries_and_oracles_align():
+    qs, sqls = E.queries(), E.oracle_sql()
+    assert set(sqls).issubset(set(qs))
+    for name in ORACLE_SUBSET:
+        assert name in sqls
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_oracle_conformance(name, con, ray_session):
+    mine = canon(to_pandas(E.queries()[name](SF)))
+    oracle = canon(con.execute(E.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(oracle.columns)
+    assert len(mine) == len(oracle)
+    assert mine.equals(oracle), f"{name} values differ"
+
+
+def test_rows_only_queries_run(ray_session):
+    qs, sqls = E.queries(), E.oracle_sql()
+    for name in set(qs) - set(sqls):
+        out = to_pandas(qs[name](SF))
+        assert out is not None and len(out) >= 0, name

@@ -38,7 +38,7 @@ def test_kill_after_partial_phase_a(small_corpus, tmp_path, cfg, ray_session):
     partial = tmp_path / "partial"
     paths = IndexPaths(partial)
     paths.ensure()
-    w = TokenizeFragmentWorker(str(partial), cfg, offsets=_offsets(small_corpus), n_docs=_n(small_corpus))
+    w = TokenizeFragmentWorker(str(partial), cfg, offsets=_offsets(small_corpus), id_space=_n(small_corpus))
     w.process_fragment(0, small_corpus[0])
     (paths.runs / "shard-00000" / "run-frag00099.parquet.tmp").write_bytes(b"junk")
 
