@@ -71,8 +71,12 @@ def _doc_index_dir(sf_dir: str) -> str:
     """Build (once, cached) the inverted index over sf_dir's documents."""
     from horus_ner_ray.pipelines.build_index import build_index
 
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
     key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
-    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_docidx_{key}"
+    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_docidx_v{INDEX_FORMAT_VERSION}_{key}"
+    )
     if not (idx / "stats.json").exists():
         cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
         build_index([_docs(sf_dir)], idx, cfg)
@@ -279,8 +283,10 @@ def _q_transcripts_bm25(sf_dir: str):
     sf = Path(sf_dir).name.replace("sf", "")
     n_convs = max(100, int(float(sf) * 50000))
     tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
     corpus = synth_transcripts(tmp / f"horus_tr_{sf}", n_convs=n_convs, seed=42)
-    idx = tmp / f"horus_tridx_{sf}"
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
     if not (idx / "stats.json").exists():
         build_index(transcript_files(corpus), idx, PipelineConfig(num_shards=8))
     return score_queries(str(idx), reference_queries(k=10), concurrency=2)

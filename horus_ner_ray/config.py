@@ -77,6 +77,13 @@ class PipelineConfig:
     merge_concurrency: int | None = None
     """Actor-pool size for the shard merge stage; None = Ray default."""
 
+    streaming_merge_threshold: int = 256 * 1024 * 1024
+    """Run bytes per shard above which the merge uses the bounded-memory
+    streaming k-way cursor path instead of the in-memory Arrow-sort path.
+    Both produce byte-identical shards (tested); the sort path is ~10x
+    faster while the shard fits, the cursor path caps memory when it
+    doesn't."""
+
     query_concurrency: int = 4
     """Scorer actor pool size for batched query scoring."""
 

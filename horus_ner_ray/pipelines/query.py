@@ -73,6 +73,7 @@ class BruteForceBM25:
         self.k1, self.b = k1, b
         self.postings: dict[str, list[tuple[int, int]]] = defaultdict(list)
         self.dl: dict[int, int] = {}
+        self.doc_tokens: dict[int, list[str]] = {}
         self.n_docs = 0
         self.total_tokens = 0
 
@@ -81,6 +82,7 @@ class BruteForceBM25:
         self.n_docs += 1
         self.total_tokens += len(toks)
         self.dl[doc_id] = len(toks)
+        self.doc_tokens[doc_id] = toks
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -123,6 +125,34 @@ class BruteForceBM25:
         return idf * (tf * (self.k1 + 1.0)) / (
             tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         )
+
+    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Oracle phrase search: scan each candidate doc's token list for
+        the exact adjacent sequence; score matches with standard BM25 over
+        the member terms in ascending-term order."""
+        phrase = _TOKEN_RE.findall(text.lower())
+        if not phrase:
+            return []
+        uniq = sorted(set(phrase))
+        if any(t not in self.postings for t in uniq):
+            return []
+        cand: set[int] | None = None
+        for t in uniq:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        matched = []
+        for d in cand or ():
+            toks = self.doc_tokens[d]
+            n = len(phrase)
+            if any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1)):
+                matched.append(d)
+        scores: dict[int, float] = {d: 0.0 for d in matched}
+        for t in uniq:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            tfmap = dict(self.postings[t])
+            for d in matched:
+                scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
         all_terms = query_terms(text)
@@ -253,6 +283,65 @@ class QueryEngine:
             acc += idf * (tff * (self.k1 + 1.0)) / denom
         return _topk_with_ties(cand, acc, k)
 
+    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase match via position-list adjacency: candidates from
+        full posting intersection per shard, then per-candidate positional
+        verify (P_0 ∩ (P_1 - 1) ∩ ... nonempty); matches scored by standard
+        BM25 over member terms.  Reference analogue: NP-compound chunking
+        (SURVEY.md M6) — multi-token units as adjacent position lists.
+        Requires an index built with cfg.with_positions=True."""
+        phrase = _TOKEN_RE.findall(text.lower())  # ordered, duplicates kept
+        if not phrase:
+            return []
+        uniq = sorted(set(phrase))
+        if any(self.global_df(t) == 0 for t in uniq):
+            return []
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in uniq}
+        scores: dict[int, float] = {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            tis = {t: r.term_index(t) for t in uniq}
+            if any(v is None for v in tis.values()):
+                continue
+            dec = {t: r.postings(ti) for t, ti in tis.items()}
+            cand: np.ndarray | None = None
+            for t in uniq:
+                cand = dec[t][0] if cand is None else np.intersect1d(
+                    cand, dec[t][0], assume_unique=True
+                )
+                if len(cand) == 0:
+                    break
+            if cand is None or len(cand) == 0:
+                continue
+            pos = {t: r.positions(tis[t], dec[t][1]) for t in uniq}
+            matched: list[int] = []
+            for doc in cand:
+                m: np.ndarray | None = None
+                for off, t in enumerate(phrase):
+                    d_arr = dec[t][0]
+                    j = int(np.searchsorted(d_arr, doc))
+                    flat, offs = pos[t]
+                    p = flat[offs[j] : offs[j + 1]].astype(np.int64) - off
+                    m = p if m is None else np.intersect1d(m, p, assume_unique=True)
+                    if len(m) == 0:
+                        break
+                if m is not None and len(m):
+                    matched.append(int(doc))
+            if not matched:
+                continue
+            marr = np.asarray(matched, dtype=np.int64)
+            dls = r.doc_length(marr).astype(np.float64)
+            acc = np.zeros(len(marr), dtype=np.float64)
+            for t in uniq:  # ascending-term accumulation (determinism)
+                d_arr, tf_arr = dec[t]
+                jj = np.searchsorted(d_arr, marr)
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+                acc += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            for doc, s in zip(marr, acc):
+                scores[int(doc)] = float(s)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
         terms = [t for t in query_terms(text) if self.global_df(t) > 0]
         if not terms:
@@ -304,6 +393,13 @@ class ScorerActor:
         self.engine = QueryEngine(index_dir)
         self.mode = mode
 
+    def warm(self) -> int:
+        """Open every shard reader (mmap + dict load) so first real queries
+        don't pay lazy-open latency; returns shard count."""
+        for si in range(len(self.engine._shard_dirs)):
+            self.engine._reader(si)
+        return len(self.engine._shard_dirs)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
@@ -321,6 +417,47 @@ class ScorerActor:
                 "score": pd.Series(out["score"], dtype="float64"),
             }
         )
+
+
+def serve_queries(
+    index_dir: str,
+    queries: list[dict],
+    n_actors: int = 8,
+    mode: str = "or",
+    chunks_per_actor: int = 4,
+) -> tuple[pd.DataFrame, float]:
+    """Steady-state serving: a warm persistent actor pool (the REST-service
+    shape of the reference, rest.py:19-61 — one long-lived extractor).
+
+    Spawns ``n_actors`` ScorerActors, warms each (mmaps + dict load), then
+    fires the query list as round-robin async chunks.  Returns (results,
+    seconds) where seconds covers only the warm scoring — the pool is
+    long-lived in a serving deployment, so spawn cost is not throughput.
+    """
+    import time
+
+    import ray
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    env = worker_runtime_env()
+    cls = ray.remote(num_cpus=1)(ScorerActor)
+    if env:
+        cls = cls.options(runtime_env=env)
+    actors = [cls.remote(index_dir, mode) for _ in range(n_actors)]
+    ray.get([a.warm.remote() for a in actors])
+    qdf = pd.DataFrame(queries)
+    n_chunks = max(1, min(len(qdf), n_actors * chunks_per_actor))
+    bounds = np.linspace(0, len(qdf), n_chunks + 1, dtype=int)
+    chunks = [qdf.iloc[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    t0 = time.time()
+    futs = [actors[i % n_actors].__call__.remote(c) for i, c in enumerate(chunks)]
+    parts = ray.get(futs)
+    wall = time.time() - t0
+    for a in actors:
+        ray.kill(a)
+    out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+    return out, wall
 
 
 def score_queries(

@@ -75,13 +75,24 @@ def explode_to_postings(
     texts: pa.Array | pa.ChunkedArray,
     with_positions: bool = False,
 ) -> pa.Table:
-    """(doc_id, text) batch -> postings rows (term, doc_id, tf[, positions]).
+    """(doc_id, text) batch -> postings rows (term, doc_id, tf[, positions])."""
+    return explode_with_dl(doc_ids, texts, with_positions)[0]
 
-    One output row per distinct (doc_id, term); tf and position lists
+
+def explode_with_dl(
+    doc_ids: np.ndarray,
+    texts: pa.Array | pa.ChunkedArray,
+    with_positions: bool = False,
+) -> tuple[pa.Table, np.ndarray]:
+    """(doc_id, text) batch -> (postings rows, per-row dl) with ONE
+    tokenization pass (dl = token count falls out of the same list array).
+
+    One postings row per distinct (doc_id, term); tf and position lists
     aggregated by Arrow's C++ hash group-by.  This is the reference's
     matrix-builder flatMap (util.py:623-712) re-expressed columnar.
     """
     toks = tokenize_column(texts)
+    dl = np.asarray(pc.list_value_length(toks), dtype=np.int32)
     flat = pc.list_flatten(toks)
     parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
     did = np.asarray(doc_ids, dtype=np.int64)[parents]
@@ -99,7 +110,7 @@ def explode_to_postings(
     }
     if with_positions:
         out["positions"] = g["pos_list"]
-    return pa.table(out)
+    return pa.table(out), dl
 
 
 def doc_lengths_table(batch: pa.Table, doc_id_col: str = "doc_id") -> pa.Table:

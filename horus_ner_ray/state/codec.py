@@ -95,3 +95,35 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(buf: bytes | np.ndarray) -> np.ndarray:
     return varint_decode(buf).astype(np.int32)
+
+
+def encode_positions(flat_pos: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Token-position lists for a run of postings (phrase queries).
+
+    ``flat_pos`` concatenates each posting's ascending positions; posting i
+    owns ``tfs[i]`` of them.  Within a posting: first position absolute,
+    the rest delta-encoded; one varint stream for the whole run.
+    """
+    fp = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    if len(fp) == 0:
+        return b""
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64)[:-1], out=starts[1:])
+    gaps = np.empty(len(fp), dtype=np.uint64)
+    gaps[1:] = np.diff(fp).astype(np.uint64)
+    gaps[starts] = fp[starts].astype(np.uint64)
+    return varint_encode(gaps)
+
+
+def decode_positions(buf: bytes | np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of encode_positions -> flat int32 positions (segment i has
+    tfs[i] entries; split with cumsum(tfs) offsets)."""
+    gaps = varint_decode(buf).astype(np.int64)
+    if len(gaps) == 0:
+        return np.zeros(0, dtype=np.int32)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    c = np.cumsum(gaps)
+    base = c[starts] - gaps[starts]
+    return (c - np.repeat(base, tfs)).astype(np.int32)

@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.state import codec
 
-INDEX_FORMAT_VERSION = 1
+INDEX_FORMAT_VERSION = 2
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:
@@ -120,6 +120,16 @@ def atomic_write_table(path: Path, tbl: pa.Table, **kw) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _position_gaps(flat_pos: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    fp = np.ascontiguousarray(flat_pos, dtype=np.int64)
+    starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64)[:-1], out=starts[1:])
+    gaps = np.empty(len(fp), dtype=np.uint64)
+    gaps[1:] = np.diff(fp).astype(np.uint64)
+    gaps[starts] = fp[starts].astype(np.uint64)
+    return gaps
+
+
 def write_shard(
     final_dir: Path,
     shard_id: int,
@@ -133,6 +143,7 @@ def write_shard(
     shard_docids: np.ndarray,
     shard_dl: np.ndarray,
     lineage: dict,
+    positions_flat: np.ndarray | None = None,
 ) -> dict:
     """Vectorized whole-shard encode + atomic publish.
 
@@ -173,9 +184,32 @@ def write_shard(
     tf_off = doc_region + (tf_cum[term_starts] if n_terms else np.zeros(0, np.int64))
     tf_len = (tf_cum[term_ends] - tf_cum[term_starts]) if n_terms else np.zeros(0, np.int64)
 
+    # optional positions region (phrase queries): one varint stream, reset
+    # at each posting (posting i owns tfs[i] values)
+    pos_off = pos_len = None
+    pos_bytes = b""
+    if positions_flat is not None:
+        pos_bytes, pos_nb = (
+            codec.varint_encode_with_lengths(_position_gaps(positions_flat, tfs))
+            if len(positions_flat)
+            else (b"", np.zeros(0, dtype=np.int64))
+        )
+        val_cum = np.zeros(n_post + 1, dtype=np.int64)  # value idx at posting
+        np.cumsum(tfs.astype(np.int64), out=val_cum[1:])
+        posb_cum = np.zeros(len(pos_nb) + 1, dtype=np.int64)
+        np.cumsum(pos_nb, out=posb_cum[1:])
+        region0 = len(doc_bytes) + len(tf_bytes)
+        if n_terms:
+            pos_off = region0 + posb_cum[val_cum[term_starts]]
+            pos_len = posb_cum[val_cum[term_ends]] - (pos_off - region0)
+        else:
+            pos_off = np.zeros(0, np.int64)
+            pos_len = np.zeros(0, np.int64)
+
     with open(tmp / "postings.bin", "wb") as f:
         f.write(doc_bytes)
         f.write(tf_bytes)
+        f.write(pos_bytes)
 
     # per-term scalar stats (segmented reduces)
     if n_terms:
@@ -204,31 +238,47 @@ def write_shard(
         blk_ends = np.minimum(blk_starts + B, np.repeat(term_ends, nblk))
         block_max_v = np.maximum.reduceat(part, blk_starts).astype(np.float32)
         block_last_v = docs[blk_ends - 1]
-        block_last = pa.ListArray.from_arrays(
-            pa.array(blk_offsets, pa.int32()), pa.array(block_last_v, pa.int64())
+        off32 = pa.array(blk_offsets, pa.int32())
+        block_last = pa.ListArray.from_arrays(off32, pa.array(block_last_v, pa.int64()))
+        block_max = pa.ListArray.from_arrays(off32, pa.array(block_max_v, pa.float32()))
+        # byte offsets of each block's gap/tf streams -> true partial decode
+        # (a block's doc base is the previous block's block_last)
+        block_doc_boff = pa.ListArray.from_arrays(
+            off32, pa.array(doc_cum[blk_starts], pa.int64())
         )
-        block_max = pa.ListArray.from_arrays(
-            pa.array(blk_offsets, pa.int32()), pa.array(block_max_v, pa.float32())
+        block_tf_boff = pa.ListArray.from_arrays(
+            off32, pa.array(doc_region + tf_cum[blk_starts], pa.int64())
+        )
+        block_nn = pa.ListArray.from_arrays(
+            off32, pa.array((blk_ends - blk_starts).astype(np.int32), pa.int32())
         )
     else:
         empty_off = pa.array(np.zeros(n_terms + 1, dtype=np.int32))
         block_last = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int64()))
         block_max = pa.ListArray.from_arrays(empty_off, pa.array([], pa.float32()))
+        block_doc_boff = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int64()))
+        block_tf_boff = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int64()))
+        block_nn = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int32()))
 
-    dict_tbl = pa.table(
-        {
-            "term": pa.array(terms, pa.string()),
-            "df": pa.array(df, pa.int64()),
-            "cf": pa.array(cf, pa.int64()),
-            "max_tf": pa.array(max_tf, pa.int32()),
-            "doc_off": pa.array(doc_off, pa.int64()),
-            "doc_len": pa.array(doc_len, pa.int64()),
-            "tf_off": pa.array(tf_off, pa.int64()),
-            "tf_len": pa.array(tf_len, pa.int64()),
-            "block_last": block_last,
-            "block_max": block_max,
-        }
-    )
+    cols = {
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(df, pa.int64()),
+        "cf": pa.array(cf, pa.int64()),
+        "max_tf": pa.array(max_tf, pa.int32()),
+        "doc_off": pa.array(doc_off, pa.int64()),
+        "doc_len": pa.array(doc_len, pa.int64()),
+        "tf_off": pa.array(tf_off, pa.int64()),
+        "tf_len": pa.array(tf_len, pa.int64()),
+        "block_last": block_last,
+        "block_max": block_max,
+        "block_doc_boff": block_doc_boff,
+        "block_tf_boff": block_tf_boff,
+        "block_n": block_nn,
+    }
+    if pos_off is not None:
+        cols["pos_off"] = pa.array(pos_off, pa.int64())
+        cols["pos_len"] = pa.array(pos_len, pa.int64())
+    dict_tbl = pa.table(cols)
     pq.write_table(dict_tbl, tmp / "dict.parquet")
     np.save(tmp / "docids.npy", np.asarray(shard_docids, dtype=np.int64))
     np.save(tmp / "dl.npy", np.asarray(shard_dl, dtype=np.int32))
@@ -240,7 +290,8 @@ def write_shard(
         "n_terms": int(n_terms),
         "n_postings": int(n_post),
         "n_docs": int(len(shard_docids)),
-        "postings_bytes": doc_region + len(tf_bytes),
+        "postings_bytes": doc_region + len(tf_bytes) + len(pos_bytes),
+        "with_positions": positions_flat is not None,
         "k1": cfg.k1,
         "b": cfg.b,
         "avgdl": avgdl,
@@ -278,6 +329,12 @@ class ShardReader:
         self.tf_len = np.asarray(t["tf_len"], dtype=np.int64)
         self.block_last = t["block_last"].combine_chunks()
         self.block_max = t["block_max"].combine_chunks()
+        self.block_doc_boff = t["block_doc_boff"].combine_chunks()
+        self.block_tf_boff = t["block_tf_boff"].combine_chunks()
+        self.with_positions = "pos_off" in t.schema.names
+        if self.with_positions:
+            self.pos_off = np.asarray(t["pos_off"], dtype=np.int64)
+            self.pos_len = np.asarray(t["pos_len"], dtype=np.int64)
         self.docids = np.load(d / "docids.npy", mmap_mode="r")
         self.dl = np.load(d / "dl.npy", mmap_mode="r")
 
@@ -295,16 +352,42 @@ class ShardReader:
         return d, tf
 
     def postings_blocks(self, ti: int, block_sel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Decode only selected blocks — requires full decode of the gap
-        stream up to each block in this byte-aligned codec, so we decode all
-        and slice; a bit-packed FoR upgrade makes this a true partial decode.
-        Used by the AND-mode block skipper for its candidate filtering."""
-        d, tf = self.postings(ti)
-        B = self.manifest["postings_block"]
-        keep = np.zeros(len(d), dtype=bool)
+        """TRUE partial decode: only the selected blocks' byte ranges are
+        read and decoded.  Block j's doc base is block_last[j-1] (the gap
+        stream restarts cleanly at block boundaries by construction).  Used
+        by the AND-mode skipper: for selective intersections this touches
+        O(candidate blocks), not the whole posting list."""
+        lasts = np.asarray(self.block_last[ti].as_py(), dtype=np.int64)
+        dboff = np.asarray(self.block_doc_boff[ti].as_py(), dtype=np.int64)
+        tboff = np.asarray(self.block_tf_boff[ti].as_py(), dtype=np.int64)
+        nblk = len(lasts)
+        term_doc_end = self.doc_off[ti] + self.doc_len[ti]
+        term_tf_end = self.tf_off[ti] + self.tf_len[ti]
+        docs_out: list[np.ndarray] = []
+        tfs_out: list[np.ndarray] = []
         for bi in block_sel:
-            keep[bi * B : (bi + 1) * B] = True
-        return d[keep], tf[keep]
+            bi = int(bi)
+            d_lo = dboff[bi]
+            d_hi = dboff[bi + 1] if bi + 1 < nblk else term_doc_end
+            t_lo = tboff[bi]
+            t_hi = tboff[bi + 1] if bi + 1 < nblk else term_tf_end
+            base = int(lasts[bi - 1]) if bi > 0 else self.base
+            docs_out.append(codec.decode_doc_ids(self.post[d_lo:d_hi], base))
+            tfs_out.append(codec.decode_tfs(self.post[t_lo:t_hi]))
+        if not docs_out:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+        return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+    def positions(self, ti: int, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode the term's position stream -> (flat int32, offsets) where
+        posting i owns flat[offsets[i]:offsets[i+1]] (phrase queries)."""
+        if not self.with_positions:
+            raise ValueError("index built without positions (cfg.with_positions)")
+        buf = self.post[self.pos_off[ti] : self.pos_off[ti] + self.pos_len[ti]]
+        flat = codec.decode_positions(buf, tfs)
+        offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+        np.cumsum(np.asarray(tfs, dtype=np.int64), out=offsets[1:])
+        return flat, offsets
 
     def doc_length(self, doc_ids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.docids, doc_ids)

@@ -197,14 +197,30 @@ def synth_transcripts(
     out.mkdir(parents=True, exist_ok=True)
     for f in out.glob("part-*.parquet"):
         f.unlink()
-    for i, lo in enumerate(range(0, n_convs, convs_per_file)):
-        hi = min(lo + convs_per_file, n_convs)
-        tbl = _convs_to_table(lo, hi, seed)
-        tmp = out / f".part-{i:05d}.parquet.tmp"
-        pq.write_table(tbl, tmp, row_group_size=65536)
-        os.replace(tmp, out / f"part-{i:05d}.parquet")
+    ranges = [
+        (i, lo, min(lo + convs_per_file, n_convs))
+        for i, lo in enumerate(range(0, n_convs, convs_per_file))
+    ]
+    # parallel across part files — each part is a pure function of
+    # (lo, hi, seed), so the corpus is byte-identical at any worker count
+    if len(ranges) > 4:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(min(16, os.cpu_count() or 4)) as ex:
+            list(ex.map(_write_part, [(str(out), i, lo, hi, seed) for i, lo, hi in ranges]))
+    else:
+        for i, lo, hi in ranges:
+            _write_part((str(out), i, lo, hi, seed))
     manifest.write_text(json.dumps(params))
     return out
+
+
+def _write_part(args: tuple) -> None:
+    out, i, lo, hi, seed = args
+    tbl = _convs_to_table(lo, hi, seed)
+    tmp = Path(out) / f".part-{i:05d}.parquet.tmp"
+    pq.write_table(tbl, tmp, row_group_size=65536)
+    os.replace(tmp, Path(out) / f"part-{i:05d}.parquet")
 
 
 def transcript_files(corpus_dir: str | Path) -> list[str]:

@@ -107,6 +107,36 @@ def test_fragmentation_invariance(tmp_path, ray_session):
         assert da.equals(db)
 
 
+def test_merge_paths_byte_identical(small_corpus, tmp_path, ray_session):
+    """Arrow-sort merge vs streaming k-way cursor merge -> identical shards
+    (including positions)."""
+    fast = PipelineConfig(num_shards=3, with_positions=True)
+    slow = PipelineConfig(num_shards=3, with_positions=True, streaming_merge_threshold=0)
+    build_index(small_corpus, tmp_path / "f", fast)
+    build_index(small_corpus, tmp_path / "s", slow)
+    for s in range(3):
+        for fname in ["postings.bin", "docids.npy", "dl.npy"]:
+            a = (tmp_path / "f" / "shards" / f"shard-{s:05d}" / fname).read_bytes()
+            b = (tmp_path / "s" / "shards" / f"shard-{s:05d}" / fname).read_bytes()
+            assert a == b, f"shard {s} {fname}"
+        da = pq.read_table(tmp_path / "f" / "shards" / f"shard-{s:05d}" / "dict.parquet")
+        db = pq.read_table(tmp_path / "s" / "shards" / f"shard-{s:05d}" / "dict.parquet")
+        assert da.equals(db)
+
+
+def test_serve_queries_matches_oracle(built_index, oracle, ray_session):
+    from horus_ner_ray.pipelines.query import serve_queries
+    from horus_ner_ray.synth import reference_queries
+
+    idx, _ = built_index
+    out, wall = serve_queries(idx, reference_queries(k=5), n_actors=2)
+    for q in reference_queries(k=5):
+        want = oracle.search(q["text"], 5)
+        got = out[out.query_id == q["query_id"]].sort_values("rank")
+        assert list(zip(got.doc_id, got.score)) == want
+    assert wall > 0
+
+
 def test_score_queries_actor_pool(built_index, oracle, ray_session):
     idx, _ = built_index
     qs = reference_queries(k=5)

@@ -1,0 +1,71 @@
+"""Positions + phrase queries (SURVEY.md M6 analogue) and the position
+codec roundtrip."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.pipelines.build_index import build_index
+from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine
+from horus_ner_ray.state import codec
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.integers(0, 5000), min_size=1, max_size=30), min_size=1, max_size=20))
+def test_position_codec_roundtrip(lists):
+    lists = [sorted(set(l)) for l in lists]
+    flat = np.array([p for l in lists for p in l], dtype=np.int64)
+    tfs = np.array([len(l) for l in lists], dtype=np.int32)
+    blob = codec.encode_positions(flat, tfs)
+    got = codec.decode_positions(blob, tfs)
+    assert (got == flat).all()
+
+
+@pytest.fixture(scope="module")
+def pos_index(small_corpus, tmp_path_factory, ray_session):
+    idx = tmp_path_factory.mktemp("posidx") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=4, with_positions=True))
+    return str(idx)
+
+
+@pytest.fixture(scope="module")
+def pos_oracle(small_corpus):
+    return BruteForceBM25.from_corpus_files(small_corpus)
+
+
+PHRASES = [
+    "alpha beta",          # exists adjacently in edge docs
+    "beta alpha",          # also adjacent ("alpha beta alpha")
+    "alpha alpha",         # NOT adjacent
+    "uniqueedge1 appears once",
+    "appears uniqueedge1",  # wrong order
+    "the sessionmark",
+    "zzzqabsent alpha",
+    "sessionmark",          # single-term phrase == that term's docs
+]
+
+
+def test_phrase_rank_identical(pos_index, pos_oracle):
+    eng = QueryEngine(pos_index)
+    for p in PHRASES:
+        got = eng.search_phrase(p, 10)
+        want = pos_oracle.search_phrase(p, 10)
+        assert got == want, f"phrase {p!r}"
+
+
+def test_phrase_requires_positions(built_index):
+    idx, _ = built_index  # built without positions
+    eng = QueryEngine(idx)
+    with pytest.raises(ValueError, match="positions"):
+        eng.search_phrase("alpha beta", 5)
+
+
+def test_phrase_semantics(pos_index):
+    eng = QueryEngine(pos_index)
+    hits = eng.search_phrase("alpha beta alpha", 10)
+    assert len(hits) == 3  # the three identical edge docs
+    assert eng.search_phrase("beta beta", 10) == []
+    # OR search on same index still works with positions present
+    assert len(eng.search("alpha beta", 5)) == 5 or len(eng.search("alpha beta", 5)) == 3
