@@ -246,6 +246,19 @@ def _q_embedding_dups(sf_dir: str):
 # --- rows-only checks (non-SQL-expressible; see SURVEY.md section 5) -------
 
 
+def _q_train_test_split(sf_dir: str):
+    from horus_ner_ray.functions.sampling import hash_split
+
+    ds = hash_split(_read_docs(sf_dir), train_pct=80)
+    return ds.select_columns(["doc_id", "split"])
+
+
+def _q_split_counts(sf_dir: str):
+    from horus_ner_ray.functions.sampling import split_proportions
+
+    return split_proportions(_read_docs(sf_dir), train_pct=80)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from horus_ner_ray.stages.dedupe import minhash_candidate_pairs
 
@@ -318,6 +331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_sessions,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
+        "train_test_split": _q_train_test_split,
+        "split_counts": _q_split_counts,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "langid": _q_langid,
@@ -476,6 +491,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        """,
+        "split_counts": """
+            SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1
         """,
         "embedding_dups": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,

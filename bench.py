@@ -107,6 +107,19 @@ def run_bench() -> dict:
     extras["tokens"] = res.total_tokens
     extras["build_turns_per_s"] = round(res.n_docs / timings["index_build"], 1)
 
+    if os.environ.get("GRAFT_BENCH_STAGES") == "build":
+        shutil.rmtree(idx, ignore_errors=True)
+        ray.shutdown()
+        return {
+            "metric": "index build wall time",
+            "value": timings["index_build"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": NCPU,
+            **extras,
+        }
+
     # ---- headline: BM25 query serving (warm persistent actor pool) ------
     queries = []
     base = reference_queries(k=10)

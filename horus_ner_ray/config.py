@@ -41,6 +41,12 @@ class PipelineConfig:
     """Store per-term position lists (phrase/AND queries).  Off for the
     headline build; positions roughly double index size."""
 
+    stopword_filter: tuple[str, ...] = ()
+    """Terms excluded from the index (SURVEY.md M5 — the reference's
+    POS-predicate gate re-expressed as an explicit term filter).  Empty by
+    default: the per-turn text-equality invariant and exact BM25 need every
+    token; dl still counts filtered tokens when enabled."""
+
     # ---- scoring -------------------------------------------------------
     k1: float = BM25_K1
     b: float = BM25_B

@@ -127,7 +127,9 @@ class TokenizeFragmentWorker:
             else:
                 doc_ids = dstore.assign_doc_ids_hash(tbl)
             text = tbl[self.cfg.text_col]
-            post, dl = explode_with_dl(doc_ids, text, self.cfg.with_positions)
+            post, dl = explode_with_dl(
+                doc_ids, text, self.cfg.with_positions, self.cfg.stopword_filter
+            )
             store_cols = {"doc_id": pa.array(doc_ids, pa.int64())}
             for c in self._columns():
                 if c != self.cfg.doc_id_col:

@@ -69,8 +69,10 @@ def bm25_idf(n_docs: int, df: int) -> float:
 class BruteForceBM25:
     """Single-process exact BM25 over (doc_id, text) pairs."""
 
-    def __init__(self, k1: float = BM25_K1, b: float = BM25_B):
+    def __init__(self, k1: float = BM25_K1, b: float = BM25_B,
+                 stopwords: tuple[str, ...] = ()):
         self.k1, self.b = k1, b
+        self.stopwords = frozenset(stopwords)
         self.postings: dict[str, list[tuple[int, int]]] = defaultdict(list)
         self.dl: dict[int, int] = {}
         self.doc_tokens: dict[int, list[str]] = {}
@@ -79,6 +81,8 @@ class BruteForceBM25:
 
     def add_doc(self, doc_id: int, text: str) -> None:
         toks = _TOKEN_RE.findall(text.lower())
+        if self.stopwords:
+            toks = [t for t in toks if t not in self.stopwords]
         self.n_docs += 1
         self.total_tokens += len(toks)
         self.dl[doc_id] = len(toks)
@@ -90,10 +94,11 @@ class BruteForceBM25:
             self.postings[t].append((doc_id, f))
 
     @classmethod
-    def from_corpus_files(cls, files: list[str], k1: float = BM25_K1, b: float = BM25_B):
+    def from_corpus_files(cls, files: list[str], k1: float = BM25_K1, b: float = BM25_B,
+                          stopwords: tuple[str, ...] = ()):
         """Builds doc ids with the same rank rule (offset of sorted conv_id
         + turn_idx) but via an independent pandas path."""
-        self = cls(k1, b)
+        self = cls(k1, b, stopwords)
         frames = [
             pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
             for f in files
@@ -362,6 +367,19 @@ class QueryEngine:
             return []
         order = np.lexsort((d, -s))[:k]  # (score desc, doc_id asc)
         return [(int(d[i]), float(s[i])) for i in order]
+
+
+def topk_with_margin(hits: list[tuple[int, float]]) -> list[tuple[int, float, float]]:
+    """(doc, score) ranking -> (doc, score, margin-to-next) rows.
+
+    The reference's top-2 'distance indicator' (SURVEY.md G3, reference:
+    src/core/feature_extraction/features.py:376-383 heapq.nlargest margin)
+    generalized to every rank; the last hit's margin is its score."""
+    out = []
+    for i, (d, s) in enumerate(hits):
+        nxt = hits[i + 1][1] if i + 1 < len(hits) else 0.0
+        out.append((d, s, s - nxt))
+    return out
 
 
 def _topk_with_ties(docs: np.ndarray, scores: np.ndarray, k: int):

@@ -83,6 +83,7 @@ def explode_with_dl(
     doc_ids: np.ndarray,
     texts: pa.Array | pa.ChunkedArray,
     with_positions: bool = False,
+    stopwords: tuple[str, ...] = (),
 ) -> tuple[pa.Table, np.ndarray]:
     """(doc_id, text) batch -> (postings rows, per-row dl) with ONE
     tokenization pass (dl = token count falls out of the same list array).
@@ -92,14 +93,26 @@ def explode_with_dl(
     matrix-builder flatMap (util.py:623-712) re-expressed columnar.
     """
     toks = tokenize_column(texts)
-    dl = np.asarray(pc.list_value_length(toks), dtype=np.int32)
     flat = pc.list_flatten(toks)
     parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    pos = _positions_within_groups(parents) if with_positions else None
+    if stopwords:
+        # M5 gate: drop stopword tokens from the postings stream.  dl then
+        # counts only indexed tokens (the filtered stream IS the corpus for
+        # BM25 purposes); positions stay original-text-relative so phrase
+        # adjacency remains text-faithful.
+        keep = pc.invert(pc.is_in(flat, value_set=pa.array(sorted(stopwords))))
+        keep_np = np.asarray(keep, dtype=bool)
+        flat = flat.filter(keep)
+        parents = parents[keep_np]
+        if pos is not None:
+            pos = pos[keep_np]
+    dl = np.bincount(parents, minlength=len(texts)).astype(np.int32)
     did = np.asarray(doc_ids, dtype=np.int64)[parents]
     cols = {"term": flat, "doc_id": pa.array(did, pa.int64())}
     aggs = [("doc_id", "count")]
     if with_positions:
-        cols["pos"] = pa.array(_positions_within_groups(parents), pa.int32())
+        cols["pos"] = pa.array(pos, pa.int32())
         aggs.append(("pos", "list"))
     pairs = pa.table(cols)
     g = pairs.group_by(["term", "doc_id"], use_threads=False).aggregate(aggs)

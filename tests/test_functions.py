@@ -1,0 +1,66 @@
+"""Sampling/split/export helpers + stopword-filtered build + margins."""
+
+import numpy as np
+import pytest
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.pipelines.build_index import build_index
+from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine, topk_with_margin
+
+
+def test_hash_split_deterministic(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import hash_split, split_proportions
+
+    ds = rd.range(1000).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+    )
+    out = hash_split(ds).to_pandas()
+    assert (out[out.doc_id % 100 < 80]["split"] == "train").all()
+    assert (out[out.doc_id % 100 >= 80]["split"] == "test").all()
+    props = split_proportions(ds).to_pandas().set_index("split")["n"]
+    assert props["train"] == 800 and props["test"] == 200
+
+
+def test_random_sample_and_shuffle_seeded(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import random_sample, shuffled
+
+    ds = rd.range(2000)
+    a = sorted(r["id"] for r in random_sample(ds, 0.1, seed=7).take_all())
+    b = sorted(r["id"] for r in random_sample(rd.range(2000), 0.1, seed=7).take_all())
+    assert a == b and 100 < len(a) < 320
+    s = shuffled(rd.range(100), seed=3).take_all()
+    assert sorted(r["id"] for r in s) == list(range(100))
+
+
+def test_export_formats(ray_session, tmp_path):
+    import ray.data as rd
+
+    from horus_ner_ray.functions.export import export_dataset
+
+    ds = rd.from_items([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    for fmt in ("parquet", "csv", "json"):
+        export_dataset(ds, tmp_path / fmt, fmt=fmt)
+        assert any((tmp_path / fmt).iterdir())
+    with pytest.raises(ValueError):
+        export_dataset(ds, tmp_path / "z", fmt="tsv")
+
+
+def test_stopword_filtered_build_rank_identity(small_corpus, tmp_path, ray_session):
+    stop = ("the", "to", "a", "of", "and", "sessionmark")
+    cfg = PipelineConfig(num_shards=3, stopword_filter=stop)
+    build_index(small_corpus, tmp_path / "i", cfg)
+    eng = QueryEngine(tmp_path / "i")
+    bf = BruteForceBM25.from_corpus_files(small_corpus, stopwords=stop)
+    assert eng.global_df("the") == 0 and eng.global_df("sessionmark") == 0
+    for q in ["alpha beta", "the tok00042", "uniqueedge1", "tok00007 tok00011"]:
+        assert eng.search(q, 10) == bf.search(q, 10), q
+
+
+def test_topk_with_margin():
+    rows = topk_with_margin([(5, 3.0), (2, 2.5), (9, 2.5)])
+    assert rows == [(5, 3.0, 0.5), (2, 2.5, 0.0), (9, 2.5, 2.5)]
+    assert topk_with_margin([]) == []
