@@ -206,6 +206,7 @@ class QueryEngine:
         self._df = np.asarray(t["df"], dtype=np.int64)
         self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
         self._readers: dict[int, ShardReader] = {}
+        self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
 
     def global_df(self, term: str) -> int:
         i = int(np.searchsorted(self._vocab, term))
@@ -220,6 +221,16 @@ class QueryEngine:
         return r
 
     # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
+    #
+    # MaxScore-style pruning with an exact rescore: terms are processed in
+    # descending upper-bound order (ub_t = idf_t * max block_max); once the
+    # running kth score exceeds the sum of remaining terms' upper bounds, no
+    # unseen doc can reach the top-k, so remaining (typically hot, low-idf)
+    # terms are restricted to still-viable candidates and only the posting
+    # BLOCKS containing those candidates are decoded (true partial decode).
+    # Because the pruning pass accumulates in ub order (different float
+    # summation order), survivors are rescored exactly in ascending-term
+    # order — bitwise identical to the brute-force oracle.
 
     def _score_shard_or(
         self, si: int, terms: list[str], idfs: list[float], k: int
@@ -228,14 +239,101 @@ class QueryEngine:
         nd = len(r.docids)
         if nd == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
-        acc = np.zeros(nd, dtype=np.float64)
-        hit = np.zeros(nd, dtype=bool)
         dl_arr = np.asarray(r.dl, dtype=np.float64)
         docids = np.asarray(r.docids)
-        for term, idf in zip(terms, idfs):  # terms already sorted ascending
-            ti = r.term_index(term)
-            if ti is None:
+        present = [(t, idf, r.term_index(t)) for t, idf in zip(terms, idfs)]
+        present = [(t, idf, ti) for t, idf, ti in present if ti is not None]
+        if not present:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        if len(present) == 1:  # no pruning possible; plain vectorized scan
+            _, idf, ti = present[0]
+            d, tf = r.postings(ti)
+            li = np.searchsorted(docids, d)
+            tff = tf.astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
+            return _topk_with_ties(d, idf * (tff * (self.k1 + 1.0)) / denom, k)
+        ubs = np.array([idf * r.max_block_part(ti) for _, idf, ti in present])
+        order = np.argsort(-ubs, kind="stable")
+        rest = np.zeros(len(order) + 1)
+        rest[:-1] = np.cumsum(ubs[order][::-1])[::-1]  # rest[i] = sum ub from i on
+        cum = np.cumsum(ubs[order])  # cum[i] = max possible acc after step i
+        if k <= 0 or not (cum[:-1] > rest[1:-1] * (1.0 + 1e-9)).any():
+            # pruning can never fire (e.g. all-hot same-magnitude terms):
+            # plain exact ascending-order accumulation, zero overhead
+            return self._score_shard_or_simple(r, present, k, docids, dl_arr)
+
+        acc = np.zeros(nd, dtype=np.float64)
+        hit = np.zeros(nd, dtype=bool)
+        theta = -np.inf
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for step, oi in enumerate(order):
+            t, idf, ti = present[oi]
+            if k > 0 and theta > rest[step] * (1.0 + 1e-9):
+                # no new doc can enter: restrict to viable candidates' blocks
+                # (slack absorbs float-reordering ulps in acc/theta)
+                self.pruned_term_evals += 1
+                viable = np.flatnonzero(
+                    hit & (acc + rest[step] >= theta - abs(theta) * 1e-9)
+                )
+                if len(viable) == 0:
+                    decoded[ti] = (np.zeros(0, np.int64), np.zeros(0, np.int32))
+                    continue
+                lasts = np.asarray(r.block_last[ti].as_py(), dtype=np.int64)
+                blocks = np.unique(np.searchsorted(lasts, docids[viable]))
+                blocks = blocks[blocks < len(lasts)]
+                if len(blocks) * r.manifest["postings_block"] >= 0.8 * r.df[ti]:
+                    d, tf = r.postings(ti)  # selection covers ~whole list
+                else:
+                    d, tf = r.postings_blocks(ti, blocks)
+            else:
+                d, tf = r.postings(ti)
+            decoded[ti] = (d, tf)
+            if len(d) == 0:
                 continue
+            li = np.searchsorted(docids, d)
+            tff = tf.astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
+            acc[li] += idf * (tff * (self.k1 + 1.0)) / denom
+            hit[li] = True
+            if k > 0 and len(li) >= k and step + 1 < len(order):
+                # cheap SAFE theta: kth-largest over docs touched by THIS
+                # term (a subset of all hit docs -> underestimates true
+                # theta -> prunes less, never wrongly)
+                touched = acc[li]
+                cand_theta = np.partition(touched, len(touched) - k)[len(touched) - k]
+                if cand_theta > theta:
+                    theta = cand_theta
+        cand = np.flatnonzero(hit)
+        if len(cand) == 0 or k <= 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        # survivor set: everything within a float-reordering margin of the
+        # kth pruned score (reordered sums differ by ulps only)
+        if len(cand) > k:
+            kth = np.partition(acc[cand], len(cand) - k)[len(cand) - k]
+            keep = acc[cand] >= kth - abs(kth) * 1e-9
+            cand = cand[keep]
+        cdocs = docids[cand]
+        cdl = dl_arr[cand]
+        exact = np.zeros(len(cand), dtype=np.float64)
+        for t, idf, ti in present:  # ascending-term order == oracle order
+            d, tf = decoded[ti]
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(d, cdocs)
+            pos_c = np.minimum(pos, len(d) - 1)
+            valid = d[pos_c] == cdocs
+            tff = np.where(valid, tf[pos_c], 0).astype(np.float64)
+            denom = tff + self.k1 * (1.0 - self.b + self.b * cdl / self.avgdl)
+            contrib = idf * (tff * (self.k1 + 1.0)) / denom
+            exact += np.where(valid, contrib, 0.0)
+        return _topk_with_ties(cdocs, exact, k)
+
+    def _score_shard_or_simple(self, r, present, k, docids, dl_arr):
+        """Exact TAAT in ascending-term order (oracle accumulation order)."""
+        nd = len(docids)
+        acc = np.zeros(nd, dtype=np.float64)
+        hit = np.zeros(nd, dtype=bool)
+        for _, idf, ti in present:
             d, tf = r.postings(ti)
             li = np.searchsorted(docids, d)
             tff = tf.astype(np.float64)

@@ -236,7 +236,15 @@ def write_shard(
         intra = (np.arange(blk_offsets[-1]) - np.repeat(blk_offsets[:-1], nblk)) * B
         blk_starts = reps + intra
         blk_ends = np.minimum(blk_starts + B, np.repeat(term_ends, nblk))
-        block_max_v = np.maximum.reduceat(part, blk_starts).astype(np.float32)
+        bm64 = np.maximum.reduceat(part, blk_starts)
+        block_max_v = bm64.astype(np.float32)
+        # round UP where float32 narrowing rounded down — block_max must
+        # upper-bound the true partial or WAND/MaxScore pruning is unsound
+        low = block_max_v.astype(np.float64) < bm64
+        if low.any():
+            block_max_v[low] = np.nextafter(
+                block_max_v[low], np.float32(np.inf), dtype=np.float32
+            )
         block_last_v = docs[blk_ends - 1]
         off32 = pa.array(blk_offsets, pa.int32())
         block_last = pa.ListArray.from_arrays(off32, pa.array(block_last_v, pa.int64()))
@@ -337,6 +345,20 @@ class ShardReader:
             self.pos_len = np.asarray(t["pos_len"], dtype=np.int64)
         self.docids = np.load(d / "docids.npy", mmap_mode="r")
         self.dl = np.load(d / "dl.npy", mmap_mode="r")
+        self._max_part: np.ndarray | None = None
+
+    def max_block_part(self, ti: int) -> float:
+        """Max idf-free BM25 partial over the term's blocks (MaxScore ub)."""
+        if self._max_part is None:
+            la = self.block_max
+            flat = np.asarray(la.flatten(), dtype=np.float64)
+            offs = np.asarray(la.offsets, dtype=np.int64)
+            out = np.zeros(len(self.terms), dtype=np.float64)
+            nz = offs[1:] > offs[:-1]
+            if nz.any():
+                out[nz] = np.maximum.reduceat(flat, offs[:-1][nz])
+            self._max_part = out
+        return float(self._max_part[ti])
 
     def term_index(self, term: str) -> int | None:
         i = int(np.searchsorted(self.terms, term))
