@@ -266,6 +266,46 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(_read_docs(sf_dir), cfg)
 
 
+def _q_jaccard_dups(sf_dir: str):
+    """n-gram (shingle) Jaccard near-dup: MinHash-LSH candidates verified
+    with exact shingle-set Jaccard (threshold 0.5)."""
+    from horus_ner_ray.stages.dedupe import exact_jaccard_for_pairs, minhash_candidate_pairs
+
+    cfg = PipelineConfig()
+    cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "jaccard_e6")}
+        )
+    ver = exact_jaccard_for_pairs([_docs(sf_dir)], cand, cfg)
+    ver = ver[ver["jaccard"] >= 0.5].copy()
+    ver["jaccard_e6"] = _e6(ver["jaccard"])
+    return ver[["doc_a", "doc_b", "jaccard_e6"]].astype(np.int64)
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF (coarse-quantized) approximate ANN — the scale path variant of
+    ann_topk; rows-only (approximate by design)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.similarity import IVFIndex
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    ivf = IVFIndex(n_centroids=16, nprobe=4, seed=42).fit(rd.read_parquet(path))
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine_e6": []}
+    qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    for qid, hits in zip(qt["vec_id"], ivf.search(qm, k=TOPK)):
+        for rank, (vid, c) in enumerate(hits, 1):
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(vid)
+            rows["cosine_e6"].append(int(np.floor(c * 1e6 + 0.5)))
+    return pd.DataFrame(rows).astype(np.int64)
+
+
 def _q_simhash(sf_dir: str):
     from horus_ner_ray.stages.dedupe import simhash_dataset
 
@@ -334,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "split_counts": _q_split_counts,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_dups": _q_jaccard_dups,
+        "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,

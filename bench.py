@@ -181,7 +181,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # build-only sub-runs: the scaling criterion is about build
+        # throughput, and this keeps --scaling inside a sane wall budget
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_STAGES="build")
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
             env=env,

@@ -93,6 +93,69 @@ class MediaDecodeFeatures:
         )
 
 
+class MediaResize:
+    """Actor-pool stage: resize image payloads to (target_w, target_h).
+
+    Stub codec (nearest-neighbor over the fake byte raster; ``real`` raises
+    at the Pillow seam); the Ray plumbing — binary in/out schema, metadata
+    update, small batches — is real and tested."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 16, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.tw, self.th = int(target_w), int(target_h)
+        self.decoder = decoder
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        if self.decoder == "real":
+            raise NotImplementedError("real resize requires Pillow/opencv")
+        if w <= 0 or h <= 0 or len(payload) < w * h:
+            return b"\x00" * (self.tw * self.th)
+        arr = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
+        yi = (np.arange(self.th) * h // self.th).astype(np.int64)
+        xi = (np.arange(self.tw) * w // self.tw).astype(np.int64)
+        return arr[np.ix_(yi, xi)].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [
+            self._resize(p.as_py(), int(w.as_py() or 0), int(h.as_py() or 0))
+            for p, w, h in zip(batch["payload"], batch["width"], batch["height"])
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array([self.tw] * len(batch), pa.int32()),
+                "height": pa.array([self.th] * len(batch), pa.int32()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+def frame_sample_batch(batch: pa.Table, every: int = 4, frame_bytes: int = 64) -> pa.Table:
+    """Video-style frame sampling: treat the payload as a sequence of
+    fixed-size frames and keep every ``every``-th one — flat_map shaped
+    (one output row per kept frame).  Deterministic stub for the pyav seam;
+    the explode plumbing (media_id, frame_idx, frame payload) is real."""
+    out = {"media_id": [], "frame_idx": [], "frame": []}
+    for mid, p in zip(batch["media_id"], batch["payload"]):
+        raw = p.as_py()
+        n_frames = len(raw) // frame_bytes
+        for fi in range(0, n_frames, every):
+            out["media_id"].append(mid.as_py())
+            out["frame_idx"].append(fi)
+            out["frame"].append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "frame": pa.array(out["frame"], pa.binary()),
+        }
+    )
+
+
 def decode_features_dataset(media_ds, decoder: str = "fake", concurrency: int = 2,
                             batch_size: int = 64):
     from horus_ner_ray.util import worker_runtime_env

@@ -240,6 +240,51 @@ def test_multimodal_plumbing(ray_session):
         MediaDecodeFeatures(decoder="real")._decode(b"x", 1, 1)
 
 
+def test_multimodal_resize_and_frames(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        MediaResize,
+        frame_sample_batch,
+        synth_media_table,
+    )
+    from horus_ner_ray.util import worker_runtime_env
+
+    media = synth_media_table(n=10, seed=2)
+    out = (
+        rd.from_arrow(media)
+        .map_batches(
+            MediaResize,
+            fn_constructor_kwargs={"target_w": 8, "target_h": 8},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=1,
+            runtime_env=worker_runtime_env(),
+        )
+        .to_pandas()
+    )
+    assert (out["width"] == 8).all() and (out["n_bytes"] == 64).all()
+    frames = frame_sample_batch(media, every=4, frame_bytes=64)
+    assert len(frames) > 0
+    assert (pd.Series(frames["frame_idx"].to_pylist()) % 4 == 0).all()
+    with pytest.raises(NotImplementedError):
+        MediaResize(decoder="real")._resize(b"x", 1, 1)
+
+
+def test_cli_roundtrip(built_index, capsys):
+    import json as _json
+
+    from horus_ner_ray.__main__ import main
+
+    idx, _ = built_index
+    assert main(["query", "--index", idx, "--text", "alpha beta", "-k", "3"]) == 0
+    hits = _json.loads(capsys.readouterr().out)
+    assert len(hits) == 3 and hits[0]["rank"] == 1
+    assert main(["stats", "--index", idx]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    assert stats["n_docs"] > 0
+
+
 def test_bpeish_counts(ray_session):
     import ray.data as rd
 
