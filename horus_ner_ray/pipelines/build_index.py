@@ -272,11 +272,18 @@ class MergeShardWorker:
         return pd.DataFrame([self.merge_shard(int(s)) for s in batch["shard_id"]])
 
     def merge_shard(self, shard_id: int) -> dict:
+        return self.encode(shard_id, self.merge_data(shard_id))
+
+    def merge_data(self, shard_id: int):
+        """avgdl-independent half: read+merge the shard's runs (resume-aware).
+        Split from ``encode`` so pipelined builds can merge a shard as soon
+        as its contributing fragments finish, before the global avgdl (a
+        reduce over ALL fragments) is known."""
         final = self.paths.shard_dir(shard_id)
         mpath = final / "manifest.json"
         if mpath.exists():
             m = json.loads(mpath.read_text())
-            return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
+            return ("skip", {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")})
         run_files = sorted(str(p) for p in self.paths.run_dir(shard_id).glob("run-*.parquet"))
         # Pass 1: per-doc lengths from (doc_id, tf) columns only (column-
         # pruned read).  dl = sum of tfs — exact because no token filtering.
@@ -304,11 +311,25 @@ class MergeShardWorker:
         else:
             merged = self._merge_streaming_path(run_files, wp)
         terms_a, starts_a, docs_a, tfs_a, posf = merged
+        return (
+            "data",
+            {
+                "terms": terms_a, "starts": starts_a, "docs": docs_a, "tfs": tfs_a,
+                "posf": posf, "doc_ids": doc_ids, "dl": dl, "base": base,
+                "run_files": run_files,
+            },
+        )
+
+    def encode(self, shard_id: int, data) -> dict:
+        kind, payload = data
+        if kind == "skip":
+            return payload
+        final = self.paths.shard_dir(shard_id)
         m = write_shard(
-            final, shard_id, self.cfg, self.avgdl, base,
-            terms_a, starts_a, docs_a, tfs_a,
-            doc_ids, dl, {"run_files": run_files},
-            positions_flat=posf,
+            final, shard_id, self.cfg, self.avgdl, payload["base"],
+            payload["terms"], payload["starts"], payload["docs"], payload["tfs"],
+            payload["doc_ids"], payload["dl"], {"run_files": payload["run_files"]},
+            positions_flat=payload["posf"],
         )
         return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
 
@@ -322,14 +343,17 @@ class MergeShardWorker:
         tables = [pq.read_table(f, columns=cols) for f in run_files]
         tables = [t for t in tables if len(t)]
         if not tables:
-            return (np.zeros(0, object), np.zeros(0, np.int64),
+            return (pa.array([], pa.string()), np.zeros(0, np.int64),
                     np.zeros(0, np.int64), np.zeros(0, np.int32),
                     np.zeros(0, np.int32) if wp else None)
         cat = pa.concat_tables(tables).combine_chunks()
         srt = cat.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         term_dict = pc.dictionary_encode(srt["term"].combine_chunks())
         codes = np.asarray(term_dict.indices, dtype=np.int64)
-        terms_a = np.asarray(term_dict.dictionary, dtype=object)
+        # keep terms as an Arrow array: it may cross a task boundary in the
+        # pipelined build, and Arrow serializes ~free vs pickling an object
+        # array of Python strings (measured: erased the pipelining win)
+        terms_a = term_dict.dictionary
         starts_a = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(np.int64)
         docs_a = np.asarray(srt["doc_id"], dtype=np.int64)
         tfs_a = np.asarray(srt["tf"], dtype=np.int32)
@@ -376,7 +400,7 @@ class MergeShardWorker:
                 pos_chunks.append(pf)
             pos += len(d)
         return (
-            np.array(terms, dtype=object),
+            pa.array(terms, pa.string()),
             np.array(starts, dtype=np.int64),
             np.concatenate(doc_chunks) if doc_chunks else np.zeros(0, np.int64),
             np.concatenate(tf_chunks) if tf_chunks else np.zeros(0, np.int32),
@@ -399,6 +423,58 @@ class BuildResult:
     n_shards: int
     n_fragments: int
     wall_s: float
+
+
+def _run_pipelined(
+    corpus_files: list[str],
+    index_dir: str,
+    cfg: PipelineConfig,
+    offsets_arg,
+    id_space: int,
+    n_docs_hint: int,
+    frag_ranges: dict[int, tuple[int, int]] | None,
+) -> tuple[int, int, float]:
+    """Dependency-aware build DAG (raw Ray tasks — the one structure the
+    Dataset API cannot express): shard ``s`` merges as soon as the
+    fragments whose doc ranges overlap ``s`` finish, overlapping phases A
+    and B on the critical path; only the tiny avgdl reduce (needed for
+    block-max metadata) waits on all fragments, gating just the final
+    encode step.  In hash mode every fragment can touch every shard, so
+    merges degrade to the full barrier."""
+    import ray
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    env = worker_runtime_env()
+
+    def mk(fn):
+        r = ray.remote(num_cpus=1)(fn)
+        return r.options(runtime_env=env) if env else r
+
+    frag_t, stats_t, data_t, enc_t = (
+        mk(_frag_remote), mk(_stats_reduce_remote), mk(_merge_data_remote), mk(_encode_remote)
+    )
+    frag_refs = [
+        frag_t.remote(index_dir, cfg, offsets_arg, id_space, i, p)
+        for i, p in enumerate(corpus_files)
+    ]
+    stats_ref = stats_t.remote(cfg.doc_id_mode, n_docs_hint, *frag_refs)
+
+    S = cfg.num_shards
+    enc_refs = []
+    for s in range(S):
+        if frag_ranges is not None and id_space > 0:
+            deps = [
+                frag_refs[i]
+                for i, (lo, hi) in frag_ranges.items()
+                if hi > lo and (lo * S) // id_space <= s <= ((hi - 1) * S) // id_space
+            ]
+        else:
+            deps = frag_refs
+        data_ref = data_t.remote(index_dir, cfg, s, *deps)
+        enc_refs.append(enc_t.remote(index_dir, cfg, stats_ref, s, data_ref))
+    ray.get(enc_refs)
+    return ray.get(stats_ref)
 
 
 def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=None) -> pd.DataFrame:
@@ -457,6 +533,7 @@ def build_index(
     n_docs = 0
     id_space = 0
     offsets_arg = None
+    frag_ranges: dict[int, tuple[int, int]] | None = None
     if cfg.doc_id_mode == "rank":
         items0 = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
         parts = _map_items(items0, _ConvCountWorker, {}, concurrency)
@@ -469,30 +546,34 @@ def build_index(
         n_docs = offsets.n_docs
         id_space = n_docs
         offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
+        frag_ranges = _frag_doc_ranges_rank(parts, offsets)
     elif cfg.doc_id_mode == "provided":
         n_docs, id_space = _scan_id_space(corpus_files, cfg.doc_id_col)
+        frag_ranges = _frag_doc_ranges_provided(corpus_files, cfg.doc_id_col)
 
-    # Phase A: fragments -> runs.
-    items = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
-    frag_mani = _map_items(
-        items,
-        TokenizeFragmentWorker,
-        {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "id_space": id_space},
-        concurrency,
-    )
-    total_tokens = int(frag_mani["n_tokens"].sum())
-    if cfg.doc_id_mode == "hash":
-        n_docs = int(frag_mani["n_turns"].sum())
-    avgdl = total_tokens / n_docs if n_docs else 0.0
-
-    # Phase B: shard merges.
-    shard_items = [{"shard_id": s} for s in range(cfg.num_shards)]
-    _map_items(
-        shard_items,
-        MergeShardWorker,
-        {"index_dir": str(index_dir), "cfg": cfg, "avgdl": avgdl},
-        concurrency or cfg.merge_concurrency,
-    )
+    if ray.is_initialized():
+        n_docs, total_tokens, avgdl = _run_pipelined(
+            corpus_files, str(index_dir), cfg, offsets_arg, id_space, n_docs, frag_ranges
+        )
+    else:
+        # sequential local fallback (unit paths without a Ray session)
+        items = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
+        frag_mani = _map_items(
+            items,
+            TokenizeFragmentWorker,
+            {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "id_space": id_space},
+            concurrency,
+        )
+        total_tokens = int(frag_mani["n_tokens"].sum())
+        if cfg.doc_id_mode == "hash":
+            n_docs = int(frag_mani["n_turns"].sum())
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+        _map_items(
+            [{"shard_id": s} for s in range(cfg.num_shards)],
+            MergeShardWorker,
+            {"index_dir": str(index_dir), "cfg": cfg, "avgdl": avgdl},
+            concurrency or cfg.merge_concurrency,
+        )
 
     # Phase C: global stats + df table (vocab-sized per-shard dict groupby).
     _write_df_table(paths, cfg)
@@ -516,7 +597,9 @@ def build_index(
 
 
 class _ConvCountWorker:
-    """Per-fragment (conv_id, n_turns) partials for the offset table."""
+    """Per-fragment (frag_id, conv_id, n_turns) partials for the offset
+    table; frag_id also yields per-fragment doc ranges for the pipelined
+    build's shard-dependency analysis."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -525,10 +608,69 @@ class _ConvCountWorker:
             g = t.group_by("conv_id", use_threads=False).aggregate([("conv_id", "count")])
             outs.append(
                 pd.DataFrame(
-                    {"conv_id": g["conv_id"].to_pandas(), "n": g["conv_id_count"].to_pandas()}
+                    {
+                        "frag_id": int(r.frag_id),
+                        "conv_id": g["conv_id"].to_pandas(),
+                        "n": g["conv_id_count"].to_pandas(),
+                    }
                 )
             )
         return pd.concat(outs, ignore_index=True)
+
+
+# --- pipelined build: plain functions wrapped with ray.remote ------------
+
+
+def _frag_remote(index_dir: str, cfg, offsets, id_space: int, frag_id: int, path: str):
+    w = TokenizeFragmentWorker(index_dir, cfg, offsets=offsets, id_space=id_space)
+    return w.process_fragment(frag_id, path)
+
+
+def _stats_reduce_remote(doc_id_mode: str, n_docs_hint: int, *frag_manis):
+    total_tokens = int(sum(m["n_tokens"] for m in frag_manis))
+    n_docs = n_docs_hint
+    if doc_id_mode == "hash":
+        n_docs = int(sum(m["n_turns"] for m in frag_manis))
+    return (n_docs, total_tokens, total_tokens / n_docs if n_docs else 0.0)
+
+
+def _merge_data_remote(index_dir: str, cfg, shard_id: int, *_frag_deps):
+    return MergeShardWorker(index_dir, cfg, 0.0).merge_data(shard_id)
+
+
+def _encode_remote(index_dir: str, cfg, stats_tuple, shard_id: int, data):
+    return MergeShardWorker(index_dir, cfg, stats_tuple[2]).encode(shard_id, data)
+
+
+def _frag_doc_ranges_rank(parts: pd.DataFrame, offsets: dstore.ConvOffsets) -> dict[int, tuple[int, int]]:
+    """frag_id -> [doc_lo, doc_hi) from the conv-count partials."""
+    base = pd.Series(
+        offsets.offsets, index=pd.Index(offsets.conv_ids, dtype=object)
+    )
+    lo = parts["conv_id"].map(base).to_numpy(dtype=np.int64)
+    hi = lo + parts["n"].to_numpy(dtype=np.int64)
+    df = pd.DataFrame({"frag_id": parts["frag_id"], "lo": lo, "hi": hi})
+    g = df.groupby("frag_id").agg(lo=("lo", "min"), hi=("hi", "max"))
+    return {int(i): (int(r.lo), int(r.hi)) for i, r in g.iterrows()}
+
+
+def _frag_doc_ranges_provided(files: list[str], col: str) -> dict[int, tuple[int, int]]:
+    out = {}
+    for i, f in enumerate(files):
+        md = pq.ParquetFile(f).metadata
+        ci = md.schema.to_arrow_schema().get_field_index(col)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                t = pq.read_table(f, columns=[col])
+                arr = np.asarray(t[col], dtype=np.int64)
+                lo, hi = int(arr.min()), int(arr.max()) + 1
+                break
+            lo = int(st.min) if lo is None else min(lo, int(st.min))
+            hi = int(st.max) + 1 if hi is None else max(hi, int(st.max) + 1)
+        out[i] = (lo or 0, hi or 0)
+    return out
 
 
 def _scan_id_space(files: list[str], col: str) -> tuple[int, int]:

@@ -269,7 +269,8 @@ def write_shard(
         block_nn = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int32()))
 
     cols = {
-        "term": pa.array(terms, pa.string()),
+        "term": terms if isinstance(terms, (pa.Array, pa.ChunkedArray))
+        else pa.array(terms, pa.string()),
         "df": pa.array(df, pa.int64()),
         "cf": pa.array(cf, pa.int64()),
         "max_tf": pa.array(max_tf, pa.int32()),
