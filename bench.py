@@ -8,10 +8,10 @@ testdata tables.
 
     GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS  ray.init num_cpus (default 32)
-    --scaling       run the headline twice in fresh processes at 8 and 32
-                    CPUs on the same input; report both throughputs and the
-                    scaling efficiency (sandbox substitute for N vs 4N
-                    nodes; see BASELINE.md)
+    --scaling       run the headline in fresh processes at two CPU levels
+                    (default 4 and 16 = N vs 4N) on the same input; report
+                    both throughputs and the scaling efficiency (sandbox
+                    substitute for N vs 4N nodes; see BASELINE.md)
 """
 
 from __future__ import annotations
@@ -193,7 +193,7 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int, runs: int = 2) -> dict:
+    def best(ncpu: int, runs: int = 3) -> dict:
         # the sandbox VM is noisy (±20-30% run-to-run); min-of-N
         # approximates the uncontended time at each level
         results = [run(ncpu) for _ in range(runs)]

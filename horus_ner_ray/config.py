@@ -9,7 +9,7 @@ cluster (see field docs).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 # BM25 constants — the standard Okapi defaults, fixed so the brute-force

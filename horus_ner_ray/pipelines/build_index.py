@@ -1,9 +1,12 @@
 """Index build: tokenize -> sorted runs -> per-shard k-way merge -> shards.
 
-Two phases, both expressed as Ray Data ``map_batches`` over a Dataset and
-both **resumable per partition** (the reference's ``processed``-flag
-idempotency, SURVEY.md D2, re-expressed as per-fragment / per-shard manifest
-files: rerunning skips every partition whose manifest exists).
+Two phases, both **resumable per partition** (the reference's
+``processed``-flag idempotency, SURVEY.md D2, re-expressed as per-fragment /
+per-shard manifest files: rerunning skips every partition whose manifest
+exists).  Under a Ray session the phases run as a dependency-aware task DAG
+(``_run_pipelined``): each shard's merge starts as soon as the fragments
+whose doc ranges overlap it finish, so phases A and B overlap on the
+critical path; without Ray the same workers run sequentially in-process.
 
 Phase A — map (one task per input Parquet fragment, shuffle-free):
     read fragment (column-pruned, row-group streaming) -> assign doc_ids
@@ -39,7 +42,7 @@ from __future__ import annotations
 
 import json
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np

@@ -46,19 +46,24 @@ class ConvOffsets:
     n_docs: int           # total turns
 
     def lookup(self, conv_id_arr: np.ndarray) -> np.ndarray:
-        idx = np.searchsorted(self.conv_ids, conv_id_arr)
+        arr = np.asarray(conv_id_arr, dtype=str)
+        idx = np.searchsorted(self.conv_ids, arr)
         if len(idx) and (idx >= len(self.conv_ids)).any():
             raise KeyError("conv_id not present in offset table")
         got = self.conv_ids[idx]
-        if not (got == conv_id_arr).all():
+        if not (got == arr).all():
             raise KeyError("conv_id not present in offset table")
         return self.offsets[idx]
 
 
 def offsets_from_counts(conv_ids: np.ndarray, counts: np.ndarray) -> ConvOffsets:
-    order = np.argsort(conv_ids, kind="stable")
-    cids = conv_ids[order]
-    cnts = counts[order].astype(np.int64)
+    # fixed-width unicode ('<U') array, NOT object dtype: the table is
+    # ray.put-broadcast to every fragment task, and pickling N Python
+    # strings costs seconds at bench scale while '<U' buffers are ~free
+    cids_u = np.asarray(conv_ids, dtype=str)
+    order = np.argsort(cids_u, kind="stable")
+    cids = cids_u[order]
+    cnts = np.asarray(counts)[order].astype(np.int64)
     offs = np.zeros(len(cnts), dtype=np.int64)
     np.cumsum(cnts[:-1], out=offs[1:])
     return ConvOffsets(cids, offs, int(cnts.sum()))

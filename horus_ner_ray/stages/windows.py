@@ -23,7 +23,7 @@ def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
 
     window_start = floor(epoch_us / window) * window, as timestamp[us].
     """
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     w_us = np.int64(window_s) * 1_000_000
 

@@ -206,7 +206,7 @@ def synth_transcripts(
     if len(ranges) > 4:
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(min(16, os.cpu_count() or 4)) as ex:
+        with ProcessPoolExecutor(min(32, os.cpu_count() or 4)) as ex:
             list(ex.map(_write_part, [(str(out), i, lo, hi, seed) for i, lo, hi in ranges]))
     else:
         for i, lo, hi in ranges:
