@@ -51,13 +51,10 @@ class PipelineConfig:
     k1: float = BM25_K1
     b: float = BM25_B
 
-    # ---- skew / salting ------------------------------------------------
-    hot_df_threshold: int = 100_000
-    """Terms whose estimated df exceeds this are 'hot' (stopword-class, e.g.
-    role tokens appearing in every turn).  Hot terms' postings are already
-    split across doc-range shards by construction; within a shard the
-    run/merge machinery bounds any single in-memory group (see
-    pipelines/build_index.py docstring on salting)."""
+    # ---- skew -----------------------------------------------------------
+    # (no hot-term threshold knob: doc-range sharding splits every term's
+    # postings across shards by construction — the doc range IS the salt,
+    # applied uniformly; see pipelines/build_index.py and SURVEY.md §8)
 
     # ---- input shape ----------------------------------------------------
     doc_id_col: str = "doc_id"

@@ -288,32 +288,25 @@ class MergeShardWorker:
             m = json.loads(mpath.read_text())
             return ("skip", {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")})
         run_files = sorted(str(p) for p in self.paths.run_dir(shard_id).glob("run-*.parquet"))
-        # Pass 1: per-doc lengths from (doc_id, tf) columns only (column-
-        # pruned read).  dl = sum of tfs — exact because no token filtering.
-        all_docs: list[np.ndarray] = []
-        all_tfs: list[np.ndarray] = []
-        for f in run_files:
-            t = pq.read_table(f, columns=["doc_id", "tf"])
-            all_docs.append(np.asarray(t["doc_id"], dtype=np.int64))
-            all_tfs.append(np.asarray(t["tf"], dtype=np.int64))
-        if all_docs:
-            cat_docs = np.concatenate(all_docs)
-            cat_tfs = np.concatenate(all_tfs)
-            doc_ids, inverse = np.unique(cat_docs, return_inverse=True)
-            dl = np.bincount(inverse, weights=cat_tfs).astype(np.int32)
-            base = int(doc_ids[0])
-        else:
-            doc_ids = np.zeros(0, dtype=np.int64)
-            dl = np.zeros(0, dtype=np.int32)
-            base = 0
-        del all_docs, all_tfs
         wp = self.cfg.with_positions
         run_bytes = sum(Path(f).stat().st_size for f in run_files)
         if run_bytes <= self.cfg.streaming_merge_threshold:
             merged = self._merge_sort_path(run_files, wp)
         else:
+            # streaming path: a separate column-pruned pass computes dl
+            # before the bounded-memory cursor merge
             merged = self._merge_streaming_path(run_files, wp)
         terms_a, starts_a, docs_a, tfs_a, posf = merged
+        # per-doc lengths from the merged postings themselves (dl = sum of
+        # tfs — exact because dl counts exactly the indexed tokens)
+        if len(docs_a):
+            doc_ids, inverse = np.unique(docs_a, return_inverse=True)
+            dl = np.bincount(inverse, weights=tfs_a.astype(np.int64)).astype(np.int32)
+            base = int(doc_ids[0])
+        else:
+            doc_ids = np.zeros(0, dtype=np.int64)
+            dl = np.zeros(0, dtype=np.int32)
+            base = 0
         return (
             "data",
             {
