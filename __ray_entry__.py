@@ -246,6 +246,75 @@ def _q_embedding_dups(sf_dir: str):
 # --- rows-only checks (non-SQL-expressible; see SURVEY.md section 5) -------
 
 
+def _q_orders_by_segment(sf_dir: str):
+    """Broadcast inner join (SURVEY.md J1): orders ⨝ customer (small side
+    broadcast via ray.put, vectorized searchsorted per batch) -> combiner
+    pre-aggregation -> tiny groupby on market segment."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.joins import broadcast_inner_join
+    from horus_ner_ray.util import worker_runtime_env
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_inner_join(orders, cust, "o_custkey", "c_custkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_mktsegment", use_threads=False).aggregate(
+            [([], "count_all"), ("o_totalprice", "sum")]
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "n_orders": g["count_all"],
+                "total": g["o_totalprice_sum"],
+            }
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                           batch_size=None, runtime_env=worker_runtime_env())
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total", alias_name="total"))
+        .to_pandas()
+    )
+    # totals are ~1e8: whole-unit rounding keeps the int well inside double
+    # ulp; *_e6 here would flip on summation-order ulps
+    agg["total_r"] = np.floor(agg["total"].to_numpy(dtype=np.float64) + 0.5).astype(np.int64)
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    return agg[["c_mktsegment", "n_orders", "total_r"]]
+
+
+def _q_orders_anti_join(sf_dir: str):
+    """Broadcast ANTI join: orders whose customer has negative account
+    balance are excluded; returns the surviving order count per status."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import broadcast_semi_join
+    from horus_ner_ray.stages.termstats import _explode_pairs  # noqa: F401 (module warm)
+
+    cust = pq.read_table(
+        str(Path(sf_dir) / "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).to_pandas()
+    bad = cust[cust.c_acctbal < 0]["c_custkey"].to_numpy()
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"), columns=["o_custkey", "o_orderstatus"]
+    )
+    kept = broadcast_semi_join(orders, bad, "o_custkey", anti=True)
+    out = kept.groupby("o_orderstatus").count().to_pandas()
+    out.columns = ["o_orderstatus", "n"]
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
 def _q_train_test_split(sf_dir: str):
     from horus_ner_ray.functions.sampling import hash_split
 
@@ -371,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_sessions,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
+        "orders_by_segment": _q_orders_by_segment,
+        "orders_anti_join": _q_orders_anti_join,
         "train_test_split": _q_train_test_split,
         "split_counts": _q_split_counts,
         "minhash_pairs": _q_minhash_pairs,
@@ -533,6 +604,19 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(FLOOR(sum(o.o_totalprice) + 0.5) AS BIGINT) AS total_r
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "orders_anti_join": """
+            SELECT o_orderstatus, count(*)::BIGINT AS n
+            FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+            GROUP BY 1
         """,
         "train_test_split": """
             SELECT doc_id,
