@@ -335,6 +335,21 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(_read_docs(sf_dir), cfg)
 
 
+def _q_jaccard_allpairs(sf_dir: str):
+    """EXACT all-pairs word-3-gram Jaccard >= 0.05 — the brute-force
+    baseline the DuckDB oracle verifies (LSH variants are the scale path)."""
+    from horus_ner_ray.stages.dedupe import ngram_jaccard_pairs_exact
+
+    out = ngram_jaccard_pairs_exact(_read_docs(sf_dir), PipelineConfig(), threshold=0.05)
+    df = out.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "jaccard_e6")}
+        )
+    df["jaccard_e6"] = _e6(df["jaccard"])
+    return df[["doc_a", "doc_b", "jaccard_e6"]].astype(np.int64)
+
+
 def _q_jaccard_dups(sf_dir: str):
     """n-gram (shingle) Jaccard near-dup: MinHash-LSH candidates verified
     with exact shingle-set Jaccard (threshold 0.5)."""
@@ -445,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": _q_train_test_split,
         "split_counts": _q_split_counts,
         "minhash_pairs": _q_minhash_pairs,
+        "jaccard_allpairs": _q_jaccard_allpairs,
         "jaccard_dups": _q_jaccard_dups,
         "ann_ivf": _q_ann_ivf,
         "simhash": _q_simhash,
@@ -617,6 +633,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
             GROUP BY 1
+        """,
+        "jaccard_allpairs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_sql_tok()} AS arr FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+              FROM toks WHERE len(arr) >= 3
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+              FROM pos
+            ),
+            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+            pairs AS (
+              SELECT a.doc_id da, b.doc_id db, count(*) inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   CAST(FLOOR(inter::DOUBLE / (sa.n + sb.n - inter) * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05
         """,
         "train_test_split": """
             SELECT doc_id,

@@ -137,11 +137,12 @@ def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes(texts: pa.Array, k: int, sentinel: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Per row: hashes of word k-shingles (vectorized polynomial mix of
     token hashes over a sliding window).  Returns (flat_hashes, row_lengths);
     rows with fewer than k tokens get a single sentinel shingle so they can
-    still be compared (empty-vs-empty)."""
+    still be compared (empty-vs-empty) — unless sentinel=False, where they
+    get no shingles (the SQL-oracle-matched all-pairs semantics)."""
     import pyarrow.compute as pc
 
     toks = tokenize_column(texts)
@@ -155,6 +156,10 @@ def _shingle_hashes(texts: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     for i in range(len(lens)):
         h = th[offsets[i] : offsets[i + 1]]
         if len(h) < k:
+            if not sentinel:
+                out_h.append(np.zeros(0, dtype=np.uint64))
+                out_n[i] = 0
+                continue
             sh = (
                 np.array([np.uint64(0xDEAD)], dtype=np.uint64)
                 if len(h) == 0
@@ -240,6 +245,119 @@ def minhash_candidate_pairs(ds, cfg: PipelineConfig, text_col: str = "text",
         batch_format="pandas", runtime_env=_rte(),
     )
     return _distinct_pairs(cand)
+
+
+def ngram_jaccard_pairs_exact(ds, cfg: PipelineConfig, threshold: float = 0.05,
+                              text_col: str = "text", id_col: str = "doc_id"):
+    """EXACT all-pairs shingle-set Jaccard >= threshold (no LSH approximation
+    — the brute baseline the SQL oracle can check).
+
+    Plan: distinct (shingle, doc) rows -> coarse-bucket groupby on the
+    shingle hash -> within each bucket, every shared shingle emits its doc
+    pair -> pair-count groupby = intersection size -> Jaccard with
+    broadcast per-doc set sizes.  Docs with fewer than ``shingle_k`` tokens
+    have no shingles and never pair.  Cost is sum over shingles of
+    (docs-sharing)^2 — fine while shared shingles are rare; the LSH variant
+    (minhash_candidate_pairs) is the scale path.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    k = cfg.shingle_k
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh, ns = _shingle_hashes(batch[text_col], k, sentinel=False)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(sh.astype(np.int64), pa.int64()),
+                "bucket": pa.array((sh % _N_BUCKETS).astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, ns), pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+    )
+
+    # per-doc set sizes (combiner; the reduced table is small -> broadcast)
+    def size_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("doc_id", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g["doc_id"], "n": g["count_all"]})
+
+    from ray.data.aggregate import Sum
+
+    sizes = (
+        rows.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True,
+                         batch_size=None, runtime_env=_rte())
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    if len(sizes) == 0:  # every doc shorter than the shingle width
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+        )
+    size_keys = sizes["doc_id"].to_numpy(np.int64)
+    order = np.argsort(size_keys)
+    size_keys = size_keys[order]
+    size_vals = sizes["n"].to_numpy(np.int64)[order]
+    ref = ray.put((size_keys, size_vals)) if ray.is_initialized() else (size_keys, size_vals)
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one pair row per shared shingle (counting multiplicity = |A ∩ B|)
+        keys = g["h"].to_numpy(np.int64)
+        ids = g["doc_id"].to_numpy(np.int64)
+        o = np.lexsort((ids, keys))
+        keys, ids = keys[o], ids[o]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_a, out_b = [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi - lo < 2:
+                continue
+            sub = ids[lo:hi]
+            ia, ib = np.triu_indices(len(sub), k=1)
+            out_a.append(sub[ia])
+            out_b.append(sub[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    co = rows.groupby("bucket").map_groups(co_pairs, batch_format="pandas", runtime_env=_rte())
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["doc_a"], dtype=np.int64)
+        b = np.asarray(batch["doc_b"], dtype=np.int64)
+        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % _N_BUCKETS
+        return batch.append_column("pk", pa.array(pk.astype(np.int64), pa.int64()))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        keys, vals = _resolve_ref(ref)
+        cnt = g.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="inter")
+        a = cnt["doc_a"].to_numpy(np.int64)
+        b = cnt["doc_b"].to_numpy(np.int64)
+        na = vals[np.searchsorted(keys, a)]
+        nb = vals[np.searchsorted(keys, b)]
+        inter = cnt["inter"].to_numpy(np.int64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep], "jaccard": jac[keep]})
+
+    return (
+        co.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("pk")
+        .map_groups(finish, batch_format="pandas", runtime_env=_rte())
+    )
+
+
+def _resolve_ref(ref):
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
 def exact_jaccard_for_pairs(

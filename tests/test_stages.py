@@ -54,6 +54,27 @@ def test_minhash_finds_near_dups(docs_ds):
     assert (ver["jaccard"] >= 0).all() and (ver["jaccard"] <= 1).all()
 
 
+def test_ngram_jaccard_exact_allpairs(docs_ds):
+    from horus_ner_ray.stages.dedupe import ngram_jaccard_pairs_exact
+
+    ds, rows = docs_ds
+    got = ngram_jaccard_pairs_exact(ds, PipelineConfig(), threshold=0.01).to_pandas()
+    pairs = {(a, b): j for a, b, j in zip(got.doc_a, got.doc_b, got.jaccard)}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0  # identical shingle sets
+    # doc 5 shares 'alpha beta gamma delta epsilon' 3-grams with 0: 3 of 5
+    import re
+
+    def shset(t):
+        tk = re.findall(r"[a-z0-9]+", t.lower())
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    s0, s5 = shset(rows[0]["text"]), shset(rows[5]["text"])
+    want = len(s0 & s5) / len(s0 | s5)
+    assert abs(pairs[(0, 5)] - want) < 1e-12
+    assert all(a < b for a, b in pairs)  # canonical pair order
+    assert 4 not in {d for p in pairs for d in p}  # empty doc never pairs
+
+
 def test_simhash_properties(docs_ds):
     from horus_ner_ray.stages.dedupe import hamming_distance, simhash_candidate_pairs, simhash_dataset
 
