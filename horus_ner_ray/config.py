@@ -37,6 +37,13 @@ class PipelineConfig:
     postings_block: int = 128
     """Postings per block for block-max metadata (WAND-style skipping)."""
 
+    champions: int = 256
+    """Champion-list length: for hot terms (df > 4x this), the top-C
+    postings by idf-free partial score (part desc, doc asc — the exact
+    total order single-term queries rank by) are stored explicitly, so a
+    single-term query reads C entries instead of scanning df postings.
+    Exact for k <= C; 0 disables."""
+
     with_positions: bool = False
     """Store per-term position lists (phrase/AND queries).  Off for the
     headline build; positions roughly double index size."""

@@ -245,8 +245,23 @@ class QueryEngine:
         present = [(t, idf, ti) for t, idf, ti in present if ti is not None]
         if not present:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
-        if len(present) == 1:  # no pruning possible; plain vectorized scan
+        if len(present) == 1:  # no pruning possible; champions or plain scan
             _, idf, ti = present[0]
+            cd, ctf = r.champions(ti)
+            if 0 < k + 8 <= len(cd):
+                # champion list is stored in (part desc, doc asc) — the
+                # exact total order a single-term query ranks by; boundary
+                # tie groups are doc-asc so their stored members are the
+                # oracle-preferred ones.  A small prefix margin absorbs the
+                # (astronomically rare) case where multiplying by idf
+                # collides two distinct parts into a float tie.
+                n = k + 8
+                d, tf = cd[:n], ctf[:n]
+                li = np.searchsorted(docids, d)
+                tff = tf.astype(np.float64)
+                denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
+                s = idf * (tff * (self.k1 + 1.0)) / denom
+                return _topk_with_ties(d, s, k)
             d, tf = r.postings(ti)
             li = np.searchsorted(docids, d)
             tff = tf.astype(np.float64)

@@ -44,7 +44,7 @@ import pyarrow.parquet as pq
 from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.state import codec
 
-INDEX_FORMAT_VERSION = 2
+INDEX_FORMAT_VERSION = 3
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:
@@ -268,6 +268,40 @@ def write_shard(
         block_tf_boff = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int64()))
         block_nn = pa.ListArray.from_arrays(empty_off, pa.array([], pa.int32()))
 
+    # champion lists for hot terms: top-C postings in the exact order a
+    # single-term query ranks by (part desc, doc asc); exact for k <= C
+    C = cfg.champions
+    champ_off = np.zeros(n_terms + 1, dtype=np.int32)
+    champ_docs_v: list[np.ndarray] = []
+    champ_tfs_v: list[np.ndarray] = []
+    if C > 0 and n_post:
+        hot = np.flatnonzero(df > 4 * C)
+        hot_set = set(hot.tolist())
+        for t in range(n_terms):
+            if t in hot_set:
+                lo, hi = term_starts[t], term_ends[t]
+                p = part[lo:hi]
+                order = np.lexsort((docs[lo:hi], -p))[:C]
+                champ_docs_v.append(docs[lo:hi][order])
+                champ_tfs_v.append(tfs[lo:hi][order])
+                champ_off[t + 1] = champ_off[t] + len(order)
+            else:
+                champ_off[t + 1] = champ_off[t]
+    else:
+        champ_off[:] = 0
+    champ_docs = pa.ListArray.from_arrays(
+        pa.array(champ_off), pa.array(
+            np.concatenate(champ_docs_v) if champ_docs_v else np.zeros(0, np.int64),
+            pa.int64(),
+        )
+    )
+    champ_tfs = pa.ListArray.from_arrays(
+        pa.array(champ_off), pa.array(
+            np.concatenate(champ_tfs_v) if champ_tfs_v else np.zeros(0, np.int32),
+            pa.int32(),
+        )
+    )
+
     cols = {
         "term": terms if isinstance(terms, (pa.Array, pa.ChunkedArray))
         else pa.array(terms, pa.string()),
@@ -283,6 +317,8 @@ def write_shard(
         "block_doc_boff": block_doc_boff,
         "block_tf_boff": block_tf_boff,
         "block_n": block_nn,
+        "champ_docs": champ_docs,
+        "champ_tfs": champ_tfs,
     }
     if pos_off is not None:
         cols["pos_off"] = pa.array(pos_off, pa.int64())
@@ -340,6 +376,8 @@ class ShardReader:
         self.block_max = t["block_max"].combine_chunks()
         self.block_doc_boff = t["block_doc_boff"].combine_chunks()
         self.block_tf_boff = t["block_tf_boff"].combine_chunks()
+        self.champ_docs = t["champ_docs"].combine_chunks()
+        self.champ_tfs = t["champ_tfs"].combine_chunks()
         self.with_positions = "pos_off" in t.schema.names
         if self.with_positions:
             self.pos_off = np.asarray(t["pos_off"], dtype=np.int64)
@@ -347,6 +385,15 @@ class ShardReader:
         self.docids = np.load(d / "docids.npy", mmap_mode="r")
         self.dl = np.load(d / "dl.npy", mmap_mode="r")
         self._max_part: np.ndarray | None = None
+
+    def champions(self, ti: int) -> tuple[np.ndarray, np.ndarray]:
+        """Hot-term champion postings in (part desc, doc asc) order; empty
+        arrays when the term has no champion list."""
+        offs = np.asarray(self.champ_docs.offsets, dtype=np.int64)
+        lo, hi = offs[ti], offs[ti + 1]
+        d = np.asarray(self.champ_docs.flatten(), dtype=np.int64)[lo:hi]
+        tf = np.asarray(self.champ_tfs.flatten(), dtype=np.int32)[lo:hi]
+        return d, tf
 
     def max_block_part(self, ti: int) -> float:
         """Max idf-free BM25 partial over the term's blocks (MaxScore ub)."""

@@ -43,6 +43,24 @@ def test_pruned_or_rank_identical(big_fixture):
     assert eng.pruned_term_evals > 0, "pruning never fired — stress mix too weak"
 
 
+def test_champion_lists_single_term(big_fixture):
+    """Hot single-term queries answered from champion lists, exactly."""
+    idx, files = big_fixture
+    eng = QueryEngine(idx)
+    bf = BruteForceBM25.from_corpus_files(files)
+    # confirm champions exist for the every-turn marker term in some shard
+    found = False
+    for si in range(len(eng._shard_dirs)):
+        r = eng._reader(si)
+        ti = r.term_index("sessionmark")
+        if ti is not None and len(r.champions(ti)[0]) > 0:
+            found = True
+    assert found, "fixture too small for champion lists (df <= 4*C)"
+    for term in ["sessionmark", "the", "of"]:
+        for k in (1, 5, 10, 50):
+            assert eng.search(term, k) == bf.search(term, k), (term, k)
+
+
 def test_pruning_skips_decode_bytes(big_fixture):
     """The restricted path must touch fewer postings than full decode for a
     hot+rare mix (sanity that the optimization is real, not just correct)."""
