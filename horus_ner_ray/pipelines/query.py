@@ -534,7 +534,10 @@ class ScorerActor:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
-            hits = self.engine.search(row.text, int(row.k), self.mode)
+            if self.mode == "phrase":
+                hits = self.engine.search_phrase(row.text, int(row.k))
+            else:
+                hits = self.engine.search(row.text, int(row.k), self.mode)
             for rank, (doc, score) in enumerate(hits, 1):
                 out["query_id"].append(int(row.query_id))
                 out["rank"].append(rank)

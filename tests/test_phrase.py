@@ -62,6 +62,17 @@ def test_phrase_requires_positions(built_index):
         eng.search_phrase("alpha beta", 5)
 
 
+def test_phrase_mode_actor_pool(pos_index, pos_oracle, ray_session):
+    from horus_ner_ray.pipelines.query import serve_queries
+
+    qs = [{"query_id": i, "text": p, "k": 10} for i, p in enumerate(PHRASES)]
+    out, _ = serve_queries(pos_index, qs, n_actors=2, mode="phrase")
+    for q in qs:
+        want = pos_oracle.search_phrase(q["text"], 10)
+        got = out[out.query_id == q["query_id"]].sort_values("rank")
+        assert list(zip(got.doc_id, got.score)) == want, q["text"]
+
+
 def test_phrase_semantics(pos_index):
     eng = QueryEngine(pos_index)
     hits = eng.search_phrase("alpha beta alpha", 10)
