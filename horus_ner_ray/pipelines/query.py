@@ -194,7 +194,12 @@ class QueryEngine:
     vocab df arrays, per-shard mmaps) loads once; shard readers open
     lazily so an actor restart re-mmaps on first use (SURVEY.md 7.4)."""
 
-    def __init__(self, index_dir: str | Path):
+    def __init__(self, index_dir: str | Path, shard_subset: list[int] | None = None):
+        """shard_subset restricts scoring to those shard indices — the
+        multi-node serving shape: each actor owns a subset of shards and
+        returns its exact local top-k; a tiny global merge combines them
+        (doc-partitioned shards make the union of per-subset top-k exact).
+        Collection stats and the df table are global regardless."""
         self.paths = IndexPaths(index_dir)
         self.stats = json.loads(self.paths.stats_json.read_text())
         self.k1 = float(self.stats["k1"])
@@ -205,6 +210,8 @@ class QueryEngine:
         self._vocab = np.asarray(t["term"], dtype=object)  # sorted
         self._df = np.asarray(t["df"], dtype=np.int64)
         self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
+        if shard_subset is not None:
+            self._shard_dirs = [self._shard_dirs[i] for i in shard_subset]
         self._readers: dict[int, ShardReader] = {}
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
 
@@ -520,8 +527,9 @@ class ScorerActor:
     ``__init__`` — the reference loads its scorer models exactly once per
     process the same way, reference: src/core/feature_extraction/features.py:51-106)."""
 
-    def __init__(self, index_dir: str, mode: str = "or"):
-        self.engine = QueryEngine(index_dir)
+    def __init__(self, index_dir: str, mode: str = "or",
+                 shard_subset: list[int] | None = None):
+        self.engine = QueryEngine(index_dir, shard_subset=shard_subset)
         self.mode = mode
 
     def warm(self) -> int:
@@ -592,6 +600,54 @@ def serve_queries(
         ray.kill(a)
     out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
     return out, wall
+
+
+def serve_queries_partitioned(
+    index_dir: str,
+    queries: list[dict],
+    n_actors: int = 4,
+    mode: str = "or",
+) -> tuple[pd.DataFrame, float]:
+    """Multi-node-shaped serving: shard dirs are partitioned round-robin
+    across actors; every query fans out to every actor (scatter), each
+    returns the exact top-k of ITS shards, and the driver merges the tiny
+    per-actor candidate sets (gather).  Because shards partition documents,
+    the union of per-subset top-k contains the global top-k — results are
+    identical to single-actor serving (tested).  On a real cluster, each
+    actor sits on the node holding its shards."""
+    import time
+
+    import ray
+
+    from horus_ner_ray.state.shards import IndexPaths
+    from horus_ner_ray.util import worker_runtime_env
+
+    n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
+    n_actors = max(1, min(n_actors, n_shards))
+    subsets = [list(range(i, n_shards, n_actors)) for i in range(n_actors)]
+    env = worker_runtime_env()
+    cls = ray.remote(num_cpus=1)(ScorerActor)
+    if env:
+        cls = cls.options(runtime_env=env)
+    actors = [cls.remote(index_dir, mode, sub) for sub in subsets]
+    ray.get([a.warm.remote() for a in actors])
+    qdf = pd.DataFrame(queries)
+    t0 = time.time()
+    futs = [a.__call__.remote(qdf) for a in actors]  # scatter
+    parts = ray.get(futs)
+    cand = pd.concat(parts, ignore_index=True)
+    out = []
+    for q in queries:  # gather: merge per-actor exact partials
+        g = cand[cand.query_id == q["query_id"]]
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable").head(int(q["k"]))
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "doc_id", "score"]])
+    wall = time.time() - t0
+    for a in actors:
+        ray.kill(a)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+    return res, wall
 
 
 def score_queries(

@@ -137,6 +137,22 @@ def test_serve_queries_matches_oracle(built_index, oracle, ray_session):
     assert wall > 0
 
 
+def test_partitioned_serving_matches_oracle(built_index, oracle, ray_session):
+    """Multi-node shape: shard-partitioned actors + scatter/gather merge
+    must equal single-engine results exactly."""
+    from horus_ner_ray.pipelines.query import serve_queries_partitioned
+    from horus_ner_ray.synth import reference_queries
+
+    idx, _ = built_index
+    qs = reference_queries(k=7)
+    out, wall = serve_queries_partitioned(idx, qs, n_actors=3)
+    for q in qs:
+        want = oracle.search(q["text"], 7)
+        got = out[out.query_id == q["query_id"]].sort_values("rank")
+        assert list(zip(got.doc_id, got.score)) == want, q["text"]
+    assert wall > 0
+
+
 def test_score_queries_actor_pool(built_index, oracle, ray_session):
     idx, _ = built_index
     qs = reference_queries(k=5)
