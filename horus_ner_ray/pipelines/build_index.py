@@ -639,12 +639,23 @@ def _encode_remote(index_dir: str, cfg, stats_tuple, shard_id: int, data):
 
 
 def _frag_doc_ranges_rank(parts: pd.DataFrame, offsets: dstore.ConvOffsets) -> dict[int, tuple[int, int]]:
-    """frag_id -> [doc_lo, doc_hi) from the conv-count partials."""
+    """frag_id -> [doc_lo, doc_hi) from the conv-count partials.
+
+    ``hi`` for each conversation uses the conversation's TOTAL turn count
+    across ALL fragments, not the per-fragment count: doc_id = offset +
+    turn_idx, so a fragment holding the later turns of a conversation that
+    straddles a fragment boundary owns doc ids anywhere in
+    [offset, offset + total_n).  Using the per-fragment count would omit
+    such a fragment from some shards' dependency lists and let a shard
+    merge run before all of its run files exist (schedule-dependent,
+    silently incomplete shards).  The conservative full-conversation span
+    only widens dependency lists, never narrows them."""
     base = pd.Series(
         offsets.offsets, index=pd.Index(offsets.conv_ids, dtype=object)
     )
+    total = parts.groupby("conv_id")["n"].transform("sum").to_numpy(dtype=np.int64)
     lo = parts["conv_id"].map(base).to_numpy(dtype=np.int64)
-    hi = lo + parts["n"].to_numpy(dtype=np.int64)
+    hi = lo + total
     df = pd.DataFrame({"frag_id": parts["frag_id"], "lo": lo, "hi": hi})
     g = df.groupby("frag_id").agg(lo=("lo", "min"), hi=("hi", "max"))
     return {int(i): (int(r.lo), int(r.hi)) for i, r in g.iterrows()}
