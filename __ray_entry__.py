@@ -232,8 +232,11 @@ def _q_embedding_dups(sf_dir: str):
 
     from horus_ner_ray.stages.dedupe import embedding_dup_pairs
 
+    # exact=True is the documented oracle harness (DuckDB all-pairs SQL);
+    # the library default is the banded-LSH scale path
     out = embedding_dup_pairs(
-        rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet")), threshold=0.4
+        rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet")), threshold=0.4,
+        exact=True,
     ).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(

@@ -23,7 +23,17 @@ from horus_ner_ray.stages.tokenize import tokenize_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MIX = np.uint64(0x9E3779B97F4A7C15)
-_N_BUCKETS = 256  # coarse shuffle buckets; per-bucket work is vectorized
+_N_BUCKETS = 256  # default coarse shuffle buckets; per-bucket work is vectorized
+
+
+def buckets_for_rows(n_rows: int, target_rows_per_bucket: int = 100_000) -> int:
+    """Coarse-bucket count sized so one group's payload stays bounded
+    (~target rows): the shuffle key-space must GROW with the input or each
+    bucket's ``map_groups`` call materializes corpus/buckets rows.  Callers
+    that know the input size (Parquet row counts are free metadata) pass
+    the result as ``n_buckets``; the fixed default is a sandbox-scale
+    floor."""
+    return max(_N_BUCKETS, int(np.ceil(n_rows / max(1, target_rows_per_bucket))))
 
 
 def _bucket_pairs(g: pd.DataFrame, key_col: str, max_bucket: int,
@@ -66,14 +76,15 @@ def _bucket_pairs(g: pd.DataFrame, key_col: str, max_bucket: int,
     return res
 
 
-def _distinct_pairs(pairs_ds):
+def _distinct_pairs(pairs_ds, n_buckets: int = _N_BUCKETS):
     """Distinct (doc_a, doc_b) rows via coarse pair-hash buckets (a pair can
     surface from several bands); vectorized drop_duplicates per bucket."""
+    nb = np.uint64(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"], dtype=np.int64)
         b = np.asarray(batch["doc_b"], dtype=np.int64)
-        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % _N_BUCKETS
+        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % nb
         return batch.append_column("pk", pa.array(pk.astype(np.int64), pa.int64()))
 
     return (
@@ -97,20 +108,24 @@ def _hash_strings(arr: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup_keep_min(ds, text_col: str = "text", id_col: str = "doc_id",
+                         n_buckets: int = _N_BUCKETS):
     """Dataset(docs) -> Dataset(doc_id) of survivors: per distinct text, the
     row with the minimum doc_id survives.
 
     Plan: vectorized content-hash per batch -> groupby(hash) shuffle (moves
     only (hash, id, text)) -> per-group exact-text group + min.  Comparing
     the actual text inside the group makes 64-bit hash collisions harmless.
+    ``n_buckets`` must scale with the input (buckets_for_rows) so one
+    group's payload stays bounded; the result is bucket-layout-invariant.
     """
+    nb = np.uint64(n_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = _hash_strings(np.asarray(batch[text_col], dtype=object))
         return pa.table(
             {
-                "bucket": pa.array((h % _N_BUCKETS).astype(np.int64), pa.int64()),
+                "bucket": pa.array((h % nb).astype(np.int64), pa.int64()),
                 "doc_id": batch[id_col],
                 text_col: batch[text_col],
             }
@@ -182,13 +197,15 @@ def _minhash_params(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(cfg: PipelineConfig, text_col: str = "text", id_col: str = "doc_id"):
+def minhash_signatures(cfg: PipelineConfig, text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = _N_BUCKETS):
     """map_batches fn: batch -> (doc_id, band, band_hash) rows, P perms
     folded into ``bands`` bands of ``rows_per_band`` each."""
     a, b = _minhash_params(cfg)
     P = cfg.minhash_perms
     nb = cfg.minhash_bands
     rpb = cfg.rows_per_band()
+    nbk = np.uint64(n_buckets)
 
     def fn(batch: pa.Table) -> pa.Table:
         sh, ns = _shingle_hashes(batch[text_col], cfg.shingle_k)
@@ -214,7 +231,7 @@ def minhash_signatures(cfg: PipelineConfig, text_col: str = "text", id_col: str 
                 "doc_id": pa.array(np.repeat(ids, nb), pa.int64()),
                 "band": pa.array(np.tile(np.arange(nb, dtype=np.int32), len(ns)), pa.int32()),
                 "band_hash": pa.array(bh.astype(np.int64), pa.int64()),
-                "band_bucket": pa.array((bh % _N_BUCKETS).astype(np.int64), pa.int64()),
+                "band_bucket": pa.array((bh % nbk).astype(np.int64), pa.int64()),
             }
         )
 
@@ -222,7 +239,8 @@ def minhash_signatures(cfg: PipelineConfig, text_col: str = "text", id_col: str 
 
 
 def minhash_candidate_pairs(ds, cfg: PipelineConfig, text_col: str = "text",
-                            id_col: str = "doc_id", max_bucket: int = 200):
+                            id_col: str = "doc_id", max_bucket: int = 200,
+                            n_buckets: int = _N_BUCKETS):
     """Dataset(docs) -> Dataset(doc_a, doc_b) candidate near-dup pairs.
 
     shingle -> minhash -> band -> groupby(band, band_hash) -> in-bucket
@@ -233,7 +251,7 @@ def minhash_candidate_pairs(ds, cfg: PipelineConfig, text_col: str = "text",
     """
 
     sigs = ds.select_columns([id_col, text_col]).map_batches(
-        minhash_signatures(cfg, text_col, id_col),
+        minhash_signatures(cfg, text_col, id_col, n_buckets),
         batch_format="pyarrow",
         zero_copy_batch=True, runtime_env=_rte(),
     )
@@ -244,11 +262,12 @@ def minhash_candidate_pairs(ds, cfg: PipelineConfig, text_col: str = "text",
         lambda g: _bucket_pairs(g, "band_hash", max_bucket),
         batch_format="pandas", runtime_env=_rte(),
     )
-    return _distinct_pairs(cand)
+    return _distinct_pairs(cand, n_buckets)
 
 
 def ngram_jaccard_pairs_exact(ds, cfg: PipelineConfig, threshold: float = 0.05,
-                              text_col: str = "text", id_col: str = "doc_id"):
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n_buckets: int = _N_BUCKETS):
     """EXACT all-pairs shingle-set Jaccard >= threshold (no LSH approximation
     — the brute baseline the SQL oracle can check).
 
@@ -264,6 +283,7 @@ def ngram_jaccard_pairs_exact(ds, cfg: PipelineConfig, threshold: float = 0.05,
     from ray.data.aggregate import Count
 
     k = cfg.shingle_k
+    nbk = np.uint64(n_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
         sh, ns = _shingle_hashes(batch[text_col], k, sentinel=False)
@@ -271,7 +291,7 @@ def ngram_jaccard_pairs_exact(ds, cfg: PipelineConfig, threshold: float = 0.05,
         return pa.table(
             {
                 "h": pa.array(sh.astype(np.int64), pa.int64()),
-                "bucket": pa.array((sh % _N_BUCKETS).astype(np.int64), pa.int64()),
+                "bucket": pa.array((sh % nbk).astype(np.int64), pa.int64()),
                 "doc_id": pa.array(np.repeat(ids, ns), pa.int64()),
             }
         )
@@ -332,7 +352,7 @@ def ngram_jaccard_pairs_exact(ds, cfg: PipelineConfig, threshold: float = 0.05,
     def add_pk(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch["doc_a"], dtype=np.int64)
         b = np.asarray(batch["doc_b"], dtype=np.int64)
-        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % _N_BUCKETS
+        pk = ((a.astype(np.uint64) * _MIX) ^ b.astype(np.uint64)) % nbk
         return batch.append_column("pk", pa.array(pk.astype(np.int64), pa.int64()))
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -451,10 +471,13 @@ def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
-                            id_col: str = "doc_id", max_bucket: int = 200):
+                            id_col: str = "doc_id", max_bucket: int = 200,
+                            n_buckets: int = _N_BUCKETS):
     """SimHash near-dup: band the 64-bit signature into 4 x 16-bit chunks
     (any pair within hamming distance 3 shares at least one exact chunk),
     groupby chunk -> in-bucket pairs -> exact hamming verify."""
+
+    nbk = np.uint64(n_buckets)
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
@@ -467,7 +490,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
                 "chunk": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(ids)), pa.int32()),
                 "chunk_val": pa.array(np.concatenate(chunks).astype(np.int64), pa.int64()),
                 "chunk_bucket": pa.array(
-                    (np.concatenate(chunks) % _N_BUCKETS).astype(np.int64), pa.int64()
+                    (np.concatenate(chunks) % nbk).astype(np.int64), pa.int64()
                 ),
             }
         )
@@ -492,7 +515,7 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
         .groupby(["chunk", "chunk_bucket"])
         .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
     )
-    return _distinct_pairs(cand)
+    return _distinct_pairs(cand, n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -501,28 +524,37 @@ def simhash_candidate_pairs(ds, max_hamming: int = 3, text_col: str = "text",
 
 
 def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding", seed: int = 42, planes: int = 12,
-                        exact: bool = True):
+                        vec_col: str = "embedding", seed: int = 42, planes: int = 8,
+                        bands: int = 4, exact: bool = False, max_bucket: int = 4096,
+                        n_buckets: int = _N_BUCKETS):
     """Near-dup pairs by cosine >= threshold over an embedding column.
 
-    exact=True (oracle-matched): every batch computes cosine against the
-    full broadcast matrix (ray.put once, fetched per actor) — fine while
-    the table fits one node's memory; the scale path sets exact=False:
-    sign-LSH bucketing (``planes`` seeded hyperplanes) then in-bucket
-    pairwise cosine, trading recall near the threshold for locality.
+    Default (exact=False) is the scale path and never materializes the
+    table on the driver: ``bands`` independent sign-LSH signatures of
+    ``planes`` seeded hyperplanes each; a pair is a candidate when it
+    shares ANY band's full signature, and candidates are verified with the
+    EXACT cosine (raw vectors travel with the shuffle rows, the in-bucket
+    compare uses dot/(|a||b|) — the same arithmetic as the exact path, so
+    reported cosines agree bitwise).  Recall misses only pairs differing
+    in >= 1 plane of every band — banding trades shuffle volume (bands x
+    vectors) for recall near the threshold; raise ``bands`` / lower
+    ``planes`` for recall, the reverse for cost.
+
+    exact=True is the ORACLE HARNESS ONLY (conformance vs the DuckDB
+    all-pairs SQL): it take_all()s the table onto the driver and broadcasts
+    the full matrix to every batch — O(N^2) compare, fine at test scale,
+    deliberately not the default.
     """
     import ray
 
-    rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    order = np.argsort(ids, kind="stable")
-    ids, mat, norms = ids[order], mat[order], norms[order]
-    matn = mat / norms[:, None]
-
     if exact:
+        rows = emb_ds.select_columns([id_col, vec_col]).take_all()
+        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+        mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        order = np.argsort(ids, kind="stable")
+        ids, mat, norms = ids[order], mat[order], norms[order]
         ref = ray.put((ids, mat, norms)) if ray.is_initialized() else (ids, mat, norms)
 
         def fn(batch: pa.Table) -> pa.Table:
@@ -549,43 +581,76 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
             fn, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
         )
 
-    # LSH-bucketed approximate variant
+    # banded sign-LSH (the default): dim probe reads ONE row, not the table
+    first = emb_ds.select_columns([vec_col]).limit(1).take(1)
+    dim = len(first[0][vec_col]) if first else 0
     rng = np.random.RandomState(seed)
-    hp = rng.normal(size=(matn.shape[1], planes))
+    hp = rng.normal(size=(dim, bands * planes)) if dim else np.zeros((0, bands * planes))
+    nbk = np.uint64(n_buckets)
 
     def bucket(batch: pa.Table) -> pa.Table:
         bids = np.asarray(batch[id_col], dtype=np.int64)
         bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
-        bmat = bmat / bn[:, None]
-        signs = (bmat @ hp) > 0
-        key = np.zeros(len(bids), dtype=np.int64)
-        for j in range(planes):
-            key |= signs[:, j].astype(np.int64) << j
+        signs = ((bmat / bn[:, None]) @ hp) > 0  # (n, bands*planes)
+        keys = np.zeros((len(bids), bands), dtype=np.uint64)
+        for bi_ in range(bands):
+            for j in range(planes):
+                keys[:, bi_] |= signs[:, bi_ * planes + j].astype(np.uint64) << np.uint64(j)
+            keys[:, bi_] = keys[:, bi_] * _MIX + np.uint64(bi_)
         return pa.table(
             {
-                "bucket": pa.array(key, pa.int64()),
-                "vec_id": pa.array(bids, pa.int64()),
-                "vec": pa.array(list(bmat), pa.list_(pa.float64())),
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), len(bids)), pa.int32()),
+                "band_key": pa.array(keys.T.reshape(-1).astype(np.int64), pa.int64()),
+                "band_bucket": pa.array((keys.T.reshape(-1) % nbk).astype(np.int64), pa.int64()),
+                "vec_id": pa.array(np.tile(bids, bands), pa.int64()),
+                "vec": pa.array(list(bmat) * bands, pa.list_(pa.float64())),
+                "norm": pa.array(np.tile(bn, bands), pa.float64()),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids_ = g["vec_id"].to_numpy(dtype=np.int64)
-        m = np.array(g["vec"].tolist(), dtype=np.float64)
-        if len(ids_) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
-        sims = m @ m.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        da, db = ids_[ia], ids_[ib]
+        # one Python call per COARSE (band, bucket) group; inside, vectorized
+        # per-signature segments with a small exact-cosine matmul each
+        keys = g["band_key"].to_numpy(np.int64)
+        ids_ = g["vec_id"].to_numpy(np.int64)
+        order = np.lexsort((ids_, keys))
+        keys, ids_ = keys[order], ids_[order]
+        vecs = np.array(g["vec"].tolist(), dtype=np.float64)[order]
+        nn = g["norm"].to_numpy(np.float64)[order]
+        bounds = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1], True])
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi - lo < 2:
+                continue
+            hi = min(hi, lo + max_bucket)  # degenerate-cluster cap (deterministic)
+            m, n_ = vecs[lo:hi], nn[lo:hi]
+            sims = (m @ m.T) / np.outer(n_, n_)
+            ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            if not len(ia):
+                continue
+            out_a.append(ids_[lo:hi][ia])
+            out_b.append(ids_[lo:hi][ib])
+            out_c.append(sims[ia, ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "cosine": pd.Series([], dtype=np.float64)}
+            )
+        da = np.concatenate(out_a)
+        db = np.concatenate(out_b)
+        cs = np.concatenate(out_c)
         swap = da > db
         da[swap], db[swap] = db[swap], da[swap]
-        return pd.DataFrame({"doc_a": da, "doc_b": db, "cosine": sims[ia, ib]})
+        return pd.DataFrame({"doc_a": da, "doc_b": db, "cosine": cs})
 
-    return (
+    cand = (
         emb_ds.select_columns([id_col, vec_col])
         .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
-        .groupby("bucket")
+        .groupby(["band", "band_bucket"])
         .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
     )
+    return _distinct_pairs(cand, n_buckets)

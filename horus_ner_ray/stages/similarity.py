@@ -87,28 +87,70 @@ def ann_topk_bruteforce(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
     return res[["query_id", "rank", "vec_id", "cosine"]]
 
 
+def _sample_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix of int64 ids for sampling order."""
+    x = ids.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+    return x ^ (x >> np.uint64(33))
+
+
 class IVFIndex:
     """Seeded k-means-lite IVF over an embedding table (scale path).
 
-    fit(): few Lloyd iterations on a sample, driver-side (centroid count is
-    small); assign(): map_batches argmax matmul; search(): probe the
-    ``nprobe`` nearest centroid lists only.
+    Nothing materializes the embedding table on the driver:
+
+    * ``fit()`` draws a BOUNDED deterministic sample — each batch keeps its
+      ``sample_size`` smallest id-hash rows (a partial of the global
+      hash-order top-S), the driver keeps the global smallest ``sample_size``
+      of the small partials — and runs Lloyd iterations on the S x d sample
+      only (centroids are tiny).  Then it assigns every vector via a
+      ``map_batches`` argmax matmul against the broadcast centroids and
+      writes the inverted lists as centroid-partitioned Parquet
+      (``lists_dir/centroid=J/``) — resumable, partition-pruned at probe
+      time, one directory per list as the 100-TB layout requires.
+    * ``search()`` probes the ``nprobe`` nearest centroids per query,
+      reads ONLY the probed partitions, and streams per-batch partial
+      top-k (each query masked to its own probe set) into a tiny driver
+      merge — the same shape as ``ann_topk_bruteforce``.
     """
 
-    def __init__(self, n_centroids: int = 16, nprobe: int = 4, seed: int = 42, iters: int = 8):
+    def __init__(self, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
+                 iters: int = 8, sample_size: int = 8192, lists_dir: str | None = None):
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.seed = seed
         self.iters = iters
+        self.sample_size = sample_size
+        self.lists_dir = lists_dir
         self.centroids: np.ndarray | None = None
-        self.lists: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    # -- fit ---------------------------------------------------------------
+
+    def _bounded_sample(self, emb_ds, id_col: str, vec_col: str) -> np.ndarray:
+        S = self.sample_size
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            h = _sample_hash(ids)
+            keep = np.argsort(h, kind="stable")[:S]
+            return pa.table(
+                {
+                    "h": pa.array(h[keep].astype(np.int64), pa.int64()),
+                    "vec": batch[vec_col].take(pa.array(keep)),
+                }
+            )
+
+        cand = emb_ds.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+        ).to_pandas()  # O(n_blocks * S) small partials, not the table
+        order = np.argsort(cand["h"].to_numpy().view(np.uint64), kind="stable")[:S]
+        return _normalize(np.array(cand["vec"].iloc[order].tolist(), dtype=np.float64))
 
     def fit(self, emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
-        rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-        ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-        mat = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
-        order = np.argsort(ids, kind="stable")
-        ids, mat = ids[order], mat[order]
+        import tempfile
+
+        mat = self._bounded_sample(emb_ds, id_col, vec_col)
         rng = np.random.RandomState(self.seed)
         c = mat[rng.choice(len(mat), size=min(self.n_centroids, len(mat)), replace=False)]
         for _ in range(self.iters):
@@ -121,31 +163,111 @@ class IVFIndex:
                     if nv > 0:
                         c[j] = v / nv
         self.centroids = c
-        assign = np.argmax(mat @ c.T, axis=1)
-        for j in range(len(c)):
-            m = assign == j
-            self.lists[j] = (ids[m], mat[m])
+        if self.lists_dir is None:
+            self.lists_dir = tempfile.mkdtemp(prefix="ivf_lists_")
+        self._write_lists(emb_ds, id_col, vec_col)
         return self
 
+    def assign_dataset(self, emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+        """map_batches argmax matmul against the broadcast centroids ->
+        (vec_id, vec[normalized], cent, centroid); ``centroid`` becomes the
+        hive partition key, ``cent`` stays inside the files so probed
+        partitions can be read back by path."""
+        import ray
+
+        cref = ray.put(self.centroids) if ray.is_initialized() else self.centroids
+
+        def fn(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref) if ray.is_initialized() else cref
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            cent = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "vec": pa.array(list(mat), pa.list_(pa.float64())),
+                    "cent": pa.array(cent, pa.int32()),
+                    "centroid": pa.array(cent, pa.int32()),
+                }
+            )
+
+        return emb_ds.select_columns([id_col, vec_col]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+        )
+
+    def _write_lists(self, emb_ds, id_col: str, vec_col: str) -> None:
+        self.assign_dataset(emb_ds, id_col, vec_col).write_parquet(
+            self.lists_dir, partition_cols=["centroid"]
+        )
+
+    # -- search ------------------------------------------------------------
+
     def search(self, query_mat: np.ndarray, k: int = 10) -> list[list[tuple[int, float]]]:
+        """Batch probe: (nq, d) queries -> per query the exact top-k within
+        its ``nprobe`` probed lists, tie-broken (cosine desc, vec_id asc)."""
+        import ray
+        from pathlib import Path
+
+        import ray.data as rd
+
         q = _normalize(np.asarray(query_mat, dtype=np.float64))
-        sims_c = q @ self.centroids.T
-        out = []
+        sims_c = q @ self.centroids.T  # (nq, C)
+        nprobe = min(self.nprobe, sims_c.shape[1])
+        probes = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]  # (nq, P)
+        # per-centroid query-probe mask, broadcast once
+        mask = np.zeros((len(self.centroids), len(q)), dtype=bool)  # (C, nq)
         for qi in range(len(q)):
-            probe = np.argsort(-sims_c[qi], kind="stable")[: self.nprobe]
-            cids = []
-            csims = []
-            for j in probe:
-                ids, mat = self.lists[int(j)]
-                if len(ids) == 0:
+            mask[probes[qi], qi] = True
+        probed_dirs = [
+            str(f)
+            for j in sorted(set(int(x) for x in probes.reshape(-1)))
+            for f in sorted((Path(self.lists_dir) / f"centroid={j}").glob("*.parquet"))
+        ]
+        if not probed_dirs:
+            return [[] for _ in range(len(q))]
+        ref = ray.put((q, mask)) if ray.is_initialized() else (q, mask)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            qm, msk = ray.get(ref) if ray.is_initialized() else ref
+            ids = np.asarray(batch["vec_id"], dtype=np.int64)
+            mat = np.array(batch["vec"].to_pylist(), dtype=np.float64)
+            cent = np.asarray(batch["cent"], dtype=np.int64)
+            sims = qm @ mat.T  # (nq, nb); vectors stored normalized
+            sims = np.where(msk[cent].T, sims, -np.inf)  # mask unprobed lists
+            out_q, out_v, out_s = [], [], []
+            kk = min(k, sims.shape[1])
+            for qi in range(len(qm)):
+                row = sims[qi]
+                if len(row) > kk:
+                    kth = np.partition(row, len(row) - kk)[len(row) - kk]
+                    sel = np.flatnonzero((row >= kth) & np.isfinite(row))
+                else:
+                    sel = np.flatnonzero(np.isfinite(row))
+                if len(sel) == 0:
                     continue
-                cids.append(ids)
-                csims.append(mat @ q[qi])
-            if not cids:
-                out.append([])
-                continue
-            ids = np.concatenate(cids)
-            sims = np.concatenate(csims)
-            order = np.lexsort((ids, -sims))[:k]
-            out.append([(int(ids[i]), float(sims[i])) for i in order])
+                out_q.append(np.full(len(sel), qi, dtype=np.int64))
+                out_v.append(ids[sel])
+                out_s.append(row[sel])
+            if not out_q:
+                return pa.table(
+                    {"qi": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        cand = rd.read_parquet(probed_dirs, columns=["vec_id", "vec", "cent"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+        ).to_pandas()  # small: O(n_batches * nq * k)
+        out: list[list[tuple[int, float]]] = [[] for _ in range(len(q))]
+        for qi, g in cand.groupby("qi", sort=True):
+            ids_ = g["vec_id"].to_numpy(np.int64)
+            sims_ = g["cosine"].to_numpy(np.float64)
+            order = np.lexsort((ids_, -sims_))[:k]
+            out[int(qi)] = [(int(ids_[i]), float(sims_[i])) for i in order]
         return out

@@ -98,16 +98,53 @@ def test_embedding_dups_vs_bruteforce(ray_session):
     mat[7] = mat[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
     rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(40)]
     ds = rd.from_items(rows)
-    got = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    got = embedding_dup_pairs(ds, threshold=0.9, exact=True).to_pandas()
     n = mat / np.linalg.norm(mat, axis=1)[:, None]
     sims = n @ n.T
     ia, ib = np.nonzero(np.triu(sims >= 0.9, k=1))
     want = set(zip(ia.tolist(), ib.tolist()))
     assert set(zip(got["doc_a"], got["doc_b"])) == want
     assert (3, 7) in want
-    # LSH variant must at least find the planted pair
-    lsh = embedding_dup_pairs(ds, threshold=0.9, exact=False).to_pandas()
-    assert (3, 7) in set(zip(lsh["doc_a"], lsh["doc_b"]))
+    # default (LSH) path: no false positives (exact verify) and full recall
+    # on the planted tight cluster
+    lsh = embedding_dup_pairs(ds, threshold=0.9).to_pandas()
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert lsh_pairs <= want
+    assert (3, 7) in lsh_pairs
+
+
+def test_embedding_dups_lsh_recall(ray_session):
+    """Recall of the default banded-LSH path vs the exact oracle on a
+    corpus with many planted near-dup clusters."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import embedding_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(30, 24))
+    rows = []
+    vid = 0
+    for i in range(30):  # 3 noisy copies per base vector
+        for _ in range(3):
+            rows.append(
+                {"vec_id": vid,
+                 "embedding": (base[i] + rng.normal(scale=0.02, size=24)).tolist()}
+            )
+            vid += 1
+    ds = rd.from_items(rows)
+    exact = embedding_dup_pairs(ds, threshold=0.95, exact=True).to_pandas()
+    want = set(zip(exact["doc_a"], exact["doc_b"]))
+    lsh = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    got = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert got <= want  # exact in-bucket verify -> zero false positives
+    assert len(want) > 0
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(got)}/{len(want)})"
+    # reported cosines agree with the exact path on shared pairs
+    ex = exact.set_index(["doc_a", "doc_b"])["cosine"]
+    ls = lsh.set_index(["doc_a", "doc_b"])["cosine"]
+    shared = ex.index.intersection(ls.index)
+    assert np.allclose(ex.loc[shared], ls.loc[shared], rtol=0, atol=1e-12)
 
 
 def test_quality_vs_python(docs_ds):
@@ -315,3 +352,43 @@ def test_bpeish_counts(ray_session):
     got = bpeish_count_dataset(rd.from_items(rows)).to_pandas().set_index("doc_id")["n_bpeish"]
     # Hello , world ! x 2 -> 6
     assert got[0] == 6 and got[1] == 0
+
+
+def test_bucket_layout_invariance(docs_ds):
+    """Dedup results are a pure function of the corpus, independent of the
+    coarse shuffle bucket count (the knob that must scale with input size)."""
+    from horus_ner_ray.stages.dedupe import (
+        exact_dedup_keep_min,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs_exact,
+        simhash_candidate_pairs,
+    )
+
+    ds, _ = docs_ds
+    cfg = PipelineConfig()
+
+    def ids(d):
+        return sorted(d.to_pandas()["doc_id"].tolist())
+
+    def pairs(d):
+        p = d.to_pandas()
+        return sorted(zip(p["doc_a"], p["doc_b"]))
+
+    assert ids(exact_dedup_keep_min(ds)) == ids(exact_dedup_keep_min(ds, n_buckets=37))
+    assert pairs(minhash_candidate_pairs(ds, cfg)) == pairs(
+        minhash_candidate_pairs(ds, cfg, n_buckets=37)
+    )
+    assert pairs(ngram_jaccard_pairs_exact(ds, cfg, threshold=0.05)) == pairs(
+        ngram_jaccard_pairs_exact(ds, cfg, threshold=0.05, n_buckets=37)
+    )
+    assert pairs(simhash_candidate_pairs(ds, max_hamming=16)) == pairs(
+        simhash_candidate_pairs(ds, max_hamming=16, n_buckets=37)
+    )
+
+
+def test_buckets_for_rows_scales():
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
+    assert buckets_for_rows(1_000) == 256          # sandbox floor
+    assert buckets_for_rows(100_000_000) == 1000   # grows with input
+    assert buckets_for_rows(10**12) == 10**7
