@@ -31,36 +31,65 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 _STOP_EN = _LANG_STOPWORDS["en"]
 
 
+# script ranges checked in priority order (first match per char, like the
+# old per-char elif chain): (code, lo, hi)
+_SCRIPT_RANGES = [("zh", 0x4E00, 0x9FFF), ("ja", 0x3040, 0x30FF),
+                  ("ko", 0xAC00, 0xD7AF), ("ru", 0x0400, 0x04FF)]
+# descending lexicographic so argmax's first-max-wins reproduces
+# max(..., key=(count, lang)) tie-breaking toward the larger lang code
+_LANGS_DESC = sorted(_LANG_STOPWORDS, reverse=True)
+_STOP_ARRAYS = {lang: pa.array(sorted(sw)) for lang, sw in _LANG_STOPWORDS.items()}
+
+
 def langid_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Heuristic n-gram/stopword language id: script detection first (CJK ->
     zh, kana -> ja, hangul -> ko, cyrillic -> ru), else the language whose
-    stopword profile hits most tokens; 'und' when nothing matches."""
+    stopword profile hits most tokens; 'und' when nothing matches.
+
+    Vectorized: the whole batch's text decodes to a single uint32 codepoint
+    array (one C-level join + encode), script histograms are range masks +
+    segment sums over row offsets, and stopword hits are ``pc.is_in`` +
+    ``np.bincount`` per language — no per-row or per-char Python loop."""
+    n = len(batch)
+    text_filled = pc.fill_null(batch[text_col], "")
+    texts = text_filled.to_pylist()
+    # --- script histograms over the first 200 chars of each row ---------
+    clens = np.minimum(np.asarray(pc.utf8_length(text_filled), dtype=np.int64), 200)
+    joined = "".join(s[:200] for s in texts)  # C-level slicing+join only
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(clens, out=offsets[1:])
+    script_counts = np.zeros((len(_SCRIPT_RANGES), n), dtype=np.int64)
+    claimed = np.zeros(len(cps), dtype=bool)
+    for si, (_, lo, hi) in enumerate(_SCRIPT_RANGES):
+        m = (cps >= lo) & (cps <= hi) & ~claimed
+        claimed |= m
+        if m.any():
+            cum = np.zeros(len(cps) + 1, dtype=np.int64)
+            np.cumsum(m, out=cum[1:])
+            script_counts[si] = cum[offsets[1:]] - cum[offsets[:-1]]
+    best_si = np.argmax(script_counts, axis=0)  # first max wins = dict order
+    best_script_n = script_counts[best_si, np.arange(n)]
+    # --- stopword-profile hits ------------------------------------------
     toks = tokenize_column(batch[text_col])
-    texts = batch[text_col].to_pylist()
-    preds: list[str] = []
-    for i, tl in enumerate(toks.to_pylist()):
-        s = texts[i] or ""
-        scripts = {"zh": 0, "ja": 0, "ko": 0, "ru": 0}
-        for ch in s[:200]:
-            o = ord(ch)
-            if 0x4E00 <= o <= 0x9FFF:
-                scripts["zh"] += 1
-            elif 0x3040 <= o <= 0x30FF:
-                scripts["ja"] += 1
-            elif 0xAC00 <= o <= 0xD7AF:
-                scripts["ko"] += 1
-            elif 0x0400 <= o <= 0x04FF:
-                scripts["ru"] += 1
-        best_script = max(scripts, key=scripts.get)  # type: ignore[arg-type]
-        if scripts[best_script] >= 3:
-            preds.append(best_script)
-            continue
-        if not tl:
-            preds.append("und")
-            continue
-        hits = {lang: sum(1 for t in tl if t in sw) for lang, sw in _LANG_STOPWORDS.items()}
-        lang, n = max(hits.items(), key=lambda kv: (kv[1], kv[0]))
-        preds.append(lang if n > 0 else "und")
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    tok_lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    lang_hits = np.zeros((len(_LANGS_DESC), n), dtype=np.int64)
+    if len(flat):
+        for li, lang in enumerate(_LANGS_DESC):
+            is_sw = np.asarray(pc.is_in(flat, value_set=_STOP_ARRAYS[lang]), dtype=bool)
+            lang_hits[li] = np.bincount(parents[is_sw], minlength=n)
+    best_li = np.argmax(lang_hits, axis=0)  # first max = largest lang code
+    best_lang_n = lang_hits[best_li, np.arange(n)]
+    # --- combine (same precedence as the scalar version) ----------------
+    script_codes = np.array([c for c, _, _ in _SCRIPT_RANGES], dtype=object)
+    lang_codes = np.array(_LANGS_DESC, dtype=object)
+    preds = np.where(
+        best_script_n >= 3,
+        script_codes[best_si],
+        np.where((tok_lens > 0) & (best_lang_n > 0), lang_codes[best_li], "und"),
+    )
     return pa.table({"doc_id": batch[id_col], "lang_pred": pa.array(preds, pa.string())})
 
 
@@ -129,15 +158,13 @@ def bpeish_count_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc count of BPE-ish tokens (whitespace + regex rule)."""
 
     def fn2(batch: pa.Table) -> pa.Table:
-        import re
-
-        pat = re.compile(BPEISH_PATTERN)
-        texts = pc.fill_null(batch[text_col], "").to_pylist()
-        counts = np.fromiter(
-            (len(pat.findall(s)) for s in texts), dtype=np.int64, count=len(texts)
+        # vectorized: count_substring_regex counts non-overlapping matches,
+        # exactly re.findall's count, without the per-row Python loop
+        counts = pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), BPEISH_PATTERN
         )
         return pa.table(
-            {"doc_id": batch[id_col], "n_bpeish": pa.array(counts, pa.int64())}
+            {"doc_id": batch[id_col], "n_bpeish": counts.cast(pa.int64())}
         )
 
     return ds.select_columns([id_col, text_col]).map_batches(
@@ -155,17 +182,31 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     of exact_dedup)."""
     toks = tokenize_column(batch[text_col])
     flat = np.asarray(pc.list_flatten(toks), dtype=object)
-    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
     n = len(batch)
-    out = np.full(n, np.uint64(0x811C9DC5), dtype=np.uint64)
+    seed = np.uint64(0x811C9DC5)
+    out = np.full(n, seed, dtype=np.uint64)
     if len(flat):
         th = pd.util.hash_array(flat, categorize=False)
-        # rolling hash per doc: out = out * B + h, in token order
-        # (uint64 wraparound is the modulus — overflow intended)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # Horner closed form, fully vectorized (uint64 wraparound is the
+        # modulus — overflow intended):
+        #   fp = seed * B^L + sum_i h_i * B^(L-1-i)
         with np.errstate(over="ignore"):
-            for i in range(len(th)):  # per-token; acceptable: fingerprints
-                p = parents[i]        # are an audit stage, not the hot path
-                out[p] = out[p] * _FP_BASE + th[i]
+            maxL = int(lens.max())
+            powB = np.empty(maxL + 1, dtype=np.uint64)
+            powB[0] = 1
+            np.multiply.accumulate(
+                np.full(maxL, _FP_BASE, dtype=np.uint64), out=powB[1:]
+            )
+            pos = np.arange(len(th), dtype=np.int64) - np.repeat(starts, lens)
+            exp = np.repeat(lens, lens) - 1 - pos
+            contrib = th * powB[exp]
+            out = seed * powB[lens]
+            nz = lens > 0
+            if nz.any():
+                out[nz] += np.add.reduceat(contrib, starts[nz])
     return pa.table(
         {"doc_id": batch[id_col], "fingerprint": pa.array(out.astype(np.int64), pa.int64())}
     )

@@ -67,32 +67,51 @@ def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
 
 
 def session_windows_dataset(ds, gap_s: int = 1800, key_col: str = "user_id",
-                            ts_col: str = "ts"):
+                            ts_col: str = "ts", n_buckets: int = 256):
     """Session windows: per key, ts-sorted events split where the gap to the
     previous event exceeds ``gap_s`` -> (key, session_start, session_end,
-    n_events).  Keys are hash-partitioned by the groupby; per-group pandas
-    does the sequential sweep (bounded by one key's events — state the
-    reference also never exceeds, SURVEY.md section 2.9 ordering note)."""
+    n_events).
+
+    Shuffle key is hash(key) % n_buckets — one Python ``map_groups`` call
+    per COARSE bucket, not per user (a per-tiny-group call measured ~100x
+    slower; same fix as stages/dedupe.py).  Inside a bucket: one sort by
+    (key, ts), then a fully vectorized sweep — session boundaries are
+    ``user changed OR gap exceeded`` over np.diff, session aggregates read
+    straight off the boundary indices.  ``n_buckets`` scales with input
+    (dedupe.buckets_for_rows) so a bucket's payload stays bounded; all of
+    one user's events land in one bucket by construction."""
+    gap = np.int64(gap_s) * 1_000_000
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object), categorize=False
+        )
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        ts = g[ts_col].to_numpy()
-        gap = np.int64(gap_s) * 1_000_000
-        tsi = ts.astype("datetime64[us]").astype(np.int64)
+        g = g.sort_values([key_col, ts_col], kind="stable")
+        users = g[key_col].to_numpy()
+        tsi = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         new = np.ones(len(g), dtype=bool)
-        new[1:] = (tsi[1:] - tsi[:-1]) > gap
-        sid = np.cumsum(new) - 1
-        out = pd.DataFrame({"sid": sid, "ts": tsi})
-        r = out.groupby("sid")["ts"].agg(["min", "max", "count"]).reset_index()
+        if len(g) > 1:
+            new[1:] = (users[1:] != users[:-1]) | ((tsi[1:] - tsi[:-1]) > gap)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(g)]
         return pd.DataFrame(
             {
-                key_col: np.repeat(g[key_col].iloc[0], len(r)),
-                "session_start": r["min"].to_numpy().astype("datetime64[us]"),
-                "session_end": r["max"].to_numpy().astype("datetime64[us]"),
-                "n_events": r["count"].to_numpy(dtype=np.int64),
+                key_col: users[starts],
+                "session_start": tsi[starts].astype("datetime64[us]"),
+                "session_end": tsi[ends - 1].astype("datetime64[us]"),
+                "n_events": (ends - starts).astype(np.int64),
             }
         )
 
-    return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        sessions, batch_format="pandas"
+    return (
+        ds.select_columns([key_col, ts_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(sessions, batch_format="pandas", runtime_env=_rte())
     )
