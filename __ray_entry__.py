@@ -67,20 +67,35 @@ def _e6(x: np.ndarray | pd.Series) -> np.ndarray:
     return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
 
 
-def _doc_index_dir(sf_dir: str) -> str:
+def _doc_index_dir(sf_dir: str, positions: bool = False) -> str:
     """Build (once, cached) the inverted index over sf_dir's documents."""
     from horus_ner_ray.pipelines.build_index import build_index
 
     from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
 
     key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    tag = "p" if positions else ""
     idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
-        f"horus_docidx_v{INDEX_FORMAT_VERSION}_{key}"
+        f"horus_docidx{tag}_v{INDEX_FORMAT_VERSION}_{key}"
     )
     if not (idx / "stats.json").exists():
-        cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
+        cfg = PipelineConfig(num_shards=4, doc_id_mode="provided", with_positions=positions)
         build_index([_docs(sf_dir)], idx, cfg)
     return str(idx)
+
+
+def _transcript_corpus(sf: str) -> tuple[list[str], str]:
+    """Deterministic synthetic transcript corpus for scale factor ``sf``
+    (pure function of (sf, seed); synthesized on first use — no Ray needed).
+    Returns (part files, glob) — the SAME files both the Ray pipeline and
+    the DuckDB oracle read."""
+    from horus_ner_ray.synth import synth_transcripts, transcript_files
+
+    n_convs = max(100, int(float(sf) * 50000))
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    corpus = synth_transcripts(tmp / f"horus_tr_{sf}", n_convs=n_convs, seed=42)
+    files = transcript_files(corpus)
+    return files, str(Path(corpus) / "part-*.parquet")
 
 
 def _bm25_topk_frame(sf_dir: str, texts: list[str], mode: str) -> pd.DataFrame:
@@ -211,11 +226,14 @@ def _q_ann_topk(sf_dir: str):
     path = str(Path(sf_dir) / "embeddings.parquet")
     qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
     qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    # fetch a padded candidate set (3k+20, mirroring _bm25_topk_frame) so an
+    # e6 tie at the rank-k boundary resolves by the oracle's (e6 desc,
+    # vec_id asc) order, not by full-precision order
     res = ann_topk_bruteforce(
         rd.read_parquet(path),
         qt["vec_id"].to_numpy(np.int64),
         np.array(qt["embedding"].tolist(), dtype=np.float64),
-        k=TOPK,
+        k=TOPK * 3 + 20,
     )
     # integer-rounded rerank to match the SQL oracle exactly
     out = []
@@ -414,22 +432,67 @@ def _q_fingerprint(sf_dir: str):
 def _q_transcripts_bm25(sf_dir: str):
     """Flagship over the synthetic transcript corpus (input_hint schema):
     synth -> build (rank doc ids, salted runs, k-way merge) -> actor-pool
-    scoring.  Rank-identity vs the brute-force oracle is asserted in
-    pytest; the driver records rows here."""
+    scoring -> e6 rerank.  DuckDB-oracle-checked: the SQL reproduces the
+    rank doc-id rule (conv-offset + turn_idx) over the SAME part files;
+    rank-identity vs the brute-force oracle is additionally asserted in
+    pytest."""
     from horus_ner_ray.pipelines.build_index import build_index
     from horus_ner_ray.pipelines.query import score_queries
-    from horus_ner_ray.synth import reference_queries, synth_transcripts, transcript_files
+    from horus_ner_ray.synth import reference_queries
 
     sf = Path(sf_dir).name.replace("sf", "")
-    n_convs = max(100, int(float(sf) * 50000))
     tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
     from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
 
-    corpus = synth_transcripts(tmp / f"horus_tr_{sf}", n_convs=n_convs, seed=42)
+    files, _glob = _transcript_corpus(sf)
     idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
     if not (idx / "stats.json").exists():
-        build_index(transcript_files(corpus), idx, PipelineConfig(num_shards=8))
-    return score_queries(str(idx), reference_queries(k=10), concurrency=2)
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    # padded fetch + e6 rerank, same boundary-tie handling as _bm25_topk_frame
+    raw = score_queries(
+        str(idx), reference_queries(k=TOPK * 3 + 20), concurrency=2
+    ).to_pandas()
+    out = []
+    for qid, g in raw.groupby("query_id", sort=True):
+        g = g.assign(score_e6=_e6(g["score"]))
+        g = g.sort_values(["score_e6", "doc_id"], ascending=[False, True],
+                          kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "doc_id", "score_e6"]])
+    if not out:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
+        )
+    return pd.concat(out, ignore_index=True).astype(np.int64)
+
+
+# fixed phrase query set over the documents vocabulary (adjacent-pair
+# semantics; last one is absent -> empty result)
+PHRASE_QUERIES = ["batch join", "data stream", "table part value", "zzzqnotfound scan"]
+
+
+def _q_bm25_phrase(sf_dir: str):
+    """Exact phrase search (positions index, M6): candidates from posting
+    intersection, positional adjacency verify, BM25 over member terms;
+    e6-reranked like every scored driver query."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, text in enumerate(PHRASE_QUERIES):
+        hits = eng.search_phrase(text, TOPK * 3 + 20)
+        if not hits:
+            continue
+        d = np.array([h[0] for h in hits], dtype=np.int64)
+        s6 = _e6([h[1] for h in hits])
+        order = np.lexsort((d, -s6))[:TOPK]
+        rows["query_id"] += [qid] * len(order)
+        rows["rank"] += list(range(1, len(order) + 1))
+        rows["doc_id"] += d[order].tolist()
+        rows["score_e6"] += s6[order].tolist()
+    return pd.DataFrame(rows).astype(np.int64) if rows["query_id"] else pd.DataFrame(
+        {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
+    )
 
 
 def _q_media_features(sf_dir: str):
@@ -470,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "transcripts_bm25": _q_transcripts_bm25,
+        "bm25_phrase": _q_bm25_phrase,
         "media_features": _q_media_features,
     }
 
@@ -495,7 +559,10 @@ def _sql_values_queries(texts: list[str]) -> str:
     return ", ".join(rows)
 
 
-def _sql_bm25(texts: list[str], conjunctive: bool) -> str:
+def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "") -> str:
+    """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
+    optionally prepends CTEs (ending with one named ``documents``) so the
+    same scoring body runs over a derived doc table (transcripts)."""
     and_filter = (
         "JOIN (SELECT query_id, count(*) nt FROM q GROUP BY query_id) qn USING (query_id) "
         "WHERE nhit = nt"
@@ -503,7 +570,7 @@ def _sql_bm25(texts: list[str], conjunctive: bool) -> str:
         else ""
     )
     return f"""
-WITH tok AS (
+WITH {pre}tok AS (
   SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
@@ -535,6 +602,93 @@ ranked AS (
            ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
          ) rk
   FROM scored {and_filter}
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def _sql_transcripts_bm25() -> str:
+    """DuckDB oracle for the flagship transcripts pipeline: reproduces the
+    rank doc-id rule (doc_id = cumulative turn count of conv_ids sorting
+    before + turn_idx) over the SAME deterministic synth part files the Ray
+    pipeline indexes (conv ids are ASCII, so DuckDB's ORDER BY and numpy's
+    sort agree), then runs the shared BM25 scoring body.  The driver
+    compares at sf=0.01; synthesis is a cheap pure-Python pure function."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus("0.01")
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, text FROM raw JOIN offs USING (conv_id)
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()], conjunctive=False, pre=pre)
+
+
+def _sql_bm25_phrase() -> str:
+    """Phrase adjacency over the token array (list_transform sliding-window
+    conjunction), scored with the same BM25 body over each phrase's member
+    terms — the SQL mirror of QueryEngine.search_phrase."""
+    import re
+
+    q_rows: list[str] = []
+    matched: list[str] = []
+    for qid, text in enumerate(PHRASE_QUERIES):
+        terms = re.findall(_TOKRE, text.lower())
+        for t in sorted(set(terms)):
+            q_rows.append(f"({qid}, '{t}')")
+        n = len(terms)
+        cond = " AND ".join(f"arr[i+{j}] = '{t}'" for j, t in enumerate(terms))
+        matched.append(
+            f"SELECT {qid} AS query_id, doc_id FROM tok WHERE len(arr) >= {n} "
+            f"AND list_contains(list_transform(generate_series(1, len(arr) - {n - 1}), "
+            f"i -> {cond}), true)"
+        )
+    matched_sql = "\n  UNION ALL ".join(matched)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+matched AS (
+  {matched_sql}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+  JOIN dfv ON dfv.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
 )
 SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
@@ -673,6 +827,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM documents GROUP BY 1
         """,
+        "transcripts_bm25": _sql_transcripts_bm25(),
+        "bm25_phrase": _sql_bm25_phrase(),
         "embedding_dups": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -52,7 +52,9 @@ class PipelineConfig:
     """Terms excluded from the index (SURVEY.md M5 — the reference's
     POS-predicate gate re-expressed as an explicit term filter).  Empty by
     default: the per-turn text-equality invariant and exact BM25 need every
-    token; dl still counts filtered tokens when enabled."""
+    token.  When enabled, dl counts only indexed (post-filter) tokens —
+    the filtered stream IS the corpus for BM25 — while position lists stay
+    original-text-relative (phrase adjacency is text-faithful)."""
 
     # ---- scoring -------------------------------------------------------
     k1: float = BM25_K1

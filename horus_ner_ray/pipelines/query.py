@@ -80,13 +80,15 @@ class BruteForceBM25:
         self.total_tokens = 0
 
     def add_doc(self, doc_id: int, text: str) -> None:
-        toks = _TOKEN_RE.findall(text.lower())
-        if self.stopwords:
-            toks = [t for t in toks if t not in self.stopwords]
+        toks_all = _TOKEN_RE.findall(text.lower())
+        toks = [t for t in toks_all if t not in self.stopwords] if self.stopwords else toks_all
         self.n_docs += 1
         self.total_tokens += len(toks)
         self.dl[doc_id] = len(toks)
-        self.doc_tokens[doc_id] = toks
+        # phrase adjacency scans the UNFILTERED stream: engine positions are
+        # original-text-relative, so a phrase spanning a removed stopword
+        # must NOT match on either side (shared semantics, tested)
+        self.doc_tokens[doc_id] = toks_all
         tf: dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1

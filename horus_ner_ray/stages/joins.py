@@ -27,11 +27,21 @@ from horus_ner_ray.util import worker_runtime_env as _rte
 
 
 def _broadcast_side(small_df: pd.DataFrame, key: str):
-    """Sorted key array + column arrays, ray.put once when Ray is up."""
+    """Sorted key array + column arrays, ray.put once when Ray is up.
+
+    The small side must be UNIQUE on ``key``: the probe is one searchsorted
+    position per big-side row, so duplicate dimension keys would silently
+    drop all but one match.  Fail loudly instead (a one-to-many dimension
+    needs a shuffle join, not a broadcast lookup)."""
     import ray
 
     s = small_df.sort_values(key, kind="stable").reset_index(drop=True)
     keys = s[key].to_numpy()
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(
+            f"broadcast join small side has duplicate '{key}' values; "
+            "broadcast lookup requires a unique dimension key"
+        )
     cols = {c: s[c].to_numpy() for c in s.columns if c != key}
     payload = (keys, cols)
     return ray.put(payload) if ray.is_initialized() else payload

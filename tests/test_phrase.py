@@ -80,3 +80,26 @@ def test_phrase_semantics(pos_index):
     assert eng.search_phrase("beta beta", 10) == []
     # OR search on same index still works with positions present
     assert len(eng.search("alpha beta", 5)) == 5 or len(eng.search("alpha beta", 5)) == 3
+
+
+def test_phrase_with_stopword_filter_rank_identity(small_corpus, tmp_path_factory, ray_session):
+    """Phrase + stopword-filtered index: engine positions are
+    original-text-relative and the oracle scans the UNFILTERED token
+    stream, so a phrase spanning a removed stopword matches on NEITHER
+    side (shared text-faithful semantics), while phrases of surviving
+    adjacent tokens match on both."""
+    stop = ("the", "to", "a", "and", "of")
+    idx = tmp_path_factory.mktemp("posidx_sw") / "idx"
+    build_index(
+        small_corpus, idx,
+        PipelineConfig(num_shards=4, with_positions=True, stopword_filter=stop),
+    )
+    eng = QueryEngine(str(idx))
+    oracle = BruteForceBM25.from_corpus_files(small_corpus, stopwords=stop)
+    for p in PHRASES + ["alpha beta alpha", "beta alpha beta"]:
+        got = eng.search_phrase(p, 10)
+        want = oracle.search_phrase(p, 10)
+        assert got == want, f"phrase {p!r}: {got} != {want}"
+    # a phrase containing a filtered stopword is unanswerable on both sides
+    assert eng.search_phrase("the sessionmark", 10) == []
+    assert oracle.search_phrase("the sessionmark", 10) == []
