@@ -592,6 +592,57 @@ def build_index(
     )
 
 
+def append_fragments(
+    index_dir: str | Path,
+    new_files: list[str],
+    concurrency: int | None = None,
+) -> BuildResult:
+    """Incremental append: add new transcript fragments to an existing
+    hash-mode index without re-tokenizing what's already indexed.
+
+    The reference's cache is incremental the same way — probe-then-insert
+    per term with ``processed`` flags (reference:
+    src/core/feature_extraction/util.py:947-1016, horus0.1.5.db.sql:123-131).
+    Here the ``processed`` flag is the per-fragment run manifest: phase A
+    (tokenize + run writing, the dominant cost) runs ONLY for the new
+    fragments; phase B re-merges shards from the persisted run files — a
+    full re-merge is semantically required regardless of layout, because
+    appending docs changes N/avgdl and therefore every shard's BM25
+    block-max metadata.  Output is byte-identical to a from-scratch build
+    over old+new (determinism invariant; tested).
+
+    Hash mode only: hash doc ids are a pure per-row function, so existing
+    ids never move.  Rank mode is refused — dense rank ids shift when new
+    conversations interleave the sorted conv_id order, which would silently
+    re-key already-published docstore rows.
+    """
+    paths = IndexPaths(index_dir)
+    stats = json.loads(paths.stats_json.read_text())
+    if stats["doc_id_mode"] != "hash":
+        raise ValueError(
+            "append_fragments requires doc_id_mode='hash'; rank-mode doc ids "
+            "are dense ranks over sorted conv_ids and shift when new "
+            "conversations are inserted — rebuild instead"
+        )
+    old_files = list(stats["corpus_files"])
+    dup = set(new_files) & set(old_files)
+    if dup:
+        raise ValueError(f"fragments already indexed: {sorted(dup)[:3]}")
+    cfg = PipelineConfig(
+        num_shards=int(stats["n_shards"]),
+        doc_id_mode="hash",
+        k1=float(stats["k1"]),
+        b=float(stats["b"]),
+        with_positions=bool(stats["with_positions"]),
+    )
+    import shutil
+
+    # invalidate merged shards (runs persist; new stats force re-encode)
+    for d in paths.shards.glob("shard-*"):
+        shutil.rmtree(d)
+    return build_index(old_files + new_files, index_dir, cfg, concurrency)
+
+
 class _ConvCountWorker:
     """Per-fragment (frag_id, conv_id, n_turns) partials for the offset
     table; frag_id also yields per-fragment doc ranges for the pipelined

@@ -259,18 +259,26 @@ class QueryEngine:
             cd, ctf = r.champions(ti)
             if 0 < k + 8 <= len(cd):
                 # champion list is stored in (part desc, doc asc) — the
-                # exact total order a single-term query ranks by; boundary
-                # tie groups are doc-asc so their stored members are the
-                # oracle-preferred ones.  A small prefix margin absorbs the
-                # (astronomically rare) case where multiplying by idf
-                # collides two distinct parts into a float tie.
+                # exact total order a single-term query ranks by, and the
+                # query-side score recomputation is the same arithmetic as
+                # the build-side part (shards.py:230), so the prefix's
+                # scores are non-increasing and every unfetched posting
+                # scores <= the prefix's last entry (multiplying by idf > 0
+                # is IEEE-monotone).  Exactness check: if the prefix's kth
+                # score strictly exceeds its last score, no unfetched doc
+                # can tie into the top-k; otherwise (a float tie at the
+                # boundary) fall through to the exact full scan — the fast
+                # path is provably exact, never probabilistically so.
                 n = k + 8
                 d, tf = cd[:n], ctf[:n]
                 li = np.searchsorted(docids, d)
                 tff = tf.astype(np.float64)
                 denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
                 s = idf * (tff * (self.k1 + 1.0)) / denom
-                return _topk_with_ties(d, s, k)
+                kth = np.partition(s, len(s) - k)[len(s) - k]
+                if kth > s[n - 1]:
+                    return _topk_with_ties(d, s, k)
+                self.champion_fallbacks = getattr(self, "champion_fallbacks", 0) + 1
             d, tf = r.postings(ti)
             li = np.searchsorted(docids, d)
             tff = tf.astype(np.float64)
@@ -544,10 +552,11 @@ class ScorerActor:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
-            if self.mode == "phrase":
+            mode = getattr(row, "mode", self.mode)  # per-query override (serving)
+            if mode == "phrase":
                 hits = self.engine.search_phrase(row.text, int(row.k))
             else:
-                hits = self.engine.search(row.text, int(row.k), self.mode)
+                hits = self.engine.search(row.text, int(row.k), mode)
             for rank, (doc, score) in enumerate(hits, 1):
                 out["query_id"].append(int(row.query_id))
                 out["rank"].append(rank)

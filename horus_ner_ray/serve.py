@@ -1,0 +1,114 @@
+"""Long-lived query serving: a warm partitioned actor pool behind a thin
+HTTP front.
+
+Reference analogue: the REST webservice holding one long-lived extractor
+process (reference: webservice/rest.py:19-61 — Flask route -> persistent
+``Horus`` object).  Here the persistent object is a pool of mmap-holding
+``ScorerActor``s with the index's shard dirs partitioned round-robin across
+them (the multi-node serving shape: on a real cluster each actor sits on
+the node holding its shards); every query scatters to all actors, each
+returns the exact top-k of ITS shards, and the tiny per-actor partials
+merge on the serving thread — identical results to single-engine search
+because shards partition documents.
+
+Nothing here calls ray.init(): the service joins the caller's session
+(driver contract), exactly like every other pipeline in this package.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+import pandas as pd
+
+
+class QueryService:
+    """Warm partitioned scorer pool with a blocking ``search()`` — the
+    object a serving deployment keeps alive between requests."""
+
+    def __init__(self, index_dir: str, n_actors: int = 4, mode: str = "or"):
+        import ray
+
+        from horus_ner_ray.pipelines.query import ScorerActor
+        from horus_ner_ray.state.shards import IndexPaths
+        from horus_ner_ray.util import worker_runtime_env
+
+        n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
+        n_actors = max(1, min(n_actors, n_shards))
+        subsets = [list(range(i, n_shards, n_actors)) for i in range(n_actors)]
+        env = worker_runtime_env()
+        cls = ray.remote(num_cpus=1)(ScorerActor)
+        if env:
+            cls = cls.options(runtime_env=env)
+        self.mode = mode
+        self.actors = [cls.remote(index_dir, mode, sub) for sub in subsets]
+        ray.get([a.warm.remote() for a in self.actors])
+
+    def search(self, text: str, k: int = 10, mode: str | None = None) -> list[dict]:
+        """One query: scatter to every actor, merge exact partials."""
+        import ray
+
+        q = pd.DataFrame(
+            [{"query_id": 0, "text": text, "k": int(k), "mode": mode or self.mode}]
+        )
+        parts = ray.get([a.__call__.remote(q) for a in self.actors])
+        cand = pd.concat(parts, ignore_index=True)
+        if len(cand) == 0:
+            return []
+        g = cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                             kind="stable").head(int(k))
+        return [
+            {"rank": r + 1, "doc_id": int(d), "score": float(s)}
+            for r, (d, s) in enumerate(zip(g["doc_id"], g["score"]))
+        ]
+
+    def close(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+def make_http_server(
+    index_dir: str, host: str = "127.0.0.1", port: int = 0,
+    n_actors: int = 4, mode: str = "or",
+) -> tuple[ThreadingHTTPServer, QueryService]:
+    """HTTP front mirroring the reference's REST route (rest.py:47-61):
+    GET /search?q=<text>&k=<int>[&mode=or|and|phrase] -> JSON hits.
+    port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
+    the lifecycle: server.serve_forever() (typically in a thread), then
+    server.shutdown() + service.close().
+    """
+    service = QueryService(index_dir, n_actors=n_actors, mode=mode)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802  (http.server API)
+            u = urlparse(self.path)
+            if u.path != "/search":
+                self.send_error(404)
+                return
+            qs = parse_qs(u.query)
+            text = (qs.get("q") or [""])[0]
+            k = int((qs.get("k") or ["10"])[0])
+            req_mode = (qs.get("mode") or [service.mode])[0]
+            try:
+                hits = service.search(text, k=k, mode=req_mode)
+            except Exception as e:  # surface scoring errors as 500, not a hang
+                self.send_error(500, str(e))
+                return
+            body = json.dumps({"query": text, "k": k, "hits": hits}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, service

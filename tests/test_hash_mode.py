@@ -61,3 +61,51 @@ def test_hash_mode_df_matches_rank(built_index, hash_index):
     eh = QueryEngine(hash_index)
     for t in ["sessionmark", "the", "uniqueedge1", "alpha"]:
         assert er.global_df(t) == eh.global_df(t)
+
+
+def test_append_fragments_byte_identical(small_corpus, tmp_path, ray_session):
+    """build(A) + append(B) == build(A+B) byte-for-byte in hash mode, and
+    phase A is incremental (A's fragment manifests untouched by append)."""
+    import json
+
+    from horus_ner_ray.pipelines.build_index import append_fragments, build_index
+    from horus_ner_ray.state.shards import IndexPaths
+
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    full = tmp_path / "full"
+    build_index(small_corpus, full, cfg)
+
+    inc = tmp_path / "inc"
+    build_index(small_corpus[:1], inc, cfg)
+    m0 = IndexPaths(inc).frag_manifest(0)
+    before = m0.stat().st_mtime_ns
+    res = append_fragments(inc, small_corpus[1:])
+    assert m0.stat().st_mtime_ns == before  # old fragment not re-tokenized
+
+    def idx_bytes(idx):
+        out = {}
+        for p in sorted((idx / "shards").rglob("*")):
+            if p.is_file() and p.name != "manifest.json":
+                out[str(p.relative_to(idx))] = p.read_bytes()
+        out["df"] = (idx / "df.parquet").read_bytes()
+        return out
+
+    assert idx_bytes(full) == idx_bytes(inc)
+    s_full = json.loads((full / "stats.json").read_text())
+    s_inc = json.loads((inc / "stats.json").read_text())
+    assert s_full["n_docs"] == s_inc["n_docs"] == res.n_docs
+    assert s_full["avgdl"] == s_inc["avgdl"]
+
+
+def test_append_refuses_rank_mode(small_corpus, tmp_path, ray_session):
+    import pytest as _pytest
+
+    from horus_ner_ray.pipelines.build_index import append_fragments, build_index
+
+    idx = tmp_path / "rank"
+    build_index(small_corpus[:1], idx, PipelineConfig(num_shards=2))
+    with _pytest.raises(ValueError, match="hash"):
+        append_fragments(idx, small_corpus[1:])
+    with _pytest.raises(ValueError, match="already indexed"):
+        build_index(small_corpus[:1], tmp_path / "h", PipelineConfig(num_shards=2, doc_id_mode="hash"))
+        append_fragments(tmp_path / "h", small_corpus[:1])

@@ -1,0 +1,56 @@
+"""End-to-end HTTP serving: live endpoint results match the brute-force
+oracle (reference webservice analogue, rest.py:47-61)."""
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from horus_ner_ray.pipelines.query import BruteForceBM25
+
+
+@pytest.fixture(scope="module")
+def http_service(built_index, ray_session):
+    from horus_ner_ray.serve import make_http_server
+
+    idx, _ = built_index
+    server, service = make_http_server(idx, port=0, n_actors=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+    service.close()
+
+
+def _get(base: str, **params) -> dict:
+    url = base + "/search?" + urllib.parse.urlencode(params)
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_matches_oracle(http_service, small_corpus):
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    for q in ["sessionmark", "alpha beta", "the tok00042 uniqueedge1", "zzzqabsent"]:
+        got = _get(http_service, q=q, k=5)["hits"]
+        want = bf.search(q, k=5)
+        assert [(h["doc_id"], h["score"]) for h in got] == [
+            (d, s) for d, s in want
+        ], q
+        assert [h["rank"] for h in got] == list(range(1, len(got) + 1))
+
+
+def test_http_and_mode_and_errors(http_service, small_corpus):
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    got = _get(http_service, q="alpha beta", k=5, mode="and")["hits"]
+    want = bf.search("alpha beta", k=5, mode="and")
+    assert [(h["doc_id"], h["score"]) for h in got] == [(d, s) for d, s in want]
+    # empty query -> empty hits, not an error
+    assert _get(http_service, q="", k=5)["hits"] == []
+    # unknown path -> 404
+    try:
+        urllib.request.urlopen(http_service + "/nope", timeout=10)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
