@@ -1,0 +1,141 @@
+"""CoNLL / Ritter token-per-line text source (SURVEY.md S2's non-Parquet
+half).
+
+Reference semantics (reference: src/core/feature_extraction/util.py:816-877
+``process_ds_conll_format``): one token per line with ``separator``-split
+columns (``token_index`` selects the token, optionally ``tag_index`` a
+label), a blank line ends a sentence, and ``-DOCSTART-`` lines are document
+markers — skipped, with the blank line that follows them consumed rather
+than flushing an (empty) sentence.
+
+Ray-Data-first: the FILE is the parallel unit (``read_binary_files`` one
+row per file, include_paths), and a ``map_batches`` stage parses each
+file's bytes into sentence rows in the transcript schema the rest of the
+engine speaks — (conv_id = file stem, turn_idx = sentence ordinal,
+role = 'sentence', text = space-joined tokens[, tags]).  A blank-line
+grouping spans lines, so line-granularity readers (``read_text``) would
+split sentences at block boundaries; file granularity keeps grouping
+correct and the read embarrassingly parallel.
+
+``conll_to_parquet`` lands one transcript-schema Parquet fragment per
+input file (atomic tmp+rename, skip-if-exists) so ``build_index`` consumes
+CoNLL corpora through its normal resumable fragment path.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+
+from horus_ner_ray.util import worker_runtime_env as _rte
+
+
+def parse_conll_bytes(
+    data: bytes,
+    conv_id: str,
+    token_index: int = 0,
+    tag_index: int | None = None,
+    separator: str | None = "\t",
+) -> pa.Table:
+    """One file's bytes -> sentence rows.  separator=None splits on any
+    whitespace (the reference's ``separator=''`` hack)."""
+    text = data.decode("utf-8", errors="replace")
+    conv, turn, sent_text, tags_col = [], [], [], []
+    tokens: list[str] = []
+    tags: list[str] = []
+    docstart = False
+    t = 0
+
+    def flush():
+        nonlocal tokens, tags, t
+        if tokens:
+            conv.append(conv_id)
+            turn.append(t)
+            sent_text.append(" ".join(tokens))
+            tags_col.append(" ".join(tags))
+            t += 1
+            tokens, tags = [], []
+
+    for line in text.split("\n"):
+        if line.strip() == "":
+            if docstart:
+                docstart = False
+            else:
+                flush()
+            continue
+        parts = line.split(separator)
+        token = parts[token_index]
+        if token == "-DOCSTART-":
+            docstart = True
+            continue
+        tokens.append(token)
+        if tag_index is not None and tag_index < len(parts):
+            tags.append(parts[tag_index].rstrip("\r\n"))
+    flush()
+
+    cols = {
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "role": pa.array(["sentence"] * len(conv), pa.string()),
+        "text": pa.array(sent_text, pa.string()),
+    }
+    if tag_index is not None:
+        cols["tags"] = pa.array(tags_col, pa.string())
+    return pa.table(cols)
+
+
+def read_conll(
+    paths: list[str],
+    token_index: int = 0,
+    tag_index: int | None = None,
+    separator: str | None = "\t",
+):
+    """CoNLL files -> Dataset of transcript-schema sentence rows."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [
+            parse_conll_bytes(
+                data.as_py(), Path(path.as_py()).stem, token_index, tag_index, separator
+            )
+            for path, data in zip(batch["path"], batch["bytes"])
+        ]
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            return parse_conll_bytes(b"", "empty", token_index, tag_index, separator)
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True,
+                          runtime_env=_rte())
+
+
+def conll_to_parquet(
+    paths: list[str],
+    out_dir: str | Path,
+    token_index: int = 0,
+    tag_index: int | None = None,
+    separator: str | None = "\t",
+) -> list[str]:
+    """One transcript-schema Parquet fragment per CoNLL file (resumable:
+    existing fragments are skipped; atomic publish).  Returns the fragment
+    paths in input order — feed them straight to ``build_index``."""
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    frags = []
+    for p in paths:
+        frag = out / (Path(p).stem + ".parquet")
+        if not frag.exists():
+            tbl = parse_conll_bytes(
+                Path(p).read_bytes(), Path(p).stem, token_index, tag_index, separator
+            )
+            tmp = frag.with_suffix(".parquet.tmp")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, frag)
+        frags.append(str(frag))
+    return frags

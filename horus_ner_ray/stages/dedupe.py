@@ -157,37 +157,56 @@ def _shingle_hashes(texts: pa.Array, k: int, sentinel: bool = True) -> tuple[np.
     token hashes over a sliding window).  Returns (flat_hashes, row_lengths);
     rows with fewer than k tokens get a single sentinel shingle so they can
     still be compared (empty-vs-empty) — unless sentinel=False, where they
-    get no shingles (the SQL-oracle-matched all-pairs semantics)."""
+    get no shingles (the SQL-oracle-matched all-pairs semantics).
+
+    Fully flat: the sliding-window polynomial runs in k vectorized passes
+    over the whole batch's token stream, window validity is a same-row mask
+    over the parent index, and per-row uniqueness is one (row, hash)
+    lexsort + boundary diff — no per-document Python loop (minhash hot
+    path)."""
     import pyarrow.compute as pc
 
     toks = tokenize_column(texts)
     flat = np.asarray(pc.list_flatten(toks), dtype=object)
     lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     th = _hash_strings(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
-    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    n_rows = len(lens)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    out_h: list[np.ndarray] = []
-    out_n = np.zeros(len(lens), dtype=np.int64)
-    for i in range(len(lens)):
-        h = th[offsets[i] : offsets[i + 1]]
-        if len(h) < k:
-            if not sentinel:
-                out_h.append(np.zeros(0, dtype=np.uint64))
-                out_n[i] = 0
-                continue
-            sh = (
-                np.array([np.uint64(0xDEAD)], dtype=np.uint64)
-                if len(h) == 0
-                else (h * _MIX).astype(np.uint64)[:1]
-            )
-        else:
-            sh = h[: len(h) - k + 1].copy()
-            for j in range(1, k):
-                sh = sh * _MIX + h[j : len(h) - k + 1 + j]
-        sh = np.unique(sh)
-        out_h.append(sh)
-        out_n[i] = len(sh)
-    return (np.concatenate(out_h) if out_h else np.zeros(0, np.uint64)), out_n
+    parents = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+
+    parts_p: list[np.ndarray] = []
+    parts_h: list[np.ndarray] = []
+    if len(th) >= k:
+        m = len(th) - k + 1  # candidate window starts
+        sh = th[:m].copy()
+        for j in range(1, k):
+            sh = sh * _MIX + th[j : m + j]
+        valid = parents[:m] == parents[k - 1 :]  # window within one row
+        parts_p.append(parents[:m][valid])
+        parts_h.append(sh[valid])
+    if sentinel:
+        empty = lens == 0
+        if empty.any():
+            parts_p.append(np.flatnonzero(empty))
+            parts_h.append(np.full(int(empty.sum()), np.uint64(0xDEAD), dtype=np.uint64))
+        short = (lens > 0) & (lens < k)
+        if short.any():
+            idx = np.flatnonzero(short)
+            parts_p.append(idx)
+            parts_h.append((th[offsets[idx]] * _MIX).astype(np.uint64))
+    out_n = np.zeros(n_rows, dtype=np.int64)
+    if not parts_p:
+        return np.zeros(0, np.uint64), out_n
+    p = np.concatenate(parts_p)
+    h = np.concatenate(parts_h)
+    order = np.lexsort((h, p))
+    p, h = p[order], h[order]
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])  # per-row sorted unique
+    p, h = p[keep], h[keep]
+    out_n = np.bincount(p, minlength=n_rows).astype(np.int64)
+    return h, out_n
 
 
 def _minhash_params(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
