@@ -208,6 +208,34 @@ def _q_events_tumbling(sf_dir: str):
     return out[["user_id", "window_start", "n_events", "sum_value_e6"]]
 
 
+def _q_events_hopping(sf_dir: str):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import hopping_window_dataset
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = hopping_window_dataset(ds, window_s=3600, hop_s=900).to_pandas()
+    out["sum_value_e6"] = _e6(out["sum_value"])
+    return out[["user_id", "window_start", "n_events", "sum_value_e6"]]
+
+
+def _q_tool_propagation(sf_dir: str):
+    """Per-conversation forward label propagation over the synth transcript
+    corpus (reference: horusdemo.py:110-126 compound->token propagation):
+    each turn gets the most recent tool invocation at or before it."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import propagate_last_dataset
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "tool"])
+    return propagate_last_dataset(ds).select_columns(
+        ["conv_id", "turn_idx", "tool_ctx"]
+    )
+
+
 def _q_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -518,7 +546,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "bpeish_counts": _q_bpeish,
         "events_tumbling": _q_events_tumbling,
+        "events_hopping": _q_events_hopping,
         "session_windows": _q_sessions,
+        "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
         "orders_by_segment": _q_orders_by_segment,
@@ -694,6 +724,19 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+def _sql_tool_propagation() -> str:
+    """Forward-fill of the last non-empty tool within a conversation over
+    the same synth transcript files the Ray pipeline reads."""
+    _files, glob = _transcript_corpus("0.01")
+    return f"""
+SELECT conv_id, turn_idx,
+       coalesce(last_value(nullif(tool, '') IGNORE NULLS) OVER (
+         PARTITION BY conv_id ORDER BY turn_idx
+         ROWS UNBOUNDED PRECEDING), '') AS tool_ctx
+FROM read_parquet('{glob}')
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_sql = ", ".join(f"'{w}'" for w in _STOPLIST)
     return {
@@ -740,6 +783,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
             FROM events GROUP BY 1, 2
         """,
+        "events_hopping": """
+            SELECT user_id,
+                   make_timestamp(ws) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(FLOOR(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
+            FROM (
+              SELECT user_id, value,
+                     ((epoch_us(ts) // 900000000) - off) * 900000000 AS ws
+              FROM events, unnest(generate_series(0, 3)) AS t(off)
+            ) GROUP BY 1, 2
+        """,
+        "tool_propagation": _sql_tool_propagation(),
         "session_windows": """
             WITH o AS (
               SELECT user_id, epoch_us(ts) tsu,

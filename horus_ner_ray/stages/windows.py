@@ -66,6 +66,117 @@ def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
 
 
+def hopping_window_dataset(ds, window_s: int = 3600, hop_s: int = 900,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           val_col: str = "value"):
+    """Hopping (sliding) windows: length ``window_s``, advancing every
+    ``hop_s`` (must divide it) — every event lands in window_s/hop_s
+    overlapping windows.  Same combiner shape as tumbling: the per-batch
+    explode-to-(key, window) partial aggregate means the shuffle moves one
+    row per (key, window, batch), not one per (event, window)."""
+    from ray.data.aggregate import Sum
+
+    if window_s % hop_s:
+        raise ValueError("hop_s must divide window_s")
+    k = window_s // hop_s
+    hop_us = np.int64(hop_s) * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+        base = (ts // hop_us) * hop_us
+        offs = np.arange(k, dtype=np.int64) * hop_us
+        win = np.repeat(base, k) - np.tile(offs, len(ts))
+        keys = np.repeat(np.asarray(batch[key_col]), k)
+        vals = np.repeat(np.asarray(batch[val_col], dtype=np.float64), k)
+        t = pa.table(
+            {
+                key_col: pa.array(keys),
+                "window_start": pa.array(win, pa.int64()),
+                val_col: pa.array(vals, pa.float64()),
+            }
+        )
+        g = t.group_by([key_col, "window_start"], use_threads=False).aggregate(
+            [([], "count_all"), (val_col, "sum")]
+        )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "window_start": g["window_start"],
+                "n_events": g["count_all"],
+                "sum_value": g[f"{val_col}_sum"],
+            }
+        )
+
+    parts = ds.select_columns([key_col, ts_col, val_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, runtime_env=_rte()
+    )
+    agg = parts.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("window_start"),
+            "window_start",
+            batch["window_start"].cast(pa.timestamp("us")),
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+
+
+def propagate_last_dataset(ds, key_col: str = "conv_id", order_col: str = "turn_idx",
+                           label_col: str = "tool", out_col: str | None = None,
+                           n_buckets: int = 256):
+    """Per-group forward propagation: each row gets the most recent
+    non-empty ``label_col`` at or before it within its key group under
+    ``order_col`` ordering (rows before any label get '').
+
+    Reference analogue: compound-annotation propagation to member tokens
+    (reference: horusdemo.py:110-126 — a chunk's label written onto each
+    covered token); here the group is a conversation and the label a tool
+    invocation.  Same coarse-bucket plan as session windows: hash(key)
+    shuffle, ONE sort per bucket, fully vectorized fill (global
+    maximum.accumulate of labeled positions, validated against each row's
+    segment start — no per-key Python)."""
+    out_col = out_col or (label_col + "_ctx")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object), categorize=False
+        )
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        keys = g[key_col].to_numpy()
+        lab = g[label_col].fillna("").to_numpy(dtype=object)
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        nonempty = lab != ""
+        fidx = np.maximum.accumulate(np.where(nonempty, pos, -1))
+        new_key = np.ones(n, dtype=bool)
+        if n > 1:
+            new_key[1:] = keys[1:] != keys[:-1]
+        seg_starts = np.flatnonzero(new_key)
+        seg_lens = np.diff(np.append(seg_starts, n))
+        seg_of_row = np.repeat(seg_starts, seg_lens)
+        valid = fidx >= seg_of_row  # labeled position inside this key's segment
+        out = np.where(valid, lab[np.maximum(fidx, 0)], "")
+        res = g.drop(columns=["bucket"]).copy()
+        res[out_col] = out
+        return res
+
+    return (
+        ds.select_columns([key_col, order_col, label_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(fill, batch_format="pandas", runtime_env=_rte())
+    )
+
+
 def session_windows_dataset(ds, gap_s: int = 1800, key_col: str = "user_id",
                             ts_col: str = "ts", n_buckets: int = 256):
     """Session windows: per key, ts-sorted events split where the gap to the

@@ -392,3 +392,84 @@ def test_buckets_for_rows_scales():
     assert buckets_for_rows(1_000) == 256          # sandbox floor
     assert buckets_for_rows(100_000_000) == 1000   # grows with input
     assert buckets_for_rows(10**12) == 10**7
+
+
+def test_hopping_window_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import hopping_window_dataset
+
+    rng = np.random.RandomState(5)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        {
+            "user_id": int(rng.randint(3)),
+            "ts": base + np.timedelta64(int(rng.randint(0, 4 * 3600)), "s"),
+            "value": float(rng.rand()),
+        }
+        for _ in range(300)
+    ]
+    got = (
+        hopping_window_dataset(rd.from_items(rows), window_s=3600, hop_s=900)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # pandas reference: each event in window_s/hop_s = 4 windows
+    df = pd.DataFrame(rows)
+    tsu = df["ts"].astype("datetime64[us]").astype(np.int64)
+    exp = []
+    for off in range(4):
+        w = (tsu // (900 * 10**6) - off) * (900 * 10**6)
+        exp.append(pd.DataFrame({"user_id": df["user_id"], "w": w, "value": df["value"]}))
+    ref = (
+        pd.concat(exp)
+        .groupby(["user_id", "w"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "w"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(ref)
+    assert (got["n_events"].to_numpy() == ref["n_events"].to_numpy()).all()
+    assert np.allclose(got["sum_value"], ref["sum_value"], atol=1e-9)
+    assert (
+        got["window_start"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        == ref["w"].to_numpy()
+    ).all()
+    with pytest.raises(ValueError):
+        hopping_window_dataset(rd.from_items(rows), window_s=3600, hop_s=1000)
+
+
+def test_propagate_last(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import propagate_last_dataset
+
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "tool": ""},
+        {"conv_id": "a", "turn_idx": 1, "tool": "search"},
+        {"conv_id": "a", "turn_idx": 2, "tool": ""},
+        {"conv_id": "a", "turn_idx": 3, "tool": "bash"},
+        {"conv_id": "a", "turn_idx": 4, "tool": ""},
+        {"conv_id": "b", "turn_idx": 0, "tool": ""},  # no label before -> ''
+        {"conv_id": "b", "turn_idx": 1, "tool": ""},
+        {"conv_id": "c", "turn_idx": 0, "tool": "python"},
+    ]
+    got = (
+        propagate_last_dataset(rd.from_items(rows))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(got["tool_ctx"]) == [
+        "", "search", "search", "bash", "bash", "", "", "python"
+    ]
+    # works at a tiny bucket count too (layout invariance)
+    got2 = (
+        propagate_last_dataset(rd.from_items(rows), n_buckets=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(got2["tool_ctx"]) == list(got["tool_ctx"])
