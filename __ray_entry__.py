@@ -178,10 +178,22 @@ def _q_bm25_topk_and(sf_dir: str):
     return _bm25_topk_frame(sf_dir, DOC_AND_QUERIES, "and")
 
 
-def _q_exact_dedup(sf_dir: str):
-    from horus_ner_ray.stages.dedupe import exact_dedup_keep_min
 
-    return exact_dedup_keep_min(_read_docs(sf_dir))
+def _n_rows(path: str) -> int:
+    """Parquet footer row count — free metadata, sizes the coarse shuffle
+    bucket count (dedupe.buckets_for_rows) so per-group payloads stay
+    bounded at any scale."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _q_exact_dedup(sf_dir: str):
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, exact_dedup_keep_min
+
+    return exact_dedup_keep_min(
+        _read_docs(sf_dir), n_buckets=buckets_for_rows(_n_rows(_docs(sf_dir)))
+    )
 
 
 def _q_quality(sf_dir: str):
@@ -241,8 +253,11 @@ def _q_sessions(sf_dir: str):
 
     from horus_ner_ray.stages.windows import session_windows_dataset
 
-    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"), columns=["user_id", "ts"])
-    return session_windows_dataset(ds, gap_s=1800)
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
+    path = str(Path(sf_dir) / "events.parquet")
+    ds = rd.read_parquet(path, columns=["user_id", "ts"])
+    return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
 def _q_ann_topk(sf_dir: str):
@@ -378,10 +393,12 @@ def _q_split_counts(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    from horus_ner_ray.stages.dedupe import minhash_candidate_pairs
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, minhash_candidate_pairs
 
     cfg = PipelineConfig()
-    return minhash_candidate_pairs(_read_docs(sf_dir), cfg)
+    return minhash_candidate_pairs(
+        _read_docs(sf_dir), cfg, n_buckets=buckets_for_rows(_n_rows(_docs(sf_dir)))
+    )
 
 
 def _q_jaccard_allpairs(sf_dir: str):

@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 from horus_ner_ray.config import PipelineConfig
-from horus_ner_ray.util import worker_runtime_env as _rte
+from horus_ner_ray.util import list_column_to_matrix, matrix_to_list_column, worker_runtime_env as _rte
 from horus_ner_ray.stages.tokenize import tokenize_column
 
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -579,7 +579,7 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
         def fn(batch: pa.Table) -> pa.Table:
             rids, rmat, rn = ray.get(ref) if ray.is_initialized() else ref
             bids = np.asarray(batch[id_col], dtype=np.int64)
-            bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            bmat = list_column_to_matrix(batch[vec_col])
             bn = np.linalg.norm(bmat, axis=1)
             bn[bn == 0] = 1.0
             # dot / (|a||b|): the same arithmetic shape as the SQL oracle's
@@ -609,7 +609,7 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
 
     def bucket(batch: pa.Table) -> pa.Table:
         bids = np.asarray(batch[id_col], dtype=np.int64)
-        bmat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        bmat = list_column_to_matrix(batch[vec_col])
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
         signs = ((bmat / bn[:, None]) @ hp) > 0  # (n, bands*planes)
@@ -624,7 +624,7 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
                 "band_key": pa.array(keys.T.reshape(-1).astype(np.int64), pa.int64()),
                 "band_bucket": pa.array((keys.T.reshape(-1) % nbk).astype(np.int64), pa.int64()),
                 "vec_id": pa.array(np.tile(bids, bands), pa.int64()),
-                "vec": pa.array(list(bmat) * bands, pa.list_(pa.float64())),
+                "vec": matrix_to_list_column(np.tile(bmat, (bands, 1))),
                 "norm": pa.array(np.tile(bn, bands), pa.float64()),
             }
         )

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from horus_ner_ray.util import worker_runtime_env as _rte
+from horus_ner_ray.util import list_column_to_matrix, matrix_to_list_column, worker_runtime_env as _rte
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -48,7 +48,7 @@ def ann_topk_bruteforce(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
     def partial(batch: pa.Table) -> pa.Table:
         qids, q, qnorm = ray.get(ref) if ray.is_initialized() else ref
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        mat = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        mat = list_column_to_matrix(batch[vec_col])
         mn = np.linalg.norm(mat, axis=1)
         mn[mn == 0] = 1.0
         # dot / (|a||b|) — same arithmetic shape as list_cosine_similarity
@@ -180,12 +180,12 @@ class IVFIndex:
         def fn(batch: pa.Table) -> pa.Table:
             c = ray.get(cref) if ray.is_initialized() else cref
             ids = np.asarray(batch[id_col], dtype=np.int64)
-            mat = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            mat = _normalize(list_column_to_matrix(batch[vec_col]))
             cent = np.argmax(mat @ c.T, axis=1).astype(np.int32)
             return pa.table(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
-                    "vec": pa.array(list(mat), pa.list_(pa.float64())),
+                    "vec": matrix_to_list_column(mat),
                     "cent": pa.array(cent, pa.int32()),
                     "centroid": pa.array(cent, pa.int32()),
                 }
@@ -230,7 +230,7 @@ class IVFIndex:
         def partial(batch: pa.Table) -> pa.Table:
             qm, msk = ray.get(ref) if ray.is_initialized() else ref
             ids = np.asarray(batch["vec_id"], dtype=np.int64)
-            mat = np.array(batch["vec"].to_pylist(), dtype=np.float64)
+            mat = list_column_to_matrix(batch["vec"])
             cent = np.asarray(batch["cent"], dtype=np.int64)
             sims = qm @ mat.T  # (nq, nb); vectors stored normalized
             sims = np.where(msk[cent].T, sims, -np.inf)  # mask unprobed lists

@@ -38,3 +38,37 @@ def rmb(ds, fn, **kw):
 def rmg(grouped, fn, **kw):
     """map_groups with the package-importable runtime_env."""
     return grouped.map_groups(fn, runtime_env=worker_runtime_env(), **kw)
+
+
+def list_column_to_matrix(col, dtype="float64"):
+    """Arrow list<float> column -> (n, d) numpy matrix, zero-copy from the
+    flattened values buffer when rows are equal-length (the embedding-table
+    case) — replaces per-row ``to_pylist()`` Python-object conversion in
+    every matmul hot path.  Ragged rows fall back to the object path."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    offs = np.asarray(col.offsets, dtype=np.int64)
+    lens = offs[1:] - offs[:-1]
+    d = int(lens[0]) if n else 0
+    if not (lens == d).all():
+        return np.array(col.to_pylist(), dtype=object)  # ragged: slow path
+    # flatten() honors the array's offset window, so this is the logical
+    # values buffer in row order
+    return np.asarray(col.flatten(), dtype=dtype).reshape(n, d)
+
+
+def matrix_to_list_column(mat):
+    """(n, d) numpy matrix -> Arrow list<float64> column without a Python
+    list-of-rows materialization (inverse of list_column_to_matrix)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, d = mat.shape
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+    return pa.ListArray.from_arrays(offsets, pa.array(np.ascontiguousarray(mat).reshape(-1), pa.float64()))
