@@ -57,7 +57,7 @@ def run_bench() -> dict:
 
     from horus_ner_ray.config import PipelineConfig
     from horus_ner_ray.pipelines.build_index import build_index
-    from horus_ner_ray.pipelines.query import serve_queries
+    from horus_ner_ray.pipelines.query import serve_queries_partitioned
     from horus_ner_ray.synth import reference_queries, synth_transcripts, transcript_files
 
     sf = _sf_of(SF_DIR)
@@ -126,7 +126,11 @@ def run_bench() -> dict:
     for r in range(QUERY_REPEATS):
         for q in base:
             queries.append({"query_id": r * len(base) + q["query_id"], "text": q["text"], "k": 10})
-    out, wall = serve_queries(idx, queries, n_actors=NCPU)
+    # shard-partitioned scatter/gather pool (the multi-node serving shape):
+    # each actor owns n_shards/NCPU shards and holds their hot decoded
+    # postings (per-term cache); results bitwise identical to the
+    # single-engine path (tested), ~3x the all-shards-per-actor pool here
+    out, wall = serve_queries_partitioned(idx, queries, n_actors=NCPU)
     timings["bm25_queries"] = round(wall, 3)
     extras["n_queries"] = len(queries)
     extras["qps"] = round(len(queries) / wall, 1)

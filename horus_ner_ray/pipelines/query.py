@@ -196,12 +196,20 @@ class QueryEngine:
     vocab df arrays, per-shard mmaps) loads once; shard readers open
     lazily so an actor restart re-mmaps on first use (SURVEY.md 7.4)."""
 
-    def __init__(self, index_dir: str | Path, shard_subset: list[int] | None = None):
+    def __init__(self, index_dir: str | Path, shard_subset: list[int] | None = None,
+                 cache_postings: int = 0):
         """shard_subset restricts scoring to those shard indices — the
         multi-node serving shape: each actor owns a subset of shards and
         returns its exact local top-k; a tiny global merge combines them
         (doc-partitioned shards make the union of per-subset top-k exact).
-        Collection stats and the df table are global regardless."""
+        Collection stats and the df table are global regardless.
+
+        cache_postings: total decoded-postings budget across this engine's
+        shard readers (~20 B per cached posting incl. local indices); 0
+        disables.  The reference memo-caches term lookups the same way
+        (HORUS_TERM_SEARCH probe-then-insert, util.py:947-1016); values are
+        unchanged — only varint decode + searchsorted are skipped on hot
+        terms."""
         self.paths = IndexPaths(index_dir)
         self.stats = json.loads(self.paths.stats_json.read_text())
         self.k1 = float(self.stats["k1"])
@@ -214,6 +222,9 @@ class QueryEngine:
         self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
         if shard_subset is not None:
             self._shard_dirs = [self._shard_dirs[i] for i in shard_subset]
+        self._cache_per_reader = (
+            cache_postings // max(1, len(self._shard_dirs)) if cache_postings > 0 else 0
+        )
         self._readers: dict[int, ShardReader] = {}
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
 
@@ -226,7 +237,9 @@ class QueryEngine:
     def _reader(self, si: int) -> ShardReader:
         r = self._readers.get(si)
         if r is None:
-            r = self._readers[si] = ShardReader(self._shard_dirs[si])
+            r = self._readers[si] = ShardReader(
+                self._shard_dirs[si], cache_postings=self._cache_per_reader
+            )
         return r
 
     # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
@@ -279,8 +292,7 @@ class QueryEngine:
                 if kth > s[n - 1]:
                     return _topk_with_ties(d, s, k)
                 self.champion_fallbacks = getattr(self, "champion_fallbacks", 0) + 1
-            d, tf = r.postings(ti)
-            li = np.searchsorted(docids, d)
+            d, tf, li = r.postings_local(ti)
             tff = tf.astype(np.float64)
             denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
             return _topk_with_ties(d, idf * (tff * (self.k1 + 1.0)) / denom, k)
@@ -314,15 +326,15 @@ class QueryEngine:
                 blocks = np.unique(np.searchsorted(lasts, docids[viable]))
                 blocks = blocks[blocks < len(lasts)]
                 if len(blocks) * r.manifest["postings_block"] >= 0.8 * r.df[ti]:
-                    d, tf = r.postings(ti)  # selection covers ~whole list
+                    d, tf, li = r.postings_local(ti)  # selection covers ~whole list
                 else:
                     d, tf = r.postings_blocks(ti, blocks)
+                    li = np.searchsorted(docids, d)
             else:
-                d, tf = r.postings(ti)
+                d, tf, li = r.postings_local(ti)
             decoded[ti] = (d, tf)
             if len(d) == 0:
                 continue
-            li = np.searchsorted(docids, d)
             tff = tf.astype(np.float64)
             denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
             acc[li] += idf * (tff * (self.k1 + 1.0)) / denom
@@ -366,8 +378,7 @@ class QueryEngine:
         acc = np.zeros(nd, dtype=np.float64)
         hit = np.zeros(nd, dtype=bool)
         for _, idf, ti in present:
-            d, tf = r.postings(ti)
-            li = np.searchsorted(docids, d)
+            d, tf, li = r.postings_local(ti)
             tff = tf.astype(np.float64)
             denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
             acc[li] += idf * (tff * (self.k1 + 1.0)) / denom
@@ -538,8 +549,13 @@ class ScorerActor:
     process the same way, reference: src/core/feature_extraction/features.py:51-106)."""
 
     def __init__(self, index_dir: str, mode: str = "or",
-                 shard_subset: list[int] | None = None):
-        self.engine = QueryEngine(index_dir, shard_subset=shard_subset)
+                 shard_subset: list[int] | None = None,
+                 cache_postings: int = 8_000_000):
+        # ~8M cached postings x ~20 B = <=160 MB per actor, spread across
+        # its shard readers; hot-term decode+searchsorted amortize to one
+        # per actor lifetime (serving is long-lived)
+        self.engine = QueryEngine(index_dir, shard_subset=shard_subset,
+                                  cache_postings=cache_postings)
         self.mode = mode
 
     def warm(self) -> int:
