@@ -418,17 +418,23 @@ def _q_jaccard_allpairs(sf_dir: str):
 
 def _q_jaccard_dups(sf_dir: str):
     """n-gram (shingle) Jaccard near-dup: MinHash-LSH candidates verified
-    with exact shingle-set Jaccard (threshold 0.5)."""
-    from horus_ner_ray.stages.dedupe import exact_jaccard_for_pairs, minhash_candidate_pairs
+    with exact shingle-set Jaccard (threshold 0.5) — fully distributed:
+    the verify is a two-stage bucketed join of the pair list against
+    per-doc shingle sets (no driver materialization)."""
+    from horus_ner_ray.stages.dedupe import (
+        exact_jaccard_for_pairs_dataset,
+        minhash_candidate_pairs,
+    )
 
     cfg = PipelineConfig()
-    cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg).to_pandas()
-    if len(cand) == 0:
+    cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg)
+    ver = exact_jaccard_for_pairs_dataset(
+        _read_docs(sf_dir), cand, cfg, threshold=0.5
+    ).to_pandas()
+    if len(ver) == 0:
         return pd.DataFrame(
             {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "jaccard_e6")}
         )
-    ver = exact_jaccard_for_pairs([_docs(sf_dir)], cand, cfg)
-    ver = ver[ver["jaccard"] >= 0.5].copy()
     ver["jaccard_e6"] = _e6(ver["jaccard"])
     return ver[["doc_a", "doc_b", "jaccard_e6"]].astype(np.int64)
 

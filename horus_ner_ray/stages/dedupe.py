@@ -405,9 +405,10 @@ def exact_jaccard_for_pairs(
 ) -> pd.DataFrame:
     """Verification stage: exact shingle-set Jaccard for candidate pairs.
 
-    Driver-side (the candidate set is small after LSH); the 100 TB path
-    re-expresses this as a partitioned join of (doc_id -> shingle set)
-    against the pair list — same math, documented not built.
+    Driver-side convenience (fine while the candidate set is small after
+    LSH); ``exact_jaccard_for_pairs_dataset`` below is the scale path —
+    the same math as a partitioned two-stage bucketed join, differentially
+    tested equal to this helper.
     """
     import pyarrow.parquet as pq
 
@@ -673,3 +674,154 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
         .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
     )
     return _distinct_pairs(cand, n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact-Jaccard verification of candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def exact_jaccard_for_pairs_dataset(docs_ds, pairs_ds, cfg: PipelineConfig,
+                                    threshold: float = 0.0,
+                                    text_col: str = "text", id_col: str = "doc_id",
+                                    n_buckets: int = _N_BUCKETS):
+    """Distributed verify stage: exact shingle-set Jaccard for candidate
+    (doc_a, doc_b) pairs — the scale path of ``exact_jaccard_for_pairs``
+    (which is driver-side and fine only while the candidate set is small).
+
+    Plan: per-doc sorted shingle-hash arrays travel as an Arrow list
+    column; two coarse-bucketed hash joins attach first doc_a's set then
+    doc_b's set to each pair (sets and pairs are unioned into one Dataset
+    per stage and matched inside a vectorized pandas merge per coarse
+    bucket — the engine's standard both-sides-large join shape, SURVEY.md
+    §2.4 note).  The per-pair intersection is a C-level ``intersect1d`` on
+    the two sorted arrays.  Nothing materializes on the driver.
+    """
+    k = cfg.shingle_k
+    nbk = np.uint64(n_buckets)
+    _EMPTY = np.zeros(0, dtype=np.int64)
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        sh, ns = _shingle_hashes(batch[text_col], k)
+        offs = np.zeros(len(ns) + 1, dtype=np.int64)
+        np.cumsum(ns, out=offs[1:])
+        return pa.table(
+            {
+                "kind": pa.array(np.zeros(len(ns), dtype=np.int8), pa.int8()),
+                "doc_a": batch[id_col],
+                "doc_b": pa.array(np.zeros(len(ns), dtype=np.int64), pa.int64()),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()).cast(pa.int32()),
+                    pa.array(sh.astype(np.int64), pa.int64()),
+                ),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        m = len(batch)
+        empty = pa.ListArray.from_arrays(
+            pa.array(np.zeros(m + 1, dtype=np.int32)), pa.array([], pa.int64())
+        )
+        return pa.table(
+            {
+                "kind": pa.array(np.ones(m, dtype=np.int8), pa.int8()),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "sh": empty,
+                "n": pa.array(np.zeros(m, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_on(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = np.asarray(batch[col], dtype=np.int64).astype(np.uint64)
+            b = ((key * _MIX) % nbk).astype(np.int64)
+            return batch.append_column("bkt", pa.array(b, pa.int64()))
+        return fn
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """Within one bucket: pair rows (kind=1) pick up the set of their
+        doc_a from the co-located set rows (kind=0); all rows keep the
+        unified schema so stage 2 can union sets and half-joined pairs."""
+        sets_g = g[g["kind"] == 0]
+        prs_g = g[g["kind"] == 1]
+        if len(prs_g) == 0:
+            return pd.DataFrame()
+        lut = pd.Series(sets_g["sh"].to_numpy(), index=sets_g["doc_a"].to_numpy())
+        nlut = pd.Series(sets_g["n"].to_numpy(), index=sets_g["doc_a"].to_numpy())
+        keys = prs_g["doc_a"].to_numpy()
+        hit = pd.Index(keys).isin(lut.index)
+        vals = np.empty(len(prs_g), dtype=object)
+        vals[:] = [
+            np.sort(np.asarray(lut.loc[kk], dtype=np.int64)) if h else _EMPTY
+            for kk, h in zip(keys, hit)
+        ]
+        res = prs_g.drop(columns=["bkt"]).copy()
+        res["sh"] = vals  # doc_a's set rides in the shared sh column
+        res["n"] = np.where(
+            hit, nlut.reindex(keys).fillna(0).to_numpy(), 0
+        ).astype(np.int64)
+        return res
+
+    sets = docs_ds.select_columns([id_col, text_col]).map_batches(
+        doc_sets, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
+    )
+    prs = pairs_ds.map_batches(tag_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True, runtime_env=_rte())
+
+    stage1 = (
+        sets.union(prs)
+        .map_batches(bucket_on("doc_a"), batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pandas", runtime_env=_rte())
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        sets_g = g[g["kind"] == 0]
+        prs_g = g[g["kind"] == 1]
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64),
+             "jaccard": pd.Series([], dtype=np.float64)}
+        )
+        if len(prs_g) == 0:
+            return empty
+        lut = pd.Series(sets_g["sh"].to_numpy(), index=sets_g["doc_a"].to_numpy())
+        nlut = pd.Series(sets_g["n"].to_numpy(), index=sets_g["doc_a"].to_numpy())
+        keys = prs_g["doc_b"].to_numpy()
+        hit = pd.Index(keys).isin(lut.index)
+        jac = np.zeros(len(prs_g))
+        a_sets = prs_g["sh"].to_numpy()
+        n_a = prs_g["n"].to_numpy(dtype=np.int64)
+        for i, (kk, h) in enumerate(zip(keys, hit)):
+            b = np.sort(np.asarray(lut.loc[kk], dtype=np.int64)) if h else _EMPTY
+            a = np.asarray(a_sets[i], dtype=np.int64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = int(n_a[i]) + (int(nlut.loc[kk]) if h else 0) - inter
+            jac[i] = inter / union if union else 1.0
+        out = pd.DataFrame(
+            {"doc_a": prs_g["doc_a"].to_numpy(np.int64),
+             "doc_b": prs_g["doc_b"].to_numpy(np.int64),
+             "jaccard": jac}
+        )
+        out = out[out["jaccard"] >= threshold]
+        return out if len(out) else empty
+
+    # stage 2: sets rebucket on their own id, half-joined pairs on doc_b
+    def bucket_b(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        key = np.where(batch["kind"].to_numpy() == 0,
+                       batch["doc_a"].to_numpy(np.int64),
+                       batch["doc_b"].to_numpy(np.int64)).astype(np.uint64)
+        batch["bkt"] = ((key * _MIX) % nbk).astype(np.int64)
+        return batch
+
+    sets_pd = sets.map_batches(lambda b: b, batch_format="pandas", runtime_env=_rte())
+    return (
+        sets_pd.union(stage1)
+        .map_batches(bucket_b, batch_format="pandas", runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(finish, batch_format="pandas", runtime_env=_rte())
+    )

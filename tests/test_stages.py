@@ -473,3 +473,41 @@ def test_propagate_last(ray_session):
         .reset_index(drop=True)
     )
     assert list(got2["tool_ctx"]) == list(got["tool_ctx"])
+
+
+def test_exact_jaccard_for_pairs_dataset(docs_ds, tmp_path):
+    """Distributed pair-verify matches the driver-side exact helper."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import (
+        exact_jaccard_for_pairs,
+        exact_jaccard_for_pairs_dataset,
+        minhash_candidate_pairs,
+    )
+
+    ds, rows = docs_ds
+    cfg = PipelineConfig()
+    cand = minhash_candidate_pairs(ds, cfg).to_pandas()
+    assert len(cand) > 0
+    f = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), f)
+    want = exact_jaccard_for_pairs([str(f)], cand, cfg)
+    got = (
+        exact_jaccard_for_pairs_dataset(ds, rd.from_pandas(cand), cfg)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["doc_a"].to_numpy() == want["doc_a"].to_numpy()).all()
+    assert (got["doc_b"].to_numpy() == want["doc_b"].to_numpy()).all()
+    assert np.allclose(got["jaccard"], want["jaccard"], atol=1e-12)
+    # threshold filter applies distributed
+    thr = (
+        exact_jaccard_for_pairs_dataset(ds, rd.from_pandas(cand), cfg, threshold=0.5)
+        .to_pandas()
+    )
+    assert (thr["jaccard"] >= 0.5).all()
+    assert len(thr) == (want["jaccard"] >= 0.5).sum()
