@@ -460,22 +460,32 @@ class QueryEngine:
             if cand is None or len(cand) == 0:
                 continue
             pos = {t: r.positions(tis[t], dec[t][1]) for t in uniq}
-            matched: list[int] = []
-            for doc in cand:
-                m: np.ndarray | None = None
-                for off, t in enumerate(phrase):
-                    d_arr = dec[t][0]
-                    j = int(np.searchsorted(d_arr, doc))
-                    flat, offs = pos[t]
-                    p = flat[offs[j] : offs[j + 1]].astype(np.int64) - off
-                    m = p if m is None else np.intersect1d(m, p, assume_unique=True)
-                    if len(m) == 0:
-                        break
-                if m is not None and len(m):
-                    matched.append(int(doc))
-            if not matched:
+            # vectorized adjacency across ALL candidates at once: encode
+            # each term occurrence as (candidate_index << 32) | (pos - off)
+            # and intersect the sorted key sets term-by-term — the phrase
+            # matches doc c at start p iff key (c, p) survives every term.
+            # (candidate_index, not doc_id, keys the composite so hash-mode
+            # 62-bit doc ids can't overflow the int64 pack.)
+            from horus_ner_ray.pipelines.build_index import gather_segments
+
+            keys: np.ndarray | None = None
+            for off, t in enumerate(phrase):
+                d_arr, tf_arr = dec[t]
+                j_arr = np.searchsorted(d_arr, cand)
+                flat, offs = pos[t]
+                seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                kt = (cidx << np.int64(32)) | (seg - off)
+                kt = kt[seg >= off]  # starts before doc begin can't match
+                keys = kt if keys is None else np.intersect1d(
+                    keys, kt, assume_unique=True
+                )
+                if len(keys) == 0:
+                    break
+            if keys is None or len(keys) == 0:
                 continue
-            marr = np.asarray(matched, dtype=np.int64)
+            marr = cand[np.unique(keys >> np.int64(32))]
             dls = r.doc_length(marr).astype(np.float64)
             acc = np.zeros(len(marr), dtype=np.float64)
             for t in uniq:  # ascending-term accumulation (determinism)

@@ -80,3 +80,71 @@ def test_fuzz_rank_identity(seed, tmp_path, ray_session):
         k = int(rng.choice([1, 2, 5, 10, 50]))
         assert eng.search(q, k) == bf.search(q, k), (seed, q, k)
         assert eng.search(q, k, mode="and") == bf.search(q, k, mode="and"), (seed, q, k)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_fuzz_rank_identity_with_postings_cache(seed, tmp_path, ray_session):
+    """The decoded-postings cache (tiny budget -> constant evictions) must
+    never change results, including on repeated queries (hit path)."""
+    rng = np.random.RandomState(seed)
+    files = _random_corpus(rng, tmp_path, n_docs=250, n_files=2)
+    cfg = PipelineConfig(num_shards=3, postings_block=16, champions=8)
+    build_index(files, tmp_path / "idx", cfg)
+    cached = QueryEngine(tmp_path / "idx", cache_postings=2000)
+    plain = QueryEngine(tmp_path / "idx")
+    bf = BruteForceBM25.from_corpus_files(files)
+    queries = []
+    for _ in range(10):
+        nq = rng.randint(1, 4)
+        queries.append(" ".join(WORDS[rng.randint(len(WORDS))] for _ in range(nq)))
+    for rep in range(3):  # repeats exercise the cache-hit path
+        for q in queries:
+            for mode in ("or", "and"):
+                want = bf.search(q, 10, mode=mode)
+                assert cached.search(q, 10, mode=mode) == want, (seed, rep, q, mode)
+                assert plain.search(q, 10, mode=mode) == want, (seed, rep, q, mode)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_fuzz_append_byte_identity(seed, tmp_path, ray_session):
+    """Random corpus, random fragment split: build(prefix) + append(rest)
+    is byte-identical to build(all) in hash mode."""
+    from horus_ner_ray.pipelines.build_index import append_fragments
+
+    rng = np.random.RandomState(seed)
+    files = _random_corpus(rng, tmp_path, n_docs=300, n_files=4)
+    cut = int(rng.randint(1, len(files)))
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    full = tmp_path / "full"
+    build_index(files, full, cfg)
+    inc = tmp_path / "inc"
+    build_index(files[:cut], inc, cfg)
+    append_fragments(inc, files[cut:])
+
+    def idx_bytes(idx):
+        return {
+            str(p.relative_to(idx)): p.read_bytes()
+            for p in sorted((idx / "shards").rglob("*"))
+            if p.is_file() and p.name != "manifest.json"
+        }
+
+    assert idx_bytes(full) == idx_bytes(inc), (seed, cut)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_fuzz_phrase_rank_identity(seed, tmp_path, ray_session):
+    """Vectorized positional-adjacency verify vs the oracle's token-scan,
+    random corpora and random 1-4 word phrases (incl. duplicate words)."""
+    rng = np.random.RandomState(seed)
+    files = _random_corpus(rng, tmp_path, n_docs=200, n_files=2)
+    cfg = PipelineConfig(num_shards=3, with_positions=True)
+    build_index(files, tmp_path / "idx", cfg)
+    eng = QueryEngine(tmp_path / "idx")
+    bf = BruteForceBM25.from_corpus_files(files)
+    for _ in range(40):
+        n = rng.randint(1, 5)
+        words = [WORDS[rng.randint(len(WORDS))] for _ in range(n)]
+        if rng.rand() < 0.3 and n > 1:
+            words[rng.randint(n)] = words[0]  # force duplicate word
+        q = " ".join(words)
+        assert eng.search_phrase(q, 10) == bf.search_phrase(q, 10), (seed, q)
