@@ -546,6 +546,43 @@ def _q_bm25_phrase(sf_dir: str):
     )
 
 
+def _q_conll_source(sf_dir: str):
+    """CoNLL/Ritter token-per-line source (SURVEY.md S2 non-Parquet half):
+    deterministic sample files -> read_conll Dataset in the transcript
+    schema (rows-only; the format is not SQL-readable)."""
+    from horus_ner_ray.sources.conll import read_conll
+
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "horus_conll_sample"
+    tmp.mkdir(parents=True, exist_ok=True)
+    a = tmp / "doc_a.conll"
+    if not a.exists():
+        a.write_bytes(b"Jim\tB-PER\nbought\tO\nshares\tO\n\n-DOCSTART-\tO\n\nEmpire\tB-ORG\nState\tI-ORG\n")
+    b = tmp / "doc_b.conll"
+    if not b.exists():
+        b.write_bytes(b"hello\tO\nworld\tO\n")
+    out = read_conll([str(a), str(b)], tag_index=1).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _q_translate_hook(sf_dir: str):
+    """Translate seam (SURVEY.md M10): lang-gated DictTranslator actor
+    stage over lang-id'd documents (rows-only; deterministic)."""
+    from horus_ner_ray.stages.analysis import langid_dataset
+    from horus_ner_ray.stages.joins import broadcast_inner_join
+    from horus_ner_ray.stages.translate import DictTranslator, translate_dataset
+
+    docs = _read_docs(sf_dir)
+    langs = langid_dataset(docs).to_pandas()
+    joined = broadcast_inner_join(docs, langs, "doc_id", "doc_id")
+    out = translate_dataset(
+        joined,
+        translator_cls=DictTranslator,
+        ctor_kwargs={"mapping": {"el": "the", "la": "the", "der": "the", "die": "the"}},
+        lang_col="lang_pred",
+    )
+    return out.select_columns(["doc_id", "lang_pred", "text_translated"])
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool decode ->
     feature vectors (decoder stubbed; schema/batching real)."""
@@ -587,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "transcripts_bm25": _q_transcripts_bm25,
         "bm25_phrase": _q_bm25_phrase,
+        "conll_source": _q_conll_source,
+        "translate_hook": _q_translate_hook,
         "media_features": _q_media_features,
     }
 
