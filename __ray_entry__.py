@@ -98,28 +98,43 @@ def _transcript_corpus(sf: str) -> tuple[list[str], str]:
     return files, str(Path(corpus) / "part-*.parquet")
 
 
+def _e6_rerank(df: pd.DataFrame, score_col: str, id_col: str,
+               out_score: str) -> pd.DataFrame:
+    """Padded candidate rows -> top-TOPK per query under the oracle's
+    integer-rounded order (e6 desc, id asc).  THE one implementation of
+    the boundary-tie rule: every scored driver query fetches a 3k+20
+    padded candidate set and reranks through here, so a change to the tie
+    handling lands everywhere at once."""
+    cols = ["query_id", "rank", id_col, out_score]
+    if len(df) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    out = []
+    for _qid, g in df.groupby("query_id", sort=True):
+        g = g.assign(**{out_score: _e6(g[score_col])})
+        g = g.sort_values([out_score, id_col], ascending=[False, True],
+                          kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[cols])
+    return pd.concat(out, ignore_index=True).astype(np.int64)
+
+
+def _hits_frame(hits_per_query: list[list[tuple[int, float]]]) -> pd.DataFrame:
+    rows = {"query_id": [], "doc_id": [], "score": []}
+    for qid, hits in enumerate(hits_per_query):
+        for doc, score in hits:
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(doc)
+            rows["score"].append(score)
+    return pd.DataFrame(rows)
+
+
 def _bm25_topk_frame(sf_dir: str, texts: list[str], mode: str) -> pd.DataFrame:
-    """Engine top-k, re-ranked by (score_e6 desc, doc_id asc) to match the
-    SQL oracle's integer-rounded ordering (full-precision order first, with
-    padding, so boundary ties resolve identically)."""
+    """Engine top-k, padded fetch + shared e6 rerank (_e6_rerank)."""
     from horus_ner_ray.pipelines.query import QueryEngine
 
     eng = QueryEngine(_doc_index_dir(sf_dir))
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, text in enumerate(texts):
-        hits = eng.search(text, TOPK * 3 + 20, mode=mode)
-        if not hits:
-            continue
-        d = np.array([h[0] for h in hits], dtype=np.int64)
-        s6 = _e6([h[1] for h in hits])
-        order = np.lexsort((d, -s6))[:TOPK]
-        rows["query_id"] += [qid] * len(order)
-        rows["rank"] += list(range(1, len(order) + 1))
-        rows["doc_id"] += d[order].tolist()
-        rows["score_e6"] += s6[order].tolist()
-    return pd.DataFrame(rows).astype(np.int64) if rows["query_id"] else pd.DataFrame(
-        {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
-    )
+    hits = [eng.search(t, TOPK * 3 + 20, mode=mode) for t in texts]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
 # ---------------------------------------------------------------------------
@@ -240,10 +255,13 @@ def _q_tool_propagation(sf_dir: str):
 
     from horus_ner_ray.stages.windows import propagate_last_dataset
 
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
     sf = Path(sf_dir).name.replace("sf", "")
     files, _glob = _transcript_corpus(sf)
+    n = sum(_n_rows(f) for f in files)
     ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "tool"])
-    return propagate_last_dataset(ds).select_columns(
+    return propagate_last_dataset(ds, n_buckets=buckets_for_rows(n)).select_columns(
         ["conv_id", "turn_idx", "tool_ctx"]
     )
 
@@ -279,13 +297,7 @@ def _q_ann_topk(sf_dir: str):
         k=TOPK * 3 + 20,
     )
     # integer-rounded rerank to match the SQL oracle exactly
-    out = []
-    for qid, g in res.groupby("query_id", sort=True):
-        g = g.assign(cosine_e6=_e6(g["cosine"]))
-        g = g.sort_values(["cosine_e6", "vec_id"], ascending=[False, True], kind="stable").head(TOPK)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g[["query_id", "rank", "vec_id", "cosine_e6"]])
-    return pd.concat(out, ignore_index=True).astype(np.int64)
+    return _e6_rerank(res, "cosine", "vec_id", "cosine_e6")
 
 
 def _q_embedding_dups(sf_dir: str):
@@ -499,22 +511,10 @@ def _q_transcripts_bm25(sf_dir: str):
     idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
     if not (idx / "stats.json").exists():
         build_index(files, idx, PipelineConfig(num_shards=8))
-    # padded fetch + e6 rerank, same boundary-tie handling as _bm25_topk_frame
     raw = score_queries(
         str(idx), reference_queries(k=TOPK * 3 + 20), concurrency=2
     ).to_pandas()
-    out = []
-    for qid, g in raw.groupby("query_id", sort=True):
-        g = g.assign(score_e6=_e6(g["score"]))
-        g = g.sort_values(["score_e6", "doc_id"], ascending=[False, True],
-                          kind="stable").head(TOPK)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g[["query_id", "rank", "doc_id", "score_e6"]])
-    if not out:
-        return pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
-        )
-    return pd.concat(out, ignore_index=True).astype(np.int64)
+    return _e6_rerank(raw, "score", "doc_id", "score_e6")
 
 
 # fixed phrase query set over the documents vocabulary (adjacent-pair
@@ -529,21 +529,8 @@ def _q_bm25_phrase(sf_dir: str):
     from horus_ner_ray.pipelines.query import QueryEngine
 
     eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
-    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
-    for qid, text in enumerate(PHRASE_QUERIES):
-        hits = eng.search_phrase(text, TOPK * 3 + 20)
-        if not hits:
-            continue
-        d = np.array([h[0] for h in hits], dtype=np.int64)
-        s6 = _e6([h[1] for h in hits])
-        order = np.lexsort((d, -s6))[:TOPK]
-        rows["query_id"] += [qid] * len(order)
-        rows["rank"] += list(range(1, len(order) + 1))
-        rows["doc_id"] += d[order].tolist()
-        rows["score_e6"] += s6[order].tolist()
-    return pd.DataFrame(rows).astype(np.int64) if rows["query_id"] else pd.DataFrame(
-        {c: pd.Series([], dtype=np.int64) for c in ("query_id", "rank", "doc_id", "score_e6")}
-    )
+    hits = [eng.search_phrase(t, TOPK * 3 + 20) for t in PHRASE_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
 def _q_conll_source(sf_dir: str):
@@ -699,6 +686,14 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+def _oracle_sf() -> str:
+    """The scale factor the oracle SQL pins for the synth-corpus queries.
+    The driver compares at sf=0.01 (the default); a local conformance run
+    against another sf dir sets GRAFT_ORACLE_SF so the read_parquet paths
+    in the SQL match the queries() side."""
+    return os.environ.get("GRAFT_ORACLE_SF", "0.01")
+
+
 def _sql_transcripts_bm25() -> str:
     """DuckDB oracle for the flagship transcripts pipeline: reproduces the
     rank doc-id rule (doc_id = cumulative turn count of conv_ids sorting
@@ -708,7 +703,7 @@ def _sql_transcripts_bm25() -> str:
     compares at sf=0.01; synthesis is a cheap pure-Python pure function."""
     from horus_ner_ray.synth import reference_queries
 
-    _files, glob = _transcript_corpus("0.01")
+    _files, glob = _transcript_corpus(_oracle_sf())
     pre = f"""raw AS (
   SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
 ),
@@ -789,7 +784,7 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 def _sql_tool_propagation() -> str:
     """Forward-fill of the last non-empty tool within a conversation over
     the same synth transcript files the Ray pipeline reads."""
-    _files, glob = _transcript_corpus("0.01")
+    _files, glob = _transcript_corpus(_oracle_sf())
     return f"""
 SELECT conv_id, turn_idx,
        coalesce(last_value(nullif(tool, '') IGNORE NULLS) OVER (

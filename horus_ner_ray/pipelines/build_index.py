@@ -573,6 +573,8 @@ def build_index(
 
     # Phase C: global stats + df table (vocab-sized per-shard dict groupby).
     _write_df_table(paths, cfg)
+    from dataclasses import asdict
+
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
@@ -584,6 +586,11 @@ def build_index(
         "with_positions": cfg.with_positions,
         "n_fragments": len(corpus_files),
         "corpus_files": corpus_files,
+        # the FULL build config: append_fragments must re-tokenize new
+        # fragments and re-encode shards with exactly the original knobs
+        # (stopword_filter, postings_block, champions, ...) or the result
+        # silently diverges from a from-scratch build
+        "config": {**asdict(cfg), "stopword_filter": list(cfg.stopword_filter)},
     }
     atomic_write_json(paths.stats_json, stats)
     return BuildResult(
@@ -628,13 +635,9 @@ def append_fragments(
     dup = set(new_files) & set(old_files)
     if dup:
         raise ValueError(f"fragments already indexed: {sorted(dup)[:3]}")
-    cfg = PipelineConfig(
-        num_shards=int(stats["n_shards"]),
-        doc_id_mode="hash",
-        k1=float(stats["k1"]),
-        b=float(stats["b"]),
-        with_positions=bool(stats["with_positions"]),
-    )
+    saved = dict(stats["config"])
+    saved["stopword_filter"] = tuple(saved.get("stopword_filter", ()))
+    cfg = PipelineConfig(**saved)
     import shutil
 
     # invalidate merged shards (runs persist; new stats force re-encode)

@@ -747,7 +747,10 @@ def exact_jaccard_for_pairs_dataset(docs_ds, pairs_ds, cfg: PipelineConfig,
         sets_g = g[g["kind"] == 0]
         prs_g = g[g["kind"] == 1]
         if len(prs_g) == 0:
-            return pd.DataFrame()
+            # typed empty frame matching the unified schema — a schema-less
+            # DataFrame() makes Ray log block-schema-mismatch warnings and
+            # would break under strict schema unification
+            return g.drop(columns=["bkt"]).iloc[0:0]
         lut = pd.Series(sets_g["sh"].to_numpy(), index=sets_g["doc_a"].to_numpy())
         nlut = pd.Series(sets_g["n"].to_numpy(), index=sets_g["doc_a"].to_numpy())
         keys = prs_g["doc_a"].to_numpy()

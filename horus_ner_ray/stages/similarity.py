@@ -196,6 +196,14 @@ class IVFIndex:
         )
 
     def _write_lists(self, emb_ds, id_col: str, vec_col: str) -> None:
+        import shutil
+        from pathlib import Path
+
+        # clear any previous generation: search() globs *.parquet per
+        # probed partition, so stale files from an earlier fit would be
+        # scored alongside the new ones
+        if Path(self.lists_dir).exists():
+            shutil.rmtree(self.lists_dir)
         self.assign_dataset(emb_ds, id_col, vec_col).write_parquet(
             self.lists_dir, partition_cols=["centroid"]
         )

@@ -65,10 +65,16 @@ def list_column_to_matrix(col, dtype="float64"):
 
 def matrix_to_list_column(mat):
     """(n, d) numpy matrix -> Arrow list<float64> column without a Python
-    list-of-rows materialization (inverse of list_column_to_matrix)."""
+    list-of-rows materialization (inverse of list_column_to_matrix).
+    Falls back to large_list when n*d exceeds int32 offset range (a huge
+    block of high-dim embeddings) instead of silently wrapping."""
     import numpy as np
     import pyarrow as pa
 
     n, d = mat.shape
-    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * d)
-    return pa.ListArray.from_arrays(offsets, pa.array(np.ascontiguousarray(mat).reshape(-1), pa.float64()))
+    flat = pa.array(np.ascontiguousarray(mat).reshape(-1), pa.float64())
+    if n * d <= np.iinfo(np.int32).max:
+        offsets = pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int32())
+        return pa.ListArray.from_arrays(offsets, flat)
+    offsets = pa.array(np.arange(n + 1, dtype=np.int64) * d, pa.int64())
+    return pa.LargeListArray.from_arrays(offsets, flat)

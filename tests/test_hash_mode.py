@@ -109,3 +109,28 @@ def test_append_refuses_rank_mode(small_corpus, tmp_path, ray_session):
     with _pytest.raises(ValueError, match="already indexed"):
         build_index(small_corpus[:1], tmp_path / "h", PipelineConfig(num_shards=2, doc_id_mode="hash"))
         append_fragments(tmp_path / "h", small_corpus[:1])
+
+
+def test_append_preserves_nondefault_config(small_corpus, tmp_path, ray_session):
+    """append_fragments must restore the ORIGINAL build config (stopword
+    filter, postings block, champions) from stats.json — not defaults."""
+    from horus_ner_ray.pipelines.build_index import append_fragments, build_index
+
+    cfg = PipelineConfig(
+        num_shards=3, doc_id_mode="hash",
+        stopword_filter=("the", "to", "a"), postings_block=32, champions=8,
+    )
+    full = tmp_path / "full"
+    build_index(small_corpus, full, cfg)
+    inc = tmp_path / "inc"
+    build_index(small_corpus[:1], inc, cfg)
+    append_fragments(inc, small_corpus[1:])
+
+    def idx_bytes(idx):
+        return {
+            str(p.relative_to(idx)): p.read_bytes()
+            for p in sorted((idx / "shards").rglob("*"))
+            if p.is_file() and p.name != "manifest.json"
+        }
+
+    assert idx_bytes(full) == idx_bytes(inc)

@@ -52,6 +52,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # synth-corpus oracles (transcripts_bm25, tool_propagation) pin a scale
+    # factor in their read_parquet paths; align it with the dir under test
+    import os
+
+    os.environ.setdefault("GRAFT_ORACLE_SF", Path(sf_dir).name.replace("sf", ""))
     import ray
 
     if not ray.is_initialized():
