@@ -709,3 +709,28 @@ def score_queries(
         num_cpus=1,
         runtime_env=worker_runtime_env(),
     )
+
+
+def fetch_docs(index_dir: str | Path, doc_ids, columns: list[str] | None = None) -> pd.DataFrame:
+    """Fetch original rows for a (small) doc_id list from the docstore —
+    the snippet-return half of serving (the reference's REST route returns
+    the annotated sentence text, webservice/rest.py:47-61).
+
+    Docstore parts are doc_id-sorted Parquet with row-group statistics, so
+    the predicate prunes row groups; the id list is a top-k result
+    (requests are k-sized, not corpus-sized).  Rows return doc_id-ordered.
+    """
+    import pyarrow.dataset as pads
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    store = IndexPaths(index_dir).docstore
+    if len(ids) == 0:
+        files = sorted(store.glob("part-*.parquet"))
+        schema = pq.ParquetFile(files[0]).schema_arrow if files else None
+        cols = columns or ([] if schema is None else schema.names)
+        return pd.DataFrame({c: [] for c in cols})
+    dset = pads.dataset(sorted(str(p) for p in store.glob("part-*.parquet")))
+    filt = pads.field("doc_id").isin(ids)
+    tbl = dset.to_table(filter=filt, columns=columns)
+    df = tbl.to_pandas()
+    return df.sort_values("doc_id", kind="stable").reset_index(drop=True)

@@ -93,17 +93,18 @@ def make_http_server(
                 return
             qs = parse_qs(u.query)
             text = (qs.get("q") or [""])[0]
-            try:
+            try:  # request parsing -> 400
                 k = int((qs.get("k") or ["10"])[0])
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase"):
-                    self.send_error(400, f"unknown mode {req_mode!r}")
-                    return
-                hits = service.search(text, k=k, mode=req_mode)
+                    raise ValueError(f"unknown mode {req_mode!r}")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
-            except Exception as e:  # surface scoring errors as 500, not a hang
+            try:  # execution -> 500 (ray wraps ValueError in a subclass,
+                # so parse-vs-execute must be split, not exception-typed)
+                hits = service.search(text, k=k, mode=req_mode)
+            except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return
             body = json.dumps({"query": text, "k": k, "hits": hits}).encode()

@@ -54,3 +54,42 @@ def test_http_and_mode_and_errors(http_service, small_corpus):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_http_error_paths(http_service):
+    # malformed k -> clean 400
+    for bad in ["/search?q=x&k=abc", "/search?q=x&mode=banana"]:
+        try:
+            urllib.request.urlopen(http_service + bad, timeout=10)
+            raise AssertionError("expected 400 for " + bad)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+    # phrase mode on a positions-less index -> 500 (surfaced, not a hang)
+    try:
+        _get(http_service, q="alpha beta", k=3, mode="phrase")
+        raise AssertionError("expected 500")
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
+
+
+def test_fetch_docs_text_equality(built_index, small_corpus):
+    """Top-k ids -> original rows, byte-equal to the source table."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.pipelines.query import QueryEngine, fetch_docs
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    hits = eng.search("sessionmark", 5)
+    ids = [d for d, _ in hits]
+    got = fetch_docs(idx, ids)
+    assert list(got["doc_id"]) == sorted(ids)
+    # reconstruct the oracle's (conv_id, turn_idx) -> text map
+    src = pd.concat(
+        [pq.read_table(f).to_pandas() for f in small_corpus], ignore_index=True
+    ).sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    src["doc_id"] = range(len(src))
+    merged = got.merge(src, on="doc_id", suffixes=("", "_src"))
+    assert (merged["text"] == merged["text_src"]).all()
+    assert len(fetch_docs(idx, [])) == 0
