@@ -432,13 +432,23 @@ def _q_jaccard_dups(sf_dir: str):
     """n-gram (shingle) Jaccard near-dup: MinHash-LSH candidates verified
     with exact shingle-set Jaccard (threshold 0.5) — fully distributed:
     the verify is a two-stage bucketed join of the pair list against
-    per-doc shingle sets (no driver materialization)."""
+    per-doc shingle sets (no driver materialization).
+
+    Oracle-checked: the exact verify prunes every false candidate, so the
+    output equals the exact all-pairs J >= 0.5 set whenever LSH recall is 1.
+    With 32 bands x 2 rows (seeded, deterministic) and this corpus family's
+    dup structure — every true pair sits at J >= 0.9, nothing in (0.3, 0.9)
+    — a miss would need (1 - J^2)^32 <= 0.19^32 ~ 1e-23; the conformance
+    run is over the same seeded hashes, so the equality is reproducible,
+    not probabilistic per run."""
     from horus_ner_ray.stages.dedupe import (
         exact_jaccard_for_pairs_dataset,
         minhash_candidate_pairs,
     )
 
-    cfg = PipelineConfig()
+    # wider banding (r=2) trades candidate precision for near-certain
+    # recall; the distributed exact verify absorbs the extra candidates
+    cfg = PipelineConfig(minhash_bands=32)
     cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg)
     ver = exact_jaccard_for_pairs_dataset(
         _read_docs(sf_dir), cand, cfg, threshold=0.5
@@ -472,6 +482,33 @@ def _q_ann_ivf(sf_dir: str):
             rows["vec_id"].append(vid)
             rows["cosine_e6"].append(int(np.floor(c * 1e6 + 0.5)))
     return pd.DataFrame(rows).astype(np.int64)
+
+
+def _q_ann_ivf_full(sf_dir: str):
+    """IVF at full probe (nprobe = n_centroids) — every partition is
+    visited, so the result is EXACT and oracle-checkable against the same
+    cosine-top-k SQL as ann_topk.  This pins the IVF machinery itself
+    (sampled fit, map_batches assign, partitioned lists, probe merge):
+    partial-probe recall bugs hide behind "approximate by design", a
+    full-probe mismatch cannot."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.similarity import IVFIndex
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    ivf = IVFIndex(n_centroids=16, nprobe=16, seed=42).fit(rd.read_parquet(path))
+    qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    for qid, hits in zip(qt["vec_id"], ivf.search(qm, k=TOPK * 3 + 20)):
+        for rank, (vid, c) in enumerate(hits, 1):
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(rank)
+            rows["vec_id"].append(int(vid))
+            rows["cosine"].append(float(c))
+    return _e6_rerank(pd.DataFrame(rows), "cosine", "vec_id", "cosine_e6")
 
 
 def _q_simhash(sf_dir: str):
@@ -606,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_allpairs": _q_jaccard_allpairs,
         "jaccard_dups": _q_jaccard_dups,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_full": _q_ann_ivf_full,
         "simhash": _q_simhash,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
@@ -794,8 +832,57 @@ FROM read_parquet('{glob}')
 """
 
 
+def _sql_jaccard_pairs(threshold: float) -> str:
+    """Exact all-pairs word-3-gram Jaccard >= threshold — shared by the
+    brute-force baseline (0.05) and the LSH+verify near-dup oracle (0.5;
+    equality argument in _q_jaccard_dups's docstring)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_sql_tok()} AS arr FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+          FROM toks WHERE len(arr) >= 3
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+          FROM pos
+        ),
+        sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id da, b.doc_id db, count(*) inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               CAST(FLOOR(inter::DOUBLE / (sa.n + sb.n - inter) * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     stop_sql = ", ".join(f"'{w}'" for w in _STOPLIST)
+    sql_cosine_topk = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+          FROM q CROSS JOIN embeddings e
+        ),
+        r AS (
+          SELECT query_id, vec_id, CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) DESC, vec_id
+                 ) AS rk
+          FROM s
+        )
+        SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+    """
     return {
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
@@ -873,23 +960,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
         """,
-        "ann_topk": f"""
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-            s AS (
-              SELECT q.qid AS query_id, e.vec_id,
-                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
-              FROM q CROSS JOIN embeddings e
-            ),
-            r AS (
-              SELECT query_id, vec_id, CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
-                     row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) DESC, vec_id
-                     ) AS rk
-              FROM s
-            )
-            SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
-        """,
+        "ann_topk": sql_cosine_topk,
+        # full-probe IVF is exact, so it answers to the same SQL
+        "ann_ivf_full": sql_cosine_topk,
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*)::BIGINT AS n_orders,
@@ -903,32 +976,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
             GROUP BY 1
         """,
-        "jaccard_allpairs": f"""
-            WITH toks AS (
-              SELECT doc_id, {_sql_tok()} AS arr FROM documents
-            ),
-            pos AS (
-              SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
-              FROM toks WHERE len(arr) >= 3
-            ),
-            sh AS (
-              SELECT DISTINCT doc_id,
-                     arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
-              FROM pos
-            ),
-            sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-            pairs AS (
-              SELECT a.doc_id da, b.doc_id db, count(*) inter
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
-            )
-            SELECT da AS doc_a, db AS doc_b,
-                   CAST(FLOOR(inter::DOUBLE / (sa.n + sb.n - inter) * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
-            FROM pairs
-            JOIN sizes sa ON sa.doc_id = da
-            JOIN sizes sb ON sb.doc_id = db
-            WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.05
-        """,
+        "jaccard_allpairs": _sql_jaccard_pairs(0.05),
+        "jaccard_dups": _sql_jaccard_pairs(0.5),
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split
