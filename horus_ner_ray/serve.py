@@ -36,6 +36,7 @@ class QueryService:
         from horus_ner_ray.state.shards import IndexPaths
         from horus_ner_ray.util import worker_runtime_env
 
+        self.index_dir = index_dir
         n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
         n_actors = max(1, min(n_actors, n_shards))
         subsets = [list(range(i, n_shards, n_actors)) for i in range(n_actors)]
@@ -47,8 +48,11 @@ class QueryService:
         self.actors = [cls.remote(index_dir, mode, sub) for sub in subsets]
         ray.get([a.warm.remote() for a in self.actors])
 
-    def search(self, text: str, k: int = 10, mode: str | None = None) -> list[dict]:
-        """One query: scatter to every actor, merge exact partials."""
+    def search(self, text: str, k: int = 10, mode: str | None = None,
+               return_text: bool = False) -> list[dict]:
+        """One query: scatter to every actor, merge exact partials.
+        ``return_text`` joins the hits back to the docstore rows (the
+        reference's route returns the sentence text, rest.py:47-61)."""
         import ray
 
         q = pd.DataFrame(
@@ -60,10 +64,19 @@ class QueryService:
             return []
         g = cand.sort_values(["score", "doc_id"], ascending=[False, True],
                              kind="stable").head(int(k))
-        return [
+        hits = [
             {"rank": r + 1, "doc_id": int(d), "score": float(s)}
             for r, (d, s) in enumerate(zip(g["doc_id"], g["score"]))
         ]
+        if return_text and hits:
+            from horus_ner_ray.pipelines.query import fetch_docs
+
+            rows = fetch_docs(self.index_dir, [h["doc_id"] for h in hits],
+                              columns=["doc_id", "text"])
+            txt = dict(zip(rows["doc_id"], rows["text"]))
+            for h in hits:
+                h["text"] = txt.get(h["doc_id"])
+        return hits
 
     def close(self) -> None:
         import ray
@@ -78,7 +91,9 @@ def make_http_server(
     n_actors: int = 4, mode: str = "or",
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
-    GET /search?q=<text>&k=<int>[&mode=or|and|phrase] -> JSON hits.
+    GET /search?q=<text>&k=<int>[&mode=or|and|phrase][&text=1] -> JSON hits
+    (&text=1 adds each hit's original document text, like the reference
+    route returning the annotated sentence).
     port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
     the lifecycle: server.serve_forever() (typically in a thread), then
     server.shutdown() + service.close().
@@ -98,12 +113,14 @@ def make_http_server(
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase"):
                     raise ValueError(f"unknown mode {req_mode!r}")
+                want_text = (qs.get("text") or ["0"])[0] not in ("0", "", "false")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
             try:  # execution -> 500 (ray wraps ValueError in a subclass,
                 # so parse-vs-execute must be split, not exception-typed)
-                hits = service.search(text, k=k, mode=req_mode)
+                hits = service.search(text, k=k, mode=req_mode,
+                                      return_text=want_text)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

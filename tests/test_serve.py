@@ -72,6 +72,23 @@ def test_http_error_paths(http_service):
         assert e.code == 500
 
 
+def test_http_return_text(http_service, small_corpus):
+    """&text=1 returns each hit's original document text, byte-equal to
+    the source corpus (the reference route's annotated-sentence return)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    hits = _get(http_service, q="sessionmark", k=3, text=1)["hits"]
+    assert hits and all("text" in h for h in hits)
+    src = pd.concat(
+        [pq.read_table(f).to_pandas() for f in small_corpus], ignore_index=True
+    ).sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    for h in hits:
+        assert h["text"] == src["text"].iloc[h["doc_id"]]
+    # text=0 keeps the lean shape
+    assert all("text" not in h for h in _get(http_service, q="sessionmark", k=3, text=0)["hits"])
+
+
 def test_fetch_docs_text_equality(built_index, small_corpus):
     """Top-k ids -> original rows, byte-equal to the source table."""
     import pandas as pd
