@@ -278,6 +278,47 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join: each purchase pairs with the user's latest click at or
+    before the purchase time (DuckDB ASOF JOIN semantics, inner/backward).
+    Both sides large -> coarse-bucketed merge_asof, no broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.joins import asof_join_dataset
+
+    path = str(Path(sf_dir) / "events.parquet")
+
+    def side(etype: str):
+        ds = rd.read_parquet(path, columns=["event_id", "ts", "user_id", "event_type"])
+
+        def fn(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], etype))
+            return pa.table({
+                "event_id": b["event_id"],
+                "ts": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": b["user_id"],
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = asof_join_dataset(
+        side("purchase"), side("click"), by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["event_id"],
+        n_buckets=buckets_for_rows(_n_rows(path)),
+    ).to_pandas()
+    out = out.rename(columns={
+        "event_id": "purchase_id", "ts": "purchase_ts_us",
+        "event_id_r": "click_id", "ts_r": "click_ts_us",
+    })
+    cols = ["user_id", "purchase_id", "purchase_ts_us", "click_id", "click_ts_us"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    return out[cols].astype(np.int64)
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -632,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_hopping": _q_events_hopping,
         "session_windows": _q_sessions,
+        "events_asof": _q_events_asof,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
@@ -939,6 +981,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "tool_propagation": _sql_tool_propagation(),
+        "events_asof": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "session_windows": """
             WITH o AS (
               SELECT user_id, epoch_us(ts) tsu,

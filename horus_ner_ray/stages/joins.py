@@ -75,6 +75,116 @@ def broadcast_inner_join(big_ds, small_df: pd.DataFrame, big_key: str, small_key
                               runtime_env=_rte())
 
 
+def asof_join_dataset(left_ds, right_ds, by: str, on: str,
+                      left_cols: list[str], right_cols: list[str],
+                      n_buckets: int = 64, suffix: str = "_r"):
+    """Distributed as-of join (inner, backward, exact matches allowed):
+    each left row pairs with the LATEST right row of the same ``by`` key
+    whose ``on`` value is <= the left row's — DuckDB ``ASOF JOIN``
+    semantics.  Both sides large; no broadcast.
+
+    Shape: both sides are tagged into one unified Arrow schema, bucketed by
+    ``hash(by) % n_buckets`` (the coarse-bucket pattern — O(buckets) Python
+    group calls, not O(keys)), and each bucket runs one vectorized
+    ``pd.merge_asof`` over its co-located keys.  The only shuffle is the
+    single bucket groupby; at cluster scale buckets spread across nodes and
+    each merge is a C-speed sorted join.
+
+    ``on`` must be int64-comparable (epoch-us timestamps, sequence numbers).
+    Integer payload columns ride through a nullable union (pandas converts
+    to float64), so they must stay below 2^53 — asserted at tag time; rows
+    with equal (by, on) on the right resolve to the payload-sorted last row
+    (deterministic, but such ties are better disambiguated upstream).
+
+    Output columns: ``[by, on, *left_cols, on+suffix, *right_cols+suffix]``,
+    one row per matched left row.
+    """
+    on_r = on + suffix
+    r_suff = [c + suffix for c in right_cols]
+
+    def _arrow_type(schema, name: str) -> pa.DataType:
+        """Field type from a Ray Schema wrapper, Arrow schema, or
+        PandasBlockSchema (from_pandas datasets carry the latter)."""
+        sch = getattr(schema, "base_schema", schema)
+        if isinstance(sch, pa.Schema):
+            return sch.field(name).type
+        return pa.from_numpy_dtype(sch.types[list(sch.names).index(name)])
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+
+    def _tag(cols_here, schema_here, other_names, other_schema, other_orig,
+             side):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {by: pa.array(np.asarray(batch[by], dtype=np.int64)),
+                   on: pa.array(np.asarray(batch[on], dtype=np.int64))}
+            key = np.asarray(batch[by], dtype=np.int64).astype(np.uint64)
+            out["bkt"] = pa.array(
+                ((key * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets))
+                .astype(np.int64))
+            out["side"] = pa.array(np.full(n, side, dtype=np.int8))
+            for name, orig in cols_here:
+                col = batch[orig]
+                if pa.types.is_integer(col.type) and n:
+                    v = np.asarray(col, dtype=np.int64)
+                    if np.abs(v).max() >= 2**53:
+                        raise ValueError(
+                            f"asof join payload '{orig}' exceeds 2^53; "
+                            "not exactly representable through the union")
+                out[name] = col
+            for name, orig in zip(other_names, other_orig):
+                out[name] = pa.nulls(n, _arrow_type(other_schema, orig))
+            # canonical column order so the two sides' blocks unify cleanly
+            order = [by, on, "bkt", "side", *left_cols, on_r, *r_suff]
+            return pa.table({c: out[c] for c in order})
+        return fn
+
+    left_t = left_ds.map_batches(
+        _tag([(c, c) for c in left_cols], l_schema, [on_r, *r_suff],
+             r_schema, [on, *right_cols], 0),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    right_t = right_ds.map_batches(
+        _tag([(on_r, on), *[(c + suffix, c) for c in right_cols]], r_schema,
+             left_cols, l_schema, left_cols, 1),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+
+    out_cols = [by, on, *left_cols, on_r, *r_suff]
+    int_like = {c: np.int64 for c, o in
+                [(c, c) for c in left_cols] + list(zip(r_suff, right_cols))
+                if pa.types.is_integer(
+                    _arrow_type(l_schema if c in left_cols else r_schema, o))}
+    int_like[on_r] = np.int64
+    int_like[by] = np.int64
+    int_like[on] = np.int64
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["side"] == 0][[by, on, *left_cols]]
+        rf = g[g["side"] == 1][[by, on_r, *r_suff]]
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=int_like.get(c, g[c].dtype))
+             for c in out_cols})
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        lf = lf.sort_values(on, kind="stable")
+        rf = rf.sort_values([on_r, *r_suff], kind="stable")
+        rf[on_r] = rf[on_r].astype(np.int64)
+        m = pd.merge_asof(lf, rf, left_on=on, right_on=on_r, by=by,
+                          direction="backward", allow_exact_matches=True)
+        m = m[m[on_r].notna()]
+        if len(m) == 0:
+            return empty
+        for c, dt in int_like.items():
+            m[c] = m[c].astype(dt)
+        return m[out_cols]
+
+    return (
+        left_t.union(right_t)
+        .groupby("bkt")
+        .map_groups(join_bucket, batch_format="pandas", runtime_env=_rte())
+    )
+
+
 def broadcast_semi_join(big_ds, keys: np.ndarray, big_key: str, anti: bool = False):
     """Keep rows whose key is (not, if anti) in the broadcast key set."""
     import ray

@@ -48,3 +48,93 @@ def test_broadcast_semi_and_anti(tables):
     # empty key set: semi keeps nothing, anti keeps everything
     none = broadcast_semi_join(ds, np.array([], dtype=np.int64), "k").to_pandas()
     assert len(none) == 0
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def _asof_reference(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Per-row Python oracle: latest right ts <= left ts per key, inner."""
+    rows = []
+    for _, lr in left.iterrows():
+        cand = right[(right["k"] == lr["k"]) & (right["ts"] <= lr["ts"])]
+        if len(cand):
+            best = cand.sort_values(["ts", "rid"]).iloc[-1]
+            rows.append((lr["k"], lr["ts"], lr["lid"], best["ts"], best["rid"]))
+    return (
+        pd.DataFrame(rows, columns=["k", "ts", "lid", "ts_r", "rid_r"])
+        .astype(np.int64)
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def asof_frames():
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "k": rng.randint(0, 20, 300),
+        "ts": rng.randint(0, 1000, 300),
+        "lid": np.arange(300),
+    })
+    # keys 15..19 have no right rows; include exact-tie timestamps
+    right = pd.DataFrame({
+        "k": rng.randint(0, 15, 200),
+        "ts": rng.randint(0, 1000, 200),
+        "rid": np.arange(200),
+    })
+    right.loc[:20, "ts"] = left.loc[:20, "ts"].to_numpy()  # exact matches
+    right.loc[:20, "k"] = left.loc[:20, "k"].to_numpy() % 15
+    return left, right
+
+
+@pytest.mark.parametrize("n_buckets", [1, 7, 64])
+def test_asof_join_matches_reference(ray_session, asof_frames, n_buckets):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import asof_join_dataset
+
+    left, right = asof_frames
+    got = (
+        asof_join_dataset(
+            rd.from_pandas(left), rd.from_pandas(right), by="k", on="ts",
+            left_cols=["lid"], right_cols=["rid"], n_buckets=n_buckets,
+        )
+        .to_pandas()
+        .astype(np.int64)
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    want = _asof_reference(left, right)
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "lid", "ts_r", "rid_r"]].reset_index(drop=True), want
+    )
+
+
+def test_asof_join_empty_right(ray_session, asof_frames):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import asof_join_dataset
+
+    left, right = asof_frames
+    got = asof_join_dataset(
+        rd.from_pandas(left), rd.from_pandas(right.iloc[0:0]), by="k", on="ts",
+        left_cols=["lid"], right_cols=["rid"], n_buckets=8,
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_asof_join_rejects_unsafe_ints(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import asof_join_dataset
+
+    left = pd.DataFrame({"k": [1], "ts": [5], "lid": [2**53]})
+    right = pd.DataFrame({"k": [1], "ts": [3], "rid": [7]})
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join_dataset(
+            rd.from_pandas(left), rd.from_pandas(right), by="k", on="ts",
+            left_cols=["lid"], right_cols=["rid"], n_buckets=4,
+        ).to_pandas()
