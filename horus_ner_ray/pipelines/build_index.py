@@ -55,6 +55,7 @@ from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.stages import docstore as dstore
 from horus_ner_ray.stages.tokenize import explode_with_dl
 from horus_ner_ray.state.shards import (
+    INDEX_FORMAT_VERSION,
     IndexPaths,
     atomic_write_json,
     atomic_write_table,
@@ -111,7 +112,11 @@ class TokenizeFragmentWorker:
         mpath = self.paths.frag_manifest(frag_id)
         if mpath.exists():
             m = json.loads(mpath.read_text())
-            if m.get("path") == path:  # already done (resume)
+            # resume only output of the SAME source file and format version:
+            # a manifest from an older engine version describes runs the
+            # current merge/reader may not understand — redo, don't trust
+            if (m.get("path") == path
+                    and m.get("version") == INDEX_FORMAT_VERSION):
                 return m
         t0 = time.time()
         pf = pq.ParquetFile(path)
@@ -166,6 +171,7 @@ class TokenizeFragmentWorker:
         doc_tbl = pa.concat_tables(doc_parts).sort_by([("doc_id", "ascending")])
         atomic_write_table(self.paths.docstore / f"part-{frag_id:05d}.parquet", doc_tbl)
         manifest = {
+            "version": INDEX_FORMAT_VERSION,
             "frag_id": frag_id,
             "path": path,
             "n_turns": n_turns,
@@ -286,7 +292,10 @@ class MergeShardWorker:
         mpath = final / "manifest.json"
         if mpath.exists():
             m = json.loads(mpath.read_text())
-            return ("skip", {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")})
+            # a completed shard from an OLDER format version is stale, not
+            # done — fall through and re-merge over it (atomic rewrites)
+            if m.get("version") == INDEX_FORMAT_VERSION:
+                return ("skip", {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")})
         run_files = sorted(str(p) for p in self.paths.run_dir(shard_id).glob("run-*.parquet"))
         wp = self.cfg.with_positions
         run_bytes = sum(Path(f).stat().st_size for f in run_files)
@@ -504,6 +513,55 @@ def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=Non
     return w(pd.DataFrame(items))
 
 
+# Config fields that do NOT affect index bytes (execution sizing, unrelated
+# dedupe knobs) — changing them must not invalidate resumable state.  Both
+# merge paths are byte-identical (tested), so the merge threshold is safe.
+_JOB_NEUTRAL_FIELDS = frozenset({
+    "tokenize_batch_size", "merge_concurrency", "query_concurrency",
+    "streaming_merge_threshold", "minhash_perms", "minhash_bands",
+    "shingle_k", "simhash_bits", "seed",
+})
+
+
+def _job_identity(corpus_files: list[str], cfg: PipelineConfig) -> dict:
+    from dataclasses import asdict
+
+    c = {k: v for k, v in asdict(cfg).items() if k not in _JOB_NEUTRAL_FIELDS}
+    c["stopword_filter"] = list(cfg.stopword_filter)
+    return {
+        "format_version": INDEX_FORMAT_VERSION,
+        "corpus_files": [str(p) for p in corpus_files],
+        "config": c,
+    }
+
+
+def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
+    """Resume applies only to the SAME job: identical corpus list,
+    output-affecting config, and index format version.  Anything else —
+    different shard count (orphan shard dirs would linger and be served),
+    different corpus (stale runs would merge in), older engine format
+    (unreadable shards) — wipes the derived state and starts clean.
+    ``job.json`` is written before any derived output, so a killed first
+    run resumes; a job change never resumes by accident."""
+    jp = paths.root / "job.json"
+    if jp.exists():
+        try:
+            if json.loads(jp.read_text()) == identity:
+                return
+        except (json.JSONDecodeError, OSError):
+            pass
+    import shutil
+
+    for d in (paths.runs, paths.shards, paths.docstore):
+        if d.exists():
+            shutil.rmtree(d)
+    for f in (paths.stats_json, paths.df_parquet):
+        if f.exists():
+            f.unlink()
+    paths.ensure()
+    atomic_write_json(jp, identity)
+
+
 def build_index(
     corpus_files: list[str],
     index_dir: str | Path,
@@ -517,6 +575,7 @@ def build_index(
     t0 = time.time()
     paths = IndexPaths(index_dir)
     paths.ensure()
+    _gate_resume_state(paths, _job_identity(corpus_files, cfg))
     paths.clean_tmp()
 
     # Phase 0: conv offsets (rank mode) — per-fragment partial conv counts
@@ -643,6 +702,12 @@ def append_fragments(
     # invalidate merged shards (runs persist; new stats force re-encode)
     for d in paths.shards.glob("shard-*"):
         shutil.rmtree(d)
+    # pre-authorize the extended job: append IS a job change (superset
+    # corpus, same config), validated above — without this, build_index's
+    # resume gate would see a corpus mismatch and wipe the persisted runs
+    # the whole incremental design exists to keep
+    atomic_write_json(paths.root / "job.json",
+                      _job_identity(old_files + new_files, cfg))
     return build_index(old_files + new_files, index_dir, cfg, concurrency)
 
 

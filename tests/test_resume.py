@@ -84,3 +84,60 @@ def _offsets(files):
 
 def _n(files):
     return _offsets(files).n_docs
+
+
+def test_stale_format_version_rebuilds(small_corpus, tmp_path, cfg, ray_session):
+    """Manifests from an OLDER index-format version must not satisfy
+    resume: the completed-looking partitions are re-done, and the resumed
+    index is byte-identical to a clean build (regression: a format bump
+    left old-version shards in place and ShardReader failed on them)."""
+    clean = tmp_path / "clean_v"
+    build_index(small_corpus, clean, cfg)
+
+    stale = tmp_path / "stale_v"
+    build_index(small_corpus, stale, cfg)
+    # simulate output of a previous engine version: downgrade every
+    # manifest's version stamp (fragment manifests + shard manifests)
+    paths = IndexPaths(stale)
+    manifests = [
+        *paths.runs.glob("_frag-*.json"),
+        *(paths.shards.glob("shard-*/manifest.json")),
+    ]
+    n_down = 0
+    for mp in manifests:
+        m = json.loads(mp.read_text())
+        if "version" in m or mp.name == "manifest.json":
+            m["version"] = 1
+            mp.write_text(json.dumps(m))
+            n_down += 1
+    assert n_down > 0, "no manifests found to downgrade"
+
+    build_index(small_corpus, stale, cfg)  # must redo, not skip
+    assert _index_bytes(clean) == _index_bytes(stale)
+    for mp in paths.shards.glob("shard-*/manifest.json"):
+        assert json.loads(mp.read_text())["version"] > 1
+
+
+def test_job_change_wipes_stale_state(small_corpus, tmp_path, ray_session):
+    """Rebuilding the same dir with a different num_shards must not leave
+    orphan shard dirs from the old layout (regression: an 8-shard index
+    rebuilt at 4 shards kept shard-00004.. and the reader served them)."""
+    idx = tmp_path / "idx_jobchange"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=8))
+    assert len(list(IndexPaths(idx).shards.glob("shard-*"))) == 8
+
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    assert len(list(IndexPaths(idx).shards.glob("shard-*"))) == 3
+
+    clean = tmp_path / "idx_jobclean"
+    build_index(small_corpus, clean, PipelineConfig(num_shards=3))
+    assert _index_bytes(clean) == _index_bytes(idx)
+
+    # neutral knobs (execution sizing) must NOT invalidate: rebuild with a
+    # different tokenize batch is a pure resume (manifest wall_s unchanged)
+    before = json.loads(
+        (IndexPaths(idx).shards / "shard-00000" / "manifest.json").read_text())
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3, tokenize_batch_size=999))
+    after = json.loads(
+        (IndexPaths(idx).shards / "shard-00000" / "manifest.json").read_text())
+    assert before == after
