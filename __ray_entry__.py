@@ -319,6 +319,54 @@ def _q_events_asof(sf_dir: str):
     return out[cols].astype(np.int64)
 
 
+def _q_events_in_sessions(sf_dir: str):
+    """Range join: tag every event with its session window (per-user
+    non-overlapping intervals from session_windows_dataset).  The interval
+    join composes the as-of join (latest session start <= ts) with a
+    vectorized end-bound filter — exact for non-overlapping intervals."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.joins import interval_join_dataset
+    from horus_ner_ray.stages.windows import session_windows_dataset
+
+    path = str(Path(sf_dir) / "events.parquet")
+    nb = buckets_for_rows(_n_rows(path))
+
+    def to_us(col: str, out: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.set_column(
+                b.column_names.index(col), out,
+                b[col].cast(pa.timestamp("us")).cast(pa.int64()))
+        return fn
+
+    sessions = session_windows_dataset(
+        rd.read_parquet(path, columns=["user_id", "ts"]), gap_s=1800,
+        n_buckets=nb,
+    ).map_batches(
+        to_us("session_start", "start_us"), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        to_us("session_end", "end_us"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    points = rd.read_parquet(path, columns=["event_id", "ts", "user_id"]).map_batches(
+        to_us("ts", "ts"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = interval_join_dataset(
+        points, sessions, by="user_id", on="ts", lo="start_us", hi="end_us",
+        left_cols=["event_id"], right_cols=["n_events"], n_buckets=nb,
+    ).to_pandas()
+    out = out.rename(columns={
+        "ts": "ts_us", "start_us_r": "session_start_us",
+        "end_us_r": "session_end_us", "n_events_r": "n_events",
+    })
+    cols = ["user_id", "event_id", "ts_us", "session_start_us",
+            "session_end_us", "n_events"]
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    return out[cols].astype(np.int64)
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -674,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "session_windows": _q_sessions,
         "events_asof": _q_events_asof,
+        "events_in_sessions": _q_events_in_sessions,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
@@ -1009,6 +1058,33 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(max(tsu)) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "events_in_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) tsu,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ),
+            s AS (
+              SELECT user_id, event_id, tsu,
+                     sum(new) OVER (PARTITION BY user_id ORDER BY tsu
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            ),
+            sess AS (
+              SELECT user_id, sid, min(tsu) AS start_us, max(tsu) AS end_us,
+                     count(*)::BIGINT AS n_events
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT e.user_id, e.event_id, e.tsu AS ts_us,
+                   x.start_us AS session_start_us, x.end_us AS session_end_us,
+                   x.n_events
+            FROM s e JOIN sess x
+              ON e.user_id = x.user_id
+             AND e.tsu BETWEEN x.start_us AND x.end_us
         """,
         "ann_topk": sql_cosine_topk,
         # full-probe IVF is exact, so it answers to the same SQL

@@ -185,6 +185,52 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
     )
 
 
+def interval_join_dataset(points_ds, intervals_ds, by: str, on: str,
+                          lo: str, hi: str, left_cols: list[str],
+                          right_cols: list[str], n_buckets: int = 64,
+                          suffix: str = "_r"):
+    """Range (point-in-interval) join for per-key NON-OVERLAPPING
+    intervals: each point row pairs with the interval of the same ``by``
+    key whose ``[lo, hi]`` contains ``on`` (inclusive both ends); points
+    outside every interval drop (inner).
+
+    Composition, not a new shuffle: the latest interval start at or before
+    the point (as-of join on ``lo``) is THE only candidate when intervals
+    don't overlap, so one ``asof_join_dataset`` plus a vectorized
+    ``hi >= on`` filter is exact.  Session windows, validity ranges, and
+    versioned dimensions all satisfy the non-overlap precondition; truly
+    overlapping intervals need a different plan (each point may match many
+    intervals) and are out of scope here.
+
+    Output columns: ``[by, on, *left_cols, lo+suffix, hi+suffix,
+    *right_cols+suffix]``.
+    """
+    def lift(batch: pa.Table) -> pa.Table:
+        # present the interval start as the right side's as-of key
+        cols = {by: batch[by], on: batch[lo], hi: batch[hi]}
+        for c in right_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    right = intervals_ds.map_batches(
+        lift, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    joined = asof_join_dataset(
+        points_ds, right, by=by, on=on, left_cols=left_cols,
+        right_cols=[hi, *right_cols], n_buckets=n_buckets, suffix=suffix)
+
+    on_r, hi_r = on + suffix, hi + suffix
+
+    def inside(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch[hi_r], batch[on]))
+        return batch.rename_columns(
+            [lo + suffix if c == on_r else c for c in batch.column_names])
+
+    return joined.map_batches(inside, batch_format="pyarrow",
+                              zero_copy_batch=True, runtime_env=_rte())
+
+
 def broadcast_semi_join(big_ds, keys: np.ndarray, big_key: str, anti: bool = False):
     """Keep rows whose key is (not, if anti) in the broadcast key set."""
     import ray

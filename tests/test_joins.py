@@ -138,3 +138,44 @@ def test_asof_join_rejects_unsafe_ints(ray_session):
             rd.from_pandas(left), rd.from_pandas(right), by="k", on="ts",
             left_cols=["lid"], right_cols=["rid"], n_buckets=4,
         ).to_pandas()
+
+
+def test_interval_join_matches_reference(ray_session):
+    """Point-in-interval join vs a per-row Python oracle, including points
+    before/after/between intervals (dropped) and on boundaries (kept)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import interval_join_dataset
+
+    rng = np.random.RandomState(5)
+    # per key: disjoint intervals [10i+2, 10i+5]
+    ivs = pd.DataFrame([
+        {"k": k, "lo": 10 * i + 2, "hi": 10 * i + 5, "iv_id": 100 * k + i}
+        for k in range(6) for i in range(4)
+    ])
+    pts = pd.DataFrame({
+        "k": rng.randint(0, 8, 400),       # keys 6,7 have no intervals
+        "ts": rng.randint(0, 50, 400),
+        "pid": np.arange(400),
+    })
+    got = (
+        interval_join_dataset(
+            rd.from_pandas(pts), rd.from_pandas(ivs), by="k", on="ts",
+            lo="lo", hi="hi", left_cols=["pid"], right_cols=["iv_id"],
+            n_buckets=5,
+        )
+        .to_pandas().astype(np.int64)
+        .sort_values("pid").reset_index(drop=True)
+    )
+    rows = []
+    for _, p in pts.iterrows():
+        m = ivs[(ivs["k"] == p["k"]) & (ivs["lo"] <= p["ts"]) & (p["ts"] <= ivs["hi"])]
+        if len(m):
+            assert len(m) == 1  # disjoint intervals
+            rows.append((p["k"], p["ts"], p["pid"], m["lo"].iloc[0],
+                         m["hi"].iloc[0], m["iv_id"].iloc[0]))
+    want = pd.DataFrame(
+        rows, columns=["k", "ts", "pid", "lo_r", "hi_r", "iv_id_r"]
+    ).astype(np.int64).sort_values("pid").reset_index(drop=True)
+    assert len(want) > 0 and len(want) < 400  # both kept and dropped points
+    pd.testing.assert_frame_equal(got[list(want.columns)], want)
