@@ -278,6 +278,46 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
+def _q_orders_topk_per_cust(sf_dir: str):
+    """Generic group-wise top-k: each customer's 3 priciest orders
+    (combiner pre-reduction -> coarse-bucket shuffle -> vectorized take)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.groupwise import topk_per_group
+
+    path = str(Path(sf_dir) / "orders.parquet")
+    out = topk_per_group(
+        rd.read_parquet(path, columns=["o_custkey", "o_orderkey", "o_totalprice"]),
+        key="o_custkey", sort_cols=["o_totalprice", "o_orderkey"],
+        ascending=[False, True], k=3,
+        n_buckets=buckets_for_rows(_n_rows(path)),
+    ).to_pandas()
+    # rank selection happens on the full-precision double on BOTH sides
+    # (same input column), so only the published value needs e6
+    out["price_e6"] = _e6(out["o_totalprice"])
+    return out[["o_custkey", "o_orderkey", "price_e6"]].astype(np.int64)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 5 documents per language by the
+    SQL-shared multiplicative hash of doc_id."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.groupwise import stratified_sample
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    out = stratified_sample(
+        rd.read_parquet(path, columns=["doc_id", "lang"]),
+        key="lang", id_col="doc_id", n_per_group=5,
+        n_buckets=buckets_for_rows(_n_rows(path)),
+    ).to_pandas()
+    return (out[["lang", "doc_id"]]
+            .astype({"doc_id": np.int64})
+            .reset_index(drop=True))
+
+
 def _q_events_asof(sf_dir: str):
     """As-of join: each purchase pairs with the user's latest click at or
     before the purchase time (DuckDB ASOF JOIN semantics, inner/backward).
@@ -723,6 +763,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_sessions,
         "events_asof": _q_events_asof,
         "events_in_sessions": _q_events_in_sessions,
+        "orders_topk_per_cust": _q_orders_topk_per_cust,
+        "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
@@ -1058,6 +1100,22 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(max(tsu)) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "orders_topk_per_cust": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT) AS price_e6
+            FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+            ) <= 3
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 2147483647, doc_id
+            ) <= 5
         """,
         "events_in_sessions": """
             WITH o AS (

@@ -1,0 +1,99 @@
+"""Group-wise top-k and deterministic stratified sampling (SURVEY.md §2.5
+T1/T4 generalized beyond the query engine's per-shard heaps).
+
+Reference analogue: the per-term evidence ranking keeps the top results per
+term/modality (reference: src/core/feature_extraction/features.py:288,423 —
+``tot_resources`` caps results per term), i.e. a group-wise top-k.  Here the
+operator is generic over any (key, order) pair.
+
+Scale shape — the three-layer pattern every wide stage in this repo uses:
+
+1. **Combiner pre-reduction** inside ``map_batches``: each batch keeps at
+   most k rows per key it sees, so the shuffle moves O(keys_in_batch * k)
+   rows, not the whole table.  Correct because a group's global top-k rows
+   are top-k within every subset that contains them.
+2. **Coarse-bucket shuffle**: one groupby on ``hash(key) % n_buckets`` —
+   O(buckets) Python group calls, never O(keys) (per-tiny-group
+   ``map_groups`` measured ~100x slower; see CLAUDE.md).
+3. **Vectorized intra-bucket finish**: one sort + C-speed
+   ``groupby(key).cumcount() < k`` mask; no per-key Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from horus_ner_ray.util import worker_runtime_env as _rte
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# Multiplier for the deterministic sampling hash, shared VERBATIM with the
+# DuckDB oracle SQL in __ray_entry__ (Knuth multiplicative; modulus 2^31-1
+# keeps every product inside int64 for id < 2^32, so SQL needs no wrapping
+# arithmetic).  Change both or neither.
+SAMPLE_HASH_MULT = 2654435761
+SAMPLE_HASH_MOD = 2147483647
+
+
+def _take_topk(df: pd.DataFrame, key: str, sort_cols: list[str],
+               ascending: list[bool], k: int) -> pd.DataFrame:
+    d = df.sort_values(sort_cols, ascending=ascending, kind="stable")
+    return d[d.groupby(key, sort=False).cumcount() < k]
+
+
+def topk_per_group(ds, key: str, sort_cols: list[str],
+                   ascending: list[bool] | None = None, k: int = 10,
+                   n_buckets: int = 64):
+    """Top-k rows per ``key`` under (sort_cols, ascending) order.
+
+    Ties at the rank-k boundary: make the LAST sort col a unique
+    tiebreaker (an id) or the kept rows are order-dependent.
+    """
+    asc = ascending if ascending is not None else [True] * len(sort_cols)
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        out = _take_topk(batch, key, sort_cols, asc, k).copy()
+        h = out[key].to_numpy()
+        h = pd.util.hash_array(
+            h if h.dtype != object else h.astype(object), categorize=False)
+        out["__bkt"] = ((h * _MIX) % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return _take_topk(g, key, sort_cols, asc, k).drop(columns="__bkt")
+
+    return (
+        ds.map_batches(pre, batch_format="pandas", runtime_env=_rte())
+        .groupby("__bkt")
+        .map_groups(finish, batch_format="pandas", runtime_env=_rte())
+    )
+
+
+def stratified_sample(ds, key: str, id_col: str, n_per_group: int,
+                      n_buckets: int = 64):
+    """Deterministic stratified sample: ``n_per_group`` rows per ``key``,
+    chosen by a fixed multiplicative hash of ``id_col`` (order- and
+    layout-independent, reproducible, SQL-expressible — the same property
+    ``functions.sampling.hash_split`` gives train/test splits).
+
+    ``id_col`` must be int64 in [0, 2^32) so the shared-with-SQL hash stays
+    exact in both engines.
+    """
+    def add_h(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= 2**32):
+            raise ValueError(
+                f"stratified_sample ids in '{id_col}' must be in [0, 2^32) "
+                "for the SQL-shared hash")
+        batch = batch.copy()
+        batch["__h"] = (ids * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD
+        return batch
+
+    out = topk_per_group(
+        ds.map_batches(add_h, batch_format="pandas", runtime_env=_rte()),
+        key=key, sort_cols=["__h", id_col], ascending=[True, True],
+        k=n_per_group, n_buckets=n_buckets,
+    )
+    return out.map_batches(lambda b: b.drop(columns="__h"),
+                           batch_format="pandas", runtime_env=_rte())

@@ -1,0 +1,91 @@
+"""Group-wise top-k / stratified sampling vs pandas references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.RandomState(9)
+    return pd.DataFrame({
+        "k": rng.randint(0, 40, 2000),
+        "score": rng.rand(2000).round(3),  # rounded -> real boundary ties
+        "rid": np.arange(2000),
+    })
+
+
+def _want_topk(df, k):
+    d = df.sort_values(["score", "rid"], ascending=[False, True], kind="stable")
+    return (d[d.groupby("k", sort=False).cumcount() < k]
+            .sort_values("rid").reset_index(drop=True))
+
+
+@pytest.mark.parametrize("n_buckets,n_blocks", [(1, 1), (7, 5), (64, 13)])
+def test_topk_per_group_layouts(ray_session, frame, n_buckets, n_blocks):
+    """Same result at any bucket count and block split (combiner
+    pre-reduction must be invisible)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import topk_per_group
+
+    ds = rd.from_pandas(frame).repartition(n_blocks)
+    got = (
+        topk_per_group(ds, key="k", sort_cols=["score", "rid"],
+                       ascending=[False, True], k=4, n_buckets=n_buckets)
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "score", "rid"]], _want_topk(frame, 4))
+
+
+def test_topk_k_larger_than_groups(ray_session, frame):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import topk_per_group
+
+    got = topk_per_group(rd.from_pandas(frame), key="k",
+                         sort_cols=["score", "rid"], ascending=[False, True],
+                         k=10_000, n_buckets=8).to_pandas()
+    assert len(got) == len(frame)  # everything kept
+
+
+def test_stratified_sample_deterministic(ray_session, frame):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import (
+        SAMPLE_HASH_MOD,
+        SAMPLE_HASH_MULT,
+        stratified_sample,
+    )
+
+    df = frame.rename(columns={"rid": "doc_id"})
+    got = (
+        stratified_sample(rd.from_pandas(df), key="k", id_col="doc_id",
+                          n_per_group=3, n_buckets=16)
+        .to_pandas().sort_values(["k", "doc_id"]).reset_index(drop=True)
+    )
+    d = df.copy()
+    d["__h"] = (d["doc_id"].to_numpy(np.int64) * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD
+    d = d.sort_values(["__h", "doc_id"], kind="stable")
+    want = (d[d.groupby("k", sort=False).cumcount() < 3]
+            .drop(columns="__h")
+            .sort_values(["k", "doc_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # shuffled input -> identical sample (order independence)
+    got2 = (
+        stratified_sample(rd.from_pandas(df.sample(frac=1, random_state=1)),
+                          key="k", id_col="doc_id", n_per_group=3, n_buckets=5)
+        .to_pandas().sort_values(["k", "doc_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2[want.columns.tolist()], want)
+
+
+def test_stratified_sample_rejects_wide_ids(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import stratified_sample
+
+    df = pd.DataFrame({"k": [1], "doc_id": [2**33]})
+    with pytest.raises(Exception, match="2\\^32"):
+        stratified_sample(rd.from_pandas(df), key="k", id_col="doc_id",
+                          n_per_group=1).to_pandas()
