@@ -278,6 +278,13 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher/C4-style repetition counters (training-data quality gate)."""
+    from horus_ner_ray.stages.analysis import repetition_stats_dataset
+
+    return repetition_stats_dataset(_read_docs(sf_dir))
+
+
 def _q_orders_topk_per_cust(sf_dir: str):
     """Generic group-wise top-k: each customer's 3 priciest orders
     (combiner pre-reduction -> coarse-bucket shuffle -> vectorized take)."""
@@ -764,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "events_in_sessions": _q_events_in_sessions,
         "orders_topk_per_cust": _q_orders_topk_per_cust,
+        "repetition_stats": _q_repetition,
         "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
@@ -1100,6 +1108,21 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(max(tsu)) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_sql_tok()} AS arr FROM documents
+            ),
+            big AS (
+              SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+              FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i
+                    FROM toks WHERE len(arr) >= 2)
+            ),
+            cnt AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2)
+            SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+                   (sum(c) - count(*))::BIGINT AS n_dup_bigrams,
+                   max(c)::BIGINT AS top_bigram_n
+            FROM cnt GROUP BY doc_id
         """,
         "orders_topk_per_cust": """
             SELECT o_custkey, o_orderkey,

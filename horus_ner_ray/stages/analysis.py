@@ -172,6 +172,68 @@ def bpeish_count_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher/C4-style repetition counters per document: total bigrams,
+    duplicate bigrams (total - distinct), and the most repeated bigram's
+    count.  High duplicate fractions flag boilerplate / degenerate text in
+    training-data curation.
+
+    Fully flat: one sliding-window hash over the batch's whole token
+    stream, a (doc, bigram-hash) lexsort, then run-length stats via
+    ``np.diff``/``reduceat`` — no per-document Python.  Counts are over
+    64-bit bigram hashes; an in-document collision would merge two bigram
+    counts (deterministic, vanishing at ~doc_len^2 / 2^64 — the same
+    reliance as the shingle-hash dedup family).  Docs with < 2 tokens have
+    no bigrams and emit no row (matches the SQL oracle's semantics).
+    """
+    toks = tokenize_column(batch[text_col])
+    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    cols = ("n_bigrams", "n_dup_bigrams", "top_bigram_n")
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      **{c: pa.array([], pa.int64()) for c in cols}})
+    if len(flat) < 2:
+        return empty
+    th = pd.util.hash_array(flat, categorize=False)
+    parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    bh = th[:-1] * _FP_BASE + th[1:]
+    same_doc = parents[:-1] == parents[1:]
+    bp, bh = parents[:-1][same_doc], bh[same_doc]
+    if len(bp) == 0:
+        return empty
+    order = np.lexsort((bh, bp))
+    bp, bh = bp[order], bh[order]
+    # run boundaries over (doc, bigram) pairs -> per-pair counts
+    new_run = np.ones(len(bp), dtype=bool)
+    new_run[1:] = (bp[1:] != bp[:-1]) | (bh[1:] != bh[:-1])
+    rstarts = np.flatnonzero(new_run)
+    run_len = np.diff(np.r_[rstarts, len(bp)])
+    run_doc = bp[rstarts]
+    # per-doc aggregates over the doc-sorted runs
+    new_doc = np.ones(len(run_doc), dtype=bool)
+    new_doc[1:] = run_doc[1:] != run_doc[:-1]
+    dstarts = np.flatnonzero(new_doc)
+    n_distinct = np.diff(np.r_[dstarts, len(run_doc)])
+    n_total = np.add.reduceat(run_len, dstarts)
+    top = np.maximum.reduceat(run_len, dstarts)
+    ids = np.asarray(batch[id_col], dtype=np.int64)[run_doc[dstarts]]
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_bigrams": pa.array(n_total.astype(np.int64), pa.int64()),
+        "n_dup_bigrams": pa.array((n_total - n_distinct).astype(np.int64), pa.int64()),
+        "top_bigram_n": pa.array(top.astype(np.int64), pa.int64()),
+    })
+
+
+def repetition_stats_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True, runtime_env=_rte(),
+    )
+
+
 _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
 
 

@@ -511,3 +511,40 @@ def test_exact_jaccard_for_pairs_dataset(docs_ds, tmp_path):
     )
     assert (thr["jaccard"] >= 0.5).all()
     assert len(thr) == (want["jaccard"] >= 0.5).sum()
+
+
+def test_repetition_stats_vs_python(ray_session):
+    """Bigram repetition counters vs a per-doc Counter reference, covering
+    heavy repetition, all-distinct, single-token and empty docs."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analysis import repetition_stats_dataset
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b a b"},          # one bigram pair repeated
+        {"doc_id": 1, "text": "x y z w"},                   # all distinct
+        {"doc_id": 2, "text": "solo"},                      # no bigrams -> no row
+        {"doc_id": 3, "text": ""},                          # no row
+        {"doc_id": 4, "text": "Spam! spam, SPAM spam."},    # casefold repetition
+    ]
+    got = (
+        repetition_stats_dataset(rd.from_items(rows))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want_rows = []
+    for r in rows:
+        t = re.findall(r"[a-z0-9]+", r["text"].lower())
+        if len(t) < 2:
+            continue
+        c = Counter(zip(t, t[1:]))
+        want_rows.append({
+            "doc_id": r["doc_id"],
+            "n_bigrams": sum(c.values()),
+            "n_dup_bigrams": sum(c.values()) - len(c),
+            "top_bigram_n": max(c.values()),
+        })
+    want = pd.DataFrame(want_rows).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
