@@ -278,6 +278,25 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
+def _q_price_quantiles(sf_dir: str):
+    """Distributed exact discrete quantiles of l_extendedprice.  The small
+    gather_limit forces the histogram-refinement path (the 100-TB shape:
+    streaming passes + O(bins) driver state), not a gather-everything."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    out = quantile_disc(
+        rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                        columns=["l_extendedprice"]),
+        "l_extendedprice", [0.25, 0.5, 0.75], n_bins=64, gather_limit=1000,
+    )
+    return pd.DataFrame({
+        "q_pct": (out["q"] * 100).astype(np.int64),
+        "value_e6": _e6(out["value"]).astype(np.int64),
+    })
+
+
 def _q_repetition(sf_dir: str):
     """Gopher/C4-style repetition counters (training-data quality gate)."""
     from horus_ner_ray.stages.analysis import repetition_stats_dataset
@@ -772,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "repetition_stats": _q_repetition,
+        "price_quantiles": _q_price_quantiles,
         "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
@@ -1108,6 +1128,15 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(max(tsu)) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "price_quantiles": """
+            WITH r AS (
+              SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75]) AS v
+              FROM lineitem
+            )
+            SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
+                   CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
+            FROM r
         """,
         "repetition_stats": f"""
             WITH toks AS (

@@ -1,0 +1,66 @@
+"""Distributed exact discrete quantiles vs sorted-array / DuckDB refs."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ref(vals, qs):
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(v)
+    return [float(v[min(n - 1, max(0, math.ceil(q * n) - 1))]) for q in qs]
+
+
+QS = [0.0, 0.125, 0.25, 0.5, 0.75, 0.875, 1.0]
+
+
+@pytest.mark.parametrize("gather_limit,n_bins", [(10**9, 64), (50, 16), (5, 4)])
+def test_quantiles_match_reference(ray_session, gather_limit, n_bins):
+    """Small gather limits force multi-round histogram refinement; results
+    must be identical to the single-shot gather."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    rng = np.random.RandomState(3)
+    vals = np.r_[rng.normal(100, 20, 3000), rng.exponential(5, 2000),
+                 np.full(500, 42.0)]  # heavy duplicate mass
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+    got = quantile_disc(ds, "x", QS, n_bins=n_bins,
+                        gather_limit=gather_limit)
+    assert list(got["value"]) == _ref(vals, QS)
+
+
+def test_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    rng = np.random.RandomState(8)
+    vals = rng.rand(4000) * 1000
+    got = quantile_disc(rd.from_pandas(pd.DataFrame({"x": vals})), "x", QS,
+                        n_bins=32, gather_limit=100)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    want = con.execute(
+        "SELECT quantile_disc(x, $1::DOUBLE[]) FROM t", [QS]).fetchone()[0]
+    assert list(got["value"]) == [float(w) for w in want]
+
+
+def test_quantiles_degenerate(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    # all-equal column stalls histogram refinement -> gather guard
+    ds = rd.from_pandas(pd.DataFrame({"x": np.full(1000, 7.5)}))
+    got = quantile_disc(ds, "x", [0.5], n_bins=8, gather_limit=10)
+    assert list(got["value"]) == [7.5]
+    # empty dataset
+    e = quantile_disc(
+        rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)})),
+        "x", [0.5])
+    assert np.isnan(e["value"].iloc[0])
