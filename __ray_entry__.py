@@ -666,6 +666,21 @@ def _q_ann_ivf_full(sf_dir: str):
     return _e6_rerank(pd.DataFrame(rows), "cosine", "vec_id", "cosine_e6")
 
 
+def _q_hll_users(sf_dir: str):
+    """HyperLogLog distinct-count sketch (rows-only: the estimate is
+    deterministic but its hash stream is not SQL-reproducible; accuracy
+    and merge laws are pytest-pinned in tests/test_sketches.py)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.sketches import hll_count_distinct
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id"])
+    est = hll_count_distinct(ds, "user_id", p=14)
+    return pd.DataFrame({"column": ["user_id"],
+                         "hll_estimate": pd.Series([round(est)], dtype=np.int64)})
+
+
 def _q_simhash(sf_dir: str):
     from horus_ner_ray.stages.dedupe import simhash_dataset
 
@@ -806,6 +821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_full": _q_ann_ivf_full,
         "simhash": _q_simhash,
+        "hll_users": _q_hll_users,
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "transcripts_bm25": _q_transcripts_bm25,
