@@ -278,6 +278,33 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
+def _q_lineitem_semi_bloom(sf_dir: str):
+    """Semi-join where the key side is a DATASET (too large to broadcast
+    as an array at corpus scale): bloom prune + bucketed exact verify,
+    then a small grouped count.  Exact semantics -> oracle-checkable."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(
+        lambda b: b.filter(pc_.equal(b["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"])
+    sj = bloom_semi_join(li, orders, big_key="l_orderkey",
+                         small_key="o_orderkey", n_bits=1 << 16)
+    out = sj.groupby("l_returnflag").count().to_pandas()
+    cnt_col = [c for c in out.columns if c != "l_returnflag"][0]
+    return (out.rename(columns={cnt_col: "n"})
+            .astype({"n": np.int64})
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
 def _q_price_quantiles(sf_dir: str):
     """Distributed exact discrete quantiles of l_extendedprice.  The small
     gather_limit forces the histogram-refinement path (the 100-TB shape:
@@ -807,6 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "repetition_stats": _q_repetition,
         "price_quantiles": _q_price_quantiles,
+        "lineitem_semi_bloom": _q_lineitem_semi_bloom,
         "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
@@ -1144,6 +1172,12 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(max(tsu)) AS session_end,
                    count(*)::BIGINT AS n_events
             FROM s GROUP BY user_id, sid
+        """,
+        "lineitem_semi_bloom": """
+            SELECT l_returnflag, count(*)::BIGINT AS n
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY 1
         """,
         "price_quantiles": """
             WITH r AS (

@@ -53,6 +53,18 @@ def _resolve(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
+def _arrow_type(schema, name: str) -> pa.DataType:
+    """Field type from a Ray Schema wrapper, Arrow schema, or
+    PandasBlockSchema (from_pandas datasets carry the latter)."""
+    sch = getattr(schema, "base_schema", schema)
+    if isinstance(sch, pa.Schema):
+        return sch.field(name).type
+    t = sch.types[list(sch.names).index(name)]
+    if t == np.dtype("O"):  # pandas object column = strings in this repo
+        return pa.string()
+    return pa.from_numpy_dtype(t)
+
+
 def broadcast_inner_join(big_ds, small_df: pd.DataFrame, big_key: str, small_key: str):
     """Dataset ⨝ small pandas table on an integer key -> Dataset with the
     small side's columns appended; rows without a match are dropped.
@@ -101,15 +113,6 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
     """
     on_r = on + suffix
     r_suff = [c + suffix for c in right_cols]
-
-    def _arrow_type(schema, name: str) -> pa.DataType:
-        """Field type from a Ray Schema wrapper, Arrow schema, or
-        PandasBlockSchema (from_pandas datasets carry the latter)."""
-        sch = getattr(schema, "base_schema", schema)
-        if isinstance(sch, pa.Schema):
-            return sch.field(name).type
-        return pa.from_numpy_dtype(sch.types[list(sch.names).index(name)])
-
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
 
@@ -229,6 +232,140 @@ def interval_join_dataset(points_ds, intervals_ds, by: str, on: str,
 
     return joined.map_batches(inside, batch_format="pyarrow",
                               zero_copy_batch=True, runtime_env=_rte())
+
+
+def _bloom_bits(keys_ds, key: str, n_bits: int, k_hashes: int) -> np.ndarray:
+    """Build bloom filter bits from a keys DATASET in one streaming pass:
+    per-batch bit arrays OR-reduced driver-side (associative merge, same
+    shape as the HLL register reduce).  Driver state = n_bits/8 bytes."""
+    import ray
+
+    words = (n_bits + 63) // 64
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[key])
+        h = pd.util.hash_array(
+            v if v.dtype != object else v.astype(object), categorize=False
+        ).astype(np.uint64)
+        bits = np.zeros(words, dtype=np.uint64)
+        h1 = h
+        h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        for i in range(k_hashes):  # double hashing: h1 + i*h2
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(n_bits)
+            np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tolist()], pa.list_(pa.uint64()))})
+
+    parts = keys_ds.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                runtime_env=_rte()).to_pandas()
+    bits = np.zeros(words, dtype=np.uint64)
+    for b in parts["bits"]:
+        np.bitwise_or(bits, np.asarray(b, dtype=np.uint64), out=bits)
+    return bits
+
+
+def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
+                    n_bits: int = 1 << 24, k_hashes: int = 7,
+                    n_buckets: int = 64, exact: bool = True):
+    """Semi-join against a key set too large to broadcast as a sorted
+    array: a bloom filter of the keys (n_bits/8 bytes, OR-merged partials)
+    broadcasts instead, each batch drops definite non-members with a
+    vectorized membership test (no false negatives), and — when ``exact``
+    — the survivors alone go through a coarse-bucketed hash join against
+    the key set to remove bloom false positives.  Shuffle volume is the
+    SURVIVORS, not the big table: with fpp ~0.5-1% the exact path moves
+    |matches| * (1 + fpp_overhead) rows where a shuffle join moves
+    everything.  ``exact=False`` keeps the one-pass probabilistic prune
+    (bounded false-positive rate, zero shuffle) for pre-filters ahead of
+    an exact stage.
+    """
+    import ray
+
+    bits = _bloom_bits(keys_ds, small_key, n_bits, k_hashes)
+    ref = ray.put(bits) if ray.is_initialized() else bits
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bb = _resolve(ref)
+        v = np.asarray(batch[big_key])
+        h = pd.util.hash_array(
+            v if v.dtype != object else v.astype(object), categorize=False
+        ).astype(np.uint64)
+        keep = np.ones(len(v), dtype=bool)
+        h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        for i in range(k_hashes):
+            pos = (h + np.uint64(i) * h2) % np.uint64(n_bits)
+            word = bb[(pos >> np.uint64(6)).astype(np.int64)]
+            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+        return batch.filter(pa.array(keep))
+
+    pruned = big_ds.map_batches(probe, batch_format="pyarrow",
+                                zero_copy_batch=True, runtime_env=_rte())
+    if not exact:
+        return pruned
+
+    # exact verify: bucketed hash join of survivors vs the true key set
+    # (kind 0 = key row, kind 1 = survivor row; same coarse-bucket pattern
+    # as the dedup/asof stages — O(buckets) group calls)
+    big_schema = big_ds.schema()
+    payload_cols = list(getattr(big_schema, "names", None)
+                        or big_schema.base_schema.names)
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[small_key])
+        out = {big_key: pa.array(v), "__kind": pa.array(
+            np.zeros(len(v), dtype=np.int8), pa.int8())}
+        for c in payload_cols:
+            if c != big_key:
+                out[c] = pa.nulls(len(v), _arrow_type(big_schema, c))
+        return pa.table({c: out[c] for c in [*payload_cols, "__kind"]})
+
+    def tag_big(batch: pa.Table) -> pa.Table:
+        for c in int_like:  # same union caveat as asof_join_dataset
+            if len(batch):
+                v = np.asarray(batch[c], dtype=np.int64)
+                if len(v) and np.abs(v).max() >= 2**53:
+                    raise ValueError(
+                        f"bloom_semi_join payload '{c}' exceeds 2^53; not "
+                        "exactly representable through the verify union")
+        batch = batch.append_column(
+            "__kind", pa.array(np.ones(len(batch), dtype=np.int8), pa.int8()))
+        return batch.select([*payload_cols, "__kind"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[big_key])
+        h = pd.util.hash_array(
+            v if v.dtype != object else v.astype(object), categorize=False)
+        return batch.append_column(
+            "__bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    int_like = [c for c in payload_cols
+                if pa.types.is_integer(_arrow_type(big_schema, c))]
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.unique(g.loc[g["__kind"] == 0, big_key].to_numpy())
+        rows = g[g["__kind"] == 1]
+        hit = np.zeros(len(rows), dtype=bool)
+        if len(keys) and len(rows):
+            rv = rows[big_key].to_numpy()
+            pos = np.minimum(np.searchsorted(keys, rv), len(keys) - 1)
+            hit = keys[pos] == rv
+        out = rows[hit].drop(columns=["__kind", "__bkt"]).copy()
+        for c in int_like:  # survivors have no nulls; undo the union's
+            out[c] = out[c].astype(np.int64)  # int->float widening
+        return out
+
+    tagged_keys = keys_ds.map_batches(
+        tag_keys, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    tagged_big = pruned.map_batches(
+        tag_big, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    return (
+        tagged_keys.union(tagged_big)
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("__bkt")
+        .map_groups(verify, batch_format="pandas", runtime_env=_rte())
+    )
 
 
 def broadcast_semi_join(big_ds, keys: np.ndarray, big_key: str, anti: bool = False):

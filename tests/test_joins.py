@@ -179,3 +179,52 @@ def test_interval_join_matches_reference(ray_session):
     ).astype(np.int64).sort_values("pid").reset_index(drop=True)
     assert len(want) > 0 and len(want) < 400  # both kept and dropped points
     pd.testing.assert_frame_equal(got[list(want.columns)], want)
+
+
+# ---------------------------------------------------------------------------
+# bloom semi-join
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Exact path output == pandas isin semi-join, across layouts and with
+    a filter sized to force real false positives for the verify stage."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.RandomState(2)
+    big = pd.DataFrame({"k": rng.randint(0, 5000, 20_000), "v": np.arange(20_000)})
+    keys = pd.DataFrame({"k": np.unique(rng.randint(0, 5000, 800))})
+    want = big[big["k"].isin(set(keys["k"]))].reset_index(drop=True)
+
+    # tiny filter (512 bits) -> high fpp -> verify must actually prune
+    got = bloom_semi_join(
+        rd.from_pandas(big).repartition(6), rd.from_pandas(keys),
+        big_key="k", small_key="k", n_bits=512, k_hashes=3, n_buckets=7,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v"]],
+                                  want.sort_values("v").reset_index(drop=True))
+
+    # probabilistic path: superset of the truth, no false negatives
+    pruned = bloom_semi_join(
+        rd.from_pandas(big), rd.from_pandas(keys), big_key="k", small_key="k",
+        n_bits=512, k_hashes=3, exact=False,
+    ).to_pandas()
+    assert set(want["v"]) <= set(pruned["v"])
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    big = pd.DataFrame({"name": [f"u{i % 50}" for i in range(1000)],
+                        "row": np.arange(1000)})
+    keys = pd.DataFrame({"name": [f"u{i}" for i in range(0, 50, 5)]})
+    got = bloom_semi_join(
+        rd.from_pandas(big), rd.from_pandas(keys),
+        big_key="name", small_key="name", n_bits=4096, n_buckets=4,
+    ).to_pandas()
+    want = big[big["name"].isin(set(keys["name"]))]
+    assert sorted(got["row"]) == sorted(want["row"])
