@@ -170,6 +170,65 @@ def run_bench() -> dict:
     tumbling_window_dataset(ev).count()
     timings["events_window"] = round(time.time() - t0, 3)
 
+    # ---- extended stages (opt-in: GRAFT_BENCH_STAGES=ext) ---------------
+    # timings for the round-2 operator family; kept off the default
+    # headline so BENCH totals stay comparable across rounds
+    if os.environ.get("GRAFT_BENCH_STAGES") == "ext":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from horus_ner_ray.stages.joins import asof_join_dataset, bloom_semi_join
+        from horus_ner_ray.stages.quantiles import quantile_disc
+        from horus_ner_ray.stages.sketches import hll_count_distinct
+
+        evp = str(Path(SF_DIR) / "events.parquet")
+
+        def _side(etype):
+            def fn(b):
+                b = b.filter(pc.equal(b["event_type"], etype))
+                return pa.table({
+                    "event_id": b["event_id"],
+                    "ts": b["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                    "user_id": b["user_id"],
+                })
+            return rd.read_parquet(
+                evp, columns=["event_id", "ts", "user_id", "event_type"]
+            ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+        t0 = time.time()
+        asof_join_dataset(_side("purchase"), _side("click"), by="user_id",
+                          on="ts", left_cols=["event_id"],
+                          right_cols=["event_id"], n_buckets=256).count()
+        timings["asof_join"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        quantile_disc(
+            rd.read_parquet(str(Path(SF_DIR) / "lineitem.parquet"),
+                            columns=["l_extendedprice"]),
+            "l_extendedprice", [0.25, 0.5, 0.75], gather_limit=100_000)
+        timings["quantiles"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        hll_count_distinct(
+            rd.read_parquet(evp, columns=["user_id"]), "user_id")
+        timings["hll_distinct"] = round(time.time() - t0, 3)
+
+        orders_f = rd.read_parquet(
+            str(Path(SF_DIR) / "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"],
+        ).map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(["o_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        t0 = time.time()
+        bloom_semi_join(
+            rd.read_parquet(str(Path(SF_DIR) / "lineitem.parquet"),
+                            columns=["l_orderkey", "l_returnflag"]),
+            orders_f, big_key="l_orderkey", small_key="o_orderkey",
+            n_bits=1 << 20, n_buckets=256,
+        ).count()
+        timings["bloom_semi_join"] = round(time.time() - t0, 3)
+
     shutil.rmtree(idx, ignore_errors=True)
     ray.shutdown()
     return {
