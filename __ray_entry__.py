@@ -815,6 +815,20 @@ def _q_media_features(sf_dir: str):
     return decode_features_dataset(media, decoder="fake")
 
 
+def _q_image_meta(sf_dir: str):
+    """REAL image container parsing (no codec libs): sniff PNG/JPEG/GIF/BMP
+    and read width/height from the genuine header byte layouts."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        image_header_meta_dataset,
+        synth_image_headers,
+    )
+
+    media = rd.from_arrow(synth_image_headers(n=64, seed=11))
+    return image_header_meta_dataset(media)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df": _q_term_df,
@@ -857,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conll_source": _q_conll_source,
         "translate_hook": _q_translate_hook,
         "media_features": _q_media_features,
+        "image_meta": _q_image_meta,
     }
 
 

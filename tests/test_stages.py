@@ -548,3 +548,40 @@ def test_repetition_stats_vs_python(ray_session):
         })
     want = pd.DataFrame(want_rows).astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_image_header_meta_real_parsing(ray_session):
+    """The sniffer parses REAL PNG/JPEG/GIF/BMP container headers (genuine
+    byte layouts, not fakes) and classifies junk as unknown."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        image_header_meta_dataset,
+        synth_image_headers,
+    )
+
+    t = synth_image_headers(n=40, seed=7)
+    got = (
+        image_header_meta_dataset(rd.from_arrow(t))
+        .to_pandas().sort_values("media_id").reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert (got["format"] == want["true_format"]).all()
+    assert (got["width"] == want["true_w"]).all()
+    assert (got["height"] == want["true_h"]).all()
+    assert (got["n_bytes"] > 0).all()
+
+
+def test_image_header_meta_truncated_payloads(ray_session):
+    """Truncated/corrupt headers must classify unknown, never raise."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import image_header_meta_batch
+
+    rows = [b"", b"\x89PNG", b"\xff\xd8\xff", b"GIF89a\x10", b"BM\x00", None]
+    t = pa_.table({"media_id": pa_.array(range(len(rows)), pa_.int64()),
+                   "payload": pa_.array(rows, pa_.binary())})
+    out = image_header_meta_batch(t).to_pandas()
+    assert (out["format"] == "unknown").all()
+    assert (out["width"] == 0).all()
