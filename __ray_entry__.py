@@ -305,6 +305,32 @@ def _q_lineitem_semi_bloom(sf_dir: str):
             .sort_values("l_returnflag").reset_index(drop=True))
 
 
+def _q_lineitem_anti_bloom(sf_dir: str):
+    """Anti variant: lineitems of orders NOT in the 'F' key set — bloom
+    negatives kept shuffle-free, bloom positives exact-verified."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    orders = rd.read_parquet(
+        str(Path(sf_dir) / "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    ).map_batches(
+        lambda b: b.filter(pc_.equal(b["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag"])
+    sj = bloom_semi_join(li, orders, big_key="l_orderkey",
+                         small_key="o_orderkey", n_bits=1 << 16, anti=True)
+    out = sj.groupby("l_returnflag").count().to_pandas()
+    cnt_col = [c for c in out.columns if c != "l_returnflag"][0]
+    return (out.rename(columns={cnt_col: "n"})
+            .astype({"n": np.int64})
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
 def _q_price_quantiles(sf_dir: str):
     """Distributed exact discrete quantiles of l_extendedprice.  The small
     gather_limit forces the histogram-refinement path (the 100-TB shape:
@@ -849,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
+        "lineitem_anti_bloom": _q_lineitem_anti_bloom,
         "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
@@ -1192,6 +1219,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, count(*)::BIGINT AS n
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY 1
+        """,
+        "lineitem_anti_bloom": """
+            SELECT l_returnflag, count(*)::BIGINT AS n
+            FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
             GROUP BY 1
         """,
         "price_quantiles": """

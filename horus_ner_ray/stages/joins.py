@@ -267,39 +267,52 @@ def _bloom_bits(keys_ds, key: str, n_bits: int, k_hashes: int) -> np.ndarray:
 
 def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
                     n_bits: int = 1 << 24, k_hashes: int = 7,
-                    n_buckets: int = 64, exact: bool = True):
-    """Semi-join against a key set too large to broadcast as a sorted
-    array: a bloom filter of the keys (n_bits/8 bytes, OR-merged partials)
-    broadcasts instead, each batch drops definite non-members with a
-    vectorized membership test (no false negatives), and — when ``exact``
-    — the survivors alone go through a coarse-bucketed hash join against
-    the key set to remove bloom false positives.  Shuffle volume is the
-    SURVIVORS, not the big table: with fpp ~0.5-1% the exact path moves
-    |matches| * (1 + fpp_overhead) rows where a shuffle join moves
-    everything.  ``exact=False`` keeps the one-pass probabilistic prune
-    (bounded false-positive rate, zero shuffle) for pre-filters ahead of
-    an exact stage.
+                    n_buckets: int = 64, exact: bool = True,
+                    anti: bool = False):
+    """Semi-join (or anti-join) against a key set too large to broadcast
+    as a sorted array: a bloom filter of the keys (n_bits/8 bytes,
+    OR-merged partials) broadcasts instead, each batch drops definite
+    non-members with a vectorized membership test (no false negatives),
+    and — when ``exact`` — the survivors alone go through a coarse-bucketed
+    hash join against the key set to remove bloom false positives.  Shuffle
+    volume is the SURVIVORS, not the big table: with fpp ~0.5-1% the exact
+    path moves |matches| * (1 + fpp_overhead) rows where a shuffle join
+    moves everything.  ``exact=False`` keeps the one-pass probabilistic
+    prune (bounded false-positive rate, zero shuffle) for pre-filters ahead
+    of an exact stage.
+
+    ``anti=True`` inverts the semantics exactly: bloom-NEGATIVE rows are
+    definite non-members (kept with zero shuffle), only the bloom-positive
+    candidates shuffle to verification, and those NOT in the key set join
+    the output.  Anti requires ``exact`` — a lone bloom pass would wrongly
+    drop its false positives.
     """
     import ray
+
+    if anti and not exact:
+        raise ValueError("anti-join requires exact=True: bloom false "
+                         "positives would be dropped from the complement")
 
     bits = _bloom_bits(keys_ds, small_key, n_bits, k_hashes)
     ref = ray.put(bits) if ray.is_initialized() else bits
 
-    def probe(batch: pa.Table) -> pa.Table:
-        bb = _resolve(ref)
-        v = np.asarray(batch[big_key])
-        h = pd.util.hash_array(
-            v if v.dtype != object else v.astype(object), categorize=False
-        ).astype(np.uint64)
-        keep = np.ones(len(v), dtype=bool)
-        h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-        for i in range(k_hashes):
-            pos = (h + np.uint64(i) * h2) % np.uint64(n_bits)
-            word = bb[(pos >> np.uint64(6)).astype(np.int64)]
-            keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
-        return batch.filter(pa.array(keep))
+    def _probe(polarity: bool):
+        def probe(batch: pa.Table) -> pa.Table:
+            bb = _resolve(ref)
+            v = np.asarray(batch[big_key])
+            h = pd.util.hash_array(
+                v if v.dtype != object else v.astype(object), categorize=False
+            ).astype(np.uint64)
+            keep = np.ones(len(v), dtype=bool)
+            h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+            for i in range(k_hashes):
+                pos = (h + np.uint64(i) * h2) % np.uint64(n_bits)
+                word = bb[(pos >> np.uint64(6)).astype(np.int64)]
+                keep &= (word >> (pos & np.uint64(63))) & np.uint64(1) != 0
+            return batch.filter(pa.array(keep if polarity else ~keep))
+        return probe
 
-    pruned = big_ds.map_batches(probe, batch_format="pyarrow",
+    pruned = big_ds.map_batches(_probe(True), batch_format="pyarrow",
                                 zero_copy_batch=True, runtime_env=_rte())
     if not exact:
         return pruned
@@ -350,7 +363,7 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
             rv = rows[big_key].to_numpy()
             pos = np.minimum(np.searchsorted(keys, rv), len(keys) - 1)
             hit = keys[pos] == rv
-        out = rows[hit].drop(columns=["__kind", "__bkt"]).copy()
+        out = rows[~hit if anti else hit].drop(columns=["__kind", "__bkt"]).copy()
         for c in int_like:  # survivors have no nulls; undo the union's
             out[c] = out[c].astype(np.int64)  # int->float widening
         return out
@@ -359,13 +372,21 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
         tag_keys, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
     tagged_big = pruned.map_batches(
         tag_big, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
-    return (
+    verified = (
         tagged_keys.union(tagged_big)
         .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
                      runtime_env=_rte())
         .groupby("__bkt")
         .map_groups(verify, batch_format="pandas", runtime_env=_rte())
     )
+    if not anti:
+        return verified
+    # anti: bloom-negative rows never shuffled — union them back in
+    negatives = big_ds.map_batches(_probe(False), batch_format="pyarrow",
+                                   zero_copy_batch=True, runtime_env=_rte())
+    neg_pd = negatives.map_batches(lambda b: b, batch_format="pandas",
+                                   runtime_env=_rte())
+    return neg_pd.union(verified)
 
 
 def broadcast_semi_join(big_ds, keys: np.ndarray, big_key: str, anti: bool = False):

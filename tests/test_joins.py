@@ -228,3 +228,28 @@ def test_bloom_semi_join_string_keys(ray_session):
     ).to_pandas()
     want = big[big["name"].isin(set(keys["name"]))]
     assert sorted(got["row"]) == sorted(want["row"])
+
+
+def test_bloom_anti_join_exact(ray_session):
+    """Anti path == pandas ~isin, with a tiny filter so bloom false
+    positives must be rescued by the verify stage, not dropped."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    rng = np.random.RandomState(4)
+    big = pd.DataFrame({"k": rng.randint(0, 3000, 10_000), "v": np.arange(10_000)})
+    keys = pd.DataFrame({"k": np.unique(rng.randint(0, 3000, 500))})
+    want = big[~big["k"].isin(set(keys["k"]))]
+
+    got = bloom_semi_join(
+        rd.from_pandas(big).repartition(5), rd.from_pandas(keys),
+        big_key="k", small_key="k", n_bits=256, k_hashes=2, n_buckets=6,
+        anti=True,
+    ).to_pandas()
+    assert sorted(got["v"]) == sorted(want["v"])
+    assert got["v"].dtype == np.int64
+
+    with pytest.raises(ValueError, match="anti-join requires exact"):
+        bloom_semi_join(rd.from_pandas(big), rd.from_pandas(keys),
+                        big_key="k", small_key="k", exact=False, anti=True)
