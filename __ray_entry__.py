@@ -278,10 +278,11 @@ def _q_sessions(sf_dir: str):
     return session_windows_dataset(ds, gap_s=1800, n_buckets=buckets_for_rows(_n_rows(path)))
 
 
-def _q_lineitem_semi_bloom(sf_dir: str):
-    """Semi-join where the key side is a DATASET (too large to broadcast
-    as an array at corpus scale): bloom prune + bucketed exact verify,
-    then a small grouped count.  Exact semantics -> oracle-checkable."""
+def _lineitem_bloom_frame(sf_dir: str, anti: bool) -> pd.DataFrame:
+    """Shared semi/anti harness: bloom (prune or keep-negatives) + bucketed
+    exact verify of lineitem against the 'F'-status order key DATASET (too
+    large to broadcast as an array at corpus scale), then a small grouped
+    count.  Exact semantics either way -> oracle-checkable."""
     import pyarrow.compute as pc_
     import ray.data as rd
 
@@ -297,38 +298,20 @@ def _q_lineitem_semi_bloom(sf_dir: str):
     li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
                          columns=["l_orderkey", "l_returnflag"])
     sj = bloom_semi_join(li, orders, big_key="l_orderkey",
-                         small_key="o_orderkey", n_bits=1 << 16)
+                         small_key="o_orderkey", n_bits=1 << 16, anti=anti)
     out = sj.groupby("l_returnflag").count().to_pandas()
     cnt_col = [c for c in out.columns if c != "l_returnflag"][0]
     return (out.rename(columns={cnt_col: "n"})
             .astype({"n": np.int64})
             .sort_values("l_returnflag").reset_index(drop=True))
+
+
+def _q_lineitem_semi_bloom(sf_dir: str):
+    return _lineitem_bloom_frame(sf_dir, anti=False)
 
 
 def _q_lineitem_anti_bloom(sf_dir: str):
-    """Anti variant: lineitems of orders NOT in the 'F' key set — bloom
-    negatives kept shuffle-free, bloom positives exact-verified."""
-    import pyarrow.compute as pc_
-    import ray.data as rd
-
-    from horus_ner_ray.stages.joins import bloom_semi_join
-
-    orders = rd.read_parquet(
-        str(Path(sf_dir) / "orders.parquet"),
-        columns=["o_orderkey", "o_orderstatus"],
-    ).map_batches(
-        lambda b: b.filter(pc_.equal(b["o_orderstatus"], "F")).select(["o_orderkey"]),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
-                         columns=["l_orderkey", "l_returnflag"])
-    sj = bloom_semi_join(li, orders, big_key="l_orderkey",
-                         small_key="o_orderkey", n_bits=1 << 16, anti=True)
-    out = sj.groupby("l_returnflag").count().to_pandas()
-    cnt_col = [c for c in out.columns if c != "l_returnflag"][0]
-    return (out.rename(columns={cnt_col: "n"})
-            .astype({"n": np.int64})
-            .sort_values("l_returnflag").reset_index(drop=True))
+    return _lineitem_bloom_frame(sf_dir, anti=True)
 
 
 def _q_price_quantiles(sf_dir: str):
@@ -1191,7 +1174,14 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(p.ts) AS purchase_ts_us,
                    c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (
+              -- pin (user_id, ts) ties to max event_id: DuckDB's ASOF
+              -- returns an arbitrary tied row, the Ray side's payload-
+              -- sorted merge_asof deterministically keeps the max
+              SELECT * FROM events WHERE event_type = 'click'
+              QUALIFY row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ) c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "session_windows": """

@@ -724,13 +724,18 @@ def fetch_docs(index_dir: str | Path, doc_ids, columns: list[str] | None = None)
 
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     store = IndexPaths(index_dir).docstore
-    if len(ids) == 0:
-        files = sorted(store.glob("part-*.parquet"))
+    files = sorted(str(p) for p in store.glob("part-*.parquet"))
+    if len(ids) == 0 or not files:
         schema = pq.ParquetFile(files[0]).schema_arrow if files else None
         cols = columns or ([] if schema is None else schema.names)
         return pd.DataFrame({c: [] for c in cols})
-    dset = pads.dataset(sorted(str(p) for p in store.glob("part-*.parquet")))
-    filt = pads.field("doc_id").isin(ids)
-    tbl = dset.to_table(filter=filt, columns=columns)
-    df = tbl.to_pandas()
-    return df.sort_values("doc_id", kind="stable").reset_index(drop=True)
+    # doc_id is needed for the result ordering even when pruned out of the
+    # caller's projection
+    read_cols = None if columns is None else (
+        columns if "doc_id" in columns else ["doc_id", *columns])
+    tbl = pads.dataset(files).to_table(
+        filter=pads.field("doc_id").isin(ids), columns=read_cols)
+    df = tbl.to_pandas().sort_values("doc_id", kind="stable")
+    if columns is not None and "doc_id" not in columns:
+        df = df[columns]
+    return df.reset_index(drop=True)

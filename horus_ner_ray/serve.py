@@ -110,6 +110,8 @@ def make_http_server(
             text = (qs.get("q") or [""])[0]
             try:  # request parsing -> 400
                 k = int((qs.get("k") or ["10"])[0])
+                if k < 0:  # pandas head(-n) would return all-but-n rows
+                    raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase"):
                     raise ValueError(f"unknown mode {req_mode!r}")

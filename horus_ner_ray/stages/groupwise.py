@@ -29,11 +29,12 @@ from horus_ner_ray.util import worker_runtime_env as _rte
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 # Multiplier for the deterministic sampling hash, shared VERBATIM with the
-# DuckDB oracle SQL in __ray_entry__ (Knuth multiplicative; modulus 2^31-1
-# keeps every product inside int64 for id < 2^32, so SQL needs no wrapping
-# arithmetic).  Change both or neither.
+# DuckDB oracle SQL in __ray_entry__ (Knuth multiplicative).  The id bound
+# below keeps id * MULT inside int64 so numpy and DuckDB compute the same
+# product with no wrapping; change both or neither.
 SAMPLE_HASH_MULT = 2654435761
 SAMPLE_HASH_MOD = 2147483647
+SAMPLE_ID_MAX = (2**63 - 1) // SAMPLE_HASH_MULT  # ~3.47e9
 
 
 def _take_topk(df: pd.DataFrame, key: str, sort_cols: list[str],
@@ -77,15 +78,17 @@ def stratified_sample(ds, key: str, id_col: str, n_per_group: int,
     layout-independent, reproducible, SQL-expressible — the same property
     ``functions.sampling.hash_split`` gives train/test splits).
 
-    ``id_col`` must be int64 in [0, 2^32) so the shared-with-SQL hash stays
-    exact in both engines.
+    ``id_col`` must be int64 in [0, SAMPLE_ID_MAX] (~3.47e9): beyond that
+    ``id * MULT`` overflows int64, where numpy wraps silently while SQL
+    errors — the two engines would diverge.
     """
     def add_h(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(np.int64)
-        if len(ids) and (ids.min() < 0 or ids.max() >= 2**32):
+        if len(ids) and (ids.min() < 0 or ids.max() > SAMPLE_ID_MAX):
             raise ValueError(
-                f"stratified_sample ids in '{id_col}' must be in [0, 2^32) "
-                "for the SQL-shared hash")
+                f"stratified_sample ids in '{id_col}' must be in "
+                f"[0, {SAMPLE_ID_MAX}] so id * {SAMPLE_HASH_MULT} stays "
+                "inside int64 (the SQL-shared hash)")
         batch = batch.copy()
         batch["__h"] = (ids * SAMPLE_HASH_MULT) % SAMPLE_HASH_MOD
         return batch

@@ -234,6 +234,42 @@ def interval_join_dataset(points_ds, intervals_ds, by: str, on: str,
                               zero_copy_batch=True, runtime_env=_rte())
 
 
+def _bloom_key_hash(v: np.ndarray) -> tuple[np.ndarray, str]:
+    """(hashes, kind) with the array NORMALIZED before hashing:
+    pd.util.hash_array hashes physical bytes, so int32 vs int64 (or float
+    vs int) encodings of the same logical key hash differently — which
+    would be a silent bloom false NEGATIVE, the one error class the filter
+    must never produce.  All integer widths collapse to int64 and floats
+    to float64; the kind tag lets the probe side fail loudly on an
+    int-vs-float (or numeric-vs-string) mismatch instead of dropping rows.
+    """
+    if v.dtype == object:
+        kind = "str"
+        arr = v.astype(object)
+    elif np.issubdtype(v.dtype, np.integer):
+        kind = "int"
+        arr = v.astype(np.int64)
+    elif np.issubdtype(v.dtype, np.floating):
+        kind = "float"
+        arr = v.astype(np.float64)
+    else:
+        kind = str(v.dtype)
+        arr = v
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64), kind
+
+
+def _key_kind(ds, key: str) -> str:
+    """Normalized hash kind of a key column, from the dataset schema."""
+    t = _arrow_type(ds.schema(), key)
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return str(t)
+
+
 def _bloom_bits(keys_ds, key: str, n_bits: int, k_hashes: int) -> np.ndarray:
     """Build bloom filter bits from a keys DATASET in one streaming pass:
     per-batch bit arrays OR-reduced driver-side (associative merge, same
@@ -243,10 +279,7 @@ def _bloom_bits(keys_ds, key: str, n_bits: int, k_hashes: int) -> np.ndarray:
     words = (n_bits + 63) // 64
 
     def part(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch[key])
-        h = pd.util.hash_array(
-            v if v.dtype != object else v.astype(object), categorize=False
-        ).astype(np.uint64)
+        h, _ = _bloom_key_hash(np.asarray(batch[key]))
         bits = np.zeros(words, dtype=np.uint64)
         h1 = h
         h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
@@ -285,13 +318,22 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
     definite non-members (kept with zero shuffle), only the bloom-positive
     candidates shuffle to verification, and those NOT in the key set join
     the output.  Anti requires ``exact`` — a lone bloom pass would wrongly
-    drop its false positives.
+    drop its false positives.  Anti deliberately scans the (column-pruned)
+    big side twice — once per polarity — rather than materializing a
+    membership-tagged copy: at corpus scale a second pruned read is
+    cheaper than pinning the whole table in the object store.
     """
     import ray
 
     if anti and not exact:
         raise ValueError("anti-join requires exact=True: bloom false "
                          "positives would be dropped from the complement")
+    kk, bk = _key_kind(keys_ds, small_key), _key_kind(big_ds, big_key)
+    if kk != bk:
+        raise ValueError(
+            f"bloom_semi_join key kinds differ: {small_key!r} is {kk}, "
+            f"{big_key!r} is {bk} — mismatched encodings hash differently "
+            "and would produce silent false negatives; cast one side first")
 
     bits = _bloom_bits(keys_ds, small_key, n_bits, k_hashes)
     ref = ray.put(bits) if ray.is_initialized() else bits
@@ -299,11 +341,8 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
     def _probe(polarity: bool):
         def probe(batch: pa.Table) -> pa.Table:
             bb = _resolve(ref)
-            v = np.asarray(batch[big_key])
-            h = pd.util.hash_array(
-                v if v.dtype != object else v.astype(object), categorize=False
-            ).astype(np.uint64)
-            keep = np.ones(len(v), dtype=bool)
+            h, _ = _bloom_key_hash(np.asarray(batch[big_key]))
+            keep = np.ones(len(h), dtype=bool)
             h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
             for i in range(k_hashes):
                 pos = (h + np.uint64(i) * h2) % np.uint64(n_bits)

@@ -185,6 +185,11 @@ def _jpeg_dims(b: bytes):
     while i + 9 <= len(b):
         if b[i] != 0xFF:
             return None
+        # JPEG B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i + 9 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 9 > len(b):
+            return None
         marker = b[i + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
             i += 2
@@ -211,9 +216,10 @@ def image_header_meta_batch(batch: pa.Table, payload_col: str = "payload",
     erroring (row error handling, SURVEY.md M11).  Per-row work is O(header
     bytes), independent of payload size — the Python loop is bounded by
     parsing, not data volume."""
-    fmts, ws, hs = [], [], []
+    fmts, ws, hs, nbytes = [], [], [], []
     for p in batch[payload_col]:
-        raw = p.as_py() or b""
+        raw = p.as_py() or b""  # one copy out of Arrow per payload
+        nbytes.append(len(raw))
         for name, fn in _SNIFFERS:
             d = fn(raw)
             if d is not None:
@@ -230,8 +236,7 @@ def image_header_meta_batch(batch: pa.Table, payload_col: str = "payload",
         "format": pa.array(fmts, pa.string()),
         "width": pa.array(ws, pa.int32()),
         "height": pa.array(hs, pa.int32()),
-        "n_bytes": pa.array([len(p.as_py() or b"") for p in batch[payload_col]],
-                            pa.int64()),
+        "n_bytes": pa.array(nbytes, pa.int64()),
     })
 
 

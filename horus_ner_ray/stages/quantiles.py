@@ -15,16 +15,23 @@ Algorithm — selection by histogram refinement, never a global sort:
 1. one ``map_batches`` pass: per-batch (count, min, max) partials, tiny
    driver reduce;
 2. per round, one ``map_batches`` pass computing a B-bin histogram of each
-   unresolved target's current value interval (all targets share the
-   pass); the bin holding the target rank becomes the next interval and
-   the rank is re-based into it — each round divides the candidate count
-   by ~B;
-3. when a target's interval holds <= ``gather_limit`` values, one filtered
-   pass collects them and ``np.partition`` picks the exact rank.
+   unresolved target's current candidate set (all targets share the pass);
+   the bin holding the target rank becomes the next candidate set and the
+   rank is re-based into it — each round divides the candidate count by
+   ~B;
+3. when a target's candidate set holds <= ``gather_limit`` values, one
+   filtered pass collects them and ``np.partition`` picks the exact rank.
 
-Every pass streams (no materialization); driver state is O(B * targets).
-Skew guard: an interval that stops shrinking (mass concentrated at one
-float value) resolves by direct gather.
+Float-exactness invariant: a candidate set is defined by the CHAIN of
+binning predicates ``clip(floor((x - glo) / gwidth)) == j`` accumulated
+across rounds — the exact same arithmetic that produced the counts — never
+by recomputed interval bounds.  (Recomputing ``lo + j*width`` in floating
+point can disagree with the floor-division binning at bin edges by one
+ulp, which would silently shift every rank in the bin.)
+
+Every pass streams (no materialization); driver state is O(bins x targets
+x rounds).  Skew guard: a candidate set that stops shrinking (mass
+concentrated at one float value) resolves by direct gather.
 """
 
 from __future__ import annotations
@@ -36,6 +43,17 @@ import pandas as pd
 import pyarrow as pa
 
 from horus_ner_ray.util import worker_runtime_env as _rte
+
+# one refinement predicate: clip(floor((x - glo) / gwidth), 0, nb-1) == j
+_Cond = tuple  # (glo, gwidth, j, n_bins)
+
+
+def _apply_conds(a: np.ndarray, conds: list[_Cond]) -> np.ndarray:
+    keep = np.ones(len(a), dtype=bool)
+    for glo, gwidth, j, nb in conds:
+        idx = np.clip(np.floor((a - glo) / gwidth).astype(np.int64), 0, nb - 1)
+        keep &= idx == j
+    return keep
 
 
 def _minmax_count(ds, col: str):
@@ -56,47 +74,37 @@ def _minmax_count(ds, col: str):
     return int(p["n"].sum()), float(p["lo"].min()), float(p["hi"].max())
 
 
-def _interval_histograms(ds, col: str, intervals: list[tuple[float, float]],
-                         n_bins: int):
-    """One streaming pass: per-batch bin counts for every interval, reduced
-    driver-side into one (targets, n_bins) matrix.  Partials are dense but
-    tiny (targets * n_bins int64 per batch)."""
-    ivs = [(float(lo), float(hi)) for lo, hi in intervals]
-
+def _candidate_histograms(ds, col: str, jobs: list[dict], n_bins: int):
+    """One streaming pass: per-batch bin counts of every job's candidate
+    set (selected by its predicate chain, binned on its grid), reduced
+    driver-side into one (jobs, n_bins) matrix."""
     def f(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[col], dtype=np.float64)
         rows = []
-        for t, (lo, hi) in enumerate(ivs):
-            sel = a[(a >= lo) & (a <= hi)]
-            width = (hi - lo) / n_bins
-            if width <= 0:
-                cnts = np.zeros(n_bins, dtype=np.int64)
-                cnts[0] = len(sel)
-            else:
-                idx = np.minimum(((sel - lo) / width).astype(np.int64),
-                                 n_bins - 1)
-                cnts = np.bincount(idx, minlength=n_bins).astype(np.int64)
-            rows.append(cnts)
-        return pa.table({"t": pa.array(np.arange(len(ivs)), pa.int64()),
+        for job in jobs:
+            sel = a[_apply_conds(a, job["conds"])]
+            glo, gwidth = job["grid"]
+            idx = np.clip(np.floor((sel - glo) / gwidth).astype(np.int64),
+                          0, n_bins - 1)
+            rows.append(np.bincount(idx, minlength=n_bins).astype(np.int64))
+        return pa.table({"t": pa.array(np.arange(len(jobs)), pa.int64()),
                          "h": pa.array(list(map(list, rows)),
                                        pa.list_(pa.int64()))})
 
     parts = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
                            runtime_env=_rte()).to_pandas()
-    out = np.zeros((len(ivs), n_bins), dtype=np.int64)
+    out = np.zeros((len(jobs), n_bins), dtype=np.int64)
     for t, h in zip(parts["t"], parts["h"]):
         out[int(t)] += np.asarray(h, dtype=np.int64)
     return out
 
 
-def _gather(ds, col: str, intervals: list[tuple[float, float]]) -> list[np.ndarray]:
-    ivs = [(float(lo), float(hi)) for lo, hi in intervals]
-
+def _gather(ds, col: str, cond_sets: list[list[_Cond]]) -> list[np.ndarray]:
     def f(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch[col], dtype=np.float64)
         ts, vs = [], []
-        for t, (lo, hi) in enumerate(ivs):
-            sel = a[(a >= lo) & (a <= hi)]
+        for t, conds in enumerate(cond_sets):
+            sel = a[_apply_conds(a, conds)]
             ts.append(np.full(len(sel), t, dtype=np.int64))
             vs.append(sel)
         return pa.table({"t": pa.array(np.concatenate(ts), pa.int64()),
@@ -104,7 +112,7 @@ def _gather(ds, col: str, intervals: list[tuple[float, float]]) -> list[np.ndarr
 
     g = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True,
                        runtime_env=_rte()).to_pandas()
-    return [g.loc[g["t"] == t, "v"].to_numpy() for t in range(len(ivs))]
+    return [g.loc[g["t"] == t, "v"].to_numpy() for t in range(len(cond_sets))]
 
 
 def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
@@ -114,38 +122,49 @@ def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
     if n == 0:
         return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
                              "value": pd.Series([np.nan] * len(qs))})
-    # state per target: (interval, local rank within it, candidate count)
     state = []
     for q in qs:
         rank = min(n - 1, max(0, math.ceil(q * n) - 1))
-        state.append({"iv": (lo, hi), "k": rank, "cnt": n, "done": False})
+        state.append({"conds": [], "grid": (lo, hi), "k": rank,
+                      "cnt": n, "done": False})
 
     for _ in range(max_rounds):
         open_idx = [i for i, s in enumerate(state)
                     if not s["done"] and s["cnt"] > gather_limit]
         if not open_idx:
             break
-        hists = _interval_histograms(
-            ds, col, [state[i]["iv"] for i in open_idx], n_bins)
-        for row, i in enumerate(open_idx):
+        jobs = []
+        for i in open_idx:
             s = state[i]
+            glo, ghi = s["grid"]
+            gwidth = (ghi - glo) / n_bins
+            if gwidth <= 0:  # candidate mass at a single float
+                s["done"] = True
+                continue
+            jobs.append({"i": i, "conds": s["conds"], "grid": (glo, gwidth)})
+        if not jobs:
+            break
+        hists = _candidate_histograms(ds, col, jobs, n_bins)
+        for row, job in enumerate(jobs):
+            s = state[job["i"]]
             h = hists[row]
             cum = np.cumsum(h)
             j = int(np.searchsorted(cum, s["k"] + 1))
             below = int(cum[j - 1]) if j > 0 else 0
-            ilo, ihi = s["iv"]
-            width = (ihi - ilo) / n_bins
-            nlo = ilo + j * width
-            nhi = ihi if j == n_bins - 1 else ilo + (j + 1) * width
             new_cnt = int(h[j])
-            if width <= 0 or new_cnt == s["cnt"]:
-                # mass concentrated at one float (or interval can't shrink):
-                # histogram refinement is stuck -> resolve by gather
+            if new_cnt == s["cnt"]:
+                # not shrinking (duplicate-heavy bin) -> resolve by gather
                 s["done"] = True
                 continue
-            s["iv"], s["k"], s["cnt"] = (nlo, nhi), s["k"] - below, new_cnt
+            glo, gwidth = job["grid"]
+            s["conds"] = [*s["conds"], (glo, gwidth, j, n_bins)]
+            # nominal grid for the NEXT round's subdivision; candidate
+            # membership stays predicate-defined, so slop here only costs
+            # bin balance, never correctness
+            s["grid"] = (glo + j * gwidth, glo + (j + 1) * gwidth)
+            s["k"], s["cnt"] = s["k"] - below, new_cnt
 
-    vals = _gather(ds, col, [s["iv"] for s in state])
+    vals = _gather(ds, col, [s["conds"] for s in state])
     out = []
     for s, v in zip(state, vals):
         assert len(v) == 0 or s["k"] < len(v), "rank outside gathered bin"

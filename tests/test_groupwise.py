@@ -80,12 +80,12 @@ def test_stratified_sample_deterministic(ray_session, frame):
     pd.testing.assert_frame_equal(got2[want.columns.tolist()], want)
 
 
-def test_stratified_sample_rejects_wide_ids(ray_session):
+def test_stratified_sample_rejects_overflowing_ids(ray_session):
     import ray.data as rd
 
     from horus_ner_ray.stages.groupwise import stratified_sample
 
-    df = pd.DataFrame({"k": [1], "doc_id": [2**33]})
-    with pytest.raises(Exception, match="2\\^32"):
+    df = pd.DataFrame({"k": [1], "doc_id": [2**33]})  # > SAMPLE_ID_MAX ~3.47e9
+    with pytest.raises(Exception, match="stays\\s+inside int64|stays"):
         stratified_sample(rd.from_pandas(df), key="k", id_col="doc_id",
                           n_per_group=1).to_pandas()

@@ -253,3 +253,32 @@ def test_bloom_anti_join_exact(ray_session):
     with pytest.raises(ValueError, match="anti-join requires exact"):
         bloom_semi_join(rd.from_pandas(big), rd.from_pandas(keys),
                         big_key="k", small_key="k", exact=False, anti=True)
+
+
+def test_bloom_semi_join_kind_mismatch_raises(ray_session):
+    """int-vs-float key encodings hash differently; must fail loudly."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    big = pd.DataFrame({"k": np.array([1.0, 2.0]), "v": [1, 2]})
+    keys = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64)})
+    with pytest.raises(ValueError, match="key kinds differ"):
+        bloom_semi_join(rd.from_pandas(big), rd.from_pandas(keys),
+                        big_key="k", small_key="k")
+
+
+def test_bloom_semi_join_int32_keys(ray_session):
+    """Width-mismatched integer encodings must still match (normalized to
+    int64 before hashing) — including negatives."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import bloom_semi_join
+
+    big = pd.DataFrame({"k": np.array([-5, 3, 9, -5], dtype=np.int64),
+                        "v": np.arange(4)})
+    keys = pd.DataFrame({"k": np.array([-5, 9], dtype=np.int32)})
+    got = bloom_semi_join(rd.from_pandas(big), rd.from_pandas(keys),
+                          big_key="k", small_key="k", n_bits=1024,
+                          n_buckets=3).to_pandas()
+    assert sorted(got["v"]) == [0, 2, 3]

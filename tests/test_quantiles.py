@@ -64,3 +64,24 @@ def test_quantiles_degenerate(ray_session):
         rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)})),
         "x", [0.5])
     assert np.isnan(e["value"].iloc[0])
+
+
+def test_quantiles_bin_edge_adversarial(ray_session):
+    """Values at exact bin boundaries and one-ulp neighbours: candidate-set
+    membership must use the identical floor-division predicate that
+    produced the counts, or ranks shift by one at edges."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    edges = np.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    vals = np.concatenate([
+        edges,
+        np.nextafter(edges, -np.inf),
+        np.nextafter(edges, np.inf),
+        np.linspace(0, 1, 101),
+    ])
+    vals = vals[(vals >= 0) & (vals <= 1)]
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(3)
+    got = quantile_disc(ds, "x", QS, n_bins=4, gather_limit=4, max_rounds=30)
+    assert list(got["value"]) == _ref(vals, QS)

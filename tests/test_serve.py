@@ -58,7 +58,7 @@ def test_http_and_mode_and_errors(http_service, small_corpus):
 
 def test_http_error_paths(http_service):
     # malformed k -> clean 400
-    for bad in ["/search?q=x&k=abc", "/search?q=x&mode=banana"]:
+    for bad in ["/search?q=x&k=abc", "/search?q=x&mode=banana", "/search?q=x&k=-1"]:
         try:
             urllib.request.urlopen(http_service + bad, timeout=10)
             raise AssertionError("expected 400 for " + bad)
@@ -110,3 +110,11 @@ def test_fetch_docs_text_equality(built_index, small_corpus):
     merged = got.merge(src, on="doc_id", suffixes=("", "_src"))
     assert (merged["text"] == merged["text_src"]).all()
     assert len(fetch_docs(idx, [])) == 0
+
+
+def test_fetch_docs_column_pruned_without_doc_id(built_index):
+    from horus_ner_ray.pipelines.query import fetch_docs
+
+    idx, _ = built_index
+    df = fetch_docs(idx, [0, 1, 2], columns=["text"])
+    assert list(df.columns) == ["text"] and len(df) == 3
