@@ -333,6 +333,17 @@ def _q_price_quantiles(sf_dir: str):
     })
 
 
+def _q_line_dedup(sf_dir: str):
+    """C4-style cross-document line dedup: corpus-wide duplicate lines
+    removed, docs reassembled (fully-deduped docs drop)."""
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, remove_duplicate_lines
+
+    return remove_duplicate_lines(
+        _read_docs(sf_dir), min_count=2,
+        n_buckets=buckets_for_rows(_n_rows(_docs(sf_dir))),
+    )
+
+
 def _q_repetition(sf_dir: str):
     """Gopher/C4-style repetition counters (training-data quality gate)."""
     from horus_ner_ray.stages.analysis import repetition_stats_dataset
@@ -856,6 +867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_in_sessions": _q_events_in_sessions,
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "repetition_stats": _q_repetition,
+        "line_dedup": _q_line_dedup,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
         "lineitem_anti_bloom": _q_lineitem_anti_bloom,
@@ -1225,6 +1237,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
                    CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
             FROM r
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS l,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS line_idx
+              FROM documents
+            ),
+            cnt AS (SELECT l, count(*) AS c FROM lines GROUP BY l)
+            SELECT doc_id,
+                   string_agg(lines.l, chr(10) ORDER BY line_idx) AS clean_text,
+                   count(*)::BIGINT AS n_kept_lines
+            FROM lines JOIN cnt USING (l)
+            WHERE cnt.c < 2
+            GROUP BY doc_id
         """,
         "repetition_stats": f"""
             WITH toks AS (

@@ -828,3 +828,92 @@ def exact_jaccard_for_pairs_dataset(docs_ds, pairs_ds, cfg: PipelineConfig,
         .groupby("bkt")
         .map_groups(finish, batch_format="pandas", runtime_env=_rte())
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4-style corpus curation)
+# ---------------------------------------------------------------------------
+
+
+def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = _N_BUCKETS):
+    """C4-style line-level corpus dedup: any LINE occurring ``min_count``
+    or more times across the whole corpus (boilerplate, navigation chrome,
+    license banners) is removed from every document; documents are
+    reassembled from their surviving lines in original order.  Documents
+    whose every line is removed drop from the output entirely (matching a
+    SQL string_agg-over-no-rows reconstruction).
+
+    Two shuffles, both coarse-bucketed:
+
+    1. explode to (doc_id, line_idx, line, hash) -> group by
+       ``hash(line) % n_buckets``: counting AND tagging happen inside the
+       SAME bucket group (every occurrence of a line is co-located by its
+       hash), so the corpus-wide count join costs no second exchange;
+    2. group survivors by ``hash(doc_id) % n_buckets`` -> per-doc ordered
+       rejoin of the kept lines.
+
+    Line identity is the 64-bit string hash (collision reliance identical
+    to the shingle dedup family: deterministic, ~n_lines^2/2^64).
+    """
+    import pyarrow.compute as pc
+
+    nbk = np.int64(n_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.cast(batch[text_col], pa.string()), "\n")
+        flat = np.asarray(pc.list_flatten(lines), dtype=object)
+        lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        idxs = np.arange(len(flat), dtype=np.int64) - np.repeat(starts[:-1], lens)
+        h = _hash_strings(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "line_idx": pa.array(idxs, pa.int64()),
+            "line": pa.array(flat, pa.string()),
+            "lbkt": pa.array(((h * _MIX) % np.uint64(nbk)).astype(np.int64), pa.int64()),
+            "lh": pa.array(h.astype(np.int64), pa.int64()),
+        })
+
+    def count_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("lh", sort=False)["lh"].transform("size")
+        out = g[cnt < min_count].drop(columns=["lbkt", "lh"]).copy()
+        if len(out) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                "line_idx": pd.Series([], dtype=np.int64),
+                "line": pd.Series([], dtype=object),
+            })
+        return out
+
+    def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        ids = batch[id_col].to_numpy(np.int64).astype(np.uint64)
+        batch["dbkt"] = ((ids * _MIX) % np.uint64(nbk)).astype(np.int64)
+        return batch
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "line_idx"], kind="stable")
+        joined = g.groupby(id_col, sort=True)["line"].agg("\n".join)
+        kept = g.groupby(id_col, sort=True)["line"].size()
+        return pd.DataFrame({
+            id_col: joined.index.to_numpy(np.int64),
+            "clean_text": joined.to_numpy(object),
+            "n_kept_lines": kept.to_numpy(np.int64),
+        })
+
+    survivors = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("lbkt")
+        .map_groups(count_and_filter, batch_format="pandas", runtime_env=_rte())
+    )
+    return (
+        survivors.map_batches(rebucket, batch_format="pandas", runtime_env=_rte())
+        .groupby("dbkt")
+        .map_groups(lambda g: reassemble(g.drop(columns=["dbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )

@@ -585,3 +585,39 @@ def test_image_header_meta_truncated_payloads(ray_session):
     out = image_header_meta_batch(t).to_pandas()
     assert (out["format"] == "unknown").all()
     assert (out["width"] == 0).all()
+
+
+def test_remove_duplicate_lines(ray_session):
+    """C4-style cross-doc line dedup vs a Counter reference: boilerplate
+    lines removed everywhere, order preserved, fully-removed docs dropped."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import remove_duplicate_lines
+
+    rows = [
+        {"doc_id": 0, "text": "BOILER\nalpha unique zero\nFOOTER"},
+        {"doc_id": 1, "text": "BOILER\nbeta unique one\nFOOTER"},
+        {"doc_id": 2, "text": "gamma solo doc"},
+        {"doc_id": 3, "text": "BOILER\nFOOTER"},            # fully removed
+        {"doc_id": 4, "text": "delta\n\nepsilon"},           # empty line unique? no:
+        {"doc_id": 5, "text": "x\n\ny"},                     # '' occurs twice -> removed
+    ]
+    got = (
+        remove_duplicate_lines(rd.from_items(rows), min_count=2, n_buckets=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    cnt = Counter(l for r in rows for l in r["text"].split("\n"))
+    want_rows = []
+    for r in rows:
+        kept = [l for l in r["text"].split("\n") if cnt[l] < 2]
+        if kept:
+            want_rows.append({"doc_id": r["doc_id"],
+                              "clean_text": "\n".join(kept),
+                              "n_kept_lines": len(kept)})
+    want = pd.DataFrame(want_rows)
+    want["doc_id"] = want["doc_id"].astype(np.int64)
+    want["n_kept_lines"] = want["n_kept_lines"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    assert 3 not in set(got["doc_id"])  # all-boilerplate doc vanished
