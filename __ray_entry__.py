@@ -314,6 +314,47 @@ def _q_lineitem_anti_bloom(sf_dir: str):
     return _lineitem_bloom_frame(sf_dir, anti=True)
 
 
+def _q_lineitem_orders_join(sf_dir: str):
+    """Both-sides-large inner hash join (lineitem x orders on orderkey),
+    then a small grouped rollup — the fallback when neither side fits a
+    broadcast and payload columns must cross."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.joins import hash_join_dataset
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
+    li = li.map_batches(lambda b: b.rename_columns(
+        ["k", "l_returnflag", "l_extendedprice"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    orders = rd.read_parquet(str(Path(sf_dir) / "orders.parquet"),
+                             columns=["o_orderkey", "o_orderstatus"])
+    orders = orders.map_batches(lambda b: b.rename_columns(
+        ["k", "o_orderstatus"]), batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join_dataset(
+        li, orders, key="k",
+        left_cols=["l_returnflag", "l_extendedprice"],
+        right_cols=["o_orderstatus"],
+        n_buckets=buckets_for_rows(_n_rows(str(Path(sf_dir) / "lineitem.parquet"))),
+    )
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby(["l_returnflag", "o_orderstatus_r"], sort=True).agg(
+            n=("k", "size"), rev=("l_extendedprice", "sum")).reset_index()
+        return a
+
+    # partial rollups per block -> tiny second-stage combine on the driver
+    parts = j.map_batches(rollup, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "o_orderstatus_r"], sort=True).agg(
+        n=("n", "sum"), rev=("rev", "sum")).reset_index()
+    out = out.rename(columns={"o_orderstatus_r": "o_orderstatus"})
+    out["n"] = out["n"].astype(np.int64)
+    # float sum order differs from SQL's -> publish at integer cents
+    out["rev_r2"] = np.floor(out["rev"] * 100 + 0.5).astype(np.int64)
+    return out[["l_returnflag", "o_orderstatus", "n", "rev_r2"]]
+
+
 def _q_price_quantiles(sf_dir: str):
     """Distributed exact discrete quantiles of l_extendedprice.  The small
     gather_limit forces the histogram-refinement path (the 100-TB shape:
@@ -870,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
+        "lineitem_orders_join": _q_lineitem_orders_join,
         "lineitem_anti_bloom": _q_lineitem_anti_bloom,
         "stratified_sample": _q_stratified_sample,
         "tool_propagation": _q_tool_propagation,
@@ -1222,6 +1264,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
             GROUP BY 1
+        """,
+        "lineitem_orders_join": """
+            SELECT l_returnflag, o_orderstatus, count(*)::BIGINT AS n,
+                   CAST(FLOOR(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS rev_r2
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
         """,
         "lineitem_anti_bloom": """
             SELECT l_returnflag, count(*)::BIGINT AS n

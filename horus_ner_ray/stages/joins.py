@@ -188,6 +188,86 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
     )
 
 
+def hash_join_dataset(left_ds, right_ds, key: str,
+                      left_cols: list[str], right_cols: list[str],
+                      n_buckets: int = 64, suffix: str = "_r"):
+    """General inner equi-join with BOTH sides large: tag each side into a
+    unified Arrow schema, one coarse-bucket shuffle on ``hash(key)``, and a
+    vectorized ``pd.merge`` per bucket — one-to-many and many-to-many keys
+    produce the full cross product per key, standard inner-join semantics
+    (unlike ``broadcast_inner_join``, which requires a unique small side).
+
+    Use the broadcast join when one side fits in memory (no shuffle) and
+    ``bloom_semi_join`` when only membership is needed; this operator is
+    the fallback when both sides are big AND payload columns must cross.
+    Integer payloads ride the nullable union -> < 2^53 (asserted).
+
+    Output columns: ``[key, *left_cols, *right_cols+suffix]``.
+    """
+    r_suff = [c + suffix for c in right_cols]
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+
+    def _tag(side: int, cols_here, other, other_schema, other_orig):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {key: pa.array(np.asarray(batch[key], dtype=np.int64))}
+            k = np.asarray(batch[key], dtype=np.int64).astype(np.uint64)
+            out["__bkt"] = pa.array(
+                ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets))
+                .astype(np.int64))
+            out["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            for name, orig in cols_here:
+                col = batch[orig]
+                if pa.types.is_integer(col.type) and n:
+                    v = np.asarray(col, dtype=np.int64)
+                    if np.abs(v).max() >= 2**53:
+                        raise ValueError(
+                            f"hash join payload '{orig}' exceeds 2^53; not "
+                            "exactly representable through the union")
+                out[name] = col
+            for name, orig in zip(other, other_orig):
+                out[name] = pa.nulls(n, _arrow_type(other_schema, orig))
+            order = [key, "__bkt", "__side", *left_cols, *r_suff]
+            return pa.table({c: out[c] for c in order})
+        return fn
+
+    left_t = left_ds.map_batches(
+        _tag(0, [(c, c) for c in left_cols], r_suff, r_schema, right_cols),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    right_t = right_ds.map_batches(
+        _tag(1, [(c + suffix, c) for c in right_cols], left_cols, l_schema,
+             left_cols),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+
+    out_cols = [key, *left_cols, *r_suff]
+    int_like = {c: np.int64 for c, o in
+                [(c, c) for c in left_cols] + list(zip(r_suff, right_cols))
+                if pa.types.is_integer(
+                    _arrow_type(l_schema if c in left_cols else r_schema, o))}
+    int_like[key] = np.int64
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][[key, *left_cols]]
+        rf = g[g["__side"] == 1][[key, *r_suff]]
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=int_like.get(c, g[c].dtype))
+             for c in out_cols})
+        if len(lf) == 0 or len(rf) == 0:
+            return empty
+        m = lf.merge(rf, on=key, how="inner")
+        if len(m) == 0:
+            return empty
+        for c, dt in int_like.items():
+            m[c] = m[c].astype(dt)
+        return m[out_cols]
+
+    return (
+        left_t.union(right_t)
+        .groupby("__bkt")
+        .map_groups(join_bucket, batch_format="pandas", runtime_env=_rte())
+    )
+
+
 def interval_join_dataset(points_ds, intervals_ds, by: str, on: str,
                           lo: str, hi: str, left_cols: list[str],
                           right_cols: list[str], n_buckets: int = 64,

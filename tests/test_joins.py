@@ -282,3 +282,31 @@ def test_bloom_semi_join_int32_keys(ray_session):
                           big_key="k", small_key="k", n_bits=1024,
                           n_buckets=3).to_pandas()
     assert sorted(got["v"]) == [0, 2, 3]
+
+
+def test_hash_join_matches_pandas(ray_session):
+    """Both-sides-large inner equi-join vs pandas merge, incl. many-to-many
+    keys (full cross product per key) and keys missing from one side."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import hash_join_dataset
+
+    rng = np.random.RandomState(6)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 600), "lv": np.arange(600)})
+    right = pd.DataFrame({"k": rng.randint(20, 70, 400), "rv": np.arange(400)})
+    got = (
+        hash_join_dataset(
+            rd.from_pandas(left).repartition(4), rd.from_pandas(right).repartition(3),
+            key="k", left_cols=["lv"], right_cols=["rv"], n_buckets=7,
+        )
+        .to_pandas().astype(np.int64)
+        .sort_values(["k", "lv", "rv_r"]).reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k").rename(columns={"rv": "rv_r"})
+        .sort_values(["k", "lv", "rv_r"]).reset_index(drop=True)
+        .astype(np.int64)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv_r"]], want[["k", "lv", "rv_r"]])
+    # many-to-many sanity: some key must appear multiple times on each side
+    assert (left["k"].value_counts().max() > 1) and (right["k"].value_counts().max() > 1)
