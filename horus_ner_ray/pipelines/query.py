@@ -711,6 +711,28 @@ def score_queries(
     )
 
 
+def highlight_spans(texts, query_text: str) -> list[list[tuple[int, int]]]:
+    """Per text, character spans [start, end) of every token matching a
+    query term — the reference REST route's annotated-sentence return
+    (reference: webservice/rest.py:47-61 marks recognized entities in the
+    sentence) re-expressed as spans the caller renders however it likes.
+
+    Runs on a top-k result (k texts, not the corpus), so the per-text scan
+    is request-sized by construction.  Tokenization is the shared engine
+    rule: spans are found with the same [a-z0-9]+ scan on lower(text), so
+    a highlighted span always corresponds to an indexed term.
+    """
+    terms = set(query_terms(query_text))
+    if not terms:
+        return [[] for _ in texts]
+    out = []
+    for t in texts:
+        low = (t or "").lower()
+        out.append(
+            [m.span() for m in _TOKEN_RE.finditer(low) if m.group() in terms])
+    return out
+
+
 def fetch_docs(index_dir: str | Path, doc_ids, columns: list[str] | None = None) -> pd.DataFrame:
     """Fetch original rows for a (small) doc_id list from the docstore —
     the snippet-return half of serving (the reference's REST route returns

@@ -69,13 +69,17 @@ class QueryService:
             for r, (d, s) in enumerate(zip(g["doc_id"], g["score"]))
         ]
         if return_text and hits:
-            from horus_ner_ray.pipelines.query import fetch_docs
+            from horus_ner_ray.pipelines.query import fetch_docs, highlight_spans
 
             rows = fetch_docs(self.index_dir, [h["doc_id"] for h in hits],
                               columns=["doc_id", "text"])
             txt = dict(zip(rows["doc_id"], rows["text"]))
             for h in hits:
                 h["text"] = txt.get(h["doc_id"])
+            # annotated-sentence analogue: character spans of matched terms
+            spans = highlight_spans([h["text"] for h in hits], text)
+            for h, sp in zip(hits, spans):
+                h["match_spans"] = sp
         return hits
 
     def close(self) -> None:

@@ -118,3 +118,23 @@ def test_fetch_docs_column_pruned_without_doc_id(built_index):
     idx, _ = built_index
     df = fetch_docs(idx, [0, 1, 2], columns=["text"])
     assert list(df.columns) == ["text"] and len(df) == 3
+
+
+def test_http_highlight_spans(http_service, small_corpus):
+    """&text=1 hits carry character spans of the matched query terms, and
+    every span slices to a term of the query under the shared tokenizer."""
+    hits = _get(http_service, q="sessionmark alpha", k=3, text=1)["hits"]
+    assert hits
+    for h in hits:
+        assert isinstance(h["match_spans"], list) and h["match_spans"]
+        for s, e in h["match_spans"]:
+            assert h["text"][s:e].lower() in ("sessionmark", "alpha")
+
+
+def test_highlight_spans_unit():
+    from horus_ner_ray.pipelines.query import highlight_spans
+
+    spans = highlight_spans(["Alpha beta ALPHA! x", "", None], "alpha zzz")
+    assert spans[0] == [(0, 5), (11, 16)]
+    assert spans[1] == [] and spans[2] == []
+    assert highlight_spans(["anything"], "") == [[]]
