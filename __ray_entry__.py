@@ -374,6 +374,18 @@ def _q_price_quantiles(sf_dir: str):
     })
 
 
+def _q_tfidf(sf_dir: str):
+    """Sparse TF-IDF doc vectors (feature export): one shuffle, df computed
+    inside the term's own bucket group."""
+    from horus_ner_ray.stages.termstats import tfidf_vectors
+
+    out = tfidf_vectors(_read_docs(sf_dir), n_docs=_n_rows(_docs(sf_dir))).to_pandas()
+    out["tfidf_e6"] = _e6(out["tfidf"])
+    return (out[["doc_id", "term", "tf", "tfidf_e6"]]
+            .astype({"doc_id": np.int64, "tf": np.int64, "tfidf_e6": np.int64})
+            .reset_index(drop=True))
+
+
 def _q_line_dedup(sf_dir: str):
     """C4-style cross-document line dedup: corpus-wide duplicate lines
     removed, docs reassembled (fully-deduped docs drop)."""
@@ -909,6 +921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topk_per_cust": _q_orders_topk_per_cust,
         "repetition_stats": _q_repetition,
         "line_dedup": _q_line_dedup,
+        "tfidf_vectors": _q_tfidf,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -1285,6 +1298,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
                    CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
             FROM r
+        """,
+        "tfidf_vectors": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   CAST(FLOOR(tf.tf * ln(nn.n / dfq.df) * 1e6 + 0.5) AS BIGINT) AS tfidf_e6
+            FROM tf JOIN dfq USING (term), nn
         """,
         "line_dedup": """
             WITH lines AS (

@@ -90,3 +90,62 @@ def doc_lengths_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
     )
+
+
+def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
+                  id_col: str = "doc_id", n_buckets: int = 256):
+    """Sparse TF-IDF document vectors: (doc_id, term, tfidf) with
+    ``tfidf = tf * ln(N / df)`` — the feature-export face of the term
+    statistics family (SURVEY.md S6/G7: the reference exports per-token
+    feature matrices, horus_to_conll.py-style; here the features come
+    straight off the corpus in one pass + one shuffle).
+
+    ONE shuffle: per-batch (doc_id, term, tf) rows group by
+    ``hash(term) % n_buckets``; every (doc, term) row of a term co-locates
+    in its term's bucket, so df (distinct docs per term) is computed IN the
+    same group that needs it — no df side-table, no join.  ``n_docs`` is
+    the corpus row count (one cheap metadata/count pass at the caller).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, ids = _explode_pairs(batch, text_col, id_col)
+        pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
+        tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        # pd.util.hash_array is deterministic ACROSS processes — required:
+        # every worker must bucket the same term identically
+        h = pd.util.hash_array(
+            np.asarray(tf["term"], dtype=object), categorize=False)
+        return pa.table({
+            id_col: tf[id_col],
+            "term": tf["term"],
+            "tf": tf["count_all"].cast(pa.int64()),
+            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    n = float(n_docs)
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        # df per term inside the bucket: each (doc, term) appears once per
+        # batch-partial; collapse cross-batch duplicates first (a doc's
+        # tokens never split batches in this repo's readers, but stay
+        # correct under any batching)
+        g = (g.groupby(["term", id_col], sort=False)
+             .agg(tf=("tf", "sum")).reset_index())
+        df = g.groupby("term", sort=False)["term"].transform("size")
+        out = g.copy()
+        out["tfidf"] = out["tf"].to_numpy(np.float64) * np.log(
+            n / df.to_numpy(np.float64))
+        return out[[id_col, "term", "tf", "tfidf"]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: score(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )

@@ -621,3 +621,35 @@ def test_remove_duplicate_lines(ray_session):
     want["n_kept_lines"] = want["n_kept_lines"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
     assert 3 not in set(got["doc_id"])  # all-boilerplate doc vanished
+
+
+def test_tfidf_vectors_vs_python(ray_session):
+    """Sparse TF-IDF rows vs a Counter reference, layout-invariant."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import tfidf_vectors
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "apple cherry cherry date"},
+        {"doc_id": 3, "text": ""},
+    ]
+    got = (
+        tfidf_vectors(rd.from_items(rows), n_docs=len(rows), n_buckets=3)
+        .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+    tf = {(r["doc_id"], t): c for r in rows
+          for t, c in Counter(re.findall(r"[a-z0-9]+", r["text"].lower())).items()}
+    df = Counter(t for (_, t) in tf)
+    want = pd.DataFrame(
+        [{"doc_id": d, "term": t, "tf": c,
+          "tfidf": c * np.log(float(len(rows)) / df[t])}
+         for (d, t), c in tf.items()]
+    ).sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64, "tf": np.int64}), 
+        want.astype({"doc_id": np.int64, "tf": np.int64}))
