@@ -397,6 +397,24 @@ def _q_line_dedup(sf_dir: str):
     )
 
 
+def _q_value_quantiles_by_type(sf_dir: str):
+    """Per-group discrete quantiles of event value by event_type (the
+    wide-key complement of the streaming quantile_disc)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc_by_group
+
+    out = quantile_disc_by_group(
+        rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                        columns=["event_type", "value"]),
+        key="event_type", col="value", qs=[0.25, 0.5, 0.75], n_buckets=8,
+    ).to_pandas()
+    out["q_pct"] = (out["q"] * 100).astype(np.int64)
+    out["value_e6"] = _e6(out["value"]).astype(np.int64)
+    return (out[["event_type", "q_pct", "value_e6"]]
+            .sort_values(["event_type", "q_pct"]).reset_index(drop=True))
+
+
 def _q_repetition(sf_dir: str):
     """Gopher/C4-style repetition counters (training-data quality gate)."""
     from horus_ner_ray.stages.analysis import repetition_stats_dataset
@@ -922,6 +940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "line_dedup": _q_line_dedup,
         "tfidf_vectors": _q_tfidf,
+        "value_quantiles_by_type": _q_value_quantiles_by_type,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -1298,6 +1317,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
                    CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
             FROM r
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   unnest([25, 50, 75])::BIGINT AS q_pct,
+                   CAST(FLOOR(unnest(quantile_disc(value, [0.25, 0.5, 0.75])) * 1e6 + 0.5) AS BIGINT) AS value_e6
+            FROM events GROUP BY event_type
         """,
         "tfidf_vectors": f"""
             WITH toks AS (

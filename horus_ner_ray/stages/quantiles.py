@@ -171,3 +171,59 @@ def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
         out.append(float(np.partition(v, s["k"])[s["k"]]))
     return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
                          "value": pd.Series(out, dtype=np.float64)})
+
+
+def quantile_disc_by_group(ds, key: str, col: str, qs: list[float],
+                           n_buckets: int = 64) -> pd.DataFrame:
+    """Per-group discrete quantiles (same ceil(q*n)-1 rank rule as
+    ``quantile_disc``) for HIGH-CARDINALITY group keys: one coarse-bucket
+    shuffle co-locates each key's rows, then one sort + vectorized rank
+    pick per bucket — no per-key Python, no global sort.
+
+    Precondition: one KEY's rows fit in a bucket worker (keys partition
+    the data; buckets only pack whole keys together).  For a handful of
+    giant groups, run the streaming ``quantile_disc`` per group instead —
+    this operator is the wide-key complement.
+    """
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key])
+        h = pd.util.hash_array(
+            k if k.dtype != object else k.astype(object), categorize=False)
+        return pa.table({
+            key: batch[key],
+            col: batch[col],
+            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, col], kind="stable")
+        keys = g[key].to_numpy()
+        vals = g[col].to_numpy(np.float64)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(g)])
+        # rank rule per group x quantile, fully vectorized:
+        # idx = start + clip(ceil(q*n) - 1, 0, n-1)
+        ranks = np.ceil(qarr[None, :] * lens[:, None]).astype(np.int64) - 1
+        ranks = np.clip(ranks, 0, (lens - 1)[:, None])
+        pick = starts[:, None] + ranks
+        return pd.DataFrame({
+            key: np.repeat(keys[starts], len(qarr)),
+            "q": np.tile(qarr, len(starts)),
+            "value": vals[pick.ravel()],
+        })
+
+    parts = (
+        ds.select_columns([key, col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+    return parts

@@ -85,3 +85,28 @@ def test_quantiles_bin_edge_adversarial(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(3)
     got = quantile_disc(ds, "x", QS, n_bins=4, gather_limit=4, max_rounds=30)
     assert list(got["value"]) == _ref(vals, QS)
+
+
+def test_quantiles_by_group(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc_by_group
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({"g": rng.randint(0, 9, 3000),
+                       "x": rng.rand(3000).round(2)})  # duplicate-heavy
+    got = (
+        quantile_disc_by_group(rd.from_pandas(df).repartition(5), "g", "x",
+                               [0.25, 0.5, 0.75], n_buckets=4)
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT g, unnest([0.25, 0.5, 0.75]) AS q,
+               unnest(quantile_disc(x, [0.25, 0.5, 0.75])) AS value
+        FROM t GROUP BY g ORDER BY g, q
+    """).df()
+    assert list(got["g"]) == list(want["g"])
+    assert np.allclose(got["value"], want["value"], atol=0)
