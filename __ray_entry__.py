@@ -340,18 +340,23 @@ def _q_lineitem_orders_join(sf_dir: str):
     )
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        a = g.groupby(["l_returnflag", "o_orderstatus_r"], sort=True).agg(
-            n=("k", "size"), rev=("l_extendedprice", "sum")).reset_index()
-        return a
+        # per-row integer cents BEFORE summing: float sums are order-
+        # dependent (Ray's block partials vs SQL's sequential scan) and the
+        # discrepancy on a corpus-sized aggregate can cross any fixed
+        # rounding margin; integer sums are order-free and exact forever
+        g = g.assign(cents=np.floor(
+            g["l_extendedprice"].to_numpy(np.float64) * 100 + 0.5
+        ).astype(np.int64))
+        return g.groupby(["l_returnflag", "o_orderstatus_r"], sort=True).agg(
+            n=("k", "size"), rev_r2=("cents", "sum")).reset_index()
 
     # partial rollups per block -> tiny second-stage combine on the driver
     parts = j.map_batches(rollup, batch_format="pandas").to_pandas()
     out = parts.groupby(["l_returnflag", "o_orderstatus_r"], sort=True).agg(
-        n=("n", "sum"), rev=("rev", "sum")).reset_index()
+        n=("n", "sum"), rev_r2=("rev_r2", "sum")).reset_index()
     out = out.rename(columns={"o_orderstatus_r": "o_orderstatus"})
     out["n"] = out["n"].astype(np.int64)
-    # float sum order differs from SQL's -> publish at integer cents
-    out["rev_r2"] = np.floor(out["rev"] * 100 + 0.5).astype(np.int64)
+    out["rev_r2"] = out["rev_r2"].astype(np.int64)
     return out[["l_returnflag", "o_orderstatus", "n", "rev_r2"]]
 
 
@@ -1299,7 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_orders_join": """
             SELECT l_returnflag, o_orderstatus, count(*)::BIGINT AS n,
-                   CAST(FLOOR(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS rev_r2
+                   sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS rev_r2
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY 1, 2
         """,

@@ -718,18 +718,24 @@ def highlight_spans(texts, query_text: str) -> list[list[tuple[int, int]]]:
     sentence) re-expressed as spans the caller renders however it likes.
 
     Runs on a top-k result (k texts, not the corpus), so the per-text scan
-    is request-sized by construction.  Tokenization is the shared engine
-    rule: spans are found with the same [a-z0-9]+ scan on lower(text), so
-    a highlighted span always corresponds to an indexed term.
+    is request-sized by construction.  Spans are computed on the ORIGINAL
+    text (case-insensitive token scan), never on ``lower(text)`` — Unicode
+    lowercasing can change string length (e.g. U+0130 'İ' -> two chars),
+    which would shift every span after it; matching in original
+    coordinates keeps ``text[s:e]`` always the highlighted token.  A token
+    whose lowercase differs in length from itself can't be ASCII
+    ``[a-z0-9]+`` anyway, so this matches engine tokenization wherever a
+    highlight is possible at all.
     """
     terms = set(query_terms(query_text))
     if not terms:
         return [[] for _ in texts]
+    rx = re.compile("[a-zA-Z0-9]+")
     out = []
     for t in texts:
-        low = (t or "").lower()
+        s = t or ""
         out.append(
-            [m.span() for m in _TOKEN_RE.finditer(low) if m.group() in terms])
+            [m.span() for m in rx.finditer(s) if m.group().lower() in terms])
     return out
 
 

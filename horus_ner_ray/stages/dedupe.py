@@ -862,7 +862,8 @@ def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
 
     def explode(batch: pa.Table) -> pa.Table:
         lines = pc.split_pattern(pc.cast(batch[text_col], pa.string()), "\n")
-        flat = np.asarray(pc.list_flatten(lines), dtype=object)
+        flat_a = pc.list_flatten(lines)  # stays Arrow for the line column
+        flat = np.asarray(flat_a, dtype=object)  # object view for hashing
         lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
         ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
         starts = np.zeros(len(lens) + 1, dtype=np.int64)
@@ -872,14 +873,17 @@ def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
         return pa.table({
             id_col: pa.array(ids, pa.int64()),
             "line_idx": pa.array(idxs, pa.int64()),
-            "line": pa.array(flat, pa.string()),
+            "line": flat_a,
             "lbkt": pa.array(((h * _MIX) % np.uint64(nbk)).astype(np.int64), pa.int64()),
-            "lh": pa.array(h.astype(np.int64), pa.int64()),
         })
 
     def count_and_filter(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g.groupby("lh", sort=False)["lh"].transform("size")
-        out = g[cnt < min_count].drop(columns=["lbkt", "lh"]).copy()
+        # bucket routing is by hash, but the COUNT is over the exact line
+        # string (co-located anyway): a 64-bit collision inside a bucket
+        # can't merge two distinct lines' counts — same exactness move as
+        # exact_dedup_keep_min
+        cnt = g.groupby("line", sort=False)["line"].transform("size")
+        out = g[cnt < min_count].drop(columns=["lbkt"]).copy()
         if len(out) == 0:
             return pd.DataFrame({
                 id_col: pd.Series([], dtype=np.int64),

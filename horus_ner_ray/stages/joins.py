@@ -11,10 +11,11 @@ features.py:283,417 posting FK fetch).  Distributed, the same shapes become:
   matrix all use this pattern already).
 * **semi/anti join** — the same broadcast with a membership mask.
 
-Both-sides-large joins: bucket both sides by ``hash(key) %% B`` and join
+Both-sides-large joins bucket both sides by ``hash(key) % B`` and join
 matching buckets pairwise (the pattern minhash/simhash dedup uses for its
-pair generation); not needed for the testdata star schema where every
-dimension is broadcastable.
+pair generation): ``hash_join_dataset`` (general inner equi-join, m:n
+keys), ``asof_join_dataset`` / ``interval_join_dataset`` (temporal), and
+``bloom_semi_join`` (membership against a non-broadcastable key set).
 """
 
 from __future__ import annotations
@@ -113,6 +114,12 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
     """
     on_r = on + suffix
     r_suff = [c + suffix for c in right_cols]
+    clash = ({by, on, *left_cols} & {on_r, *r_suff}) | ({by, on} & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"asof join output column collision {sorted(clash)}: suffixed "
+            "right columns must not overlap by/on/left columns — pick a "
+            "different suffix")
     l_schema = left_ds.schema()
     r_schema = right_ds.schema()
 
@@ -131,7 +138,7 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
                 col = batch[orig]
                 if pa.types.is_integer(col.type) and n:
                     v = np.asarray(col, dtype=np.int64)
-                    if np.abs(v).max() >= 2**53:
+                    if v.min() < -(2**53) or v.max() >= 2**53:
                         raise ValueError(
                             f"asof join payload '{orig}' exceeds 2^53; "
                             "not exactly representable through the union")
@@ -205,6 +212,12 @@ def hash_join_dataset(left_ds, right_ds, key: str,
     Output columns: ``[key, *left_cols, *right_cols+suffix]``.
     """
     r_suff = [c + suffix for c in right_cols]
+    clash = ({key, *left_cols} & set(r_suff)) | ({key} & set(left_cols))
+    if clash:
+        raise ValueError(
+            f"hash join output column collision {sorted(clash)}: suffixed "
+            f"right columns (suffix={suffix!r}) must not overlap the key "
+            "or left columns — pick a different suffix")
     l_schema, r_schema = left_ds.schema(), right_ds.schema()
 
     def _tag(side: int, cols_here, other, other_schema, other_orig):
@@ -220,7 +233,7 @@ def hash_join_dataset(left_ds, right_ds, key: str,
                 col = batch[orig]
                 if pa.types.is_integer(col.type) and n:
                     v = np.asarray(col, dtype=np.int64)
-                    if np.abs(v).max() >= 2**53:
+                    if v.min() < -(2**53) or v.max() >= 2**53:
                         raise ValueError(
                             f"hash join payload '{orig}' exceeds 2^53; not "
                             "exactly representable through the union")
@@ -456,7 +469,7 @@ def bloom_semi_join(big_ds, keys_ds, big_key: str, small_key: str,
         for c in int_like:  # same union caveat as asof_join_dataset
             if len(batch):
                 v = np.asarray(batch[c], dtype=np.int64)
-                if len(v) and np.abs(v).max() >= 2**53:
+                if len(v) and (v.min() < -(2**53) or v.max() >= 2**53):
                     raise ValueError(
                         f"bloom_semi_join payload '{c}' exceeds 2^53; not "
                         "exactly representable through the verify union")

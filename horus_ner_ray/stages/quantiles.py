@@ -174,7 +174,7 @@ def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
 
 
 def quantile_disc_by_group(ds, key: str, col: str, qs: list[float],
-                           n_buckets: int = 64) -> pd.DataFrame:
+                           n_buckets: int = 64):
     """Per-group discrete quantiles (same ceil(q*n)-1 rank rule as
     ``quantile_disc``) for HIGH-CARDINALITY group keys: one coarse-bucket
     shuffle co-locates each key's rows, then one sort + vectorized rank
@@ -183,14 +183,13 @@ def quantile_disc_by_group(ds, key: str, col: str, qs: list[float],
     Precondition: one KEY's rows fit in a bucket worker (keys partition
     the data; buckets only pack whole keys together).  For a handful of
     giant groups, run the streaming ``quantile_disc`` per group instead —
-    this operator is the wide-key complement.
+    this operator is the wide-key complement.  Returns a Ray Dataset of
+    (key, q, value) rows.
     """
     qarr = np.asarray(qs, dtype=np.float64)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch[key])
-        h = pd.util.hash_array(
-            k if k.dtype != object else k.astype(object), categorize=False)
+        h = pd.util.hash_array(np.asarray(batch[key]), categorize=False)
         return pa.table({
             key: batch[key],
             col: batch[col],

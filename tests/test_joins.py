@@ -310,3 +310,18 @@ def test_hash_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got[["k", "lv", "rv_r"]], want[["k", "lv", "rv_r"]])
     # many-to-many sanity: some key must appear multiple times on each side
     assert (left["k"].value_counts().max() > 1) and (right["k"].value_counts().max() > 1)
+
+
+def test_join_column_collision_raises(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import asof_join_dataset, hash_join_dataset
+
+    l = pd.DataFrame({"k": [1], "ts": [1], "v_r": [2]})
+    r = pd.DataFrame({"k": [1], "ts": [1], "v": [3]})
+    with pytest.raises(ValueError, match="collision"):
+        hash_join_dataset(rd.from_pandas(l), rd.from_pandas(r), key="k",
+                          left_cols=["v_r"], right_cols=["v"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join_dataset(rd.from_pandas(l), rd.from_pandas(r), by="k",
+                          on="ts", left_cols=["v_r"], right_cols=["v"])

@@ -138,3 +138,15 @@ def test_highlight_spans_unit():
     assert spans[0] == [(0, 5), (11, 16)]
     assert spans[1] == [] and spans[2] == []
     assert highlight_spans(["anything"], "") == [[]]
+
+
+def test_highlight_spans_unicode_safe():
+    """Spans index the ORIGINAL text: a length-changing Unicode lowercase
+    mapping before the match must not shift them."""
+    from horus_ner_ray.pipelines.query import highlight_spans
+
+    t = "İstanbul alpha beta"  # 'İ'.lower() is TWO characters
+    (spans,) = highlight_spans([t], "alpha")
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert t[s:e] == "alpha"
