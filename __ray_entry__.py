@@ -391,6 +391,18 @@ def _q_tfidf(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_unigram_lp(sf_dir: str):
+    """CCNet-style quality score: per-doc mean unigram log-prob under the
+    corpus's own MLE unigram model."""
+    from horus_ner_ray.stages.termstats import unigram_logprob_vectors
+
+    out = unigram_logprob_vectors(_read_docs(sf_dir)).to_pandas()
+    out["mean_lp_e6"] = _e6(out["mean_lp"])
+    return (out[["doc_id", "dl", "mean_lp_e6"]]
+            .astype(np.int64)
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_line_dedup(sf_dir: str):
     """C4-style cross-document line dedup: corpus-wide duplicate lines
     removed, docs reassembled (fully-deduped docs drop)."""
@@ -945,6 +957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition,
         "line_dedup": _q_line_dedup,
         "tfidf_vectors": _q_tfidf,
+        "unigram_logprob": _q_unigram_lp,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
@@ -1322,6 +1335,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
                    CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
             FROM r
+        """,
+        "unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+            cfq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+            tot AS (SELECT sum(cf)::DOUBLE AS total FROM cfq)
+            SELECT tf.doc_id, sum(tf.tf)::BIGINT AS dl,
+                   CAST(FLOOR((sum(tf.tf * ln(cfq.cf))
+                               - sum(tf.tf) * ln((SELECT total FROM tot)))
+                              / sum(tf.tf) * 1e6 + 0.5) AS BIGINT) AS mean_lp_e6
+            FROM tf JOIN cfq USING (term)
+            GROUP BY tf.doc_id
         """,
         "value_quantiles_by_type": """
             SELECT event_type,

@@ -149,3 +149,102 @@ def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
         .map_groups(lambda g: score(g.drop(columns=["bkt"])),
                     batch_format="pandas", runtime_env=_rte())
     )
+
+
+def unigram_logprob_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
+                            n_buckets: int = 256):
+    """CCNet-style language-model quality score: per-document mean unigram
+    log-probability under the corpus's own MLE unigram model,
+    ``mean_lp = (1/dl) * sum_t tf_t * ln(cf_t / total_tokens)`` — fluent/
+    typical documents score high, gibberish and out-of-distribution noise
+    score low (the classic perplexity filter with the model = the corpus).
+
+    Same one-shuffle shape as ``tfidf_vectors``: (doc, term, tf) partials
+    bucket by term hash; the corpus frequency cf of a term is the sum of
+    its tf inside its OWN bucket group, so scoring needs no cf side-table.
+    Per-doc reduction is a second small shuffle over (doc, partial-sum)
+    rows pre-combined per bucket.  ``total_tokens`` comes from one count
+    pass at the caller (collection stats).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401  (used via _explode_pairs)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        flat, ids = _explode_pairs(batch, text_col, id_col)
+        pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
+        tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        h = pd.util.hash_array(
+            np.asarray(tf["term"], dtype=object), categorize=False)
+        return pa.table({
+            id_col: tf[id_col],
+            "term": tf["term"],
+            "tf": tf["count_all"].cast(pa.int64()),
+            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    def term_scores(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["term", id_col], sort=False)
+             .agg(tf=("tf", "sum")).reset_index())
+        cf = g.groupby("term", sort=False)["tf"].transform("sum")
+        out = pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            "lp_num": g["tf"].to_numpy(np.float64)
+            * np.log(cf.to_numpy(np.float64)),
+            "tf": g["tf"].to_numpy(np.int64),
+        })
+        # pre-combine per doc within the bucket: the second shuffle moves
+        # one row per (bucket, doc), not one per (doc, term)
+        return (out.groupby(id_col, sort=False)
+                .agg(lp_num=("lp_num", "sum"), dl=("tf", "sum"))
+                .reset_index())
+
+    def finish(g: pd.DataFrame, total_tokens: float) -> pd.DataFrame:
+        a = (g.groupby(id_col, sort=True)
+             .agg(lp_num=("lp_num", "sum"), dl=("dl", "sum")).reset_index())
+        dl = a["dl"].to_numpy(np.float64)
+        # sum tf*ln(cf) - dl*ln(total) == sum tf*ln(cf/total), but with
+        # ln(total) factored out once per doc (fewer float ops, and the
+        # SQL oracle uses the same factored expression)
+        mean_lp = (a["lp_num"].to_numpy(np.float64)
+                   - dl * np.log(total_tokens)) / dl
+        return pd.DataFrame({
+            id_col: a[id_col].to_numpy(np.int64),
+            "dl": a["dl"].to_numpy(np.int64),
+            "mean_lp": mean_lp,
+        })
+
+    def _count(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(token_counts(batch[text_col]).sum())], pa.int64())})
+
+    total = float(
+        ds.select_columns([text_col])
+        .map_batches(_count, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .to_pandas()["n"].sum())
+
+    per_bucket = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: term_scores(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+    def bucket_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        ids = batch[id_col].to_numpy(np.int64).astype(np.uint64)
+        batch["dbkt"] = ((ids * np.uint64(0x9E3779B97F4A7C15))
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    return (
+        per_bucket.map_batches(bucket_doc, batch_format="pandas",
+                               runtime_env=_rte())
+        .groupby("dbkt")
+        .map_groups(lambda g: finish(g.drop(columns=["dbkt"]), total),
+                    batch_format="pandas", runtime_env=_rte())
+    )

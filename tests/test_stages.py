@@ -653,3 +653,38 @@ def test_tfidf_vectors_vs_python(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"doc_id": np.int64, "tf": np.int64}), 
         want.astype({"doc_id": np.int64, "tf": np.int64}))
+
+
+def test_unigram_logprob_vs_python(ray_session):
+    """Mean unigram log-prob vs a Counter reference; gibberish scores
+    below typical text."""
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import unigram_logprob_vectors
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the dog sat on the mat"},
+        {"doc_id": 2, "text": "the cat and the dog"},
+        {"doc_id": 3, "text": "zxqj vvkw pplx"},  # gibberish: rare terms
+    ]
+    got = (
+        unigram_logprob_vectors(rd.from_items(rows), n_buckets=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    toks = {r["doc_id"]: re.findall(r"[a-z0-9]+", r["text"].lower()) for r in rows}
+    cf = Counter(t for ts in toks.values() for t in ts)
+    total = float(sum(cf.values()))
+    import numpy as _np
+    for _, row in got.iterrows():
+        ts = toks[row["doc_id"]]
+        tfc = Counter(ts)
+        want = (sum(c * _np.log(cf[t]) for t, c in sorted(tfc.items()))
+                - len(ts) * _np.log(total)) / len(ts)
+        assert abs(row["mean_lp"] - want) < 1e-9, row["doc_id"]
+        assert row["dl"] == len(ts)
+    by_id = got.set_index("doc_id")["mean_lp"]
+    assert by_id[3] < by_id[0]  # gibberish scores lower
