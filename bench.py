@@ -229,6 +229,41 @@ def run_bench() -> dict:
         ).count()
         timings["bloom_semi_join"] = round(time.time() - t0, 3)
 
+        from horus_ner_ray.stages.dedupe import remove_duplicate_lines
+        from horus_ner_ray.stages.joins import hash_join_dataset
+        from horus_ner_ray.stages.termstats import (
+            tfidf_vectors,
+            unigram_logprob_vectors,
+        )
+
+        t0 = time.time()
+        remove_duplicate_lines(docs, n_buckets=256).count()
+        timings["line_dedup"] = round(time.time() - t0, 3)
+
+        n_docs_total = docs.count()
+        t0 = time.time()
+        tfidf_vectors(docs, n_docs=n_docs_total, n_buckets=256).count()
+        timings["tfidf"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        unigram_logprob_vectors(docs, n_buckets=256).count()
+        timings["unigram_lp"] = round(time.time() - t0, 3)
+
+        li2 = rd.read_parquet(str(Path(SF_DIR) / "lineitem.parquet"),
+                              columns=["l_orderkey", "l_extendedprice"]
+                              ).map_batches(
+            lambda b: b.rename_columns(["k", "l_extendedprice"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        or2 = rd.read_parquet(str(Path(SF_DIR) / "orders.parquet"),
+                              columns=["o_orderkey", "o_orderstatus"]
+                              ).map_batches(
+            lambda b: b.rename_columns(["k", "o_orderstatus"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        t0 = time.time()
+        hash_join_dataset(li2, or2, key="k", left_cols=["l_extendedprice"],
+                          right_cols=["o_orderstatus"], n_buckets=256).count()
+        timings["hash_join"] = round(time.time() - t0, 3)
+
     shutil.rmtree(idx, ignore_errors=True)
     ray.shutdown()
     return {
