@@ -391,6 +391,13 @@ def _q_tfidf(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_chunks(sf_dir: str):
+    """Context-window chunking: docs split into <=32-token chunks."""
+    from horus_ner_ray.stages.analysis import chunk_documents_dataset
+
+    return chunk_documents_dataset(_read_docs(sf_dir), max_tokens=32)
+
+
 def _q_unigram_lp(sf_dir: str):
     """CCNet-style quality score: per-doc mean unigram log-prob under the
     corpus's own MLE unigram model."""
@@ -958,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "tfidf_vectors": _q_tfidf,
         "unigram_logprob": _q_unigram_lp,
+        "doc_chunks": _q_chunks,
         "value_quantiles_by_type": _q_value_quantiles_by_type,
         "price_quantiles": _q_price_quantiles,
         "lineitem_semi_bloom": _q_lineitem_semi_bloom,
@@ -1335,6 +1343,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([25, 50, 75])::BIGINT AS q_pct,
                    CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
             FROM r
+        """,
+        "doc_chunks": f"""
+            WITH toks AS (
+              SELECT doc_id, {_sql_tok()} AS arr FROM documents
+            )
+            SELECT doc_id, i AS chunk_idx,
+                   array_to_string(arr[i * 32 + 1 : least(len(arr), (i + 1) * 32)], ' ') AS chunk_text,
+                   (least(len(arr), (i + 1) * 32) - i * 32)::BIGINT AS n_tokens
+            FROM (SELECT doc_id, arr,
+                         unnest(generate_series(0, (len(arr) - 1) // 32)) AS i
+                  FROM toks WHERE len(arr) >= 1)
         """,
         "unigram_logprob": f"""
             WITH toks AS (

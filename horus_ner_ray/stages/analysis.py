@@ -280,3 +280,55 @@ def fingerprint_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
         zero_copy_batch=True, runtime_env=_rte(),
     )
+
+
+def chunk_documents_batch(batch: pa.Table, max_tokens: int,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Context-window chunking: split each document's token stream into
+    consecutive chunks of at most ``max_tokens`` tokens — the preprocessing
+    step embedding/training pipelines run so every unit fits a model
+    window.  Chunk text is the token stream rejoined with single spaces
+    (tokens ARE the content under this engine's shared rule; original
+    inter-token whitespace is not preserved).
+
+    Per-row pure function -> embarrassingly parallel flat-map; the token
+    explode and chunk assignment are vectorized over the whole batch
+    (chunk id = token_position // max_tokens), only the final per-chunk
+    string join is a C-level pandas groupby-agg.  Docs with zero tokens
+    emit no chunks.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    toks = tokenize_column(batch[text_col])
+    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    cols = ("chunk_idx", "n_tokens")
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string()),
+                         "n_tokens": pa.array([], pa.int64())})
+    ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts[:-1], lens)
+    chunk = pos // max_tokens
+    df = pd.DataFrame({id_col: ids, "chunk_idx": chunk, "tok": flat})
+    g = (df.groupby([id_col, "chunk_idx"], sort=True)
+         .agg(chunk_text=("tok", " ".join), n_tokens=("tok", "size"))
+         .reset_index())
+    return pa.table({
+        id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+        "chunk_idx": pa.array(g["chunk_idx"].to_numpy(np.int64), pa.int64()),
+        "chunk_text": pa.array(g["chunk_text"].to_numpy(object), pa.string()),
+        "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64), pa.int64()),
+    })
+
+
+def chunk_documents_dataset(ds, max_tokens: int = 256, text_col: str = "text",
+                            id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: chunk_documents_batch(b, max_tokens, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte(),
+    )

@@ -688,3 +688,35 @@ def test_unigram_logprob_vs_python(ray_session):
         assert row["dl"] == len(ts)
     by_id = got.set_index("doc_id")["mean_lp"]
     assert by_id[3] < by_id[0]  # gibberish scores lower
+
+
+def test_chunk_documents(ray_session):
+    """Fixed-token-window chunking vs a Python reference: boundaries at
+    exactly max_tokens, remainder chunks, empty docs dropped."""
+    import re
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analysis import chunk_documents_dataset
+
+    rows = [
+        {"doc_id": 0, "text": "a b c d e f g"},    # 7 toks -> 3+3+1 at w=3
+        {"doc_id": 1, "text": "x y z"},            # exactly one window
+        {"doc_id": 2, "text": ""},                 # no chunks
+        {"doc_id": 3, "text": "One, TWO! three"},  # punctuation/casefold
+    ]
+    got = (
+        chunk_documents_dataset(rd.from_items(rows), max_tokens=3)
+        .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    )
+    want_rows = []
+    for r in rows:
+        t = re.findall(r"[a-z0-9]+", r["text"].lower())
+        for ci in range(0, len(t), 3):
+            w = t[ci:ci + 3]
+            want_rows.append({"doc_id": r["doc_id"], "chunk_idx": ci // 3,
+                              "chunk_text": " ".join(w), "n_tokens": len(w)})
+    want = pd.DataFrame(want_rows).astype(
+        {"doc_id": np.int64, "chunk_idx": np.int64, "n_tokens": np.int64})
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["n_tokens"] <= 3).all()
