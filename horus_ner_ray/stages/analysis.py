@@ -292,37 +292,39 @@ def chunk_documents_batch(batch: pa.Table, max_tokens: int,
     (tokens ARE the content under this engine's shared rule; original
     inter-token whitespace is not preserved).
 
-    Per-row pure function -> embarrassingly parallel flat-map; the token
-    explode and chunk assignment are vectorized over the whole batch
-    (chunk id = token_position // max_tokens), only the final per-chunk
-    string join is a C-level pandas groupby-agg.  Docs with zero tokens
-    emit no chunks.
+    Per-row pure function -> embarrassingly parallel flat-map; fully
+    vectorized: chunk boundaries are the token positions where
+    ``pos %% max_tokens == 0``, the chunk texts come from ONE
+    ``pc.binary_join`` over a rebuilt Arrow ListArray sliced at those
+    boundaries — no pandas, no per-chunk Python call.  Docs with zero
+    tokens emit no chunks.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     toks = tokenize_column(batch[text_col])
-    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):  # ListArray.from_arrays needs flat
+        flat = flat.combine_chunks()
     lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
-    cols = ("chunk_idx", "n_tokens")
     if len(flat) == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "chunk_idx": pa.array([], pa.int64()),
                          "chunk_text": pa.array([], pa.string()),
                          "n_tokens": pa.array([], pa.int64())})
-    ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
+    doc_of_tok = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     starts = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts[:-1], lens)
-    chunk = pos // max_tokens
-    df = pd.DataFrame({id_col: ids, "chunk_idx": chunk, "tok": flat})
-    g = (df.groupby([id_col, "chunk_idx"], sort=True)
-         .agg(chunk_text=("tok", " ".join), n_tokens=("tok", "size"))
-         .reset_index())
+    cstarts = np.flatnonzero(pos % max_tokens == 0)
+    offsets = np.r_[cstarts, len(flat)]
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), flat)
+    ids = np.asarray(batch[id_col], dtype=np.int64)
     return pa.table({
-        id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
-        "chunk_idx": pa.array(g["chunk_idx"].to_numpy(np.int64), pa.int64()),
-        "chunk_text": pa.array(g["chunk_text"].to_numpy(object), pa.string()),
-        "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64), pa.int64()),
+        id_col: pa.array(ids[doc_of_tok[cstarts]], pa.int64()),
+        "chunk_idx": pa.array(pos[cstarts] // max_tokens, pa.int64()),
+        "chunk_text": pc.binary_join(chunk_lists, " "),
+        "n_tokens": pa.array(np.diff(offsets), pa.int64()),
     })
 
 

@@ -92,6 +92,31 @@ def doc_lengths_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _tf_bucket_rows(text_col: str, id_col: str, n_buckets: int):
+    """map_batches fn: batch -> (doc_id, term, tf, bkt) partials bucketed
+    by term hash — the shared front end of tfidf/unigram-LP scoring.
+    ``pd.util.hash_array`` is deterministic ACROSS processes — required:
+    every worker must bucket the same term identically."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        flat, ids = _explode_pairs(batch, text_col, id_col)
+        pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
+        tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        h = pd.util.hash_array(
+            np.asarray(tf["term"], dtype=object), categorize=False)
+        return pa.table({
+            id_col: tf[id_col],
+            "term": tf["term"],
+            "tf": tf["count_all"].cast(pa.int64()),
+            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()),
+        })
+
+    return fn
+
+
 def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
                   id_col: str = "doc_id", n_buckets: int = 256):
     """Sparse TF-IDF document vectors: (doc_id, term, tfidf) with
@@ -107,25 +132,8 @@ def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
     the corpus row count (one cheap metadata/count pass at the caller).
     """
     import pandas as pd
-    import pyarrow.compute as pc
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        flat, ids = _explode_pairs(batch, text_col, id_col)
-        pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
-        tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
-            [([], "count_all")])
-        # pd.util.hash_array is deterministic ACROSS processes — required:
-        # every worker must bucket the same term identically
-        h = pd.util.hash_array(
-            np.asarray(tf["term"], dtype=object), categorize=False)
-        return pa.table({
-            id_col: tf[id_col],
-            "term": tf["term"],
-            "tf": tf["count_all"].cast(pa.int64()),
-            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
-                            pa.int64()),
-        })
-
+    tf_rows = _tf_bucket_rows(text_col, id_col, n_buckets)
     n = float(n_docs)
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
@@ -151,7 +159,8 @@ def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
     )
 
 
-def unigram_logprob_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
+def unigram_logprob_vectors(ds, total_tokens: float | None = None,
+                            text_col: str = "text", id_col: str = "doc_id",
                             n_buckets: int = 256):
     """CCNet-style language-model quality score: per-document mean unigram
     log-probability under the corpus's own MLE unigram model,
@@ -163,26 +172,15 @@ def unigram_logprob_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
     bucket by term hash; the corpus frequency cf of a term is the sum of
     its tf inside its OWN bucket group, so scoring needs no cf side-table.
     Per-doc reduction is a second small shuffle over (doc, partial-sum)
-    rows pre-combined per bucket.  ``total_tokens`` comes from one count
-    pass at the caller (collection stats).
+    rows pre-combined per bucket.  The constant ``ln(total_tokens)`` is
+    applied in the final map (``sum tf*ln(cf) - dl*ln(total) ==
+    sum tf*ln(cf/total)``); pass ``total_tokens`` from collection stats
+    (the caller usually has it, like ``tfidf_vectors``'s ``n_docs``) —
+    left None, one extra column-pruned count pass computes it here.
     """
     import pandas as pd
-    import pyarrow.compute as pc  # noqa: F401  (used via _explode_pairs)
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        flat, ids = _explode_pairs(batch, text_col, id_col)
-        pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
-        tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
-            [([], "count_all")])
-        h = pd.util.hash_array(
-            np.asarray(tf["term"], dtype=object), categorize=False)
-        return pa.table({
-            id_col: tf[id_col],
-            "term": tf["term"],
-            "tf": tf["count_all"].cast(pa.int64()),
-            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
-                            pa.int64()),
-        })
+    tf_rows = _tf_bucket_rows(text_col, id_col, n_buckets)
 
     def term_scores(g: pd.DataFrame) -> pd.DataFrame:
         g = (g.groupby(["term", id_col], sort=False)
@@ -200,30 +198,14 @@ def unigram_logprob_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
                 .agg(lp_num=("lp_num", "sum"), dl=("tf", "sum"))
                 .reset_index())
 
-    def finish(g: pd.DataFrame, total_tokens: float) -> pd.DataFrame:
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
         a = (g.groupby(id_col, sort=True)
              .agg(lp_num=("lp_num", "sum"), dl=("dl", "sum")).reset_index())
-        dl = a["dl"].to_numpy(np.float64)
-        # sum tf*ln(cf) - dl*ln(total) == sum tf*ln(cf/total), but with
-        # ln(total) factored out once per doc (fewer float ops, and the
-        # SQL oracle uses the same factored expression)
-        mean_lp = (a["lp_num"].to_numpy(np.float64)
-                   - dl * np.log(total_tokens)) / dl
         return pd.DataFrame({
             id_col: a[id_col].to_numpy(np.int64),
             "dl": a["dl"].to_numpy(np.int64),
-            "mean_lp": mean_lp,
+            "lp_num": a["lp_num"].to_numpy(np.float64),
         })
-
-    def _count(batch: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array(
-            [int(token_counts(batch[text_col]).sum())], pa.int64())})
-
-    total = float(
-        ds.select_columns([text_col])
-        .map_batches(_count, batch_format="pyarrow", zero_copy_batch=True,
-                     runtime_env=_rte())
-        .to_pandas()["n"].sum())
 
     per_bucket = (
         ds.select_columns([id_col, text_col])
@@ -241,10 +223,32 @@ def unigram_logprob_vectors(ds, text_col: str = "text", id_col: str = "doc_id",
                          % np.uint64(n_buckets)).astype(np.int64)
         return batch
 
-    return (
+    reduced = (
         per_bucket.map_batches(bucket_doc, batch_format="pandas",
                                runtime_env=_rte())
         .groupby("dbkt")
-        .map_groups(lambda g: finish(g.drop(columns=["dbkt"]), total),
+        .map_groups(lambda g: finish(g.drop(columns=["dbkt"])),
                     batch_format="pandas", runtime_env=_rte())
     )
+    if total_tokens is None:
+        def _count(batch: pa.Table) -> pa.Table:
+            return pa.table({"n": pa.array(
+                [int(token_counts(batch[text_col]).sum())], pa.int64())})
+
+        total_tokens = float(
+            ds.select_columns([text_col])
+            .map_batches(_count, batch_format="pyarrow", zero_copy_batch=True,
+                         runtime_env=_rte())
+            .to_pandas()["n"].sum())
+    ln_total = float(np.log(total_tokens)) if total_tokens > 0 else 0.0
+
+    def apply_total(b: pd.DataFrame) -> pd.DataFrame:
+        dl = b["dl"].to_numpy(np.float64)
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(np.int64),
+            "dl": b["dl"].to_numpy(np.int64),
+            "mean_lp": (b["lp_num"].to_numpy(np.float64) - dl * ln_total) / dl,
+        })
+
+    return reduced.map_batches(apply_total, batch_format="pandas",
+                               runtime_env=_rte())

@@ -28,7 +28,6 @@ def test_fuzz_asof_join(ray_session, seed):
     right = right.drop_duplicates(["k", "ts"], keep="last")
     got = (
         asof_join_dataset(rd.from_pandas(left).repartition(3),
-                          rd.from_pandas(right) if len(right) else
                           rd.from_pandas(right),
                           by="k", on="ts", left_cols=["lid"],
                           right_cols=["rid"],
