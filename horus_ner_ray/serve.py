@@ -39,26 +39,48 @@ class QueryService:
         self.index_dir = index_dir
         n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
         n_actors = max(1, min(n_actors, n_shards))
-        subsets = [list(range(i, n_shards, n_actors)) for i in range(n_actors)]
+        self._subsets = [list(range(i, n_shards, n_actors))
+                         for i in range(n_actors)]
         env = worker_runtime_env()
         cls = ray.remote(num_cpus=1)(ScorerActor)
         if env:
             cls = cls.options(runtime_env=env)
+        self._cls = cls
         self.mode = mode
-        self.actors = [cls.remote(index_dir, mode, sub) for sub in subsets]
+        self.actors = [self._spawn(i) for i in range(n_actors)]
         ray.get([a.warm.remote() for a in self.actors])
+
+    def _spawn(self, i: int):
+        return self._cls.remote(self.index_dir, self.mode, self._subsets[i])
+
+    def _scatter(self, q: pd.DataFrame) -> list[pd.DataFrame]:
+        """Scatter to every actor; a DEAD actor (node loss, OOM kill) is
+        respawned on its shard subset and its partial retried once — the
+        long-lived service survives worker churn instead of surfacing a
+        RayActorError to the client.  Each actor's shard set is fixed, so
+        the respawned actor computes the identical partial (mmaps reopen
+        lazily; results stay bitwise-equal)."""
+        import ray
+
+        refs = [a.__call__.remote(q) for a in self.actors]
+        parts: list[pd.DataFrame] = []
+        for i, ref in enumerate(refs):
+            try:
+                parts.append(ray.get(ref))
+            except ray.exceptions.RayActorError:
+                self.actors[i] = self._spawn(i)
+                parts.append(ray.get(self.actors[i].__call__.remote(q)))
+        return parts
 
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61)."""
-        import ray
-
         q = pd.DataFrame(
             [{"query_id": 0, "text": text, "k": int(k), "mode": mode or self.mode}]
         )
-        parts = ray.get([a.__call__.remote(q) for a in self.actors])
+        parts = self._scatter(q)
         cand = pd.concat(parts, ignore_index=True)
         if len(cand) == 0:
             return []

@@ -150,3 +150,26 @@ def test_highlight_spans_unicode_safe():
     assert len(spans) == 1
     s, e = spans[0]
     assert t[s:e] == "alpha"
+
+
+def test_service_survives_actor_death(built_index, ray_session, small_corpus):
+    """Killing a scorer actor mid-service must not error the next query:
+    the service respawns the dead actor on its shard subset and results
+    stay identical to the brute-force oracle."""
+    import ray
+
+    from horus_ner_ray.serve import QueryService
+
+    idx, _ = built_index
+    svc = QueryService(idx, n_actors=2)
+    try:
+        before = svc.search("sessionmark alpha", k=5)
+        ray.kill(svc.actors[0])  # simulate node/worker loss
+        after = svc.search("sessionmark alpha", k=5)
+        assert after == before
+        bf = BruteForceBM25.from_corpus_files(small_corpus)
+        want = bf.search("sessionmark alpha", k=5)
+        assert [(h["doc_id"], h["score"]) for h in after] == [
+            (d, s) for d, s in want]
+    finally:
+        svc.close()
