@@ -230,8 +230,10 @@ def _q_events_tumbling(sf_dir: str):
 
     ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
                          columns=["user_id", "ts", "value"])
-    out = tumbling_window_dataset(ds, window_s=3600).to_pandas()
-    out["sum_value_e6"] = _e6(out["sum_value"])
+    # val_scale: per-row e6 ints summed exactly — order-free on both sides
+    # (SUM of BIGINT in the oracle), immune to float-accumulation-order ulps
+    out = tumbling_window_dataset(ds, window_s=3600, val_scale=1_000_000).to_pandas()
+    out["sum_value_e6"] = out["sum_value"].astype(np.int64)
     return out[["user_id", "window_start", "n_events", "sum_value_e6"]]
 
 
@@ -242,8 +244,9 @@ def _q_events_hopping(sf_dir: str):
 
     ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
                          columns=["user_id", "ts", "value"])
-    out = hopping_window_dataset(ds, window_s=3600, hop_s=900).to_pandas()
-    out["sum_value_e6"] = _e6(out["sum_value"])
+    out = hopping_window_dataset(ds, window_s=3600, hop_s=900,
+                                 val_scale=1_000_000).to_pandas()
+    out["sum_value_e6"] = out["sum_value"].astype(np.int64)
     return out[["user_id", "window_start", "n_events", "sum_value_e6"]]
 
 
@@ -1266,14 +1269,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
                    count(*)::BIGINT AS n_events,
-                   CAST(FLOOR(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
+                   sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_value_e6
             FROM events GROUP BY 1, 2
         """,
         "events_hopping": """
             SELECT user_id,
                    make_timestamp(ws) AS window_start,
                    count(*)::BIGINT AS n_events,
-                   CAST(FLOOR(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
+                   sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_value_e6
             FROM (
               SELECT user_id, value,
                      ((epoch_us(ts) // 900000000) - off) * 900000000 AS ws

@@ -66,13 +66,21 @@ def parse_conll_bytes(
                 flush()
             continue
         parts = line.split(separator)
+        if token_index >= len(parts):
+            # malformed short line: skip it rather than IndexError — row
+            # error handling (SURVEY.md M11), matching the reference's
+            # tolerate-and-continue reading of hand-edited CoNLL files
+            continue
         token = parts[token_index]
         if token == "-DOCSTART-":
             docstart = True
             continue
         tokens.append(token)
-        if tag_index is not None and tag_index < len(parts):
-            tags.append(parts[tag_index].rstrip("\r\n"))
+        if tag_index is not None:
+            # placeholder 'O' when the tag column is missing so tokens and
+            # tags stay aligned (space-joined columns must zip 1:1)
+            tags.append(parts[tag_index].rstrip("\r\n")
+                        if tag_index < len(parts) else "O")
     flush()
 
     cols = {

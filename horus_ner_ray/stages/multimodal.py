@@ -170,9 +170,13 @@ def _gif_dims(b: bytes):
 
 
 def _bmp_dims(b: bytes):
+    # height is legitimately negative for top-down BMPs (abs it); width is
+    # not — a non-positive width means a corrupt header, classify unknown
     if len(b) >= 26 and b[:2] == b"BM":
-        return (int.from_bytes(b[18:22], "little", signed=True),
-                abs(int.from_bytes(b[22:26], "little", signed=True)))
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        if w <= 0:
+            return None
+        return (w, abs(int.from_bytes(b[22:26], "little", signed=True)))
     return None
 
 

@@ -17,11 +17,26 @@ import pyarrow as pa
 from horus_ner_ray.util import worker_runtime_env as _rte
 
 
+def _scaled_vals(batch: pa.Table, val_col: str, val_scale: int | None):
+    """value column for accumulation: raw floats, or (val_scale set)
+    round-half-up fixed-point int64 — integer sums are associative, so the
+    aggregate is independent of shuffle/batch arrival order (float partial
+    sums are not; an order-dependent last bit can flip an e6 publication)."""
+    if val_scale is None:
+        return batch[val_col]
+    v = np.asarray(batch[val_col], dtype=np.float64)
+    return pa.array(np.floor(v * float(val_scale) + 0.5).astype(np.int64),
+                    pa.int64())
+
+
 def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
-                            ts_col: str = "ts", val_col: str = "value"):
+                            ts_col: str = "ts", val_col: str = "value",
+                            val_scale: int | None = None):
     """Dataset(events) -> (user_id, window_start, n_events, sum_value).
 
     window_start = floor(epoch_us / window) * window, as timestamp[us].
+    ``val_scale``: accumulate ``floor(value*scale+0.5)`` int64 instead of
+    floats (order-free exact sums; ``sum_value`` comes back scaled).
     """
     from ray.data.aggregate import Sum
 
@@ -34,7 +49,7 @@ def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
             {
                 key_col: batch[key_col],
                 "window_start": pa.array(win, pa.int64()),
-                val_col: batch[val_col],
+                val_col: _scaled_vals(batch, val_col, val_scale),
             }
         )
         g = t.group_by([key_col, "window_start"], use_threads=False).aggregate(
@@ -68,7 +83,8 @@ def tumbling_window_dataset(ds, window_s: int = 3600, key_col: str = "user_id",
 
 def hopping_window_dataset(ds, window_s: int = 3600, hop_s: int = 900,
                            key_col: str = "user_id", ts_col: str = "ts",
-                           val_col: str = "value"):
+                           val_col: str = "value",
+                           val_scale: int | None = None):
     """Hopping (sliding) windows: length ``window_s``, advancing every
     ``hop_s`` (must divide it) — every event lands in window_s/hop_s
     overlapping windows.  Same combiner shape as tumbling: the per-batch
@@ -87,12 +103,14 @@ def hopping_window_dataset(ds, window_s: int = 3600, hop_s: int = 900,
         offs = np.arange(k, dtype=np.int64) * hop_us
         win = np.repeat(base, k) - np.tile(offs, len(ts))
         keys = np.repeat(np.asarray(batch[key_col]), k)
-        vals = np.repeat(np.asarray(batch[val_col], dtype=np.float64), k)
+        v1 = _scaled_vals(batch, val_col, val_scale)
+        vals = np.repeat(np.asarray(v1), k)
         t = pa.table(
             {
                 key_col: pa.array(keys),
                 "window_start": pa.array(win, pa.int64()),
-                val_col: pa.array(vals, pa.float64()),
+                val_col: pa.array(vals,
+                                  pa.int64() if val_scale else pa.float64()),
             }
         )
         g = t.group_by([key_col, "window_start"], use_threads=False).aggregate(
