@@ -1359,18 +1359,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM toks WHERE len(arr) >= 1)
         """,
         "unigram_logprob": f"""
+            -- per-(doc,term) contributions quantized to e9 ints BEFORE the
+            -- per-doc sum (matching the Ray side): integer sums are
+            -- order-free, so neither engine's aggregation order can move
+            -- the published e6 value by an ulp
             WITH toks AS (
               SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
             ),
             tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
             cfq AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
-            tot AS (SELECT sum(cf)::DOUBLE AS total FROM cfq)
-            SELECT tf.doc_id, sum(tf.tf)::BIGINT AS dl,
-                   CAST(FLOOR((sum(tf.tf * ln(cfq.cf))
-                               - sum(tf.tf) * ln((SELECT total FROM tot)))
-                              / sum(tf.tf) * 1e6 + 0.5) AS BIGINT) AS mean_lp_e6
-            FROM tf JOIN cfq USING (term)
-            GROUP BY tf.doc_id
+            tot AS (SELECT sum(cf)::DOUBLE AS total FROM cfq),
+            lpq AS (
+              SELECT tf.doc_id, tf.tf,
+                     CAST(FLOOR(tf.tf * ln(cfq.cf / (SELECT total FROM tot)) * 1e9 + 0.5) AS BIGINT) AS lp_e9
+              FROM tf JOIN cfq USING (term)
+            )
+            SELECT doc_id, sum(tf)::BIGINT AS dl,
+                   CAST(FLOOR(sum(lp_e9)::DOUBLE / (sum(tf) * 1e9) * 1e6 + 0.5) AS BIGINT) AS mean_lp_e6
+            FROM lpq GROUP BY doc_id
         """,
         "value_quantiles_by_type": """
             SELECT event_type,

@@ -835,8 +835,31 @@ def exact_jaccard_for_pairs_dataset(docs_ds, pairs_ds, cfg: PipelineConfig,
 # ---------------------------------------------------------------------------
 
 
+def _explode_lines(text_col: str, id_col: str):
+    """map_batches fn: docs -> (doc_id, line_idx, line) rows, Arrow-native
+    split; shared by the count pass and the filter pass."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(pc.cast(batch[text_col], pa.string()), "\n")
+        flat_a = pc.list_flatten(lines)  # stays Arrow for the line column
+        lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        idxs = np.arange(len(flat_a), dtype=np.int64) - np.repeat(starts[:-1], lens)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "line_idx": pa.array(idxs, pa.int64()),
+            "line": flat_a,
+        })
+
+    return fn
+
+
 def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
-                           id_col: str = "doc_id", n_buckets: int = _N_BUCKETS):
+                           id_col: str = "doc_id", n_buckets: int = _N_BUCKETS,
+                           n_salts: int = 16):
     """C4-style line-level corpus dedup: any LINE occurring ``min_count``
     or more times across the whole corpus (boilerplate, navigation chrome,
     license banners) is removed from every document; documents are
@@ -844,54 +867,110 @@ def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
     whose every line is removed drop from the output entirely (matching a
     SQL string_agg-over-no-rows reconstruction).
 
-    Two shuffles, both coarse-bucketed:
+    Skew-proof three-phase shape (the round-2 design routed EVERY
+    occurrence of a line to one group — a ubiquitous line put N rows in a
+    single pandas frame):
 
-    1. explode to (doc_id, line_idx, line, hash) -> group by
-       ``hash(line) % n_buckets``: counting AND tagging happen inside the
-       SAME bucket group (every occurrence of a line is co-located by its
-       hash), so the corpus-wide count join costs no second exchange;
-    2. group survivors by ``hash(doc_id) % n_buckets`` -> per-doc ordered
+    1. count pass: per-batch (line, cnt) partials -> tiny
+       ``groupby(line).sum`` (a hot line costs one partial row per batch —
+       the combiner is the skew handling) -> lines with cnt >= min_count
+       form the small DUPLICATE-LINE table;
+    2. filter pass: re-explode the corpus; data rows group by the SALTED
+       key ``(hash(line) % B) * S + (mix(doc_id) % S)`` and each duplicate
+       line is replicated to its bucket's S salt groups, so membership is
+       tested by EXACT string inside a group holding at most ~1/S of any
+       hot line's occurrences;
+    3. group survivors by ``hash(doc_id) % n_buckets`` -> per-doc ordered
        rejoin of the kept lines.
 
-    Line identity is the 64-bit string hash (collision reliance identical
-    to the shingle dedup family: deterministic, ~n_lines^2/2^64).
+    The corpus is exploded twice (the two passes cannot share a streaming
+    Dataset without materializing it) — the split is a cheap Arrow kernel
+    and both passes stream.  Counting and membership are over the exact
+    line string end-to-end; hashes only route.
     """
-    import pyarrow.compute as pc
+    import pandas as pd
 
     nbk = np.int64(n_buckets)
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
+    s_int = int(n_salts)
+    explode = _explode_lines(text_col, id_col)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        lines = pc.split_pattern(pc.cast(batch[text_col], pa.string()), "\n")
-        flat_a = pc.list_flatten(lines)  # stays Arrow for the line column
-        flat = np.asarray(flat_a, dtype=object)  # object view for hashing
-        lens = np.asarray(pc.list_value_length(lines), dtype=np.int64)
-        ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), lens)
-        starts = np.zeros(len(lens) + 1, dtype=np.int64)
-        np.cumsum(lens, out=starts[1:])
-        idxs = np.arange(len(flat), dtype=np.int64) - np.repeat(starts[:-1], lens)
+    # --- pass 1: corpus-wide line counts (combiner; skew-free) ----------
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        g = t.select(["line"]).group_by("line", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"line": g["line"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    dup_lines = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby("line").aggregate(Sum("cnt", alias_name="cnt"))
+        .filter(expr=f"cnt >= {int(min_count)}")
+    )
+
+    # --- pass 2: salted replicate membership filter ---------------------
+    def tag_data(batch: pa.Table) -> pa.Table:
+        t = explode(batch)
+        flat = np.asarray(t["line"], dtype=object)
         h = _hash_strings(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
+        dh = np.asarray(t[id_col], dtype=np.int64).astype(np.uint64)
+        gbkt = (((h * _MIX) % B) * S + (dh * _MIX) % S).astype(np.int64)
+        n = len(t)
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "line_idx": pa.array(idxs, pa.int64()),
-            "line": flat_a,
-            "lbkt": pa.array(((h * _MIX) % np.uint64(nbk)).astype(np.int64), pa.int64()),
+            id_col: t[id_col],
+            "line_idx": t["line_idx"],
+            "line": t["line"],
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
         })
 
-    def count_and_filter(g: pd.DataFrame) -> pd.DataFrame:
-        # bucket routing is by hash, but the COUNT is over the exact line
-        # string (co-located anyway): a 64-bit collision inside a bucket
-        # can't merge two distinct lines' counts — same exactness move as
-        # exact_dedup_keep_min
-        cnt = g.groupby("line", sort=False)["line"].transform("size")
-        out = g[cnt < min_count].drop(columns=["lbkt"]).copy()
-        if len(out) == 0:
+    def tag_dups(batch: pa.Table) -> pa.Table:
+        flat = np.asarray(batch["line"], dtype=object)
+        h = _hash_strings(flat) if len(flat) else np.zeros(0, dtype=np.uint64)
+        base = ((h * _MIX) % B) * S
+        n = len(flat)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)).astype(np.int64)
+        return pa.table({
+            id_col: pa.nulls(n * s_int, pa.int64()),
+            "line_idx": pa.nulls(n * s_int, pa.int64()),
+            "line": pa.array(np.repeat(flat, s_int), pa.string()),
+            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    def filter_group(g: pd.DataFrame) -> pd.DataFrame:
+        data = g[g["side"] == 0]
+        if len(data) == 0:
             return pd.DataFrame({
                 id_col: pd.Series([], dtype=np.int64),
                 "line_idx": pd.Series([], dtype=np.int64),
                 "line": pd.Series([], dtype=object),
             })
-        return out
+        dup = g.loc[g["side"] == 1, "line"]
+        keep = ~data["line"].isin(set(dup))
+        return data.loc[keep, [id_col, "line_idx", "line"]]
 
+    data_t = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(tag_data, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+    )
+    dup_t = dup_lines.map_batches(tag_dups, batch_format="pyarrow",
+                                  runtime_env=_rte())
+    survivors = (
+        data_t.union(dup_t)
+        .groupby("gbkt")
+        .map_groups(lambda g: filter_group(g.drop(columns=["gbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+    # --- pass 3: per-doc ordered reassembly -----------------------------
     def rebucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         ids = batch[id_col].to_numpy(np.int64).astype(np.uint64)
@@ -908,13 +987,6 @@ def remove_duplicate_lines(ds, min_count: int = 2, text_col: str = "text",
             "n_kept_lines": kept.to_numpy(np.int64),
         })
 
-    survivors = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True,
-                     runtime_env=_rte())
-        .groupby("lbkt")
-        .map_groups(count_and_filter, batch_format="pandas", runtime_env=_rte())
-    )
     return (
         survivors.map_batches(rebucket, batch_format="pandas", runtime_env=_rte())
         .groupby("dbkt")

@@ -92,144 +92,169 @@ def doc_lengths_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def _tf_bucket_rows(text_col: str, id_col: str, n_buckets: int):
-    """map_batches fn: batch -> (doc_id, term, tf, bkt) partials bucketed
-    by term hash — the shared front end of tfidf/unigram-LP scoring.
-    ``pd.util.hash_array`` is deterministic ACROSS processes — required:
-    every worker must bucket the same term identically."""
+_SALT_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio doc-id salt mix
+
+
+def _tf_rows_salted(text_col: str, id_col: str, n_buckets: int,
+                    n_salts: int):
+    """map_batches fn: batch -> (doc_id, term, tf) data rows routed by the
+    SALTED group key ``(hash(term) % B) * S + (mix(doc_id) % S)`` — the
+    shared front end of tfidf/unigram-LP scoring.  The doc-id salt is the
+    skew fix: a df==N hot term ("the") spreads its rows over S groups
+    instead of landing all N in one (the same uniform-salt move the index
+    build's doc-range sharding makes).  ``pd.util.hash_array`` is
+    deterministic ACROSS processes — required: every worker must bucket
+    the same term identically.  Rows carry side=0 and a null ``stat`` so
+    they union with the replicated per-term stat rows (side=1)."""
     import pandas as pd
+
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
 
     def fn(batch: pa.Table) -> pa.Table:
         flat, ids = _explode_pairs(batch, text_col, id_col)
         pairs = pa.table({"term": flat, id_col: pa.array(ids, pa.int64())})
         tf = pairs.group_by(["term", id_col], use_threads=False).aggregate(
             [([], "count_all")])
-        h = pd.util.hash_array(
+        th = pd.util.hash_array(
             np.asarray(tf["term"], dtype=object), categorize=False)
+        dh = np.asarray(tf[id_col], dtype=np.int64).astype(np.uint64)
+        gbkt = ((th % B) * S + (dh * _SALT_MIX) % S).astype(np.int64)
+        n = len(tf)
         return pa.table({
             id_col: tf[id_col],
             "term": tf["term"],
             "tf": tf["count_all"].cast(pa.int64()),
-            "bkt": pa.array((h % np.uint64(n_buckets)).astype(np.int64),
-                            pa.int64()),
+            "stat": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
         })
 
     return fn
 
 
+def _replicate_stat_rows(stat_col: str, id_col: str, n_buckets: int,
+                         n_salts: int):
+    """map_batches fn over a small (term, stat) table: replicate each term's
+    stat row to ALL S salt groups of its term bucket (side=1), so the big
+    data rows can pick it up inside their own group — a salted broadcast
+    join that attaches a per-term scalar without ever shuffling the big
+    side by raw term (the hot-key-proof alternative to a term equi-join)."""
+    import pandas as pd
+
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
+    s_int = int(n_salts)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"], dtype=object)
+        stat = np.asarray(batch[stat_col], dtype=np.int64)
+        th = pd.util.hash_array(terms, categorize=False)
+        base = (th % B) * S
+        n = len(terms)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)).astype(np.int64)
+        return pa.table({
+            id_col: pa.nulls(n * s_int, pa.int64()),
+            "term": pa.array(np.repeat(terms, s_int), pa.string()),
+            "tf": pa.nulls(n * s_int, pa.int64()),
+            "stat": pa.array(np.repeat(stat, s_int), pa.int64()),
+            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    return fn
+
+
+def _salted_term_stat_groups(ds, stat_ds, stat_col: str, text_col: str,
+                             id_col: str, n_buckets: int, n_salts: int):
+    """(corpus, small per-term stat table) -> grouped Dataset where each
+    (term-bucket, doc-salt) group holds bounded data rows plus every
+    relevant term's stat: group by the salted key after unioning sides."""
+    data = ds.select_columns([id_col, text_col]).map_batches(
+        _tf_rows_salted(text_col, id_col, n_buckets, n_salts),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    stat = stat_ds.map_batches(
+        _replicate_stat_rows(stat_col, id_col, n_buckets, n_salts),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    return data.union(stat).groupby("gbkt")
+
+
 def tfidf_vectors(ds, n_docs: int, text_col: str = "text",
-                  id_col: str = "doc_id", n_buckets: int = 256):
+                  id_col: str = "doc_id", n_buckets: int = 256,
+                  n_salts: int = 16):
     """Sparse TF-IDF document vectors: (doc_id, term, tfidf) with
     ``tfidf = tf * ln(N / df)`` — the feature-export face of the term
     statistics family (SURVEY.md S6/G7: the reference exports per-token
-    feature matrices, horus_to_conll.py-style; here the features come
-    straight off the corpus in one pass + one shuffle).
+    feature matrices, horus_to_conll.py-style).
 
-    ONE shuffle: per-batch (doc_id, term, tf) rows group by
-    ``hash(term) % n_buckets``; every (doc, term) row of a term co-locates
-    in its term's bucket, so df (distinct docs per term) is computed IN the
-    same group that needs it — no df side-table, no join.  ``n_docs`` is
-    the corpus row count (one cheap metadata/count pass at the caller).
+    Skew-proof two-phase shape: the per-term df side-table comes from the
+    skew-free combiner pipeline (one partial row per term per batch ->
+    tiny groupby), and scoring attaches df to the (doc, term, tf) rows via
+    a SALTED replicate join — data rows group by
+    ``(hash(term) % B) * S + (mix(doc_id) % S)`` and each term's df row is
+    replicated to its bucket's S salt groups.  A df==N hot term therefore
+    occupies at most ~N/S rows per group instead of N (the round-2 design
+    routed every row of a term to ONE group).  ``n_docs`` is the corpus
+    row count (one cheap metadata/count pass at the caller).
+
+    Exactness note: df partials count distinct docs per batch, exact under
+    the repo's readers where a doc's tokens never split batches (the same
+    invariant term_df_dataset documents); the tf combine itself is
+    batching-agnostic (all partials of a (doc, term) share a group).
     """
     import pandas as pd
 
-    tf_rows = _tf_bucket_rows(text_col, id_col, n_buckets)
     n = float(n_docs)
+    empty = {id_col: np.int64, "term": object, "tf": np.int64,
+             "tfidf": np.float64}
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
-        # df per term inside the bucket: each (doc, term) appears once per
-        # batch-partial; collapse cross-batch duplicates first (a doc's
-        # tokens never split batches in this repo's readers, but stay
-        # correct under any batching)
-        g = (g.groupby(["term", id_col], sort=False)
-             .agg(tf=("tf", "sum")).reset_index())
-        df = g.groupby("term", sort=False)["term"].transform("size")
-        out = g.copy()
-        out["tfidf"] = out["tf"].to_numpy(np.float64) * np.log(
-            n / df.to_numpy(np.float64))
-        return out[[id_col, "term", "tf", "tfidf"]]
+        data = g[g["side"] == 0]
+        if len(data) == 0:  # stat-only group (term's docs salted elsewhere)
+            return pd.DataFrame({c: pd.Series([], dtype=t)
+                                 for c, t in empty.items()})
+        data = (data.groupby(["term", id_col], sort=False)
+                .agg(tf=("tf", "sum")).reset_index())
+        stat = g.loc[g["side"] == 1, ["term", "stat"]]
+        m = data.merge(stat, on="term", how="left")
+        df_vals = m["stat"].to_numpy(np.float64)
+        m["tfidf"] = m["tf"].to_numpy(np.float64) * np.log(n / df_vals)
+        m["tf"] = m["tf"].astype(np.int64)
+        return m[[id_col, "term", "tf", "tfidf"]]
 
-    return (
-        ds.select_columns([id_col, text_col])
-        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True,
-                     runtime_env=_rte())
-        .groupby("bkt")
-        .map_groups(lambda g: score(g.drop(columns=["bkt"])),
-                    batch_format="pandas", runtime_env=_rte())
-    )
+    df_table = term_df_dataset(ds, text_col, id_col)
+    return _salted_term_stat_groups(
+        ds, df_table, "df", text_col, id_col, n_buckets, n_salts
+    ).map_groups(lambda g: score(g.drop(columns=["gbkt"])),
+                 batch_format="pandas", runtime_env=_rte())
 
 
 def unigram_logprob_vectors(ds, total_tokens: float | None = None,
                             text_col: str = "text", id_col: str = "doc_id",
-                            n_buckets: int = 256):
+                            n_buckets: int = 256, n_salts: int = 16):
     """CCNet-style language-model quality score: per-document mean unigram
     log-probability under the corpus's own MLE unigram model,
-    ``mean_lp = (1/dl) * sum_t tf_t * ln(cf_t / total_tokens)`` — fluent/
+    ``mean_lp ~= (1/dl) * sum_t tf_t * ln(cf_t / total_tokens)`` — fluent/
     typical documents score high, gibberish and out-of-distribution noise
     score low (the classic perplexity filter with the model = the corpus).
 
-    Same one-shuffle shape as ``tfidf_vectors``: (doc, term, tf) partials
-    bucket by term hash; the corpus frequency cf of a term is the sum of
-    its tf inside its OWN bucket group, so scoring needs no cf side-table.
-    Per-doc reduction is a second small shuffle over (doc, partial-sum)
-    rows pre-combined per bucket.  The constant ``ln(total_tokens)`` is
-    applied in the final map (``sum tf*ln(cf) - dl*ln(total) ==
-    sum tf*ln(cf/total)``); pass ``total_tokens`` from collection stats
-    (the caller usually has it, like ``tfidf_vectors``'s ``n_docs``) —
-    left None, one extra column-pruned count pass computes it here.
+    Skew-proof like ``tfidf_vectors``: the per-term cf table comes from
+    the skew-free combiner pipeline, and scoring attaches cf via the same
+    SALTED replicate join, so a cf~=total hot term never lands all its
+    rows in one group.  Per-doc reduction is a second small shuffle over
+    (doc, partial-sum) rows pre-combined per group.
+
+    Accumulation is ORDER-FREE: each (doc, term) contribution is quantized
+    to an int64 ``lp_e9 = floor(tf * ln(cf/total) * 1e9 + 0.5)`` before
+    summation, so the published score is independent of shuffle/batch
+    arrival order (float partial sums are not — an order-dependent last
+    bit could flip an e6 publication).  Output: (doc_id, dl, lp_e9,
+    mean_lp) with ``mean_lp = lp_e9 / (dl * 1e9)`` (within 1e-9/token of
+    the unquantized mean).  Pass ``total_tokens`` from collection stats if
+    the caller has it; left None, one extra column-pruned count pass
+    computes it here.
     """
     import pandas as pd
 
-    tf_rows = _tf_bucket_rows(text_col, id_col, n_buckets)
-
-    def term_scores(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.groupby(["term", id_col], sort=False)
-             .agg(tf=("tf", "sum")).reset_index())
-        cf = g.groupby("term", sort=False)["tf"].transform("sum")
-        out = pd.DataFrame({
-            id_col: g[id_col].to_numpy(np.int64),
-            "lp_num": g["tf"].to_numpy(np.float64)
-            * np.log(cf.to_numpy(np.float64)),
-            "tf": g["tf"].to_numpy(np.int64),
-        })
-        # pre-combine per doc within the bucket: the second shuffle moves
-        # one row per (bucket, doc), not one per (doc, term)
-        return (out.groupby(id_col, sort=False)
-                .agg(lp_num=("lp_num", "sum"), dl=("tf", "sum"))
-                .reset_index())
-
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        a = (g.groupby(id_col, sort=True)
-             .agg(lp_num=("lp_num", "sum"), dl=("dl", "sum")).reset_index())
-        return pd.DataFrame({
-            id_col: a[id_col].to_numpy(np.int64),
-            "dl": a["dl"].to_numpy(np.int64),
-            "lp_num": a["lp_num"].to_numpy(np.float64),
-        })
-
-    per_bucket = (
-        ds.select_columns([id_col, text_col])
-        .map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True,
-                     runtime_env=_rte())
-        .groupby("bkt")
-        .map_groups(lambda g: term_scores(g.drop(columns=["bkt"])),
-                    batch_format="pandas", runtime_env=_rte())
-    )
-
-    def bucket_doc(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        ids = batch[id_col].to_numpy(np.int64).astype(np.uint64)
-        batch["dbkt"] = ((ids * np.uint64(0x9E3779B97F4A7C15))
-                         % np.uint64(n_buckets)).astype(np.int64)
-        return batch
-
-    reduced = (
-        per_bucket.map_batches(bucket_doc, batch_format="pandas",
-                               runtime_env=_rte())
-        .groupby("dbkt")
-        .map_groups(lambda g: finish(g.drop(columns=["dbkt"])),
-                    batch_format="pandas", runtime_env=_rte())
-    )
     if total_tokens is None:
         def _count(batch: pa.Table) -> pa.Table:
             return pa.table({"n": pa.array(
@@ -240,15 +265,60 @@ def unigram_logprob_vectors(ds, total_tokens: float | None = None,
             .map_batches(_count, batch_format="pyarrow", zero_copy_batch=True,
                          runtime_env=_rte())
             .to_pandas()["n"].sum())
-    ln_total = float(np.log(total_tokens)) if total_tokens > 0 else 0.0
+    total = float(total_tokens) if total_tokens > 0 else 1.0
 
-    def apply_total(b: pd.DataFrame) -> pd.DataFrame:
-        dl = b["dl"].to_numpy(np.float64)
+    def term_scores(g: pd.DataFrame) -> pd.DataFrame:
+        data = g[g["side"] == 0]
+        if len(data) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "lp_e9": pd.Series([], dtype=np.int64),
+                                 "dl": pd.Series([], dtype=np.int64)})
+        data = (data.groupby(["term", id_col], sort=False)
+                .agg(tf=("tf", "sum")).reset_index())
+        m = data.merge(g.loc[g["side"] == 1, ["term", "stat"]],
+                       on="term", how="left")
+        tf = m["tf"].to_numpy(np.float64)
+        cf = m["stat"].to_numpy(np.float64)
+        lp_e9 = np.floor(tf * np.log(cf / total) * 1e9 + 0.5).astype(np.int64)
+        out = pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                            "lp_e9": lp_e9,
+                            "tf": m["tf"].to_numpy(np.int64)})
+        # pre-combine per doc within the group: the second shuffle moves
+        # one row per (group, doc), not one per (doc, term); int sums are
+        # associative -> order-free
+        return (out.groupby(id_col, sort=False)
+                .agg(lp_e9=("lp_e9", "sum"), dl=("tf", "sum"))
+                .reset_index())
+
+    cf_table = term_cf_dataset(ds, text_col, id_col)
+    per_group = _salted_term_stat_groups(
+        ds, cf_table, "cf", text_col, id_col, n_buckets, n_salts
+    ).map_groups(lambda g: term_scores(g.drop(columns=["gbkt"])),
+                 batch_format="pandas", runtime_env=_rte())
+
+    def bucket_doc(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        ids = batch[id_col].to_numpy(np.int64).astype(np.uint64)
+        batch["dbkt"] = ((ids * _SALT_MIX)
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return batch
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g.groupby(id_col, sort=True)
+             .agg(lp_e9=("lp_e9", "sum"), dl=("dl", "sum")).reset_index())
+        dl = a["dl"].to_numpy(np.int64)
+        lp = a["lp_e9"].to_numpy(np.int64)
         return pd.DataFrame({
-            id_col: b[id_col].to_numpy(np.int64),
-            "dl": b["dl"].to_numpy(np.int64),
-            "mean_lp": (b["lp_num"].to_numpy(np.float64) - dl * ln_total) / dl,
+            id_col: a[id_col].to_numpy(np.int64),
+            "dl": dl,
+            "lp_e9": lp,
+            "mean_lp": lp.astype(np.float64) / (dl.astype(np.float64) * 1e9),
         })
 
-    return reduced.map_batches(apply_total, batch_format="pandas",
-                               runtime_env=_rte())
+    return (
+        per_group.map_batches(bucket_doc, batch_format="pandas",
+                              runtime_env=_rte())
+        .groupby("dbkt")
+        .map_groups(lambda g: finish(g.drop(columns=["dbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
