@@ -922,6 +922,73 @@ def _q_translate_hook(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "text_translated"])
 
 
+_NB_CACHE: dict[str, pd.DataFrame] = {}
+
+
+def _nb_scored_frame(sf_dir: str) -> pd.DataFrame:
+    """Shared by the classifier/eval queries: fit multinomial NB on the
+    documents corpus (label = lang), broadcast the weight matrix, score
+    every doc.  Cached per sf_dir so the three queries fit once."""
+    if sf_dir not in _NB_CACHE:
+        import ray.data as rd
+
+        from horus_ner_ray.stages.classify import fit_multinomial_nb, nb_score_dataset
+
+        ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"])
+        model = fit_multinomial_nb(ds, label_col="lang")
+        out = nb_score_dataset(ds, model, keep_cols=["doc_id", "lang"]).to_pandas()
+        _NB_CACHE[sf_dir] = (out.rename(columns={"pred_label": "pred_lang"})
+                             .sort_values("doc_id").reset_index(drop=True))
+    return _NB_CACHE[sf_dir]
+
+
+def _q_nb_predictions(sf_dir: str):
+    """Trained-classifier scoring stage (reference's core value-add,
+    src/classifiers/bow_tfidf.py:8-30 / horusdemo.py:39-85): distributed
+    multinomial-NB fit -> ray.put broadcast -> vectorized actor scoring.
+    Integer e9 log-scores make the argmax and score exactly SQL-checkable."""
+    out = _nb_scored_frame(sf_dir)
+    return (out[["doc_id", "pred_lang", "score_e9"]]
+            .astype({"doc_id": np.int64, "score_e9": np.int64})
+            .reset_index(drop=True))
+
+
+def _q_eval_confusion(sf_dir: str):
+    """Confusion matrix (reference src/eval.py:67-134): groupby over
+    (true label, predicted label) via the combiner pattern."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.evalmetrics import confusion_matrix_dataset
+
+    scored = _nb_scored_frame(sf_dir)
+    cm = confusion_matrix_dataset(
+        rd.from_pandas(scored[["lang", "pred_lang"]]),
+        label_col="lang", pred_col="pred_lang").to_pandas()
+    return (cm.astype({"n": np.int64})
+            .sort_values(["label", "pred"]).reset_index(drop=True))
+
+
+def _q_eval_metrics(sf_dir: str):
+    """Per-class precision/recall/F1 from the confusion matrix
+    (reference simple_indicators/report.py:17-50)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.evalmetrics import (
+        confusion_matrix_dataset,
+        precision_recall_frame,
+    )
+
+    scored = _nb_scored_frame(sf_dir)
+    cm = confusion_matrix_dataset(
+        rd.from_pandas(scored[["lang", "pred_lang"]]),
+        label_col="lang", pred_col="pred_lang").to_pandas()
+    pr = precision_recall_frame(cm)
+    for c in ("precision", "recall", "f1"):
+        pr[c + "_e6"] = _e6(pr[c])
+    return (pr[["cls", "tp", "fp", "fn", "precision_e6", "recall_e6", "f1_e6"]]
+            .sort_values("cls").reset_index(drop=True))
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column -> actor-pool decode ->
     feature vectors (decoder stubbed; schema/batching real)."""
@@ -995,6 +1062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
         "translate_hook": _q_translate_hook,
+        "nb_predictions": _q_nb_predictions,
+        "eval_confusion": _q_eval_confusion,
+        "eval_metrics": _q_eval_metrics,
         "media_features": _q_media_features,
         "image_meta": _q_image_meta,
     }
@@ -1206,6 +1276,51 @@ def _sql_jaccard_pairs(threshold: float) -> str:
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
         WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= {threshold}
+    """
+
+
+def _sql_nb_pred() -> str:
+    """Closed-form multinomial NB as CTEs ending in
+    ``pred(doc_id, lang_true, pred_lang, score_e9)`` — the exact integer
+    arithmetic of stages/classify.py: e9-quantized per-(term, class)
+    log-likelihoods, integer score sums, argmax ties to the smallest
+    class label."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest({_sql_tok()}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        cnt AS (SELECT lang, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+        vq AS (SELECT count(DISTINCT term)::BIGINT AS v FROM toks),
+        ndq AS (SELECT count(*)::BIGINT AS n FROM documents),
+        ndc AS (SELECT lang, count(*)::BIGINT AS nc FROM documents GROUP BY 1),
+        classes AS (SELECT lang AS cls FROM ndc),
+        contrib AS (
+          SELECT tf.doc_id, cl.cls,
+                 sum(tf.tf * CAST(FLOOR(ln(
+                     (coalesce(cnt.c, 0) + 1)::DOUBLE
+                     / (tot.tot + (SELECT v FROM vq))
+                   ) * 1e9 + 0.5) AS BIGINT))::BIGINT AS sum_llh
+          FROM tf CROSS JOIN classes cl
+          JOIN tot ON tot.lang = cl.cls
+          LEFT JOIN cnt ON cnt.lang = cl.cls AND cnt.term = tf.term
+          GROUP BY 1, 2
+        ),
+        scores AS (
+          SELECT d.doc_id, d.lang AS lang_true, cl.cls,
+                 coalesce(co.sum_llh, 0)
+                 + CAST(FLOOR(ln(ndc.nc::DOUBLE / (SELECT n FROM ndq)) * 1e9 + 0.5) AS BIGINT) AS score_e9
+          FROM documents d CROSS JOIN classes cl
+          JOIN ndc ON ndc.lang = cl.cls
+          LEFT JOIN contrib co ON co.doc_id = d.doc_id AND co.cls = cl.cls
+        ),
+        pred AS (
+          SELECT doc_id, lang_true, cls AS pred_lang, score_e9
+          FROM scores
+          QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score_e9 DESC, cls) = 1
+        )
     """
 
 
@@ -1495,6 +1610,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split,
                    count(*)::BIGINT AS n
             FROM documents GROUP BY 1
+        """,
+        "nb_predictions": _sql_nb_pred() + """
+            SELECT doc_id, pred_lang, score_e9 FROM pred
+        """,
+        "eval_confusion": _sql_nb_pred() + """
+            SELECT lang_true AS label, pred_lang AS pred, count(*)::BIGINT AS n
+            FROM pred GROUP BY 1, 2
+        """,
+        "eval_metrics": _sql_nb_pred() + """
+            , cmat AS (
+              SELECT c.cls,
+                     sum(CASE WHEN p.lang_true = c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN p.lang_true <> c.cls AND p.pred_lang = c.cls THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN p.lang_true = c.cls AND p.pred_lang <> c.cls THEN 1 ELSE 0 END)::BIGINT AS fn
+              FROM classes c CROSS JOIN pred p GROUP BY 1
+            ),
+            pr AS (
+              SELECT cls, tp, fp, fn,
+                     CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END AS p,
+                     CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END AS r
+              FROM cmat
+            )
+            SELECT cls, tp, fp, fn,
+                   CAST(FLOOR(p * 1e6 + 0.5) AS BIGINT) AS precision_e6,
+                   CAST(FLOOR(r * 1e6 + 0.5) AS BIGINT) AS recall_e6,
+                   CAST(FLOOR(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS f1_e6
+            FROM pr
         """,
         "transcripts_bm25": _sql_transcripts_bm25(),
         "bm25_phrase": _sql_bm25_phrase(),
