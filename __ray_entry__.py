@@ -839,9 +839,38 @@ def _q_langid(sf_dir: str):
 
 
 def _q_fingerprint(sf_dir: str):
-    from horus_ner_ray.stages.analysis import fingerprint_dataset
+    """Document fingerprinting published as CONTENT GROUPS: the rolling
+    hash itself is not SQL-expressible, but two docs share a fingerprint
+    iff their token sequences are identical, so ``fp_group = min doc_id
+    with the same fingerprint`` IS (a window min over the token-sequence
+    string) — the group structure oracle-checks the fingerprint exactly
+    (modulo 64-bit collisions, absent at sf scale)."""
+    import pandas as _pd
 
-    return fingerprint_dataset(_read_docs(sf_dir))
+    from horus_ner_ray.stages.analysis import fingerprint_dataset
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
+    fp = fingerprint_dataset(_read_docs(sf_dir))
+    nbk = buckets_for_rows(_n_rows(_docs(sf_dir)))
+
+    def bucket(b: _pd.DataFrame) -> _pd.DataFrame:
+        b = b.copy()
+        h = b["fingerprint"].to_numpy(np.int64).astype(np.uint64)
+        b["fbkt"] = ((h * np.uint64(0x9E3779B97F4A7C15))
+                     % np.uint64(nbk)).astype(np.int64)
+        return b
+
+    def assign(g: _pd.DataFrame) -> _pd.DataFrame:
+        g = g.copy()
+        g["fp_group"] = g.groupby("fingerprint")["doc_id"].transform("min")
+        return g[["doc_id", "fp_group"]]
+
+    return (
+        fp.map_batches(bucket, batch_format="pandas")
+        .groupby("fbkt")
+        .map_groups(lambda g: assign(g.drop(columns=["fbkt"])),
+                    batch_format="pandas")
+    )
 
 
 def _q_transcripts_bm25(sf_dir: str):
@@ -885,12 +914,10 @@ def _q_bm25_phrase(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
-def _q_conll_source(sf_dir: str):
-    """CoNLL/Ritter token-per-line source (SURVEY.md S2 non-Parquet half):
-    deterministic sample files -> read_conll Dataset in the transcript
-    schema (rows-only; the format is not SQL-readable)."""
-    from horus_ner_ray.sources.conll import read_conll
-
+def _conll_sample_files() -> tuple[str, str, str]:
+    """Deterministic CoNLL sample files (idempotent; written under
+    GRAFT_TMP so the SQL oracle's read_text glob sees the SAME bytes).
+    Returns (path_a, path_b, glob)."""
     tmp = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "horus_conll_sample"
     tmp.mkdir(parents=True, exist_ok=True)
     a = tmp / "doc_a.conll"
@@ -899,27 +926,44 @@ def _q_conll_source(sf_dir: str):
     b = tmp / "doc_b.conll"
     if not b.exists():
         b.write_bytes(b"hello\tO\nworld\tO\n")
-    out = read_conll([str(a), str(b)], tag_index=1).to_pandas()
+    return str(a), str(b), str(tmp / "*.conll")
+
+
+def _q_conll_source(sf_dir: str):
+    """CoNLL/Ritter token-per-line source (SURVEY.md S2 non-Parquet half):
+    deterministic sample files -> read_conll Dataset in the transcript
+    schema; oracle-checked against DuckDB read_text + the same blank-line
+    sentence grouping in SQL."""
+    from horus_ner_ray.sources.conll import read_conll
+
+    a, b, _glob = _conll_sample_files()
+    out = read_conll([a, b], tag_index=1).to_pandas()
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+_TRANSLATE_MAP = {"el": "the", "la": "the", "der": "the", "die": "the"}
+_TRANSLATE_LANGS = ("de", "es", "fr")
 
 
 def _q_translate_hook(sf_dir: str):
     """Translate seam (SURVEY.md M10): lang-gated DictTranslator actor
-    stage over lang-id'd documents (rows-only; deterministic)."""
-    from horus_ner_ray.stages.analysis import langid_dataset
-    from horus_ner_ray.stages.joins import broadcast_inner_join
+    stage.  Gated on the documents table's OWN lang column (the langid-
+    heuristic-gated variant stays in pytest) so the whole hook — gate,
+    whitespace-normalizing word map, pass-through rows — oracle-checks
+    against SQL regexp_split + list_transform."""
     from horus_ner_ray.stages.translate import DictTranslator, translate_dataset
 
-    docs = _read_docs(sf_dir)
-    langs = langid_dataset(docs).to_pandas()
-    joined = broadcast_inner_join(docs, langs, "doc_id", "doc_id")
+    import ray.data as rd
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"])
     out = translate_dataset(
-        joined,
+        docs,
         translator_cls=DictTranslator,
-        ctor_kwargs={"mapping": {"el": "the", "la": "the", "der": "the", "die": "the"}},
-        lang_col="lang_pred",
+        ctor_kwargs={"mapping": dict(_TRANSLATE_MAP)},
+        lang_col="lang",
+        langs=_TRANSLATE_LANGS,
     )
-    return out.select_columns(["doc_id", "lang_pred", "text_translated"])
+    return out.select_columns(["doc_id", "lang", "text_translated"])
 
 
 _NB_CACHE: dict[str, pd.DataFrame] = {}
@@ -1326,6 +1370,10 @@ def _sql_nb_pred() -> str:
 
 def oracle_sql() -> dict[str, str]:
     stop_sql = ", ".join(f"'{w}'" for w in _STOPLIST)
+    _, _, conll_glob = _conll_sample_files()  # oracle reads the same bytes
+    tmap = " ".join(f"WHEN w = '{k}' THEN '{v}'"
+                    for k, v in _TRANSLATE_MAP.items())
+    tlangs = ", ".join(f"'{l}'" for l in _TRANSLATE_LANGS)
     sql_cosine_topk = f"""
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         s AS (
@@ -1610,6 +1658,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split,
                    count(*)::BIGINT AS n
             FROM documents GROUP BY 1
+        """,
+        "fingerprint": f"""
+            WITH t AS (
+              SELECT doc_id, array_to_string({_sql_tok()}, ' ') AS seq
+              FROM documents
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY seq) AS fp_group
+            FROM t
+        """,
+        "translate_hook": rf"""
+            SELECT doc_id, lang,
+                   CASE WHEN lang IN ({tlangs}) THEN
+                     array_to_string(
+                       list_transform(
+                         list_filter(regexp_split_to_array(text, '\s+'),
+                                     w -> w <> ''),
+                         w -> CASE {tmap} ELSE w END),
+                       ' ')
+                   ELSE text END AS text_translated
+            FROM documents
+        """,
+        "conll_source": f"""
+            -- read_text over the SAME files the Ray source parses; blank
+            -- lines delimit sentences, -DOCSTART- rows are skipped, a
+            -- missing tag column pads 'O' (the sample corpus never puts
+            -- -DOCSTART- mid-sentence, where the Ray parser additionally
+            -- merges across the following blank line)
+            WITH f AS (
+              SELECT regexp_extract(filename, '([^/]+)[.]conll$', 1) AS conv_id,
+                     content
+              FROM read_text('{conll_glob}')
+            ),
+            l AS (
+              SELECT conv_id, ln, line, string_split(line, chr(9)) AS parts
+              FROM (SELECT conv_id,
+                           unnest(string_split(content, chr(10))) AS line,
+                           generate_subscripts(string_split(content, chr(10)), 1) AS ln
+                    FROM f)
+            ),
+            s AS (
+              SELECT conv_id, ln, parts,
+                     trim(line) <> '' AND parts[1] <> '-DOCSTART-' AS is_tok,
+                     sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY ln
+                             ROWS UNBOUNDED PRECEDING) AS grp
+              FROM l
+            ),
+            sent AS (
+              SELECT conv_id, grp,
+                     string_agg(parts[1], ' ' ORDER BY ln) AS text,
+                     string_agg(CASE WHEN len(parts) >= 2 THEN parts[2] ELSE 'O' END,
+                                ' ' ORDER BY ln) AS tags
+              FROM s WHERE is_tok GROUP BY conv_id, grp
+            )
+            SELECT conv_id,
+                   (row_number() OVER (PARTITION BY conv_id ORDER BY grp) - 1)::INT AS turn_idx,
+                   'sentence' AS role, text, tags
+            FROM sent
         """,
         "nb_predictions": _sql_nb_pred() + """
             SELECT doc_id, pred_lang, score_e9 FROM pred

@@ -31,6 +31,19 @@ def test_parse_conll_bytes_reference_semantics():
     assert len(parse_conll_bytes(b"", "e")) == 0
 
 
+def test_parse_conll_malformed_lines():
+    """Row error handling (SURVEY.md M11): short lines skip cleanly and a
+    missing tag column pads 'O' so tokens and tags stay aligned."""
+    data = b"good\tO\nshortline\nalso\tB-X\n\nlone\n"
+    t = parse_conll_bytes(data, "m", token_index=0, tag_index=1)
+    assert t["text"].to_pylist() == ["good shortline also", "lone"]
+    assert t["tags"].to_pylist() == ["O O B-X", "O"]
+    # token_index beyond the columns: the whole line is skipped, no crash
+    t2 = parse_conll_bytes(b"a\tb\nx\n", "m2", token_index=1, tag_index=0)
+    assert t2["text"].to_pylist() == ["b"]
+    assert t2["tags"].to_pylist() == ["a"]
+
+
 @pytest.fixture()
 def conll_files(tmp_path):
     f1 = tmp_path / "doc_a.conll"
