@@ -941,6 +941,23 @@ def _q_conll_source(sf_dir: str):
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def _q_conll_roundtrip(sf_dir: str):
+    """CoNLL writer (S7 sink half of the source/sink pair, reference
+    src/horus_to_conll.py:117-164): parse the sample corpus, export it
+    with write_conll, re-read the exported files.  Lossless round-trip ->
+    the re-read answers to the SAME SQL oracle as conll_source."""
+    import shutil
+
+    from horus_ner_ray.sources.conll import read_conll, write_conll
+
+    a, b, _glob = _conll_sample_files()
+    out_dir = Path(os.environ.get("GRAFT_TMP", "/tmp")) / "horus_conll_export"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = write_conll(read_conll([a, b], tag_index=1), out_dir)
+    out = read_conll(paths, tag_index=1).to_pandas()
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
 _TRANSLATE_MAP = {"el": "the", "la": "the", "der": "the", "die": "the"}
 _TRANSLATE_LANGS = ("de", "es", "fr")
 
@@ -1105,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25": _q_transcripts_bm25,
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
+        "conll_roundtrip": _q_conll_roundtrip,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
         "eval_confusion": _q_eval_confusion,
@@ -1366,6 +1384,45 @@ def _sql_nb_pred() -> str:
             PARTITION BY doc_id ORDER BY score_e9 DESC, cls) = 1
         )
     """
+
+
+# read_text over the SAME files the Ray source parses; blank lines delimit
+# sentences, -DOCSTART- rows are skipped, a missing tag column pads 'O'
+# (the sample corpus never puts -DOCSTART- mid-sentence, where the Ray
+# parser additionally merges across the following blank line)
+_SQL_CONLL = """
+    WITH f AS (
+      SELECT regexp_extract(filename, '([^/]+)[.]conll$', 1) AS conv_id,
+             content
+      FROM read_text('{glob}')
+    ),
+    l AS (
+      SELECT conv_id, ln, line, string_split(line, chr(9)) AS parts
+      FROM (SELECT conv_id,
+                   unnest(string_split(content, chr(10))) AS line,
+                   generate_subscripts(string_split(content, chr(10)), 1) AS ln
+            FROM f)
+    ),
+    s AS (
+      SELECT conv_id, ln, parts,
+             trim(line) <> '' AND parts[1] <> '-DOCSTART-' AS is_tok,
+             sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY ln
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM l
+    ),
+    sent AS (
+      SELECT conv_id, grp,
+             string_agg(parts[1], ' ' ORDER BY ln) AS text,
+             string_agg(CASE WHEN len(parts) >= 2 THEN parts[2] ELSE 'O' END,
+                        ' ' ORDER BY ln) AS tags
+      FROM s WHERE is_tok GROUP BY conv_id, grp
+    )
+    SELECT conv_id,
+           (row_number() OVER (PARTITION BY conv_id ORDER BY grp) - 1)::INT AS turn_idx,
+           'sentence' AS role, text, tags
+    FROM sent
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1679,44 +1736,10 @@ def oracle_sql() -> dict[str, str]:
                    ELSE text END AS text_translated
             FROM documents
         """,
-        "conll_source": f"""
-            -- read_text over the SAME files the Ray source parses; blank
-            -- lines delimit sentences, -DOCSTART- rows are skipped, a
-            -- missing tag column pads 'O' (the sample corpus never puts
-            -- -DOCSTART- mid-sentence, where the Ray parser additionally
-            -- merges across the following blank line)
-            WITH f AS (
-              SELECT regexp_extract(filename, '([^/]+)[.]conll$', 1) AS conv_id,
-                     content
-              FROM read_text('{conll_glob}')
-            ),
-            l AS (
-              SELECT conv_id, ln, line, string_split(line, chr(9)) AS parts
-              FROM (SELECT conv_id,
-                           unnest(string_split(content, chr(10))) AS line,
-                           generate_subscripts(string_split(content, chr(10)), 1) AS ln
-                    FROM f)
-            ),
-            s AS (
-              SELECT conv_id, ln, parts,
-                     trim(line) <> '' AND parts[1] <> '-DOCSTART-' AS is_tok,
-                     sum(CASE WHEN trim(line) = '' THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY conv_id ORDER BY ln
-                             ROWS UNBOUNDED PRECEDING) AS grp
-              FROM l
-            ),
-            sent AS (
-              SELECT conv_id, grp,
-                     string_agg(parts[1], ' ' ORDER BY ln) AS text,
-                     string_agg(CASE WHEN len(parts) >= 2 THEN parts[2] ELSE 'O' END,
-                                ' ' ORDER BY ln) AS tags
-              FROM s WHERE is_tok GROUP BY conv_id, grp
-            )
-            SELECT conv_id,
-                   (row_number() OVER (PARTITION BY conv_id ORDER BY grp) - 1)::INT AS turn_idx,
-                   'sentence' AS role, text, tags
-            FROM sent
-        """,
+        "conll_source": _SQL_CONLL.format(glob=conll_glob),
+        # write_conll round-trips losslessly -> the re-read export answers
+        # to the same read_text oracle as the source
+        "conll_roundtrip": _SQL_CONLL.format(glob=conll_glob),
         "nb_predictions": _sql_nb_pred() + """
             SELECT doc_id, pred_lang, score_e9 FROM pred
         """,

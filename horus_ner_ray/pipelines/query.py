@@ -227,6 +227,51 @@ class QueryEngine:
         )
         self._readers: dict[int, ShardReader] = {}
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
+        self._tv_terms: np.ndarray | None = None  # term vectors (expansion)
+        self._tv: np.ndarray | None = None
+        self._tv_idx: dict[str, int] = {}
+
+    def set_term_vectors(self, terms, matrix) -> None:
+        """Attach term embeddings for query-time neighbor expansion — the
+        reference's word2vec ``most_similar`` union (reference:
+        src/core/feature_extraction/features.py:224-235: query terms are
+        expanded with their nearest embedding neighbors before retrieval).
+        ``matrix`` rows are normalized here; cosine = dot thereafter.  The
+        table is engine-local state (ship it to serving actors via their
+        constructor, the same broadcast-once pattern as the NB scorer)."""
+        t = np.asarray(terms, dtype=object)
+        m = np.asarray(matrix, dtype=np.float64)
+        if len(t) != len(m):
+            raise ValueError("terms and matrix row count differ")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        self._tv_terms = t
+        self._tv = m / norms[:, None]
+        self._tv_idx = {str(x): i for i, x in enumerate(t)}
+
+    def expand_query_terms(self, terms: list[str], k: int) -> list[str]:
+        """Union each query term with its k nearest term-vector neighbors
+        (cosine desc, term asc tie-break — deterministic).  Terms without
+        a vector pass through unexpanded."""
+        if self._tv is None:
+            raise ValueError(
+                "no term vectors attached; call set_term_vectors first")
+        extra: list[str] = []
+        for t in terms:
+            i = self._tv_idx.get(t)
+            if i is None:
+                continue
+            sims = self._tv @ self._tv[i]
+            order = np.lexsort((self._tv_terms.astype(str), -sims))
+            n_added = 0
+            for j in order:
+                if j == i:
+                    continue
+                extra.append(str(self._tv_terms[j]))
+                n_added += 1
+                if n_added >= k:
+                    break
+        return sorted(set(terms) | set(extra))
 
     def global_df(self, term: str) -> int:
         i = int(np.searchsorted(self._vocab, term))
@@ -498,8 +543,18 @@ class QueryEngine:
                 scores[int(doc)] = float(s)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
-    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
-        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+    def search(self, text: str, k: int = 10, mode: str = "or",
+               expand_terms: int = 0) -> list[tuple[int, float]]:
+        """``expand_terms=k`` unions each query term's k nearest
+        term-vector neighbors before OR scoring (recall expansion;
+        requires ``set_term_vectors``).  AND mode rejects expansion — a
+        conjunctive query over neighbor terms inverts its semantics."""
+        base = query_terms(text)
+        if expand_terms > 0:
+            if mode != "or":
+                raise ValueError("expand_terms requires mode='or'")
+            base = self.expand_query_terms(base, expand_terms)
+        terms = [t for t in base if self.global_df(t) > 0]
         if not terms:
             return []
         if mode == "and" and any(self.global_df(t) == 0 for t in query_terms(text)):

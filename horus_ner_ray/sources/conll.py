@@ -121,6 +121,83 @@ def read_conll(
                           runtime_env=_rte())
 
 
+def format_conll_bytes(turns: "pa.Table | list[dict]", text_col: str = "text",
+                       tags_col: str | None = "tags",
+                       separator: str = "\t") -> bytes:
+    """Sentence rows (ordered by turn) -> CoNLL bytes: one
+    ``token<sep>tag`` line per token, a blank line after each sentence —
+    the exact inverse of ``parse_conll_bytes`` (reference:
+    src/horus_to_conll.py:117-164 exports the same token-per-line shape).
+    Tokens and tags are the space-split columns; they must zip 1:1."""
+    rows = turns.to_pylist() if isinstance(turns, pa.Table) else turns
+    out: list[str] = []
+    for r in rows:
+        toks = (r[text_col] or "").split()
+        tags = (r.get(tags_col) or "").split() if tags_col else []
+        if tags_col and tags and len(tags) != len(toks):
+            raise ValueError(
+                f"tags/token count mismatch ({len(tags)} vs {len(toks)}) "
+                f"in turn {r}")
+        for i, t in enumerate(toks):
+            out.append(t + separator + tags[i] if tags_col and tags else t)
+        out.append("")
+    return ("\n".join(out) + "\n" if out else "").encode("utf-8")
+
+
+def write_conll(ds, out_dir: str | Path, text_col: str = "text",
+                tags_col: str | None = "tags", conv_col: str = "conv_id",
+                turn_col: str = "turn_idx", separator: str = "\t",
+                n_buckets: int = 16) -> "list[str]":
+    """Transcript-schema Dataset -> one ``<conv_id>.conll`` file per
+    conversation (the round-trippable unit: ``read_conll`` recovers
+    conv_id from the file stem).  Ray-Data-first: conversations group by
+    ``hash(conv_id) % n_buckets`` and each group's worker writes its
+    files (atomic tmp+rename, skip-if-exists — the same resumable
+    publish discipline as ``conll_to_parquet``).  Returns the sorted file
+    paths.  For corpora with millions of conversations prefer landing
+    Parquet and exporting selected convs; one-file-per-conv is the
+    interchange format, not the at-scale store."""
+    import pandas as pd
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        h = pd.util.hash_array(
+            np.asarray(batch[conv_col], dtype=object), categorize=False)
+        return batch.append_column(
+            "__cbkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        paths = []
+        for conv, turns in g.groupby(conv_col, sort=True):
+            turns = turns.sort_values(turn_col, kind="stable")
+            dest = out / f"{conv}.conll"
+            if not dest.exists():
+                tmp = dest.with_suffix(".conll.tmp")
+                tmp.write_bytes(format_conll_bytes(
+                    turns.to_dict("records"), text_col,
+                    tags_col if tags_col in turns.columns else None,
+                    separator))
+                os.replace(tmp, dest)
+            paths.append(str(dest))
+        return pd.DataFrame({"path": pd.Series(paths, dtype=object)})
+
+    cols = [conv_col, turn_col, text_col] + (
+        [tags_col] if tags_col and tags_col in ds.schema().names else [])
+    manifest = (
+        ds.select_columns(cols)
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("__cbkt")
+        .map_groups(lambda g: write_group(g.drop(columns=["__cbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+    return sorted(manifest.to_pandas()["path"].tolist())
+
+
 def conll_to_parquet(
     paths: list[str],
     out_dir: str | Path,

@@ -197,7 +197,9 @@ def asof_join_dataset(left_ds, right_ds, by: str, on: str,
 
 def hash_join_dataset(left_ds, right_ds, key: str,
                       left_cols: list[str], right_cols: list[str],
-                      n_buckets: int = 64, suffix: str = "_r"):
+                      n_buckets: int = 64, suffix: str = "_r",
+                      max_bucket_rows: int = 5_000_000,
+                      on_overflow: str = "raise"):
     """General inner equi-join with BOTH sides large: tag each side into a
     unified Arrow schema, one coarse-bucket shuffle on ``hash(key)``, and a
     vectorized ``pd.merge`` per bucket — one-to-many and many-to-many keys
@@ -209,8 +211,20 @@ def hash_join_dataset(left_ds, right_ds, key: str,
     the fallback when both sides are big AND payload columns must cross.
     Integer payloads ride the nullable union -> < 2^53 (asserted).
 
+    SKEW GUARD: before merging, each bucket estimates its exact output
+    size from per-key count products.  Above ``max_bucket_rows`` the
+    bucket either fails loudly with routing guidance (``on_overflow=
+    'raise'``, the default — an m:n hot key's cross product silently
+    OOMing a worker is the worst failure mode at scale) or merges in
+    bounded chunks (``'chunk'``: key-sliced, and a single monster key is
+    further sliced by left rows so no intermediate merge frame exceeds
+    the bound; the group's total output still materializes — chunking
+    bounds peak intermediates, not the inherent output size).
+
     Output columns: ``[key, *left_cols, *right_cols+suffix]``.
     """
+    if on_overflow not in ("raise", "chunk"):
+        raise ValueError("on_overflow must be 'raise' or 'chunk'")
     r_suff = [c + suffix for c in right_cols]
     clash = ({key, *left_cols} & set(r_suff)) | ({key} & set(left_cols))
     if clash:
@@ -267,7 +281,50 @@ def hash_join_dataset(left_ds, right_ds, key: str,
              for c in out_cols})
         if len(lf) == 0 or len(rf) == 0:
             return empty
-        m = lf.merge(rf, on=key, how="inner")
+        nl = lf[key].value_counts()
+        nr = rf[key].value_counts()
+        common = nl.index.intersection(nr.index)
+        prods = (nl[common] * nr[common]).astype(np.int64)
+        est = int(prods.sum())
+        if est > max_bucket_rows and on_overflow == "raise":
+            hot = prods.idxmax()
+            raise ValueError(
+                f"hash join bucket would produce {est} rows "
+                f"(> max_bucket_rows={max_bucket_rows}); hottest key "
+                f"{hot!r} alone contributes {int(prods.max())}. An m:n hot "
+                "key's cross product does not shrink with more buckets — "
+                "pre-aggregate one side, route through broadcast_inner_join"
+                " / bloom_semi_join, or pass on_overflow='chunk' to bound "
+                "peak memory (the output itself stays this large).")
+        if est > max_bucket_rows:  # chunked merge, bounded intermediates
+            out = []
+            cur: list = []
+            cur_sum = 0
+            for k_, p in prods.items():
+                if int(p) > max_bucket_rows:
+                    # monster key: slice its left rows so each partial
+                    # merge stays under the bound
+                    lk = lf[lf[key] == k_]
+                    rk = rf[rf[key] == k_]
+                    step = max(1, max_bucket_rows // max(1, len(rk)))
+                    for i in range(0, len(lk), step):
+                        out.append(lk.iloc[i:i + step].merge(
+                            rk, on=key, how="inner"))
+                    continue
+                if cur and cur_sum + int(p) > max_bucket_rows:
+                    ks = set(cur)
+                    out.append(lf[lf[key].isin(ks)].merge(
+                        rf[rf[key].isin(ks)], on=key, how="inner"))
+                    cur, cur_sum = [], 0
+                cur.append(k_)
+                cur_sum += int(p)
+            if cur:
+                ks = set(cur)
+                out.append(lf[lf[key].isin(ks)].merge(
+                    rf[rf[key].isin(ks)], on=key, how="inner"))
+            m = pd.concat(out, ignore_index=True) if out else empty
+        else:
+            m = lf.merge(rf, on=key, how="inner")
         if len(m) == 0:
             return empty
         for c, dt in int_like.items():

@@ -80,6 +80,32 @@ def test_conll_to_parquet_feeds_build(conll_files, tmp_path, ray_session):
         assert eng.search(q, 5) == bf.search(q, 5), q
 
 
+def test_write_conll_roundtrip(conll_files, tmp_path, ray_session):
+    """read -> write -> read is lossless, and write is a byte-stable
+    fixed point + resumable (existing files skipped)."""
+    import pandas as pd
+
+    from horus_ner_ray.sources.conll import write_conll
+
+    ds = read_conll(conll_files, tag_index=1)
+    paths = write_conll(ds, tmp_path / "out")
+    assert [Path(p).name for p in paths] == ["doc_a.conll", "doc_b.conll"]
+    df1 = (ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    ds2 = read_conll(paths, tag_index=1)
+    df2 = (ds2.to_pandas().sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(df1, df2)
+    # fixed point: writing the re-read corpus reproduces identical bytes
+    paths2 = write_conll(ds2, tmp_path / "out2")
+    for a, b in zip(paths, paths2):
+        assert Path(a).read_bytes() == Path(b).read_bytes()
+    # resume: a second write skips existing files untouched
+    m = Path(paths[0]).stat().st_mtime_ns
+    write_conll(ds, tmp_path / "out")
+    assert Path(paths[0]).stat().st_mtime_ns == m
+
+
 def test_translate_hook(ray_session):
     import ray.data as rd
 
