@@ -280,7 +280,12 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         # build-only sub-runs: the scaling criterion is about build
-        # throughput, and this keeps --scaling inside a sane wall budget
+        # throughput, and this keeps --scaling inside a sane wall budget.
+        # sync + settle first: each build leaves ~1.5 GB of dirty pages;
+        # letting writeback drain keeps run i's flush from taxing run i+1
+        # (measured: back-to-back builds inflate by 20-40%)
+        os.sync()
+        time.sleep(3)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_STAGES="build")
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],

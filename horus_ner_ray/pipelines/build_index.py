@@ -162,11 +162,9 @@ class TokenizeFragmentWorker:
         for s, tables in sorted(shard_tables.items()):
             runs_dir = self.paths.run_dir(s)
             runs_dir.mkdir(parents=True, exist_ok=True)
-            merged = pa.concat_tables(tables).sort_by(
-                [("term", "ascending"), ("doc_id", "ascending")]
-            )
             fname = runs_dir / f"run-frag{frag_id:05d}.parquet"
-            atomic_write_table(fname, merged, row_group_size=131072)
+            atomic_write_table(fname, _encode_run(pa.concat_tables(tables)),
+                               row_group_size=131072)
             run_files.append(str(fname))
         doc_tbl = pa.concat_tables(doc_parts).sort_by([("doc_id", "ascending")])
         atomic_write_table(self.paths.docstore / f"part-{frag_id:05d}.parquet", doc_tbl)
@@ -182,6 +180,41 @@ class TokenizeFragmentWorker:
         }
         atomic_write_json(mpath, manifest)
         return manifest
+
+
+_RUN_VOCAB_KEY = b"run_vocab"
+
+
+def _encode_run(tbl: pa.Table) -> pa.Table:
+    """(term, doc_id, tf[, positions]) rows -> the run-file layout:
+    ``term_idx`` int32 into a per-file SORTED vocabulary stored in the
+    parquet footer metadata (newline-joined — tokens are ``[a-z0-9]+``, so
+    '\\n' never occurs in a term).  Ascending term_idx == ascending term,
+    so the sort and every downstream comparison run on 4-byte ints instead
+    of variable-length strings — the memory-bandwidth hot path of the
+    build (sort, row-group scans, merge cursors) moves ~3x fewer bytes per
+    row.  The shard bytes produced from these runs are UNCHANGED; only the
+    intermediate run format differs (INDEX_FORMAT_VERSION gates resume)."""
+    terms = tbl["term"]
+    uniq = pc.unique(terms)
+    uniq = uniq.take(pc.sort_indices(uniq))
+    idx = pc.index_in(terms, value_set=uniq).cast(pa.int32())
+    enc = tbl.drop(["term"]).add_column(
+        0, "term_idx", idx).sort_by(
+        [("term_idx", "ascending"), ("doc_id", "ascending")])
+    vocab = "\n".join(uniq.to_pylist()).encode("utf-8")
+    return enc.replace_schema_metadata({_RUN_VOCAB_KEY: vocab})
+
+
+def _run_vocab(pf: pq.ParquetFile) -> np.ndarray:
+    meta = pf.schema_arrow.metadata or {}
+    raw = meta.get(_RUN_VOCAB_KEY)
+    if raw is None:
+        raise ValueError(
+            "run file missing run_vocab footer (written by an older format "
+            "version?) — resume gating should have wiped it")
+    txt = raw.decode("utf-8")
+    return np.array(txt.split("\n"), dtype=object) if txt else np.zeros(0, object)
 
 
 # ---------------------------------------------------------------------------
@@ -210,10 +243,14 @@ class RunCursor:
     def __init__(self, path: str | Path, with_positions: bool = False):
         self.pf = pq.ParquetFile(path)
         self.with_positions = with_positions and "positions" in self.pf.schema_arrow.names
+        # per-file sorted vocab decodes ONCE (footer metadata); row scans
+        # then touch only int32 term indices — ascending idx == ascending
+        # term by construction (_encode_run)
+        self.vocab: np.ndarray = _run_vocab(self.pf)
         self.n_rg = self.pf.metadata.num_row_groups
         self.rg = 0
         self.pos = 0
-        self.terms: np.ndarray = np.zeros(0, dtype=object)
+        self.tidx: np.ndarray = np.zeros(0, dtype=np.int32)
         self.docs: np.ndarray = np.zeros(0, dtype=np.int64)
         self.tfs: np.ndarray = np.zeros(0, dtype=np.int32)
         self.pos_flat: np.ndarray = np.zeros(0, dtype=np.int32)
@@ -221,12 +258,12 @@ class RunCursor:
         self._advance_rg()
 
     def _advance_rg(self) -> bool:
-        cols = ["term", "doc_id", "tf"] + (["positions"] if self.with_positions else [])
+        cols = ["term_idx", "doc_id", "tf"] + (["positions"] if self.with_positions else [])
         while self.rg < self.n_rg:
             t = self.pf.read_row_group(self.rg, columns=cols)
             self.rg += 1
             if len(t):
-                self.terms = np.asarray(t["term"], dtype=object)
+                self.tidx = np.asarray(t["term_idx"], dtype=np.int32)
                 self.docs = np.asarray(t["doc_id"], dtype=np.int64)
                 self.tfs = np.asarray(t["tf"], dtype=np.int32)
                 if self.with_positions:
@@ -235,32 +272,33 @@ class RunCursor:
                     self.pos_off = np.asarray(la.offsets, dtype=np.int64)
                 self.pos = 0
                 return True
-        self.terms = np.zeros(0, dtype=object)
+        self.tidx = np.zeros(0, dtype=np.int32)
         self.pos = 0
         return False
 
     @property
     def exhausted(self) -> bool:
-        return self.pos >= len(self.terms)
+        return self.pos >= len(self.tidx)
 
     def head_term(self) -> str | None:
-        return None if self.exhausted else self.terms[self.pos]
+        return None if self.exhausted else self.vocab[self.tidx[self.pos]]
 
     def take_term(self, term: str):
         """Collect all rows for ``term`` at the cursor head (may span row
         groups); advances the cursor past them.  Returns (docs, tfs, pflat)
-        where pflat is None without positions."""
+        where pflat is None without positions.  One string compare per
+        (term, row group); the row scan is an int32 searchsorted."""
         docs: list[np.ndarray] = []
         tfs: list[np.ndarray] = []
         pfl: list[np.ndarray] = []
-        while not self.exhausted and self.terms[self.pos] == term:
-            end = int(np.searchsorted(self.terms, term, side="right"))
+        while not self.exhausted and self.vocab[self.tidx[self.pos]] == term:
+            end = int(np.searchsorted(self.tidx, self.tidx[self.pos], side="right"))
             docs.append(self.docs[self.pos : end])
             tfs.append(self.tfs[self.pos : end])
             if self.with_positions:
                 pfl.append(self.pos_flat[self.pos_off[self.pos] : self.pos_off[end]])
             self.pos = end
-            if self.pos >= len(self.terms):
+            if self.pos >= len(self.tidx):
                 self._advance_rg()
         p = (np.concatenate(pfl) if len(pfl) != 1 else pfl[0]) if self.with_positions else None
         if len(docs) == 1:
@@ -339,26 +377,42 @@ class MergeShardWorker:
         return {k: m[k] for k in ("shard_id", "n_terms", "n_postings", "n_docs", "postings_bytes", "wall_s")}
 
     def _merge_sort_path(self, run_files: list[str], wp: bool):
-        """In-memory merge: concat all runs, one C++ sort by (term, doc_id),
-        dictionary-encoded term boundaries.  Byte-identical to the streaming
-        path (unique (term, doc_id) keys => one total order); preferred while
-        the shard's runs fit in memory (~10x faster than a Python
+        """In-memory merge: per-run local term indices remap onto the union
+        vocabulary (vocab-sized string work), then ONE C++ sort on
+        (int32 gidx, doc_id) — no string column is ever materialized or
+        compared per row.  Byte-identical to the streaming path (unique
+        (term, doc_id) keys => one total order); preferred while the
+        shard's runs fit in memory (~10x faster than a Python
         term-at-a-time cursor loop — measured on 1M-posting shards)."""
-        cols = ["term", "doc_id", "tf"] + (["positions"] if wp else [])
-        tables = [pq.read_table(f, columns=cols) for f in run_files]
-        tables = [t for t in tables if len(t)]
+        cols = ["term_idx", "doc_id", "tf"] + (["positions"] if wp else [])
+        tables: list[pa.Table] = []
+        vocabs: list[np.ndarray] = []
+        for f in run_files:
+            pf = pq.ParquetFile(f)
+            t = pf.read(columns=cols)
+            if len(t):
+                tables.append(t)
+                vocabs.append(_run_vocab(pf))
         if not tables:
             return (pa.array([], pa.string()), np.zeros(0, np.int64),
                     np.zeros(0, np.int64), np.zeros(0, np.int32),
                     np.zeros(0, np.int32) if wp else None)
-        cat = pa.concat_tables(tables).combine_chunks()
-        srt = cat.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-        term_dict = pc.dictionary_encode(srt["term"].combine_chunks())
-        codes = np.asarray(term_dict.indices, dtype=np.int64)
+        gvocab = np.unique(np.concatenate(vocabs))  # sorted union, object
+        remapped = []
+        for t, v in zip(tables, vocabs):
+            gmap = np.searchsorted(gvocab, v).astype(np.int32)
+            g = gmap[np.asarray(t["term_idx"], dtype=np.int32)]
+            remapped.append(t.drop(["term_idx"]).add_column(
+                0, "gidx", pa.array(g, pa.int32())))
+        cat = pa.concat_tables(remapped).combine_chunks()
+        srt = cat.sort_by([("gidx", "ascending"), ("doc_id", "ascending")])
+        codes = np.asarray(srt["gidx"], dtype=np.int64)
         # keep terms as an Arrow array: it may cross a task boundary in the
         # pipelined build, and Arrow serializes ~free vs pickling an object
-        # array of Python strings (measured: erased the pipelining win)
-        terms_a = term_dict.dictionary
+        # array of Python strings (measured: erased the pipelining win);
+        # every gvocab entry occurs in its own run, so codes cover the
+        # vocab densely and boundaries line up 1:1 with gvocab
+        terms_a = pa.array(gvocab, pa.string())
         starts_a = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(np.int64)
         docs_a = np.asarray(srt["doc_id"], dtype=np.int64)
         tfs_a = np.asarray(srt["tf"], dtype=np.int32)

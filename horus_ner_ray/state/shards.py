@@ -44,7 +44,9 @@ import pyarrow.parquet as pq
 from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.state import codec
 
-INDEX_FORMAT_VERSION = 3
+# v4: run files carry int32 term_idx + footer vocab (dictionary-encoded
+# term column) instead of a per-row term string; shard bytes unchanged
+INDEX_FORMAT_VERSION = 4
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:
@@ -110,6 +112,12 @@ def atomic_write_json(path: Path, obj: dict) -> None:
 
 
 def atomic_write_table(path: Path, tbl: pa.Table, **kw) -> None:
+    # zstd-1 over the default snappy: ~35% smaller docstore parts / ~13%
+    # smaller runs at equal encode time — the build writes ~2 GB per sf0.1
+    # run and is writeback-IO-contended at high parallelism, so bytes
+    # saved convert straight into scaling headroom
+    kw.setdefault("compression", "zstd")
+    kw.setdefault("compression_level", 1)
     tmp = path.with_name(path.name + ".tmp")
     pq.write_table(tbl, tmp, **kw)
     os.replace(tmp, path)
