@@ -1075,6 +1075,26 @@ def _q_image_meta(sf_dir: str):
     return image_header_meta_dataset(media)
 
 
+def _q_window_analytics(sf_dir: str):
+    """SQL window-function family (row_number/lag/running-sum/rank/
+    dense_rank) over PARTITION BY user ORDER BY (ts, event_id) — the
+    reference's sequential per-sentence passes (horusdemo.py:110-126)
+    generalised to the standard analytic-clause operator."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import window_functions_dataset
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
+    path = str(Path(sf_dir) / "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "ts", "value"])
+    out = window_functions_dataset(
+        ds, n_buckets=buckets_for_rows(_n_rows(path))
+    ).to_pandas()
+    cols = ["event_id", "user_id", "rn", "prev_value_e6",
+            "running_value_e6", "value_rank", "value_dense_rank"]
+    return out[cols].astype(np.int64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df": _q_term_df,
@@ -1129,6 +1149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": _q_eval_metrics,
         "media_features": _q_media_features,
         "image_meta": _q_image_meta,
+        "window_analytics": _q_window_analytics,
     }
 
 
@@ -1504,6 +1525,23 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "tool_propagation": _sql_tool_propagation(),
+        "window_analytics": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   coalesce(lag(v) OVER w, -1) AS prev_value_e6,
+                   CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_value_e6,
+                   rank() OVER (PARTITION BY user_id ORDER BY v DESC) AS value_rank,
+                   dense_rank() OVER (PARTITION BY user_id ORDER BY v DESC)
+                     AS value_dense_rank
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
         "events_asof": """
             SELECT p.user_id, p.event_id AS purchase_id,
                    epoch_us(p.ts) AS purchase_ts_us,

@@ -1,0 +1,133 @@
+"""Distributed analytic (SQL OVER-clause) window functions.
+
+The reference's per-sentence sequential passes (e.g. compound->token
+propagation, reference: src/horusdemo.py:110-126, and the positional
+feature joins in src/core/feature_extraction/features.py) are instances of
+partitioned-ordered analytics.  This stage generalises them to the standard
+SQL window-function family — row_number, lag, running sum, rank,
+dense_rank — over ``PARTITION BY key ORDER BY order_cols``.
+
+Plan (same coarse-bucket shape as stages/windows.py): hash(key) routes every
+row of a partition to one of ``n_buckets`` coarse groups (ONE Python
+``map_groups`` call per bucket, not per key), each bucket sorts once by
+(key, *order_cols) and computes every function fully vectorized off the
+segment-boundary indices — no per-key Python.  Partitions are assumed
+key-bounded (a single user's events fit one worker); n_buckets scales with
+input rows (dedupe.buckets_for_rows) so bucket payloads stay bounded at any
+corpus size.
+
+The value column is fixed-point-scaled to int64 BEFORE any accumulation
+(``val_scale``): integer running sums are exact and independent of float
+association order, so results hash-match a SQL oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from horus_ner_ray.util import worker_runtime_env as _rte
+
+
+def _segments(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(seg_starts, seg_lens, seg_of_row) for a key-sorted key array."""
+    n = len(keys)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        new[1:] = keys[1:] != keys[:-1]
+    starts = np.flatnonzero(new)
+    lens = np.diff(np.append(starts, n))
+    return starts, lens, np.repeat(starts, lens)
+
+
+def window_functions_dataset(
+    ds,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    n_buckets: int = 256,
+    val_scale: int = 1_000_000,
+    lag_default: int = -1,
+):
+    """SQL window functions over ``PARTITION BY key_col ORDER BY order_cols``:
+
+    - ``rn``                row_number()
+    - ``prev_value_e6``     lag(value_e6) with ``lag_default`` at partition head
+    - ``running_value_e6``  sum(value_e6) ROWS UNBOUNDED PRECEDING (exact int)
+    - ``value_rank``        rank()       OVER (... ORDER BY value_e6 DESC)
+    - ``value_dense_rank``  dense_rank() OVER (... ORDER BY value_e6 DESC)
+
+    ``order_cols`` must be unique per key (include a tiebreaker id) so
+    row_number/lag/running-sum order is deterministic.  rank/dense_rank
+    order by the SCALED value alone — ties share min/dense rank exactly as
+    in SQL, and because the compared values are ints the tie set is
+    order-free."""
+    scale = float(val_scale)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object), categorize=False
+        )
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        out = batch.drop_columns([value_col]).append_column(
+            "value_e6", pa.array(np.floor(v * scale + 0.5).astype(np.int64), pa.int64())
+        )
+        return out.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def fns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        keys = g[key_col].to_numpy()
+        v = g["value_e6"].to_numpy(dtype=np.int64)
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        seg_starts, seg_lens, seg_of_row = _segments(keys)
+
+        rn = pos - seg_of_row + 1
+        prev = np.empty(n, dtype=np.int64)
+        if n > 1:
+            prev[1:] = v[:-1]
+        prev[seg_starts] = lag_default
+        cs = np.cumsum(v)
+        running = cs - np.repeat(cs[seg_starts] - v[seg_starts], seg_lens)
+
+        # rank / dense_rank by value desc: one lexsort (segment, -value,
+        # original position), then run boundaries give both ranks
+        order = np.lexsort((pos, -v, seg_of_row))
+        sv, sseg = v[order], seg_of_row[order]
+        s_starts, s_lens, _ = _segments(sseg)
+        pos_in_seg = np.arange(n, dtype=np.int64) - np.repeat(s_starts, s_lens)
+        newrun = np.ones(n, dtype=bool)
+        if n > 1:
+            newrun[1:] = (sseg[1:] != sseg[:-1]) | (sv[1:] != sv[:-1])
+        run_starts = np.flatnonzero(newrun)
+        run_lens = np.diff(np.append(run_starts, n))
+        rank_sorted = np.repeat(pos_in_seg[run_starts] + 1, run_lens)
+        run_idx = np.cumsum(newrun)  # 1-based global run ordinal
+        seg_first_run = np.repeat(run_idx[s_starts], s_lens)[run_starts]
+        dr_sorted = np.repeat(run_idx[run_starts] - seg_first_run + 1, run_lens)
+        rank = np.empty(n, dtype=np.int64)
+        drank = np.empty(n, dtype=np.int64)
+        rank[order] = rank_sorted
+        drank[order] = dr_sorted
+
+        res = g[[*id_cols, key_col]].copy()
+        res["rn"] = rn
+        res["prev_value_e6"] = prev
+        res["running_value_e6"] = running
+        res["value_rank"] = rank
+        res["value_dense_rank"] = drank
+        return res
+
+    cols = list(dict.fromkeys([*id_cols, key_col, *order_cols, value_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(fns, batch_format="pandas", runtime_env=_rte())
+    )

@@ -1,0 +1,76 @@
+"""Analytic (OVER-clause) window functions vs a pandas reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _reference(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df["v"] = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    g = df.groupby("user_id", sort=False)
+    out = pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "rn": g.cumcount().to_numpy() + 1,
+            "prev_value_e6": g["v"].shift(1).fillna(-1).to_numpy(dtype=np.int64),
+            "running_value_e6": g["v"].cumsum().to_numpy(),
+            "value_rank": g["v"].rank(method="min", ascending=False)
+            .to_numpy(dtype=np.int64),
+            "value_dense_rank": g["v"].rank(method="dense", ascending=False)
+            .to_numpy(dtype=np.int64),
+        }
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _run(df: pd.DataFrame, n_buckets: int = 8) -> pd.DataFrame:
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import window_functions_dataset
+
+    out = window_functions_dataset(
+        rd.from_pandas(df), n_buckets=n_buckets
+    ).to_pandas()
+    cols = ["event_id", "user_id", "rn", "prev_value_e6",
+            "running_value_e6", "value_rank", "value_dense_rank"]
+    return out[cols].astype(np.int64).sort_values("event_id").reset_index(drop=True)
+
+
+def test_window_functions_match_pandas_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 37, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10_000, n), unit="s"
+            ),  # deliberate ts collisions -> event_id tiebreak
+            # quantized values force rank ties
+            "value": rng.integers(0, 25, n).astype(np.float64) / 4.0,
+        }
+    )
+    pd.testing.assert_frame_equal(_run(df), _reference(df))
+
+
+def test_window_functions_edge_partitions(ray_session):
+    """Single-row partitions, one-user corpus, and negative values."""
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "user_id": np.array([1, 2, 3, 3, 3, 4], dtype=np.int64),
+            "ts": pd.to_datetime([5, 4, 3, 3, 1, 0], unit="s"),
+            "value": np.array([-1.5, 0.0, 2.25, 2.25, -2.25, 9.0]),
+        }
+    )
+    got = _run(df, n_buckets=2)
+    pd.testing.assert_frame_equal(got, _reference(df))
+    # user 3 ordered by ts: event 4 (v=-2.25e6) first, then 2,3 tied at rank 1
+    u3 = got[got.user_id == 3].set_index("event_id")
+    assert u3.loc[4, "rn"] == 1 and u3.loc[4, "prev_value_e6"] == -1
+    assert u3.loc[2, "value_rank"] == 1 and u3.loc[3, "value_rank"] == 1
+    assert u3.loc[4, "value_rank"] == 3 and u3.loc[4, "value_dense_rank"] == 2
