@@ -1095,6 +1095,55 @@ def _q_window_analytics(sf_dir: str):
     return out[cols].astype(np.int64)
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Gopher-rule (Rae et al. 2021, App. A1.1) corpus quality filter:
+    per-doc rule metrics (e6 fixed-point fracs) + keep flag."""
+    from horus_ner_ray.stages.analysis import gopher_quality_dataset
+
+    return gopher_quality_dataset(_read_docs(sf_dir))
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction (email/phone/IPv4 -> sentinels) with per-doc match
+    counts.  The corpus carries no natural PII, so every third doc is
+    deterministically augmented with synthetic PII derived from its doc_id
+    — the SQL oracle applies the identical augmentation, so counts AND the
+    redacted text hash-match."""
+    import pyarrow.compute as pc
+
+    from horus_ner_ray.stages.analysis import redact_pii_dataset
+
+    def aug(batch):
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        text = np.asarray(pc.fill_null(batch["text"], ""), dtype=object).astype(str)
+        ds = did.astype(str)
+        full = np.char.add(
+            np.char.add(np.char.add(" contact user", ds),
+                        "@example.com or 555-123-4567 at 10.0."),
+            np.char.add((did % 256).astype(str), ".77"),
+        )
+        suffix = np.where(did % 3 == 0, full, "")
+        import pyarrow as pa
+
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(np.char.add(text, suffix))})
+
+    docs = _read_docs(sf_dir).map_batches(aug, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+    return redact_pii_dataset(docs)
+
+
+def _q_bpe_pairs(sf_dir: str):
+    """Top-100 adjacent token pairs (one BPE merge-count round, Sennrich
+    et al. 2016) over the documents table."""
+    from horus_ner_ray.stages.analysis import bpe_pair_counts_dataset
+
+    df = bpe_pair_counts_dataset(_read_docs(sf_dir)).to_pandas()
+    df = df.sort_values(["n", "pair"], ascending=[False, True],
+                        kind="stable").head(100)
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df": _q_term_df,
@@ -1150,6 +1199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "image_meta": _q_image_meta,
         "window_analytics": _q_window_analytics,
+        "gopher_filter": _q_gopher_filter,
+        "pii_redact": _q_pii_redact,
+        "bpe_pairs": _q_bpe_pairs,
     }
 
 
@@ -1525,6 +1577,76 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "tool_propagation": _sql_tool_propagation(),
+        "gopher_filter": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+                     length(regexp_replace(text, '\s+', '', 'g'))::BIGINT AS word_chars,
+                     len(regexp_extract_all(text, '\S*[a-zA-Z]\S*'))::BIGINT AS n_alpha,
+                     (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^[\-\*•]'))::BIGINT AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)\.\.\.$'))::BIGINT AS n_ell,
+                     (length(text) - length(replace(text, '#', ''))
+                      + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS n_symbols
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, n_words,
+                CASE WHEN n_words > 0 THEN CAST(FLOOR(1e6 * word_chars / n_words + 0.5) AS BIGINT) ELSE 0 END AS mean_word_len_e6,
+                CASE WHEN n_words > 0 THEN CAST(FLOOR(1e6 * n_alpha / n_words + 0.5) AS BIGINT) ELSE 0 END AS alpha_frac_e6,
+                CASE WHEN n_lines > 0 THEN CAST(FLOOR(1e6 * n_bullet / n_lines + 0.5) AS BIGINT) ELSE 0 END AS bullet_frac_e6,
+                CASE WHEN n_lines > 0 THEN CAST(FLOOR(1e6 * n_ell / n_lines + 0.5) AS BIGINT) ELSE 0 END AS ellipsis_frac_e6,
+                CASE WHEN n_words > 0 THEN CAST(FLOOR(1e6 * n_symbols / n_words + 0.5) AS BIGINT) ELSE 0 END AS symbol_ratio_e6
+              FROM m
+            )
+            SELECT *,
+              CASE WHEN n_words BETWEEN 50 AND 100000
+                    AND mean_word_len_e6 BETWEEN 3000000 AND 10000000
+                    AND alpha_frac_e6 >= 800000
+                    AND bullet_frac_e6 <= 900000
+                    AND ellipsis_frac_e6 <= 300000
+                    AND symbol_ratio_e6 <= 100000
+                   THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM f
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN text || ' contact user' || doc_id
+                          || '@example.com or 555-123-4567 at 10.0.'
+                          || (doc_id % 256) || '.77'
+                     ELSE text END AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                regexp_replace(t, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM aug
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(t, '\b\d{3}[\- ]\d{3}[\- ]\d{4}\b'))::BIGINT AS n_phone,
+                regexp_replace(t, '\b\d{3}[\- ]\d{3}[\- ]\d{4}\b', '<PHONE>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_phone,
+              len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+              regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+            FROM s2
+        """,
+        "bpe_pairs": f"""
+            WITH tok AS (SELECT doc_id, {_sql_tok()} AS toks FROM documents),
+            pairs AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS pair
+              FROM tok
+            )
+            SELECT pair, count(*)::BIGINT AS n FROM pairs
+            GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 100
+        """,
         "window_analytics": """
             WITH e AS (
               SELECT event_id, user_id, ts,

@@ -334,3 +334,182 @@ def chunk_documents_dataset(ds, max_tokens: int = 256, text_col: str = "text",
         lambda b: chunk_documents_batch(b, max_tokens, text_col, id_col),
         batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte(),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter
+# ---------------------------------------------------------------------------
+
+# Rule thresholds after Rae et al. 2021 ("Scaling Language Models: ...
+# Gopher"), Appendix A1.1 — public heuristics for web-scale training-data
+# filtering.  All regexes are RE2 (pyarrow and DuckDB share the engine), so
+# the SQL oracle reproduces every counter exactly.
+GOPHER_WORD_RE = r"\S+"
+GOPHER_ALPHA_WORD_RE = r"\S*[a-zA-Z]\S*"
+GOPHER_BULLET_RE = r"(?m)^[\-\*•]"
+GOPHER_ELLIPSIS_LINE_RE = r"(?m)\.\.\.$"
+GOPHER_DEFAULTS = dict(
+    min_words=50, max_words=100_000,
+    min_mean_word_len_e6=3_000_000, max_mean_word_len_e6=10_000_000,
+    min_alpha_frac_e6=800_000, max_bullet_frac_e6=900_000,
+    max_ellipsis_frac_e6=300_000, max_symbol_ratio_e6=100_000,
+)
+
+
+def _frac_e6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """floor(1e6*num/den + 0.5) with 0 where den == 0 — single-expression
+    double arithmetic, reproduced verbatim by the SQL oracle."""
+    out = np.zeros(len(num), dtype=np.int64)
+    nz = den > 0
+    out[nz] = np.floor(
+        1e6 * num[nz].astype(np.float64) / den[nz].astype(np.float64) + 0.5
+    ).astype(np.int64)
+    return out
+
+
+def gopher_quality_batch(batch: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id", **thresholds) -> pa.Table:
+    """Per-doc Gopher-rule metrics + keep flag, fully vectorized over Arrow
+    (count_substring_regex / utf8_length — zero Python per row).  The
+    reference's only quality gate is per-token (horus_to_conll.py:49-85
+    lexical features); this is the corpus-level filter a 100-TB training
+    corpus needs before tokenization."""
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    t = pc.fill_null(batch[text_col], "")
+    n_words = np.asarray(pc.count_substring_regex(t, GOPHER_WORD_RE), dtype=np.int64)
+    word_chars = np.asarray(
+        pc.utf8_length(pc.replace_substring_regex(t, r"\s+", "")), dtype=np.int64
+    )
+    n_alpha = np.asarray(
+        pc.count_substring_regex(t, GOPHER_ALPHA_WORD_RE), dtype=np.int64
+    )
+    n_chars = np.asarray(pc.utf8_length(t), dtype=np.int64)
+    chars_no_nl = np.asarray(
+        pc.utf8_length(pc.replace_substring(t, "\n", "")), dtype=np.int64
+    )
+    n_lines = n_chars - chars_no_nl + 1
+    n_bullet = np.asarray(pc.count_substring_regex(t, GOPHER_BULLET_RE), dtype=np.int64)
+    n_ellipsis = np.asarray(
+        pc.count_substring_regex(t, GOPHER_ELLIPSIS_LINE_RE), dtype=np.int64
+    )
+    chars_no_hash = np.asarray(
+        pc.utf8_length(pc.replace_substring(t, "#", "")), dtype=np.int64
+    )
+    n_symbols = (n_chars - chars_no_hash) + np.asarray(
+        pc.count_substring_regex(t, r"\.\.\."), dtype=np.int64
+    )
+    mean_wl = _frac_e6(word_chars, n_words)
+    alpha_frac = _frac_e6(n_alpha, n_words)
+    bullet_frac = _frac_e6(n_bullet, n_lines)
+    ellipsis_frac = _frac_e6(n_ellipsis, n_lines)
+    symbol_ratio = _frac_e6(n_symbols, n_words)
+    keep = (
+        (n_words >= th["min_words"]) & (n_words <= th["max_words"])
+        & (mean_wl >= th["min_mean_word_len_e6"]) & (mean_wl <= th["max_mean_word_len_e6"])
+        & (alpha_frac >= th["min_alpha_frac_e6"])
+        & (bullet_frac <= th["max_bullet_frac_e6"])
+        & (ellipsis_frac <= th["max_ellipsis_frac_e6"])
+        & (symbol_ratio <= th["max_symbol_ratio_e6"])
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len_e6": pa.array(mean_wl, pa.int64()),
+            "alpha_frac_e6": pa.array(alpha_frac, pa.int64()),
+            "bullet_frac_e6": pa.array(bullet_frac, pa.int64()),
+            "ellipsis_frac_e6": pa.array(ellipsis_frac, pa.int64()),
+            "symbol_ratio_e6": pa.array(symbol_ratio, pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def gopher_quality_dataset(ds, text_col: str = "text", id_col: str = "doc_id",
+                           **thresholds):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: gopher_quality_batch(b, text_col, id_col, **thresholds),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) applied IN ORDER; counts are taken on the
+# text as it stands before that pattern's replacement (so the SQL oracle's
+# staged CTEs reproduce them exactly).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[\- ]\d{3}[\- ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii_batch(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Redact emails/phones/IPv4s and count matches per doc — one
+    replace_substring_regex pass per pattern, all Arrow kernels.  The
+    pattern list is deliberately ordered: earlier replacements cannot
+    create later matches (the sentinels contain no digits/@)."""
+    t = pc.fill_null(batch[text_col], "")
+    cols: dict[str, pa.Array] = {"doc_id": batch[id_col]}
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.count_substring_regex(t, pat).cast(pa.int64())
+        t = pc.replace_substring_regex(t, pat, repl)
+    cols["redacted"] = t
+    return pa.table(cols)
+
+
+def redact_pii_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: redact_pii_batch(b, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counting (the tokenizer-training inner loop)
+# ---------------------------------------------------------------------------
+
+def bpe_pair_partials(text_col: str = "text", id_col: str = "doc_id"):
+    """map_batches fn: batch -> partial (pair, n) counts of ADJACENT token
+    pairs within each doc (tokenizer rule shared with the index/oracle).
+    This is the count step of a BPE merge round (Sennrich et al. 2016) as a
+    distributed combiner: per-batch Arrow group-by collapses duplicates
+    before the global shuffle, so shuffled bytes scale with distinct pairs
+    per batch, not corpus tokens."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = tokenize_column(batch[text_col])
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        if len(flat) < 2:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = parents[1:] == parents[:-1]
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1)
+        joined = pc.binary_join_element_wise(left, right, " ")
+        pairs = joined.filter(pa.array(same))
+        g = pa.table({"pair": pairs}).group_by("pair", use_threads=False) \
+            .aggregate([("pair", "count")])
+        return pa.table({"pair": g["pair"],
+                         "n": g["pair_count"].cast(pa.int64())})
+
+    return fn
+
+
+def bpe_pair_counts_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset(docs) -> Dataset(pair, n): global adjacent-pair counts.
+    One small groupby over per-batch partials (same plan as term_df)."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        bpe_pair_partials(text_col, id_col), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None, runtime_env=_rte()
+    )
+    return parts.groupby("pair").aggregate(Sum("n", alias_name="n"))
