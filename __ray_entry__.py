@@ -1144,6 +1144,73 @@ def _q_bpe_pairs(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_price_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont) quantiles via the same streaming
+    histogram-refinement selection as price_quantiles — two order stats
+    per q, DuckDB's exact interpolation arithmetic."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_cont
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    out = quantile_cont(ds, "l_extendedprice",
+                        [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], gather_limit=100_000)
+    out["q_pct"] = (out["q"] * 100).astype(np.int64)
+    out["value_e6"] = _e6(out["value"])
+    return out[["q_pct", "value_e6"]]
+
+
+_PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(sf_dir: str):
+    """Crosstab: per-user event-type counts as wide int columns."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import pivot_counts_dataset
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "event_type"])
+    return pivot_counts_dataset(ds, "user_id", "event_type",
+                                _PIVOT_EVENT_TYPES)
+
+
+_TOPICS = {
+    "data": ["data", "table", "column", "row"],
+    "perf": ["fast", "slow", "big", "small"],
+    "query": ["query", "filter", "scan", "sort"],
+}
+
+
+def _sql_topic_seed_values() -> str:
+    return ", ".join(f"('{t}', '{name}')"
+                     for name in sorted(_TOPICS)
+                     for t in _TOPICS[name])
+
+
+def _q_topic_scores(sf_dir: str):
+    """Seed-term topic scorer (reference A2 topic-model scorer as a
+    closed-form TF-IDF-mass model): integer e6 scores + argmax topic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from horus_ner_ray.stages.termstats import term_df_dataset
+    from horus_ner_ray.stages.topics import topic_score_dataset
+
+    seed = sorted({t for ts in _TOPICS.values() for t in ts})
+    seed_arr = pa.array(seed)
+    dfs = (
+        term_df_dataset(_read_docs(sf_dir))
+        .map_batches(lambda b: b.filter(pc.is_in(b["term"], value_set=seed_arr)),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
+    return topic_score_dataset(_read_docs(sf_dir), _TOPICS, df_map,
+                               n_docs=_n_rows(_docs(sf_dir)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "term_df": _q_term_df,
@@ -1202,6 +1269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "pii_redact": _q_pii_redact,
         "bpe_pairs": _q_bpe_pairs,
+        "price_quantiles_cont": _q_price_quantiles_cont,
+        "events_pivot": _q_events_pivot,
+        "topic_scores": _q_topic_scores,
     }
 
 
@@ -1936,5 +2006,59 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "price_quantiles_cont": """
+            WITH r AS (
+              SELECT quantile_cont(l_extendedprice,
+                                   [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS v
+              FROM lineitem
+            )
+            SELECT unnest([10, 25, 50, 75, 90, 99])::BIGINT AS q_pct,
+                   CAST(FLOOR(unnest(v) * 1e6 + 0.5) AS BIGINT) AS value_e6
+            FROM r
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "topic_scores": f"""
+            WITH seed(term, topic) AS (VALUES {_sql_topic_seed_values()}),
+            toks AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            dfq AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+              WHERE term IN (SELECT term FROM seed) GROUP BY term
+            ),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            idf AS (
+              SELECT s.term, s.topic,
+                     CAST(FLOOR(ln(nn.n / dfq.df) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+              FROM seed s JOIN dfq USING (term), nn
+            ),
+            agg AS (
+              SELECT t.doc_id,
+                     coalesce(sum(CASE WHEN i.topic = 'data' THEN i.idf_e6 END), 0)::BIGINT AS score_data,
+                     coalesce(sum(CASE WHEN i.topic = 'perf' THEN i.idf_e6 END), 0)::BIGINT AS score_perf,
+                     coalesce(sum(CASE WHEN i.topic = 'query' THEN i.idf_e6 END), 0)::BIGINT AS score_query
+              FROM toks t JOIN idf i USING (term) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.score_data, 0)::BIGINT AS score_data,
+                   coalesce(a.score_perf, 0)::BIGINT AS score_perf,
+                   coalesce(a.score_query, 0)::BIGINT AS score_query,
+                   CASE
+                     WHEN greatest(coalesce(a.score_data, 0), coalesce(a.score_perf, 0),
+                                   coalesce(a.score_query, 0)) = 0 THEN ''
+                     WHEN a.score_data >= a.score_perf AND a.score_data >= a.score_query THEN 'data'
+                     WHEN a.score_perf >= a.score_query THEN 'perf'
+                     ELSE 'query'
+                   END AS top_topic
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
     }

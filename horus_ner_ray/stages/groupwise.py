@@ -100,3 +100,46 @@ def stratified_sample(ds, key: str, id_col: str, n_per_group: int,
     )
     return out.map_batches(lambda b: b.drop(columns="__h"),
                            batch_format="pandas", runtime_env=_rte())
+
+
+def pivot_counts_dataset(ds, key_col: str, pivot_col: str,
+                         values: list[str]):
+    """Pivot/crosstab: one int64 count column per ``values`` entry, keyed by
+    ``key_col`` — SQL's ``SUM(CASE WHEN pivot = v THEN 1 END)`` family.
+
+    Scale shape: per-batch combiner collapses the batch to one wide partial
+    row per key (np.add.at into a (keys, values) matrix — no Python per
+    row), then ONE small groupby sums the wide partials; shuffle volume is
+    O(distinct keys per batch), never O(rows).  Values outside ``values``
+    are ignored (project the pivot domain up front — at 100 TB the domain
+    must be known/bounded anyway; an unbounded pivot is a schema explosion,
+    not an operator)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    vals = sorted(values)
+    val_arr = np.asarray(vals, dtype=object)
+    cols = [f"n_{v}" for v in vals]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        pv = np.asarray(batch[pivot_col]).astype(object)
+        ukeys, kcode = np.unique(keys, return_inverse=True)
+        vcode = np.searchsorted(val_arr, pv)
+        vcode_c = np.clip(vcode, 0, len(vals) - 1)
+        ok = val_arr[vcode_c] == pv
+        mat = np.zeros((len(ukeys), len(vals)), dtype=np.int64)
+        np.add.at(mat, (kcode[ok], vcode_c[ok]), 1)
+        out = {key_col: pa.array(ukeys)}
+        for j, c in enumerate(cols):
+            out[c] = pa.array(mat[:, j], pa.int64())
+        return pa.table(out)
+
+    parts = ds.select_columns([key_col, pivot_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None, runtime_env=_rte()
+    )
+    return parts.groupby(key_col).aggregate(
+        *[Sum(c, alias_name=c) for c in cols]
+    )

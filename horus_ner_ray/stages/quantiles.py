@@ -115,18 +115,13 @@ def _gather(ds, col: str, cond_sets: list[list[_Cond]]) -> list[np.ndarray]:
     return [g.loc[g["t"] == t, "v"].to_numpy() for t in range(len(cond_sets))]
 
 
-def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
-                  gather_limit: int = 2_000_000, max_rounds: int = 16) -> pd.DataFrame:
-    """Exact discrete quantiles of ``ds[col]`` -> DataFrame (q, value)."""
-    n, lo, hi = _minmax_count(ds, col)
-    if n == 0:
-        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
-                             "value": pd.Series([np.nan] * len(qs))})
-    state = []
-    for q in qs:
-        rank = min(n - 1, max(0, math.ceil(q * n) - 1))
-        state.append({"conds": [], "grid": (lo, hi), "k": rank,
-                      "cnt": n, "done": False})
+def _resolve_ranks(ds, col: str, ranks: list[int], n: int, lo: float,
+                   hi: float, n_bins: int, gather_limit: int,
+                   max_rounds: int) -> list[float]:
+    """Exact order statistics at the given 0-based ascending ranks via the
+    histogram-refinement selection described in the module docstring."""
+    state = [{"conds": [], "grid": (lo, hi), "k": rank, "cnt": n,
+              "done": False} for rank in ranks]
 
     for _ in range(max_rounds):
         open_idx = [i for i, s in enumerate(state)
@@ -169,6 +164,48 @@ def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
     for s, v in zip(state, vals):
         assert len(v) == 0 or s["k"] < len(v), "rank outside gathered bin"
         out.append(float(np.partition(v, s["k"])[s["k"]]))
+    return out
+
+
+def quantile_disc(ds, col: str, qs: list[float], n_bins: int = 4096,
+                  gather_limit: int = 2_000_000, max_rounds: int = 16) -> pd.DataFrame:
+    """Exact discrete quantiles of ``ds[col]`` -> DataFrame (q, value)."""
+    n, lo, hi = _minmax_count(ds, col)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": pd.Series([np.nan] * len(qs))})
+    ranks = [min(n - 1, max(0, math.ceil(q * n) - 1)) for q in qs]
+    out = _resolve_ranks(ds, col, ranks, n, lo, hi, n_bins, gather_limit,
+                         max_rounds)
+    return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                         "value": pd.Series(out, dtype=np.float64)})
+
+
+def quantile_cont(ds, col: str, qs: list[float], n_bins: int = 4096,
+                  gather_limit: int = 2_000_000, max_rounds: int = 16) -> pd.DataFrame:
+    """Exact INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont`` semantics): at fractional rank ``rn = q * (n-1)``
+    the result is ``(crn - rn) * v[floor(rn)] + (rn - floor(rn)) *
+    v[ceil(rn)]`` — the textbook formula in the exact association DuckDB
+    evaluates, so e6 publications hash-match.  Needs at most two order
+    statistics per q; both resolve in the SAME refinement passes as
+    quantile_disc (the rank set is shared across targets)."""
+    n, lo, hi = _minmax_count(ds, col)
+    if n == 0:
+        return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
+                             "value": pd.Series([np.nan] * len(qs))})
+    rns = [float(q) * (n - 1) for q in qs]
+    need = sorted({r for rn in rns for r in (int(math.floor(rn)), int(math.ceil(rn)))})
+    vals = _resolve_ranks(ds, col, need, n, lo, hi, n_bins, gather_limit,
+                          max_rounds)
+    at = dict(zip(need, vals))
+    out = []
+    for rn in rns:
+        frn, crn = math.floor(rn), math.ceil(rn)
+        if frn == crn:
+            out.append(at[int(frn)])
+        else:
+            out.append((crn - rn) * at[int(frn)] + (rn - frn) * at[int(crn)])
     return pd.DataFrame({"q": pd.Series(qs, dtype=np.float64),
                          "value": pd.Series(out, dtype=np.float64)})
 

@@ -89,3 +89,37 @@ def test_stratified_sample_rejects_overflowing_ids(ray_session):
     with pytest.raises(Exception, match="stays\\s+inside int64|stays"):
         stratified_sample(rd.from_pandas(df), key="k", id_col="doc_id",
                           n_per_group=1).to_pandas()
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import pivot_counts_dataset
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "u": rng.randint(0, 50, 3000),
+        "t": rng.choice(["a", "b", "c", "d"], 3000),
+    })
+    got = (pivot_counts_dataset(rd.from_pandas(df).repartition(6), "u", "t",
+                                ["a", "b", "c", "d"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    want = (pd.crosstab(df["u"], df["t"]).reindex(columns=list("abcd"),
+                                                  fill_value=0)
+            .reset_index().rename(columns={c: f"n_{c}" for c in "abcd"}))
+    want.columns.name = None
+    for c in "abcd":
+        assert list(got[f"n_{c}"]) == list(want[f"n_{c}"]), c
+    assert list(got["u"]) == list(want["u"])
+
+
+def test_pivot_counts_ignores_out_of_domain(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import pivot_counts_dataset
+
+    df = pd.DataFrame({"u": [1, 1, 2], "t": ["a", "zz", "a"]})
+    got = (pivot_counts_dataset(rd.from_pandas(df), "u", "t", ["a", "b"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(got["n_a"]) == [1, 1]
+    assert list(got["n_b"]) == [0, 0]

@@ -110,3 +110,33 @@ def test_quantiles_by_group(ray_session):
     """).df()
     assert list(got["g"]) == list(want["g"])
     assert np.allclose(got["value"], want["value"], atol=0)
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    """Interpolated quantiles: bitwise-equal to DuckDB's quantile_cont
+    (same (crn-rn)*lo + (rn-frn)*hi association, float64 throughout)."""
+    import duckdb
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_cont
+
+    rng = np.random.RandomState(21)
+    vals = np.r_[rng.rand(3000) * 1000, np.full(200, 512.0)]
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantile_cont(rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5),
+                        "x", qs, n_bins=32, gather_limit=100)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    want = con.execute(
+        "SELECT quantile_cont(x, $1::DOUBLE[]) FROM t", [qs]).fetchone()[0]
+    assert list(got["value"]) == [float(w) for w in want]
+
+
+def test_quantile_cont_empty(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_cont
+
+    e = quantile_cont(
+        rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)})),
+        "x", [0.5])
+    assert np.isnan(e["value"].iloc[0])
