@@ -1183,6 +1183,68 @@ _TOPICS = {
 }
 
 
+def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
+    """Unrolled Lloyd's k-means as DuckDB SQL — same deterministic init
+    (k smallest vec_ids), same squared-L2 inner-product expansion, same
+    order-free e6-integer centroid sums as stages/clustering.py."""
+
+    def dist_cte(name: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT emb.vec_id, {cents}.cluster,
+                 list_inner_product(emb.e, emb.e)
+                 - 2 * list_inner_product(emb.e, {cents}.c)
+                 + list_inner_product({cents}.c, {cents}.c) AS dist
+          FROM emb CROSS JOIN {cents}
+        )"""
+
+    def argmin_cte(name: str, dists: str) -> str:
+        return f"""
+        {name} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+            FROM {dists}) WHERE rk = 1
+        )"""
+
+    def update_cte(mname: str, cname: str, assign: str, prev: str) -> str:
+        return f"""
+        {mname} AS (
+          SELECT {assign}.cluster, dims.i,
+                 sum(CAST(FLOOR(emb.e[dims.i] * 1e6 + 0.5) AS BIGINT)) AS s,
+                 count(*) AS cnt
+          FROM emb JOIN {assign} USING (vec_id) CROSS JOIN dims
+          GROUP BY 1, 2
+        ),
+        {cname} AS (
+          SELECT {prev}.cluster,
+                 CASE WHEN count({mname}.i) = 0 THEN any_value({prev}.c)
+                      ELSE list({mname}.s / ({mname}.cnt * 1e6)
+                                ORDER BY {mname}.i) END AS c
+          FROM {prev} LEFT JOIN {mname} USING (cluster)
+          GROUP BY {prev}.cluster
+        )"""
+
+    ctes = [f"""
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
+          FROM emb ORDER BY vec_id LIMIT {k}
+        )"""]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        ctes.append(dist_cte(f"d{it}", prev))
+        ctes.append(argmin_cte(f"a{it}", f"d{it}"))
+        ctes.append(update_cte(f"m{it}", f"c{it}", f"a{it}", prev))
+        prev = f"c{it}"
+    ctes.append(dist_cte("dfin", prev))
+    ctes.append(argmin_cte("afin", "dfin"))
+    return ("WITH " + ",".join(ctes)
+            + "\nSELECT vec_id, cluster::BIGINT AS cluster FROM afin")
+
+
 def _sql_topic_seed_values() -> str:
     return ", ".join(f"('{t}', '{name}')"
                      for name in sorted(_TOPICS)
@@ -1209,6 +1271,26 @@ def _q_topic_scores(sf_dir: str):
     df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
     return topic_score_dataset(_read_docs(sf_dir), _TOPICS, df_map,
                                n_docs=_n_rows(_docs(sf_dir)))
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding table (semantic-
+    clustering pass of a curation pipeline): deterministic init (k
+    smallest vec_ids), 2 iterations with order-free e6-integer centroid
+    sums, final assignment published.  Oracle = the same algorithm
+    unrolled as SQL."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, _KMEANS_K, n_iter=_KMEANS_ITERS)
+    return kmeans_assign(ds, cent)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1272,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_cont": _q_price_quantiles_cont,
         "events_pivot": _q_events_pivot,
         "topic_scores": _q_topic_scores,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -2061,4 +2144,5 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_topic
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        "kmeans_clusters": _sql_kmeans(_KMEANS_K, _KMEANS_ITERS),
     }

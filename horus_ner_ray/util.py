@@ -53,6 +53,9 @@ def list_column_to_matrix(col, dtype="float64"):
     n = len(col)
     if n == 0:
         return np.zeros((0, 0), dtype=dtype)
+    if not hasattr(col, "offsets"):
+        # Ray's ArrowTensorArray extension (from_pandas over ndarray cells)
+        return np.asarray(col.to_numpy(zero_copy_only=False), dtype=dtype)
     offs = np.asarray(col.offsets, dtype=np.int64)
     lens = offs[1:] - offs[:-1]
     d = int(lens[0]) if n else 0

@@ -1,0 +1,79 @@
+"""Distributed k-means vs a single-process numpy reference."""
+
+import numpy as np
+import pandas as pd
+
+
+def _mk(n=400, d=8, seed=5):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(4, d) * 4
+    x = centers[rng.randint(0, 4, n)] + rng.randn(n, d)
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(x.astype(np.float32))})
+
+
+def _ref_kmeans(df, k, n_iter):
+    x = np.array([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    ids = df["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cent = x[order[:k]].copy()
+
+    def dists(a, c):
+        ee = np.einsum("ij,ij->i", a, a)
+        cc = np.einsum("ij,ij->i", c, c)
+        return ee[:, None] - 2.0 * (a @ c.T) + cc[None, :]
+
+    for _ in range(n_iter):
+        a = np.argmin(dists(x, cent), axis=1)
+        xq = np.floor(x * 1e6 + 0.5).astype(np.int64)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cent[j] = xq[m].sum(0).astype(np.float64) / (m.sum() * 1e6)
+    return cent, np.argmin(dists(x, cent), axis=1)
+
+
+def test_kmeans_matches_reference_any_block_order(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import kmeans_assign, kmeans_fit
+
+    df = _mk()
+    want_cent, want_a = _ref_kmeans(df, k=6, n_iter=2)
+    for parts in (1, 7):
+        ds = rd.from_pandas(df.sample(frac=1, random_state=parts)
+                            ).repartition(parts)
+        cent = kmeans_fit(ds, 6, n_iter=2)
+        # e6-integer partial sums -> centroids are bit-identical
+        # regardless of block count / arrival order
+        assert np.array_equal(cent, want_cent), parts
+        got = (kmeans_assign(ds, cent).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        assert np.array_equal(got["cluster"].to_numpy(), want_a), parts
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import kmeans_fit
+
+    # two tight far-apart blobs + k=3: the third initial centroid (inside
+    # blob one) attracts nothing after the first update on some layouts;
+    # fit must not NaN out and every centroid must stay finite
+    rng = np.random.RandomState(0)
+    x = np.r_[rng.randn(50, 4) * 0.01, rng.randn(50, 4) * 0.01 + 100.0]
+    df = pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64),
+                       "embedding": list(x.astype(np.float32))})
+    cent = kmeans_fit(rd.from_pandas(df), 3, n_iter=3)
+    assert np.isfinite(cent).all()
+
+
+def test_kmeans_k_too_large(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import kmeans_fit
+
+    df = _mk(n=5)
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(rd.from_pandas(df), 10)
