@@ -1273,6 +1273,21 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_dup_components(sf_dir: str):
+    """SemDeDup-style duplicate clustering: embedding near-dup pairs closed
+    into connected components by distributed min-label propagation
+    (stages/clustering.py); component = min vec_id of the duplicate
+    cluster, singletons map to themselves.  exact=True pair generation is
+    the documented oracle-harness path (same as embedding_dups)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import semantic_dup_components
+
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return semantic_dup_components(emb, threshold=0.4, exact=True)
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 2
 
@@ -1355,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "topic_scores": _q_topic_scores,
         "kmeans_clusters": _q_kmeans,
+        "dup_components": _q_dup_components,
     }
 
 
@@ -2145,4 +2161,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "kmeans_clusters": _sql_kmeans(_KMEANS_K, _KMEANS_ITERS),
+        "dup_components": """
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ),
+            edges AS (
+              SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+            ),
+            reach(node, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+            )
+            SELECT node AS vec_id, min(lab) AS component
+            FROM reach GROUP BY node
+        """,
     }

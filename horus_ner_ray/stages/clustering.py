@@ -112,6 +112,196 @@ def kmeans_fit(ds, k: int, n_iter: int = 2, id_col: str = "vec_id",
     return cent
 
 
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio id mix (routing only)
+
+
+def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
+                         v_col: str = "v", id_col: str = "node",
+                         lab_col: str = "component", n_buckets: int = 64,
+                         n_salts: int = 8, max_iter: int = 64):
+    """Distributed connected components over an edge Dataset: every node is
+    labelled with the MINIMUM node id reachable from it.  The grouping step
+    a dedup pipeline runs after pair generation (minhash / simhash /
+    embedding near-dup pairs -> duplicate CLUSTERS -> keep one per cluster);
+    reference analogue: the reference collapses duplicate evidence only
+    pairwise (SURVEY.md D1/D5) — components make the closure explicit.
+
+    Algorithm: iterative min-label propagation.  Labels start as identity;
+    each round every node takes the min of its own label and its
+    neighbors', until a round changes nothing.  Rounds needed = the
+    largest component's diameter (near-dup clusters are tight, so a
+    handful); at adversarial diameters a pointer-jumping / large-star
+    variant would halve rounds, traded here for exactness + simplicity.
+
+    Distribution shape (the 100-TB design):
+    - the symmetric edge list is materialized ONCE (it re-enters the plan
+      every round; streaming lineage would re-run pair generation per
+      round) — this is the run-file move the index build makes;
+    - per round, ONE salted replicate join attaches labels to edges: edge
+      rows group by ``(hash(u) % B) * S + mix(v) % S`` and each label row
+      is replicated to its bucket's S salt groups, so a hot node (high
+      degree) spreads over S groups instead of landing all-in-one;
+    - inside each group the neighbor-min is pre-combined (vectorized
+      pandas groupby-min -> one candidate row per (group, node)), so the
+      following global ``groupby(node).min`` is over combiner output, not
+      raw edges;
+    - labels are int64 and the reduce is MIN — order-free, so every round
+      (and the fixpoint test: exact integer sum of labels, monotone
+      decreasing) is bit-stable regardless of block arrival order.
+
+    ``nodes_ds`` (optional, one ``id_col`` column) adds isolated nodes to
+    the output as their own singleton components.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
+    s_int = int(n_salts)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch[u_col], dtype=np.int64)
+        v = np.asarray(batch[v_col], dtype=np.int64)
+        return pa.table({"eu": pa.array(np.r_[u, v], pa.int64()),
+                         "ev": pa.array(np.r_[v, u], pa.int64())})
+
+    edges = (
+        edges_ds.select_columns([u_col, v_col])
+        .map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .materialize()  # tiny vs corpus: re-read every round
+    )
+    # Without this, each round's label table inherits the union's block
+    # fan-out and block count grows linearly round-over-round (task count
+    # quadratic overall); pin it to the edge table's own width.
+    label_parts = max(int(edges.num_blocks()), 1)
+    if edges.count() == 0:
+        labels = None
+    else:
+        # L0: identity labels on every edge endpoint
+        def endpoint_partial(batch: pa.Table) -> pa.Table:
+            eu = np.unique(np.asarray(batch["eu"], dtype=np.int64))
+            return pa.table({id_col: pa.array(eu, pa.int64())})
+
+        labels = (
+            edges.map_batches(endpoint_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, runtime_env=_rte())
+            .groupby(id_col).count()
+            .map_batches(lambda b: pa.table({
+                id_col: b[id_col],
+                lab_col: b[id_col]}), batch_format="pyarrow",
+                runtime_env=_rte())
+            .repartition(label_parts)
+            .materialize()
+        )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        eu = np.asarray(batch["eu"], dtype=np.int64).astype(np.uint64)
+        ev = np.asarray(batch["ev"], dtype=np.int64)
+        gbkt = (((eu * _MIX) % B) * S
+                + (ev.astype(np.uint64) * _MIX) % S).astype(np.int64)
+        n = len(eu)
+        return pa.table({
+            "eu": batch["eu"], "ev": batch["ev"],
+            lab_col: pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch[id_col], dtype=np.int64)
+        lab = np.asarray(batch[lab_col], dtype=np.int64)
+        base = ((node.astype(np.uint64) * _MIX) % B) * S
+        n = len(node)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)).astype(np.int64)
+        return pa.table({
+            "eu": pa.array(np.repeat(node, s_int), pa.int64()),
+            "ev": pa.nulls(n * s_int, pa.int64()),
+            lab_col: pa.array(np.repeat(lab, s_int), pa.int64()),
+            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    _empty_prop = pa.table({id_col: pa.array([], pa.int64()),
+                            lab_col: pa.array([], pa.int64())})
+
+    def propagate_group(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow so prop blocks union cleanly with the Arrow labels
+        data = g[g["side"] == 0]
+        if len(data) == 0:
+            return _empty_prop
+        stat = g[g["side"] == 1]
+        lab_of = dict(zip(stat["eu"].to_numpy(np.int64),
+                          stat[lab_col].to_numpy(np.int64)))
+        cand = data["eu"].map(lab_of)  # label(u) -> candidate for v
+        out = (pd.DataFrame({id_col: data["ev"].to_numpy(np.int64),
+                             lab_col: cand.to_numpy(np.int64)})
+               .groupby(id_col, sort=False)[lab_col].min())  # pre-combine
+        return pa.table({id_col: pa.array(out.index.to_numpy(np.int64),
+                                          pa.int64()),
+                         lab_col: pa.array(out.to_numpy(np.int64),
+                                           pa.int64())})
+
+    n_rounds = 0
+    if labels is not None:
+        prev_sum = None
+        for _ in range(max_iter):
+            tagged_e = edges.map_batches(
+                tag_edges, batch_format="pyarrow", zero_copy_batch=True,
+                runtime_env=_rte())
+            tagged_l = labels.map_batches(
+                tag_labels, batch_format="pyarrow", runtime_env=_rte())
+            prop = (
+                tagged_e.union(tagged_l)
+                .groupby("gbkt")
+                .map_groups(lambda g: propagate_group(g.drop(columns=["gbkt"])),
+                            batch_format="pandas", runtime_env=_rte())
+            )
+            labels = (
+                prop.union(labels)
+                .groupby(id_col).aggregate(Min(lab_col, alias_name=lab_col))
+                .repartition(label_parts)
+                .materialize()
+            )
+            n_rounds += 1
+            cur_sum = labels.sum(lab_col)  # exact int64: order-free fixpoint
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+
+    parts = []
+    if labels is not None:
+        parts.append(labels)
+    if nodes_ds is not None:
+        parts.append(nodes_ds.select_columns([id_col]).map_batches(
+            lambda b: pa.table({id_col: b[id_col], lab_col: b[id_col]}),
+            batch_format="pyarrow", runtime_env=_rte()))
+    if not parts:
+        raise ValueError("connected_components: no edges and no nodes_ds")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.groupby(id_col).aggregate(Min(lab_col, alias_name=lab_col))
+
+
+def semantic_dup_components(emb_ds, threshold: float = 0.95,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding", exact: bool = False,
+                            **cc_kwargs):
+    """SemDeDup-style duplicate clustering: embedding near-dup pairs
+    (``embedding_dup_pairs``: banded sign-LSH by default; ``exact=True`` is
+    the oracle-harness all-pairs path) closed into connected components —
+    (id, component) where component = min id of the duplicate cluster.
+    Downstream keeps one doc per component (e.g. ``component == id``)."""
+    from horus_ner_ray.stages.dedupe import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(emb_ds, threshold=threshold, id_col=id_col,
+                                vec_col=vec_col, exact=exact)
+    return connected_components(
+        pairs, nodes_ds=emb_ds.select_columns([id_col]),
+        u_col="doc_a", v_col="doc_b", id_col=id_col, **cc_kwargs)
+
+
 def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
                   vec_col: str = "embedding"):
     """Dataset(embeddings) -> Dataset(id, cluster): one broadcast +

@@ -33,6 +33,81 @@ def _ref_kmeans(df, k, n_iter):
     return cent, np.argmin(dists(x, cent), axis=1)
 
 
+def _uf_components(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return np.array([find(i) for i in range(n_nodes)], dtype=np.int64)
+
+
+def _run_cc(pairs, n_nodes, parts, ray_session=None, **kw):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import connected_components
+
+    edges = pd.DataFrame({"u": [a for a, _ in pairs],
+                          "v": [b for _, b in pairs]}, dtype=np.int64)
+    nodes = rd.from_pandas(
+        pd.DataFrame({"node": np.arange(n_nodes, dtype=np.int64)}))
+    got = connected_components(
+        rd.from_pandas(edges).repartition(parts), nodes_ds=nodes, **kw
+    ).to_pandas().sort_values("node").reset_index(drop=True)
+    return got["component"].to_numpy(np.int64)
+
+
+def test_cc_chain_star_singletons(ray_session):
+    # chain 0..9 (diameter 9 -> multi-round propagation), star at 20,
+    # clique 30-32, nodes 40..44 isolated
+    pairs = ([(i, i + 1) for i in range(9)]
+             + [(20, j) for j in (21, 22, 23)]
+             + [(30, 31), (31, 32), (30, 32)])
+    want = _uf_components(45, pairs)
+    for parts in (1, 5):
+        assert np.array_equal(_run_cc(pairs, 45, parts), want), parts
+
+
+def test_cc_random_graph_matches_union_find(ray_session):
+    rng = np.random.RandomState(11)
+    n = 300
+    pairs = [tuple(sorted(p)) for p in rng.randint(0, n, (180, 2))
+             if p[0] != p[1]]
+    want = _uf_components(n, pairs)
+    got = _run_cc(pairs, n, 7, n_buckets=16, n_salts=4)
+    assert np.array_equal(got, want)
+
+
+def test_cc_no_edges_is_identity(ray_session):
+    got = _run_cc([], 6, 1)
+    assert np.array_equal(got, np.arange(6))
+
+
+def test_semantic_dup_components_exact_vs_reference(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import semantic_dup_components
+
+    df = _mk(n=120, d=8, seed=9)
+    x = np.array([np.asarray(v, np.float64) for v in df["embedding"]])
+    norm = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    pairs = [(int(a), int(b)) for a, b in zip(*np.nonzero(np.triu(sims >= 0.8, 1)))]
+    want = _uf_components(120, pairs)
+    got = (semantic_dup_components(rd.from_pandas(df).repartition(4),
+                                   threshold=0.8, exact=True)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert np.array_equal(got["component"].to_numpy(np.int64), want)
+    assert len(pairs) > 10  # the fixture actually exercises propagation
+
+
 def test_kmeans_matches_reference_any_block_order(ray_session):
     import ray.data as rd
 
