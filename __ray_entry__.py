@@ -1273,6 +1273,38 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_price_stats_by_flag(sf_dir: str):
+    """Exact per-group mean/variance/stddev (stages/stats.py): cents-
+    quantized int sums with base-2**30 square splits — order-free, so the
+    e6 publication hash-matches the HUGEINT SQL oracle bit-for-bit."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_variance
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_variance(li, "l_returnflag", "l_extendedprice", scale=100,
+                           out_prefix="price")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _q_qty_price_corr(sf_dir: str):
+    """Exact per-group Pearson correlation of quantity vs extended price
+    (stages/stats.py grouped_corr): five integer sufficient statistics per
+    group from one combiner pass, finished in big-int/double arithmetic
+    mirrored by the oracle."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_corr
+
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_corr(li, "l_returnflag", "l_quantity", "l_extendedprice",
+                       x_scale=1, y_scale=100)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_dup_components(sf_dir: str):
     """SemDeDup-style duplicate clustering: embedding near-dup pairs closed
     into connected components by distributed min-label propagation
@@ -1371,6 +1403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_scores": _q_topic_scores,
         "kmeans_clusters": _q_kmeans,
         "dup_components": _q_dup_components,
+        "price_stats_by_flag": _q_price_stats_by_flag,
+        "qty_price_corr": _q_qty_price_corr,
     }
 
 
@@ -2178,5 +2212,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "price_stats_by_flag": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS xq
+              FROM lineitem
+            ), s AS (
+              SELECT l_returnflag, count(*)::HUGEINT AS n,
+                     sum(xq) AS sx, sum(xq * xq) AS sxx
+              FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CAST(FLOOR(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                              * 1e6 + 0.5) AS BIGINT) AS price_mean_e6,
+                   CAST(FLOOR(CAST(n * sxx - sx * sx AS DOUBLE)
+                              / CAST(n * n AS DOUBLE) / 10000.0
+                              * 1e6 + 0.5) AS BIGINT) AS price_var_e6,
+                   CAST(FLOOR(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   / CAST(n * n AS DOUBLE) / 10000.0)
+                              * 1e6 + 0.5) AS BIGINT) AS price_std_e6
+            FROM s
+        """,
+        "qty_price_corr": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_quantity * 1 + 0.5) AS HUGEINT) AS xq,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) AS yq
+              FROM lineitem
+            ), s AS (
+              SELECT l_returnflag, count(*)::HUGEINT AS n,
+                     sum(xq) AS sx, sum(yq) AS sy, sum(xq * xq) AS sxx,
+                     sum(yq * yq) AS syy, sum(xq * yq) AS sxy
+              FROM q GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0
+                        THEN 0
+                        ELSE CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                             * 1e6 + 0.5) AS BIGINT)
+                   END AS corr_e6
+            FROM s
         """,
     }

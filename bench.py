@@ -296,12 +296,6 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best(ncpu: int, runs: int = 3) -> dict:
-        # the sandbox VM is noisy (±20-30% run-to-run); min-of-N
-        # approximates the uncontended time at each level
-        results = [run(ncpu) for _ in range(runs)]
-        return min(results, key=lambda r: r["queries"]["index_build"])
-
     # N and 4N parallelism levels.  Default 4 vs 16: both stay below this
     # VM's shared-memory saturation point (~16 concurrent memory-bound
     # tasks; see BASELINE.md calibration), so the measurement reflects the
@@ -309,7 +303,17 @@ def run_scaling() -> dict:
     # with GRAFT_SCALING_LEVELS="8,32" for the wide pair.
     levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
     lo, hi = (int(x) for x in levels.split(","))
-    r_lo, r_hi = best(lo), best(hi)
+    runs = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    # the sandbox VM is noisy (±20-30% run-to-run) with multi-minute host
+    # drift; INTERLEAVE the levels (lo,hi,lo,hi,...) so a slow window taxes
+    # both sides equally, then min-of-N per level approximates the
+    # uncontended time
+    rs_lo, rs_hi = [], []
+    for _ in range(runs):
+        rs_lo.append(run(lo))
+        rs_hi.append(run(hi))
+    r_lo = min(rs_lo, key=lambda r: r["queries"]["index_build"])
+    r_hi = min(rs_hi, key=lambda r: r["queries"]["index_build"])
     t_lo = r_lo["queries"]["index_build"]
     t_hi = r_hi["queries"]["index_build"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -1,0 +1,160 @@
+"""Exact distributed second-moment statistics: per-group variance /
+stddev and Pearson correlation.
+
+Reference analogue: the reference's per-class score statistics and
+confidence aggregation (SURVEY.md G3/G5; reference src/eval.py:67-134
+reduces per-class counts; simple_indicators/report.py:17-50 averages
+scores) — here the moment family is a first-class exact operator.
+
+Why not float sums: a distributed ``sum(x*x)`` in float64 depends on block
+arrival order (non-associative rounding), so an e6-published result can
+flip vs a SQL oracle.  Instead every value is fixed-point-quantized to
+int64 and all five sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) are
+accumulated in EXACT integer domains:
+
+- products that fit comfortably (x*y of bounded scales) sum as int64;
+- squares are SPLIT base 2**30 into (hi, lo) int64 columns before the
+  global sum, so ``sum(x*x)`` never overflows int64 for any group up to
+  ~2**33 rows (documented bound; the recombine ``hi*2**30 + lo`` happens
+  in Python big-int space on the tiny reduced table).
+
+The finishing formulas convert the exact integer statistics to float64 at
+fixed points mirrored verbatim by the DuckDB oracle (HUGEINT sums, CAST to
+DOUBLE at the same parentheses), so e6 publications hash-match bit-for-bit.
+
+Distribution shape: ONE streaming ``map_batches`` combiner emits a partial
+row per (key, batch) — a hot key costs one row per batch, never a hot
+group — followed by a small ``groupby(key).sum`` and an O(groups) finish.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from horus_ner_ray.util import worker_runtime_env as _rte
+
+_SPLIT = 1 << 30
+
+
+def _quant(col, scale: int) -> np.ndarray:
+    """floor(x * scale + 0.5) as int64 — the shared oracle quantizer."""
+    x = np.asarray(col, dtype=np.float64)
+    return np.floor(x * scale + 0.5).astype(np.int64)
+
+
+def grouped_moment_sums(ds, key_col: str, x_col: str, y_col: str,
+                        x_scale: int = 1, y_scale: int = 1):
+    """Dataset -> Dataset of exact per-key sufficient statistics:
+    ``(key, n, sx, sy, sxx_hi, sxx_lo, syy_hi, syy_lo, sxy_hi, sxy_lo)``.
+
+    All columns are int64; squares/products are split base 2**30 so the
+    global integer sums are exact (and therefore order-free) for any group
+    up to ~2**33 rows at |x*scale|, |y*scale| < 2**24.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xq = _quant(batch[x_col], x_scale)
+        yq = xq if y_col == x_col and y_scale == x_scale \
+            else _quant(batch[y_col], y_scale)
+        keys = batch[key_col].to_pandas().to_numpy()
+        df = pd.DataFrame({"k": keys})
+        prods = {"sxx": xq * xq, "syy": yq * yq, "sxy": xq * yq}
+        df["n"] = np.int64(1)
+        df["sx"] = xq
+        df["sy"] = yq
+        for name, p in prods.items():
+            df[f"{name}_hi"] = p >> 30
+            df[f"{name}_lo"] = p & (_SPLIT - 1)
+        g = df.groupby("k", sort=False).sum().reset_index()
+        cols = {key_col: pa.array(g["k"])}
+        for c in g.columns[1:]:
+            cols[c] = pa.array(g[c].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    stat_cols = ["n", "sx", "sy", "sxx_hi", "sxx_lo", "syy_hi", "syy_lo",
+                 "sxy_hi", "sxy_lo"]
+    return (
+        ds.select_columns(list(dict.fromkeys([key_col, x_col, y_col])))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in stat_cols])
+    )
+
+
+def _recombine(df: pd.DataFrame, name: str) -> list[int]:
+    """Exact big-int totals from the split sums (Python ints, no overflow)."""
+    hi = df[f"{name}_hi"].astype(object).tolist()
+    lo = df[f"{name}_lo"].astype(object).tolist()
+    return [int(h) * _SPLIT + int(l) for h, l in zip(hi, lo)]
+
+
+def grouped_variance(ds, key_col: str, x_col: str, scale: int = 1,
+                     out_prefix: str = "x"):
+    """Per-key count / mean / population variance / stddev of the quantized
+    column, published as e6 ints: mean_e6 = floor(sx/n * 1e6 + 0.5) etc.
+    Float conversions mirror the SQL oracle's CAST(... AS DOUBLE) points:
+    variance = double(n*sxx - sx*sx) / double(n*n)."""
+    sums = grouped_moment_sums(ds, key_col, x_col, x_col,
+                               x_scale=scale, y_scale=scale).to_pandas()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = [int(v) for v in df["n"].tolist()]
+        sx = [int(v) for v in df["sx"].tolist()]
+        sxx = _recombine(df, "sxx")
+        s = float(scale)
+        mean_e6, var_e6, std_e6 = [], [], []
+        for ni, sxi, sxxi in zip(n, sx, sxx):
+            mean = float(sxi) / float(ni) / s
+            var = float(ni * sxxi - sxi * sxi) / float(ni * ni) / (s * s)
+            mean_e6.append(math.floor(mean * 1e6 + 0.5))
+            var_e6.append(math.floor(var * 1e6 + 0.5))
+            std_e6.append(math.floor(math.sqrt(var) * 1e6 + 0.5))
+        return pd.DataFrame({
+            key_col: df[key_col],
+            "n_rows": np.array(n, dtype=np.int64),
+            f"{out_prefix}_mean_e6": np.array(mean_e6, dtype=np.int64),
+            f"{out_prefix}_var_e6": np.array(var_e6, dtype=np.int64),
+            f"{out_prefix}_std_e6": np.array(std_e6, dtype=np.int64),
+        })
+
+    return finish(sums)
+
+
+def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
+                 x_scale: int = 1, y_scale: int = 1):
+    """Per-key Pearson correlation of the two quantized columns, published
+    as corr_e6 (0 when either side is constant — mirrored by the oracle's
+    CASE).  r = double(n*sxy - sx*sy)
+              / (sqrt(double(n*sxx - sx*sx)) * sqrt(double(n*syy - sy*sy)))
+    with each parenthesized factor exact-integer before the cast."""
+    sums = grouped_moment_sums(ds, key_col, x_col, y_col,
+                               x_scale=x_scale, y_scale=y_scale).to_pandas()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = [int(v) for v in df["n"].tolist()]
+        sx = [int(v) for v in df["sx"].tolist()]
+        sy = [int(v) for v in df["sy"].tolist()]
+        sxx, syy, sxy = (_recombine(df, c) for c in ("sxx", "syy", "sxy"))
+        corr_e6 = []
+        for ni, sxi, syi, sxxi, syyi, sxyi in zip(n, sx, sy, sxx, syy, sxy):
+            num = ni * sxyi - sxi * syi
+            dx = ni * sxxi - sxi * sxi
+            dy = ni * syyi - syi * syi
+            if dx <= 0 or dy <= 0:
+                corr_e6.append(0)
+                continue
+            r = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            corr_e6.append(math.floor(r * 1e6 + 0.5))
+        return pd.DataFrame({
+            key_col: df[key_col],
+            "n_rows": np.array(n, dtype=np.int64),
+            "corr_e6": np.array(corr_e6, dtype=np.int64),
+        })
+
+    return finish(sums)

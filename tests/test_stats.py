@@ -1,0 +1,92 @@
+"""Exact grouped moments (variance / Pearson corr) vs big-int references."""
+
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def _mk(n=5000, seed=3, big=False):
+    rng = np.random.RandomState(seed)
+    hi = (1 << 24) - 7 if big else 10_000
+    x = rng.randint(1, 51, n).astype(np.float64)
+    y = (rng.randint(0, hi, n) / 100.0) + 0.25 * x  # correlated
+    k = rng.choice(list("ABC"), n)
+    return pd.DataFrame({"k": k, "x": x, "y": y})
+
+
+def _exact_var_e6(vals, scale):
+    q = [int(math.floor(v * scale + 0.5)) for v in vals]
+    n, sx, sxx = len(q), sum(q), sum(v * v for v in q)
+    mean = float(sx) / float(n) / float(scale)
+    var = float(n * sxx - sx * sx) / float(n * n) / float(scale * scale)
+    return (math.floor(mean * 1e6 + 0.5), math.floor(var * 1e6 + 0.5),
+            math.floor(math.sqrt(var) * 1e6 + 0.5))
+
+
+def _exact_corr_e6(xs, ys, xsc, ysc):
+    xq = [int(math.floor(v * xsc + 0.5)) for v in xs]
+    yq = [int(math.floor(v * ysc + 0.5)) for v in ys]
+    n = len(xq)
+    sx, sy = sum(xq), sum(yq)
+    sxx = sum(v * v for v in xq)
+    syy = sum(v * v for v in yq)
+    sxy = sum(a * b for a, b in zip(xq, yq))
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return 0
+    r = float(n * sxy - sx * sy) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+    return math.floor(r * 1e6 + 0.5)
+
+
+def test_grouped_variance_exact_any_partitioning(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_variance
+
+    df = _mk(big=True)  # y*100 near 2**24: f64 sum-of-squares would drift
+    outs = []
+    for parts in (1, 9):
+        got = grouped_variance(
+            rd.from_pandas(df.sample(frac=1, random_state=parts)
+                           ).repartition(parts),
+            "k", "y", scale=100, out_prefix="y",
+        ).sort_values("k").reset_index(drop=True)
+        outs.append(got)
+    # order-free integer sums: bit-identical across partitionings
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for _, row in outs[0].iterrows():
+        vals = df.loc[df["k"] == row["k"], "y"]
+        m, v, s = _exact_var_e6(vals.tolist(), 100)
+        assert (row["y_mean_e6"], row["y_var_e6"], row["y_std_e6"]) == (m, v, s)
+        assert row["n_rows"] == len(vals)
+
+
+def test_grouped_corr_exact_and_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_corr
+
+    df = _mk()
+    got = grouped_corr(rd.from_pandas(df).repartition(5), "k", "x", "y",
+                       x_scale=1, y_scale=100
+                       ).sort_values("k").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["k"] == row["k"]]
+        want = _exact_corr_e6(sub["x"].tolist(), sub["y"].tolist(), 1, 100)
+        assert row["corr_e6"] == want
+        # sanity vs numpy's float corr on the quantized values
+        np_r = np.corrcoef(np.floor(sub["x"] + 0.5),
+                           np.floor(sub["y"] * 100 + 0.5))[0, 1]
+        assert abs(row["corr_e6"] / 1e6 - np_r) < 1e-4
+
+
+def test_grouped_corr_constant_column_is_zero(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_corr
+
+    df = pd.DataFrame({"k": ["A"] * 10, "x": [3.0] * 10,
+                       "y": np.arange(10, dtype=np.float64)})
+    got = grouped_corr(rd.from_pandas(df), "k", "x", "y")
+    assert got["corr_e6"].tolist() == [0]
