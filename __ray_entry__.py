@@ -1273,6 +1273,34 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_pmi_top(sf_dir: str):
+    """Top-100 PMI collocations (stages/collocations.py): df-filtered vocab
+    broadcast once, per-batch combined pair counts, one pair groupby, a
+    single ln per pair (no float accumulation) -> deterministic top-k by
+    (pmi_e6 desc, ta, tb)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.collocations import pmi_pairs
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return pmi_pairs(docs, min_df=2, max_df_ratio=0.9, min_pair_count=2,
+                     top_k=100)
+
+
+def _q_rolling_windows(sf_dir: str):
+    """5-row moving aggregates per user ordered by (ts, event_id)
+    (stages/analytic.py rolling_aggregates_dataset): exact int rolling sum
+    via per-segment cumsum difference, count/avg/min/max vectorized."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import rolling_aggregates_dataset
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    return rolling_aggregates_dataset(ev, window=5)
+
+
 def _q_price_stats_by_flag(sf_dir: str):
     """Exact per-group mean/variance/stddev (stages/stats.py): cents-
     quantized int sums with base-2**30 square splits — order-free, so the
@@ -1405,6 +1433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_components": _q_dup_components,
         "price_stats_by_flag": _q_price_stats_by_flag,
         "qty_price_corr": _q_qty_price_corr,
+        "pmi_top": _q_pmi_top,
+        "rolling_windows": _q_rolling_windows,
     }
 
 
@@ -2212,6 +2242,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "pmi_top": """
+            WITH toks AS (
+              SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id, unnest({tok}) AS term FROM documents)
+            ),
+            dfv AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+            kept AS (
+              SELECT term, df FROM dfv
+              WHERE df >= 2
+                AND df <= FLOOR(0.9 * (SELECT count(*) FROM documents))
+            ),
+            kt AS (
+              SELECT t.doc_id, t.term, k.df
+              FROM toks t JOIN kept k USING (term)
+            ),
+            p AS (
+              SELECT a.term AS ta, b.term AS tb,
+                     any_value(a.df) AS dfa, any_value(b.df) AS dfb,
+                     count(*) AS pair_count
+              FROM kt a JOIN kt b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              GROUP BY a.term, b.term
+              HAVING count(*) >= 2
+            )
+            SELECT ta, tb, pair_count::BIGINT AS pair_count,
+                   CAST(FLOOR(ln(
+                     CAST(pair_count * (SELECT count(*) FROM documents)
+                          AS DOUBLE) / CAST(dfa * dfb AS DOUBLE))
+                     * 1e6 + 0.5) AS BIGINT) AS pmi_e6
+            FROM p
+            ORDER BY pmi_e6 DESC, ta, tb
+            LIMIT 100
+        """.replace("{tok}", _sql_tok()),
+        "rolling_windows": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   count(*) OVER w AS roll_cnt,
+                   CAST(sum(v) OVER w AS BIGINT) AS roll_sum_e6,
+                   CAST(FLOOR(CAST(sum(v) OVER w AS DOUBLE)
+                              / (count(*) OVER w) + 0.5) AS BIGINT)
+                     AS roll_avg_e6,
+                   min(v) OVER w AS roll_min_e6,
+                   max(v) OVER w AS roll_max_e6
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "price_stats_by_flag": """
             WITH q AS (

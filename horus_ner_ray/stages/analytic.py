@@ -131,3 +131,86 @@ def window_functions_dataset(
         .groupby("bucket")
         .map_groups(fns, batch_format="pandas", runtime_env=_rte())
     )
+
+
+def rolling_aggregates_dataset(
+    ds,
+    window: int,
+    key_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    n_buckets: int = 256,
+    val_scale: int = 1_000_000,
+):
+    """Rolling (moving-window) aggregates over ``PARTITION BY key_col ORDER
+    BY order_cols ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``:
+
+    - ``roll_cnt``     count(*) in the frame (= min(row_number, window))
+    - ``roll_sum_e6``  sum(value_e6), EXACT int64 via per-segment cumsum
+                       difference (never a float accumulation)
+    - ``roll_avg_e6``  floor(double(roll_sum_e6) / roll_cnt + 0.5)
+    - ``roll_min_e6`` / ``roll_max_e6``  frame min/max (comparisons only;
+      requires |value_e6| < 2**53 since pandas.rolling round-trips float64)
+
+    Same coarse-bucket plan as ``window_functions_dataset``: hash(key)
+    routes whole partitions to buckets, each bucket sorts once and computes
+    everything vectorized.  Partitions are assumed key-bounded."""
+    scale = float(val_scale)
+    w = int(window)
+    if w < 1:
+        raise ValueError("window must be >= 1")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object),
+            categorize=False)
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        out = batch.drop_columns([value_col]).append_column(
+            "value_e6",
+            pa.array(np.floor(v * scale + 0.5).astype(np.int64), pa.int64()))
+        return out.append_column(
+            "bucket",
+            pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64()))
+
+    def fns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        keys = g[key_col].to_numpy()
+        v = g["value_e6"].to_numpy(dtype=np.int64)
+        n = len(g)
+        pos = np.arange(n, dtype=np.int64)
+        seg_starts, seg_lens, seg_of_row = _segments(keys)
+
+        rn = pos - seg_of_row + 1  # 1-based row number within partition
+        cnt = np.minimum(rn, w)
+        # exact rolling sum: cumsum(seg) - cumsum(seg) shifted by w
+        cs = np.cumsum(v)
+        seg_base = np.repeat(cs[seg_starts] - v[seg_starts], seg_lens)
+        run = cs - seg_base  # running sum within segment
+        prev_idx = pos - w   # global index of the row w back
+        valid = rn > w       # frame truncated at partition head otherwise
+        roll = run.copy()
+        roll[valid] = run[valid] - run[prev_idx[valid]]
+        # rolling min/max within each partition (comparison-only kernels)
+        grp = pd.Series(v, dtype=np.float64).groupby(seg_of_row)
+        rmin = grp.rolling(w, min_periods=1).min().to_numpy()
+        rmax = grp.rolling(w, min_periods=1).max().to_numpy()
+        avg = np.floor(roll.astype(np.float64) / cnt + 0.5).astype(np.int64)
+
+        res = g[[*id_cols, key_col]].copy()
+        res["roll_cnt"] = cnt
+        res["roll_sum_e6"] = roll
+        res["roll_avg_e6"] = avg
+        res["roll_min_e6"] = rmin.astype(np.int64)
+        res["roll_max_e6"] = rmax.astype(np.int64)
+        return res
+
+    cols = list(dict.fromkeys([*id_cols, key_col, *order_cols, value_col]))
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(fns, batch_format="pandas", runtime_env=_rte())
+    )
