@@ -1273,6 +1273,22 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_ranking_analytics(sf_dir: str):
+    """ntile / percent_rank / cume_dist over PARTITION BY user (stages/
+    analytic.py extended=True): tile boundaries, (rank-1)/(cnt-1) and
+    peers-inclusive fractions all derive from the same int-valued run
+    layout as rank/dense_rank, so the e6 publication is order-free."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import window_functions_dataset
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = window_functions_dataset(ev, extended=True).to_pandas()
+    return (out[["event_id", "user_id", "tile", "prank_e6", "cume_e6"]]
+            .astype(np.int64).sort_values("event_id").reset_index(drop=True))
+
+
 def _q_pmi_top(sf_dir: str):
     """Top-100 PMI collocations (stages/collocations.py): df-filtered vocab
     broadcast once, per-batch combined pair counts, one pair groupby, a
@@ -1435,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": _q_qty_price_corr,
         "pmi_top": _q_pmi_top,
         "rolling_windows": _q_rolling_windows,
+        "ranking_analytics": _q_ranking_analytics,
     }
 
 
@@ -2242,6 +2259,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "ranking_analytics": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   ntile(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS tile,
+                   CAST(FLOOR(percent_rank() OVER
+                          (PARTITION BY user_id ORDER BY v DESC)
+                          * 1e6 + 0.5) AS BIGINT) AS prank_e6,
+                   CAST(FLOOR(cume_dist() OVER
+                          (PARTITION BY user_id ORDER BY v DESC)
+                          * 1e6 + 0.5) AS BIGINT) AS cume_e6
+            FROM e
         """,
         "pmi_top": """
             WITH toks AS (

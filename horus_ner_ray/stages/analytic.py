@@ -50,6 +50,8 @@ def window_functions_dataset(
     n_buckets: int = 256,
     val_scale: int = 1_000_000,
     lag_default: int = -1,
+    extended: bool = False,
+    ntile_n: int = 4,
 ):
     """SQL window functions over ``PARTITION BY key_col ORDER BY order_cols``:
 
@@ -58,6 +60,16 @@ def window_functions_dataset(
     - ``running_value_e6``  sum(value_e6) ROWS UNBOUNDED PRECEDING (exact int)
     - ``value_rank``        rank()       OVER (... ORDER BY value_e6 DESC)
     - ``value_dense_rank``  dense_rank() OVER (... ORDER BY value_e6 DESC)
+
+    With ``extended=True`` three more columns (kept opt-in so the base
+    query's published schema stays frozen):
+
+    - ``tile``          ntile(ntile_n) OVER (... ORDER BY order_cols) —
+                        the first cnt%n tiles get the extra row, as in SQL
+    - ``prank_e6``      percent_rank() OVER (... ORDER BY value_e6 DESC),
+                        (rank-1)/(cnt-1) e6-published, 0 for cnt==1
+    - ``cume_e6``       cume_dist() OVER (... ORDER BY value_e6 DESC),
+                        peers-inclusive row fraction, e6-published
 
     ``order_cols`` must be unique per key (include a tiebreaker id) so
     row_number/lag/running-sum order is deterministic.  rank/dense_rank
@@ -121,6 +133,30 @@ def window_functions_dataset(
         res["running_value_e6"] = running
         res["value_rank"] = rank
         res["value_dense_rank"] = drank
+        if extended:
+            cnt = np.repeat(seg_lens, seg_lens)
+            # ntile over the row order: first cnt%n tiles take the extra row
+            q, r = cnt // ntile_n, cnt % ntile_n
+            cut = r * (q + 1)  # rows covered by the big tiles
+            in_big = (rn - 1) < cut
+            big = (rn - 1) // np.maximum(q + 1, 1) + 1
+            small = r + ((rn - 1) - cut) // np.maximum(q, 1) + 1
+            res["tile"] = np.where(in_big, big,
+                                   np.where(q > 0, small, rn)).astype(np.int64)
+            # percent_rank: (rank-1)/(cnt-1); 0 when the partition is a row
+            pr = np.zeros(n, dtype=np.float64)
+            multi = cnt > 1
+            pr[multi] = (rank[multi] - 1).astype(np.float64) \
+                / (cnt[multi] - 1).astype(np.float64)
+            res["prank_e6"] = np.floor(pr * 1e6 + 0.5).astype(np.int64)
+            # cume_dist: (last peer's position-in-segment + 1) / cnt,
+            # scattered back through the same desc-sorted run layout
+            run_end = np.repeat(pos_in_seg[run_starts] + run_lens, run_lens)
+            cume_sorted = run_end.astype(np.float64) \
+                / np.repeat(cnt[order][run_starts], run_lens).astype(np.float64)
+            cume = np.empty(n, dtype=np.float64)
+            cume[order] = cume_sorted
+            res["cume_e6"] = np.floor(cume * 1e6 + 0.5).astype(np.int64)
         return res
 
     cols = list(dict.fromkeys([*id_cols, key_col, *order_cols, value_col]))

@@ -74,3 +74,46 @@ def test_window_functions_edge_partitions(ray_session):
     assert u3.loc[4, "rn"] == 1 and u3.loc[4, "prev_value_e6"] == -1
     assert u3.loc[2, "value_rank"] == 1 and u3.loc[3, "value_rank"] == 1
     assert u3.loc[4, "value_rank"] == 3 and u3.loc[4, "value_dense_rank"] == 2
+
+
+def _dd_ranking(df, n=4):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("ev", df)
+    return con.execute("""
+        WITH e AS (SELECT event_id, user_id, ts,
+                          CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+                   FROM ev)
+        SELECT event_id, user_id,
+               ntile(?) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS tile,
+               CAST(FLOOR(percent_rank() OVER
+                      (PARTITION BY user_id ORDER BY v DESC) * 1e6 + 0.5)
+                    AS BIGINT) AS prank_e6,
+               CAST(FLOOR(cume_dist() OVER
+                      (PARTITION BY user_id ORDER BY v DESC) * 1e6 + 0.5)
+                    AS BIGINT) AS cume_e6
+        FROM e ORDER BY event_id
+    """, [n]).df().astype(np.int64)
+
+
+def test_extended_ranking_matches_duckdb(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import window_functions_dataset
+
+    rng = np.random.default_rng(8)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 23, n).astype(np.int64),  # ragged tiles
+        "ts": pd.to_datetime(rng.integers(0, 5000, n), unit="s"),
+        "value": rng.integers(0, 12, n).astype(np.float64) / 4.0,  # ties
+    })
+    got = (window_functions_dataset(rd.from_pandas(df).repartition(5),
+                                    extended=True, n_buckets=8)
+           .to_pandas()[["event_id", "user_id", "tile", "prank_e6",
+                         "cume_e6"]]
+           .astype(np.int64).sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, _dd_ranking(df))
