@@ -1273,6 +1273,37 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_bigram_logprob(sf_dir: str):
+    """Order-aware bigram LM quality score (stages/ngram.py): add-one-
+    smoothed conditional bigram log-probs under the corpus's own model,
+    every contribution e9-int-quantized before summation (order-free)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.ngram import bigram_logprob_vectors
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = bigram_logprob_vectors(docs).to_pandas()
+    return (out.astype(np.int64).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
+def _q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(flag, status) (stages/groupwise.py rollup_sums):
+    one corpus scan builds the finest level via a combiner; every coarser
+    level re-aggregates the previous level's small result.  Cents-int sums
+    are exact at every level."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import rollup_sums
+
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return rollup_sums(li, ["l_returnflag", "l_linestatus"],
+                       "l_extendedprice", value_scale=100)
+
+
 def _q_ranking_analytics(sf_dir: str):
     """ntile / percent_rank / cume_dist over PARTITION BY user (stages/
     analytic.py extended=True): tile boundaries, (rank-1)/(cnt-1) and
@@ -1452,6 +1483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top": _q_pmi_top,
         "rolling_windows": _q_rolling_windows,
         "ranking_analytics": _q_ranking_analytics,
+        "rollup_revenue": _q_rollup_revenue,
+        "bigram_logprob": _q_bigram_logprob,
     }
 
 
@@ -2259,6 +2292,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "bigram_logprob": """
+            WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
+            uni AS (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS pos
+              FROM tok
+            ),
+            big AS (
+              SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM uni a JOIN uni b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+            v AS (SELECT count(DISTINCT term) AS v FROM uni),
+            bt AS (
+              SELECT doc_id, w1, w2, count(*) AS tf2
+              FROM big GROUP BY doc_id, w1, w2
+            ),
+            sc AS (
+              SELECT bt.doc_id,
+                     sum(CAST(FLOOR(bt.tf2 * ln(
+                           CAST(c12.c12 + 1 AS DOUBLE)
+                           / CAST(c1.c1 + (SELECT v FROM v) AS DOUBLE))
+                           * 1e9 + 0.5) AS BIGINT)) AS lp2_e9,
+                     sum(bt.tf2)::BIGINT AS n_bigrams
+              FROM bt JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+              GROUP BY bt.doc_id
+            )
+            SELECT doc_id, n_bigrams, CAST(lp2_e9 AS BIGINT) AS lp2_e9,
+                   CAST(FLOOR(CAST(lp2_e9 AS DOUBLE) / (n_bigrams * 1e9)
+                              * 1e6 + 0.5) AS BIGINT) AS mean_lp2_e6
+            FROM sc
+        """.replace("{tok}", _sql_tok()),
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_e2
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "ranking_analytics": """
             WITH e AS (

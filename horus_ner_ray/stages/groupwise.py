@@ -102,6 +102,80 @@ def stratified_sample(ds, key: str, id_col: str, n_per_group: int,
                            batch_format="pandas", runtime_env=_rte())
 
 
+def rollup_sums(ds, group_cols: list[str], value_col: str,
+                value_scale: int = 1, all_label: str = "ALL"):
+    """GROUP BY ROLLUP(*group_cols): count + exact integer sum at every
+    prefix level (finest, each roll-up, grand total), rolled columns filled
+    with ``all_label`` (SQL's NULL, published COALESCE'd).
+
+    Scale shape: the corpus is scanned ONCE — a per-batch combiner emits a
+    partial row per (batch, finest-level key), one groupby reduces to the
+    finest level, and every coarser level re-aggregates the PREVIOUS
+    level's (small) result, never the corpus.  Sums are fixed-point int64
+    end-to-end, so every level is order-free and hash-stable.
+
+    Output: ``(*group_cols, n_rows, sum_e{scale})`` — the sum column is
+    named ``sum_e2`` for scale 100, ``sum_e6`` for 1e6, else ``sum_s``.
+    """
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    sum_col = {100: "sum_e2", 1_000_000: "sum_e6"}.get(int(value_scale),
+                                                       "sum_s")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(group_cols).to_pandas()
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        df["_s"] = np.floor(v * value_scale + 0.5).astype(np.int64)
+        df["_n"] = np.int64(1)
+        g = df.groupby(group_cols, sort=False).sum().reset_index()
+        cols = {c: pa.array(g[c]) for c in group_cols}
+        cols["n_rows"] = pa.array(g["_n"].to_numpy(np.int64), pa.int64())
+        cols[sum_col] = pa.array(g["_s"].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_rows", alias_name="n_rows"),
+            Sum(sum_col, alias_name=sum_col)]
+    fine = (
+        ds.select_columns(list(dict.fromkeys([*group_cols, value_col])))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby(group_cols).aggregate(*aggs)
+    )
+
+    def fill(missing: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            for c in missing:
+                batch = batch.append_column(
+                    c, pa.array([all_label] * n, pa.string()))
+            return batch.select([*group_cols, "n_rows", sum_col])
+        return fn
+
+    levels = [fine]
+    prev = fine
+    for k in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:k]
+        if keep:
+            lvl = prev.groupby(keep).aggregate(*aggs)
+        else:
+            lvl = (prev.map_batches(
+                lambda b: b.append_column("_k", pa.array([0] * len(b),
+                                                         pa.int64())),
+                batch_format="pyarrow", runtime_env=_rte())
+                .groupby("_k").aggregate(*aggs).drop_columns(["_k"]))
+        levels.append(lvl.map_batches(fill(group_cols[k:]),
+                                      batch_format="pyarrow",
+                                      runtime_env=_rte()))
+        prev = lvl
+    out = levels[0].map_batches(fill([]), batch_format="pyarrow",
+                                runtime_env=_rte())
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out
+
+
 def pivot_counts_dataset(ds, key_col: str, pivot_col: str,
                          values: list[str]):
     """Pivot/crosstab: one int64 count column per ``values`` entry, keyed by

@@ -1,0 +1,267 @@
+"""Bigram language-model quality scoring (CCNet-style, order-aware).
+
+Extends the unigram perplexity filter (stages/termstats.py
+unigram_logprob_vectors) to conditional bigram probabilities: per document
+
+    mean_lp2 = (1 / n_bigrams) * sum_{(w1,w2) in doc}
+                   ln( (c12 + 1) / (c1 + V) )          [add-one smoothing]
+
+with c12 = corpus count of the bigram, c1 = corpus count of bigrams
+starting with w1 (so the conditional normalizes), V = distinct unigram
+vocabulary size.  Word order now matters: "the cat sat" and "sat cat the"
+get different scores — the signal the unigram filter cannot see.
+
+Skew-proof shape (same moves as tfidf/unigram-LP):
+- bigram count table from a per-batch COMBINER (one partial row per
+  (bigram, batch); a hot bigram never forms a hot group);
+- prefix counts c1 re-aggregate the (already small) bigram table;
+- c1 attaches to bigram rows via a SALTED replicate join keyed by w1
+  (a hot prefix "the ..." spreads over S salt groups);
+- (c12, c1) attach to the per-doc bigram rows via a second salted
+  replicate join keyed by the bigram string;
+- every (doc, bigram) contribution quantizes to int64 lp2_e9 BEFORE
+  summation -> order-free, hash-stable vs the SQL oracle.
+
+Documents with fewer than two tokens produce no bigrams and drop from the
+output (mirroring the oracle's inner join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from horus_ner_ray.stages.tokenize import tokenize_column
+from horus_ner_ray.util import worker_runtime_env as _rte
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str, id_col: str):
+    """batch -> flat (doc_id, bigram) instance arrays, in-document order.
+    Bigram key = 'w1 w2' (tokens are [a-z0-9]+ so the space is unambiguous).
+    """
+    import pyarrow.compute as pc
+
+    toks = tokenize_column(batch[text_col])
+    flat = np.asarray(pc.list_flatten(toks), dtype=object)
+    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    if len(flat) < 2:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=object)
+    same = parents[1:] == parents[:-1]
+    w1, w2 = flat[:-1][same], flat[1:][same]
+    docs = np.asarray(batch[id_col], dtype=np.int64)[parents[:-1][same]]
+    bg = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+    return docs, bg.astype(object)
+
+
+def bigram_logprob_vectors(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 256,
+                           n_salts: int = 16):
+    """-> Dataset (doc_id, n_bigrams, lp2_e9, mean_lp2_e6)."""
+    from ray.data.aggregate import Sum
+
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
+    s_int = int(n_salts)
+
+    # --- corpus bigram counts (combiner; skew-free) ----------------------
+    def c12_partial(batch: pa.Table) -> pa.Table:
+        docs, bg = _doc_bigrams(batch, text_col, id_col)
+        if len(bg) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(bg.astype(str), return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    corpus = ds.select_columns([id_col, text_col])
+    c12 = (corpus.map_batches(c12_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, runtime_env=_rte())
+           .groupby("bigram").aggregate(Sum("cnt", alias_name="c12"))
+           .materialize())  # consumed twice: prefix counts + stat attach
+
+    # --- vocabulary size (distinct unigrams; combiner) -------------------
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch[text_col])
+        u = np.unique(np.asarray(pc.list_flatten(toks), dtype=str))
+        return pa.table({"term": pa.array(u, pa.string())})
+
+    n_vocab = (corpus.map_batches(vocab_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True, runtime_env=_rte())
+               .groupby("term").count().count())
+
+    # --- prefix counts c1 via salted replicate join keyed on w1 ----------
+    def c12_rows(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
+        h = pd.util.hash_array(w1, categorize=False)
+        mix = pd.util.hash_array(bgs, categorize=False)
+        gbkt = ((h % B) * S + mix % S).astype(np.int64)
+        n = len(bgs)
+        return pa.table({
+            "bigram": batch["bigram"], "w1": pa.array(w1, pa.string()),
+            "c12": batch["c12"],
+            "c1": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    def c1_partial(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
+        g = (pd.DataFrame({"w1": w1,
+                           "c": np.asarray(batch["c12"], dtype=np.int64)})
+             .groupby("w1", sort=False).sum().reset_index())
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    c1 = (c12.map_batches(c1_partial, batch_format="pyarrow",
+                          runtime_env=_rte())
+          .groupby("w1").aggregate(Sum("c", alias_name="c1")))
+
+    def c1_rows(batch: pa.Table) -> pa.Table:
+        w1 = np.asarray(batch["w1"], dtype=object)
+        h = pd.util.hash_array(w1, categorize=False)
+        base = (h % B) * S
+        n = len(w1)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)
+                ).astype(np.int64)
+        return pa.table({
+            "bigram": pa.nulls(n * s_int, pa.string()),
+            "w1": pa.array(np.repeat(w1, s_int), pa.string()),
+            "c12": pa.nulls(n * s_int, pa.int64()),
+            "c1": pa.array(np.repeat(np.asarray(batch["c1"],
+                                                dtype=np.int64), s_int),
+                           pa.int64()),
+            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    def attach_c1(g: pd.DataFrame) -> pa.Table:
+        data = g[g["side"] == 0]
+        if len(data) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "c12": pa.array([], pa.int64()),
+                             "c1": pa.array([], pa.int64())})
+        stat = g[g["side"] == 1]
+        c1_of = dict(zip(stat["w1"], stat["c1"].to_numpy(np.int64)))
+        return pa.table({
+            "bigram": pa.array(data["bigram"].to_numpy(object), pa.string()),
+            "c12": pa.array(data["c12"].to_numpy(np.int64), pa.int64()),
+            "c1": pa.array(data["w1"].map(c1_of).to_numpy(np.int64),
+                           pa.int64()),
+        })
+
+    bg_stats = (
+        c12.map_batches(c12_rows, batch_format="pyarrow", runtime_env=_rte())
+        .union(c1.map_batches(c1_rows, batch_format="pyarrow",
+                              runtime_env=_rte()))
+        .groupby("gbkt")
+        .map_groups(lambda g: attach_c1(g.drop(columns=["gbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+    # --- per-doc scoring via salted replicate join keyed on the bigram ---
+    def data_rows(batch: pa.Table) -> pa.Table:
+        docs, bg = _doc_bigrams(batch, text_col, id_col)
+        g = (pd.DataFrame({"d": docs, "b": bg})
+             .groupby(["d", "b"], sort=False).size().reset_index(name="tf2"))
+        bh = pd.util.hash_array(g["b"].to_numpy(object), categorize=False)
+        dh = g["d"].to_numpy(np.int64).astype(np.uint64)
+        gbkt = ((bh % B) * S + (dh * _MIX) % S).astype(np.int64)
+        n = len(g)
+        return pa.table({
+            id_col: pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+            "bigram": pa.array(g["b"].to_numpy(object), pa.string()),
+            "tf2": pa.array(g["tf2"].to_numpy(np.int64), pa.int64()),
+            "c12": pa.nulls(n, pa.int64()),
+            "c1": pa.nulls(n, pa.int64()),
+            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        bh = pd.util.hash_array(bgs, categorize=False)
+        base = (bh % B) * S
+        n = len(bgs)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)
+                ).astype(np.int64)
+        rep = lambda col: np.repeat(np.asarray(batch[col], dtype=np.int64),
+                                    s_int)
+        return pa.table({
+            id_col: pa.nulls(n * s_int, pa.int64()),
+            "bigram": pa.array(np.repeat(bgs, s_int), pa.string()),
+            "tf2": pa.nulls(n * s_int, pa.int64()),
+            "c12": pa.array(rep("c12"), pa.int64()),
+            "c1": pa.array(rep("c1"), pa.int64()),
+            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
+            "gbkt": pa.array(gbkt, pa.int64()),
+        })
+
+    V = int(n_vocab)
+
+    def score_group(g: pd.DataFrame) -> pa.Table:
+        data = g[g["side"] == 0]
+        if len(data) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lp2_e9": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        stat = g[g["side"] == 1].drop_duplicates("bigram")
+        m = data.merge(stat[["bigram", "c12", "c1"]], on="bigram",
+                       how="left", suffixes=("_x", ""))
+        tf2 = m["tf2"].to_numpy(np.float64)
+        c12v = m["c12"].to_numpy(np.float64)
+        c1v = m["c1"].to_numpy(np.float64)
+        # same double-conversion points as the oracle's
+        # CAST(c12+1 AS DOUBLE) / CAST(c1+V AS DOUBLE)
+        lp = np.floor(tf2 * np.log((c12v + 1.0) / (c1v + float(V)))
+                      * 1e9 + 0.5).astype(np.int64)
+        out = pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                            "lp2_e9": lp,
+                            "n_bigrams": m["tf2"].to_numpy(np.int64)})
+        out = (out.groupby(id_col, sort=False)
+               .agg(lp2_e9=("lp2_e9", "sum"),
+                    n_bigrams=("n_bigrams", "sum")).reset_index())
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+            "lp2_e9": pa.array(out["lp2_e9"].to_numpy(np.int64), pa.int64()),
+            "n_bigrams": pa.array(out["n_bigrams"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    per_group = (
+        corpus.map_batches(data_rows, batch_format="pyarrow",
+                           zero_copy_batch=True, runtime_env=_rte())
+        .union(bg_stats.map_batches(stat_rows, batch_format="pyarrow",
+                                    runtime_env=_rte()))
+        .groupby("gbkt")
+        .map_groups(lambda g: score_group(g.drop(columns=["gbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+    # --- final per-doc reduce + publication ------------------------------
+    def finish(batch: pa.Table) -> pa.Table:
+        lp = np.asarray(batch["lp2_e9"], dtype=np.int64)
+        nb = np.asarray(batch["n_bigrams"], dtype=np.int64)
+        mean = np.floor(lp.astype(np.float64) / (nb.astype(np.float64) * 1e9)
+                        * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": batch["n_bigrams"],
+            "lp2_e9": batch["lp2_e9"],
+            "mean_lp2_e6": pa.array(mean, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (per_group.groupby(id_col)
+            .aggregate(_Sum("lp2_e9", alias_name="lp2_e9"),
+                       _Sum("n_bigrams", alias_name="n_bigrams"))
+            .map_batches(finish, batch_format="pyarrow", runtime_env=_rte()))

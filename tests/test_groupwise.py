@@ -123,3 +123,33 @@ def test_pivot_counts_ignores_out_of_domain(ray_session):
            .to_pandas().sort_values("u").reset_index(drop=True))
     assert list(got["n_a"]) == [1, 1]
     assert list(got["n_b"]) == [0, 0]
+
+
+def test_rollup_sums_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import rollup_sums
+
+    rng = np.random.default_rng(6)
+    n = 2000
+    df = pd.DataFrame({
+        "a": rng.choice(list("XYZ"), n),
+        "b": rng.choice(["p", "q"], n),
+        "v": rng.integers(0, 10_000, n).astype(np.float64) / 100.0,
+    })
+    got = (rollup_sums(rd.from_pandas(df).repartition(7), ["a", "b"], "v",
+                       value_scale=100)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute("""
+        SELECT coalesce(a, 'ALL') AS a, coalesce(b, 'ALL') AS b,
+               count(*)::BIGINT AS n_rows,
+               CAST(sum(CAST(FLOOR(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_e2
+        FROM t GROUP BY ROLLUP(a, b) ORDER BY a, b
+    """).df().reset_index(drop=True)
+    want["n_rows"] = want["n_rows"].astype(np.int64)
+    want["sum_e2"] = want["sum_e2"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
