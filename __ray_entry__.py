@@ -1273,6 +1273,20 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel (stages/funnel.py): greedy
+    earliest-chain match per user in strict (ts, event_id) order, whole
+    user history in one coarse bucket, per-step vectorized resolution."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import funnel_counts
+
+    ev = rd.read_parquet(
+        str(Path(sf_dir) / "events.parquet"),
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def _q_bigram_logprob(sf_dir: str):
     """Order-aware bigram LM quality score (stages/ngram.py): add-one-
     smoothed conditional bigram log-probs under the corpus's own model,
@@ -1485,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_analytics": _q_ranking_analytics,
         "rollup_revenue": _q_rollup_revenue,
         "bigram_logprob": _q_bigram_logprob,
+        "funnel_counts": _q_funnel,
     }
 
 
@@ -2292,6 +2307,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "funnel_counts": """
+            WITH s0 AS (
+              SELECT user_id,
+                     first(ts ORDER BY ts, event_id) AS t0,
+                     first(event_id ORDER BY ts, event_id) AS i0
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s1 AS (
+              SELECT e.user_id,
+                     first(e.ts ORDER BY e.ts, e.event_id) AS t1,
+                     first(e.event_id ORDER BY e.ts, e.event_id) AS i1
+              FROM events e JOIN s0 USING (user_id)
+              WHERE e.event_type = 'click'
+                AND (e.ts > s0.t0 OR (e.ts = s0.t0 AND e.event_id > s0.i0))
+              GROUP BY e.user_id
+            ),
+            s2 AS (
+              SELECT e.user_id
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'purchase'
+                AND (e.ts > s1.t1 OR (e.ts = s1.t1 AND e.event_id > s1.i1))
+              GROUP BY e.user_id
+            )
+            SELECT 0::BIGINT AS step_idx, 'view' AS step,
+                   (SELECT count(*) FROM s0)::BIGINT AS n_users
+            UNION ALL
+            SELECT 1, 'click', (SELECT count(*) FROM s1)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT count(*) FROM s2)
         """,
         "bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),

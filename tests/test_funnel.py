@@ -1,0 +1,69 @@
+"""Funnel sequence matching: hand-built chains, ties, and a random fixture
+vs a single-process reference."""
+
+import numpy as np
+import pandas as pd
+
+
+def _ref_funnel(df, steps):
+    counts = []
+    cur = {}
+    for r in (df[df.event_type == steps[0]]
+              .sort_values(["ts", "event_id"]).itertuples()):
+        cur.setdefault(r.user_id, (r.ts, r.event_id))
+    counts.append(len(cur))
+    for step in steps[1:]:
+        nxt = {}
+        for r in (df[df.event_type == step]
+                  .sort_values(["ts", "event_id"]).itertuples()):
+            if r.user_id in cur and r.user_id not in nxt:
+                t0, i0 = cur[r.user_id]
+                if (r.ts, r.event_id) > (t0, i0):
+                    nxt[r.user_id] = (r.ts, r.event_id)
+        cur = nxt
+        counts.append(len(cur))
+    return counts
+
+
+def _run(df, steps, **kw):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import funnel_counts
+
+    got = (funnel_counts(rd.from_pandas(df).repartition(4), steps, **kw)
+           .to_pandas().sort_values("step_idx"))
+    return got["n_users"].tolist()
+
+
+def test_funnel_hand_cases(ray_session):
+    rows = [
+        # user 1: full chain
+        (1, "view", 10, 1), (1, "click", 20, 2), (1, "purchase", 30, 3),
+        # user 2: purchase BEFORE click -> reaches click, fails purchase
+        (2, "view", 10, 4), (2, "purchase", 15, 5), (2, "click", 20, 6),
+        # user 3: click/view ts tie, click's event_id greater -> counts
+        (3, "view", 50, 7), (3, "click", 50, 8),
+        # user 4: click at SAME (ts,id-order) but id smaller -> not after
+        (4, "click", 60, 9), (4, "view", 60, 10),
+        # user 5: never views
+        (5, "click", 5, 11), (5, "purchase", 6, 12),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts",
+                                     "event_id"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="s")
+    steps = ["view", "click", "purchase"]
+    assert _run(df, steps, n_buckets=4) == [4, 3, 1]
+    assert _ref_funnel(df, steps) == [4, 3, 1]
+
+
+def test_funnel_random_matches_reference(ray_session):
+    rng = np.random.RandomState(17)
+    n = 3000
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 120, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+        "ts": pd.to_datetime(rng.randint(0, 500, n), unit="s"),  # many ties
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    steps = ["view", "click", "purchase"]
+    assert _run(df, steps, n_buckets=16) == _ref_funnel(df, steps)
