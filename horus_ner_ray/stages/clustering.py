@@ -243,6 +243,7 @@ def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
                                            pa.int64())})
 
     n_rounds = 0
+    converged = labels is None
     if labels is not None:
         prev_sum = None
         for _ in range(max_iter):
@@ -266,8 +267,17 @@ def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
             n_rounds += 1
             cur_sum = labels.sum(lab_col)  # exact int64: order-free fixpoint
             if cur_sum == prev_sum:
+                converged = True
                 break
             prev_sum = cur_sum
+        if not converged:
+            # a component whose diameter exceeds max_iter would otherwise
+            # return truncated (wrong) labels indistinguishable from a
+            # fixpoint — fail loudly instead
+            raise RuntimeError(
+                f"connected_components: min-label propagation did not reach "
+                f"a fixpoint in max_iter={max_iter} rounds (graph diameter "
+                f"exceeds the iteration budget); raise max_iter")
 
     parts = []
     if labels is not None:

@@ -14,19 +14,24 @@ containing both.  Terms are filtered to ``min_df <= df <= max_df_ratio*N``
 first (drops hapaxes and stopword-ish terms — the standard collocation
 move), pairs to ``c_ab >= min_pair_count``.
 
-Distribution shape:
+Distribution shape (round-4 rework — no driver-side vocab dict, no per-doc
+Python loop):
 - df table from the existing skew-free combiner (one partial row per
-  (term, batch));
-- the FILTERED vocabulary (term -> df) is broadcast once via ``ray.put``
-  and read per task — a small-side lookup, never a shuffle join.  The
-  documented bound: post-filter vocab must fit the object store (true for
-  any realistic min_df/max_df; cap further upstream if not);
-- pair generation is per-batch and emits COMBINED (a, b, count) partials
-  (pandas groupby inside the batch), so a hot pair costs one row per batch
-  and the global ``groupby([a, b]).sum`` is over combiner output;
+  (term, batch)); the ``min_df``/``max_df`` filter runs DISTRIBUTED on that
+  dataset, so only the post-filter vocabulary ever reaches the driver;
+- the kept vocabulary is broadcast once via ``ray.put`` as a
+  lexicographically SORTED Arrow string array + an aligned int64 df vector
+  (columnar, not a pickled Python dict); membership + term->index mapping
+  inside each batch is ``pyarrow.compute.index_in`` (C++ hash probe), so
+  index order == string order and pair (ia < ib) == (ta < tb);
+- pair emission is fully vectorized across ALL documents in the batch
+  (repeat/cumsum index arithmetic — the joins.py searchsorted family's
+  trick), then combined per batch with one ``np.unique`` over the packed
+  ``ia*V+ib`` key, so a hot pair costs one row per batch and the global
+  ``groupby(ia, ib).sum`` runs over combiner output of integer keys;
 - per-doc pair explosion is O(distinct_kept_terms^2); max_df_ratio bounds
-  the ubiquitous terms, min_df the rare ones.  Pair index templates are
-  cached per doc length, so the inner loop is numpy adds only.
+  the ubiquitous terms, min_df the rare ones.  Packed keys need V^2 < 2^63,
+  i.e. post-filter vocab < ~3e9 terms — far above any realistic corpus.
 
 Publication: pmi_e6 = floor(ln(double(c*N) / double(df_a*df_b)) * 1e6
 + 0.5) — a single ln of the same exact rational on both sides (no float
@@ -38,19 +43,54 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from horus_ner_ray.stages.tokenize import tokenize_column
 from horus_ner_ray.util import worker_runtime_env as _rte
 
-_PAIR_TMPL: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+def kept_vocab(df_ds, min_df: int, max_df: int) -> tuple[pa.Array, np.ndarray]:
+    """Filter the (term, df) dataset DISTRIBUTED, then collect only the
+    surviving vocabulary as (sorted Arrow string array, aligned int64 df).
+
+    The sort is driver-side but over the post-filter vocab only; index
+    order equals lexicographic term order by construction.
+    """
+    kept = (df_ds.filter(expr=f"df >= {int(min_df)} and df <= {int(max_df)}")
+            .to_pandas())
+    if len(kept) == 0:
+        return pa.array([], pa.string()), np.zeros(0, dtype=np.int64)
+    kept = kept.sort_values("term", kind="stable")
+    terms = pa.array(kept["term"].to_numpy(object), pa.string())
+    return terms, kept["df"].to_numpy(np.int64)
 
 
-def _pair_idx(n: int) -> tuple[np.ndarray, np.ndarray]:
-    t = _PAIR_TMPL.get(n)
-    if t is None:
-        a, b = np.triu_indices(n, 1)
-        _PAIR_TMPL[n] = t = (a.astype(np.int64), b.astype(np.int64))
-    return t
+def emit_pair_indices(t_ids: np.ndarray, seg_starts: np.ndarray,
+                      seg_lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment ordered pairs (i < j), vectorized across every
+    segment at once — no per-document Python loop.
+
+    ``t_ids`` is segment-grouped and ascending within each segment; returns
+    (left ids, right ids) with left < right elementwise.
+    """
+    n = len(t_ids)
+    if n == 0:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    offs = np.arange(n, dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+    rep = np.repeat(seg_lens, seg_lens) - offs - 1
+    tot = int(rep.sum())
+    if tot == 0:
+        return (np.zeros(0, dtype=np.int64),) * 2
+    ai = np.repeat(np.arange(n, dtype=np.int64), rep)
+    cs = np.cumsum(rep)
+    bi = ai + 1 + (np.arange(tot, dtype=np.int64) - np.repeat(cs - rep, rep))
+    return t_ids[ai], t_ids[bi]
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({"ia": pa.array([], pa.int64()),
+                     "ib": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64())})
 
 
 def pmi_pairs(ds, min_df: int = 2, max_df_ratio: float = 0.5,
@@ -65,70 +105,65 @@ def pmi_pairs(ds, min_df: int = 2, max_df_ratio: float = 0.5,
 
     n_docs = ds.count()
     max_df = int(np.floor(max_df_ratio * n_docs))
-    df_tbl = term_df_dataset(ds, text_col=text_col, id_col=id_col).to_pandas()
-    kept = df_tbl[(df_tbl["df"] >= min_df) & (df_tbl["df"] <= max_df)]
-    vocab = dict(zip(kept["term"], kept["df"].astype(np.int64)))
-    ref = ray.put(vocab) if ray.is_initialized() else vocab
+    terms_arr, df_vec = kept_vocab(
+        term_df_dataset(ds, text_col=text_col, id_col=id_col), min_df, max_df)
+    empty_out = pd.DataFrame({
+        "ta": pd.Series([], dtype=object),
+        "tb": pd.Series([], dtype=object),
+        "pair_count": pd.Series([], dtype=np.int64),
+        "pmi_e6": pd.Series([], dtype=np.int64)})
+    V = len(terms_arr)
+    if V == 0:
+        return empty_out
+    payload = (terms_arr, df_vec)
+    ref = ray.put(payload) if ray.is_initialized() else payload
 
     def pair_partials(batch: pa.Table) -> pa.Table:
-        v = ray.get(ref) if ray.is_initialized() else ref
-        import pyarrow.compute as pc
-
+        terms, _ = ray.get(ref) if ray.is_initialized() else ref
         toks = tokenize_column(batch[text_col])
-        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        flat = pc.list_flatten(toks)
         parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
-        df = (pd.DataFrame({"p": parents, "t": flat})
-              .drop_duplicates())
-        df = df[df["t"].map(v.__contains__)]
-        if len(df) == 0:
-            return pa.table({"ta": pa.array([], pa.string()),
-                             "tb": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        df = df.sort_values(["p", "t"], kind="stable")
-        terms = df["t"].to_numpy(object)
-        segs = df["p"].to_numpy(np.int64)
-        starts = np.flatnonzero(np.r_[True, segs[1:] != segs[:-1]])
-        lens = np.diff(np.append(starts, len(segs)))
-        ta_parts, tb_parts = [], []
-        for s, ln_ in zip(starts, lens):
-            if ln_ < 2:
-                continue
-            ai, bi = _pair_idx(int(ln_))
-            ta_parts.append(terms[s + ai])
-            tb_parts.append(terms[s + bi])
-        if not ta_parts:
-            return pa.table({"ta": pa.array([], pa.string()),
-                             "tb": pa.array([], pa.string()),
-                             "cnt": pa.array([], pa.int64())})
-        g = (pd.DataFrame({"ta": np.concatenate(ta_parts),
-                           "tb": np.concatenate(tb_parts)})
-             .groupby(["ta", "tb"], sort=False).size().reset_index(name="cnt"))
-        return pa.table({"ta": pa.array(g["ta"], pa.string()),
-                         "tb": pa.array(g["tb"], pa.string()),
-                         "cnt": pa.array(g["cnt"].to_numpy(np.int64),
-                                         pa.int64())})
+        ids = pc.index_in(flat, value_set=terms)
+        mask = np.asarray(pc.is_valid(ids), dtype=bool)
+        if not mask.any():
+            return _empty_pairs()
+        idv = np.asarray(pc.fill_null(ids, 0), dtype=np.int64)[mask]
+        par = parents[mask]
+        # distinct (doc, term) presence, grouped by doc and ascending by
+        # vocab index (== lexicographic term order) within each doc
+        uk = np.unique(par * np.int64(V) + idv)
+        p = uk // V
+        t = uk % V
+        seg_starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        seg_lens = np.diff(np.append(seg_starts, len(uk)))
+        ia, ib = emit_pair_indices(t, seg_starts, seg_lens)
+        if len(ia) == 0:
+            return _empty_pairs()
+        upk, cnt = np.unique(ia * np.int64(V) + ib, return_counts=True)
+        return pa.table({"ia": pa.array(upk // V, pa.int64()),
+                         "ib": pa.array(upk % V, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
     pairs = (
         ds.select_columns([id_col, text_col])
         .map_batches(pair_partials, batch_format="pyarrow",
                      zero_copy_batch=True, runtime_env=_rte())
-        .groupby(["ta", "tb"]).aggregate(Sum("cnt", alias_name="pair_count"))
+        .groupby(["ia", "ib"]).aggregate(Sum("cnt", alias_name="pair_count"))
         .filter(expr=f"pair_count >= {int(min_pair_count)}")
     )
 
     def score(batch: pa.Table) -> pa.Table:
-        v = ray.get(ref) if ray.is_initialized() else ref
-        ta = np.asarray(batch["ta"], dtype=object)
-        tb = np.asarray(batch["tb"], dtype=object)
+        terms, dfv = ray.get(ref) if ray.is_initialized() else ref
+        ia = np.asarray(batch["ia"], dtype=np.int64)
+        ib = np.asarray(batch["ib"], dtype=np.int64)
         c = np.asarray(batch["pair_count"], dtype=np.int64)
-        dfa = np.array([v[t] for t in ta], dtype=np.int64)
-        dfb = np.array([v[t] for t in tb], dtype=np.int64)
         # single ln of the exact rational — same arithmetic as the oracle's
         # ln(CAST(c*N AS DOUBLE) / CAST(dfa*dfb AS DOUBLE))
         pmi = np.log((c * np.int64(n_docs)).astype(np.float64)
-                     / (dfa * dfb).astype(np.float64))
+                     / (dfv[ia] * dfv[ib]).astype(np.float64))
         return pa.table({
-            "ta": batch["ta"], "tb": batch["tb"],
+            "ta": terms.take(pa.array(ia, pa.int64())),
+            "tb": terms.take(pa.array(ib, pa.int64())),
             "pair_count": batch["pair_count"],
             "pmi_e6": pa.array(np.floor(pmi * 1e6 + 0.5).astype(np.int64),
                                pa.int64()),
@@ -141,9 +176,5 @@ def pmi_pairs(ds, min_df: int = 2, max_df_ratio: float = 0.5,
         .to_pandas()
     )
     if len(out) == 0:
-        return pd.DataFrame({
-            "ta": pd.Series([], dtype=object),
-            "tb": pd.Series([], dtype=object),
-            "pair_count": pd.Series([], dtype=np.int64),
-            "pmi_e6": pd.Series([], dtype=np.int64)})
+        return empty_out
     return out

@@ -46,9 +46,12 @@ def funnel_counts(ds, steps: list[str], key_col: str = "user_id",
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         t = g[ts_col]
-        tus = (t.astype("datetime64[us]").astype(np.int64)
-               if np.issubdtype(t.dtype, np.datetime64)
-               else t.to_numpy(np.int64))
+        tv = t.to_numpy()
+        # compare in the column's NATIVE int64 resolution (ns for pandas
+        # datetimes) — a us truncation would tie sub-us events the SQL
+        # oracle still orders
+        tus = (tv.view(np.int64) if np.issubdtype(tv.dtype, np.datetime64)
+               else tv.astype(np.int64))
         f = pd.DataFrame({"u": g[key_col].to_numpy(np.int64),
                           "t": tus,
                           "i": g[id_col].to_numpy(np.int64),

@@ -58,8 +58,19 @@ def _doc_bigrams(batch: pa.Table, text_col: str, id_col: str):
 
 def bigram_logprob_vectors(ds, text_col: str = "text",
                            id_col: str = "doc_id", n_buckets: int = 256,
-                           n_salts: int = 16):
-    """-> Dataset (doc_id, n_bigrams, lp2_e9, mean_lp2_e6)."""
+                           n_salts: int = 16,
+                           checkpoint_dir: str | None = None):
+    """-> Dataset (doc_id, n_bigrams, lp2_e9, mean_lp2_e6).
+
+    The corpus bigram-count table (which grows superlinearly with corpus
+    size) is CHECKPOINTED to Parquet under ``checkpoint_dir`` (a fresh
+    tempdir when None) and re-read lazily by each of its two consumers —
+    never pinned whole in the object store.  The caller may delete the
+    directory once the returned dataset has been fully consumed.
+    """
+    import tempfile
+
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     B, S = np.uint64(n_buckets), np.uint64(n_salts)
@@ -76,10 +87,17 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                          "cnt": pa.array(c.astype(np.int64), pa.int64())})
 
     corpus = ds.select_columns([id_col, text_col])
-    c12 = (corpus.map_batches(c12_partial, batch_format="pyarrow",
-                              zero_copy_batch=True, runtime_env=_rte())
-           .groupby("bigram").aggregate(Sum("cnt", alias_name="c12"))
-           .materialize())  # consumed twice: prefix counts + stat attach
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="horus_bigram_c12_")
+    c12_path = str(checkpoint_dir)
+    # consumed twice (prefix counts + stat attach): persist to Parquet and
+    # re-read per consumer instead of pinning a corpus-sized object-store
+    # materialization
+    (corpus.map_batches(c12_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, runtime_env=_rte())
+     .groupby("bigram").aggregate(Sum("cnt", alias_name="c12"))
+     .write_parquet(c12_path))
+    c12 = rd.read_parquet(c12_path, columns=["bigram", "c12"])
 
     # --- vocabulary size (distinct unigrams; combiner) -------------------
     def vocab_partial(batch: pa.Table) -> pa.Table:
@@ -215,7 +233,14 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                              "n_bigrams": pa.array([], pa.int64())})
         stat = g[g["side"] == 1].drop_duplicates("bigram")
         m = data.merge(stat[["bigram", "c12", "c1"]], on="bigram",
-                       how="left", suffixes=("_x", ""))
+                       how="inner", suffixes=("_x", ""))
+        if len(m) != len(data):
+            # the replicate-join routing invariant guarantees every data
+            # bigram has its stat row in this group; fail loudly instead of
+            # silently scoring NaN-derived garbage
+            raise AssertionError(
+                f"bigram stat rows missing for {len(data) - len(m)} data "
+                f"rows in group — salted routing invariant violated")
         tf2 = m["tf2"].to_numpy(np.float64)
         c12v = m["c12"].to_numpy(np.float64)
         c1v = m["c1"].to_numpy(np.float64)

@@ -74,6 +74,60 @@ def test_pmi_empty_corpus(ray_session):
                                                    "pmi_e6"]
 
 
+def test_pair_emission_vectorized_matches_itertools():
+    """emit_pair_indices (the no-per-doc-loop kernel) vs itertools, many
+    segment shapes including empty and singleton segments."""
+    from itertools import combinations
+
+    from horus_ner_ray.stages.collocations import emit_pair_indices
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        seg_lens = rng.randint(1, 9, rng.randint(1, 12)).astype(np.int64)
+        seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1]))
+        # ascending ids within each segment (the np.unique invariant)
+        t_ids = np.concatenate([np.sort(rng.choice(1000, ln, replace=False))
+                                for ln in seg_lens]).astype(np.int64)
+        ia, ib = emit_pair_indices(t_ids, seg_starts, seg_lens)
+        want = []
+        for s, ln in zip(seg_starts, seg_lens):
+            want += list(combinations(t_ids[s:s + ln].tolist(), 2))
+        assert list(zip(ia.tolist(), ib.tolist())) == want
+        assert (ia < ib).all() if len(ia) else True
+
+
+def test_kept_vocab_is_columnar_not_dict(ray_session):
+    """Scale-shape pin: the broadcast vocab is a sorted Arrow string array +
+    int64 df vector (searchsorted/index_in membership), never a Python dict;
+    the df filter runs on the dataset, not driver pandas."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horus_ner_ray.stages.collocations import kept_vocab
+    from horus_ner_ray.stages.termstats import term_df_dataset
+
+    df = _mk_docs(60)
+    dfds = term_df_dataset(rd.from_pandas(df).repartition(3))
+    terms, dfv = kept_vocab(dfds, 2, 50)
+    assert isinstance(terms, (pa.Array, pa.ChunkedArray))
+    assert isinstance(dfv, np.ndarray) and dfv.dtype == np.int64
+    tl = terms.to_pylist()
+    assert tl == sorted(tl) and len(tl) == len(dfv)
+    # hot-pair skew: one pair in 90% of docs still aggregates correctly
+    hot = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64),
+        "text": ["hotx hoty filler%d" % (i % 7) if i % 10 else "solo only"
+                 for i in range(100)]})
+    from horus_ner_ray.stages.collocations import pmi_pairs
+
+    got = pmi_pairs(rd.from_pandas(hot).repartition(8), min_df=2,
+                    max_df_ratio=0.95, min_pair_count=2, top_k=200)
+    want = _pmi_ref(hot, min_df=2, max_df_ratio=0.95, min_pair=2, k=200)
+    got_rows = list(map(tuple, got[["ta", "tb", "pair_count", "pmi_e6"]]
+                        .itertuples(index=False)))
+    assert got_rows == want
+
+
 def _rolling_ref(df, w):
     out = []
     for uid, g in df.groupby("user_id"):
