@@ -46,7 +46,11 @@ from horus_ner_ray.state import codec
 
 # v4: run files carry int32 term_idx + footer vocab (dictionary-encoded
 # term column) instead of a per-row term string; shard bytes unchanged
-INDEX_FORMAT_VERSION = 4
+# v5: run files use DELTA_BINARY_PACKED column encoding (term_idx ascending,
+# doc_id ascending-within-term, tf small) — measured 0.70x bytes at equal-or-
+# faster encode+decode; docstore parts stream per fixed-size chunk (sorted
+# within chunk) instead of one full-fragment sort.  Shard bytes unchanged.
+INDEX_FORMAT_VERSION = 5
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:

@@ -141,3 +141,45 @@ def test_job_change_wipes_stale_state(small_corpus, tmp_path, ray_session):
     after = json.loads(
         (IndexPaths(idx).shards / "shard-00000" / "manifest.json").read_text())
     assert before == after
+
+
+def test_docstore_chunking_batchsize_invariant(tmp_path, ray_session):
+    """Docstore parts stream fixed DOCSTORE_CHUNK_ROWS chunks in file order:
+    bytes must be identical across tokenize_batch_size values (the knob is
+    job-neutral) even when a fragment spans multiple chunks, and fetch_docs
+    must read the multi-row-group layout correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import horus_ner_ray.pipelines.build_index as bi
+    from horus_ner_ray.pipelines.query import fetch_docs
+
+    # one fragment, > 1 chunk of rows
+    n = bi.DOCSTORE_CHUNK_ROWS + 7_000
+    rng = np.random.RandomState(11)
+    conv = np.repeat(np.arange(n // 4 + 1), 4)[:n]
+    tbl = pa.table({
+        "conv_id": pa.array([f"c{c:07d}" for c in conv], pa.string()),
+        "turn_idx": pa.array(
+            np.concatenate([np.arange((conv == c).sum())
+                            for c in np.unique(conv)]).astype(np.int32)),
+        "role": pa.array(np.where(rng.rand(n) < 0.5, "user", "assistant")),
+        "text": pa.array([f"tok{i % 97} alpha beta" for i in range(n)]),
+    })
+    frag = tmp_path / "big_frag.parquet"
+    pq.write_table(tbl, frag)
+
+    outs = []
+    for bs in (4096, 30_000):
+        idx = tmp_path / f"idx_bs{bs}"
+        build_index([str(frag)], idx,
+                    PipelineConfig(num_shards=3, tokenize_batch_size=bs))
+        part = IndexPaths(idx).docstore / "part-00000.parquet"
+        assert pq.ParquetFile(part).metadata.num_row_groups >= 2
+        outs.append(part.read_bytes())
+    assert outs[0] == outs[1]
+
+    got = fetch_docs(tmp_path / "idx_bs4096", [0, 5, n - 1],
+                     columns=["doc_id", "conv_id", "turn_idx"])
+    assert list(got["doc_id"]) == [0, 5, n - 1]
