@@ -1051,14 +1051,35 @@ def _q_eval_metrics(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payload column -> actor-pool decode ->
-    feature vectors (decoder stubbed; schema/batching real)."""
+    """REAL multimodal decode (round 4): genuine PNG/BMP containers decoded
+    by the pure-stdlib codec (zlib IDAT + vectorized scanline unfilter,
+    stages/media_codecs.py) in an actor pool; features are intensity
+    histograms over the decoded pixels."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    from horus_ner_ray.stages.multimodal import decode_features_dataset, synth_media_table
+    from horus_ner_ray.stages.multimodal import (
+        decode_features_dataset,
+        synth_real_media_table,
+    )
 
-    media = rd.from_arrow(synth_media_table(n=64, seed=42))
-    return decode_features_dataset(media, decoder="fake")
+    tbl = synth_real_media_table(n=48, seed=42)
+    imgs = tbl.filter(pc.not_equal(tbl["media_type"], "audio/wav"))
+    return decode_features_dataset(rd.from_arrow(imgs), decoder="real")
+
+
+def _q_wav_stats(sf_dir: str):
+    """REAL WAV/PCM audio features (stdlib wave + numpy): sample rate,
+    counts, e6-int duration/RMS/peak per payload."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        audio_features_dataset,
+        synth_real_media_table,
+    )
+
+    media = rd.from_arrow(synth_real_media_table(n=48, seed=42))
+    return audio_features_dataset(media)
 
 
 def _q_image_meta(sf_dir: str):
@@ -1482,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_confusion": _q_eval_confusion,
         "eval_metrics": _q_eval_metrics,
         "media_features": _q_media_features,
+        "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,
         "window_analytics": _q_window_analytics,
         "gopher_filter": _q_gopher_filter,

@@ -3,10 +3,11 @@
 Image/audio/video payloads are opaque ``binary`` columns with metadata
 columns alongside (media_type, width/height or sample_rate, byte length).
 The Ray-side plumbing — schema, small-batch actor-pool stages, output
-layout — is real and tested; the codec itself is STUBBED (no image/audio
-libraries in this container): ``decoder="fake"`` is a deterministic,
-seedable stand-in; ``decoder="real"`` raises NotImplementedError at the
-exact seam where Pillow/soundfile/pyav would plug in.
+layout — is real and tested.  ``decoder="real"`` decodes actual
+PNG/BMP pixels and WAV/PCM samples through the pure-stdlib codecs in
+``stages/media_codecs.py`` (zlib IDAT + vectorized scanline unfilter; no
+Pillow needed); ``decoder="fake"`` remains the deterministic seedable
+stand-in for formats outside that scope (JPEG entropy decode, video).
 
 Sizing note (task brief "memory-aware"): binary rows are wide — these
 stages use small ``batch_size`` (default 64) so batch x concurrency stays
@@ -69,10 +70,16 @@ class MediaDecodeFeatures:
 
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.decoder == "real":
-            raise NotImplementedError(
-                "real image decode requires Pillow/opencv (not in this "
-                "container); plug decode-to-ndarray here"
-            )
+            # REAL pixel decode (stdlib PNG/BMP codec): features are the
+            # 16-bin intensity histogram of the decoded samples — byte
+            # parsing + zlib + numpy, no Pillow
+            from horus_ner_ray.stages.media_codecs import decode_image
+
+            px = decode_image(payload).reshape(-1)
+            if len(px) == 0:
+                return np.zeros(self.FEATURE_DIM)
+            hist = np.bincount((px.astype(np.int64) // 16), minlength=16)[:16]
+            return hist / len(px)
         # deterministic fake decode: byte histogram moments as "features"
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
         if len(arr) == 0:
@@ -108,7 +115,18 @@ class MediaResize:
 
     def _resize(self, payload: bytes, w: int, h: int) -> bytes:
         if self.decoder == "real":
-            raise NotImplementedError("real resize requires Pillow/opencv")
+            # decode PNG/BMP pixels, nearest-neighbor resample (vectorized
+            # index gather), re-emit PNG — all stdlib + numpy
+            from horus_ner_ray.stages.media_codecs import (
+                decode_image,
+                png_encode,
+            )
+
+            px = decode_image(payload)
+            ph, pw = px.shape[:2]
+            yi = (np.arange(self.th) * ph // self.th).astype(np.int64)
+            xi = (np.arange(self.tw) * pw // self.tw).astype(np.int64)
+            return png_encode(px[np.ix_(yi, xi)])
         if w <= 0 or h <= 0 or len(payload) < w * h:
             return b"\x00" * (self.tw * self.th)
         arr = np.frombuffer(payload[: w * h], dtype=np.uint8).reshape(h, w)
@@ -121,10 +139,13 @@ class MediaResize:
             self._resize(p.as_py(), int(w.as_py() or 0), int(h.as_py() or 0))
             for p, w, h in zip(batch["payload"], batch["width"], batch["height"])
         ]
+        # the real path re-encodes whatever came in as PNG
+        mtype = (pa.array(["image/png"] * len(batch), pa.string())
+                 if self.decoder == "real" else batch["media_type"])
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "media_type": batch["media_type"],
+                "media_type": mtype,
                 "payload": pa.array(payloads, pa.binary()),
                 "width": pa.array([self.tw] * len(batch), pa.int32()),
                 "height": pa.array([self.th] * len(batch), pa.int32()),
@@ -296,6 +317,92 @@ def synth_image_headers(n: int = 32, seed: int = 7) -> pa.Table:
         "true_h": pa.array([r[3] for r in rows], pa.int32()),
         "payload": pa.array([r[4] for r in rows], pa.binary()),
     })
+
+
+def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
+    """Deterministic table of GENUINE containers — PNG (mixed scanline
+    filters and color types), 24-bit BMP, and 16-bit PCM WAV payloads —
+    so the decode stages exercise the real stdlib codecs end-to-end."""
+    from horus_ner_ray.stages.media_codecs import (
+        bmp_encode,
+        png_encode,
+        wav_encode,
+    )
+
+    rng = np.random.RandomState(seed)
+    mids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            h, w = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            ch = int(rng.choice([1, 3, 4]))
+            px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            if ch == 1:
+                px = px[:, :, 0]
+            filt = rng.randint(0, 5, size=h)
+            payloads.append(png_encode(px, row_filters=filt))
+            types.append("image/png")
+        elif kind == 1:
+            h, w = int(rng.randint(4, 40)), int(rng.randint(4, 40))
+            px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(bmp_encode(px))
+            types.append("image/bmp")
+        else:
+            sr = int(rng.choice([8000, 16000, 44100]))
+            t = np.arange(int(rng.randint(200, 2000))) / sr
+            x = 0.5 * np.sin(2 * np.pi * float(rng.randint(100, 2000)) * t)
+            payloads.append(wav_encode(x, sr))
+            types.append("audio/wav")
+            h = w = 0
+        mids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def audio_features_batch(batch: pa.Table, payload_col: str = "payload",
+                         id_col: str = "media_id") -> pa.Table:
+    """REAL WAV/PCM feature extraction (stdlib wave + numpy): sample rate,
+    channel/sample counts, e6-int duration/RMS/peak.  Non-WAV rows emit
+    zeros with ok=false (row error handling, SURVEY.md M11)."""
+    from horus_ner_ray.stages.media_codecs import wav_features
+
+    keys = ["sample_rate", "n_channels", "n_samples", "duration_e6",
+            "rms_e6", "peak_e6"]
+    cols: dict[str, list] = {k: [] for k in keys}
+    ok = []
+    for p in batch[payload_col]:
+        try:
+            f = wav_features(p.as_py() or b"")
+            ok.append(True)
+        except Exception:
+            f = {k: 0 for k in keys}
+            ok.append(False)
+        for k in keys:
+            cols[k].append(f[k])
+    return pa.table({
+        id_col: batch[id_col],
+        **{k: pa.array(cols[k], pa.int64()) for k in keys},
+        "ok": pa.array(ok, pa.bool_()),
+    })
+
+
+def audio_features_dataset(media_ds, payload_col: str = "payload",
+                           id_col: str = "media_id", batch_size: int = 64):
+    from horus_ner_ray.util import worker_runtime_env
+
+    return media_ds.map_batches(
+        lambda b: audio_features_batch(b, payload_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+        runtime_env=worker_runtime_env(),
+    )
 
 
 def decode_features_dataset(media_ds, decoder: str = "fake", concurrency: int = 2,

@@ -293,8 +293,8 @@ def test_multimodal_plumbing(ray_session):
     a = np.array(out.sort_values("media_id")["features"].tolist())
     b = np.array(out2.sort_values("media_id")["features"].tolist())
     assert np.array_equal(a, b)
-    # the real-codec seam is explicit
-    with pytest.raises(NotImplementedError):
+    # the real decoder rejects junk loudly (codec errors, not silent zeros)
+    with pytest.raises(ValueError):
         MediaDecodeFeatures(decoder="real")._decode(b"x", 1, 1)
 
 
@@ -325,7 +325,7 @@ def test_multimodal_resize_and_frames(ray_session):
     frames = frame_sample_batch(media, every=4, frame_bytes=64)
     assert len(frames) > 0
     assert (pd.Series(frames["frame_idx"].to_pylist()) % 4 == 0).all()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         MediaResize(decoder="real")._resize(b"x", 1, 1)
 
 
