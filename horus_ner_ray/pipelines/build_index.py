@@ -54,7 +54,7 @@ import pyarrow.parquet as pq
 
 from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.stages import docstore as dstore
-from horus_ner_ray.stages.tokenize import explode_with_dl
+from horus_ner_ray.stages.tokenize import explode_with_dl_codes
 from horus_ner_ray.state.shards import (
     INDEX_FORMAT_VERSION,
     IndexPaths,
@@ -144,7 +144,8 @@ class TokenizeFragmentWorker:
                 return m
         t0 = time.time()
         pf = pq.ParquetFile(path)
-        shard_tables: dict[int, list[pa.Table]] = {}
+        shard_tables: dict[int, list[tuple[pa.Table, int]]] = {}
+        batch_vocabs: list[pa.Array] = []
         dst = self.paths.docstore / f"part-{frag_id:05d}.parquet"
         dst_tmp = dst.with_name(dst.name + ".tmp")
         writer: pq.ParquetWriter | None = None
@@ -182,7 +183,7 @@ class TokenizeFragmentWorker:
             else:
                 doc_ids = dstore.assign_doc_ids_hash(tbl)
             text = tbl[self.cfg.text_col]
-            post, dl = explode_with_dl(
+            post, dl, vocab = explode_with_dl_codes(
                 doc_ids, text, self.cfg.with_positions, self.cfg.stopword_filter
             )
             store_cols = {"doc_id": pa.array(doc_ids, pa.int64())}
@@ -203,16 +204,29 @@ class TokenizeFragmentWorker:
             post = post.take(order)
             uniq, starts = np.unique(shards[order], return_index=True)
             bounds = np.append(starts, len(post))
+            bidx = len(batch_vocabs)
+            batch_vocabs.append(vocab)
             for i, s in enumerate(uniq):
                 shard_tables.setdefault(int(s), []).append(
-                    post.slice(bounds[i], bounds[i + 1] - bounds[i]).drop(["shard"])
+                    (post.slice(bounds[i], bounds[i + 1] - bounds[i]).drop(["shard"]),
+                     bidx)
                 )
+        # fragment-level vocab union + per-batch remap tables, computed ONCE
+        # (string work is O(fragment vocab)); per-run encode is then pure
+        # int32 gather/compact/sort
+        frag_vocab = None
+        gmaps: list[np.ndarray] = []
+        if shard_tables:
+            frag_vocab = pc.unique(pa.chunked_array(batch_vocabs))
+            frag_vocab = frag_vocab.take(pc.sort_indices(frag_vocab))
+            gmaps = [np.asarray(pc.index_in(v, value_set=frag_vocab),
+                                dtype=np.int32) for v in batch_vocabs]
         run_files = []
-        for s, tables in sorted(shard_tables.items()):
+        for s, parts in sorted(shard_tables.items()):
             runs_dir = self.paths.run_dir(s)
             runs_dir.mkdir(parents=True, exist_ok=True)
             fname = runs_dir / f"run-frag{frag_id:05d}.parquet"
-            atomic_write_table(fname, _encode_run(pa.concat_tables(tables)),
+            atomic_write_table(fname, _encode_run(parts, gmaps, frag_vocab),
                                **_RUN_WRITE_KW)
             run_files.append(str(fname))
         flush_docstore(force=True)
@@ -236,25 +250,41 @@ class TokenizeFragmentWorker:
 _RUN_VOCAB_KEY = b"run_vocab"
 
 
-def _encode_run(tbl: pa.Table) -> pa.Table:
-    """(term, doc_id, tf[, positions]) rows -> the run-file layout:
-    ``term_idx`` int32 into a per-file SORTED vocabulary stored in the
-    parquet footer metadata (newline-joined — tokens are ``[a-z0-9]+``, so
-    '\\n' never occurs in a term).  Ascending term_idx == ascending term,
-    so the sort and every downstream comparison run on 4-byte ints instead
-    of variable-length strings — the memory-bandwidth hot path of the
-    build (sort, row-group scans, merge cursors) moves ~3x fewer bytes per
-    row.  The shard bytes produced from these runs are UNCHANGED; only the
-    intermediate run format differs (INDEX_FORMAT_VERSION gates resume)."""
-    terms = tbl["term"]
-    uniq = pc.unique(terms)
-    uniq = uniq.take(pc.sort_indices(uniq))
-    idx = pc.index_in(terms, value_set=uniq).cast(pa.int32())
-    enc = tbl.drop(["term"]).add_column(
-        0, "term_idx", idx).sort_by(
-        [("term_idx", "ascending"), ("doc_id", "ascending")])
-    vocab = "\n".join(uniq.to_pylist()).encode("utf-8")
-    return enc.replace_schema_metadata({_RUN_VOCAB_KEY: vocab})
+def _encode_run(parts: list[tuple[pa.Table, int]], gmaps: list[np.ndarray],
+                frag_vocab: pa.Array) -> pa.Table:
+    """Per-batch (code, doc_id, tf[, positions]) slices -> the run-file
+    layout: ``term_idx`` int32 into a per-file SORTED vocabulary stored in
+    the parquet footer metadata (newline-joined — tokens are ``[a-z0-9]+``,
+    so '\\n' never occurs in a term).
+
+    All per-row work is int32: each slice's batch-local codes gather
+    through its precomputed batch->fragment map (``gmaps``, built once per
+    fragment), then compact to the codes actually used by THIS shard's
+    rows, so ascending term_idx == ascending term and the footer vocab
+    covers the rows densely — the invariant both merge paths rely on.
+    Strings are touched once per distinct term per fragment, never per
+    row or per run.  Run bytes are identical to the former string-path
+    encoder (same rows, same sorted vocab, same footer)."""
+    remapped = []
+    for tbl, bidx in parts:
+        g = gmaps[bidx][np.asarray(tbl["code"], dtype=np.int32)]
+        remapped.append(tbl.drop(["code"]).add_column(
+            0, "term_idx", pa.array(g, pa.int32())))
+    cat = pa.concat_tables(remapped)
+    # compact to used codes: this run holds one shard's slice of the
+    # fragment, so it may not touch every fragment-vocab entry
+    gidx = np.asarray(cat["term_idx"], dtype=np.int32)
+    used = np.unique(gidx)
+    if len(used) != len(frag_vocab):
+        dense = np.searchsorted(used, gidx).astype(np.int32)
+        cat = cat.drop(["term_idx"]).add_column(
+            0, "term_idx", pa.array(dense, pa.int32()))
+        vocab_arr = frag_vocab.take(pa.array(used, pa.int32()))
+    else:
+        vocab_arr = frag_vocab
+    enc = cat.sort_by([("term_idx", "ascending"), ("doc_id", "ascending")])
+    vocab_meta = "\n".join(vocab_arr.to_pylist()).encode("utf-8")
+    return enc.replace_schema_metadata({_RUN_VOCAB_KEY: vocab_meta})
 
 
 def _run_vocab(pf: pq.ParquetFile) -> np.ndarray:

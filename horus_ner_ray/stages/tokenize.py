@@ -126,6 +126,60 @@ def explode_with_dl(
     return pa.table(out), dl
 
 
+def explode_with_dl_codes(
+    doc_ids: np.ndarray,
+    texts: pa.Array | pa.ChunkedArray,
+    with_positions: bool = False,
+    stopwords: tuple[str, ...] = (),
+) -> tuple[pa.Table, np.ndarray, pa.Array]:
+    """Like :func:`explode_with_dl` but terms leave as ``code`` int32 into a
+    returned per-batch vocabulary: each token string is hashed exactly ONCE
+    (``dictionary_encode``); the stopword gate, the (term, doc_id) group-by
+    and everything downstream run on 4-byte ints.  The build's phase-A hot
+    path — strings cost is the tokenize split plus one dictionary pass.
+
+    Returns (postings table (code, doc_id, tf[, positions]), per-row dl,
+    vocab StringArray where vocab[code] is the term; vocab may contain
+    entries with no surviving rows after the stopword gate — the run
+    encoder compacts to used codes).
+    """
+    toks = tokenize_column(texts)
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    denc = pc.dictionary_encode(flat)
+    codes = np.asarray(denc.indices, dtype=np.int32)
+    vocab = denc.dictionary
+    pos = _positions_within_groups(parents) if with_positions else None
+    if stopwords:
+        # gate evaluated once over the (small) vocab, gathered to rows
+        sw_v = np.asarray(
+            pc.is_in(vocab, value_set=pa.array(sorted(stopwords))), dtype=bool
+        )
+        keep_np = ~sw_v[codes]
+        codes = codes[keep_np]
+        parents = parents[keep_np]
+        if pos is not None:
+            pos = pos[keep_np]
+    dl = np.bincount(parents, minlength=len(texts)).astype(np.int32)
+    did = np.asarray(doc_ids, dtype=np.int64)[parents]
+    cols = {"code": pa.array(codes, pa.int32()),
+            "doc_id": pa.array(did, pa.int64())}
+    aggs = [("doc_id", "count")]
+    if with_positions:
+        cols["pos"] = pa.array(pos, pa.int32())
+        aggs.append(("pos", "list"))
+    pairs = pa.table(cols)
+    g = pairs.group_by(["code", "doc_id"], use_threads=False).aggregate(aggs)
+    out = {
+        "code": g["code"],
+        "doc_id": g["doc_id"],
+        "tf": g["doc_id_count"].cast(pa.int32()),
+    }
+    if with_positions:
+        out["positions"] = g["pos_list"]
+    return pa.table(out), dl, vocab
+
+
 def doc_lengths_table(batch: pa.Table, doc_id_col: str = "doc_id") -> pa.Table:
     """(doc_id, dl) per row of the input batch."""
     return pa.table(
