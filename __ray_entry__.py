@@ -619,6 +619,71 @@ def _q_embedding_dups(sf_dir: str):
     return out[["doc_a", "doc_b", "cosine_e6"]].astype(np.int64)
 
 
+def _q_embedding_dups_lsh(sf_dir: str):
+    """The banded sign-LSH SCALE path (exact=False — the code a cluster
+    actually runs; round-4 verdict item): candidates share >=1 band's full
+    signature, verified with the exact cosine.  The oracle replicates the
+    LSH itself in SQL (hyperplane constants inlined, signatures via
+    list_dot_product sign bits), so rows+hash compare the genuine
+    candidate generation, not just a containment bound."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import embedding_dup_pairs
+
+    out = embedding_dup_pairs(
+        rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet")),
+        threshold=0.4, seed=42, planes=8, bands=4,
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ("doc_a", "doc_b", "cosine_e6")}
+        )
+    out["cosine_e6"] = _e6(out["cosine"])
+    return out[["doc_a", "doc_b", "cosine_e6"]].astype(np.int64)
+
+
+def _sql_embedding_lsh(threshold: float = 0.4, seed: int = 42,
+                       planes: int = 8, bands: int = 4, dim: int = 64) -> str:
+    """SQL replica of the banded sign-LSH: the same seeded hyperplanes the
+    library draws (np.random.RandomState(seed).normal(size=(dim, b*p)))
+    are inlined as DOUBLE[] constants; sign(raw dot) == sign(normalized
+    dot) since norms are positive, so both sides state the same predicate."""
+    rng = np.random.RandomState(seed)
+    hp = rng.normal(size=(dim, bands * planes))
+    vals = ", ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in hp[:, j]) + "]::DOUBLE[])"
+        for j in range(bands * planes)
+    )
+    return f"""
+        WITH hp(j, h) AS (VALUES {vals}),
+        sig AS (
+          SELECT e.vec_id, hp.j // {planes} AS band,
+                 SUM(CASE WHEN list_dot_product(
+                              CAST(e.embedding AS DOUBLE[]), hp.h) > 0
+                          THEN CAST(1 AS BIGINT) << (hp.j % {planes})
+                          ELSE 0 END) AS sigv
+          FROM embeddings e CROSS JOIN hp
+          GROUP BY e.vec_id, hp.j // {planes}
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM sig a JOIN sig b
+            ON a.band = b.band AND a.sigv = b.sigv AND a.vec_id < b.vec_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(FLOOR(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])) * 1e6 + 0.5) AS BIGINT)
+                 AS cosine_e6
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.doc_a
+        JOIN embeddings eb ON eb.vec_id = c.doc_b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[]))
+              >= {threshold}
+    """
+
+
 # --- rows-only checks (non-SQL-expressible; see SURVEY.md section 5) -------
 
 
@@ -1294,6 +1359,109 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_topic_predictions(sf_dir: str):
+    """TRAINED topic model (A2 as a learned scorer, round 4): seed-lexicon
+    weak labels bootstrap a distributed multinomial-NB fit; the broadcast
+    weights then score EVERY document (including docs the lexicon could
+    not label).  e6/e9 integer arithmetic end-to-end -> SQL-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from horus_ner_ray.stages.termstats import term_df_dataset
+    from horus_ner_ray.stages.topics import topic_nb_predictions
+
+    seed = sorted({t for ts in _TOPICS.values() for t in ts})
+    seed_arr = pa.array(seed)
+    dfs = (
+        term_df_dataset(_read_docs(sf_dir))
+        .map_batches(lambda b: b.filter(pc.is_in(b["term"], value_set=seed_arr)),
+                     batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
+    out = topic_nb_predictions(_read_docs(sf_dir), _TOPICS, df_map,
+                               n_docs=_n_rows(_docs(sf_dir))).to_pandas()
+    return (out.astype({"doc_id": np.int64, "score_e9": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _sql_topic_predictions() -> str:
+    """Weak-label bootstrap + multinomial NB, stated verbatim in SQL: the
+    seed-TF-IDF argmax labels (same CTEs as topic_scores), then the
+    stages/classify.py integer NB arithmetic (same CTEs as
+    nb_predictions) fit on the labeled subset and scoring every doc."""
+    names = sorted(_TOPICS)
+    s_cols = ",\n                 ".join(
+        f"coalesce(sum(CASE WHEN i.topic = '{n}' THEN i.idf_e6 END), 0)"
+        f"::BIGINT AS s_{n}" for n in names)
+    # first-max-wins in sorted-name order == the library's np.argmax
+    case = "CASE "
+    for i, n in enumerate(names[:-1]):
+        conds = " AND ".join(f"s_{n} >= s_{m}" for m in names[i + 1:])
+        case += f"WHEN {conds} THEN '{n}' "
+    case += f"ELSE '{names[-1]}' END"
+    greatest = ", ".join(f"s_{n}" for n in names)
+    return f"""
+        WITH seed(term, topic) AS (VALUES {_sql_topic_seed_values()}),
+        toks AS (
+          SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+        ),
+        dfq AS (
+          SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM toks
+          WHERE term IN (SELECT term FROM seed) GROUP BY term
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        idf AS (
+          SELECT s.term, s.topic,
+                 CAST(FLOOR(ln(nn.n / dfq.df) * 1e6 + 0.5) AS BIGINT) AS idf_e6
+          FROM seed s JOIN dfq USING (term), nn
+        ),
+        agg AS (
+          SELECT t.doc_id,
+                 {s_cols}
+          FROM toks t JOIN idf i USING (term) GROUP BY t.doc_id
+        ),
+        lab AS (
+          SELECT doc_id, {case} AS topic
+          FROM agg WHERE greatest({greatest}) > 0
+        ),
+        ltoks AS (
+          SELECT t.doc_id, l.topic, t.term FROM toks t JOIN lab l USING (doc_id)
+        ),
+        cnt AS (SELECT topic, term, count(*)::BIGINT AS c FROM ltoks GROUP BY 1, 2),
+        tot AS (SELECT topic, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+        vq AS (SELECT count(DISTINCT term)::BIGINT AS v FROM ltoks),
+        ndq AS (SELECT count(*)::BIGINT AS n FROM lab),
+        ndc AS (SELECT topic, count(*)::BIGINT AS nc FROM lab GROUP BY 1),
+        classes AS (SELECT topic AS cls FROM ndc),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        contrib AS (
+          SELECT tf.doc_id, cl.cls,
+                 sum(tf.tf * CAST(FLOOR(ln(
+                     (coalesce(cnt.c, 0) + 1)::DOUBLE
+                     / (tot.tot + (SELECT v FROM vq))
+                   ) * 1e9 + 0.5) AS BIGINT))::BIGINT AS sum_llh
+          FROM tf CROSS JOIN classes cl
+          JOIN tot ON tot.topic = cl.cls
+          LEFT JOIN cnt ON cnt.topic = cl.cls AND cnt.term = tf.term
+          GROUP BY 1, 2
+        ),
+        scores AS (
+          SELECT d.doc_id, cl.cls,
+                 coalesce(co.sum_llh, 0)
+                 + CAST(FLOOR(ln(ndc.nc::DOUBLE / (SELECT n FROM ndq)) * 1e9 + 0.5) AS BIGINT) AS score_e9
+          FROM documents d CROSS JOIN classes cl
+          JOIN ndc ON ndc.topic = cl.cls
+          LEFT JOIN contrib co ON co.doc_id = d.doc_id AND co.cls = cl.cls
+        )
+        SELECT doc_id, cls AS pred_topic, score_e9
+        FROM scores
+        QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY score_e9 DESC, cls) = 1
+        ORDER BY doc_id
+    """
+
+
 def _q_funnel(sf_dir: str):
     """view -> click -> purchase funnel (stages/funnel.py): greedy
     earliest-chain match per user in strict (ts, event_id) order, whole
@@ -1481,6 +1649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_propagation": _q_tool_propagation,
         "ann_topk": _q_ann_topk,
         "embedding_dups": _q_embedding_dups,
+        "embedding_dups_lsh": _q_embedding_dups_lsh,
         "orders_by_segment": _q_orders_by_segment,
         "orders_anti_join": _q_orders_anti_join,
         "train_test_split": _q_train_test_split,
@@ -1512,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_cont": _q_price_quantiles_cont,
         "events_pivot": _q_events_pivot,
         "topic_scores": _q_topic_scores,
+        "topic_predictions": _q_topic_predictions,
         "kmeans_clusters": _q_kmeans,
         "dup_components": _q_dup_components,
         "price_stats_by_flag": _q_price_stats_by_flag,
@@ -2249,6 +2419,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcripts_bm25": _sql_transcripts_bm25(),
         "bm25_phrase": _sql_bm25_phrase(),
+        "embedding_dups_lsh": _sql_embedding_lsh(),
         "embedding_dups": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2311,6 +2482,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_topic
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        "topic_predictions": _sql_topic_predictions(),
         "kmeans_clusters": _sql_kmeans(_KMEANS_K, _KMEANS_ITERS),
         "dup_components": """
             WITH RECURSIVE pairs AS (

@@ -613,7 +613,10 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
         bmat = list_column_to_matrix(batch[vec_col])
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
-        signs = ((bmat / bn[:, None]) @ hp) > 0  # (n, bands*planes)
+        # sign of the RAW dot (norms are positive, so identical to the
+        # normalized sign) — one less divide, and the same expression a SQL
+        # oracle can state as list_dot_product(embedding, hyperplane) > 0
+        signs = (bmat @ hp) > 0  # (n, bands*planes)
         keys = np.zeros((len(bids), bands), dtype=np.uint64)
         for bi_ in range(bands):
             for j in range(planes):

@@ -56,12 +56,14 @@ def topic_idf_e6(topics: dict[str, list[str]], df_map: dict[str, int],
 
 def topic_score_dataset(ds, topics: dict[str, list[str]],
                         df_map: dict[str, int], n_docs: int,
-                        text_col: str = "text", id_col: str = "doc_id"):
+                        text_col: str = "text", id_col: str = "doc_id",
+                        keep_text: bool = False):
     """Dataset(docs) -> Dataset(doc_id, score_<topic>..., top_topic).
 
     ``top_topic`` is the argmax over topics in sorted-name order with
     first-max-wins (ties break toward the lexicographically smallest
-    name); docs scoring 0 everywhere get ''."""
+    name); docs scoring 0 everywhere get ''.  ``keep_text`` carries the
+    text column through (the weak-label -> NB-fit pipeline trains on it)."""
     names = sorted(topics)
     tarr, tidx, idf = topic_idf_e6(topics, df_map, n_docs)
     name_arr = np.asarray(names, dtype=object)
@@ -82,6 +84,8 @@ def topic_score_dataset(ds, topics: dict[str, list[str]],
         top = name_arr[np.argmax(mat, axis=1)]
         top = np.where(mat.max(axis=1) > 0, top, "")
         out = {"doc_id": batch[id_col]}
+        if keep_text:
+            out["text"] = batch[text_col]
         for j, name in enumerate(names):
             out[f"score_{name}"] = pa.array(mat[:, j], pa.int64())
         out["top_topic"] = pa.array(top.astype(object), pa.string())
@@ -90,3 +94,55 @@ def topic_score_dataset(ds, topics: dict[str, list[str]],
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
     )
+
+
+def topic_nb_predictions(ds, topics: dict[str, list[str]],
+                         df_map: dict[str, int], n_docs: int,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         alpha: float = 1.0,
+                         max_features: int | None = None):
+    """TRAINED topic model (SURVEY.md A2 as a learned scorer, round 4):
+    bootstrap a multinomial NB from seed-lexicon weak labels and score
+    EVERY document with the trained weights.
+
+    1. weak labels: seed-term TF-IDF argmax (``topic_score_dataset``);
+       docs matching no seed term are excluded from training;
+    2. fit: distributed multinomial-NB over the weak-labeled subset
+       (stages/classify.py combiner fit — vocab-sized shuffle, model
+       materialized once, ``max_features`` bounds it);
+    3. score: weights broadcast via ``ray.put``, vectorized actor scoring
+       over the FULL corpus (including docs the lexicon could not label).
+
+    The whole chain is integer-exact (e6 seed scores, e9 NB scores), so a
+    DuckDB oracle can restate it verbatim.  Returns Dataset(doc_id,
+    pred_topic, score_e9).
+    """
+    import pyarrow.compute as _pc
+
+    from horus_ner_ray.stages.classify import (
+        fit_multinomial_nb,
+        nb_score_dataset,
+    )
+
+    labeled = topic_score_dataset(ds, topics, df_map, n_docs,
+                                  text_col=text_col, id_col=id_col,
+                                  keep_text=True)
+    train = labeled.map_batches(
+        lambda b: b.filter(_pc.not_equal(b["top_topic"], "")).select(
+            ["top_topic", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+    model = fit_multinomial_nb(train, label_col="top_topic",
+                               text_col="text", alpha=alpha,
+                               max_features=max_features)
+    scored = nb_score_dataset(ds.select_columns([id_col, text_col]), model,
+                              text_col=text_col, keep_cols=[id_col])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            "pred_topic": batch["pred_label"],
+            "score_e9": batch["score_e9"],
+        })
+
+    return scored.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True, runtime_env=_rte())

@@ -76,3 +76,38 @@ def test_topic_idf_drops_absent_terms():
     assert list(tarr) == ["x", "z"]
     assert list(tidx) == [0, 1]
     assert idf[1] == math.floor(math.log(10.0) * 1e6 + 0.5)
+
+
+def test_topic_nb_predictions_trained_scorer(ray_session):
+    """Weak-label bootstrap -> NB fit -> score-all: every doc gets a
+    prediction, seed-labeled docs keep their weak label when the seed
+    evidence is strong, and the chain is deterministic."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import term_df_dataset
+    from horus_ner_ray.stages.topics import topic_nb_predictions
+
+    topics = {"fruit": ["apple", "banana"], "metal": ["iron", "copper"]}
+    texts = (["apple banana pie sweet treat"] * 8
+             + ["iron copper forge anvil heat"] * 8
+             + ["pie sweet treat"] * 2          # unlabeled, fruit-ish words
+             + ["forge anvil heat"] * 2)        # unlabeled, metal-ish words
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+    dfs = term_df_dataset(ds).to_pandas()
+    df_map = dict(zip(dfs["term"], dfs["df"].astype(int)))
+    out = (topic_nb_predictions(ds, topics, df_map, n_docs=len(df))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == len(df)
+    assert list(out.columns) == ["doc_id", "pred_topic", "score_e9"]
+    assert (out.loc[:7, "pred_topic"] == "fruit").all()
+    assert (out.loc[8:15, "pred_topic"] == "metal").all()
+    # the TRAINED model generalizes to docs with no seed terms at all
+    assert (out.loc[16:17, "pred_topic"] == "fruit").all()
+    assert (out.loc[18:19, "pred_topic"] == "metal").all()
+    out2 = (topic_nb_predictions(ds, topics, df_map, n_docs=len(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out2)
