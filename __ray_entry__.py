@@ -963,6 +963,29 @@ def _q_transcripts_bm25(sf_dir: str):
     return _e6_rerank(raw, "score", "doc_id", "score_e6")
 
 
+def _q_bm25_topk_role(sf_dir: str):
+    """Field-scoped BM25 (round 4): role='user' filter over the transcript
+    index — the stored docstore role column becomes a query-time doc mask
+    applied before top-k selection, with GLOBAL collection statistics
+    (standard filtered-search semantics).  Reference analogue: the two
+    per-channel evidence tables (horus0.1.5.db.sql:59-109)."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(q["text"], TOPK * 3 + 20, role="user")
+            for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
 # fixed phrase query set over the documents vocabulary (adjacent-pair
 # semantics; last one is absent -> empty result)
 PHRASE_QUERIES = ["batch join", "data stream", "table part value", "zzzqnotfound scan"]
@@ -1664,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint": _q_fingerprint,
         "transcripts_bm25": _q_transcripts_bm25,
+        "bm25_topk_role": _q_bm25_topk_role,
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
         "conll_roundtrip": _q_conll_roundtrip,
@@ -1716,16 +1740,26 @@ def _sql_values_queries(texts: list[str]) -> str:
     return ", ".join(rows)
 
 
-def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "") -> str:
+def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
+              role: str | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
-    same scoring body runs over a derived doc table (transcripts)."""
-    and_filter = (
-        "JOIN (SELECT query_id, count(*) nt FROM q GROUP BY query_id) qn USING (query_id) "
-        "WHERE nhit = nt"
-        if conjunctive
-        else ""
-    )
+    same scoring body runs over a derived doc table (transcripts).
+    ``role`` post-filters ranked docs by documents.role — collection
+    statistics stay global, matching the engine's filtered-search
+    semantics."""
+    joins: list[str] = []
+    wheres: list[str] = []
+    if conjunctive:
+        joins.append("JOIN (SELECT query_id, count(*) nt FROM q "
+                     "GROUP BY query_id) qn USING (query_id)")
+        wheres.append("nhit = nt")
+    if role is not None:
+        joins.append("JOIN documents dm USING (doc_id)")
+        wheres.append(f"dm.role = '{role}'")
+    and_filter = " ".join(joins)
+    if wheres:
+        and_filter += " WHERE " + " AND ".join(wheres)
     return f"""
 WITH {pre}tok AS (
   SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
@@ -1797,6 +1831,32 @@ documents AS (
 ),
 """
     return _sql_bm25([q["text"] for q in reference_queries()], conjunctive=False, pre=pre)
+
+
+def _sql_transcripts_bm25_role(role: str = "user") -> str:
+    """Field-scoped BM25 oracle: the transcripts pre additionally carries
+    the role column; ranked docs post-filter on it while every collection
+    statistic stays global (the engine's filtered-search semantics)."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, role, text
+  FROM raw JOIN offs USING (conv_id)
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()],
+                     conjunctive=False, pre=pre, role=role)
 
 
 def _sql_bm25_phrase() -> str:
@@ -2418,6 +2478,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pr
         """,
         "transcripts_bm25": _sql_transcripts_bm25(),
+        "bm25_topk_role": _sql_transcripts_bm25_role("user"),
         "bm25_phrase": _sql_bm25_phrase(),
         "embedding_dups_lsh": _sql_embedding_lsh(),
         "embedding_dups": """

@@ -66,6 +66,7 @@ from horus_ner_ray.state.shards import (
 )
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
+OPTIONAL_STORE_COLUMNS = ("tool", "ts")  # stored when the source has them
 
 # Run-file parquet encoding: all three columns are small/ordered ints
 # (term_idx ascending, doc_id ascending within term, tf mostly 1), where
@@ -123,10 +124,18 @@ class TokenizeFragmentWorker:
             return shard_of_rank(doc_ids, self.id_space, self.cfg.num_shards)
         return shard_of_hash(doc_ids, self.cfg.num_shards)
 
-    def _columns(self) -> list[str]:
+    def _columns(self, schema_names: list[str] | None = None) -> list[str]:
         if self.cfg.doc_id_mode == "provided":
-            return [self.cfg.doc_id_col, self.cfg.text_col]
-        return TRANSCRIPT_COLUMNS
+            base = [self.cfg.doc_id_col, self.cfg.text_col]
+        else:
+            base = list(TRANSCRIPT_COLUMNS)
+        if schema_names is not None:
+            # input_hint metadata columns (tool, ts) ride into the docstore
+            # when the source has them: they back field-scoped search
+            # (role=/tool= filters) and snippet fetch
+            base += [c for c in OPTIONAL_STORE_COLUMNS
+                     if c in schema_names and c not in base]
+        return base
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = [self.process_fragment(int(r.frag_id), r.path) for r in batch.itertuples()]
@@ -172,8 +181,9 @@ class TokenizeFragmentWorker:
 
         n_turns = 0
         n_tokens = 0
+        frag_cols = self._columns(pf.schema_arrow.names)
         for rb in pf.iter_batches(
-            batch_size=self.cfg.tokenize_batch_size, columns=self._columns()
+            batch_size=self.cfg.tokenize_batch_size, columns=frag_cols
         ):
             tbl = pa.Table.from_batches([rb])
             if self.cfg.doc_id_mode == "rank":
@@ -187,7 +197,7 @@ class TokenizeFragmentWorker:
                 doc_ids, text, self.cfg.with_positions, self.cfg.stopword_filter
             )
             store_cols = {"doc_id": pa.array(doc_ids, pa.int64())}
-            for c in self._columns():
+            for c in frag_cols:
                 if c != self.cfg.doc_id_col:
                     store_cols[c] = tbl[c]
             store_cols["dl"] = pa.array(dl, pa.int32())

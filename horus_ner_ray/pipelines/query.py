@@ -76,12 +76,21 @@ class BruteForceBM25:
         self.postings: dict[str, list[tuple[int, int]]] = defaultdict(list)
         self.dl: dict[int, int] = {}
         self.doc_tokens: dict[int, list[str]] = {}
+        self.attrs: dict[int, tuple[str, str]] = {}  # doc_id -> (role, tool)
         self.n_docs = 0
         self.total_tokens = 0
 
-    def add_doc(self, doc_id: int, text: str) -> None:
+    def _passes(self, doc_id: int, role: str | None, tool: str | None) -> bool:
+        if role is None and tool is None:
+            return True
+        a = self.attrs.get(doc_id, ("", ""))
+        return (role is None or a[0] == role) and (tool is None or a[1] == tool)
+
+    def add_doc(self, doc_id: int, text: str, role: str = "",
+                tool: str = "") -> None:
         toks_all = _TOKEN_RE.findall(text.lower())
         toks = [t for t in toks_all if t not in self.stopwords] if self.stopwords else toks_all
+        self.attrs[doc_id] = (role, tool)
         self.n_docs += 1
         self.total_tokens += len(toks)
         self.dl[doc_id] = len(toks)
@@ -101,16 +110,20 @@ class BruteForceBM25:
         """Builds doc ids with the same rank rule (offset of sorted conv_id
         + turn_idx) but via an independent pandas path."""
         self = cls(k1, b, stopwords)
+        schema = pq.ParquetFile(files[0]).schema_arrow.names
+        extra = [c for c in ("role", "tool") if c in schema]
         frames = [
-            pq.read_table(f, columns=["conv_id", "turn_idx", "text"]).to_pandas()
+            pq.read_table(f, columns=["conv_id", "turn_idx", "text", *extra]).to_pandas()
             for f in files
         ]
         df = pd.concat(frames, ignore_index=True).sort_values(
             ["conv_id", "turn_idx"], kind="stable"
         )
         df["doc_id"] = range(len(df))
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            self.add_doc(int(doc_id), text)
+        roles = df["role"] if "role" in extra else [""] * len(df)
+        tools = df["tool"] if "tool" in extra else [""] * len(df)
+        for doc_id, text, role, tool in zip(df["doc_id"], df["text"], roles, tools):
+            self.add_doc(int(doc_id), text, role or "", tool or "")
         return self
 
     @classmethod
@@ -161,7 +174,12 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
-    def search(self, text: str, k: int = 10, mode: str = "or") -> list[tuple[int, float]]:
+    def search(self, text: str, k: int = 10, mode: str = "or",
+               role: str | None = None,
+               tool: str | None = None) -> list[tuple[int, float]]:
+        """``role``/``tool`` restrict the RESULT set to matching docs;
+        collection statistics (idf, avgdl, N) stay global — standard
+        filtered search semantics, shared with QueryEngine."""
         all_terms = query_terms(text)
         terms = [t for t in all_terms if t in self.postings]
         if not terms:
@@ -180,6 +198,8 @@ class BruteForceBM25:
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
             for d, f in self.postings[t]:
                 if mode == "and" and d not in cand:
+                    continue
+                if not self._passes(d, role, tool):
                     continue
                 scores[d] += self._contrib(idf, f, self.dl[d])
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -226,6 +246,7 @@ class QueryEngine:
             cache_postings // max(1, len(self._shard_dirs)) if cache_postings > 0 else 0
         )
         self._readers: dict[int, ShardReader] = {}
+        self._attr_cache: dict[int, dict[str, np.ndarray]] = {}
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
         self._tv_terms: np.ndarray | None = None  # term vectors (expansion)
         self._tv: np.ndarray | None = None
@@ -287,6 +308,62 @@ class QueryEngine:
             )
         return r
 
+    # -- field/channel scoping (role=/tool= filters) ------------------------
+    #
+    # The reference keeps two evidence channels per term (text + image
+    # posting tables, horus0.1.5.db.sql:59-109); here the docstore's stored
+    # metadata columns become query-time doc filters.  Attribute arrays load
+    # once per (engine, shard) — A7 state, aligned to the shard's docids —
+    # via a doc_id-range-pruned docstore read (rank-mode parts are
+    # doc-sorted, so row-group statistics skip unrelated fragments).
+
+    ATTR_COLUMNS = ("role", "tool")
+
+    def _doc_attrs(self, si: int) -> dict[str, np.ndarray]:
+        a = self._attr_cache.get(si)
+        if a is not None:
+            return a
+        import pyarrow.compute as pacompute
+        import pyarrow.dataset as pads
+
+        r = self._reader(si)
+        docids = np.asarray(r.docids)
+        files = sorted(str(p) for p in self.paths.docstore.glob("part-*.parquet"))
+        out: dict[str, np.ndarray] = {}
+        if files and len(docids):
+            schema = pq.ParquetFile(files[0]).schema_arrow.names
+            cols = [c for c in self.ATTR_COLUMNS if c in schema]
+            if cols:
+                flt = ((pads.field("doc_id") >= int(docids[0]))
+                       & (pads.field("doc_id") <= int(docids[-1])))
+                t = pads.dataset(files).to_table(filter=flt,
+                                                 columns=["doc_id", *cols])
+                got = np.asarray(t["doc_id"], dtype=np.int64)
+                pos = np.searchsorted(docids, got)
+                pos_c = np.minimum(pos, max(len(docids) - 1, 0))
+                ok = docids[pos_c] == got
+                for c in cols:
+                    arr = np.full(len(docids), "", dtype=object)
+                    arr[pos_c[ok]] = np.asarray(
+                        pacompute.fill_null(t[c], ""), dtype=object)[ok]
+                    out[c] = arr
+        self._attr_cache[si] = out
+        return out
+
+    def _filter_mask(self, si: int, role: str | None,
+                     tool: str | None) -> np.ndarray:
+        attrs = self._doc_attrs(si)
+        r = self._reader(si)
+        mask = np.ones(len(r.docids), dtype=bool)
+        for name, want in (("role", role), ("tool", tool)):
+            if want is not None:
+                col = attrs.get(name)
+                if col is None:
+                    raise ValueError(
+                        f"index docstore has no '{name}' column to filter on")
+                mask &= col == want
+        return mask
+
     # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
     #
     # MaxScore-style pruning with an exact rescore: terms are processed in
@@ -300,7 +377,8 @@ class QueryEngine:
     # order — bitwise identical to the brute-force oracle.
 
     def _score_shard_or(
-        self, si: int, terms: list[str], idfs: list[float], k: int
+        self, si: int, terms: list[str], idfs: list[float], k: int,
+        mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self._reader(si)
         nd = len(r.docids)
@@ -312,6 +390,14 @@ class QueryEngine:
         present = [(t, idf, ti) for t, idf, ti in present if ti is not None]
         if not present:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
+        if mask is not None:
+            # field-filtered search: the champion/MaxScore fast paths prune
+            # against UNFILTERED top-k thresholds (a filtered doc outside
+            # the champion prefix could belong in the filtered top-k), so
+            # scoring takes the exhaustive exact path with the mask applied
+            # before top-k selection
+            return self._score_shard_or_simple(r, present, k, docids, dl_arr,
+                                               mask=mask)
         if len(present) == 1:  # no pruning possible; champions or plain scan
             _, idf, ti = present[0]
             cd, ctf = r.champions(ti)
@@ -417,8 +503,10 @@ class QueryEngine:
             exact += np.where(valid, contrib, 0.0)
         return _topk_with_ties(cdocs, exact, k)
 
-    def _score_shard_or_simple(self, r, present, k, docids, dl_arr):
-        """Exact TAAT in ascending-term order (oracle accumulation order)."""
+    def _score_shard_or_simple(self, r, present, k, docids, dl_arr,
+                               mask: np.ndarray | None = None):
+        """Exact TAAT in ascending-term order (oracle accumulation order);
+        ``mask`` (local-index bool) drops docs BEFORE top-k selection."""
         nd = len(docids)
         acc = np.zeros(nd, dtype=np.float64)
         hit = np.zeros(nd, dtype=bool)
@@ -428,6 +516,8 @@ class QueryEngine:
             denom = tff + self.k1 * (1.0 - self.b + self.b * dl_arr[li] / self.avgdl)
             acc[li] += idf * (tff * (self.k1 + 1.0)) / denom
             hit[li] = True
+        if mask is not None:
+            hit &= mask
         cand = np.flatnonzero(hit)
         if len(cand) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
@@ -436,7 +526,8 @@ class QueryEngine:
     # -- AND (conjunctive) with block-max skipping -------------------------
 
     def _score_shard_and(
-        self, si: int, terms: list[str], idfs: list[float], k: int
+        self, si: int, terms: list[str], idfs: list[float], k: int,
+        mask: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self._reader(si)
         tis = []
@@ -451,6 +542,10 @@ class QueryEngine:
         first = tis[order[0]]
         cand, _tf = r.postings(first)
         decoded[first] = (cand, _tf)
+        if mask is not None and len(cand):
+            # filter candidates up front: the intersection only shrinks, so
+            # block skipping over the filtered candidate set stays exact
+            cand = cand[mask[np.searchsorted(np.asarray(r.docids), cand)]]
         B = r.manifest["postings_block"]
         for oi in order[1:]:
             ti = tis[oi]
@@ -474,13 +569,15 @@ class QueryEngine:
             acc += idf * (tff * (self.k1 + 1.0)) / denom
         return _topk_with_ties(cand, acc, k)
 
-    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_phrase(self, text: str, k: int = 10, role: str | None = None,
+                      tool: str | None = None) -> list[tuple[int, float]]:
         """Exact phrase match via position-list adjacency: candidates from
         full posting intersection per shard, then per-candidate positional
         verify (P_0 ∩ (P_1 - 1) ∩ ... nonempty); matches scored by standard
         BM25 over member terms.  Reference analogue: NP-compound chunking
         (SURVEY.md M6) — multi-token units as adjacent position lists.
-        Requires an index built with cfg.with_positions=True."""
+        Requires an index built with cfg.with_positions=True.
+        ``role``/``tool`` filter candidates before the positional verify."""
         phrase = _TOKEN_RE.findall(text.lower())  # ordered, duplicates kept
         if not phrase:
             return []
@@ -488,6 +585,7 @@ class QueryEngine:
         if any(self.global_df(t) == 0 for t in uniq):
             return []
         idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in uniq}
+        filtered = role is not None or tool is not None
         scores: dict[int, float] = {}
         for si in range(len(self._shard_dirs)):
             r = self._reader(si)
@@ -504,6 +602,11 @@ class QueryEngine:
                     break
             if cand is None or len(cand) == 0:
                 continue
+            if filtered:
+                m = self._filter_mask(si, role, tool)
+                cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
             pos = {t: r.positions(tis[t], dec[t][1]) for t in uniq}
             # vectorized adjacency across ALL candidates at once: encode
             # each term occurrence as (candidate_index << 32) | (pos - off)
@@ -544,11 +647,18 @@ class QueryEngine:
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search(self, text: str, k: int = 10, mode: str = "or",
-               expand_terms: int = 0) -> list[tuple[int, float]]:
+               expand_terms: int = 0, role: str | None = None,
+               tool: str | None = None) -> list[tuple[int, float]]:
         """``expand_terms=k`` unions each query term's k nearest
         term-vector neighbors before OR scoring (recall expansion;
         requires ``set_term_vectors``).  AND mode rejects expansion — a
-        conjunctive query over neighbor terms inverts its semantics."""
+        conjunctive query over neighbor terms inverts its semantics.
+
+        ``role``/``tool`` restrict results to docs whose stored metadata
+        matches (field-scoped search; the reference's per-channel evidence
+        tables, horus0.1.5.db.sql:59-109).  Collection statistics stay
+        global — standard filtered-search semantics, shared with the
+        brute-force oracle."""
         base = query_terms(text)
         if expand_terms > 0:
             if mode != "or":
@@ -561,10 +671,12 @@ class QueryEngine:
             return []
         idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
         score_fn = self._score_shard_or if mode == "or" else self._score_shard_and
+        filtered = role is not None or tool is not None
         docs: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):  # per-shard top-k heaps
-            d, s = score_fn(si, terms, idfs, k)
+            m = self._filter_mask(si, role, tool) if filtered else None
+            d, s = score_fn(si, terms, idfs, k, mask=m)
             docs.append(d)
             scores.append(s)
         d = np.concatenate(docs)
@@ -634,10 +746,19 @@ class ScorerActor:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
             mode = getattr(row, "mode", self.mode)  # per-query override (serving)
+            # optional per-query field filters ('' / NaN = unfiltered)
+            role = getattr(row, "role", None) or None
+            tool = getattr(row, "tool", None) or None
+            if isinstance(role, float):
+                role = None
+            if isinstance(tool, float):
+                tool = None
             if mode == "phrase":
-                hits = self.engine.search_phrase(row.text, int(row.k))
+                hits = self.engine.search_phrase(row.text, int(row.k),
+                                                 role=role, tool=tool)
             else:
-                hits = self.engine.search(row.text, int(row.k), mode)
+                hits = self.engine.search(row.text, int(row.k), mode,
+                                          role=role, tool=tool)
             for rank, (doc, score) in enumerate(hits, 1):
                 out["query_id"].append(int(row.query_id))
                 out["rank"].append(rank)

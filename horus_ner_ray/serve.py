@@ -73,12 +73,17 @@ class QueryService:
         return parts
 
     def search(self, text: str, k: int = 10, mode: str | None = None,
-               return_text: bool = False) -> list[dict]:
+               return_text: bool = False, role: str | None = None,
+               tool: str | None = None) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
-        reference's route returns the sentence text, rest.py:47-61)."""
+        reference's route returns the sentence text, rest.py:47-61).
+        ``role``/``tool`` are field filters (the reference's per-channel
+        evidence split, horus0.1.5.db.sql:59-109)."""
         q = pd.DataFrame(
-            [{"query_id": 0, "text": text, "k": int(k), "mode": mode or self.mode}]
+            [{"query_id": 0, "text": text, "k": int(k),
+              "mode": mode or self.mode, "role": role or "",
+              "tool": tool or ""}]
         )
         parts = self._scatter(q)
         cand = pd.concat(parts, ignore_index=True)
@@ -142,13 +147,16 @@ def make_http_server(
                 if req_mode not in ("or", "and", "phrase"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 want_text = (qs.get("text") or ["0"])[0] not in ("0", "", "false")
+                req_role = (qs.get("role") or [""])[0] or None
+                req_tool = (qs.get("tool") or [""])[0] or None
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
             try:  # execution -> 500 (ray wraps ValueError in a subclass,
                 # so parse-vs-execute must be split, not exception-typed)
                 hits = service.search(text, k=k, mode=req_mode,
-                                      return_text=want_text)
+                                      return_text=want_text,
+                                      role=req_role, tool=req_tool)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

@@ -50,7 +50,9 @@ from horus_ner_ray.state import codec
 # doc_id ascending-within-term, tf small) — measured 0.70x bytes at equal-or-
 # faster encode+decode; docstore parts stream per fixed-size chunk (sorted
 # within chunk) instead of one full-fragment sort.  Shard bytes unchanged.
-INDEX_FORMAT_VERSION = 5
+# v6: docstore parts additionally carry the source's tool/ts columns when
+# present (field-scoped search filters + snippet fetch).
+INDEX_FORMAT_VERSION = 6
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:

@@ -1,0 +1,143 @@
+"""Field-scoped search (role=/tool= filters): engine vs brute-force
+rank-identity, AND/phrase paths, serving pass-through, docstore columns."""
+
+import numpy as np
+import pytest
+
+from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine
+from horus_ner_ray.synth import reference_queries
+
+
+@pytest.fixture(scope="module")
+def engines(built_index, small_corpus):
+    idx, _res = built_index
+    return QueryEngine(idx), BruteForceBM25.from_corpus_files(small_corpus)
+
+
+def test_role_filter_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    for role in ("user", "assistant", "tool"):
+        for q in reference_queries(k=10):
+            got = eng.search(q["text"], k=10, role=role)
+            want = bf.search(q["text"], k=10, role=role)
+            assert got == want, (role, q["text"])
+
+
+def test_tool_filter_and_combined(engines):
+    eng, bf = engines
+    # tool turns exist in the synth corpus (role='tool' rows carry a tool)
+    tools = {t for _, t in bf.attrs.values() if t}
+    assert tools, "fixture should contain tool turns"
+    tool = sorted(tools)[0]
+    for q in reference_queries(k=10)[:5]:
+        got = eng.search(q["text"], k=10, tool=tool)
+        want = bf.search(q["text"], k=10, tool=tool)
+        assert got == want
+        got2 = eng.search(q["text"], k=10, role="tool", tool=tool)
+        want2 = bf.search(q["text"], k=10, role="tool", tool=tool)
+        assert got2 == want2
+
+
+def test_role_filter_and_mode(engines):
+    eng, bf = engines
+    for q in reference_queries(k=10)[:6]:
+        got = eng.search(q["text"], k=10, mode="and", role="assistant")
+        want = bf.search(q["text"], k=10, mode="and", role="assistant")
+        assert got == want
+
+
+def test_role_filter_results_actually_filtered(engines, built_index):
+    from horus_ner_ray.pipelines.query import fetch_docs
+
+    eng, _bf = engines
+    idx, _ = built_index
+    hits = eng.search("the session data", k=20, role="user")
+    assert hits
+    rows = fetch_docs(idx, [d for d, _ in hits], columns=["doc_id", "role"])
+    assert (rows["role"] == "user").all()
+
+
+def test_filtered_topk_not_truncated_prefilter(engines):
+    """The filter must apply BEFORE top-k selection: filtered top-10 can
+    contain docs outside the unfiltered top-10."""
+    eng, bf = engines
+    found_difference = False
+    for q in reference_queries(k=10):
+        unfiltered = {d for d, _ in eng.search(q["text"], k=10)}
+        filtered = [d for d, _ in eng.search(q["text"], k=10, role="user")]
+        if any(d not in unfiltered for d in filtered):
+            found_difference = True
+            break
+    assert found_difference, "fixture too small to exercise the pre-filter"
+
+
+def test_filter_on_missing_column_raises(tmp_path, ray_session):
+    """A provided-mode index over (doc_id, text) has no role column: the
+    filter must fail loudly, not silently return everything."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+
+    f = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+        "text": pa.array([f"alpha beta w{i}" for i in range(20)]),
+    }), f)
+    idx = tmp_path / "idx"
+    build_index([str(f)], idx,
+                PipelineConfig(num_shards=2, doc_id_mode="provided"))
+    eng = QueryEngine(str(idx))
+    assert eng.search("alpha", k=3)  # unfiltered works
+    with pytest.raises(ValueError, match="role"):
+        eng.search("alpha", k=3, role="user")
+
+
+def test_docstore_carries_tool_and_ts(built_index):
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.state.shards import IndexPaths
+
+    idx, _ = built_index
+    part = sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))[0]
+    names = pq.ParquetFile(part).schema_arrow.names
+    assert "tool" in names and "ts" in names
+
+
+def test_serving_role_param(built_index, ray_session):
+    from horus_ner_ray.serve import QueryService
+
+    idx, _ = built_index
+    svc = QueryService(idx, n_actors=2)
+    try:
+        eng = QueryEngine(idx)
+        for q in reference_queries(k=10)[:4]:
+            got = svc.search(q["text"], k=10, role="assistant")
+            want = eng.search(q["text"], k=10, role="assistant")
+            assert [(h["doc_id"], h["score"]) for h in got] == [
+                (int(d), float(s)) for d, s in want]
+    finally:
+        svc.close()
+
+
+def test_phrase_role_filter(small_corpus, tmp_path_factory, ray_session):
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import fetch_docs
+
+    idx = tmp_path_factory.mktemp("posidx") / "idx"
+    build_index(small_corpus, idx,
+                PipelineConfig(num_shards=4, with_positions=True))
+    eng = QueryEngine(str(idx))
+    # edge conv 0 plants "The THE the tHe" -> phrase "the the" exists;
+    # k large enough to hold EVERY match so the subset check is exact
+    base = eng.search_phrase("the the", k=100_000)
+    assert base, "fixture should contain the planted phrase"
+    flt = eng.search_phrase("the the", k=100_000, role="user")
+    assert set(d for d, _ in flt) <= set(d for d, _ in base)
+    if flt:
+        rows = fetch_docs(str(idx), [d for d, _ in flt],
+                          columns=["doc_id", "role"])
+        assert (rows["role"] == "user").all()
