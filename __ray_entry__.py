@@ -986,6 +986,57 @@ def _q_bm25_topk_role(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+_TS_WINDOW = ("2025-06-05T00:00:00", "2025-06-12T00:00:00")
+
+
+def _q_bm25_topk_time(sf_dir: str):
+    """Time-scoped BM25 (round 4): inclusive ts window over the stored
+    turn timestamps, mask applied before top-k, stats global — the
+    time-partition filter any transcript-retention pipeline needs."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(q["text"], TOPK * 3 + 20,
+                       ts_min=_TS_WINDOW[0], ts_max=_TS_WINDOW[1])
+            for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_transcripts_bm25_time() -> str:
+    """Time-window oracle: ts rides the documents CTE; ranked docs
+    post-filter on the inclusive window, statistics stay global."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    lo, hi = _TS_WINDOW
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()],
+                     conjunctive=False, pre=pre, ts_window=(lo, hi))
+
+
 # fixed phrase query set over the documents vocabulary (adjacent-pair
 # semantics; last one is absent -> empty result)
 PHRASE_QUERIES = ["batch join", "data stream", "table part value", "zzzqnotfound scan"]
@@ -1382,6 +1433,23 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_users_per_type(sf_dir: str):
+    """Exact grouped count-distinct (stages/groupwise.py
+    grouped_count_distinct): per-batch pair dedupe -> pair groupby ->
+    per-group partial sums; shuffle volume is O(distinct pairs).  The
+    exact counterpart of the HLL sketch query."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import grouped_count_distinct
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_type", "user_id"])
+    out = grouped_count_distinct(ev, "event_type", "user_id",
+                                 alias="n_users").to_pandas()
+    return (out.astype({"n_users": np.int64})
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def _q_topic_predictions(sf_dir: str):
     """TRAINED topic model (A2 as a learned scorer, round 4): seed-lexicon
     weak labels bootstrap a distributed multinomial-NB fit; the broadcast
@@ -1688,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": _q_fingerprint,
         "transcripts_bm25": _q_transcripts_bm25,
         "bm25_topk_role": _q_bm25_topk_role,
+        "bm25_topk_time": _q_bm25_topk_time,
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
         "conll_roundtrip": _q_conll_roundtrip,
@@ -1706,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "topic_scores": _q_topic_scores,
         "topic_predictions": _q_topic_predictions,
+        "users_per_type": _q_users_per_type,
         "kmeans_clusters": _q_kmeans,
         "dup_components": _q_dup_components,
         "price_stats_by_flag": _q_price_stats_by_flag,
@@ -1741,22 +1811,27 @@ def _sql_values_queries(texts: list[str]) -> str:
 
 
 def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
-              role: str | None = None) -> str:
+              role: str | None = None,
+              ts_window: tuple[str, str] | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
-    ``role`` post-filters ranked docs by documents.role — collection
-    statistics stay global, matching the engine's filtered-search
-    semantics."""
+    ``role`` / ``ts_window`` post-filter ranked docs by documents.role /
+    documents.ts — collection statistics stay global, matching the
+    engine's filtered-search semantics."""
     joins: list[str] = []
     wheres: list[str] = []
     if conjunctive:
         joins.append("JOIN (SELECT query_id, count(*) nt FROM q "
                      "GROUP BY query_id) qn USING (query_id)")
         wheres.append("nhit = nt")
-    if role is not None:
+    if role is not None or ts_window is not None:
         joins.append("JOIN documents dm USING (doc_id)")
+    if role is not None:
         wheres.append(f"dm.role = '{role}'")
+    if ts_window is not None:
+        wheres.append(f"dm.ts >= TIMESTAMP '{ts_window[0]}'")
+        wheres.append(f"dm.ts <= TIMESTAMP '{ts_window[1]}'")
     and_filter = " ".join(joins)
     if wheres:
         and_filter += " WHERE " + " AND ".join(wheres)
@@ -2479,6 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transcripts_bm25": _sql_transcripts_bm25(),
         "bm25_topk_role": _sql_transcripts_bm25_role("user"),
+        "bm25_topk_time": _sql_transcripts_bm25_time(),
         "bm25_phrase": _sql_bm25_phrase(),
         "embedding_dups_lsh": _sql_embedding_lsh(),
         "embedding_dups": """
@@ -2544,6 +2620,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "topic_predictions": _sql_topic_predictions(),
+        "users_per_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "kmeans_clusters": _sql_kmeans(_KMEANS_K, _KMEANS_ITERS),
         "dup_components": """
             WITH RECURSIVE pairs AS (

@@ -44,6 +44,7 @@ from pathlib import Path
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from horus_ner_ray.config import BM25_B, BM25_K1, TOKEN_PATTERN
@@ -77,20 +78,34 @@ class BruteForceBM25:
         self.dl: dict[int, int] = {}
         self.doc_tokens: dict[int, list[str]] = {}
         self.attrs: dict[int, tuple[str, str]] = {}  # doc_id -> (role, tool)
+        self.ts: dict[int, int] = {}  # doc_id -> us timestamp
         self.n_docs = 0
         self.total_tokens = 0
 
-    def _passes(self, doc_id: int, role: str | None, tool: str | None) -> bool:
-        if role is None and tool is None:
-            return True
+    def _passes(self, doc_id: int, role: str | None, tool: str | None,
+                ts_min=None, ts_max=None) -> bool:
         a = self.attrs.get(doc_id, ("", ""))
-        return (role is None or a[0] == role) and (tool is None or a[1] == tool)
+        if role is not None and a[0] != role:
+            return False
+        if tool is not None and a[1] != tool:
+            return False
+        if ts_min is not None or ts_max is not None:
+            t = self.ts.get(doc_id)
+            if t is None:
+                return False
+            if ts_min is not None and t < QueryEngine._ts_us(ts_min):
+                return False
+            if ts_max is not None and t > QueryEngine._ts_us(ts_max):
+                return False
+        return True
 
     def add_doc(self, doc_id: int, text: str, role: str = "",
-                tool: str = "") -> None:
+                tool: str = "", ts=None) -> None:
         toks_all = _TOKEN_RE.findall(text.lower())
         toks = [t for t in toks_all if t not in self.stopwords] if self.stopwords else toks_all
         self.attrs[doc_id] = (role, tool)
+        if ts is not None:
+            self.ts[doc_id] = QueryEngine._ts_us(ts)
         self.n_docs += 1
         self.total_tokens += len(toks)
         self.dl[doc_id] = len(toks)
@@ -111,7 +126,7 @@ class BruteForceBM25:
         + turn_idx) but via an independent pandas path."""
         self = cls(k1, b, stopwords)
         schema = pq.ParquetFile(files[0]).schema_arrow.names
-        extra = [c for c in ("role", "tool") if c in schema]
+        extra = [c for c in ("role", "tool", "ts") if c in schema]
         frames = [
             pq.read_table(f, columns=["conv_id", "turn_idx", "text", *extra]).to_pandas()
             for f in files
@@ -122,8 +137,11 @@ class BruteForceBM25:
         df["doc_id"] = range(len(df))
         roles = df["role"] if "role" in extra else [""] * len(df)
         tools = df["tool"] if "tool" in extra else [""] * len(df)
-        for doc_id, text, role, tool in zip(df["doc_id"], df["text"], roles, tools):
-            self.add_doc(int(doc_id), text, role or "", tool or "")
+        tss = df["ts"] if "ts" in extra else [None] * len(df)
+        for doc_id, text, role, tool, ts in zip(df["doc_id"], df["text"],
+                                                roles, tools, tss):
+            self.add_doc(int(doc_id), text, role or "", tool or "",
+                         ts=None if ts is None or pd.isna(ts) else ts)
         return self
 
     @classmethod
@@ -175,11 +193,12 @@ class BruteForceBM25:
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search(self, text: str, k: int = 10, mode: str = "or",
-               role: str | None = None,
-               tool: str | None = None) -> list[tuple[int, float]]:
-        """``role``/``tool`` restrict the RESULT set to matching docs;
-        collection statistics (idf, avgdl, N) stay global — standard
-        filtered search semantics, shared with QueryEngine."""
+               role: str | None = None, tool: str | None = None,
+               ts_min=None, ts_max=None) -> list[tuple[int, float]]:
+        """``role``/``tool``/``ts_min``/``ts_max`` restrict the RESULT set
+        to matching docs; collection statistics (idf, avgdl, N) stay
+        global — standard filtered search semantics, shared with
+        QueryEngine."""
         all_terms = query_terms(text)
         terms = [t for t in all_terms if t in self.postings]
         if not terms:
@@ -199,7 +218,7 @@ class BruteForceBM25:
             for d, f in self.postings[t]:
                 if mode == "and" and d not in cand:
                     continue
-                if not self._passes(d, role, tool):
+                if not self._passes(d, role, tool, ts_min, ts_max):
                     continue
                 scores[d] += self._contrib(idf, f, self.dl[d])
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -317,7 +336,7 @@ class QueryEngine:
     # via a doc_id-range-pruned docstore read (rank-mode parts are
     # doc-sorted, so row-group statistics skip unrelated fragments).
 
-    ATTR_COLUMNS = ("role", "tool")
+    ATTR_COLUMNS = ("role", "tool", "ts")
 
     def _doc_attrs(self, si: int) -> dict[str, np.ndarray]:
         a = self._attr_cache.get(si)
@@ -343,15 +362,31 @@ class QueryEngine:
                 pos_c = np.minimum(pos, max(len(docids) - 1, 0))
                 ok = docids[pos_c] == got
                 for c in cols:
-                    arr = np.full(len(docids), "", dtype=object)
-                    arr[pos_c[ok]] = np.asarray(
-                        pacompute.fill_null(t[c], ""), dtype=object)[ok]
+                    if c == "ts":
+                        arr = np.full(len(docids), np.iinfo(np.int64).min,
+                                      dtype=np.int64)
+                        vals = np.asarray(
+                            t[c].combine_chunks().cast(pa.timestamp("us"))
+                            .cast(pa.int64()))
+                        arr[pos_c[ok]] = vals[ok]
+                    else:
+                        arr = np.full(len(docids), "", dtype=object)
+                        arr[pos_c[ok]] = np.asarray(
+                            pacompute.fill_null(t[c], ""), dtype=object)[ok]
                     out[c] = arr
         self._attr_cache[si] = out
         return out
 
-    def _filter_mask(self, si: int, role: str | None,
-                     tool: str | None) -> np.ndarray:
+    @staticmethod
+    def _ts_us(x) -> int:
+        """Timestamp bound -> int64 microseconds (ISO string, datetime64,
+        or already-us int)."""
+        if isinstance(x, (int, np.integer)):
+            return int(x)
+        return int(np.datetime64(x).astype("datetime64[us]").astype(np.int64))
+
+    def _filter_mask(self, si: int, role: str | None, tool: str | None,
+                     ts_min=None, ts_max=None) -> np.ndarray:
         attrs = self._doc_attrs(si)
         r = self._reader(si)
         mask = np.ones(len(r.docids), dtype=bool)
@@ -362,6 +397,15 @@ class QueryEngine:
                     raise ValueError(
                         f"index docstore has no '{name}' column to filter on")
                 mask &= col == want
+        if ts_min is not None or ts_max is not None:
+            ts = attrs.get("ts")
+            if ts is None:
+                raise ValueError(
+                    "index docstore has no 'ts' column to filter on")
+            if ts_min is not None:
+                mask &= ts >= self._ts_us(ts_min)
+            if ts_max is not None:
+                mask &= ts <= self._ts_us(ts_max)
         return mask
 
     # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
@@ -648,7 +692,8 @@ class QueryEngine:
 
     def search(self, text: str, k: int = 10, mode: str = "or",
                expand_terms: int = 0, role: str | None = None,
-               tool: str | None = None) -> list[tuple[int, float]]:
+               tool: str | None = None, ts_min=None,
+               ts_max=None) -> list[tuple[int, float]]:
         """``expand_terms=k`` unions each query term's k nearest
         term-vector neighbors before OR scoring (recall expansion;
         requires ``set_term_vectors``).  AND mode rejects expansion — a
@@ -656,9 +701,10 @@ class QueryEngine:
 
         ``role``/``tool`` restrict results to docs whose stored metadata
         matches (field-scoped search; the reference's per-channel evidence
-        tables, horus0.1.5.db.sql:59-109).  Collection statistics stay
-        global — standard filtered-search semantics, shared with the
-        brute-force oracle."""
+        tables, horus0.1.5.db.sql:59-109); ``ts_min``/``ts_max`` bound the
+        stored turn timestamp (inclusive; ISO string, datetime64 or int
+        microseconds).  Collection statistics stay global — standard
+        filtered-search semantics, shared with the brute-force oracle."""
         base = query_terms(text)
         if expand_terms > 0:
             if mode != "or":
@@ -671,11 +717,12 @@ class QueryEngine:
             return []
         idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
         score_fn = self._score_shard_or if mode == "or" else self._score_shard_and
-        filtered = role is not None or tool is not None
+        filtered = any(x is not None for x in (role, tool, ts_min, ts_max))
         docs: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):  # per-shard top-k heaps
-            m = self._filter_mask(si, role, tool) if filtered else None
+            m = (self._filter_mask(si, role, tool, ts_min, ts_max)
+                 if filtered else None)
             d, s = score_fn(si, terms, idfs, k, mask=m)
             docs.append(d)
             scores.append(s)

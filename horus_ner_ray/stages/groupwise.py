@@ -217,3 +217,43 @@ def pivot_counts_dataset(ds, key_col: str, pivot_col: str,
     return parts.groupby(key_col).aggregate(
         *[Sum(c, alias_name=c) for c in cols]
     )
+
+
+def grouped_count_distinct(ds, group_col: str, value_col: str,
+                           alias: str = "n_distinct"):
+    """Exact count(DISTINCT value) per group — two-level combiner shape:
+
+    1. per-batch (group, value) dedupe (a hot pair costs one row per
+       batch, never a hot shuffle key);
+    2. groupby the PAIR (distinct pairs materialize once each across the
+       cluster);
+    3. per-batch partial pair-counts per group -> tiny groupby(group).sum.
+
+    The shuffle moves O(distinct pairs) rows regardless of row count —
+    the exact counterpart of the HLL sketch (stages/sketches.py) for when
+    the distinct-pair cardinality is shuffle-affordable.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def dedupe_partial(batch: pa.Table) -> pa.Table:
+        return batch.select([group_col, value_col]).group_by(
+            [group_col, value_col], use_threads=False).aggregate([])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col]).group_by(
+            group_col, use_threads=False).aggregate([([], "count_all")])
+        return pa.table({group_col: g[group_col],
+                         "c": g["count_all"].cast(pa.int64())})
+
+    pairs = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(dedupe_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby([group_col, value_col]).count()
+    )
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow",
+                          runtime_env=_rte())
+        .groupby(group_col).aggregate(Sum("c", alias_name=alias))
+    )

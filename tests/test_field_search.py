@@ -141,3 +141,21 @@ def test_phrase_role_filter(small_corpus, tmp_path_factory, ray_session):
         rows = fetch_docs(str(idx), [d for d, _ in flt],
                           columns=["doc_id", "role"])
         assert (rows["role"] == "user").all()
+
+
+def test_ts_window_filter_rank_identical(engines):
+    eng, bf = engines
+    # synth ts = 2025-06-01 + conv_idx*3600s + turn*13s; 60 convs span 60h
+    lo, hi = "2025-06-01T10:00:00", "2025-06-02T08:00:00"
+    found = False
+    for q in reference_queries(k=10):
+        got = eng.search(q["text"], k=10, ts_min=lo, ts_max=hi)
+        want = bf.search(q["text"], k=10, ts_min=lo, ts_max=hi)
+        assert got == want
+        found = found or bool(got)
+    assert found, "window should contain matches"
+    # combined role + window
+    for q in reference_queries(k=10)[:4]:
+        got = eng.search(q["text"], k=10, role="user", ts_min=lo, ts_max=hi)
+        want = bf.search(q["text"], k=10, role="user", ts_min=lo, ts_max=hi)
+        assert got == want

@@ -75,10 +75,25 @@ def main():
 
     qs = E.queries()
     sqls = E.oracle_sql()
+    # GRAFT_CONFORMANCE_SUBSET: smoke mode for a constrained budget —
+    # an integer N runs the first N queries (registry order), a comma
+    # list names them.  Default runs the full surface (wall time at
+    # sf0.01 is documented in BASELINE.md; per-query timings print below
+    # so the budget stays observable).
+    subset = os.environ.get("GRAFT_CONFORMANCE_SUBSET", "")
+    if subset and not only:
+        if subset.isdigit():
+            only = set(list(qs)[: int(subset)])
+        else:
+            only = {s.strip() for s in subset.split(",") if s.strip()}
+    import time as _time
+
     failures = []
+    t_all = _time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_q = _time.time()
         try:
             mine = canon(to_pandas(fn(sf_dir)))
         except Exception as e:
@@ -86,7 +101,8 @@ def main():
             failures.append(name)
             continue
         if name not in sqls:
-            print(f"[rows] {name}: {len(mine)} rows (rows-only check)")
+            print(f"[rows] {name}: {len(mine)} rows (rows-only check) "
+                  f"[{_time.time() - t_q:.1f}s]")
             continue
         try:
             oracle = canon(con.execute(sqls[name]).df())
@@ -98,7 +114,8 @@ def main():
         ok_cols = list(mine.columns) == list(oracle.columns)
         ok_vals = ok_rows and ok_cols and mine.equals(oracle)
         status = "OK  " if (ok_rows and ok_cols and ok_vals) else "FAIL"
-        print(f"[{status}] {name}: rows {len(mine)} vs {len(oracle)}, cols {ok_cols}, vals {ok_vals}")
+        print(f"[{status}] {name}: rows {len(mine)} vs {len(oracle)}, "
+              f"cols {ok_cols}, vals {ok_vals} [{_time.time() - t_q:.1f}s]")
         if status == "FAIL":
             failures.append(name)
             if ok_cols and ok_rows:
@@ -109,6 +126,7 @@ def main():
                 print("  mine cols:", list(mine.columns), "oracle cols:", list(oracle.columns))
                 print(mine.head(3)); print(oracle.head(3))
     ray.shutdown()
+    print(f"total wall: {_time.time() - t_all:.1f}s")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
