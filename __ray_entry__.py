@@ -1450,6 +1450,21 @@ def _q_users_per_type(sf_dir: str):
             .sort_values("event_type").reset_index(drop=True))
 
 
+def _q_top_event_per_user(sf_dir: str):
+    """Most frequent event_type per user (stages/groupwise.py
+    grouped_mode): combiner pair counts -> pair groupby -> top-1 per
+    group with (count desc, value asc) tie-break."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import grouped_mode
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "event_type"])
+    out = grouped_mode(ev, "user_id", "event_type").to_pandas()
+    return (out.astype({"user_id": np.int64, "n": np.int64})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def _q_topic_predictions(sf_dir: str):
     """TRAINED topic model (A2 as a learned scorer, round 4): seed-lexicon
     weak labels bootstrap a distributed multinomial-NB fit; the broadcast
@@ -1776,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topic_scores": _q_topic_scores,
         "topic_predictions": _q_topic_predictions,
         "users_per_type": _q_users_per_type,
+        "top_event_per_user": _q_top_event_per_user,
         "kmeans_clusters": _q_kmeans,
         "dup_components": _q_dup_components,
         "price_stats_by_flag": _q_price_stats_by_flag,
@@ -2623,6 +2639,16 @@ def oracle_sql() -> dict[str, str]:
         "users_per_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_event_per_user": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, event_type, n FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+            ORDER BY user_id
         """,
         "kmeans_clusters": _sql_kmeans(_KMEANS_K, _KMEANS_ITERS),
         "dup_components": """

@@ -257,3 +257,35 @@ def grouped_count_distinct(ds, group_col: str, value_col: str,
                           runtime_env=_rte())
         .groupby(group_col).aggregate(Sum("c", alias_name=alias))
     )
+
+
+def grouped_mode(ds, group_col: str, value_col: str,
+                 count_alias: str = "n"):
+    """Most frequent value per group (deterministic: count desc, value asc
+    tie-break) — Dataset(group, value, n).
+
+    Shape: per-batch (group, value) count partials (combiner) -> one
+    groupby over the distinct pairs -> ``topk_per_group(k=1)`` over the
+    pair-count table (valid as a two-level reduce: a group's global argmax
+    survives top-1 within every subset containing it).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, value_col]).group_by(
+            [group_col, value_col], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({group_col: g[group_col], value_col: g[value_col],
+                         count_alias: g["count_all"].cast(pa.int64())})
+
+    counts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(pair_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby([group_col, value_col])
+        .aggregate(Sum(count_alias, alias_name=count_alias))
+    )
+    return topk_per_group(counts, key=group_col,
+                          sort_cols=[count_alias, value_col],
+                          ascending=[False, True], k=1)

@@ -153,3 +153,38 @@ def test_rollup_sums_matches_duckdb(ray_session):
     want["n_rows"] = want["n_rows"].astype(np.int64)
     want["sum_e2"] = want["sum_e2"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_count_distinct_and_mode(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import (
+        grouped_count_distinct,
+        grouped_mode,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 7, n).astype(np.int64),
+        "v": rng.randint(0, 40, n).astype(np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    got = (grouped_count_distinct(ds, "g", "v").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    want = (df.groupby("g")["v"].nunique().rename("n_distinct")
+            .reset_index().astype(np.int64))
+    assert got.astype(np.int64).equals(want)
+
+    gm = (grouped_mode(ds, "g", "v").to_pandas()
+          .sort_values("g").reset_index(drop=True))
+    wm = (df.groupby(["g", "v"]).size().rename("n").reset_index()
+          .sort_values(["g", "n", "v"], ascending=[True, False, True],
+                       kind="stable")
+          .drop_duplicates("g").reset_index(drop=True))
+    assert list(gm["g"]) == list(wm["g"])
+    assert list(gm["v"]) == list(wm["v"])
+    assert list(gm["n"].astype(int)) == list(wm["n"].astype(int))
