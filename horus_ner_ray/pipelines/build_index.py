@@ -308,6 +308,21 @@ def _run_vocab(pf: pq.ParquetFile) -> np.ndarray:
     return np.array(txt.split("\n"), dtype=object) if txt else np.zeros(0, object)
 
 
+def _run_vocab_arrow(pf: pq.ParquetFile) -> pa.Array:
+    """Footer vocab as an Arrow string array — the merge path unions and
+    remaps vocabularies with C++ kernels (unique/sort_indices/index_in);
+    terms are [a-z0-9]+ so Arrow's bytewise order equals Python's str
+    order, keeping the merged vocab byte-identical."""
+    meta = pf.schema_arrow.metadata or {}
+    raw = meta.get(_RUN_VOCAB_KEY)
+    if raw is None:
+        raise ValueError(
+            "run file missing run_vocab footer (written by an older format "
+            "version?) — resume gating should have wiped it")
+    txt = raw.decode("utf-8")
+    return pa.array(txt.split("\n") if txt else [], pa.string())
+
+
 # ---------------------------------------------------------------------------
 # Phase B: k-way merge of a shard's sorted runs
 # ---------------------------------------------------------------------------
@@ -477,21 +492,25 @@ class MergeShardWorker:
         term-at-a-time cursor loop — measured on 1M-posting shards)."""
         cols = ["term_idx", "doc_id", "tf"] + (["positions"] if wp else [])
         tables: list[pa.Table] = []
-        vocabs: list[np.ndarray] = []
+        vocabs: list[pa.Array] = []
         for f in run_files:
             pf = pq.ParquetFile(f)
             t = pf.read(columns=cols)
             if len(t):
                 tables.append(t)
-                vocabs.append(_run_vocab(pf))
+                vocabs.append(_run_vocab_arrow(pf))
         if not tables:
             return (pa.array([], pa.string()), np.zeros(0, np.int64),
                     np.zeros(0, np.int64), np.zeros(0, np.int32),
                     np.zeros(0, np.int32) if wp else None)
-        gvocab = np.unique(np.concatenate(vocabs))  # sorted union, object
+        # sorted union + per-run remap in Arrow C++ (unique/sort/index_in):
+        # the former np-object unique+searchsorted ran Python string
+        # compares and was ~40% of merge_data (profiled)
+        uniq = pc.unique(pa.chunked_array(vocabs))
+        uniq = uniq.take(pc.sort_indices(uniq))
         remapped = []
         for t, v in zip(tables, vocabs):
-            gmap = np.searchsorted(gvocab, v).astype(np.int32)
+            gmap = np.asarray(pc.index_in(v, value_set=uniq), dtype=np.int32)
             g = gmap[np.asarray(t["term_idx"], dtype=np.int32)]
             remapped.append(t.drop(["term_idx"]).add_column(
                 0, "gidx", pa.array(g, pa.int32())))
@@ -501,9 +520,9 @@ class MergeShardWorker:
         # keep terms as an Arrow array: it may cross a task boundary in the
         # pipelined build, and Arrow serializes ~free vs pickling an object
         # array of Python strings (measured: erased the pipelining win);
-        # every gvocab entry occurs in its own run, so codes cover the
-        # vocab densely and boundaries line up 1:1 with gvocab
-        terms_a = pa.array(gvocab, pa.string())
+        # every vocab entry occurs in its own run, so codes cover the
+        # vocab densely and boundaries line up 1:1 with the union
+        terms_a = uniq
         starts_a = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]]).astype(np.int64)
         docs_a = np.asarray(srt["doc_id"], dtype=np.int64)
         tfs_a = np.asarray(srt["tf"], dtype=np.int32)

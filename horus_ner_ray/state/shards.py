@@ -289,20 +289,16 @@ def write_shard(
     champ_docs_v: list[np.ndarray] = []
     champ_tfs_v: list[np.ndarray] = []
     if C > 0 and n_post:
-        hot = np.flatnonzero(df > 4 * C)
-        hot_set = set(hot.tolist())
-        for t in range(n_terms):
-            if t in hot_set:
-                lo, hi = term_starts[t], term_ends[t]
-                p = part[lo:hi]
-                order = np.lexsort((docs[lo:hi], -p))[:C]
-                champ_docs_v.append(docs[lo:hi][order])
-                champ_tfs_v.append(tfs[lo:hi][order])
-                champ_off[t + 1] = champ_off[t] + len(order)
-            else:
-                champ_off[t + 1] = champ_off[t]
-    else:
-        champ_off[:] = 0
+        # loop only over the (few) hot terms, not the whole vocabulary
+        counts = np.zeros(n_terms, dtype=np.int32)
+        for t in np.flatnonzero(df > 4 * C):
+            lo, hi = term_starts[t], term_ends[t]
+            p = part[lo:hi]
+            order = np.lexsort((docs[lo:hi], -p))[:C]
+            champ_docs_v.append(docs[lo:hi][order])
+            champ_tfs_v.append(tfs[lo:hi][order])
+            counts[t] = len(order)
+        np.cumsum(counts, out=champ_off[1:])
     champ_docs = pa.ListArray.from_arrays(
         pa.array(champ_off), pa.array(
             np.concatenate(champ_docs_v) if champ_docs_v else np.zeros(0, np.int64),
