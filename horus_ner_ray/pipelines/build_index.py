@@ -756,11 +756,16 @@ def build_index(
     if cfg.doc_id_mode == "rank":
         items0 = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
         parts = _map_items(items0, _ConvCountWorker, {}, concurrency)
-        g = (
-            parts.groupby("conv_id", sort=False)["n"].sum().reset_index()
-        )
+        # Arrow C++ hash group-by over the conv partials: the pandas object
+        # group-by here was ~0.5 s of SERIAL driver time at bench scale —
+        # fixed cost paid identically at every parallelism level, i.e.
+        # pure scaling-efficiency loss
+        gt = (pa.Table.from_pandas(parts[["conv_id", "n"]])
+              .group_by("conv_id", use_threads=False)
+              .aggregate([("n", "sum")]))
         offsets = dstore.offsets_from_counts(
-            g["conv_id"].to_numpy(dtype=object), g["n"].to_numpy()
+            np.asarray(gt["conv_id"], dtype=object),
+            np.asarray(gt["n_sum"], dtype=np.int64),
         )
         n_docs = offsets.n_docs
         id_space = n_docs
@@ -932,14 +937,19 @@ def _frag_doc_ranges_rank(parts: pd.DataFrame, offsets: dstore.ConvOffsets) -> d
     such a fragment from some shards' dependency lists and let a shard
     merge run before all of its run files exist (schedule-dependent,
     silently incomplete shards).  The conservative full-conversation span
-    only widens dependency lists, never narrows them."""
-    base = pd.Series(
-        offsets.offsets, index=pd.Index(offsets.conv_ids, dtype=object)
-    )
-    total = parts.groupby("conv_id")["n"].transform("sum").to_numpy(dtype=np.int64)
-    lo = parts["conv_id"].map(base).to_numpy(dtype=np.int64)
-    hi = lo + total
-    df = pd.DataFrame({"frag_id": parts["frag_id"], "lo": lo, "hi": hi})
+    only widens dependency lists, never narrows them.
+
+    Vectorized over the sorted offset table (one searchsorted; a conv's
+    total is the gap to the NEXT conv's offset) — the former per-row
+    pandas map + object-group transform was serial driver time paid at
+    every parallelism level."""
+    arr = parts["conv_id"].to_numpy(dtype=str)
+    idx = np.searchsorted(offsets.conv_ids, arr)
+    lo = offsets.offsets[idx]
+    ends = np.append(offsets.offsets[1:], offsets.n_docs)
+    hi = ends[idx]
+    df = pd.DataFrame({"frag_id": parts["frag_id"].to_numpy(np.int64),
+                       "lo": lo, "hi": hi})
     g = df.groupby("frag_id").agg(lo=("lo", "min"), hi=("hi", "max"))
     return {int(i): (int(r.lo), int(r.hi)) for i, r in g.iterrows()}
 
