@@ -987,6 +987,52 @@ def _q_bm25_topk_role(sf_dir: str):
 
 
 _TS_WINDOW = ("2025-06-05T00:00:00", "2025-06-12T00:00:00")
+_ROLE_WEIGHTS = {"user": 2.0, "assistant": 1.0, "tool": 0.5}
+
+
+def _q_bm25_topk_weighted(sf_dir: str):
+    """Field-WEIGHTED BM25 (round 4): each doc's accumulated score is
+    multiplied once by its role's weight (user turns boosted, tool turns
+    damped) — per-field weighting over the reference's evidence channels,
+    rank order re-derived under the weighted scores."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(q["text"], TOPK * 3 + 20, role_weights=_ROLE_WEIGHTS)
+            for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_transcripts_bm25_weighted() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, role, text
+  FROM raw JOIN offs USING (conv_id)
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()],
+                     conjunctive=False, pre=pre, role_weights=_ROLE_WEIGHTS)
 
 
 def _q_bm25_topk_time(sf_dir: str):
@@ -1772,6 +1818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25": _q_transcripts_bm25,
         "bm25_topk_role": _q_bm25_topk_role,
         "bm25_topk_time": _q_bm25_topk_time,
+        "bm25_topk_weighted": _q_bm25_topk_weighted,
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
         "conll_roundtrip": _q_conll_roundtrip,
@@ -1828,7 +1875,8 @@ def _sql_values_queries(texts: list[str]) -> str:
 
 def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               role: str | None = None,
-              ts_window: tuple[str, str] | None = None) -> str:
+              ts_window: tuple[str, str] | None = None,
+              role_weights: dict[str, float] | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
@@ -1841,13 +1889,20 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
         joins.append("JOIN (SELECT query_id, count(*) nt FROM q "
                      "GROUP BY query_id) qn USING (query_id)")
         wheres.append("nhit = nt")
-    if role is not None or ts_window is not None:
+    if role is not None or ts_window is not None or role_weights is not None:
         joins.append("JOIN documents dm USING (doc_id)")
     if role is not None:
         wheres.append(f"dm.role = '{role}'")
     if ts_window is not None:
         wheres.append(f"dm.ts >= TIMESTAMP '{ts_window[0]}'")
         wheres.append(f"dm.ts <= TIMESTAMP '{ts_window[1]}'")
+    sexpr = "score"
+    if role_weights is not None:
+        # one multiply of the accumulated double — the engine's exact
+        # arithmetic point (QueryEngine._score_shard_*' wvec multiply)
+        case = " ".join(f"WHEN '{r}' THEN {float(w)!r}"
+                        for r, w in sorted(role_weights.items()))
+        sexpr = f"(score * (CASE dm.role {case} ELSE 1.0 END))"
     and_filter = " ".join(joins)
     if wheres:
         and_filter += " WHERE " + " AND ".join(wheres)
@@ -1878,10 +1933,10 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, doc_id,
-         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         CAST(FLOOR({sexpr} * 1e6 + 0.5) AS BIGINT) score_e6,
          row_number() OVER (
            PARTITION BY query_id
-           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+           ORDER BY CAST(FLOOR({sexpr} * 1e6 + 0.5) AS BIGINT) DESC, doc_id
          ) rk
   FROM scored {and_filter}
 )
@@ -2571,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_bm25": _sql_transcripts_bm25(),
         "bm25_topk_role": _sql_transcripts_bm25_role("user"),
         "bm25_topk_time": _sql_transcripts_bm25_time(),
+        "bm25_topk_weighted": _sql_transcripts_bm25_weighted(),
         "bm25_phrase": _sql_bm25_phrase(),
         "embedding_dups_lsh": _sql_embedding_lsh(),
         "embedding_dups": """

@@ -194,11 +194,15 @@ class BruteForceBM25:
 
     def search(self, text: str, k: int = 10, mode: str = "or",
                role: str | None = None, tool: str | None = None,
-               ts_min=None, ts_max=None) -> list[tuple[int, float]]:
+               ts_min=None, ts_max=None,
+               role_weights: dict[str, float] | None = None,
+               ) -> list[tuple[int, float]]:
         """``role``/``tool``/``ts_min``/``ts_max`` restrict the RESULT set
         to matching docs; collection statistics (idf, avgdl, N) stay
         global — standard filtered search semantics, shared with
-        QueryEngine."""
+        QueryEngine.  ``role_weights`` boosts each doc's FINAL score by
+        its role's weight (one multiply after accumulation — the same
+        arithmetic point as the engine, so ranks stay bitwise-shared)."""
         all_terms = query_terms(text)
         terms = [t for t in all_terms if t in self.postings]
         if not terms:
@@ -221,6 +225,10 @@ class BruteForceBM25:
                 if not self._passes(d, role, tool, ts_min, ts_max):
                     continue
                 scores[d] += self._contrib(idf, f, self.dl[d])
+        if role_weights is not None:
+            scores = {d: s * float(role_weights.get(
+                self.attrs.get(d, ("", ""))[0], 1.0))
+                for d, s in scores.items()}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
@@ -408,6 +416,21 @@ class QueryEngine:
                 mask &= ts <= self._ts_us(ts_max)
         return mask
 
+    def _weight_vec(self, si: int,
+                    role_weights: dict[str, float]) -> np.ndarray:
+        """Per-doc score multipliers from the role column (field-weighted
+        BM25): weight applied ONCE per doc after accumulation."""
+        attrs = self._doc_attrs(si)
+        roles = attrs.get("role")
+        if roles is None:
+            raise ValueError(
+                "index docstore has no 'role' column for role_weights")
+        r = self._reader(si)
+        w = np.ones(len(r.docids), dtype=np.float64)
+        for name, wt in role_weights.items():
+            w[roles == name] = float(wt)
+        return w
+
     # -- OR (disjunctive) scoring: vectorized term-at-a-time ---------------
     #
     # MaxScore-style pruning with an exact rescore: terms are processed in
@@ -422,7 +445,7 @@ class QueryEngine:
 
     def _score_shard_or(
         self, si: int, terms: list[str], idfs: list[float], k: int,
-        mask: np.ndarray | None = None,
+        mask: np.ndarray | None = None, wvec: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self._reader(si)
         nd = len(r.docids)
@@ -434,14 +457,14 @@ class QueryEngine:
         present = [(t, idf, ti) for t, idf, ti in present if ti is not None]
         if not present:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
-        if mask is not None:
-            # field-filtered search: the champion/MaxScore fast paths prune
-            # against UNFILTERED top-k thresholds (a filtered doc outside
-            # the champion prefix could belong in the filtered top-k), so
-            # scoring takes the exhaustive exact path with the mask applied
-            # before top-k selection
+        if mask is not None or wvec is not None:
+            # field-filtered/-weighted search: the champion/MaxScore fast
+            # paths prune against UNFILTERED, UNWEIGHTED top-k thresholds
+            # (a filtered/boosted doc outside the champion prefix could
+            # belong in the adjusted top-k), so scoring takes the
+            # exhaustive exact path with mask/weights applied before top-k
             return self._score_shard_or_simple(r, present, k, docids, dl_arr,
-                                               mask=mask)
+                                               mask=mask, wvec=wvec)
         if len(present) == 1:  # no pruning possible; champions or plain scan
             _, idf, ti = present[0]
             cd, ctf = r.champions(ti)
@@ -548,9 +571,11 @@ class QueryEngine:
         return _topk_with_ties(cdocs, exact, k)
 
     def _score_shard_or_simple(self, r, present, k, docids, dl_arr,
-                               mask: np.ndarray | None = None):
+                               mask: np.ndarray | None = None,
+                               wvec: np.ndarray | None = None):
         """Exact TAAT in ascending-term order (oracle accumulation order);
-        ``mask`` (local-index bool) drops docs BEFORE top-k selection."""
+        ``mask`` (local-index bool) drops docs BEFORE top-k selection;
+        ``wvec`` multiplies each doc's accumulated score once."""
         nd = len(docids)
         acc = np.zeros(nd, dtype=np.float64)
         hit = np.zeros(nd, dtype=bool)
@@ -565,13 +590,16 @@ class QueryEngine:
         cand = np.flatnonzero(hit)
         if len(cand) == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
-        return _topk_with_ties(docids[cand], acc[cand], k)
+        sc = acc[cand]
+        if wvec is not None:
+            sc = sc * wvec[cand]
+        return _topk_with_ties(docids[cand], sc, k)
 
     # -- AND (conjunctive) with block-max skipping -------------------------
 
     def _score_shard_and(
         self, si: int, terms: list[str], idfs: list[float], k: int,
-        mask: np.ndarray | None = None,
+        mask: np.ndarray | None = None, wvec: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         r = self._reader(si)
         tis = []
@@ -611,6 +639,8 @@ class QueryEngine:
             tff = tf[pos].astype(np.float64)
             denom = tff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
             acc += idf * (tff * (self.k1 + 1.0)) / denom
+        if wvec is not None:
+            acc = acc * wvec[np.searchsorted(np.asarray(r.docids), cand)]
         return _topk_with_ties(cand, acc, k)
 
     def search_phrase(self, text: str, k: int = 10, role: str | None = None,
@@ -692,8 +722,9 @@ class QueryEngine:
 
     def search(self, text: str, k: int = 10, mode: str = "or",
                expand_terms: int = 0, role: str | None = None,
-               tool: str | None = None, ts_min=None,
-               ts_max=None) -> list[tuple[int, float]]:
+               tool: str | None = None, ts_min=None, ts_max=None,
+               role_weights: dict[str, float] | None = None,
+               ) -> list[tuple[int, float]]:
         """``expand_terms=k`` unions each query term's k nearest
         term-vector neighbors before OR scoring (recall expansion;
         requires ``set_term_vectors``).  AND mode rejects expansion — a
@@ -703,8 +734,11 @@ class QueryEngine:
         matches (field-scoped search; the reference's per-channel evidence
         tables, horus0.1.5.db.sql:59-109); ``ts_min``/``ts_max`` bound the
         stored turn timestamp (inclusive; ISO string, datetime64 or int
-        microseconds).  Collection statistics stay global — standard
-        filtered-search semantics, shared with the brute-force oracle."""
+        microseconds); ``role_weights`` multiplies each doc's FINAL score
+        by its role's weight (field-weighted BM25 — one multiply after
+        accumulation, composable with the filters).  Collection statistics
+        stay global — standard filtered-search semantics, shared with the
+        brute-force oracle."""
         base = query_terms(text)
         if expand_terms > 0:
             if mode != "or":
@@ -723,7 +757,9 @@ class QueryEngine:
         for si in range(len(self._shard_dirs)):  # per-shard top-k heaps
             m = (self._filter_mask(si, role, tool, ts_min, ts_max)
                  if filtered else None)
-            d, s = score_fn(si, terms, idfs, k, mask=m)
+            w = (self._weight_vec(si, role_weights)
+                 if role_weights is not None else None)
+            d, s = score_fn(si, terms, idfs, k, mask=m, wvec=w)
             docs.append(d)
             scores.append(s)
         d = np.concatenate(docs)

@@ -159,3 +159,24 @@ def test_ts_window_filter_rank_identical(engines):
         got = eng.search(q["text"], k=10, role="user", ts_min=lo, ts_max=hi)
         want = bf.search(q["text"], k=10, role="user", ts_min=lo, ts_max=hi)
         assert got == want
+
+
+def test_role_weights_rank_identical(engines):
+    eng, bf = engines
+    w = {"user": 2.0, "assistant": 1.0, "tool": 0.5}
+    reranked = False
+    for q in reference_queries(k=10):
+        got = eng.search(q["text"], k=10, role_weights=w)
+        want = bf.search(q["text"], k=10, role_weights=w)
+        assert got == want
+        plain = eng.search(q["text"], k=10)
+        if [d for d, _ in got] != [d for d, _ in plain]:
+            reranked = True
+    assert reranked, "weights should change at least one ranking"
+    # weights compose with filters
+    for q in reference_queries(k=10)[:4]:
+        got = eng.search(q["text"], k=10, role_weights=w, tool=None,
+                         ts_min="2025-06-01T05:00:00")
+        want = bf.search(q["text"], k=10, role_weights=w,
+                         ts_min="2025-06-01T05:00:00")
+        assert got == want
