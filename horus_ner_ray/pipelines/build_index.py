@@ -646,7 +646,8 @@ def _run_pipelined(
     return ray.get(stats_ref)
 
 
-def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=None) -> pd.DataFrame:
+def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict,
+               concurrency=None, blocks: int | None = None) -> pd.DataFrame:
     """Run worker_cls over items — Ray Data stateless tasks when Ray is up,
     sequential local fallback otherwise (unit tests without a session).
 
@@ -654,7 +655,12 @@ def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=Non
     ray.get is a zero-copy plasma read per task, while an actor pool sized
     to the cluster pays one actor spawn per slot per phase — measured, that
     spawn cost inverted the 8-vs-32-CPU scaling on small inputs.  The
-    mmap-holding query scorers stay actors (pipelines/query.py)."""
+    mmap-holding query scorers stay actors (pipelines/query.py).
+
+    ``blocks`` coarsens the task granularity (several items per task) for
+    cheap per-item work where one-task-per-item is pure scheduling
+    overhead — the conv-count scan measured ~2 s of overhead on ~0.2 s of
+    real read work at 256 single-item tasks."""
     import ray
 
     if ray.is_initialized():
@@ -665,10 +671,11 @@ def _map_items(items: list[dict], worker_cls, ctor_kwargs: dict, concurrency=Non
         def run_items(batch: pd.DataFrame) -> pd.DataFrame:
             return worker_cls(**ctor_kwargs)(batch)
 
-        ds = rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        nb = len(items) if blocks is None else max(1, min(blocks, len(items)))
+        ds = rd.from_items(items, override_num_blocks=nb).map_batches(
             run_items,
             batch_format="pandas",
-            batch_size=1,
+            batch_size=1 if blocks is None else None,
             num_cpus=1,
             runtime_env=worker_runtime_env(),
         )
@@ -755,7 +762,8 @@ def build_index(
     frag_ranges: dict[int, tuple[int, int]] | None = None
     if cfg.doc_id_mode == "rank":
         items0 = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
-        parts = _map_items(items0, _ConvCountWorker, {}, concurrency)
+        parts = _map_items(items0, _ConvCountWorker, {}, concurrency,
+                           blocks=2 * (concurrency or 16))
         # Arrow C++ hash group-by over the conv partials: the pandas object
         # group-by here was ~0.5 s of SERIAL driver time at bench scale —
         # fixed cost paid identically at every parallelism level, i.e.
