@@ -17,7 +17,8 @@ Layout:
     stages/analysis.py   lang-id / quality / token-count / fingerprint stages
     stages/dedupe.py     exact, minhash-LSH, simhash, ngram-jaccard, emb dedup
     stages/similarity.py brute-force + LSH-bucketed ANN over embeddings
-    stages/multimodal.py binary-column decode plumbing (stubbed codecs)
+    stages/multimodal.py binary-column decode stages (real stdlib codecs)
+    stages/media_codecs.py  pure-stdlib PNG/BMP/WAV decode + encode
     state/codec.py       delta + varint (Frame-of-Reference) posting codec
     state/shards.py      sharded index file format, manifests, resume
     pipelines/build_index.py  two-phase build: sorted runs -> k-way merge
