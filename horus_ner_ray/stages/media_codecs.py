@@ -252,7 +252,9 @@ def wav_encode(samples: np.ndarray, sample_rate: int) -> bytes:
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
-    q = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    # symmetric with wav_decode's /32768 (quantization error <= 0.5 LSB;
+    # an asymmetric 32767 multiplier costs up to ~1.2 LSB near full scale)
+    q = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as f:
         f.setnchannels(x.shape[1])

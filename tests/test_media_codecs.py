@@ -172,3 +172,63 @@ def test_audio_features_stage(ray_session):
     assert (got["ok"].to_numpy() == is_wav.to_numpy()).all()
     wavs = got[got["ok"]]
     assert (wavs["sample_rate"] > 0).all() and (wavs["rms_e6"] > 0).all()
+
+
+# --- property-based fuzz (hypothesis) --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+    fseed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed, fseed):
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    if ch == 1:
+        px = px[:, :, 0]
+    filt = np.random.RandomState(fseed).randint(0, 5, size=h)
+    assert np.array_equal(png_decode(png_encode(px, row_filters=filt)), px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, 3),
+                                              dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px)), px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_codecs_reject_junk_loudly(data):
+    """Arbitrary bytes must raise a clean error (or decode, for the
+    vanishingly unlikely valid container) — never hang or corrupt."""
+    import zlib
+
+    for fn in (png_decode, bmp_decode, wav_decode):
+        try:
+            fn(data)
+        except (ValueError, zlib.error, EOFError, Exception) as e:
+            # stdlib wave raises wave.Error (subclass of Exception); the
+            # contract is: SOME exception, raised promptly
+            assert e is not None
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    nch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, sr, nch, seed):
+    x = np.random.RandomState(seed).uniform(-1, 1, size=(n, nch))
+    y, sr2 = wav_decode(wav_encode(x, sr))
+    assert sr2 == sr and y.shape == (n, nch)
+    assert np.max(np.abs(y - x)) < 1.0 / 32000
