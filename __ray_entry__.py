@@ -1614,6 +1614,23 @@ def _sql_topic_predictions() -> str:
     """
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention (stages/cohort.py): per-batch (user, week)
+    min-ts combiner, user-bucketed vectorized resolution, tiny count
+    fold.  All-integer arithmetic, ISO-week truncation shared with the
+    SQL oracle's date_trunc('week', ...)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.cohort import cohort_retention
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = cohort_retention(ev).to_pandas()
+    return (out.astype(np.int64)
+            .sort_values(["cohort_week_us", "week_offset"])
+            .reset_index(drop=True))
+
+
 def _q_funnel(sf_dir: str):
     """view -> click -> purchase funnel (stages/funnel.py): greedy
     earliest-chain match per user in strict (ts, event_id) order, whole
@@ -1849,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "bigram_logprob": _q_bigram_logprob,
         "funnel_counts": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
     }
 
 
@@ -2724,6 +2742,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cw
+              FROM events GROUP BY user_id
+            ),
+            a AS (
+              SELECT DISTINCT e.user_id, f.cw,
+                     (date_trunc('week', e.ts)::DATE - f.cw::DATE) // 7
+                       AS week_offset
+              FROM events e JOIN f USING (user_id)
+            )
+            SELECT epoch_us(cw::TIMESTAMP) AS cohort_week_us,
+                   week_offset::BIGINT AS week_offset,
+                   count(*)::BIGINT AS n_users
+            FROM a GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "funnel_counts": """
             WITH s0 AS (
