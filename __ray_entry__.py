@@ -1614,6 +1614,21 @@ def _sql_topic_predictions() -> str:
     """
 
 
+def _q_price_histogram(sf_dir: str):
+    """Fixed-width value histogram (stages/stats.py value_histogram):
+    per-batch bincount combiner, O(occupied bins) shuffle; bin boundary =
+    the identical float64 floor(x / w) as the SQL."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import value_histogram
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_extendedprice"])
+    out = value_histogram(li, "l_extendedprice", 5000.0).to_pandas()
+    return (out.astype(np.int64).sort_values("bin_idx")
+            .reset_index(drop=True))
+
+
 def _q_cohort_retention(sf_dir: str):
     """Weekly cohort retention (stages/cohort.py): per-batch (user, week)
     min-ts combiner, user-bucketed vectorized resolution, tiny count
@@ -1867,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": _q_bigram_logprob,
         "funnel_counts": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        "price_histogram": _q_price_histogram,
     }
 
 
@@ -2742,6 +2758,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(lab) AS component
             FROM reach GROUP BY node
+        """,
+        "price_histogram": """
+            SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin_idx,
+                   CAST(FLOOR(FLOOR(l_extendedprice / 5000.0) * 5000.0 * 1e6
+                              + 0.5) AS BIGINT) AS bin_lo_e6,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1
         """,
         "cohort_retention": """
             WITH f AS (

@@ -158,3 +158,40 @@ def grouped_corr(ds, key_col: str, x_col: str, y_col: str,
         })
 
     return finish(sums)
+
+
+def value_histogram(ds, col: str, bin_width: float):
+    """Fixed-width histogram: -> Dataset (bin_idx, bin_lo_e6, n_rows).
+
+    ``bin_idx = floor(x / bin_width)`` in float64 — the identical single
+    division+floor the SQL oracle states, so bucket boundaries agree
+    bitwise.  Per-batch combiner (one row per occupied bin per batch);
+    the global groupby moves O(occupied bins) rows.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    w = float(bin_width)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[col], dtype=np.float64)
+        idx = np.floor(x / w).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table({"bin_idx": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    out = (
+        ds.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bin_idx").aggregate(Sum("n", alias_name="n_rows"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        bi = np.asarray(batch["bin_idx"], dtype=np.int64)
+        lo = np.floor(bi.astype(np.float64) * w * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"bin_idx": batch["bin_idx"],
+                         "bin_lo_e6": pa.array(lo, pa.int64()),
+                         "n_rows": batch["n_rows"]})
+
+    return out.map_batches(finish, batch_format="pyarrow", runtime_env=_rte())

@@ -90,3 +90,26 @@ def test_grouped_corr_constant_column_is_zero(ray_session):
                        "y": np.arange(10, dtype=np.float64)})
     got = grouped_corr(rd.from_pandas(df), "k", "x", "y")
     assert got["corr_e6"].tolist() == [0]
+
+
+def test_value_histogram_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import value_histogram
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"v": rng.uniform(-100, 100, 3000)})
+    got = (value_histogram(rd.from_pandas(df).repartition(5), "v", 7.5)
+           .to_pandas().astype(np.int64).sort_values("bin_idx")
+           .reset_index(drop=True))
+    idx = np.floor(df["v"].to_numpy() / 7.5).astype(np.int64)
+    want = pd.Series(idx).value_counts().sort_index()
+    assert list(got["bin_idx"]) == list(want.index)
+    assert list(got["n_rows"]) == list(want.to_numpy())
+    assert int(got["n_rows"].sum()) == len(df)
+    # negative bins floor toward -inf, boundaries e6-stable
+    assert (got["bin_idx"] < 0).any()
+    lo = np.floor(got["bin_idx"].to_numpy(np.float64) * 7.5 * 1e6 + 0.5)
+    assert list(got["bin_lo_e6"]) == list(lo.astype(np.int64))
