@@ -67,3 +67,30 @@ def test_funnel_random_matches_reference(ray_session):
     })
     steps = ["view", "click", "purchase"]
     assert _run(df, steps, n_buckets=16) == _ref_funnel(df, steps)
+
+
+def test_funnel_native_ns_resolution(ray_session):
+    """Sub-microsecond timestamps must keep their order (the former us
+    truncation tied events the oracle orders): two users, one converts
+    only if ns precision survives, the other only if it does NOT."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import funnel_counts
+
+    base = np.datetime64("2025-01-01T00:00:00.000000000", "ns")
+    rows = [
+        # user 1: view at t+100ns, click at t+200ns -> strictly after (ns)
+        (1, "view", base + np.timedelta64(100, "ns"), 0),
+        (1, "click", base + np.timedelta64(200, "ns"), 1),
+        # user 2: click BEFORE view at ns resolution, same microsecond;
+        # with us truncation they tie and event_id would order them
+        # (2 > 1 -> after), wrongly counting a conversion
+        (2, "view", base + np.timedelta64(900, "ns"), 1),
+        (2, "click", base + np.timedelta64(800, "ns"), 2),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts", "event_id"])
+    out = (funnel_counts(rd.from_pandas(df), ["view", "click"], n_buckets=4)
+           .to_pandas().sort_values("step_idx"))
+    assert list(out["n_users"]) == [2, 1]
