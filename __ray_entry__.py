@@ -385,9 +385,13 @@ def _q_price_quantiles(sf_dir: str):
 def _q_tfidf(sf_dir: str):
     """Sparse TF-IDF doc vectors (feature export): one shuffle, df computed
     inside the term's own bucket group."""
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
     from horus_ner_ray.stages.termstats import tfidf_vectors
 
-    out = tfidf_vectors(_read_docs(sf_dir), n_docs=_n_rows(_docs(sf_dir))).to_pandas()
+    n = _n_rows(_docs(sf_dir))
+    out = tfidf_vectors(_read_docs(sf_dir), n_docs=n,
+                        n_buckets=buckets_for_rows(n),
+                        n_salts=salts_for_rows(n)).to_pandas()
     out["tfidf_e6"] = _e6(out["tfidf"])
     return (out[["doc_id", "term", "tf", "tfidf_e6"]]
             .astype({"doc_id": np.int64, "tf": np.int64, "tfidf_e6": np.int64})
@@ -404,9 +408,13 @@ def _q_chunks(sf_dir: str):
 def _q_unigram_lp(sf_dir: str):
     """CCNet-style quality score: per-doc mean unigram log-prob under the
     corpus's own MLE unigram model."""
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
     from horus_ner_ray.stages.termstats import unigram_logprob_vectors
 
-    out = unigram_logprob_vectors(_read_docs(sf_dir)).to_pandas()
+    n = _n_rows(_docs(sf_dir))
+    out = unigram_logprob_vectors(
+        _read_docs(sf_dir), n_buckets=buckets_for_rows(n),
+        n_salts=salts_for_rows(n)).to_pandas()
     out["mean_lp_e6"] = _e6(out["mean_lp"])
     return (out[["doc_id", "dl", "mean_lp_e6"]]
             .astype(np.int64)
@@ -416,11 +424,13 @@ def _q_unigram_lp(sf_dir: str):
 def _q_line_dedup(sf_dir: str):
     """C4-style cross-document line dedup: corpus-wide duplicate lines
     removed, docs reassembled (fully-deduped docs drop)."""
-    from horus_ner_ray.stages.dedupe import buckets_for_rows, remove_duplicate_lines
+    from horus_ner_ray.stages.dedupe import (
+        buckets_for_rows, remove_duplicate_lines, salts_for_rows)
 
+    n = _n_rows(_docs(sf_dir))
     return remove_duplicate_lines(
         _read_docs(sf_dir), min_count=2,
-        n_buckets=buckets_for_rows(_n_rows(_docs(sf_dir))),
+        n_buckets=buckets_for_rows(n), n_salts=salts_for_rows(n),
     )
 
 
@@ -647,7 +657,20 @@ def _sql_embedding_lsh(threshold: float = 0.4, seed: int = 42,
     """SQL replica of the banded sign-LSH: the same seeded hyperplanes the
     library draws (np.random.RandomState(seed).normal(size=(dim, b*p)))
     are inlined as DOUBLE[] constants; sign(raw dot) == sign(normalized
-    dot) since norms are positive, so both sides state the same predicate."""
+    dot) since norms are positive, so both sides state the same predicate.
+
+    Known fragility (accepted, documented): numpy's matmul dot (blocked /
+    pairwise summation) and DuckDB's list_dot_product (sequential
+    summation) can differ in the last ulps, so a dot product straddling
+    zero within ~1e-13 of the boundary could flip one signature bit on one
+    side only.  Quantizing before the sign test would merely relocate the
+    boundary, not remove it — two different summation orders always have
+    one.  Against seeded N(0,1) hyperplanes the dot is a continuous
+    variable with density ~O(1) near 0, so a flip needs |dot| below the
+    cross-implementation ulp gap (~1e-13 relative): probability ~1e-13 per
+    (vector, plane) pair, ~1e-8 over this corpus family's full sweep.  If
+    a future sf/seed ever trips it, regenerate with a different seed and
+    note the collision here."""
     rng = np.random.RandomState(seed)
     hp = rng.normal(size=(dim, bands * planes))
     vals = ", ".join(
@@ -813,10 +836,13 @@ def _q_jaccard_dups(sf_dir: str):
 
     # wider banding (r=2) trades candidate precision for near-certain
     # recall; the distributed exact verify absorbs the extra candidates
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+
     cfg = PipelineConfig(minhash_bands=32)
-    cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg)
+    nb = buckets_for_rows(_n_rows(_docs(sf_dir)))
+    cand = minhash_candidate_pairs(_read_docs(sf_dir), cfg, n_buckets=nb)
     ver = exact_jaccard_for_pairs_dataset(
-        _read_docs(sf_dir), cand, cfg, threshold=0.5
+        _read_docs(sf_dir), cand, cfg, threshold=0.5, n_buckets=nb
     ).to_pandas()
     if len(ver) == 0:
         return pd.DataFrame(
@@ -1666,11 +1692,24 @@ def _q_bigram_logprob(sf_dir: str):
     every contribution e9-int-quantized before summation (order-free)."""
     import ray.data as rd
 
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
     from horus_ner_ray.stages.ngram import bigram_logprob_vectors
 
+    n = _n_rows(_docs(sf_dir))
     docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
                            columns=["doc_id", "text"])
-    out = bigram_logprob_vectors(docs).to_pandas()
+    # own the c12 checkpoint dir: consume fully, then remove (a None
+    # default would leak one corpus-bigram-sized tempdir per run)
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="horus_bigram_c12_")
+    try:
+        out = bigram_logprob_vectors(
+            docs, n_buckets=buckets_for_rows(n), n_salts=salts_for_rows(n),
+            checkpoint_dir=ckpt).to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return (out.astype(np.int64).sort_values("doc_id")
             .reset_index(drop=True))
 
@@ -1776,10 +1815,14 @@ def _q_dup_components(sf_dir: str):
     import ray.data as rd
 
     from horus_ner_ray.stages.clustering import semantic_dup_components
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
 
+    n = _n_rows(str(Path(sf_dir) / "embeddings.parquet"))
     emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
                           columns=["vec_id", "embedding"])
-    return semantic_dup_components(emb, threshold=0.4, exact=True)
+    return semantic_dup_components(emb, threshold=0.4, exact=True,
+                                   n_buckets=buckets_for_rows(n),
+                                   n_salts=salts_for_rows(n))
 
 
 _KMEANS_K = 8
@@ -1803,7 +1846,43 @@ def _q_kmeans(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Registry ORDER is deliberate: the driver's correctness gate walks it
+    # front to back under a budget (round 4's file truncated at entry 50),
+    # so entries that have never appeared in a driver-side CORRECTNESS file
+    # (round-3/4/5 additions) run FIRST; the 50 entries already verified by
+    # the r04 driver run follow.
     return {
+        # --- never driver-checked (r04 truncated before these) + round-5 --
+        "translate_hook": _q_translate_hook,
+        "nb_predictions": _q_nb_predictions,
+        "eval_confusion": _q_eval_confusion,
+        "eval_metrics": _q_eval_metrics,
+        "media_features": _q_media_features,
+        "wav_stats": _q_wav_stats,
+        "image_meta": _q_image_meta,
+        "window_analytics": _q_window_analytics,
+        "gopher_filter": _q_gopher_filter,
+        "pii_redact": _q_pii_redact,
+        "bpe_pairs": _q_bpe_pairs,
+        "price_quantiles_cont": _q_price_quantiles_cont,
+        "events_pivot": _q_events_pivot,
+        "topic_scores": _q_topic_scores,
+        "topic_predictions": _q_topic_predictions,
+        "users_per_type": _q_users_per_type,
+        "top_event_per_user": _q_top_event_per_user,
+        "kmeans_clusters": _q_kmeans,
+        "dup_components": _q_dup_components,
+        "price_stats_by_flag": _q_price_stats_by_flag,
+        "qty_price_corr": _q_qty_price_corr,
+        "pmi_top": _q_pmi_top,
+        "rolling_windows": _q_rolling_windows,
+        "ranking_analytics": _q_ranking_analytics,
+        "rollup_revenue": _q_rollup_revenue,
+        "bigram_logprob": _q_bigram_logprob,
+        "funnel_counts": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "price_histogram": _q_price_histogram,
+        # --- verified by the r04 driver run (all green there) -------------
         "term_df": _q_term_df,
         "collection_stats": _q_collection_stats,
         "doc_lengths": _q_doc_lengths,
@@ -1854,35 +1933,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": _q_bm25_phrase,
         "conll_source": _q_conll_source,
         "conll_roundtrip": _q_conll_roundtrip,
-        "translate_hook": _q_translate_hook,
-        "nb_predictions": _q_nb_predictions,
-        "eval_confusion": _q_eval_confusion,
-        "eval_metrics": _q_eval_metrics,
-        "media_features": _q_media_features,
-        "wav_stats": _q_wav_stats,
-        "image_meta": _q_image_meta,
-        "window_analytics": _q_window_analytics,
-        "gopher_filter": _q_gopher_filter,
-        "pii_redact": _q_pii_redact,
-        "bpe_pairs": _q_bpe_pairs,
-        "price_quantiles_cont": _q_price_quantiles_cont,
-        "events_pivot": _q_events_pivot,
-        "topic_scores": _q_topic_scores,
-        "topic_predictions": _q_topic_predictions,
-        "users_per_type": _q_users_per_type,
-        "top_event_per_user": _q_top_event_per_user,
-        "kmeans_clusters": _q_kmeans,
-        "dup_components": _q_dup_components,
-        "price_stats_by_flag": _q_price_stats_by_flag,
-        "qty_price_corr": _q_qty_price_corr,
-        "pmi_top": _q_pmi_top,
-        "rolling_windows": _q_rolling_windows,
-        "ranking_analytics": _q_ranking_analytics,
-        "rollup_revenue": _q_rollup_revenue,
-        "bigram_logprob": _q_bigram_logprob,
-        "funnel_counts": _q_funnel,
-        "cohort_retention": _q_cohort_retention,
-        "price_histogram": _q_price_histogram,
     }
 
 

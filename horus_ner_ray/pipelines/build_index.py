@@ -68,6 +68,16 @@ from horus_ner_ray.state.shards import (
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text"]
 OPTIONAL_STORE_COLUMNS = ("tool", "ts")  # stored when the source has them
 
+
+def optional_store_columns(path: str) -> tuple[str, ...]:
+    """The optional docstore columns a source file carries (footer-only
+    read).  One build declares ONE set (detected from its first fragment)
+    and every fragment must match: heterogeneous docstore parts would
+    break QueryEngine._doc_attrs / fetch_docs, which read all parts as a
+    single pyarrow dataset with a fixed column list."""
+    names = pq.ParquetFile(path).schema_arrow.names
+    return tuple(c for c in OPTIONAL_STORE_COLUMNS if c in names)
+
 # Run-file parquet encoding: all three columns are small/ordered ints
 # (term_idx ascending, doc_id ascending within term, tf mostly 1), where
 # DELTA_BINARY_PACKED beats dictionary+plain — measured 0.70x bytes at
@@ -106,7 +116,8 @@ class TokenizeFragmentWorker:
     """
 
     def __init__(
-        self, index_dir: str, cfg: PipelineConfig, offsets=None, id_space: int = 0
+        self, index_dir: str, cfg: PipelineConfig, offsets=None, id_space: int = 0,
+        store_columns: tuple[str, ...] | None = None,
     ):
         import ray
 
@@ -118,6 +129,9 @@ class TokenizeFragmentWorker:
         self.cfg = cfg
         self.paths = IndexPaths(index_dir)
         self.id_space = id_space  # doc ids live in [0, id_space)
+        # the build's declared optional-column set (None = legacy
+        # per-fragment autodetect, used by direct unit callers)
+        self.store_columns = store_columns
 
     def _shard_of(self, doc_ids: np.ndarray) -> np.ndarray:
         if self.cfg.doc_id_mode in ("rank", "provided"):
@@ -181,6 +195,16 @@ class TokenizeFragmentWorker:
 
         n_turns = 0
         n_tokens = 0
+        if self.store_columns is not None:
+            frag_opt = tuple(c for c in OPTIONAL_STORE_COLUMNS
+                             if c in pf.schema_arrow.names)
+            if frag_opt != tuple(self.store_columns):
+                raise ValueError(
+                    f"fragment {path} carries optional docstore columns "
+                    f"{frag_opt} but this build declared "
+                    f"{tuple(self.store_columns)} (from its first fragment); "
+                    f"heterogeneous docstore parts break field-scoped search "
+                    f"— normalize the source schema or rebuild")
         frag_cols = self._columns(pf.schema_arrow.names)
         for rb in pf.iter_batches(
             batch_size=self.cfg.tokenize_batch_size, columns=frag_cols
@@ -602,6 +626,7 @@ def _run_pipelined(
     id_space: int,
     n_docs_hint: int,
     frag_ranges: dict[int, tuple[int, int]] | None,
+    store_columns: tuple[str, ...] | None = None,
 ) -> tuple[int, int, float]:
     """Dependency-aware build DAG (raw Ray tasks — the one structure the
     Dataset API cannot express): shard ``s`` merges as soon as the
@@ -624,7 +649,7 @@ def _run_pipelined(
         mk(_frag_remote), mk(_stats_reduce_remote), mk(_merge_data_remote), mk(_encode_remote)
     )
     frag_refs = [
-        frag_t.remote(index_dir, cfg, offsets_arg, id_space, i, p)
+        frag_t.remote(index_dir, cfg, offsets_arg, id_space, i, p, store_columns)
         for i, p in enumerate(corpus_files)
     ]
     stats_ref = stats_t.remote(cfg.doc_id_mode, n_docs_hint, *frag_refs)
@@ -783,9 +808,14 @@ def build_index(
         n_docs, id_space = _scan_id_space(corpus_files, cfg.doc_id_col)
         frag_ranges = _frag_doc_ranges_provided(corpus_files, cfg.doc_id_col)
 
+    # one declared optional-column set per build (from the first fragment);
+    # every other fragment is validated against it inside the worker
+    store_cols_decl = optional_store_columns(corpus_files[0]) if corpus_files else ()
+
     if ray.is_initialized():
         n_docs, total_tokens, avgdl = _run_pipelined(
-            corpus_files, str(index_dir), cfg, offsets_arg, id_space, n_docs, frag_ranges
+            corpus_files, str(index_dir), cfg, offsets_arg, id_space, n_docs,
+            frag_ranges, store_cols_decl
         )
     else:
         # sequential local fallback (unit paths without a Ray session)
@@ -793,7 +823,8 @@ def build_index(
         frag_mani = _map_items(
             items,
             TokenizeFragmentWorker,
-            {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg, "id_space": id_space},
+            {"index_dir": str(index_dir), "cfg": cfg, "offsets": offsets_arg,
+             "id_space": id_space, "store_columns": store_cols_decl},
             concurrency,
         )
         total_tokens = int(frag_mani["n_tokens"].sum())
@@ -822,6 +853,7 @@ def build_index(
         "with_positions": cfg.with_positions,
         "n_fragments": len(corpus_files),
         "corpus_files": corpus_files,
+        "store_columns": list(store_cols_decl),
         # the FULL build config: append_fragments must re-tokenize new
         # fragments and re-encode shards with exactly the original knobs
         # (stopword_filter, postings_block, champions, ...) or the result
@@ -871,6 +903,19 @@ def append_fragments(
     dup = set(new_files) & set(old_files)
     if dup:
         raise ValueError(f"fragments already indexed: {sorted(dup)[:3]}")
+    # appended fragments must carry exactly the index's declared optional
+    # docstore columns — a fragment that adds or drops tool/ts would write
+    # mixed-schema docstore parts that _doc_attrs/fetch_docs (fixed column
+    # list over all parts) cannot read.  Fail loudly up front.
+    declared = tuple(stats.get("store_columns")
+                     or (optional_store_columns(old_files[0]) if old_files else ()))
+    for p in new_files:
+        got = optional_store_columns(p)
+        if got != declared:
+            raise ValueError(
+                f"append_fragments: {p} carries optional docstore columns "
+                f"{got} but the index declared {declared}; normalize the "
+                f"source schema or rebuild")
     saved = dict(stats["config"])
     saved["stopword_filter"] = tuple(saved.get("stopword_filter", ()))
     cfg = PipelineConfig(**saved)
@@ -913,8 +958,10 @@ class _ConvCountWorker:
 # --- pipelined build: plain functions wrapped with ray.remote ------------
 
 
-def _frag_remote(index_dir: str, cfg, offsets, id_space: int, frag_id: int, path: str):
-    w = TokenizeFragmentWorker(index_dir, cfg, offsets=offsets, id_space=id_space)
+def _frag_remote(index_dir: str, cfg, offsets, id_space: int, frag_id: int, path: str,
+                 store_columns=None):
+    w = TokenizeFragmentWorker(index_dir, cfg, offsets=offsets, id_space=id_space,
+                               store_columns=store_columns)
     return w.process_fragment(frag_id, path)
 
 

@@ -371,11 +371,15 @@ class QueryEngine:
                 ok = docids[pos_c] == got
                 for c in cols:
                     if c == "ts":
+                        # fill nulls with the 'no timestamp' sentinel IN
+                        # ARROW: a null crossing cast->np.asarray comes back
+                        # as float64 NaN and NaN->int64 assignment is
+                        # undefined (numpy-version-dependent)
                         arr = np.full(len(docids), np.iinfo(np.int64).min,
                                       dtype=np.int64)
-                        vals = np.asarray(
+                        vals = np.asarray(pacompute.fill_null(
                             t[c].combine_chunks().cast(pa.timestamp("us"))
-                            .cast(pa.int64()))
+                            .cast(pa.int64()), np.iinfo(np.int64).min))
                         arr[pos_c[ok]] = vals[ok]
                     else:
                         arr = np.full(len(docids), "", dtype=object)

@@ -29,11 +29,23 @@ _N_BUCKETS = 256  # default coarse shuffle buckets; per-bucket work is vectorize
 def buckets_for_rows(n_rows: int, target_rows_per_bucket: int = 100_000) -> int:
     """Coarse-bucket count sized so one group's payload stays bounded
     (~target rows): the shuffle key-space must GROW with the input or each
-    bucket's ``map_groups`` call materializes corpus/buckets rows.  Callers
-    that know the input size (Parquet row counts are free metadata) pass
-    the result as ``n_buckets``; the fixed default is a sandbox-scale
-    floor."""
-    return max(_N_BUCKETS, int(np.ceil(n_rows / max(1, target_rows_per_bucket))))
+    bucket's ``map_groups`` call materializes corpus/buckets rows, and must
+    SHRINK at small input or each ``map_groups`` stage pays hundreds of
+    fixed per-group Python-kernel invocations for near-empty groups
+    (measured 3x wall on the 500-doc conformance corpus at the old fixed
+    256 floor).  Callers that know the input size (Parquet row counts are
+    free metadata) pass the result as ``n_buckets``; results are invariant
+    to the choice (routing only) — tests pin that."""
+    return max(32, int(np.ceil(n_rows / max(1, target_rows_per_bucket))))
+
+
+def salts_for_rows(n_rows: int) -> int:
+    """Salt width for the replicate-join stages: salting exists to bound a
+    hot key's group at ~1/S of its rows, which only matters once groups are
+    big; at small input every extra salt just multiplies replicated stat
+    rows and per-group kernel calls.  Results are salt-invariant (routing
+    only; tests/test_skew.py pins that)."""
+    return 2 if n_rows < 100_000 else (8 if n_rows < 10_000_000 else 16)
 
 
 def _bucket_pairs(g: pd.DataFrame, key_col: str, max_bucket: int,

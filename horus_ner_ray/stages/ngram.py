@@ -65,8 +65,11 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
     The corpus bigram-count table (which grows superlinearly with corpus
     size) is CHECKPOINTED to Parquet under ``checkpoint_dir`` (a fresh
     tempdir when None) and re-read lazily by each of its two consumers —
-    never pinned whole in the object store.  The caller may delete the
-    directory once the returned dataset has been fully consumed.
+    never pinned whole in the object store.  The returned dataset reads
+    from that directory LAZILY, so the caller owns cleanup: delete the
+    directory only after the result has been fully consumed (pass an
+    explicit ``checkpoint_dir`` and remove it, as the driver query does —
+    a None tempdir would otherwise leak per run).
     """
     import tempfile
 
@@ -97,6 +100,18 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                         zero_copy_batch=True, runtime_env=_rte())
      .groupby("bigram").aggregate(Sum("cnt", alias_name="c12"))
      .write_parquet(c12_path))
+    from pathlib import Path as _Path
+
+    if not any(_Path(c12_path).glob("*.parquet")):
+        # zero bigrams in the corpus (every doc < 2 tokens): the checkpoint
+        # directory is empty and read_parquet over it would error — the
+        # correct result is an empty per-doc table
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "lp2_e9": pa.array([], pa.int64()),
+            "mean_lp2_e6": pa.array([], pa.int64()),
+        }))
     c12 = rd.read_parquet(c12_path, columns=["bigram", "c12"])
 
     # --- vocabulary size (distinct unigrams; combiner) -------------------
@@ -167,12 +182,24 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                              "c12": pa.array([], pa.int64()),
                              "c1": pa.array([], pa.int64())})
         stat = g[g["side"] == 1]
-        c1_of = dict(zip(stat["w1"], stat["c1"].to_numpy(np.int64)))
+        # sorted-array searchsorted attach (no per-row Python dict/map):
+        # each w1's stat row is unique within a group (one salt replica
+        # routes here), so the match must be exact — fail loudly otherwise
+        sw = stat["w1"].to_numpy(dtype=str)
+        sc = stat["c1"].to_numpy(np.int64)
+        order = np.argsort(sw, kind="stable")
+        sw, sc = sw[order], sc[order]
+        dw = data["w1"].to_numpy(dtype=str)
+        idx = np.searchsorted(sw, dw)
+        idx_c = np.minimum(idx, max(len(sw) - 1, 0))
+        if len(sw) == 0 or not (sw[idx_c] == dw).all():
+            raise AssertionError(
+                "bigram prefix stat rows missing in group — salted routing "
+                "invariant violated")
         return pa.table({
             "bigram": pa.array(data["bigram"].to_numpy(object), pa.string()),
             "c12": pa.array(data["c12"].to_numpy(np.int64), pa.int64()),
-            "c1": pa.array(data["w1"].map(c1_of).to_numpy(np.int64),
-                           pa.int64()),
+            "c1": pa.array(sc[idx_c], pa.int64()),
         })
 
     bg_stats = (
