@@ -74,12 +74,26 @@ class PipelineConfig:
     # ---- doc id assignment --------------------------------------------
     doc_id_mode: str = "rank"
     """'rank': dense doc_id = rank of (conv_id, turn_idx) under conv_id-sorted
-    order — exact, needs a conv-level offset table (small: one row per conv,
-    built by a pre-aggregated groupby; broadcast via ray.put).
-    'hash': doc_id = xxhash48(conv_id) << 16 | turn_idx — no global state, for
-    corpora whose conv count exceeds broadcastable size; doc ids sparse.
+    order — exact; the conv-level offset table uses the backend below.
+    'hash': doc_id = xxhash48(conv_id) << 16 | turn_idx — no global state;
+    doc ids sparse (required by append_fragments).
     'provided': the input table already carries an int64 id column
     (doc_id_col) — e.g. the testdata ``documents`` table."""
+
+    conv_offsets_backend: str = "auto"
+    """Rank-mode offset-table backend: 'broadcast' (one row per conv on the
+    driver + ray.put — fastest while convs fit), 'disk' (distributed
+    range-partitioned Parquet lookup, stages/docstore.py DiskConvOffsets —
+    driver state O(ranges), never O(convs)), or 'auto' (disk when the
+    corpus's total turn count — free Parquet footer metadata — exceeds
+    conv_offsets_disk_threshold).  Both backends yield byte-identical doc
+    ids and therefore byte-identical indexes (tested)."""
+
+    conv_offsets_disk_threshold: int = 50_000_000
+    """'auto' escalation point, in total turns.  ~20 turns/conv makes this
+    ~2.5M convs ≈ few hundred MB of driver table + broadcast — near the
+    comfortable single-driver bound; beyond it the disk backend keeps
+    driver state O(P ranges)."""
 
     # ---- execution sizing ---------------------------------------------
     tokenize_batch_size: int = 4096

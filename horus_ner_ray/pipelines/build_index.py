@@ -125,7 +125,8 @@ class TokenizeFragmentWorker:
         # oversubscribe num_cpus-fold across the pool (sort_by, parquet IO)
         if offsets is not None and isinstance(offsets, ray.ObjectRef):
             offsets = ray.get(offsets)
-        self.offsets: dstore.ConvOffsets | None = offsets
+        # broadcast ConvOffsets or DiskConvOffsets — same lookup contract
+        self.offsets: dstore.ConvOffsets | dstore.DiskConvOffsets | None = offsets
         self.cfg = cfg
         self.paths = IndexPaths(index_dir)
         self.id_space = id_space  # doc ids live in [0, id_space)
@@ -716,6 +717,9 @@ _JOB_NEUTRAL_FIELDS = frozenset({
     "tokenize_batch_size", "merge_concurrency", "query_concurrency",
     "streaming_merge_threshold", "minhash_perms", "minhash_bands",
     "shingle_k", "simhash_bits", "seed",
+    # offset-backend choice is routing only: both backends produce
+    # byte-identical doc ids (tested), so it must not invalidate resume
+    "conv_offsets_backend", "conv_offsets_disk_threshold",
 })
 
 
@@ -748,7 +752,7 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
             pass
     import shutil
 
-    for d in (paths.runs, paths.shards, paths.docstore):
+    for d in (paths.runs, paths.shards, paths.docstore, paths.offsets):
         if d.exists():
             shutil.rmtree(d)
     for f in (paths.stats_json, paths.df_parquet):
@@ -774,11 +778,14 @@ def build_index(
     _gate_resume_state(paths, _job_identity(corpus_files, cfg))
     paths.clean_tmp()
 
-    # Phase 0: conv offsets (rank mode) — per-fragment partial conv counts
-    # (tasks; column-pruned read) reduced on the driver.  The partial table
-    # is conv-level (~turns/avg_conv_len rows); beyond driver size switch
-    # doc_id_mode='hash' or use docstore.conv_offsets_from_dataset's
-    # distributed groupby.  Provided mode: id-space bounds from Parquet
+    # Phase 0: conv offsets (rank mode).  Backend by corpus size (free
+    # footer metadata): 'broadcast' materializes one row per conv on the
+    # driver and ray.puts the whole table (fastest while convs fit);
+    # 'disk' builds a range-partitioned on-disk table with a distributed
+    # groupby — the driver holds only P range totals and the per-fragment
+    # doc ranges come from two offset lookups per fragment, so NOTHING
+    # driver-side scales with conversation count.  Byte-identical doc ids
+    # either way (tested).  Provided mode: id-space bounds from Parquet
     # row-group statistics only.
     offsets = None
     n_docs = 0
@@ -786,24 +793,43 @@ def build_index(
     offsets_arg = None
     frag_ranges: dict[int, tuple[int, int]] | None = None
     if cfg.doc_id_mode == "rank":
-        items0 = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
-        parts = _map_items(items0, _ConvCountWorker, {}, concurrency,
-                           blocks=2 * (concurrency or 16))
-        # Arrow C++ hash group-by over the conv partials: the pandas object
-        # group-by here was ~0.5 s of SERIAL driver time at bench scale —
-        # fixed cost paid identically at every parallelism level, i.e.
-        # pure scaling-efficiency loss
-        gt = (pa.Table.from_pandas(parts[["conv_id", "n"]])
-              .group_by("conv_id", use_threads=False)
-              .aggregate([("n", "sum")]))
-        offsets = dstore.offsets_from_counts(
-            np.asarray(gt["conv_id"], dtype=object),
-            np.asarray(gt["n_sum"], dtype=np.int64),
+        total_turns = sum(pq.ParquetFile(p).metadata.num_rows for p in corpus_files)
+        # 'auto' escalates only under a live Ray session: the disk build is
+        # a Ray Data pipeline, and the sequential no-session fallback must
+        # not trigger Ray auto-init (the driver owns the session)
+        import ray as _ray
+
+        use_disk = cfg.conv_offsets_backend == "disk" or (
+            cfg.conv_offsets_backend == "auto"
+            and total_turns > cfg.conv_offsets_disk_threshold
+            and _ray.is_initialized()
         )
-        n_docs = offsets.n_docs
-        id_space = n_docs
-        offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
-        frag_ranges = _frag_doc_ranges_rank(parts, offsets)
+        if use_disk:
+            offsets = dstore.build_disk_offsets(corpus_files, paths.offsets)
+            n_docs = offsets.n_docs
+            id_space = n_docs
+            offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
+            frag_ranges = _frag_doc_ranges_rank_disk(
+                corpus_files, offsets, concurrency)
+        else:
+            items0 = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
+            parts = _map_items(items0, _ConvCountWorker, {}, concurrency,
+                               blocks=2 * (concurrency or 16))
+            # Arrow C++ hash group-by over the conv partials: the pandas
+            # object group-by here was ~0.5 s of SERIAL driver time at bench
+            # scale — fixed cost paid identically at every parallelism
+            # level, i.e. pure scaling-efficiency loss
+            gt = (pa.Table.from_pandas(parts[["conv_id", "n"]])
+                  .group_by("conv_id", use_threads=False)
+                  .aggregate([("n", "sum")]))
+            offsets = dstore.offsets_from_counts(
+                np.asarray(gt["conv_id"], dtype=object),
+                np.asarray(gt["n_sum"], dtype=np.int64),
+            )
+            n_docs = offsets.n_docs
+            id_space = n_docs
+            offsets_arg = ray.put(offsets) if ray.is_initialized() else offsets
+            frag_ranges = _frag_doc_ranges_rank(parts, offsets)
     elif cfg.doc_id_mode == "provided":
         n_docs, id_space = _scan_id_space(corpus_files, cfg.doc_id_col)
         frag_ranges = _frag_doc_ranges_provided(corpus_files, cfg.doc_id_col)
@@ -931,6 +957,48 @@ def append_fragments(
     atomic_write_json(paths.root / "job.json",
                       _job_identity(old_files + new_files, cfg))
     return build_index(old_files + new_files, index_dir, cfg, concurrency)
+
+
+class _ConvMinMaxWorker:
+    """Disk-backend phase 0: per-fragment (frag_id, min/max conv_id,
+    n_turns) — ONE row per fragment back to the driver, never per conv."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for r in batch.itertuples():
+            t = pq.read_table(r.path, columns=["conv_id"])
+            # numpy has no unicode min/max ufunc; one C-level sort instead
+            c = np.sort(np.asarray(t["conv_id"], dtype=str))
+            outs.append({
+                "frag_id": int(r.frag_id),
+                "cmin": str(c[0]) if len(c) else "",
+                "cmax": str(c[-1]) if len(c) else "",
+                "n": len(c),
+            })
+        return pd.DataFrame(outs)
+
+
+def _frag_doc_ranges_rank_disk(
+    corpus_files: list[str], offsets: "dstore.DiskConvOffsets",
+    concurrency=None,
+) -> dict[int, tuple[int, int]]:
+    """frag_id -> [doc_lo, doc_hi) via two offset lookups per fragment:
+    lo = offset(min conv), hi = offset(max conv) + total turns of that conv
+    (the GLOBAL count — a conversation split across fragments still yields
+    a covering range for each).  Driver cost is O(#fragments) rows plus a
+    budget-bounded walk of the touched offset ranges."""
+    items = [{"frag_id": i, "path": p} for i, p in enumerate(corpus_files)]
+    mm = _map_items(items, _ConvMinMaxWorker, {}, concurrency,
+                    blocks=2 * (concurrency or 16))
+    mm = mm[mm["n"] > 0].sort_values("cmin", kind="stable")  # range-locality
+    if len(mm) == 0:
+        return {}
+    lo = offsets.lookup(mm["cmin"].to_numpy(dtype=object))
+    hi_off, hi_cnt = offsets.lookup_with_counts(mm["cmax"].to_numpy(dtype=object))
+    return {
+        int(f): (int(a), int(b))
+        for f, a, b in zip(mm["frag_id"].to_numpy(np.int64), lo, hi_off + hi_cnt)
+    }
 
 
 class _ConvCountWorker:

@@ -11,13 +11,21 @@ Two modes (config.doc_id_mode):
 
 * ``rank``  (default, dense): doc_id = offset(conv_id) + turn_idx where
   offset is the cumulative turn count of all conv_ids sorting before this
-  one.  The offset table has one row per conversation — built by a
-  pre-aggregated (combiner-style) Ray Data groupby over just the
-  ``(conv_id)`` column and broadcast with ``ray.put``.  Scale note: at
-  10^12 turns / ~10^10 convs the broadcast table no longer fits; switch to
-  'hash' mode, or distribute the offset table as a sorted Parquet keyed
-  lookup (range-partitioned searchsorted), which this layout is already
-  shaped for.
+  one.  Two backends, selected automatically by corpus size (free Parquet
+  footer metadata; see PipelineConfig.conv_offsets_backend), producing
+  BYTE-IDENTICAL doc ids:
+
+  - ``broadcast`` (small corpora): one row per conversation, built by a
+    pre-aggregated (combiner-style) groupby and broadcast via ``ray.put``.
+  - ``disk`` (scale): the offset table never materializes on the driver —
+    a distributed groupby counts turns per conv, sampled range bounds
+    partition the sorted conv space, each range sorts + prefix-sums its
+    own convs inside ``map_groups`` and writes one Parquet file; the
+    driver holds only the P range totals, whose exclusive cumsum gives
+    each range's base.  Lookup = searchsorted(bounds) -> per-range file
+    (cached, budget-bounded) -> searchsorted(convs) + base.  At 10^12
+    turns / ~10^10 convs driver state is O(P) ~ 10^4, per-worker memory
+    is O(ranges its fragments touch).
 
 * ``hash`` (scale, sparse): doc_id = (h48(conv_id) << 16) | turn_idx with a
   deterministic 46-bit string hash — no global state, collision probability
@@ -90,6 +98,193 @@ def conv_offsets_from_dataset(ds) -> ConvOffsets:
     return offsets_from_counts(
         agg["conv_id"].to_numpy(dtype=object), agg["n_turns"].to_numpy()
     )
+
+
+class DiskConvOffsets:
+    """Range-partitioned on-disk conv_id -> starting-doc_id table.
+
+    Same ``lookup`` contract (and identical results) as the broadcast
+    ``ConvOffsets``, but the per-conv rows live in ``P`` sorted Parquet
+    files under ``dir`` (shared storage, like every other index artifact);
+    the object itself carries only the P-1 range bounds and P int64 bases.
+    Range files load lazily and are cached FIFO up to ``max_cached_ranges``
+    per process, so neither the driver nor any worker ever holds more than
+    a bounded slice of the conv space.
+    """
+
+    def __init__(self, dir: str, bounds: np.ndarray, bases: np.ndarray,
+                 n_docs: int, max_cached_ranges: int = 64):
+        self.dir = str(dir)
+        self.bounds = np.asarray(bounds, dtype=str)   # P-1 sorted cut points
+        self.bases = np.asarray(bases, dtype=np.int64)  # P exclusive prefix
+        self.n_docs = int(n_docs)
+        self.max_cached_ranges = int(max_cached_ranges)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    # the per-process cache must not travel in pickles / the object store
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_cache"] = {}
+        return d
+
+    def _load(self, r: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        got = self._cache.get(r)
+        if got is not None:
+            return got
+        import pyarrow.parquet as pq_
+
+        from pathlib import Path as _Path
+
+        p = _Path(self.dir) / f"range-{int(r):06d}.parquet"
+        if not p.exists():
+            raise KeyError(f"conv offset range {r} has no file ({p})")
+        t = pq_.read_table(str(p))
+        got = (
+            np.asarray(t["conv_id"], dtype=str),
+            np.asarray(t["off"], dtype=np.int64),
+            np.asarray(t["n"], dtype=np.int64),
+        )
+        if len(self._cache) >= self.max_cached_ranges:
+            self._cache.pop(next(iter(self._cache)))  # FIFO evict
+        self._cache[r] = got
+        return got
+
+    def _lookup(self, conv_id_arr: np.ndarray, want_counts: bool):
+        arr = np.asarray(conv_id_arr, dtype=str)
+        rid = (np.searchsorted(self.bounds, arr, side="right")
+               if len(self.bounds) else np.zeros(len(arr), dtype=np.int64))
+        out = np.empty(len(arr), dtype=np.int64)
+        cnt = np.empty(len(arr), dtype=np.int64) if want_counts else None
+        for r in np.unique(rid):
+            convs, offs, ns = self._load(int(r))
+            m = rid == r
+            sub = arr[m]
+            idx = np.searchsorted(convs, sub)
+            idx_c = np.minimum(idx, max(len(convs) - 1, 0))
+            if len(convs) == 0 or not (convs[idx_c] == sub).all():
+                raise KeyError("conv_id not present in offset table")
+            out[m] = offs[idx_c] + self.bases[int(r)]
+            if want_counts:
+                cnt[m] = ns[idx_c]
+        return (out, cnt) if want_counts else out
+
+    def lookup(self, conv_id_arr: np.ndarray) -> np.ndarray:
+        return self._lookup(conv_id_arr, want_counts=False)
+
+    def lookup_with_counts(self, conv_id_arr: np.ndarray):
+        """(offsets, total turn counts) per conv — the count turns an
+        inclusive conv bound into an exclusive doc bound."""
+        return self._lookup(conv_id_arr, want_counts=True)
+
+
+def build_disk_offsets(corpus_files: list[str], out_dir,
+                       target_turns_per_range: int = 4_000_000,
+                       sample_per_block: int = 64) -> DiskConvOffsets:
+    """Distributed construction of the rank-mode offset table — the driver
+    never holds (or broadcasts) one row per conversation.
+
+    Plan: distributed per-batch partial conv counts -> groupby(conv_id)
+    sum -> (a) evenly-spaced per-block conv samples give P-1 range bounds
+    (driver sees a bounded sample, routing-only choice); (b) each range's
+    rows sort + exclusive-cumsum inside ONE ``map_groups`` kernel and write
+    their Parquet file (atomic tmp+rename; idempotent on task retry);
+    (c) the driver reduces only the P (range, total) rows into bases.
+    Offsets are byte-identical to ``offsets_from_counts`` by construction:
+    ranges partition the globally sorted conv order, and base(r) =
+    sum of totals of ranges before r.
+    """
+    import shutil
+    from pathlib import Path as _Path
+
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    total_turns = sum(pq_.ParquetFile(p).metadata.num_rows for p in corpus_files)
+    n_ranges = max(4, int(np.ceil(total_turns / max(1, target_turns_per_range))))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("conv_id", use_threads=False).aggregate([("conv_id", "count")])
+        return pa.table({"conv_id": g["conv_id"], "n": g["conv_id_count"]})
+
+    counts = (
+        rd.read_parquet(corpus_files, columns=["conv_id"])
+        .map_batches(partial_counts, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None, runtime_env=_rte())
+        .groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+        .materialize()  # consumed twice (sample + tag); conv-level, not turn-level
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["conv_id"], dtype=object)
+        if len(c) == 0:
+            return pa.table({"conv_id": pa.array([], pa.string())})
+        idx = np.linspace(0, len(c) - 1,
+                          min(sample_per_block, len(c))).astype(np.int64)
+        return pa.table({"conv_id": pa.array(c[np.unique(idx)], pa.string())})
+
+    samples = np.sort(np.asarray(
+        counts.map_batches(sample, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None,
+                           runtime_env=_rte()).to_pandas()["conv_id"]
+        .to_numpy(dtype=str)))
+    if len(samples):
+        q = np.linspace(0, len(samples), n_ranges + 1)[1:-1].astype(np.int64)
+        bounds = np.unique(samples[np.minimum(q, len(samples) - 1)])
+    else:
+        bounds = np.asarray([], dtype=str)
+    P = len(bounds) + 1
+
+    out = _Path(out_dir)
+    if out.exists():
+        shutil.rmtree(out)  # derived state: rebuilt whole, atomically per file
+    out.mkdir(parents=True, exist_ok=True)
+    bref = ray.put(bounds) if ray.is_initialized() else bounds
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref) if ray.is_initialized() else bref
+        conv = np.asarray(batch["conv_id"], dtype=str)
+        r = (np.searchsorted(b, conv, side="right") if len(b)
+             else np.zeros(len(conv), dtype=np.int64))
+        return batch.append_column("rg", pa.array(r.astype(np.int64), pa.int64()))
+
+    out_str = str(out)
+
+    def finish_range(g: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        r = int(g["rg"].iloc[0])
+        conv = g["conv_id"].to_numpy(dtype=str)
+        n = g["n"].to_numpy(np.int64)
+        o = np.argsort(conv, kind="stable")
+        conv, n = conv[o], n[o]
+        offs = np.zeros(len(n), dtype=np.int64)
+        np.cumsum(n[:-1], out=offs[1:])
+        tbl = pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "off": pa.array(offs, pa.int64()),
+        })
+        dst = _Path(out_str) / f"range-{r:06d}.parquet"
+        tmp = dst.with_name(dst.name + f".{os.getpid()}.tmp")
+        pq_.write_table(tbl, str(tmp), compression="zstd", compression_level=1)
+        os.replace(tmp, dst)
+        return pd.DataFrame({"rg": [r], "total": [int(n.sum())]})
+
+    totals = (
+        counts.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True,
+                           runtime_env=_rte())
+        .groupby("rg")
+        .map_groups(finish_range, batch_format="pandas", runtime_env=_rte())
+        .to_pandas()  # P tiny rows
+    )
+    t = np.zeros(P, dtype=np.int64)
+    if len(totals):
+        t[totals["rg"].to_numpy(np.int64)] = totals["total"].to_numpy(np.int64)
+    bases = np.zeros(P, dtype=np.int64)
+    np.cumsum(t[:-1], out=bases[1:])
+    return DiskConvOffsets(out_str, bounds, bases, int(t.sum()))
 
 
 def conv_offsets_from_table(tbl: pa.Table) -> ConvOffsets:

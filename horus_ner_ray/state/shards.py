@@ -82,6 +82,11 @@ class IndexPaths:
         return self.root / "docstore"
 
     @property
+    def offsets(self) -> Path:
+        """Rank-mode disk-backend conv offset ranges (DiskConvOffsets)."""
+        return self.root / "offsets"
+
+    @property
     def stats_json(self) -> Path:
         return self.root / "stats.json"
 
