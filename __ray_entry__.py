@@ -1279,6 +1279,93 @@ def _q_media_features(sf_dir: str):
     return decode_features_dataset(rd.from_arrow(imgs), decoder="real")
 
 
+def _q_media_predictions(sf_dir: str):
+    """TRAINED classifier over DECODED media content (round 5; reference
+    A4 residual — sift.py:7-37 SVM+BoW, cnn.py:71-159): real stdlib pixel
+    decode -> exact int64 intensity histograms (the bag-of-visual-words
+    analogue) -> distributed multinomial-NB fit -> broadcast-once int64
+    matmul scoring.  ORACLE: the deterministic histograms inline as SQL
+    VALUES and the entire fit + argmax re-derives in DuckDB (the decode
+    itself is covered by media_codecs' byte-exact round-trip pytests)."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.media_classify import (
+        media_nb_predictions,
+        synth_labeled_media_table,
+    )
+
+    ds = rd.from_arrow(synth_labeled_media_table(n=96, seed=42))
+    ckpt = tempfile.mkdtemp(prefix="horus_media_hist_")
+    try:
+        out = media_nb_predictions(ds, checkpoint_dir=ckpt).to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    out = out.rename(columns={"label": "label_true"})
+    return (out[["media_id", "label_true", "pred_label", "score_e9"]]
+            .astype({"media_id": np.int64, "score_e9": np.int64})
+            .sort_values("media_id").reset_index(drop=True))
+
+
+def _sql_media_nb(n: int = 96, seed: int = 42) -> str:
+    """DuckDB oracle for media_predictions: the per-image quantized
+    histograms (pure function of the seeded synth corpus; decode covered
+    by codec round-trip pytests) inline as VALUES, then the closed-form
+    multinomial NB — e9-int log-likelihoods, integer score sums, argmax
+    tie to the smallest class — re-derives ENTIRELY in SQL, mirroring
+    _sql_nb_pred's arithmetic points exactly."""
+    from horus_ner_ray.stages.media_classify import synth_labeled_media_table
+    from horus_ner_ray.stages.media_codecs import decode_image
+
+    t = synth_labeled_media_table(n=n, seed=seed)
+    tf_rows, doc_rows = [], []
+    for mid, lab, pay in zip(t["media_id"].to_pylist(),
+                             t["label"].to_pylist(),
+                             t["payload"].to_pylist()):
+        px = decode_image(pay).reshape(-1)
+        h = np.bincount(px.astype(np.int64) >> 4, minlength=16)[:16]
+        doc_rows.append(f"({mid}, '{lab}')")
+        for b in np.flatnonzero(h):
+            tf_rows.append(f"({mid}, 'b{b:02d}', {int(h[b])})")
+    return f"""
+        WITH tf(media_id, term, tf) AS (VALUES {", ".join(tf_rows)}),
+        doc(media_id, label) AS (VALUES {", ".join(doc_rows)}),
+        cnt AS (SELECT d.label, tf.term, sum(tf.tf)::BIGINT AS c
+                FROM tf JOIN doc d USING (media_id) GROUP BY 1, 2),
+        tot AS (SELECT label, sum(c)::BIGINT AS tot FROM cnt GROUP BY 1),
+        vq AS (SELECT count(DISTINCT term)::BIGINT AS v FROM tf),
+        ndq AS (SELECT count(*)::BIGINT AS n FROM doc),
+        ndc AS (SELECT label, count(*)::BIGINT AS nc FROM doc GROUP BY 1),
+        classes AS (SELECT label AS cls FROM ndc),
+        contrib AS (
+          SELECT tf.media_id, cl.cls,
+                 sum(tf.tf * CAST(FLOOR(ln(
+                     (coalesce(cnt.c, 0) + 1)::DOUBLE
+                     / (tot.tot + (SELECT v FROM vq))
+                   ) * 1e9 + 0.5) AS BIGINT))::BIGINT AS sum_llh
+          FROM tf CROSS JOIN classes cl
+          JOIN tot ON tot.label = cl.cls
+          LEFT JOIN cnt ON cnt.label = cl.cls AND cnt.term = tf.term
+          GROUP BY 1, 2
+        ),
+        scores AS (
+          SELECT d.media_id, d.label AS label_true, cl.cls,
+                 coalesce(co.sum_llh, 0)
+                 + CAST(FLOOR(ln(ndc.nc::DOUBLE / (SELECT n FROM ndq))
+                              * 1e9 + 0.5) AS BIGINT) AS score_e9
+          FROM doc d CROSS JOIN classes cl
+          JOIN ndc ON ndc.label = cl.cls
+          LEFT JOIN contrib co ON co.media_id = d.media_id AND co.cls = cl.cls
+        )
+        SELECT media_id, label_true, cls AS pred_label, score_e9
+        FROM scores
+        QUALIFY row_number() OVER (
+          PARTITION BY media_id ORDER BY score_e9 DESC, cls) = 1
+    """
+
+
 def _q_wav_stats(sf_dir: str):
     """REAL WAV/PCM audio features (stdlib wave + numpy): sample rate,
     counts, e6-int duration/RMS/peak per payload."""
@@ -1857,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_predictions": _q_nb_predictions,
         "eval_confusion": _q_eval_confusion,
         "eval_metrics": _q_eval_metrics,
+        "media_predictions": _q_media_predictions,
         "media_features": _q_media_features,
         "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,
@@ -2776,6 +2864,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "topic_predictions": _sql_topic_predictions(),
+        "media_predictions": _sql_media_nb(),
         "users_per_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type

@@ -98,6 +98,17 @@ def fit_multinomial_nb(ds, label_col: str = "lang", text_col: str = "text",
         .to_pandas()
     )
 
+    return nb_model_from_counts(counts, ndc, alpha=alpha,
+                                max_features=max_features)
+
+
+def nb_model_from_counts(counts: pd.DataFrame, ndc: pd.DataFrame,
+                         alpha: float = 1.0,
+                         max_features: int | None = None) -> NBModel:
+    """Model tail shared by every NB front-end (text tokens, decoded media
+    histograms, topic weak labels): reduce the already-aggregated
+    ``counts(label, term, c)`` / ``ndc(label, nd)`` tables into the
+    integer-quantized weight matrix."""
     # V and the per-class token totals count the FULL corpus even when
     # max_features truncates the scored matrix: the smoothing denominator
     # is a model property, not a storage one
