@@ -852,9 +852,21 @@ def _q_jaccard_dups(sf_dir: str):
     return ver[["doc_a", "doc_b", "jaccard_e6"]].astype(np.int64)
 
 
+_IVF_K = 8
+_IVF_ITERS = 2
+_IVF_NPROBE = 3
+
+
 def _q_ann_ivf(sf_dir: str):
-    """IVF (coarse-quantized) approximate ANN — the scale path variant of
-    ann_topk; rows-only (approximate by design)."""
+    """IVF pruned-probe ANN, ORACLE-checked (round 5; was rows-only):
+    the coarse quantizer is the deterministic distributed k-means the
+    ``kmeans_clusters`` oracle already hash-matches (fit_kmeans: init = k
+    smallest vec_ids, e6-int order-free centroid sums, argmin-L2 assign);
+    probes are the nprobe nearest centroids under the same L2 expansion;
+    the exact cosine ranks candidates within the probed partitions only.
+    The SQL replicates fit, assignment, pruning, and ranking verbatim, so
+    a partial-probe recall bug can no longer hide behind 'approximate by
+    design'."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -863,16 +875,19 @@ def _q_ann_ivf(sf_dir: str):
     path = str(Path(sf_dir) / "embeddings.parquet")
     qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
     qt = qt[qt.vec_id < 5].sort_values("vec_id")
-    ivf = IVFIndex(n_centroids=16, nprobe=4, seed=42).fit(rd.read_parquet(path))
-    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine_e6": []}
+    ivf = IVFIndex(n_centroids=_IVF_K, nprobe=_IVF_NPROBE).fit_kmeans(
+        rd.read_parquet(path), n_iter=_IVF_ITERS)
     qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
-    for qid, hits in zip(qt["vec_id"], ivf.search(qm, k=TOPK)):
+    rows = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    # padded candidate fetch + e6 rerank: rank-k boundary ties resolve by
+    # the oracle's (cosine_e6 desc, vec_id asc) order (same as ann_topk)
+    for qid, hits in zip(qt["vec_id"], ivf.search(qm, k=TOPK * 3 + 20)):
         for rank, (vid, c) in enumerate(hits, 1):
             rows["query_id"].append(int(qid))
             rows["rank"].append(rank)
-            rows["vec_id"].append(vid)
-            rows["cosine_e6"].append(int(np.floor(c * 1e6 + 0.5)))
-    return pd.DataFrame(rows).astype(np.int64)
+            rows["vec_id"].append(int(vid))
+            rows["cosine"].append(float(c))
+    return _e6_rerank(pd.DataFrame(rows), "cosine", "vec_id", "cosine_e6")
 
 
 def _q_ann_ivf_full(sf_dir: str):
@@ -1502,10 +1517,11 @@ _TOPICS = {
 }
 
 
-def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
-    """Unrolled Lloyd's k-means as DuckDB SQL — same deterministic init
+def _sql_kmeans_ctes(k: int, n_iter: int, dim: int = 64):
+    """Unrolled Lloyd's k-means as DuckDB CTEs — same deterministic init
     (k smallest vec_ids), same squared-L2 inner-product expansion, same
-    order-free e6-integer centroid sums as stages/clustering.py."""
+    order-free e6-integer centroid sums as stages/clustering.py.  Shared
+    by the kmeans_clusters and ann_ivf oracles."""
 
     def dist_cte(name: str, cents: str) -> str:
         return f"""
@@ -1560,8 +1576,65 @@ def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
         prev = f"c{it}"
     ctes.append(dist_cte("dfin", prev))
     ctes.append(argmin_cte("afin", "dfin"))
+    # callers get the chain plus the names of the final assignment CTE
+    # ('afin': vec_id -> cluster) and the final centroid CTE
+    return ctes, "afin", prev
+
+
+def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
+    ctes, assign, _cent = _sql_kmeans_ctes(k, n_iter, dim)
     return ("WITH " + ",".join(ctes)
-            + "\nSELECT vec_id, cluster::BIGINT AS cluster FROM afin")
+            + f"\nSELECT vec_id, cluster::BIGINT AS cluster FROM {assign}")
+
+
+def _sql_ann_ivf(k_centroids: int, n_iter: int, nprobe: int, topk: int,
+                 dim: int = 64) -> str:
+    """Pruned-probe IVF oracle: the SAME unrolled deterministic k-means
+    chain the ``kmeans_clusters`` query hash-matches gives the coarse
+    quantizer and assignment; per query (vec_id < 5), the nprobe nearest
+    centroids by the identical squared-L2 expansion (ties -> lowest
+    cluster) select the candidate partitions, and the exact cosine top-k
+    within the union of probed lists ranks by (cosine_e6 DESC, vec_id) —
+    so the conformance hash checks the PRUNING itself, not a recall
+    bound."""
+    ctes, assign, cent = _sql_kmeans_ctes(k_centroids, n_iter, dim)
+    return ("WITH " + ",".join(ctes) + f""",
+        q AS (SELECT vec_id AS query_id, e FROM emb WHERE vec_id < 5),
+        qd AS (
+          SELECT q.query_id, {cent}.cluster,
+                 list_inner_product(q.e, q.e)
+                 - 2 * list_inner_product(q.e, {cent}.c)
+                 + list_inner_product({cent}.c, {cent}.c) AS dist
+          FROM q CROSS JOIN {cent}
+        ),
+        probes AS (
+          SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY dist, cluster) AS rk
+            FROM qd) WHERE rk <= {nprobe}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id
+          FROM probes p JOIN {assign} a USING (cluster)
+        ),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 CAST(FLOOR(list_cosine_similarity(qe.e, ve.e) * 1e6 + 0.5)
+                      AS BIGINT) AS cosine_e6
+          FROM cand c
+          JOIN emb qe ON qe.vec_id = c.query_id
+          JOIN emb ve ON ve.vec_id = c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_e6,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine_e6 DESC, vec_id) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk AS rank, vec_id, cosine_e6
+        FROM ranked WHERE rk <= {topk}""")
 
 
 def _sql_topic_seed_values() -> str:
@@ -2719,6 +2792,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": sql_cosine_topk,
         # full-probe IVF is exact, so it answers to the same SQL
         "ann_ivf_full": sql_cosine_topk,
+        # pruned-probe IVF: fit + assignment + pruning + ranking in SQL
+        "ann_ivf": _sql_ann_ivf(_IVF_K, _IVF_ITERS, _IVF_NPROBE, TOPK),
         "orders_by_segment": """
             SELECT c.c_mktsegment,
                    count(*)::BIGINT AS n_orders,

@@ -96,7 +96,15 @@ def _sample_hash(ids: np.ndarray) -> np.ndarray:
 
 
 class IVFIndex:
-    """Seeded k-means-lite IVF over an embedding table (scale path).
+    """Coarse-quantized IVF over an embedding table (scale path).
+
+    Two fit modes: ``fit()`` (metric='cosine') draws a bounded sample and
+    runs a seeded k-means-lite — cheap, approximate, the default;
+    ``fit_kmeans()`` (metric='l2') runs the deterministic distributed
+    Lloyd's fit from stages/clustering.py whose every step unrolls to SQL,
+    making the pruned probe itself ORACLE-checkable (the ``ann_ivf``
+    conformance query).  Search semantics are identical; only quantizer
+    arithmetic and the stored-vector form differ.
 
     Nothing materializes the embedding table on the driver:
 
@@ -116,13 +124,17 @@ class IVFIndex:
     """
 
     def __init__(self, n_centroids: int = 16, nprobe: int = 4, seed: int = 42,
-                 iters: int = 8, sample_size: int = 8192, lists_dir: str | None = None):
+                 iters: int = 8, sample_size: int = 8192, lists_dir: str | None = None,
+                 metric: str = "cosine"):
+        if metric not in ("cosine", "l2"):
+            raise ValueError(metric)
         self.n_centroids = n_centroids
         self.nprobe = nprobe
         self.seed = seed
         self.iters = iters
         self.sample_size = sample_size
         self.lists_dir = lists_dir
+        self.metric = metric
         self.centroids: np.ndarray | None = None
 
     # -- fit ---------------------------------------------------------------
@@ -168,6 +180,28 @@ class IVFIndex:
         self._write_lists(emb_ds, id_col, vec_col)
         return self
 
+    def fit_kmeans(self, emb_ds, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_iter: int = 2):
+        """ORACLE-replicable coarse quantizer (metric='l2'): the same
+        deterministic distributed Lloyd's fit the ``kmeans_clusters`` query
+        hash-matches in SQL — init = k smallest vec_ids, one streaming
+        combiner pass per iteration with order-free e6-int centroid sums,
+        argmin squared-L2 assignment with ties to the lowest cluster
+        (stages/clustering.py kmeans_fit).  Every step is expressible as
+        unrolled SQL, which is what flips the pruned-probe ``ann_ivf``
+        query from rows-only to rows+schema+hash ORACLE."""
+        import tempfile
+
+        from horus_ner_ray.stages.clustering import kmeans_fit
+
+        self.metric = "l2"
+        self.centroids = kmeans_fit(emb_ds, self.n_centroids, n_iter=n_iter,
+                                    id_col=id_col, vec_col=vec_col)
+        if self.lists_dir is None:
+            self.lists_dir = tempfile.mkdtemp(prefix="ivf_lists_")
+        self._write_lists(emb_ds, id_col, vec_col)
+        return self
+
     def assign_dataset(self, emb_ds, id_col: str = "vec_id", vec_col: str = "embedding"):
         """map_batches argmax matmul against the broadcast centroids ->
         (vec_id, vec[normalized], cent, centroid); ``centroid`` becomes the
@@ -176,12 +210,24 @@ class IVFIndex:
         import ray
 
         cref = ray.put(self.centroids) if ray.is_initialized() else self.centroids
+        metric = self.metric
 
         def fn(batch: pa.Table) -> pa.Table:
             c = ray.get(cref) if ray.is_initialized() else cref
             ids = np.asarray(batch[id_col], dtype=np.int64)
-            mat = _normalize(list_column_to_matrix(batch[vec_col]))
-            cent = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            raw = list_column_to_matrix(batch[vec_col])
+            if metric == "l2":
+                # the kmeans_assign arithmetic (inner-product expansion,
+                # ties to the lowest cluster) over RAW vectors; the stored
+                # vector stays raw so the scorer can mirror the oracle's
+                # list_cosine_similarity shape exactly
+                from horus_ner_ray.stages.clustering import _sq_dists
+
+                cent = np.argmin(_sq_dists(raw, c), axis=1).astype(np.int32)
+                mat = raw
+            else:
+                mat = _normalize(raw)
+                cent = np.argmax(mat @ c.T, axis=1).astype(np.int32)
             return pa.table(
                 {
                     "vec_id": pa.array(ids, pa.int64()),
@@ -218,10 +264,23 @@ class IVFIndex:
 
         import ray.data as rd
 
-        q = _normalize(np.asarray(query_mat, dtype=np.float64))
-        sims_c = q @ self.centroids.T  # (nq, C)
-        nprobe = min(self.nprobe, sims_c.shape[1])
-        probes = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]  # (nq, P)
+        raw_q = np.asarray(query_mat, dtype=np.float64)
+        q = _normalize(raw_q)
+        C = len(self.centroids)
+        nprobe = min(self.nprobe, C)
+        if self.metric == "l2":
+            # probe = nprobe nearest centroids by the same squared-L2
+            # expansion the assignment (and the SQL oracle) uses; ties
+            # break to the lowest cluster id
+            from horus_ner_ray.stages.clustering import _sq_dists
+
+            d = _sq_dists(raw_q, self.centroids)  # (nq, C)
+            probes = np.empty((len(q), nprobe), dtype=np.int64)
+            for qi in range(len(q)):
+                probes[qi] = np.lexsort((np.arange(C), d[qi]))[:nprobe]
+        else:
+            sims_c = q @ self.centroids.T  # (nq, C)
+            probes = np.argsort(-sims_c, axis=1, kind="stable")[:, :nprobe]  # (nq, P)
         # per-centroid query-probe mask, broadcast once
         mask = np.zeros((len(self.centroids), len(q)), dtype=bool)  # (C, nq)
         for qi in range(len(q)):
@@ -233,14 +292,28 @@ class IVFIndex:
         ]
         if not probed_dirs:
             return [[] for _ in range(len(q))]
-        ref = ray.put((q, mask)) if ray.is_initialized() else (q, mask)
+        metric = self.metric
+        if metric == "l2":
+            qn = np.linalg.norm(raw_q, axis=1)
+            qn[qn == 0] = 1.0
+            payload = (raw_q, qn, mask)
+        else:
+            payload = (q, None, mask)
+        ref = ray.put(payload) if ray.is_initialized() else payload
 
         def partial(batch: pa.Table) -> pa.Table:
-            qm, msk = ray.get(ref) if ray.is_initialized() else ref
+            qm, qnorm, msk = ray.get(ref) if ray.is_initialized() else ref
             ids = np.asarray(batch["vec_id"], dtype=np.int64)
             mat = list_column_to_matrix(batch["vec"])
             cent = np.asarray(batch["cent"], dtype=np.int64)
-            sims = qm @ mat.T  # (nq, nb); vectors stored normalized
+            if qnorm is not None:
+                # l2 lists store RAW vectors: dot / (|q||v|) — the exact
+                # bruteforce (and SQL list_cosine_similarity) arithmetic
+                mn = np.linalg.norm(mat, axis=1)
+                mn[mn == 0] = 1.0
+                sims = (qm @ mat.T) / (qnorm[:, None] * mn[None, :])
+            else:
+                sims = qm @ mat.T  # (nq, nb); vectors stored normalized
             sims = np.where(msk[cent].T, sims, -np.inf)  # mask unprobed lists
             out_q, out_v, out_s = [], [], []
             kk = min(k, sims.shape[1])
