@@ -105,8 +105,16 @@ def run_bench() -> dict:
     # ---- headline: index build ------------------------------------------
     idx = tempfile.mkdtemp(prefix=f"bench_idx_{sf}_{NCPU}_")
     shutil.rmtree(idx)
+    # GRAFT_BUILD_TASK_CPUS caps concurrent memory-bound build tasks (each
+    # task reserves that many slots).  Round-5 A/B at 32 CPUs (interleaved
+    # min-of-3, build-only): cap-at-16 = 20.9 s vs uncapped = 18.9 s — the
+    # round-4 bus-saturation penalty did NOT reproduce with round-5 code
+    # (BASELINE.md round-5), so the default stays uncapped.
+    task_cpus = int(os.environ.get("GRAFT_BUILD_TASK_CPUS", "1"))
     t0 = time.time()
-    res = build_index(files, idx, PipelineConfig(num_shards=96), concurrency=NCPU)
+    res = build_index(files, idx,
+                      PipelineConfig(num_shards=96, build_task_cpus=task_cpus),
+                      concurrency=NCPU)
     timings["index_build"] = round(time.time() - t0, 3)
     extras["turns"] = res.n_docs
     extras["tokens"] = res.total_tokens

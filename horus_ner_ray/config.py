@@ -103,6 +103,16 @@ class PipelineConfig:
     merge_concurrency: int | None = None
     """Actor-pool size for the shard merge stage; None = Ray default."""
 
+    build_task_cpus: int = 1
+    """CPU slots reserved per phase-A/B build task.  >1 deliberately
+    under-subscribes CPUs to cap the PER-NODE count of concurrent
+    memory-bound tasks (tokenize/encode/merge are bandwidth-bound, not
+    compute-bound): this box measures a ~16-task memory-bus saturation
+    point and a 32-wide build runs SLOWER than a 16-wide one (BASELINE.md
+    round-4 calibration).  The reservation is per node on a real cluster,
+    so the cap transfers as fixed-width-per-node — the regime the N->4N
+    scaling criterion measures."""
+
     streaming_merge_threshold: int = 256 * 1024 * 1024
     """Run bytes per shard above which the merge uses the bounded-memory
     streaming k-way cursor path instead of the in-memory Arrow-sort path.

@@ -641,9 +641,12 @@ def _run_pipelined(
     from horus_ner_ray.util import worker_runtime_env
 
     env = worker_runtime_env()
+    # per-task CPU reservation caps the per-node count of concurrent
+    # memory-bound build tasks (config.build_task_cpus)
+    ncpu = max(1, int(getattr(cfg, "build_task_cpus", 1)))
 
     def mk(fn):
-        r = ray.remote(num_cpus=1)(fn)
+        r = ray.remote(num_cpus=ncpu)(fn)
         return r.options(runtime_env=env) if env else r
 
     frag_t, stats_t, data_t, enc_t = (
@@ -720,6 +723,7 @@ _JOB_NEUTRAL_FIELDS = frozenset({
     # offset-backend choice is routing only: both backends produce
     # byte-identical doc ids (tested), so it must not invalidate resume
     "conv_offsets_backend", "conv_offsets_disk_threshold",
+    "build_task_cpus",
 })
 
 
