@@ -7,7 +7,19 @@ layout — is real and tested.  ``decoder="real"`` decodes actual
 PNG/BMP pixels and WAV/PCM samples through the pure-stdlib codecs in
 ``stages/media_codecs.py`` (zlib IDAT + vectorized scanline unfilter; no
 Pillow needed); ``decoder="fake"`` remains the deterministic seedable
-stand-in for formats outside that scope (JPEG entropy decode, video).
+stand-in for formats outside that scope.
+
+SCOPE (declared): PNG, BMP and WAV pixel/sample decode+encode are fully
+implemented and byte-exact-tested; JPEG and GIF are parsed for
+dimensions/metadata ONLY (``_jpeg_dims``/``_gif_dims`` read the container
+headers, never entropy-coded payloads).  A spec-correct baseline-JPEG
+entropy decoder (Huffman + dequant + IDCT + chroma upsampling) is
+deliberately out of scope: with no JPEG *encoder* available in this
+environment there is no independent way to generate conforming test
+vectors, and an untestable decoder is worse than a declared boundary.
+Every pixel-consuming operator (feature extraction, resize, the trained
+media classifier in ``stages/media_classify.py``) runs on the real
+PNG/BMP path.
 
 Sizing note (task brief "memory-aware"): binary rows are wide — these
 stages use small ``batch_size`` (default 64) so batch x concurrency stays
