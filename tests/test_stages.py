@@ -389,9 +389,15 @@ def test_bucket_layout_invariance(docs_ds):
 def test_buckets_for_rows_scales():
     from horus_ner_ray.stages.dedupe import buckets_for_rows
 
-    assert buckets_for_rows(1_000) == 256          # sandbox floor
-    assert buckets_for_rows(100_000_000) == 1000   # grows with input
+    assert buckets_for_rows(1_000) == 32           # parallelism floor
+    assert buckets_for_rows(10_000_000) == 100     # grows with input
+    assert buckets_for_rows(100_000_000) == 1000
     assert buckets_for_rows(10**12) == 10**7
+    from horus_ner_ray.stages.dedupe import salts_for_rows
+
+    assert salts_for_rows(500) == 2                # no hot keys to spread
+    assert salts_for_rows(1_000_000) == 8
+    assert salts_for_rows(10**10) == 16
 
 
 def test_hopping_window_vs_pandas(ray_session):
