@@ -82,6 +82,54 @@ def test_disk_lookup_matches_broadcast(small_corpus, tmp_path, ray_session):
         disk.lookup(np.asarray(["__no_such_conv__"], dtype=object))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_disk_offsets_fuzz_matches_broadcast(seed, tmp_path, ray_session):
+    """Adversarial conv-id fuzz: random multisets of awkward string ids
+    (shared prefixes, ids equal to likely range bounds, length skew,
+    convs split across fragments) must yield identical offsets from both
+    backends, under forced multi-range partitioning."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    rng = np.random.RandomState(seed)
+    alphabet = list("ab0-_")
+    uniq = sorted({
+        "".join(rng.choice(alphabet, size=rng.randint(1, 12)))
+        for _ in range(rng.randint(5, 120))
+    })
+    counts = {c: int(rng.randint(1, 9)) for c in uniq}
+    # scatter each conv's turns across up to 3 fragment files
+    frags: list[list[tuple[str, int]]] = [[] for _ in range(3)]
+    for c, n in counts.items():
+        split = rng.multinomial(n, [1 / 3] * 3)
+        for fi, k in enumerate(split):
+            for t in range(int(k)):
+                frags[fi].append((c, t))
+    files = []
+    for fi, rows in enumerate(frags):
+        if not rows:
+            rows = [(uniq[0], 0)]  # keep every fragment non-empty
+            counts[uniq[0]] += 1
+        rng.shuffle(rows)
+        p = tmp_path / f"frag{seed}_{fi}.parquet"
+        pq_.write_table(pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        }), str(p))
+        files.append(str(p))
+    bcast = dstore.offsets_from_counts(
+        np.asarray(uniq, dtype=object),
+        np.asarray([counts[c] for c in uniq], dtype=np.int64))
+    disk = dstore.build_disk_offsets(files, tmp_path / f"offs{seed}",
+                                     target_turns_per_range=7)
+    assert disk.n_docs == bcast.n_docs
+    probe = np.asarray(uniq, dtype=object)
+    np.testing.assert_array_equal(disk.lookup(probe), bcast.lookup(probe))
+    offs, ns = disk.lookup_with_counts(probe)
+    np.testing.assert_array_equal(
+        ns, np.asarray([counts[c] for c in uniq], dtype=np.int64))
+
+
 def test_disk_cache_is_bounded(small_corpus, tmp_path, ray_session):
     disk = dstore.build_disk_offsets(small_corpus, tmp_path / "offs",
                                      target_turns_per_range=40)
