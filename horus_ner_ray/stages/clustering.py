@@ -115,10 +115,41 @@ def kmeans_fit(ds, k: int, n_iter: int = 2, id_col: str = "vec_id",
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio id mix (routing only)
 
 
+def _local_union_find(edges, id_col: str, lab_col: str):
+    """Exact union-find over a small (size-gated) symmetrized edge
+    Dataset -> Ray dataset of (node, min reachable node id).  Union by
+    min root, path halving; the root of a set is always its minimum
+    member, so the final find IS the component label."""
+    import ray.data as rd
+
+    df = edges.to_pandas()  # gated: <= 2 * local_edge_threshold rows
+    eu = df["eu"].to_numpy(np.int64)
+    ev = df["ev"].to_numpy(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in zip(eu.tolist(), ev.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.unique(np.r_[eu, ev])
+    comp = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                       count=len(nodes))
+    return rd.from_arrow(pa.table({id_col: pa.array(nodes, pa.int64()),
+                                   lab_col: pa.array(comp, pa.int64())}))
+
+
 def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
                          v_col: str = "v", id_col: str = "node",
                          lab_col: str = "component", n_buckets: int = 64,
-                         n_salts: int = 8, max_iter: int = 64):
+                         n_salts: int = 8, max_iter: int = 64,
+                         local_edge_threshold: int = 100_000):
     """Distributed connected components over an edge Dataset: every node is
     labelled with the MINIMUM node id reachable from it.  The grouping step
     a dedup pipeline runs after pair generation (minhash / simhash /
@@ -151,6 +182,15 @@ def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
 
     ``nodes_ds`` (optional, one ``id_col`` column) adds isolated nodes to
     the output as their own singleton components.
+
+    Size gate: the edge list here is a DERIVED pair set (the output of the
+    bucketed near-dup stage), not the corpus — when it is small
+    (``<= local_edge_threshold`` pairs) an exact driver-side union-find is
+    the right plan, exactly as a join gathers its provably-small side to
+    broadcast instead of shuffling.  Labels are identical (min reachable
+    id); the distributed min-label loop below remains the big-graph path
+    (``local_edge_threshold=0`` forces it — tests pin both paths against
+    each other).
     """
     import pandas as pd
     from ray.data.aggregate import Min
@@ -174,8 +214,11 @@ def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
     # fan-out and block count grows linearly round-over-round (task count
     # quadratic overall); pin it to the edge table's own width.
     label_parts = max(int(edges.num_blocks()), 1)
-    if edges.count() == 0:
+    n_sym = edges.count()
+    if n_sym == 0:
         labels = None
+    elif n_sym <= 2 * local_edge_threshold:  # symmetrized = 2x pairs
+        labels = _local_union_find(edges, id_col, lab_col)
     else:
         # L0: identity labels on every edge endpoint
         def endpoint_partial(batch: pa.Table) -> pa.Table:
@@ -242,9 +285,10 @@ def connected_components(edges_ds, nodes_ds=None, u_col: str = "u",
                          lab_col: pa.array(out.to_numpy(np.int64),
                                            pa.int64())})
 
+    local_done = labels is not None and n_sym <= 2 * local_edge_threshold
     n_rounds = 0
-    converged = labels is None
-    if labels is not None:
+    converged = labels is None or local_done
+    if labels is not None and not local_done:
         prev_sum = None
         for _ in range(max_iter):
             tagged_e = edges.map_batches(

@@ -66,13 +66,17 @@ def _run_cc(pairs, n_nodes, parts, ray_session=None, **kw):
 
 def test_cc_chain_star_singletons(ray_session):
     # chain 0..9 (diameter 9 -> multi-round propagation), star at 20,
-    # clique 30-32, nodes 40..44 isolated
+    # clique 30-32, nodes 40..44 isolated.  local_edge_threshold=0 forces
+    # the distributed min-label loop; the default takes the size-gated
+    # local union-find — both must agree with the reference
     pairs = ([(i, i + 1) for i in range(9)]
              + [(20, j) for j in (21, 22, 23)]
              + [(30, 31), (31, 32), (30, 32)])
     want = _uf_components(45, pairs)
     for parts in (1, 5):
-        assert np.array_equal(_run_cc(pairs, 45, parts), want), parts
+        for thresh in (0, 100_000):
+            got = _run_cc(pairs, 45, parts, local_edge_threshold=thresh)
+            assert np.array_equal(got, want), (parts, thresh)
 
 
 def test_cc_random_graph_matches_union_find(ray_session):
@@ -81,8 +85,12 @@ def test_cc_random_graph_matches_union_find(ray_session):
     pairs = [tuple(sorted(p)) for p in rng.randint(0, n, (180, 2))
              if p[0] != p[1]]
     want = _uf_components(n, pairs)
-    got = _run_cc(pairs, n, 7, n_buckets=16, n_salts=4)
-    assert np.array_equal(got, want)
+    # distributed path (forced) and local path must both match
+    got_dist = _run_cc(pairs, n, 7, n_buckets=16, n_salts=4,
+                       local_edge_threshold=0)
+    got_local = _run_cc(pairs, n, 7)
+    assert np.array_equal(got_dist, want)
+    assert np.array_equal(got_local, want)
 
 
 def test_cc_no_edges_is_identity(ray_session):
