@@ -269,6 +269,43 @@ def _q_tool_propagation(sf_dir: str):
     )
 
 
+def _q_tool_transitions(sf_dir: str):
+    """Markov tool-transition table over the transcript corpus (round 5;
+    stages/windows.transition_counts_dataset): successive non-empty tool
+    invocations within a conversation form (src, dst) transitions,
+    counted corpus-wide — the "which tool follows which" analytic."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.windows import transition_counts_dataset
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    n = sum(_n_rows(f) for f in files)
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "tool"])
+    out = transition_counts_dataset(
+        ds, n_buckets=buckets_for_rows(n)).to_pandas()
+    return (out.astype({"n": np.int64})
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+
+
+def _sql_tool_transitions() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+        WITH t AS (
+          SELECT conv_id, turn_idx, tool
+          FROM read_parquet('{glob}') WHERE tool <> ''
+        ),
+        nxt AS (
+          SELECT tool AS src,
+                 lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+          FROM t
+        )
+        SELECT src, dst, count(*)::BIGINT AS n
+        FROM nxt WHERE dst IS NOT NULL GROUP BY 1, 2
+    """
+
+
 def _q_sessions(sf_dir: str):
     import ray.data as rd
 
@@ -2018,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_confusion": _q_eval_confusion,
         "eval_metrics": _q_eval_metrics,
         "media_predictions": _q_media_predictions,
+        "tool_transitions": _q_tool_transitions,
         "media_features": _q_media_features,
         "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,
@@ -2940,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topic_predictions": _sql_topic_predictions(),
         "media_predictions": _sql_media_nb(),
+        "tool_transitions": _sql_tool_transitions(),
         "users_per_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY event_type ORDER BY event_type

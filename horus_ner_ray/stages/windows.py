@@ -195,6 +195,63 @@ def propagate_last_dataset(ds, key_col: str = "conv_id", order_col: str = "turn_
     )
 
 
+def transition_counts_dataset(ds, key_col: str = "conv_id",
+                              order_col: str = "turn_idx",
+                              label_col: str = "tool",
+                              n_buckets: int = 256):
+    """Markov transition table over a per-group ordered label channel ->
+    Dataset(src, dst, n): within each key group under ``order_col``
+    ordering, successive NON-EMPTY labels form a (src, dst) transition;
+    counts aggregate corpus-wide.  The tool-usage analytic of an agent-
+    transcript pipeline ("which tool follows which"), complementing the
+    funnel operator's fixed-sequence matching (stages/funnel.py).
+
+    Shape: the same coarse hash(key) bucket shuffle as the other per-group
+    ordered operators (ONE sort per bucket, fully vectorized adjacency),
+    with per-bucket pre-combined counts so the global groupby moves
+    O(distinct transitions x buckets) rows, never turns."""
+    from ray.data.aggregate import Sum
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object),
+            categorize=False)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64()))
+
+    _empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                           "dst": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype=np.int64)})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="stable")
+        keys = g[key_col].to_numpy()
+        lab = g[label_col].fillna("").to_numpy(dtype=object)
+        m = lab != ""
+        keys, lab = keys[m], lab[m]
+        if len(lab) < 2:
+            return _empty
+        same = keys[1:] == keys[:-1]
+        if not same.any():
+            return _empty
+        out = (pd.DataFrame({"src": lab[:-1][same], "dst": lab[1:][same]})
+               .groupby(["src", "dst"], sort=False).size()
+               .reset_index(name="n"))  # pre-combine inside the bucket
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (
+        ds.select_columns([key_col, order_col, label_col])
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas", runtime_env=_rte())
+        .groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def session_windows_dataset(ds, gap_s: int = 1800, key_col: str = "user_id",
                             ts_col: str = "ts", n_buckets: int = 256):
     """Session windows: per key, ts-sorted events split where the gap to the

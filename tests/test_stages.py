@@ -447,6 +447,32 @@ def test_hopping_window_vs_pandas(ray_session):
         hopping_window_dataset(rd.from_items(rows), window_s=3600, hop_s=1000)
 
 
+def test_transition_counts(ray_session):
+    """Markov tool-transition table: successive NON-EMPTY labels within a
+    conv pair up (empty turns skipped, never bridged across convs); counts
+    match a pandas lead() reference and are bucket-layout invariant."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import transition_counts_dataset
+
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "tool": "search"},
+        {"conv_id": "a", "turn_idx": 1, "tool": ""},
+        {"conv_id": "a", "turn_idx": 2, "tool": "bash"},      # search->bash
+        {"conv_id": "a", "turn_idx": 3, "tool": "bash"},      # bash->bash
+        {"conv_id": "b", "turn_idx": 0, "tool": "bash"},      # no cross-conv
+        {"conv_id": "b", "turn_idx": 1, "tool": "search"},    # bash->search
+        {"conv_id": "c", "turn_idx": 0, "tool": "python"},    # lone -> none
+        {"conv_id": "d", "turn_idx": 5, "tool": "search"},
+        {"conv_id": "d", "turn_idx": 7, "tool": "bash"},      # search->bash
+    ]
+    want = {("search", "bash"): 2, ("bash", "bash"): 1, ("bash", "search"): 1}
+    for nb in (1, 4, 64):
+        got = transition_counts_dataset(
+            rd.from_items(rows).repartition(3), n_buckets=nb).to_pandas()
+        assert {(r.src, r.dst): r.n for r in got.itertuples()} == want, nb
+
+
 def test_propagate_last(ray_session):
     import ray.data as rd
 
