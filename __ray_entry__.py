@@ -955,18 +955,104 @@ def _q_ann_ivf_full(sf_dir: str):
 
 
 def _q_hll_users(sf_dir: str):
-    """HyperLogLog distinct-count sketch (rows-only: the estimate is
-    deterministic but its hash stream is not SQL-reproducible; accuracy
-    and merge laws are pytest-pinned in tests/test_sketches.py)."""
+    """HyperLogLog distinct-count sketch, ORACLE-checked end to end
+    (round 5): the hash is splitmix64 over the int64 user ids, the
+    harmonic sum is an exact integer (stages/sketches._estimate), and the
+    SQL replicates hash -> registers -> estimate bit-for-bit
+    (_sql_hll_users; the ln() agreement for the linear-counting branch is
+    exhaustively verified over all 16383 possible inputs in
+    tests/test_sketches.py)."""
+    import math
+
     import ray.data as rd
 
     from horus_ner_ray.stages.sketches import hll_count_distinct
 
     ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
                          columns=["user_id"])
-    est = hll_count_distinct(ds, "user_id", p=14)
+    est = hll_count_distinct(ds, "user_id", p=14, hash64="splitmix64")
     return pd.DataFrame({"column": ["user_id"],
-                         "hll_estimate": pd.Series([round(est)], dtype=np.int64)})
+                         "hll_estimate": pd.Series([math.floor(est + 0.5)],
+                                                   dtype=np.int64)})
+
+
+def _sql_splitmix64(z: str) -> str:
+    """DuckDB expression computing splitmix64({z}) for a UBIGINT operand.
+    64x64-bit multiplies run as HUGEINT split-multiplies mod 2^64 (the
+    low-32 x full product plus the low 32 bits of the high-32 x low-32
+    product — INT128 never overflows)."""
+    M64 = "18446744073709551616"
+
+    def mulmod(expr: str, c: int) -> str:
+        c_lo = c & 0xFFFFFFFF
+        return (f"CAST((((CAST(({expr}) >> 32 AS HUGEINT) * {c_lo}) % 4294967296)"
+                f" * 4294967296 + CAST((({expr}) & 4294967295) AS HUGEINT) * {c})"
+                f" % {M64} AS UBIGINT)")
+
+    s1 = f"CAST((CAST(({z}) AS HUGEINT) + 11400714819323198485) % {M64} AS UBIGINT)"
+    s2 = mulmod(f"xor({s1}, {s1} >> 30)", 0xBF58476D1CE4E5B9)
+    s3 = mulmod(f"xor({s2}, {s2} >> 27)", 0x94D049BB133111EB)
+    return f"xor({s3}, {s3} >> 31)"
+
+
+def _sql_hll_users(p: int = 14) -> str:
+    """DuckDB oracle replicating the ENTIRE HyperLogLog estimate of
+    _q_hll_users bit-for-bit: splitmix64 hash (_sql_splitmix64), register
+    index/rho extraction (the same 6-step binary-halving CLZ as the numpy
+    kernel), per-register max, the exact-integer harmonic sum, and the
+    same float tail (K/s -> linear counting when est <= 2.5m and zero
+    registers exist; ln() agreement over all possible zero-counts is
+    pytest-verified exhaustively)."""
+    m = 1 << p
+    rmax = 64 - p + 1
+    am = 0.7213 / (1 + 1.079 / m)
+    k_num = am * m * m * float(1 << rmax)
+    # 6-step binary-halving count-leading-zeros over the 64-bit lane,
+    # identical to stages/sketches._registers_for_batch
+    steps = ""
+    prev = "c0"
+    for i, s in enumerate((32, 16, 8, 4, 2, 1), start=1):
+        lim = 1 << (64 - s)
+        steps += f""",
+        c{i} AS (
+          SELECT idx,
+                 lz + CASE WHEN cur < {lim} THEN {s} ELSE 0 END AS lz,
+                 CASE WHEN cur < {lim}
+                      THEN CAST(CAST(cur AS HUGEINT) * {1 << s} AS UBIGINT)
+                      ELSE cur END AS cur
+          FROM {prev}
+        )"""
+        prev = f"c{i}"
+    return f"""
+        WITH u AS (SELECT DISTINCT CAST(user_id AS UBIGINT) AS x FROM events),
+        hh AS (SELECT {_sql_splitmix64("x")} AS h FROM u),
+        c0 AS (
+          SELECT h >> {64 - p} AS idx,
+                 0 AS lz,
+                 CAST((CAST(h AS HUGEINT) * {m}) % 18446744073709551616
+                      AS UBIGINT) | {m - 1} AS cur
+          FROM hh
+        ){steps},
+        regs AS (
+          SELECT idx, max(least(lz + 1, {rmax})) AS rho FROM {prev} GROUP BY idx
+        ),
+        agg AS (
+          SELECT count(*) AS nz,
+                 sum(CAST({1 << rmax} AS HUGEINT) >> rho) AS s_nz
+          FROM regs
+        ),
+        est AS (
+          SELECT {m} - nz AS zeros,
+                 {k_num!r} / CAST(s_nz + ({m} - nz) * CAST({1 << rmax} AS HUGEINT)
+                                  AS DOUBLE) AS raw
+          FROM agg
+        )
+        SELECT 'user_id' AS "column",
+               CAST(FLOOR(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                               THEN {float(m)!r} * ln({float(m)!r} / zeros)
+                               ELSE raw END + 0.5) AS BIGINT) AS hll_estimate
+        FROM est
+    """
 
 
 def _q_simhash(sf_dir: str):
@@ -979,6 +1065,60 @@ def _q_langid(sf_dir: str):
     from horus_ner_ray.stages.analysis import langid_dataset
 
     return langid_dataset(_read_docs(sf_dir))
+
+
+def _sql_langid() -> str:
+    """DuckDB oracle for langid: the heuristic is fully deterministic —
+    script-range codepoint counts over the first 200 chars (disjoint
+    ranges, so the Python path's first-claim masking is a no-op), else
+    per-language stopword-occurrence counts over the shared tokenizer,
+    with the exact argmax tie-breaks of ``langid_batch`` (script order
+    zh>ja>ko>ru, language order fr>es>en>de = first-max-wins over
+    ``_LANGS_DESC``)."""
+    from horus_ner_ray.stages.analysis import _LANG_STOPWORDS, _SCRIPT_RANGES
+
+    script_cols = ", ".join(
+        f"length(head) - length(regexp_replace(head, "
+        f"'[\\x{{{lo:04X}}}-\\x{{{hi:04X}}}]', '', 'g')) AS n_{code}"
+        for code, lo, hi in _SCRIPT_RANGES
+    )
+    lang_cols = ", ".join(
+        "len(list_filter(toks, t -> t IN ({lst}))) AS n_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang])),
+            lang=lang,
+        )
+        for lang in _LANG_STOPWORDS
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, substr(coalesce(text, ''), 1, 200) AS head,
+                 {_sql_tok("coalesce(text, '')")} AS toks
+          FROM documents
+        ),
+        counts AS (
+          SELECT doc_id, len(toks) AS n_tok, {script_cols}, {lang_cols}
+          FROM base
+        )
+        SELECT doc_id,
+               CASE
+                 WHEN greatest(n_zh, n_ja, n_ko, n_ru) >= 3 THEN
+                   CASE
+                     WHEN n_zh >= n_ja AND n_zh >= n_ko AND n_zh >= n_ru THEN 'zh'
+                     WHEN n_ja >= n_ko AND n_ja >= n_ru THEN 'ja'
+                     WHEN n_ko >= n_ru THEN 'ko'
+                     ELSE 'ru'
+                   END
+                 WHEN n_tok > 0 AND greatest(n_fr, n_es, n_en, n_de) > 0 THEN
+                   CASE
+                     WHEN n_fr >= n_es AND n_fr >= n_en AND n_fr >= n_de THEN 'fr'
+                     WHEN n_es >= n_en AND n_es >= n_de THEN 'es'
+                     WHEN n_en >= n_de THEN 'en'
+                     ELSE 'de'
+                   END
+                 ELSE 'und'
+               END AS lang_pred
+        FROM counts
+    """
 
 
 def _q_fingerprint(sf_dir: str):
@@ -2847,6 +2987,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jaccard_allpairs": _sql_jaccard_pairs(0.05),
         "jaccard_dups": _sql_jaccard_pairs(0.5),
+        "langid": _sql_langid(),
+        "hll_users": _sql_hll_users(),
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split
