@@ -1558,9 +1558,178 @@ def _sql_media_nb(n: int = 96, seed: int = 42) -> str:
     """
 
 
+def _sql_hexbyte(pos: str) -> str:
+    """SQL expression: byte value at 0-based position ``pos`` of a
+    hex-string column ``hx`` (two lowercase hex chars per byte)."""
+    return (f"((strpos('0123456789abcdef', substr(hx, 2*({pos})+1, 1))-1)*16"
+            f" + strpos('0123456789abcdef', substr(hx, 2*({pos})+2, 1))-1)")
+
+
+def _sql_le16(p: str) -> str:
+    return f"({_sql_hexbyte(p)} + 256*{_sql_hexbyte(f'({p})+1')})"
+
+
+def _sql_be16(p: str) -> str:
+    return f"(256*{_sql_hexbyte(p)} + {_sql_hexbyte(f'({p})+1')})"
+
+
+def _sql_le32(p: str) -> str:
+    return (f"({_sql_hexbyte(p)} + 256*{_sql_hexbyte(f'({p})+1')}"
+            f" + 65536*{_sql_hexbyte(f'({p})+2')}"
+            f" + 16777216*{_sql_hexbyte(f'({p})+3')})")
+
+
+def _sql_be32(p: str) -> str:
+    return (f"(16777216*{_sql_hexbyte(p)} + 65536*{_sql_hexbyte(f'({p})+1')}"
+            f" + 256*{_sql_hexbyte(f'({p})+2')} + {_sql_hexbyte(f'({p})+3')})")
+
+
+def _sql_le32s(p: str) -> str:
+    u = _sql_le32(p)
+    return f"(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 ELSE {u} END)"
+
+
+def _sql_wav_stats(n: int = 48, seed: int = 42) -> str:
+    """DuckDB oracle for wav_stats (round 5; was rows-only): the raw
+    payload BYTES inline as hex VALUES and the SQL itself parses the RIFF/
+    WAVE container — header fields at their spec offsets, then every
+    16-bit little-endian PCM sample via generate_series + substr — and
+    re-derives duration/RMS/peak.  Exactness: samples q are integers, so
+    sum(q*q) is an exact BIGINT and numpy's pairwise mean of q^2/2^30
+    (<= 42 significant bits over the synth's <=2000 samples) equals the
+    single float64 division SQL performs; sqrt/multiply are IEEE
+    correctly-rounded on both sides, so the e6 quantization agrees
+    bitwise.  Non-RIFF rows (the PNG/BMP payloads) only need the magic,
+    so their hex inlines truncate to a 16-byte prefix."""
+    from horus_ner_ray.stages.multimodal import synth_real_media_table
+
+    t = synth_real_media_table(n=n, seed=seed)
+    vals = ", ".join(
+        f"({mid}, '{(pay if pay[:4] == b'RIFF' else pay[:16]).hex()}')"
+        for mid, pay in zip(t["media_id"].to_pylist(),
+                            t["payload"].to_pylist())
+    )
+    return f"""
+        WITH pay(media_id, hx) AS (VALUES {vals}),
+        wav AS (
+          SELECT media_id::BIGINT AS media_id, hx FROM pay
+          WHERE substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+                AND substr(hx, 25, 8) = '666d7420' AND substr(hx, 73, 8) = '64617461'
+        ),
+        hdr AS (
+          SELECT media_id, hx,
+                 {_sql_le16('22')}::BIGINT AS n_channels,
+                 {_sql_le32('24')}::BIGINT AS sample_rate,
+                 {_sql_le32('40')}::BIGINT AS data_bytes
+          FROM wav
+        ),
+        smp AS (
+          SELECT media_id, n_channels, sample_rate, data_bytes,
+                 unnest(generate_series(0, data_bytes // 2 - 1)) AS i
+          FROM hdr
+        ),
+        q AS (
+          SELECT media_id, n_channels, sample_rate, data_bytes,
+                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS q
+          FROM (SELECT *, {_sql_le16('44 + 2*i')} AS v
+                FROM smp JOIN hdr USING (media_id, n_channels, sample_rate, data_bytes))
+        ),
+        st AS (
+          SELECT media_id, any_value(sample_rate) AS sample_rate,
+                 any_value(n_channels) AS n_channels,
+                 (any_value(data_bytes) // (2 * any_value(n_channels)))::BIGINT AS n_samples,
+                 count(*)::BIGINT AS n,
+                 sum(q*q)::BIGINT AS ss, max(abs(q))::BIGINT AS mx
+          FROM q GROUP BY media_id
+        )
+        SELECT media_id, sample_rate, n_channels, n_samples,
+               CAST(FLOOR((n_samples::DOUBLE / sample_rate) * 1e6 + 0.5) AS BIGINT) AS duration_e6,
+               CAST(FLOOR(sqrt((ss::DOUBLE / 1073741824.0) / n) * 1e6 + 0.5) AS BIGINT) AS rms_e6,
+               CAST(FLOOR((mx::DOUBLE / 32768.0) * 1e6 + 0.5) AS BIGINT) AS peak_e6,
+               TRUE AS ok
+        FROM st
+        UNION ALL
+        SELECT media_id::BIGINT, 0, 0, 0, 0, 0, 0, FALSE
+        FROM pay WHERE media_id NOT IN (SELECT media_id FROM wav)
+    """
+
+
+def _sql_image_meta(n: int = 64, seed: int = 11) -> str:
+    """DuckDB oracle for image_meta (round 5; was rows-only): payload
+    bytes inline as hex VALUES and the SQL re-implements the header
+    sniffers — PNG signature + IHDR big-endian dims, GIF87a/89a
+    little-endian dims, BMP signed little-endian dims (non-positive width
+    -> unknown, negative height -> abs), and the genuine JPEG marker walk
+    (fill-byte skipping, no-payload markers, segment-length hops, first
+    SOFn frame header) as a recursive CTE — with the byte parser's
+    priority order (stages/multimodal.py:192-277)."""
+    from horus_ner_ray.stages.multimodal import synth_image_headers
+
+    t = synth_image_headers(n=n, seed=seed)
+    vals = ", ".join(
+        f"({mid}, '{pay.hex()}')"
+        for mid, pay in zip(t["media_id"].to_pylist(),
+                            t["payload"].to_pylist())
+    )
+    hp1 = _sql_hexbyte("j.i+1")
+    is_png = ("L >= 24 AND substr(hx, 1, 16) = '89504e470d0a1a0a' "
+              "AND substr(hx, 25, 8) = '49484452'")
+    is_gif = ("L >= 10 AND (substr(hx, 1, 12) = '474946383761' "
+              "OR substr(hx, 1, 12) = '474946383961')")
+    is_bmp = f"L >= 26 AND substr(hx, 1, 4) = '424d' AND {_sql_le32s('18')} > 0"
+    return f"""
+        WITH RECURSIVE pay(media_id, hx) AS (VALUES {vals}),
+        p AS (SELECT media_id::BIGINT AS media_id, hx,
+                     (length(hx) // 2)::BIGINT AS L FROM pay),
+        jw(media_id, i, w, h) AS (
+          SELECT media_id, 2::BIGINT, NULL::BIGINT, NULL::BIGINT
+          FROM p WHERE L >= 4 AND substr(hx, 1, 4) = 'ffd8'
+          UNION ALL
+          SELECT j.media_id,
+                 CASE
+                   WHEN {hp1} = 255 THEN j.i + 1
+                   WHEN {hp1} IN (216, 1) OR {hp1} BETWEEN 208 AND 215
+                     THEN j.i + 2
+                   ELSE j.i + 2 + {_sql_be16('j.i+2')}
+                 END,
+                 CASE WHEN {hp1} BETWEEN 192 AND 207
+                           AND {hp1} NOT IN (196, 200, 204)
+                      THEN {_sql_be16('j.i+7')} END,
+                 CASE WHEN {hp1} BETWEEN 192 AND 207
+                           AND {hp1} NOT IN (196, 200, 204)
+                      THEN {_sql_be16('j.i+5')} END
+          FROM jw j JOIN p USING (media_id)
+          WHERE j.w IS NULL AND j.i + 9 <= p.L AND {_sql_hexbyte('j.i')} = 255
+        ),
+        jres AS (
+          SELECT media_id, any_value(w) AS w, any_value(h) AS h
+          FROM jw WHERE w IS NOT NULL GROUP BY media_id
+        )
+        SELECT p.media_id,
+          CASE WHEN {is_png} THEN 'png'
+               WHEN j.w IS NOT NULL THEN 'jpeg'
+               WHEN {is_gif} THEN 'gif'
+               WHEN {is_bmp} THEN 'bmp'
+               ELSE 'unknown' END AS format,
+          CASE WHEN {is_png} THEN {_sql_be32('16')}
+               WHEN j.w IS NOT NULL THEN j.w
+               WHEN {is_gif} THEN {_sql_le16('6')}
+               WHEN {is_bmp} THEN {_sql_le32s('18')}
+               ELSE 0 END::BIGINT AS width,
+          CASE WHEN {is_png} THEN {_sql_be32('20')}
+               WHEN j.w IS NOT NULL THEN j.h
+               WHEN {is_gif} THEN {_sql_le16('8')}
+               WHEN {is_bmp} THEN abs({_sql_le32s('22')})
+               ELSE 0 END::BIGINT AS height,
+          L AS n_bytes
+        FROM p LEFT JOIN jres j USING (media_id)
+    """
+
+
 def _q_wav_stats(sf_dir: str):
     """REAL WAV/PCM audio features (stdlib wave + numpy): sample rate,
-    counts, e6-int duration/RMS/peak per payload."""
+    counts, e6-int duration/RMS/peak per payload.  ORACLE (round 5): the
+    SQL parses the same payload bytes itself — see _sql_wav_stats."""
     import ray.data as rd
 
     from horus_ner_ray.stages.multimodal import (
@@ -1574,7 +1743,9 @@ def _q_wav_stats(sf_dir: str):
 
 def _q_image_meta(sf_dir: str):
     """REAL image container parsing (no codec libs): sniff PNG/JPEG/GIF/BMP
-    and read width/height from the genuine header byte layouts."""
+    and read width/height from the genuine header byte layouts.  ORACLE
+    (round 5): the SQL re-parses the same bytes, including a recursive-CTE
+    JPEG marker walk — see _sql_image_meta."""
     import ray.data as rd
 
     from horus_ner_ray.stages.multimodal import (
@@ -3120,6 +3291,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topic_predictions": _sql_topic_predictions(),
         "media_predictions": _sql_media_nb(),
+        "wav_stats": _sql_wav_stats(),
+        "image_meta": _sql_image_meta(),
         "tool_transitions": _sql_tool_transitions(),
         "users_per_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
