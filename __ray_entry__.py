@@ -2238,6 +2238,51 @@ def _q_rollup_revenue(sf_dir: str):
                        "l_extendedprice", value_scale=100)
 
 
+def _q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE(flag, status) (stages/groupwise.py cube_sums): one
+    corpus scan builds the finest level via a combiner; all 2^n - 1 other
+    subsets re-aggregate that small table.  Cents-int sums exact at every
+    level."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import cube_sums
+
+    li = rd.read_parquet(
+        str(Path(sf_dir) / "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+    return cube_sums(li, ["l_returnflag", "l_linestatus"],
+                     "l_extendedprice", value_scale=100)
+
+
+def _q_event_paths(sf_dir: str):
+    """Top user-journey prefixes (stages/funnel.py event_paths/top_paths):
+    each user's first 3 events in (ts, event_id) order joined into a path
+    string — per-bucket lexsort + ListArray + pc.binary_join, no per-user
+    Python — then the distinct-path table (bounded by vocab^3) counts and
+    ranks."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import top_paths
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    return top_paths(ev, k=50, prefix_len=3)
+
+
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Edit-distance entity resolution (stages/fuzzy.py): distinct p_name
+    values within 3 Levenshtein edits, found via lossless length banding
+    (lev >= |len diff|) and a pair-axis-vectorized DP.  ORACLE: DuckDB's
+    native levenshtein() over the same distinct-value cross join."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.fuzzy import fuzzy_key_pairs
+
+    part = rd.read_parquet(str(Path(sf_dir) / "part.parquet"),
+                           columns=["p_name"])
+    return fuzzy_key_pairs(part, "p_name", max_dist=3)
+
+
 def _q_ranking_analytics(sf_dir: str):
     """ntile / percent_rank / cume_dist over PARTITION BY user (stages/
     analytic.py extended=True): tile boundaries, (rank-1)/(cnt-1) and
@@ -2367,6 +2412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_metrics": _q_eval_metrics,
         "media_predictions": _q_media_predictions,
         "tool_transitions": _q_tool_transitions,
+        "cube_revenue": _q_cube_revenue,
+        "event_paths_top": _q_event_paths,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "media_features": _q_media_features,
         "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,
@@ -3293,6 +3341,36 @@ def oracle_sql() -> dict[str, str]:
         "media_predictions": _sql_media_nb(),
         "wav_stats": _sql_wav_stats(),
         "image_meta": _sql_image_meta(),
+        "cube_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*)::BIGINT AS n_rows,
+                   CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_e2
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "event_paths_top": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ),
+            p AS (
+              SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM r WHERE rn <= 3 GROUP BY user_id
+            )
+            SELECT path, count(*)::BIGINT AS n_users FROM p
+            GROUP BY path ORDER BY n_users DESC, path LIMIT 50
+        """,
+        "fuzzy_name_pairs": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+        """,
         "tool_transitions": _sql_tool_transitions(),
         "users_per_type": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

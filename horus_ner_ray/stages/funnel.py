@@ -28,6 +28,74 @@ from horus_ner_ray.util import worker_runtime_env as _rte
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def event_paths(ds, key_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts", id_col: str = "event_id",
+                prefix_len: int = 3, sep: str = ">", n_buckets: int = 256):
+    """Per-user journey paths: the first ``prefix_len`` events in (ts, id)
+    order joined with ``sep`` — Dataset(user_id, path).  The product-
+    analytics "user journey" primitive funnel_counts is the matching
+    half of.
+
+    Vectorized end-to-end: one lexsort per bucket orders every user's
+    history at once, a cumcount mask takes the prefix, and the per-user
+    concatenation is ``pyarrow.compute.binary_join`` over a ListArray
+    built from the sorted run boundaries — no per-user Python."""
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[key_col], dtype=np.int64).astype(np.uint64)
+        bkt = ((ids * _MIX) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[key_col].to_numpy(np.int64)
+        tv = g[ts_col].to_numpy()
+        t = (tv.view(np.int64) if np.issubdtype(tv.dtype, np.datetime64)
+             else tv.astype(np.int64))
+        i = g[id_col].to_numpy(np.int64)
+        y = g[type_col].to_numpy(object)
+        order = np.lexsort((i, t, u))
+        us, ys = u[order], y[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        # prefix mask: position within the user's run < prefix_len
+        runpos = np.arange(len(us)) - np.repeat(starts,
+                                                np.diff(np.r_[starts, len(us)]))
+        keep = runpos < prefix_len
+        kept_u = us[keep]
+        kept_y = ys[keep]
+        kstarts = np.flatnonzero(np.r_[True, kept_u[1:] != kept_u[:-1]])
+        offsets = np.r_[kstarts, len(kept_u)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(kept_y, pa.string()))
+        paths = pc.binary_join(lst, sep)
+        return pd.DataFrame({
+            "user_id": kept_u[kstarts],
+            "path": np.asarray(paths, dtype=object),
+        })
+
+    return (
+        ds.select_columns([key_col, type_col, ts_col, id_col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+
+def top_paths(ds, k: int = 50, **kwargs):
+    """Top-k most common journey prefixes: (path, n_users), n desc then
+    path asc.  The groupby runs over the path table (one row per user);
+    the final top-k is a sort over the distinct-path table, whose
+    cardinality is bounded by (event-type vocabulary)^prefix_len."""
+    paths = event_paths(ds, **kwargs)
+    counts = paths.groupby("path").count()
+    df = counts.to_pandas().rename(columns={"count()": "n_users"})
+    df["n_users"] = df["n_users"].astype(np.int64)
+    return (df.sort_values(["n_users", "path"], ascending=[False, True],
+                           kind="stable").head(k).reset_index(drop=True))
+
+
 def funnel_counts(ds, steps: list[str], key_col: str = "user_id",
                   type_col: str = "event_type", ts_col: str = "ts",
                   id_col: str = "event_id", n_buckets: int = 256):

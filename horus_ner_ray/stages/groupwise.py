@@ -102,27 +102,18 @@ def stratified_sample(ds, key: str, id_col: str, n_per_group: int,
                            batch_format="pandas", runtime_env=_rte())
 
 
-def rollup_sums(ds, group_cols: list[str], value_col: str,
-                value_scale: int = 1, all_label: str = "ALL"):
-    """GROUP BY ROLLUP(*group_cols): count + exact integer sum at every
-    prefix level (finest, each roll-up, grand total), rolled columns filled
-    with ``all_label`` (SQL's NULL, published COALESCE'd).
+def _sum_col_name(value_scale: int) -> str:
+    return {100: "sum_e2", 1_000_000: "sum_e6"}.get(int(value_scale),
+                                                    "sum_s")
 
-    Scale shape: the corpus is scanned ONCE — a per-batch combiner emits a
-    partial row per (batch, finest-level key), one groupby reduces to the
-    finest level, and every coarser level re-aggregates the PREVIOUS
-    level's (small) result, never the corpus.  Sums are fixed-point int64
-    end-to-end, so every level is order-free and hash-stable.
 
-    Output: ``(*group_cols, n_rows, sum_e{scale})`` — the sum column is
-    named ``sum_e2`` for scale 100, ``sum_e6`` for 1e6, else ``sum_s``.
-    """
+def _grouped_sum_fine(ds, group_cols: list[str], value_col: str,
+                      value_scale: int, sum_col: str):
+    """ONE corpus scan -> finest-level (group_cols, n_rows, sum) table via
+    a per-batch combiner + a single groupby (shared by rollup/cube)."""
     import pyarrow as pa
 
     from ray.data.aggregate import Sum
-
-    sum_col = {100: "sum_e2", 1_000_000: "sum_e6"}.get(int(value_scale),
-                                                       "sum_s")
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(group_cols).to_pandas()
@@ -143,36 +134,100 @@ def rollup_sums(ds, group_cols: list[str], value_col: str,
                      runtime_env=_rte())
         .groupby(group_cols).aggregate(*aggs)
     )
+    return fine, aggs
 
-    def fill(missing: list[str]):
-        def fn(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            for c in missing:
-                batch = batch.append_column(
-                    c, pa.array([all_label] * n, pa.string()))
-            return batch.select([*group_cols, "n_rows", sum_col])
-        return fn
 
+def _fill_missing(group_cols: list[str], missing: list[str], sum_col: str,
+                  all_label: str):
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        for c in missing:
+            batch = batch.append_column(
+                c, pa.array([all_label] * n, pa.string()))
+        return batch.select([*group_cols, "n_rows", sum_col])
+    return fn
+
+
+def _regroup(src, keep: list[str], aggs):
+    """Aggregate a (small) level table down to the ``keep`` columns; the
+    empty subset uses a constant key (grand total)."""
+    import pyarrow as pa
+
+    if keep:
+        return src.groupby(keep).aggregate(*aggs)
+    return (src.map_batches(
+        lambda b: b.append_column("_k", pa.array([0] * len(b), pa.int64())),
+        batch_format="pyarrow", runtime_env=_rte())
+        .groupby("_k").aggregate(*aggs).drop_columns(["_k"]))
+
+
+def rollup_sums(ds, group_cols: list[str], value_col: str,
+                value_scale: int = 1, all_label: str = "ALL"):
+    """GROUP BY ROLLUP(*group_cols): count + exact integer sum at every
+    prefix level (finest, each roll-up, grand total), rolled columns filled
+    with ``all_label`` (SQL's NULL, published COALESCE'd).
+
+    Scale shape: the corpus is scanned ONCE — a per-batch combiner emits a
+    partial row per (batch, finest-level key), one groupby reduces to the
+    finest level, and every coarser level re-aggregates the PREVIOUS
+    level's (small) result, never the corpus.  Sums are fixed-point int64
+    end-to-end, so every level is order-free and hash-stable.
+
+    Output: ``(*group_cols, n_rows, sum_e{scale})`` — the sum column is
+    named ``sum_e2`` for scale 100, ``sum_e6`` for 1e6, else ``sum_s``.
+    """
+    sum_col = _sum_col_name(value_scale)
+    fine, aggs = _grouped_sum_fine(ds, group_cols, value_col, value_scale,
+                                   sum_col)
     levels = [fine]
     prev = fine
     for k in range(len(group_cols) - 1, -1, -1):
-        keep = group_cols[:k]
-        if keep:
-            lvl = prev.groupby(keep).aggregate(*aggs)
-        else:
-            lvl = (prev.map_batches(
-                lambda b: b.append_column("_k", pa.array([0] * len(b),
-                                                         pa.int64())),
-                batch_format="pyarrow", runtime_env=_rte())
-                .groupby("_k").aggregate(*aggs).drop_columns(["_k"]))
-        levels.append(lvl.map_batches(fill(group_cols[k:]),
-                                      batch_format="pyarrow",
-                                      runtime_env=_rte()))
+        lvl = _regroup(prev, group_cols[:k], aggs)
+        levels.append(lvl.map_batches(
+            _fill_missing(group_cols, group_cols[k:], sum_col, all_label),
+            batch_format="pyarrow", runtime_env=_rte()))
         prev = lvl
-    out = levels[0].map_batches(fill([]), batch_format="pyarrow",
-                                runtime_env=_rte())
+    out = levels[0].map_batches(
+        _fill_missing(group_cols, [], sum_col, all_label),
+        batch_format="pyarrow", runtime_env=_rte())
     for lvl in levels[1:]:
         out = out.union(lvl)
+    return out
+
+
+def cube_sums(ds, group_cols: list[str], value_col: str,
+              value_scale: int = 1, all_label: str = "ALL"):
+    """GROUP BY CUBE(*group_cols): count + exact integer sum for EVERY
+    subset of the grouping columns (2^n levels), absent columns filled
+    with ``all_label``.
+
+    Scale shape: same single corpus scan as rollup_sums; every one of the
+    2^n - 1 other levels re-aggregates the FINE table (cardinality =
+    distinct key combinations), never the corpus — CUBE costs 2^n tiny
+    groupbys over a combiner output, not 2^n scans.  n is the number of
+    grouping columns (user-chosen, small); the operator raises above 10
+    columns rather than scheduling 1024 levels silently."""
+    if len(group_cols) > 10:
+        raise ValueError("cube_sums over >10 columns would schedule "
+                         f"2^{len(group_cols)} levels; aggregate a coarser "
+                         "key set instead")
+    sum_col = _sum_col_name(value_scale)
+    fine, aggs = _grouped_sum_fine(ds, group_cols, value_col, value_scale,
+                                   sum_col)
+    out = fine.map_batches(
+        _fill_missing(group_cols, [], sum_col, all_label),
+        batch_format="pyarrow", runtime_env=_rte())
+    n = len(group_cols)
+    for mask in range(2 ** n - 2, -1, -1):  # every proper subset
+        keep = [c for i, c in enumerate(group_cols) if mask & (1 << i)]
+        missing = [c for i, c in enumerate(group_cols)
+                   if not mask & (1 << i)]
+        lvl = _regroup(fine, keep, aggs)
+        out = out.union(lvl.map_batches(
+            _fill_missing(group_cols, missing, sum_col, all_label),
+            batch_format="pyarrow", runtime_env=_rte()))
     return out
 
 

@@ -94,3 +94,40 @@ def test_funnel_native_ns_resolution(ray_session):
     out = (funnel_counts(rd.from_pandas(df), ["view", "click"], n_buckets=4)
            .to_pandas().sort_values("step_idx"))
     assert list(out["n_users"]) == [2, 1]
+
+
+def test_event_paths_and_top_paths(ray_session):
+    """Prefix paths match a pandas reference: (ts, id) order, ns ties
+    broken by event_id, prefix mask, vectorized join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import event_paths, top_paths
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    base = np.datetime64("2025-01-01", "ns")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 80, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "buy"], n),
+        # coarse ts so ties are common and event_id must break them
+        "ts": base + rng.randint(0, 50, n).astype("timedelta64[s]"),
+        "event_id": np.arange(n, dtype=np.int64),
+    })
+    got = (event_paths(rd.from_pandas(df).repartition(6), prefix_len=3,
+                       n_buckets=16)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    want = (df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            .groupby("user_id").head(3)
+            .groupby("user_id")["event_type"].agg(">".join)
+            .rename("path").reset_index())
+    assert list(got["user_id"]) == list(want["user_id"])
+    assert list(got["path"]) == list(want["path"])
+
+    tp = top_paths(rd.from_pandas(df), k=5, prefix_len=3, n_buckets=16)
+    wc = (want.groupby("path").size().rename("n_users").reset_index()
+          .sort_values(["n_users", "path"], ascending=[False, True],
+                       kind="stable").head(5).reset_index(drop=True))
+    assert list(tp["path"]) == list(wc["path"])
+    assert list(tp["n_users"].astype(int)) == list(wc["n_users"].astype(int))

@@ -188,3 +188,51 @@ def test_grouped_count_distinct_and_mode(ray_session):
     assert list(gm["g"]) == list(wm["g"])
     assert list(gm["v"]) == list(wm["v"])
     assert list(gm["n"].astype(int)) == list(wm["n"].astype(int))
+
+
+def test_cube_sums_matches_pandas(ray_session):
+    """Every one of the 2^n CUBE levels equals the pandas reference, for
+    2 and 3 grouping columns."""
+    import itertools
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import cube_sums
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], n),
+        "b": rng.choice(["p", "q"], n),
+        "c": rng.choice(["m", "n"], n),
+        "v": rng.rand(n) * 100,
+    })
+
+    for cols in (["a", "b"], ["a", "b", "c"]):
+        got = (cube_sums(rd.from_pandas(df).repartition(7), cols, "v",
+                         value_scale=100)
+               .to_pandas().sort_values(cols).reset_index(drop=True))
+        assert len(got) == sum(
+            df.groupby(list(sub)).ngroups if sub else 1
+            for r in range(len(cols) + 1)
+            for sub in itertools.combinations(cols, r))
+        cents = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+        ref = df.assign(_c=cents)
+        rows = []
+        for r in range(len(cols) + 1):
+            for sub in itertools.combinations(cols, r):
+                if sub:
+                    g = ref.groupby(list(sub))["_c"].agg(["count", "sum"])
+                    for key, (cnt, s) in g.iterrows():
+                        key = (key,) if len(sub) == 1 else key
+                        full = {c: "ALL" for c in cols}
+                        full.update(dict(zip(sub, key)))
+                        rows.append({**full, "n_rows": cnt, "sum_e2": s})
+                else:
+                    rows.append({**{c: "ALL" for c in cols},
+                                 "n_rows": len(ref), "sum_e2": cents.sum()})
+        want = (pd.DataFrame(rows).sort_values(cols)
+                .reset_index(drop=True)[got.columns])
+        pd.testing.assert_frame_equal(
+            got.astype({"n_rows": np.int64, "sum_e2": np.int64}),
+            want.astype({"n_rows": np.int64, "sum_e2": np.int64}))
