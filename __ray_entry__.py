@@ -1757,6 +1757,29 @@ def _q_image_meta(sf_dir: str):
     return image_header_meta_dataset(media)
 
 
+def _q_jpeg_features(sf_dir: str):
+    """REAL baseline-JPEG entropy decode (round 5; stages/jpeg.py — spec
+    FDCT/Huffman both directions, the encoder supplying conforming test
+    vectors): genuine JPEG payloads -> exact int64 intensity histograms
+    through the load-once actor pool.  Rows-only (SQL cannot state
+    Huffman + IDCT); the codec itself is pinned by tolerance + hash
+    regression pytests (tests/test_jpeg.py)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.media_classify import media_hist_dataset
+    from horus_ner_ray.stages.multimodal import synth_jpeg_media_table
+
+    ds = rd.from_arrow(synth_jpeg_media_table(n=32, seed=19))
+    out = media_hist_dataset(ds, keep_label=False).to_pandas()
+    hist = np.stack(out["hist"].to_numpy()).astype(np.int64)
+    cols = {"media_id": out["media_id"].to_numpy(np.int64),
+            "n_px": out["n_px"].to_numpy(np.int64)}
+    for b in range(hist.shape[1]):
+        cols[f"h{b:02d}"] = hist[:, b]
+    return (pd.DataFrame(cols).sort_values("media_id")
+            .reset_index(drop=True))
+
+
 def _q_window_analytics(sf_dir: str):
     """SQL window-function family (row_number/lag/running-sum/rank/
     dense_rank) over PARTITION BY user ORDER BY (ts, event_id) — the
@@ -2415,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": _q_cube_revenue,
         "event_paths_top": _q_event_paths,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "jpeg_features": _q_jpeg_features,
         "media_features": _q_media_features,
         "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,

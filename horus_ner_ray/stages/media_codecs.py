@@ -17,6 +17,9 @@ Scope (declared, checked, raising ``ValueError`` outside it):
 - BMP: BITMAPINFOHEADER, uncompressed, 24-bit BGR or 8-bit paletted,
   bottom-up or top-down.
 - WAV: integer PCM 8/16/32-bit via stdlib ``wave``.
+- JPEG: baseline SOF0 encode + decode live in ``stages/jpeg.py`` (round
+  5; lossy, so tested by tolerance + pinned decodes rather than byte
+  round-trips); ``decode_image`` dispatches on the SOI magic.
 
 Encoders (PNG/BMP/WAV) exist so tests can round-trip known pixels
 byte-for-byte and so resize stages can re-emit a standard container.
@@ -284,9 +287,13 @@ def wav_features(data: bytes) -> dict:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff PNG/BMP and decode to a uint8 pixel array."""
+    """Sniff PNG/BMP/JPEG and decode to a uint8 pixel array."""
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
         return bmp_decode(data)
-    raise ValueError("unsupported image container (PNG/BMP supported)")
+    if data[:2] == b"\xff\xd8":
+        from horus_ner_ray.stages.jpeg import jpeg_decode
+
+        return jpeg_decode(data)
+    raise ValueError("unsupported image container (PNG/BMP/JPEG supported)")

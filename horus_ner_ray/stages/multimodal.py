@@ -10,16 +10,16 @@ Pillow needed); ``decoder="fake"`` remains the deterministic seedable
 stand-in for formats outside that scope.
 
 SCOPE (declared): PNG, BMP and WAV pixel/sample decode+encode are fully
-implemented and byte-exact-tested; JPEG and GIF are parsed for
-dimensions/metadata ONLY (``_jpeg_dims``/``_gif_dims`` read the container
-headers, never entropy-coded payloads).  A spec-correct baseline-JPEG
-entropy decoder (Huffman + dequant + IDCT + chroma upsampling) is
-deliberately out of scope: with no JPEG *encoder* available in this
-environment there is no independent way to generate conforming test
-vectors, and an untestable decoder is worse than a declared boundary.
-Every pixel-consuming operator (feature extraction, resize, the trained
-media classifier in ``stages/media_classify.py``) runs on the real
-PNG/BMP path.
+implemented and byte-exact-tested.  JPEG gained a REAL baseline codec in
+round 5 (``stages/jpeg.py``: spec FDCT/IDCT, Annex-K tables, Huffman
+entropy coding BOTH directions — the encoder provides the conforming
+test vectors the round-4 scope note said were missing; lossy, so tested
+by tolerance bounds + pinned decodes instead of byte round-trips, and
+``decode_image`` dispatches on the SOI magic).  GIF remains
+dimensions/metadata only (``_gif_dims`` reads the header, never LZW
+payloads).  Every pixel-consuming operator (feature extraction, resize,
+the trained media classifier in ``stages/media_classify.py``) runs on
+the real PNG/BMP/JPEG path.
 
 Sizing note (task brief "memory-aware"): binary rows are wide — these
 stages use small ``batch_size`` (default 64) so batch x concurrency stays
@@ -366,6 +366,41 @@ def synth_real_media_table(n: int = 48, seed: int = 42) -> pa.Table:
             payloads.append(wav_encode(x, sr))
             types.append("audio/wav")
             h = w = 0
+        mids.append(i)
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    }, schema=MEDIA_SCHEMA)
+
+
+def synth_jpeg_media_table(n: int = 32, seed: int = 19) -> pa.Table:
+    """Deterministic table of GENUINE baseline JPEGs (stages/jpeg.py
+    encoder): gray and RGB, mixed qualities, non-multiple-of-8 dims —
+    conforming test vectors for the real entropy decoder."""
+    from horus_ner_ray.stages.jpeg import jpeg_encode
+
+    rng = np.random.RandomState(seed)
+    mids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        h, w = int(rng.randint(5, 40)), int(rng.randint(5, 40))
+        q = int(rng.choice([60, 80, 90, 95]))
+        if i % 2 == 0:
+            # smooth gradient gray (realistic transform-coded content)
+            px = ((np.add.outer(np.arange(h), np.arange(w)) * 3
+                   + int(rng.randint(0, 64))) % 256).astype(np.uint8)
+        else:
+            px = np.zeros((h, w, 3), np.uint8)
+            px[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+            px[..., 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+            px[..., 2] = int(rng.randint(0, 256))
+        payloads.append(jpeg_encode(px, quality=q))
+        types.append("image/jpeg")
         mids.append(i)
         ws.append(w)
         hs.append(h)
