@@ -1780,6 +1780,76 @@ def _q_jpeg_features(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_gif_pixels(sf_dir: str):
+    """REAL GIF LZW decode (round 5; stages/gif.py — variable-width LZW
+    both directions, color tables, 4-pass interlace): genuine GIF89a
+    payloads -> exact per-image pixel stats (count, 16-bin histogram,
+    position-weighted sum) through the load-once actor pool.  ORACLE:
+    GIF is lossless and the synth pixels are a closed form in
+    (media_id, row, col[, channel]), so the SQL re-derives the expected
+    decoded raster with generate_series arithmetic — the wsum term pins
+    every sample to its exact position, so LZW/deinterlace defects break
+    the hash even when the histogram would survive them."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        decode_pixel_stats_dataset,
+        synth_gif_media_table,
+    )
+
+    ds = rd.from_arrow(synth_gif_media_table(n=30))
+    out = decode_pixel_stats_dataset(ds).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _sql_gif_pixels(n: int = 30) -> str:
+    """DuckDB oracle for gif_pixels: re-derives the closed-form raster of
+    synth_gif_media_table / gif_pattern_pixels (multimodal.py) purely in
+    SQL — image dims and per-pixel values are integer arithmetic in
+    (media_id, row, col[, channel]) — and aggregates the same count /
+    position-weighted sum / 16-bin histogram the Ray side computes from
+    the ACTUAL decoded LZW bytes.  Losslessness of GIF is the bridge:
+    decode(encode(pattern)) == pattern, so any codec or row-order defect
+    on the Ray side diverges from this SQL."""
+    hist_cols = ",\n               ".join(
+        f"SUM(CASE WHEN val // 16 = {b} THEN 1 ELSE 0 END)::BIGINT AS h{b:02d}"
+        for b in range(16))
+    return f"""
+        WITH imgs AS (
+          SELECT i::BIGINT AS media_id,
+                 (5 + (i*7) % 29)::BIGINT AS h,
+                 (5 + (i*11) % 31)::BIGINT AS w
+          FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+        ),
+        rws AS (SELECT media_id, h, w, unnest(generate_series(0, h - 1)) AS r FROM imgs),
+        cells AS (SELECT media_id, h, w, r, unnest(generate_series(0, w - 1)) AS c FROM rws),
+        gray AS (
+          SELECT media_id, r*w + c + 1 AS pos,
+                 ((1 + media_id % 5)*r + (1 + media_id % 7)*c + (media_id*13) % 256) % 256 AS val
+          FROM cells WHERE media_id % 2 = 0
+        ),
+        rgbc AS (
+          SELECT media_id, w, r, c, unnest(generate_series(0, 2)) AS ch
+          FROM cells WHERE media_id % 2 = 1
+        ),
+        rgb AS (
+          SELECT media_id, (r*w + c)*3 + ch + 1 AS pos,
+                 CASE ch
+                   WHEN 0 THEN (((r + 3*c + media_id) % (7 + media_id % 9))*37 + media_id) % 256
+                   WHEN 1 THEN (((r + 3*c + media_id) % (7 + media_id % 9))*59 + 2*media_id) % 256
+                   ELSE        (((r + 3*c + media_id) % (7 + media_id % 9))*83 + 3*media_id) % 256
+                 END AS val
+          FROM rgbc
+        ),
+        allpx AS (SELECT * FROM gray UNION ALL SELECT * FROM rgb)
+        SELECT media_id,
+               COUNT(*)::BIGINT AS n_px,
+               SUM(val * pos)::BIGINT AS wsum,
+               {hist_cols}
+        FROM allpx GROUP BY media_id ORDER BY media_id
+    """
+
+
 def _q_window_analytics(sf_dir: str):
     """SQL window-function family (row_number/lag/running-sum/rank/
     dense_rank) over PARTITION BY user ORDER BY (ts, event_id) — the
@@ -2439,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_paths_top": _q_event_paths,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "jpeg_features": _q_jpeg_features,
+        "gif_pixels": _q_gif_pixels,
         "media_features": _q_media_features,
         "wav_stats": _q_wav_stats,
         "image_meta": _q_image_meta,
@@ -3364,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "topic_predictions": _sql_topic_predictions(),
         "media_predictions": _sql_media_nb(),
         "wav_stats": _sql_wav_stats(),
+        "gif_pixels": _sql_gif_pixels(),
         "image_meta": _sql_image_meta(),
         "cube_revenue": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

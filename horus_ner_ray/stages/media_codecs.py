@@ -20,6 +20,9 @@ Scope (declared, checked, raising ``ValueError`` outside it):
 - JPEG: baseline SOF0 encode + decode live in ``stages/jpeg.py`` (round
   5; lossy, so tested by tolerance + pinned decodes rather than byte
   round-trips); ``decode_image`` dispatches on the SOI magic.
+- GIF: LZW encode + decode live in ``stages/gif.py`` (round 5; lossless,
+  pixel-exact round-trip-tested incl. interlace); ``decode_image``
+  dispatches on the GIF87a/89a magic.
 
 Encoders (PNG/BMP/WAV) exist so tests can round-trip known pixels
 byte-for-byte and so resize stages can re-emit a standard container.
@@ -287,7 +290,7 @@ def wav_features(data: bytes) -> dict:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff PNG/BMP/JPEG and decode to a uint8 pixel array."""
+    """Sniff PNG/BMP/JPEG/GIF and decode to a uint8 pixel array."""
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return png_decode(data)
     if data[:2] == b"BM":
@@ -296,4 +299,8 @@ def decode_image(data: bytes) -> np.ndarray:
         from horus_ner_ray.stages.jpeg import jpeg_decode
 
         return jpeg_decode(data)
-    raise ValueError("unsupported image container (PNG/BMP/JPEG supported)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from horus_ner_ray.stages.gif import gif_decode
+
+        return gif_decode(data)
+    raise ValueError("unsupported image container (PNG/BMP/JPEG/GIF supported)")

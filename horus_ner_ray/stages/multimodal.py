@@ -15,11 +15,13 @@ round 5 (``stages/jpeg.py``: spec FDCT/IDCT, Annex-K tables, Huffman
 entropy coding BOTH directions — the encoder provides the conforming
 test vectors the round-4 scope note said were missing; lossy, so tested
 by tolerance bounds + pinned decodes instead of byte round-trips, and
-``decode_image`` dispatches on the SOI magic).  GIF remains
-dimensions/metadata only (``_gif_dims`` reads the header, never LZW
-payloads).  Every pixel-consuming operator (feature extraction, resize,
-the trained media classifier in ``stages/media_classify.py``) runs on
-the real PNG/BMP/JPEG path.
+``decode_image`` dispatches on the SOI magic).  GIF gained a REAL LZW
+codec too (``stages/gif.py``: variable-width LZW both directions,
+global/local color tables, 4-pass interlace; lossless, so pixel-exact
+round-trip-tested).  Every pixel-consuming operator (feature
+extraction, resize, the trained media classifier in
+``stages/media_classify.py``) runs on the real PNG/BMP/JPEG/GIF path —
+no dims-only image format remains.
 
 Sizing note (task brief "memory-aware"): binary rows are wide — these
 stages use small ``batch_size`` (default 64) so batch x concurrency stays
@@ -412,6 +414,96 @@ def synth_jpeg_media_table(n: int = 32, seed: int = 19) -> pa.Table:
         "height": pa.array(hs, pa.int32()),
         "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
     }, schema=MEDIA_SCHEMA)
+
+
+def gif_pattern_pixels(i: int) -> np.ndarray:
+    """Closed-form pixel pattern for synth GIF #i — every value is pure
+    integer arithmetic in (i, row, col[, channel]) so an ANSI-SQL oracle
+    can re-derive the expected decoded raster with generate_series (GIF
+    LZW is lossless, so decode(encode(pattern)) must equal the pattern
+    exactly; the SQL states the pattern, the Ray side decodes real LZW
+    bytes, and any codec defect breaks the hash)."""
+    h = 5 + (i * 7) % 29
+    w = 5 + (i * 11) % 31
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    if i % 2 == 0:
+        # grayscale gradient: (a*r + b*c + d) % 256
+        a, b, d = 1 + i % 5, 1 + i % 7, (i * 13) % 256
+        return ((a * r + b * c + d) % 256).astype(np.uint8)
+    # paletted RGB: K distinct colors, index m = (r + 3c + i) % K
+    k = 7 + i % 9
+    m = (r + 3 * c + i) % k
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[:, :, 0] = (m * 37 + i) % 256
+    px[:, :, 1] = (m * 59 + 2 * i) % 256
+    px[:, :, 2] = (m * 83 + 3 * i) % 256
+    return px
+
+
+def synth_gif_media_table(n: int = 30) -> pa.Table:
+    """Deterministic table of GENUINE GIF89a payloads (stages/gif.py
+    encoder) over the closed-form patterns above: gray and paletted RGB,
+    every third image written in 4-pass interlaced row order so the
+    decode path's deinterlacer is on the verified path."""
+    from horus_ner_ray.stages.gif import gif_encode
+
+    mids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        px = gif_pattern_pixels(i)
+        payloads.append(gif_encode(px, interlace=(i % 3 == 0)))
+        types.append("image/gif")
+        mids.append(i)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    }, schema=MEDIA_SCHEMA)
+
+
+class DecodePixelStats:
+    """Actor-pool stage: REAL image decode -> exact integer pixel stats
+    per media row: sample count, 16-bin intensity histogram, and the
+    position-weighted sum ``sum(value * (flat_index + 1))`` — the weight
+    pins every sample to its exact raster position, so row-order defects
+    (e.g. a broken deinterlacer) change the answer even though the
+    histogram alone would not."""
+
+    def __init__(self):
+        from horus_ner_ray.stages.media_codecs import decode_image
+
+        self._decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_px, wsum = [], []
+        hist = np.zeros((len(batch), 16), dtype=np.int64)
+        for j, p in enumerate(batch["payload"]):
+            flat = self._decode(p.as_py()).reshape(-1).astype(np.int64)
+            n_px.append(len(flat))
+            wsum.append(int(np.dot(flat, np.arange(1, len(flat) + 1, dtype=np.int64))))
+            hist[j] = np.bincount(flat // 16, minlength=16)[:16]
+        out = {"media_id": batch["media_id"],
+               "n_px": pa.array(n_px, pa.int64()),
+               "wsum": pa.array(wsum, pa.int64())}
+        for b in range(16):
+            out[f"h{b:02d}"] = pa.array(hist[:, b], pa.int64())
+        return pa.table(out)
+
+
+def decode_pixel_stats_dataset(media_ds, batch_size: int = 64,
+                               concurrency: int = 2):
+    from horus_ner_ray.util import worker_runtime_env
+
+    return media_ds.select_columns(["media_id", "payload"]).map_batches(
+        DecodePixelStats, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        runtime_env=worker_runtime_env(),
+    )
 
 
 def audio_features_batch(batch: pa.Table, payload_col: str = "payload",
