@@ -744,6 +744,154 @@ def _sql_embedding_lsh(threshold: float = 0.4, seed: int = 42,
     """
 
 
+def _doc_vocab_hash_values() -> str:
+    """(term, hash64) VALUES rows for the full tokenizer vocabulary of the
+    oracle sf's documents table (31 terms on the synth corpus family) —
+    the seeded-constant-inlining precedent of ``_sql_embedding_lsh``: the
+    one non-SQL primitive (pandas' SipHash in ``dedupe._hash_strings``) is
+    evaluated in Python over the closed vocabulary and inlined; every
+    downstream step (shingle polynomial, permutations, banding, bit votes)
+    is restated in SQL proper."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.stages.dedupe import _hash_strings
+
+    path = f"/root/testdata/sf{_oracle_sf()}/documents.parquet"
+    vocab: set[str] = set()
+    for s in pq.read_table(path, columns=["text"])["text"].to_pylist():
+        vocab.update(re.findall(_TOKRE, s.lower()))
+    terms = sorted(vocab)
+    h = _hash_strings(np.asarray(terms, dtype=object))
+    return ", ".join(f"('{w}', {int(x)}::UBIGINT)" for w, x in zip(terms, h))
+
+
+def _sql_simhash() -> str:
+    """SQL replica of ``dedupe.simhash_signatures``: per doc, every token
+    OCCURRENCE votes +1/-1 on each of 64 bits of its term hash; bit j of
+    the signature is set iff the vote sum is strictly positive; zero-token
+    docs get signature 0.  Term hashes come from ``_doc_vocab_hash_values``
+    (inlined seeded constants); the uint64 signature is re-signed to the
+    engine's int64 view via the two's-complement CASE."""
+    return f"""
+        WITH th(term, h) AS (VALUES {_doc_vocab_hash_values()}),
+        tok AS (
+          SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+        ),
+        bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+        votes AS (
+          SELECT t.doc_id, b.bit,
+                 sum(CASE WHEN (th.h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM tok t JOIN th USING (term) CROSS JOIN bits b
+          GROUP BY 1, 2
+        ),
+        sigu AS (
+          SELECT doc_id,
+                 sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS s
+          FROM votes GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(CASE WHEN coalesce(g.s, 0) >= (1::HUGEINT << 63)
+                         THEN coalesce(g.s, 0) - (1::HUGEINT << 64)
+                         ELSE coalesce(g.s, 0) END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN sigu g USING (doc_id)
+    """
+
+
+def _sql_minhash_pairs(max_bucket: int = 200) -> str:
+    """SQL replica of ``dedupe.minhash_candidate_pairs`` (default config:
+    64 perms x 16 bands x 4 rows, k=3 word shingles).  All mod-2^64
+    wraparound arithmetic (the shingle polynomial ``sh*MIX + th`` and the
+    band fold) is restated exactly with a 32-bit-split multiply in HUGEINT
+    (``a*MIX mod 2^64`` = hi-cross terms mod 2^32, shifted, plus lo*lo);
+    the (a_p*x + b_p) universal hash wraps mod 2^64 BEFORE the Mersenne
+    mod, matching numpy's uint64 overflow semantics.  Sentinels: 0-token
+    docs shingle to 0xDEAD, 1-2-token docs to hash(first)*MIX.  Pair
+    emission replicates the deterministic ``max_bucket`` smallest-doc-ids
+    truncation and the cross-band distinct.  Seeded constants inlined:
+    term hashes (``_doc_vocab_hash_values``) and the RandomState(seed)
+    permutation params — the ``_sql_embedding_lsh`` precedent."""
+    from horus_ner_ray.stages.dedupe import _MERSENNE, _MIX, _minhash_params
+
+    cfg = PipelineConfig()
+    a, b = _minhash_params(cfg)
+    rpb = cfg.rows_per_band()
+    assert rpb == 4, "SQL band-fold pivot is written for rows_per_band == 4"
+    perm_vals = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(cfg.minhash_perms)
+    )
+    mix = int(_MIX)
+    mers = int(_MERSENNE)
+    m64 = 1 << 64
+    bl, bh = mix & 0xFFFFFFFF, mix >> 32
+
+    def mul64(col: str) -> str:
+        # (col * MIX) mod 2^64 for col in [0, 2^64): split MIX into 32-bit
+        # halves so no intermediate product exceeds HUGEINT's 2^127 range
+        return (
+            f"((((({col} >> 32) * {bl} + ({col} & 4294967295) * {bh}) % 4294967296)"
+            f" * 4294967296 + ({col} & 4294967295) * {bl}) % {m64})"
+        )
+
+    return f"""
+        WITH th(term, h) AS (VALUES {_doc_vocab_hash_values()}),
+        perms(p, pa, pb) AS (VALUES {perm_vals}),
+        arrs AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+        tokh AS (
+          SELECT a.doc_id, i.i, th.h::HUGEINT AS h
+          FROM arrs a, unnest(generate_series(1, len(a.arr))) AS i(i)
+          JOIN th ON th.term = a.arr[i.i]
+        ),
+        w1 AS (
+          SELECT t0.doc_id, t0.i, ({mul64('t0.h')} + t1.h) % {m64} AS v
+          FROM tokh t0 JOIN tokh t1 ON t1.doc_id = t0.doc_id AND t1.i = t0.i + 1
+        ),
+        w2 AS (
+          SELECT w1.doc_id, ({mul64('w1.v')} + t2.h) % {m64} AS sh
+          FROM w1 JOIN tokh t2 ON t2.doc_id = w1.doc_id AND t2.i = w1.i + 2
+        ),
+        lens AS (SELECT doc_id, len(arr) AS n, arr FROM arrs),
+        sent AS (
+          SELECT doc_id, 57005::HUGEINT AS sh FROM lens WHERE n = 0
+          UNION ALL
+          SELECT l.doc_id, {mul64('th.h::HUGEINT')} AS sh
+          FROM lens l JOIN th ON th.term = l.arr[1] WHERE l.n > 0 AND l.n < 3
+        ),
+        shing AS (
+          SELECT DISTINCT doc_id, sh
+          FROM (SELECT doc_id, sh FROM w2 UNION ALL SELECT doc_id, sh FROM sent)
+        ),
+        hx AS (
+          SELECT s.doc_id, pr.p,
+                 (((pr.pa * (s.sh % {mers})) % {m64} + pr.pb) % {m64}) % {mers} AS v
+          FROM shing s CROSS JOIN perms pr
+        ),
+        sig AS (SELECT doc_id, p, min(v) AS v FROM hx GROUP BY 1, 2),
+        piv AS (
+          SELECT doc_id, p // {rpb} AS band,
+                 max(CASE WHEN p % {rpb} = 0 THEN v END) AS s0,
+                 max(CASE WHEN p % {rpb} = 1 THEN v END) AS s1,
+                 max(CASE WHEN p % {rpb} = 2 THEN v END) AS s2,
+                 max(CASE WHEN p % {rpb} = 3 THEN v END) AS s3
+          FROM sig GROUP BY 1, 2
+        ),
+        f1 AS (SELECT doc_id, band, s2, s3, ({mul64('s0')} + s1) % {m64} AS acc FROM piv),
+        f2 AS (SELECT doc_id, band, s3, ({mul64('acc')} + s2) % {m64} AS acc FROM f1),
+        f3 AS (SELECT doc_id, band, ({mul64('acc')} + s3) % {m64} AS bh FROM f2),
+        ranked AS (
+          SELECT band, bh, doc_id,
+                 row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rk
+          FROM f3
+        ),
+        kept AS (SELECT * FROM ranked WHERE rk <= {max_bucket})
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM kept x JOIN kept y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    """
+
+
 # --- rows-only checks (non-SQL-expressible; see SURVEY.md section 5) -------
 
 
@@ -3370,6 +3518,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_weighted": _sql_transcripts_bm25_weighted(),
         "bm25_phrase": _sql_bm25_phrase(),
         "embedding_dups_lsh": _sql_embedding_lsh(),
+        "simhash": _sql_simhash(),
+        "minhash_pairs": _sql_minhash_pairs(),
         "embedding_dups": """
             SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
                    CAST(FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
