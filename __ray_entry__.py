@@ -46,6 +46,15 @@ DOC_QUERIES = [
     "zzzqnotfound",
 ]
 DOC_AND_QUERIES = ["batch join", "customer slow", "spark merge window", "scan zzzqnotfound"]
+# trailing-wildcard queries: s* expands to 6 terms, xyzq* to none
+PREFIX_QUERIES = ["s* filter", "qu* wind*", "gr* merge ta*", "xyzq*"]
+# (query, boolean-NOT clause): docs containing any excluded term drop
+NOT_QUERIES = [
+    ("batch join", "slow"),
+    ("data stream filter", "sort merge"),
+    ("scan", "zzzqnotfound"),   # absent exclusion == plain search
+    ("window", "window"),       # self-exclusion == empty result
+]
 TOPK = 10
 
 _STOPLIST = (
@@ -191,6 +200,29 @@ def _q_bm25_topk(sf_dir: str):
 
 def _q_bm25_topk_and(sf_dir: str):
     return _bm25_topk_frame(sf_dir, DOC_AND_QUERIES, "and")
+
+
+def _q_bm25_topk_prefix(sf_dir: str):
+    """Trailing-wildcard search: ``s*`` expands over the sorted dictionary
+    (one binary-search range), the union scores as a plain OR query.  The
+    SQL oracle performs the same expansion with LIKE over its df table —
+    the expansion itself is checked, not inlined."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_prefix(t, TOPK * 3 + 20) for t in PREFIX_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_topk_not(sf_dir: str):
+    """Boolean-NOT search: docs containing any excluded term are masked
+    before top-k (one postings decode per excluded term); survivor scores
+    are untouched, so ranks stay bitwise oracle-identical."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search(t, TOPK * 3 + 20, exclude=ex) for t, ex in NOT_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
 
@@ -2647,6 +2679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_topk_prefix": _q_bm25_topk_prefix,
+        "bm25_topk_not": _q_bm25_topk_not,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
         "eval_confusion": _q_eval_confusion,
@@ -2761,13 +2795,23 @@ def _sql_values_queries(texts: list[str]) -> str:
 def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               role: str | None = None,
               ts_window: tuple[str, str] | None = None,
-              role_weights: dict[str, float] | None = None) -> str:
+              role_weights: dict[str, float] | None = None,
+              q_sql: str | None = None,
+              exclude_rows: str | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
     ``role`` / ``ts_window`` post-filter ranked docs by documents.role /
     documents.ts — collection statistics stay global, matching the
-    engine's filtered-search semantics."""
+    engine's filtered-search semantics.
+
+    ``q_sql`` replaces the (query_id, term) VALUES body — the wildcard
+    oracle derives its expansions from ``dfv`` with LIKE there, keeping
+    the expansion itself in SQL.  ``exclude_rows`` is a (query_id, term)
+    VALUES list of boolean-NOT terms: any ranked doc containing one of
+    its query's excluded terms is dropped before top-k (NOT EXISTS over
+    tf), scores of survivors untouched — the engine's ``exclude=``
+    semantics."""
     joins: list[str] = []
     wheres: list[str] = []
     if conjunctive:
@@ -2788,6 +2832,15 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
         case = " ".join(f"WHEN '{r}' THEN {float(w)!r}"
                         for r, w in sorted(role_weights.items()))
         sexpr = f"(score * (CASE dm.role {case} ELSE 1.0 END))"
+    qex = ""
+    if exclude_rows is not None:
+        qex = f"qex(query_id, term) AS (VALUES {exclude_rows}),\n"
+        wheres.append(
+            "NOT EXISTS (SELECT 1 FROM qex e JOIN tf x ON x.term = e.term"
+            " AND x.doc_id = scored.doc_id WHERE e.query_id = scored.query_id)"
+        )
+    q_body = (f"q(query_id, term) AS (VALUES {_sql_values_queries(texts)})"
+              if q_sql is None else f"q AS ({q_sql})")
     and_filter = " ".join(joins)
     if wheres:
         and_filter += " WHERE " + " AND ".join(wheres)
@@ -2802,7 +2855,7 @@ stats AS (
          (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
 ),
 dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
-q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+{qex}{q_body},
 scored AS (
   SELECT q.query_id, tf.doc_id,
          sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
@@ -2827,6 +2880,37 @@ ranked AS (
 )
 SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
+
+
+def _sql_bm25_prefix() -> str:
+    """Wildcard oracle: the per-query term set is the UNION (set
+    semantics, matching the engine's sorted-set expansion) of literal
+    VALUES rows and LIKE-prefix selections from ``dfv`` — the dictionary
+    expansion happens in SQL, so the oracle checks it rather than
+    inlining it."""
+    from horus_ner_ray.pipelines.query import parse_prefix_query
+
+    parts: list[str] = []
+    for qid, text in enumerate(PREFIX_QUERIES):
+        lits, pres = parse_prefix_query(text)
+        if lits:
+            rows = ", ".join(f"({qid}, '{t}')" for t in lits)
+            parts.append(f"SELECT * FROM (VALUES {rows}) v(query_id, term)")
+        for p in pres:
+            parts.append(
+                f"SELECT {qid} AS query_id, term FROM dfv WHERE term LIKE '{p}%'")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_bm25_not() -> str:
+    import re
+
+    ex_rows: list[str] = []
+    for qid, (_t, ex) in enumerate(NOT_QUERIES):
+        for term in sorted(set(re.findall(_TOKRE, ex.lower()))):
+            ex_rows.append(f"({qid}, '{term}')")
+    return _sql_bm25([t for t, _ in NOT_QUERIES], conjunctive=False,
+                     exclude_rows=", ".join(ex_rows))
 
 
 def _oracle_sf() -> str:
@@ -3124,6 +3208,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
+        "bm25_topk_prefix": _sql_bm25_prefix(),
+        "bm25_topk_not": _sql_bm25_not(),
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "quality": f"""
             SELECT doc_id,

@@ -58,6 +58,24 @@ def query_terms(text: str) -> list[str]:
     return sorted(set(_TOKEN_RE.findall(text.lower())))
 
 
+_PREFIX_RE = re.compile(r"[a-z0-9]+\*?")
+
+
+def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
+    """Shared wildcard-query parsing rule: ``(literals, prefixes)`` — a
+    token ending in ``*`` is a trailing-wildcard prefix, anything else a
+    literal term; both sides deduplicated and sorted."""
+    lits: set[str] = set()
+    pres: set[str] = set()
+    for tok in _PREFIX_RE.findall(text.lower()):
+        if tok.endswith("*"):
+            pres.add(tok[:-1])
+        else:
+            lits.add(tok)
+    pres.discard("")
+    return sorted(lits), sorted(pres)
+
+
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -192,10 +210,26 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Oracle wildcard search: trailing-``*`` tokens expand to every
+        vocabulary term with that prefix; union scores as a plain OR."""
+        literals, prefixes = parse_prefix_query(text)
+        expanded: set[str] = set(literals)
+        for p in prefixes:
+            expanded.update(t for t in self.postings if t.startswith(p))
+        terms = sorted(t for t in expanded if t in self.postings)
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:  # ascending term order == engine accumulation order
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search(self, text: str, k: int = 10, mode: str = "or",
                role: str | None = None, tool: str | None = None,
                ts_min=None, ts_max=None,
                role_weights: dict[str, float] | None = None,
+               exclude: str | None = None,
                ) -> list[tuple[int, float]]:
         """``role``/``tool``/``ts_min``/``ts_max`` restrict the RESULT set
         to matching docs; collection statistics (idf, avgdl, N) stay
@@ -216,13 +250,17 @@ class BruteForceBM25:
                 cand = docs if cand is None else (cand & docs)
             if not cand:
                 return []
+        banned: set[int] = set()
+        if exclude:
+            for t in query_terms(exclude):
+                banned.update(d for d, _ in self.postings.get(t, ()))
         scores: dict[int, float] = defaultdict(float)
         for t in terms:  # ascending term order == engine accumulation order
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
             for d, f in self.postings[t]:
                 if mode == "and" and d not in cand:
                     continue
-                if not self._passes(d, role, tool, ts_min, ts_max):
+                if d in banned or not self._passes(d, role, tool, ts_min, ts_max):
                     continue
                 scores[d] += self._contrib(idf, f, self.dl[d])
         if role_weights is not None:
@@ -326,6 +364,62 @@ class QueryEngine:
         if i < len(self._vocab) and self._vocab[i] == term:
             return int(self._df[i])
         return 0
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """All dictionary terms starting with ``prefix`` (sorted) — one
+        binary-search range over the sorted global vocab, no scan.  The
+        token alphabet is [a-z0-9], so bumping the last codepoint gives an
+        exact exclusive upper bound."""
+        if not prefix:
+            return []
+        lo = int(np.searchsorted(self._vocab, prefix))
+        hi = int(np.searchsorted(
+            self._vocab, prefix[:-1] + chr(ord(prefix[-1]) + 1)))
+        return [str(t) for t in self._vocab[lo:hi]]
+
+    def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Wildcard search: tokens ending in ``*`` expand to every
+        dictionary term with that prefix (trailing-wildcard syntax, the
+        classic fulltext-engine feature); literals and expansions union
+        under set semantics and score as a plain OR query — same
+        arithmetic, ascending-term accumulation, so ranks stay bitwise
+        oracle-identical."""
+        literals, prefixes = parse_prefix_query(text)
+        expanded: set[str] = set(literals)
+        for p in prefixes:
+            expanded.update(self.expand_prefix(p))
+        terms = sorted(t for t in expanded if self.global_df(t) > 0)
+        if not terms:
+            return []
+        idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            d, s = self._score_shard_or(si, terms, idfs, k)
+            docs.append(d)
+            scores.append(s)
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
+    def _exclude_mask(self, si: int, terms: list[str]) -> np.ndarray | None:
+        """Local-index bool mask that is False for every doc containing ANY
+        of ``terms`` (boolean NOT): one postings decode per excluded term,
+        no text access.  None when no excluded term exists in this shard."""
+        r = self._reader(si)
+        mask: np.ndarray | None = None
+        for t in terms:
+            ti = r.term_index(t)
+            if ti is None:
+                continue
+            _d, _tf, li = r.postings_local(ti)
+            if mask is None:
+                mask = np.ones(len(r.docids), dtype=bool)
+            mask[li] = False
+        return mask
 
     def _reader(self, si: int) -> ShardReader:
         r = self._readers.get(si)
@@ -728,6 +822,7 @@ class QueryEngine:
                expand_terms: int = 0, role: str | None = None,
                tool: str | None = None, ts_min=None, ts_max=None,
                role_weights: dict[str, float] | None = None,
+               exclude: str | None = None,
                ) -> list[tuple[int, float]]:
         """``expand_terms=k`` unions each query term's k nearest
         term-vector neighbors before OR scoring (recall expansion;
@@ -742,7 +837,12 @@ class QueryEngine:
         by its role's weight (field-weighted BM25 — one multiply after
         accumulation, composable with the filters).  Collection statistics
         stay global — standard filtered-search semantics, shared with the
-        brute-force oracle."""
+        brute-force oracle.
+
+        ``exclude`` is a boolean-NOT clause: docs containing ANY of its
+        terms are dropped BEFORE top-k (one postings decode per excluded
+        term, composable with the field filters; scores of survivors are
+        untouched)."""
         base = query_terms(text)
         if expand_terms > 0:
             if mode != "or":
@@ -756,11 +856,17 @@ class QueryEngine:
         idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
         score_fn = self._score_shard_or if mode == "or" else self._score_shard_and
         filtered = any(x is not None for x in (role, tool, ts_min, ts_max))
+        excl = ([t for t in query_terms(exclude) if self.global_df(t) > 0]
+                if exclude else [])
         docs: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):  # per-shard top-k heaps
             m = (self._filter_mask(si, role, tool, ts_min, ts_max)
                  if filtered else None)
+            if excl:
+                em = self._exclude_mask(si, excl)
+                if em is not None:
+                    m = em if m is None else (m & em)
             w = (self._weight_vec(si, role_weights)
                  if role_weights is not None else None)
             d, s = score_fn(si, terms, idfs, k, mask=m, wvec=w)

@@ -1,0 +1,115 @@
+"""Boolean-NOT (exclude=) and trailing-wildcard (search_prefix) search:
+engine vs brute-force rank identity, dictionary-expansion correctness,
+edge semantics (absent exclusion, self-exclusion, empty expansion)."""
+
+import pytest
+
+from horus_ner_ray.pipelines.query import (
+    BruteForceBM25,
+    QueryEngine,
+    parse_prefix_query,
+)
+from horus_ner_ray.synth import reference_queries
+
+
+@pytest.fixture(scope="module")
+def engines(built_index, small_corpus):
+    idx, _res = built_index
+    return QueryEngine(idx), BruteForceBM25.from_corpus_files(small_corpus)
+
+
+def test_parse_prefix_query():
+    assert parse_prefix_query("ab* cd EF* cd") == (["cd"], ["ab", "ef"])
+    assert parse_prefix_query("* !!") == ([], [])
+    assert parse_prefix_query("x") == (["x"], [])
+
+
+def test_expand_prefix_equals_linear_scan(engines):
+    eng, _bf = engines
+    vocab = [str(t) for t in eng._vocab]
+    for p in ("a", "th", "s", "da", "zzz", "q"):
+        want = sorted(t for t in vocab if t.startswith(p))
+        assert eng.expand_prefix(p) == want, p
+    assert eng.expand_prefix("") == []
+
+
+def test_prefix_search_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    vocab = sorted({t for t in bf.postings})
+    # wildcard variants derived from real corpus terms (2-char prefixes)
+    prefixes = sorted({t[:2] + "*" for t in vocab[:40] if len(t) > 2})[:8]
+    queries = [" ".join(prefixes[i : i + 2]) for i in range(0, len(prefixes), 2)]
+    queries += [f"{q['text']} {prefixes[0]}" for q in reference_queries(k=5)[:4]]
+    assert queries
+    for text in queries:
+        got = eng.search_prefix(text, k=10)
+        want = bf.search_prefix(text, k=10)
+        assert got == want, text
+
+
+def test_prefix_no_match_empty(engines):
+    eng, bf = engines
+    assert eng.search_prefix("zzzqx*", k=10) == []
+    assert bf.search_prefix("zzzqx*", k=10) == []
+
+
+def test_prefix_without_wildcard_equals_plain_or(engines):
+    eng, _bf = engines
+    for q in reference_queries(k=5)[:4]:
+        assert eng.search_prefix(q["text"], k=10) == eng.search(q["text"], k=10)
+
+
+def test_exclude_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    excls = [vocab[len(vocab) // 3], f"{vocab[0]} {vocab[-1]}", vocab[-2]]
+    for q in reference_queries(k=10):
+        for ex in excls:
+            got = eng.search(q["text"], k=10, exclude=ex)
+            want = bf.search(q["text"], k=10, exclude=ex)
+            assert got == want, (q["text"], ex)
+
+
+def test_exclude_actually_excludes(engines, built_index):
+    from horus_ner_ray.pipelines.query import fetch_docs, query_terms
+
+    eng, bf = engines
+    q = reference_queries(k=10)[0]["text"]
+    ex = sorted(bf.postings)[5]
+    hits = eng.search(q, k=20, exclude=ex)
+    banned = {d for d, _ in bf.postings[ex]}
+    assert all(d not in banned for d, _ in hits)
+    # survivors keep their unexcluded scores
+    plain = dict(eng.search(q, k=1000))
+    for d, s in hits:
+        assert plain[d] == s
+
+
+def test_exclude_absent_term_is_noop(engines):
+    eng, _bf = engines
+    q = reference_queries(k=10)[0]["text"]
+    assert eng.search(q, k=10, exclude="zzzqnotfound") == eng.search(q, k=10)
+
+
+def test_self_exclusion_empty(engines):
+    eng, bf = engines
+    term = sorted(bf.postings)[10]
+    assert eng.search(term, k=10, exclude=term) == []
+
+
+def test_exclude_composes_with_role_filter(engines):
+    eng, bf = engines
+    ex = sorted(bf.postings)[7]
+    for q in reference_queries(k=10)[:4]:
+        got = eng.search(q["text"], k=10, role="user", exclude=ex)
+        want = bf.search(q["text"], k=10, role="user", exclude=ex)
+        assert got == want
+
+
+def test_exclude_and_mode(engines):
+    eng, bf = engines
+    ex = sorted(bf.postings)[3]
+    for q in reference_queries(k=10)[:4]:
+        got = eng.search(q["text"], k=10, mode="and", exclude=ex)
+        want = bf.search(q["text"], k=10, mode="and", exclude=ex)
+        assert got == want
