@@ -2286,6 +2286,24 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Top-20 most frequent user_ids with EXACT counts via the two-pass
+    Misra-Gries candidates + verify sketch (stages/heavyhitters.py): no
+    global per-key groupby — per-batch bounded summaries, a broadcast
+    candidate array and a combiner-sized exact pass.  strict=True means
+    the result carries an exactness certificate (n-th count strictly
+    beats total/(capacity+1)), so the DuckDB exact-top-20 oracle is a
+    true equality, not an approximation check."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.heavyhitters import heavy_hitters
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id"])
+    out = heavy_hitters(ds, "user_id", n_top=20, capacity=256)
+    return out.astype(np.int64)
+
+
 def _q_users_per_type(sf_dir: str):
     """Exact grouped count-distinct (stages/groupwise.py
     grouped_count_distinct): per-batch pair dedupe -> pair groupby ->
@@ -2681,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
+        "heavy_hitters": _q_heavy_hitters,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
         "eval_confusion": _q_eval_confusion,
@@ -3210,6 +3229,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),
+        "heavy_hitters": """
+            SELECT user_id, n_rows FROM (
+              SELECT user_id, count(*)::BIGINT AS n_rows,
+                     row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+              FROM events GROUP BY 1
+            ) WHERE rk <= 20
+        """,
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "quality": f"""
             SELECT doc_id,
