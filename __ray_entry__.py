@@ -2618,6 +2618,22 @@ def _q_rolling_windows(sf_dir: str):
     return rolling_aggregates_dataset(ev, window=5)
 
 
+def _q_price_zscore(sf_dir: str):
+    """Per-row z-score of l_extendedprice within its l_returnflag group
+    (stages/stats.grouped_zscore): exact integer sufficient statistics,
+    one broadcast of the tiny per-group table, one vectorized streaming
+    pass — the feature-scaling staple, hash-exact vs the HUGEINT SQL."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_zscore
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag", "l_extendedprice"])
+    return grouped_zscore(li, "l_returnflag", "l_extendedprice",
+                          id_cols=["l_orderkey", "l_linenumber"], scale=100)
+
+
 def _q_price_stats_by_flag(sf_dir: str):
     """Exact per-group mean/variance/stddev (stages/stats.py): cents-
     quantized int sums with base-2**30 square splits — order-free, so the
@@ -2700,6 +2716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "heavy_hitters": _q_heavy_hitters,
+        "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
         "eval_confusion": _q_eval_confusion,
@@ -3235,6 +3252,27 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
               FROM events GROUP BY 1
             ) WHERE rk <= 20
+        """,
+        "price_zscore": """
+            WITH q AS (
+              SELECT l_orderkey, l_linenumber, l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS xq
+              FROM lineitem
+            ),
+            s AS (
+              SELECT l_returnflag,
+                     count(*)::HUGEINT AS n,
+                     sum(xq)::HUGEINT AS sx,
+                     sum(xq::HUGEINT * xq::HUGEINT) AS sxx
+              FROM q GROUP BY 1
+            )
+            SELECT q.l_orderkey, q.l_linenumber,
+                   CAST(FLOOR(
+                     CASE WHEN s.n * s.sxx - s.sx * s.sx > 0 THEN
+                       CAST(s.n * q.xq::HUGEINT - s.sx AS DOUBLE)
+                       / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+                     ELSE 0.0 END * 1e6 + 0.5) AS BIGINT) AS z_e6
+            FROM q JOIN s USING (l_returnflag)
         """,
         "exact_dedup": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "quality": f"""

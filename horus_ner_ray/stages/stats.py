@@ -195,3 +195,62 @@ def value_histogram(ds, col: str, bin_width: float):
                          "n_rows": batch["n_rows"]})
 
     return out.map_batches(finish, batch_format="pyarrow", runtime_env=_rte())
+
+
+def grouped_zscore(ds, key_col: str, x_col: str, id_cols: list[str],
+                   scale: int = 1, out_col: str = "z_e6"):
+    """Per-row z-score normalization within each ``key_col`` group — the
+    feature-scaling staple of a training-data pipeline, with the hash-exact
+    arithmetic of this module: z = (n*xq - Sx) / sqrt(n*Sxx - Sx^2) over
+    the EXACT integer sufficient statistics (both numerator and the sqrt
+    argument are exact integers, so the only float ops are one int->double
+    conversion on each side and one divide — mirrored verbatim by the
+    DuckDB oracle's HUGEINT/CAST-AS-DOUBLE points, giving bitwise-equal
+    doubles).  Zero-variance groups emit 0.
+
+    Two streaming passes: the moment-sums combiner (tiny reduced table,
+    O(groups) driver state — documented bound), then a broadcast
+    (ray.put) of the per-group (n, Sx, den) arrays and a vectorized
+    searchsorted map_batches over the corpus.  Overflow guard: the per-row
+    numerator n*xq stays in int64; the stage raises when
+    max(n)*max|xq| could exceed 2^62 (escalate by lowering ``scale``).
+    """
+    import ray
+    from horus_ner_ray.stages.dedupe import _resolve_ref
+
+    sums = grouped_moment_sums(ds, key_col, x_col, x_col,
+                               x_scale=scale, y_scale=scale).to_pandas()
+    order = np.argsort(np.asarray(sums[key_col]))
+    keys = np.asarray(sums[key_col])[order]
+    n = sums["n"].to_numpy(np.int64)[order]
+    sx = sums["sx"].to_numpy(np.int64)[order]
+    sxx = [_recombine(sums, "sxx")[i] for i in order]
+    den = np.array(
+        [math.sqrt(float(ni * sxxi - sxi * sxi)) if ni * sxxi - sxi * sxi > 0
+         else 0.0
+         for ni, sxi, sxxi in zip(n.tolist(), sx.tolist(), sxx)],
+        dtype=np.float64,
+    )
+    ref = ray.put((keys, n, sx, den))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys_b, n_b, sx_b, den_b = _resolve_ref(ref)
+        xq = _quant(batch[x_col], scale)
+        if len(xq) and int(n_b.max()) * int(np.abs(xq).max()) >= (1 << 62):
+            raise OverflowError(
+                "grouped_zscore numerator would overflow int64; lower scale")
+        g = np.asarray(batch[key_col])
+        j = np.searchsorted(keys_b, g)
+        num = n_b[j] * xq - sx_b[j]
+        d = den_b[j]
+        z = np.where(d > 0, num.astype(np.float64) / np.where(d > 0, d, 1.0), 0.0)
+        cols = {c: batch[c] for c in id_cols}
+        cols[out_col] = pa.array(
+            np.floor(z * 1e6 + 0.5).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns(list(dict.fromkeys([*id_cols, key_col, x_col])))
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+    )

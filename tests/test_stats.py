@@ -113,3 +113,53 @@ def test_value_histogram_matches_pandas(ray_session):
     assert (got["bin_idx"] < 0).any()
     lo = np.floor(got["bin_idx"].to_numpy(np.float64) * 7.5 * 1e6 + 0.5)
     assert list(got["bin_lo_e6"]) == list(lo.astype(np.int64))
+
+
+def test_grouped_zscore_matches_closed_form(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_zscore
+
+    rng = np.random.RandomState(9)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.normal(50, 20, n), 2),
+    })
+    got = (grouped_zscore(rd.from_pandas(df).repartition(6), "g", "x",
+                          id_cols=["id"], scale=100)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    xq = np.floor(df["x"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = np.zeros(n, dtype=np.int64)
+    for g in "abc":
+        m = (df["g"] == g).to_numpy()
+        ni, sx, sxx = int(m.sum()), int(xq[m].sum()), int((xq[m].astype(object) ** 2).sum())
+        den = float(ni * sxx - sx * sx) ** 0.5
+        z = (ni * xq[m] - sx).astype(np.float64) / den
+        want[m] = np.floor(z * 1e6 + 0.5).astype(np.int64)
+    assert list(got["z_e6"]) == list(want)
+
+
+def test_grouped_zscore_zero_variance_and_layout(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_zscore
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "g": ["c"] * 4 + ["v"] * 4,
+        "x": [5.0] * 4 + [1.0, 2.0, 3.0, 4.0],
+    })
+    a = (grouped_zscore(rd.from_pandas(df).repartition(2), "g", "x",
+                        id_cols=["id"]).to_pandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (grouped_zscore(rd.from_pandas(df).repartition(7), "g", "x",
+                        id_cols=["id"]).to_pandas()
+         .sort_values("id").reset_index(drop=True))
+    assert (a["z_e6"][:4] == 0).all()  # zero-variance group emits 0
+    assert a.equals(b)  # layout-invariant
