@@ -48,6 +48,9 @@ DOC_QUERIES = [
 DOC_AND_QUERIES = ["batch join", "customer slow", "spark merge window", "scan zzzqnotfound"]
 # trailing-wildcard queries: s* expands to 6 terms, xyzq* to none
 PREFIX_QUERIES = ["s* filter", "qu* wind*", "gr* merge ta*", "xyzq*"]
+# query-by-example source docs (documents.doc_id spans 0..499 at every sf)
+MLT_DOC_IDS = [3, 57, 123, 321]
+MLT_TERMS = 5
 # (query, boolean-NOT clause): docs containing any excluded term drop
 NOT_QUERIES = [
     ("batch join", "slow"),
@@ -222,6 +225,20 @@ def _q_bm25_topk_not(sf_dir: str):
 
     eng = QueryEngine(_doc_index_dir(sf_dir))
     hits = [eng.search(t, TOPK * 3 + 20, exclude=ex) for t, ex in NOT_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_more_like_this(sf_dir: str):
+    """Query-by-example: each source doc's top tf*ln(N/df) terms (one
+    docstore point-read for the forward lookup) become an OR query; the
+    source drops from its own ranking.  The SQL oracle re-derives the
+    same term selection from its tf/df tables — selection checked in SQL,
+    not inlined."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.more_like_this(d, TOPK * 3 + 20, m_terms=MLT_TERMS)
+            for d in MLT_DOC_IDS]
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
@@ -2715,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
+        "more_like_this": _q_more_like_this,
         "heavy_hitters": _q_heavy_hitters,
         "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
@@ -2936,6 +2954,62 @@ def _sql_bm25_prefix() -> str:
             parts.append(
                 f"SELECT {qid} AS query_id, term FROM dfv WHERE term LIKE '{p}%'")
     return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_mlt() -> str:
+    """Query-by-example oracle: per source doc, the top-``MLT_TERMS``
+    tf*ln(N/df) terms (weight desc, term asc — identical float operands on
+    both sides, so the cut agrees) feed the shared BM25 scoring body; the
+    source doc is excluded from its own ranking."""
+    src_vals = ", ".join(f"({i}, {d})" for i, d in enumerate(MLT_DOC_IDS))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+src(query_id, src_doc) AS (VALUES {src_vals}),
+w AS (
+  SELECT s.query_id, t.term,
+         t.tf * ln((SELECT n_docs FROM stats)::DOUBLE / dfv.df) AS w
+  FROM src s JOIN tf t ON t.doc_id = s.src_doc JOIN dfv USING (term)
+),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id ORDER BY w DESC, term) rk
+    FROM w
+  ) WHERE rk <= {MLT_TERMS}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id,
+         CAST(FLOOR(sc.score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY CAST(FLOOR(sc.score * 1e6 + 0.5) AS BIGINT) DESC, sc.doc_id
+         ) rk
+  FROM scored sc JOIN src s USING (query_id)
+  WHERE sc.doc_id <> s.src_doc
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
 
 
 def _sql_bm25_not() -> str:
@@ -3246,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),
+        "more_like_this": _sql_mlt(),
         "heavy_hitters": """
             SELECT user_id, n_rows FROM (
               SELECT user_id, count(*)::BIGINT AS n_rows,

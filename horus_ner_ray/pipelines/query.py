@@ -210,6 +210,25 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       m_terms: int = 5) -> list[tuple[int, float]]:
+        """Oracle query-by-example: same tf*ln(N/df) top-m selection and
+        OR scoring as the engine, source doc dropped."""
+        tf: dict[str, int] = {}
+        for t in self.doc_tokens.get(int(doc_id), []):
+            tf[t] = tf.get(t, 0) + 1
+        weighted = sorted(
+            (-f * math.log(self.n_docs / len(self.postings[t])), t)
+            for t, f in tf.items() if self.postings.get(t))
+        sel = sorted(t for _w, t in weighted[:m_terms])
+        scores: dict[int, float] = defaultdict(float)
+        for t in sel:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        scores.pop(int(doc_id), None)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -388,7 +407,13 @@ class QueryEngine:
         expanded: set[str] = set(literals)
         for p in prefixes:
             expanded.update(self.expand_prefix(p))
-        terms = sorted(t for t in expanded if self.global_df(t) > 0)
+        return self._search_terms(sorted(expanded), k)
+
+    def _search_terms(self, terms: list[str],
+                      k: int) -> list[tuple[int, float]]:
+        """OR-mode scoring of an explicit sorted term list (the shared tail
+        of wildcard expansion and more-like-this)."""
+        terms = [t for t in terms if self.global_df(t) > 0]
         if not terms:
             return []
         idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
@@ -404,6 +429,31 @@ class QueryEngine:
             return []
         order = np.lexsort((d, -s))[:k]
         return [(int(d[i]), float(s[i])) for i in order]
+
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       m_terms: int = 5) -> list[tuple[int, float]]:
+        """Query-by-example: the source doc's ``m_terms`` highest
+        tf*ln(N/df) terms (weight desc, term asc tie-break) become a plain
+        OR query; the source doc itself is dropped from the ranking.  One
+        docstore point-read for the forward lookup (doc-sorted parts,
+        row-group-pruned), then the standard shard scoring."""
+        row = fetch_docs(self.paths.root, [int(doc_id)],
+                         columns=["doc_id", "text"])
+        if len(row) == 0:
+            return []
+        toks = _TOKEN_RE.findall(str(row["text"].iloc[0]).lower())
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        weighted = []
+        for t, f in tf.items():
+            df = self.global_df(t)
+            if df > 0:
+                weighted.append((-f * math.log(self.n_docs / df), t))
+        weighted.sort()
+        sel = sorted(t for _w, t in weighted[:m_terms])
+        hits = self._search_terms(sel, k + 1)
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
 
     def _exclude_mask(self, si: int, terms: list[str]) -> np.ndarray | None:
         """Local-index bool mask that is False for every doc containing ANY

@@ -113,3 +113,19 @@ def test_exclude_and_mode(engines):
         got = eng.search(q["text"], k=10, mode="and", exclude=ex)
         want = bf.search(q["text"], k=10, mode="and", exclude=ex)
         assert got == want
+
+
+def test_more_like_this_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    some_ids = sorted(bf.dl)[::max(1, len(bf.dl) // 12)][:12]
+    for d in some_ids:
+        got = eng.more_like_this(d, k=10, m_terms=5)
+        want = bf.more_like_this(d, k=10, m_terms=5)
+        assert got == want, d
+
+
+def test_more_like_this_excludes_source_and_missing(engines):
+    eng, bf = engines
+    d = sorted(bf.dl)[0]
+    assert all(h != d for h, _ in eng.more_like_this(d, k=50))
+    assert eng.more_like_this(10**12, k=10) == []  # unknown doc -> empty
