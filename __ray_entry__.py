@@ -2303,6 +2303,31 @@ def _q_topic_scores(sf_dir: str):
                                n_docs=_n_rows(_docs(sf_dir)))
 
 
+def _q_consecutive_events(sf_dir: str):
+    """Per-user consecutive-repeat collapse (stream dedup before counting):
+    hash-bucket shuffle, one sort + vectorized previous-row compare per
+    bucket (stages/windows.collapse_repeats_dataset)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import collapse_repeats_dataset
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    return collapse_repeats_dataset(ds)
+
+
+def _q_auto_stopwords(sf_dir: str):
+    """Corpus-driven stoplist discovery: terms present in >= 79% of docs
+    (integer cross-multiplication — exact, no float threshold).  The
+    classic index-construction preamble; feeds PipelineConfig.stopwords."""
+    from horus_ner_ray.stages.termstats import term_df_dataset
+
+    n = _n_rows(_docs(sf_dir))
+    df = term_df_dataset(_read_docs(sf_dir)).to_pandas()
+    out = df[df["df"] * 100 >= 79 * n].sort_values("term").reset_index(drop=True)
+    return out
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Top-20 most frequent user_ids with EXACT counts via the two-pass
     Misra-Gries candidates + verify sketch (stages/heavyhitters.py): no
@@ -2734,6 +2759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_not": _q_bm25_topk_not,
         "more_like_this": _q_more_like_this,
         "heavy_hitters": _q_heavy_hitters,
+        "consecutive_events": _q_consecutive_events,
+        "auto_stopwords": _q_auto_stopwords,
         "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
@@ -3321,6 +3348,25 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),
         "more_like_this": _sql_mlt(),
+        "consecutive_events": """
+            SELECT event_id, user_id, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ) WHERE prev IS NULL OR prev <> event_type
+        """,
+        "auto_stopwords": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            dfv AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tok GROUP BY 1
+            )
+            SELECT term, df FROM dfv
+            WHERE df * 100 >= 79 * (SELECT count(*) FROM documents)
+        """,
         "heavy_hitters": """
             SELECT user_id, n_rows FROM (
               SELECT user_id, count(*)::BIGINT AS n_rows,

@@ -301,3 +301,49 @@ def session_windows_dataset(ds, gap_s: int = 1800, key_col: str = "user_id",
         .groupby("bucket")
         .map_groups(sessions, batch_format="pandas", runtime_env=_rte())
     )
+
+
+def collapse_repeats_dataset(ds, key_col: str = "user_id",
+                             order_cols: tuple[str, str] = ("ts", "event_id"),
+                             val_col: str = "event_type",
+                             id_cols: tuple[str, ...] = ("event_id",),
+                             n_buckets: int = 256):
+    """Per-group consecutive-repeat collapse: within each key group ordered
+    by ``order_cols`` (the second column breaks timestamp ties
+    deterministically), keep a row only when its ``val_col`` differs from
+    the immediately preceding row's — the stream-dedup counterpart of C4's
+    cross-doc line dedup (drop stuttered events/turns before counting).
+
+    Same coarse-bucket plan as the other sequential-window stages:
+    hash(key) shuffle so one Python call handles many keys, ONE sort per
+    bucket, vectorized previous-row compare with segment starts always
+    kept — no per-key Python."""
+
+    o1, o2 = order_cols
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object), categorize=False
+        )
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, o1, o2], kind="stable")
+        keys = g[key_col].to_numpy()
+        vals = g[val_col].to_numpy()
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            keep[1:] = (keys[1:] != keys[:-1]) | (vals[1:] != vals[:-1])
+        out_cols = list(dict.fromkeys([*id_cols, key_col, val_col]))
+        return g.loc[keep, out_cols]
+
+    return (
+        ds.select_columns(list(dict.fromkeys([*id_cols, key_col, o1, o2, val_col])))
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(collapse, batch_format="pandas", runtime_env=_rte())
+    )

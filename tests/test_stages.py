@@ -752,3 +752,36 @@ def test_chunk_documents(ray_session):
         {"doc_id": np.int64, "chunk_idx": np.int64, "n_tokens": np.int64})
     pd.testing.assert_frame_equal(got, want)
     assert (got["n_tokens"] <= 3).all()
+
+
+def test_collapse_repeats_matches_pandas_and_layout(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import collapse_repeats_dataset
+
+    rng = np.random.RandomState(13)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 40, n).astype(np.int64),
+        # coarse ts with heavy ties: event_id must break them
+        "ts": pd.to_datetime(rng.randint(0, 50, n), unit="s"),
+        "event_type": rng.choice(["a", "b"], n),
+    })
+
+    def want_frame(d):
+        d = d.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = d.groupby("user_id")["event_type"].shift()
+        return (d[(prev.isna()) | (prev != d["event_type"])]
+                [["event_id", "user_id", "event_type"]]
+                .sort_values("event_id").reset_index(drop=True))
+
+    got = (collapse_repeats_dataset(rd.from_pandas(df).repartition(7))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want_frame(df))
+    got2 = (collapse_repeats_dataset(rd.from_pandas(df).repartition(2),
+                                     n_buckets=17)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, want_frame(df))
