@@ -1401,6 +1401,69 @@ def _q_bm25_topk_role(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _q_bm25_facets(sf_dir: str):
+    """Facet panel over the transcript index: per (query, role), how many
+    docs contain >= 1 query term — the full match set, not top-k (one
+    postings decode per term/shard + the cached attribute arrays)."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    rows = {"query_id": [], "role": [], "n_docs": []}
+    for qid, q in enumerate(reference_queries()):
+        for role, n in sorted(eng.facet_counts(q["text"], "role").items()):
+            rows["query_id"].append(qid)
+            rows["role"].append(role)
+            rows["n_docs"].append(n)
+    out = pd.DataFrame(rows)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+def _sql_bm25_facets() -> str:
+    """Facet oracle: DISTINCT matching docs per (query, role) over the
+    same transcript derivation as the role-scoped BM25 oracle."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, role, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN tok t USING (term)
+)
+SELECT m.query_id, d.role, count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 _TS_WINDOW = ("2025-06-05T00:00:00", "2025-06-12T00:00:00")
 _ROLE_WEIGHTS = {"user": 2.0, "assistant": 1.0, "tool": 0.5}
 
@@ -2761,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "consecutive_events": _q_consecutive_events,
         "auto_stopwords": _q_auto_stopwords,
+        "bm25_facets": _q_bm25_facets,
         "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
@@ -3784,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pr
         """,
         "transcripts_bm25": _sql_transcripts_bm25(),
+        "bm25_facets": _sql_bm25_facets(),
         "bm25_topk_role": _sql_transcripts_bm25_role("user"),
         "bm25_topk_time": _sql_transcripts_bm25_time(),
         "bm25_topk_weighted": _sql_transcripts_bm25_weighted(),

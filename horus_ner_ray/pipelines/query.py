@@ -210,6 +210,19 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def facet_counts(self, text: str, field: str = "role") -> dict[str, int]:
+        """Oracle facet panel: distinct matching docs per field value."""
+        terms = [t for t in query_terms(text) if t in self.postings]
+        docs: set[int] = set()
+        for t in terms:
+            docs.update(d for d, _ in self.postings[t])
+        idx = 0 if field == "role" else 1
+        out: dict[str, int] = {}
+        for d in docs:
+            k = self.attrs.get(d, ("", ""))[idx]
+            out[k] = out.get(k, 0) + 1
+        return out
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        m_terms: int = 5) -> list[tuple[int, float]]:
         """Oracle query-by-example: same tf*ln(N/df) top-m selection and
@@ -454,6 +467,35 @@ class QueryEngine:
         sel = sorted(t for _w, t in weighted[:m_terms])
         hits = self._search_terms(sel, k + 1)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    def facet_counts(self, text: str, field: str = "role") -> dict[str, int]:
+        """Facet panel: per distinct ``field`` value, how many docs match
+        the query (>= 1 term, OR semantics) — over the FULL match set, not
+        the top-k.  One postings decode per (term, shard) plus the cached
+        per-shard attribute array; no scoring, no text access."""
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        out: dict[str, int] = {}
+        if not terms:
+            return out
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            vals = self._doc_attrs(si).get(field)
+            if vals is None:
+                raise ValueError(
+                    f"index docstore has no '{field}' column to facet on")
+            hit = np.zeros(nd, dtype=bool)
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is not None:
+                    _d, _tf, li = r.postings_local(ti)
+                    hit[li] = True
+            u, c = np.unique(vals[hit], return_counts=True)
+            for key, n in zip(u, c):
+                out[str(key)] = out.get(str(key), 0) + int(n)
+        return out
 
     def _exclude_mask(self, si: int, terms: list[str]) -> np.ndarray | None:
         """Local-index bool mask that is False for every doc containing ANY

@@ -180,3 +180,27 @@ def test_role_weights_rank_identical(engines):
         want = bf.search(q["text"], k=10, role_weights=w,
                          ts_min="2025-06-01T05:00:00")
         assert got == want
+
+
+def test_facet_counts_match_bruteforce(engines):
+    eng, bf = engines
+    from horus_ner_ray.synth import reference_queries
+
+    for q in reference_queries(k=10):
+        assert eng.facet_counts(q["text"], "role") == bf.facet_counts(q["text"], "role")
+    # full-match-set semantics: facet total == number of matching docs
+    q = reference_queries(k=10)[0]["text"]
+    total = sum(eng.facet_counts(q, "role").values())
+    terms = [t for t in q.lower().split() if t in bf.postings]
+    docs = set()
+    for t in terms:
+        docs.update(d for d, _ in bf.postings[t])
+    assert total == len(docs)
+
+
+def test_facet_counts_missing_field_raises(engines):
+    import pytest as _pytest
+
+    eng, _bf = engines
+    with _pytest.raises(ValueError, match="facet"):
+        eng.facet_counts("the data", "nonexistent_field")
