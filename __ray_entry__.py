@@ -2391,6 +2391,31 @@ def _q_auto_stopwords(sf_dir: str):
     return out
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine document-similarity join (stages/simjoin.py):
+    term-wise pair generation (no all-pairs), exact integer dots/norms,
+    float tail mirrored verbatim by the oracle.  The partial table
+    checkpoints to a query-owned tempdir, removed after consumption."""
+    import shutil
+    import tempfile
+
+    from horus_ner_ray.stages.simjoin import tfidf_cosine_pairs
+
+    n = _n_rows(_docs(sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="horus_simjoin_q_")
+    try:
+        out = tfidf_cosine_pairs(
+            _read_docs(sf_dir), n_docs=n, threshold=0.9,
+            checkpoint_dir=ckpt).to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("doc_a", "doc_b", "cosine_e6")})
+    return (out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype(np.int64))
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Top-20 most frequent user_ids with EXACT counts via the two-pass
     Misra-Gries candidates + verify sketch (stages/heavyhitters.py): no
@@ -2825,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consecutive_events": _q_consecutive_events,
         "auto_stopwords": _q_auto_stopwords,
         "bm25_facets": _q_bm25_facets,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
@@ -3430,6 +3456,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, df FROM dfv
             WHERE df * 100 >= 79 * (SELECT count(*) FROM documents)
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            tfq AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+            dfv AS (SELECT term, count(*)::BIGINT df FROM tfq GROUP BY 1),
+            nn AS (SELECT count(*)::BIGINT n FROM documents),
+            w AS (
+              SELECT t.doc_id, t.term,
+                     t.tf * CAST(FLOOR(ln((SELECT n FROM nn)::DOUBLE / d.df)
+                                       * 1e6 + 0.5) AS BIGINT) AS w
+              FROM tfq t JOIN dfv d USING (term)
+            ),
+            wk AS (SELECT doc_id, term, w FROM w WHERE w > 0),
+            norms AS (
+              SELECT doc_id, sqrt(CAST(sum(w::HUGEINT * w::HUGEINT) AS DOUBLE)) AS den
+              FROM wk GROUP BY 1
+            ),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.w::HUGEINT * b.w::HUGEINT) AS DOUBLE) AS dotf
+              FROM wk a JOIN wk b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            cosv AS (
+              SELECT d.doc_a, d.doc_b, d.dotf / (na.den * nb.den) AS cos
+              FROM dots d
+              JOIN norms na ON na.doc_id = d.doc_a
+              JOIN norms nb ON nb.doc_id = d.doc_b
+              WHERE na.den * nb.den > 0
+            )
+            SELECT doc_a, doc_b,
+                   CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cosine_e6
+            FROM cosv WHERE cos >= 0.9
         """,
         "heavy_hitters": """
             SELECT user_id, n_rows FROM (
