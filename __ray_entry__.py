@@ -228,6 +228,27 @@ def _q_bm25_topk_not(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _q_bm25_snippets(sf_dir: str):
+    """Top-k + snippet anchors: each ranked doc carries the smallest token
+    position of any query term, decoded from the POSITIONAL index (the
+    phrase machinery's coordinate space) — no text access.  Oracle: the
+    SQL re-derives anchors with list_position over the token array."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    out = _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+    anchors = np.zeros(len(out), dtype=np.int64)
+    for qid, text in enumerate(DOC_QUERIES):
+        m = (out["query_id"] == qid).to_numpy()
+        if not m.any():
+            continue
+        amap = eng.match_anchors(text, out.loc[m, "doc_id"].tolist())
+        anchors[m] = [amap[int(d)] for d in out.loc[m, "doc_id"]]
+    out["anchor_pos"] = anchors
+    return out
+
+
 def _q_more_like_this(sf_dir: str):
     """Query-by-example: each source doc's top tf*ln(N/df) terms (one
     docstore point-read for the forward lookup) become an OR query; the
@@ -2846,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "more_like_this": _q_more_like_this,
+        "bm25_snippets": _q_bm25_snippets,
         "heavy_hitters": _q_heavy_hitters,
         "consecutive_events": _q_consecutive_events,
         "auto_stopwords": _q_auto_stopwords,
@@ -3071,6 +3093,26 @@ def _sql_bm25_prefix() -> str:
             parts.append(
                 f"SELECT {qid} AS query_id, term FROM dfv WHERE term LIKE '{p}%'")
     return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_bm25_snippets() -> str:
+    """Snippet-anchor oracle: the standard BM25 ranking as a subquery,
+    anchors re-derived as min(list_position(token_array, term)) - 1 over
+    each query's terms (list_position is 1-based first occurrence; the
+    engine's positions are 0-based unfiltered-stream indices)."""
+    return f"""
+WITH base AS ({_sql_bm25(DOC_QUERIES, conjunctive=False)}),
+toka AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+q2(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+anch AS (
+  SELECT q2.query_id, t.doc_id,
+         (min(list_position(t.arr, q2.term)) - 1)::BIGINT AS anchor_pos
+  FROM q2 JOIN toka t ON list_contains(t.arr, q2.term)
+  GROUP BY 1, 2
+)
+SELECT b.query_id, b.rank, b.doc_id, b.score_e6, a.anchor_pos
+FROM base b JOIN anch a ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+"""
 
 
 def _sql_mlt() -> str:
@@ -3438,6 +3480,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),
         "more_like_this": _sql_mlt(),
+        "bm25_snippets": _sql_bm25_snippets(),
         "consecutive_events": """
             SELECT event_id, user_id, event_type FROM (
               SELECT event_id, user_id, event_type,

@@ -210,6 +210,19 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def match_anchors(self, text: str, doc_ids) -> dict[int, int]:
+        """Oracle snippet anchors: index of the first token (unfiltered
+        stream) that is any query term — equals the min over terms of
+        their first occurrence."""
+        terms = {t for t in query_terms(text) if t in self.postings}
+        out: dict[int, int] = {}
+        for d in doc_ids:
+            for i, w in enumerate(self.doc_tokens.get(int(d), [])):
+                if w in terms:
+                    out[int(d)] = i
+                    break
+        return out
+
     def facet_counts(self, text: str, field: str = "role") -> dict[str, int]:
         """Oracle facet panel: distinct matching docs per field value."""
         terms = [t for t in query_terms(text) if t in self.postings]
@@ -909,6 +922,45 @@ class QueryEngine:
             for doc, s in zip(marr, acc):
                 scores[int(doc)] = float(s)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def match_anchors(self, text: str, doc_ids) -> dict[int, int]:
+        """Snippet anchors straight from the POSITIONAL index (no text
+        access): doc -> smallest token position (0-based, unfiltered
+        stream — the same coordinate space as phrase adjacency) of any
+        query term.  One postings + positions decode per (term, shard);
+        requires an index built with cfg.with_positions."""
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        out: dict[int, int] = {}
+        if not terms or not len(want):
+            return out
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            docids = np.asarray(r.docids)
+            if len(docids) == 0:
+                continue
+            pw = np.minimum(np.searchsorted(docids, want), len(docids) - 1)
+            here = want[docids[pw] == want]
+            if len(here) == 0:
+                continue
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                if len(d_arr) == 0:
+                    continue
+                j = np.minimum(np.searchsorted(d_arr, here), len(d_arr) - 1)
+                ok = d_arr[j] == here
+                if not ok.any():
+                    continue
+                flat, offs = r.positions(ti, tf_arr)
+                firsts = flat[offs[j[ok]]]  # per-doc lists are ascending
+                for d, p in zip(here[ok], firsts):
+                    cur = out.get(int(d))
+                    if cur is None or int(p) < cur:
+                        out[int(d)] = int(p)
+        return out
 
     def search(self, text: str, k: int = 10, mode: str = "or",
                expand_terms: int = 0, role: str | None = None,

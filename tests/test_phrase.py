@@ -103,3 +103,26 @@ def test_phrase_with_stopword_filter_rank_identity(small_corpus, tmp_path_factor
     # a phrase containing a filtered stopword is unanswerable on both sides
     assert eng.search_phrase("the sessionmark", 10) == []
     assert oracle.search_phrase("the sessionmark", 10) == []
+
+
+def test_match_anchors_identical_to_bruteforce(pos_index, pos_oracle):
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(pos_index)
+    bf = pos_oracle
+    for q in reference_queries(k=10):
+        hits = [d for d, _ in eng.search(q["text"], k=20)]
+        got = eng.match_anchors(q["text"], hits)
+        want = bf.match_anchors(q["text"], hits)
+        assert got == want, q["text"]
+        # every hit has an anchor (OR semantics: >=1 term present)
+        assert set(got) == set(int(h) for h in hits)
+
+
+def test_match_anchors_edges(pos_index, pos_oracle):
+    eng = QueryEngine(pos_index)
+    assert eng.match_anchors("zzzqnotfound", [0, 1]) == {}
+    assert eng.match_anchors("the", []) == {}
+    # absent doc ids simply don't appear
+    out = eng.match_anchors("the", [10**12])
+    assert out == {}
