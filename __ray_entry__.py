@@ -51,6 +51,10 @@ PREFIX_QUERIES = ["s* filter", "qu* wind*", "gr* merge ta*", "xyzq*"]
 # query-by-example source docs (documents.doc_id spans 0..499 at every sf)
 MLT_DOC_IDS = [3, 57, 123, 321]
 MLT_TERMS = 5
+# typo'd queries: each token expands to its Levenshtein<=1 neighborhood
+FUZZY_QUERIES = ["batck join", "scann", "streem filtr", "qzqzq"]
+# infix substring patterns over the dictionary ('usto' -> customer, ...)
+INFIX_QUERIES = ["usto", "art", "zzz"]
 # (query, boolean-NOT clause): docs containing any excluded term drop
 NOT_QUERIES = [
     ("batch join", "slow"),
@@ -247,6 +251,30 @@ def _q_bm25_snippets(sf_dir: str):
         anchors[m] = [amap[int(d)] for d in out.loc[m, "doc_id"]]
     out["anchor_pos"] = anchors
     return out
+
+
+def _q_bm25_topk_fuzzy(sf_dir: str):
+    """Typo-tolerant ('did you mean') search: each query token expands to
+    its edit-distance-1 dictionary neighborhood (length-banded vocab scan
+    + the pair-axis-vectorized DP of stages/fuzzy); the union scores as a
+    plain OR.  The SQL oracle performs the same expansion with DuckDB's
+    native levenshtein() over its df table."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_fuzzy(t, TOPK * 3 + 20) for t in FUZZY_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_topk_infix(sf_dir: str):
+    """Infix-wildcard search (*sub*): linear dictionary scan per pattern
+    (no sorted-range shortcut exists for infix — documented O(|vocab|)),
+    union scored as OR.  Oracle expansion: LIKE '%sub%' over dfv."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_contains(t, TOPK * 3 + 20) for t in INFIX_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
 def _q_more_like_this(sf_dir: str):
@@ -2866,6 +2894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
+        "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
+        "bm25_topk_infix": _q_bm25_topk_infix,
         "more_like_this": _q_more_like_this,
         "bm25_snippets": _q_bm25_snippets,
         "heavy_hitters": _q_heavy_hitters,
@@ -3169,6 +3199,25 @@ ranked AS (
 )
 SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
+
+
+def _sql_bm25_fuzzy(max_dist: int = 1) -> str:
+    import re
+
+    parts: list[str] = []
+    for qid, text in enumerate(FUZZY_QUERIES):
+        for tok in sorted(set(re.findall(_TOKRE, text.lower()))):
+            parts.append(
+                f"SELECT {qid} AS query_id, term FROM dfv "
+                f"WHERE levenshtein(term, '{tok}') <= {max_dist}")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_bm25_infix() -> str:
+    parts = [f"SELECT {qid} AS query_id, term FROM dfv "
+             f"WHERE term LIKE '%{sub}%'"
+             for qid, sub in enumerate(INFIX_QUERIES)]
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
 
 
 def _sql_bm25_not() -> str:
@@ -3479,6 +3528,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),
+        "bm25_topk_fuzzy": _sql_bm25_fuzzy(),
+        "bm25_topk_infix": _sql_bm25_infix(),
         "more_like_this": _sql_mlt(),
         "bm25_snippets": _sql_bm25_snippets(),
         "consecutive_events": """

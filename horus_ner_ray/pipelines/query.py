@@ -255,6 +255,35 @@ class BruteForceBM25:
         scores.pop(int(doc_id), None)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def _score_term_set(self, terms: list[str], k: int) -> list[tuple[int, float]]:
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_fuzzy(self, text: str, k: int = 10,
+                     max_dist: int = 1) -> list[tuple[int, float]]:
+        """Oracle typo-tolerant search: brute edit-distance scan of the
+        vocabulary per query token, union scored as OR."""
+        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+
+        vocab = np.array(sorted(self.postings), dtype=object)
+        sel: set[str] = set()
+        for t in query_terms(text):
+            d = levenshtein_distances(
+                np.full(len(vocab), t, dtype=object), vocab.astype(str))
+            sel.update(str(x) for x in vocab[d <= max_dist])
+        return self._score_term_set(sorted(sel), k)
+
+    def search_contains(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Oracle infix search: substring scan of the vocabulary."""
+        sel: set[str] = set()
+        for sub in query_terms(text):
+            sel.update(t for t in self.postings if sub in t)
+        return self._score_term_set(sorted(sel), k)
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -361,6 +390,7 @@ class QueryEngine:
         self._tv_terms: np.ndarray | None = None  # term vectors (expansion)
         self._tv: np.ndarray | None = None
         self._tv_idx: dict[str, int] = {}
+        self._vocab_lens: np.ndarray | None = None  # lazy (fuzzy expansion)
 
     def set_term_vectors(self, terms, matrix) -> None:
         """Attach term embeddings for query-time neighbor expansion — the
@@ -421,6 +451,50 @@ class QueryEngine:
         hi = int(np.searchsorted(
             self._vocab, prefix[:-1] + chr(ord(prefix[-1]) + 1)))
         return [str(t) for t in self._vocab[lo:hi]]
+
+    def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
+        """Dictionary terms within Levenshtein ``max_dist`` of ``term``
+        (the 'did you mean' expansion; includes the term itself when
+        present): length-banded vocab scan (+-max_dist lengths only) +
+        the pair-axis-vectorized DP of ``stages/fuzzy``."""
+        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+
+        if self._vocab_lens is None:
+            self._vocab_lens = np.array([len(str(t)) for t in self._vocab],
+                                        dtype=np.int64)
+        cand = self._vocab[np.abs(self._vocab_lens - len(term)) <= max_dist]
+        if len(cand) == 0:
+            return []
+        d = levenshtein_distances(
+            np.full(len(cand), term, dtype=object), cand.astype(str))
+        return sorted(str(t) for t in cand[d <= max_dist])
+
+    def expand_contains(self, sub: str) -> list[str]:
+        """Dictionary terms containing ``sub`` (infix wildcard *sub*): a
+        LINEAR vocab scan — O(|vocab|) per call by nature (no sorted-range
+        shortcut exists for infix), vectorized via np.char.find."""
+        if not sub:
+            return []
+        hit = np.char.find(self._vocab.astype(str), sub) >= 0
+        return sorted(str(t) for t in self._vocab[hit])
+
+    def search_fuzzy(self, text: str, k: int = 10,
+                     max_dist: int = 1) -> list[tuple[int, float]]:
+        """Typo-tolerant search: each query token expands to its
+        edit-distance-``max_dist`` dictionary neighborhood; the union
+        scores as a plain OR query (same arithmetic as ``search``)."""
+        terms: set[str] = set()
+        for t in query_terms(text):
+            terms.update(self.expand_fuzzy(t, max_dist))
+        return self._search_terms(sorted(terms), k)
+
+    def search_contains(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Infix-wildcard search: every whitespace token is treated as a
+        *token* substring pattern; expansions union and score as OR."""
+        terms: set[str] = set()
+        for sub in query_terms(text):
+            terms.update(self.expand_contains(sub))
+        return self._search_terms(sorted(terms), k)
 
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Wildcard search: tokens ending in ``*`` expand to every

@@ -129,3 +129,39 @@ def test_more_like_this_excludes_source_and_missing(engines):
     d = sorted(bf.dl)[0]
     assert all(h != d for h, _ in eng.more_like_this(d, k=50))
     assert eng.more_like_this(10**12, k=10) == []  # unknown doc -> empty
+
+
+def test_fuzzy_search_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    # typo variants of real corpus terms: drop a char, swap a char
+    typos = [vocab[4][:-1], vocab[8] + "x",
+             ("z" + vocab[12][1:]) if len(vocab[12]) > 2 else vocab[12]]
+    for text in [" ".join(typos[:2]), typos[2], "qqqzzz"]:
+        got = eng.search_fuzzy(text, k=10)
+        want = bf.search_fuzzy(text, k=10)
+        assert got == want, text
+
+
+def test_fuzzy_expansion_includes_exact_term(engines):
+    eng, bf = engines
+    t = sorted(bf.postings)[6]
+    assert t in eng.expand_fuzzy(t, max_dist=1)
+
+
+def test_contains_search_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    subs = sorted({t[1:4] for t in vocab if len(t) >= 5})[:6]
+    for sub in subs + ["zzzq"]:
+        got = eng.search_contains(sub, k=10)
+        want = bf.search_contains(sub, k=10)
+        assert got == want, sub
+
+
+def test_expand_contains_equals_linear_scan(engines):
+    eng, _bf = engines
+    vocab = [str(t) for t in eng._vocab]
+    for sub in ("a", "th", "ses", "zzz"):
+        assert eng.expand_contains(sub) == sorted(t for t in vocab if sub in t)
+    assert eng.expand_contains("") == []
