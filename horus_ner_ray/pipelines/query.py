@@ -1160,16 +1160,31 @@ class ScorerActor:
             # optional per-query field filters ('' / NaN = unfiltered)
             role = getattr(row, "role", None) or None
             tool = getattr(row, "tool", None) or None
+            exclude = getattr(row, "exclude", None) or None
             if isinstance(role, float):
                 role = None
             if isinstance(tool, float):
                 tool = None
-            if mode == "phrase":
+            if isinstance(exclude, float):
+                exclude = None
+            if mode in ("prefix", "fuzzy", "contains"):
+                # dictionary-expansion modes: field filters don't compose
+                # (fail loudly rather than silently ignoring a filter)
+                if role or tool or exclude:
+                    raise ValueError(
+                        f"mode={mode!r} does not compose with role/tool/"
+                        "exclude filters")
+                fn = {"prefix": self.engine.search_prefix,
+                      "fuzzy": self.engine.search_fuzzy,
+                      "contains": self.engine.search_contains}[mode]
+                hits = fn(row.text, int(row.k))
+            elif mode == "phrase":
                 hits = self.engine.search_phrase(row.text, int(row.k),
                                                  role=role, tool=tool)
             else:
                 hits = self.engine.search(row.text, int(row.k), mode,
-                                          role=role, tool=tool)
+                                          role=role, tool=tool,
+                                          exclude=exclude)
             for rank, (doc, score) in enumerate(hits, 1):
                 out["query_id"].append(int(row.query_id))
                 out["rank"].append(rank)

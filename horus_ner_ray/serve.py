@@ -74,16 +74,21 @@ class QueryService:
 
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
-               tool: str | None = None) -> list[dict]:
+               tool: str | None = None,
+               exclude: str | None = None) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
         ``role``/``tool`` are field filters (the reference's per-channel
-        evidence split, horus0.1.5.db.sql:59-109)."""
+        evidence split, horus0.1.5.db.sql:59-109); ``exclude`` is the
+        boolean-NOT clause.  ``mode`` additionally accepts the
+        dictionary-expansion modes ``prefix`` / ``fuzzy`` / ``contains``
+        (doc-partitioned shards keep per-subset top-k exact, so the merge
+        stays exact for every mode)."""
         q = pd.DataFrame(
             [{"query_id": 0, "text": text, "k": int(k),
               "mode": mode or self.mode, "role": role or "",
-              "tool": tool or ""}]
+              "tool": tool or "", "exclude": exclude or ""}]
         )
         parts = self._scatter(q)
         cand = pd.concat(parts, ignore_index=True)
@@ -122,7 +127,8 @@ def make_http_server(
     n_actors: int = 4, mode: str = "or",
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
-    GET /search?q=<text>&k=<int>[&mode=or|and|phrase][&text=1] -> JSON hits
+    GET /search?q=<text>&k=<int>[&mode=or|and|phrase|prefix|fuzzy|contains]
+    [&role=][&tool=][&exclude=][&text=1] -> JSON hits
     (&text=1 adds each hit's original document text, like the reference
     route returning the annotated sentence).
     port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
@@ -144,11 +150,18 @@ def make_http_server(
                 if k < 0:  # pandas head(-n) would return all-but-n rows
                     raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
-                if req_mode not in ("or", "and", "phrase"):
+                if req_mode not in ("or", "and", "phrase",
+                                    "prefix", "fuzzy", "contains"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 want_text = (qs.get("text") or ["0"])[0] not in ("0", "", "false")
                 req_role = (qs.get("role") or [""])[0] or None
                 req_tool = (qs.get("tool") or [""])[0] or None
+                req_exclude = (qs.get("exclude") or [""])[0] or None
+                if req_mode in ("prefix", "fuzzy", "contains") and (
+                        req_role or req_tool or req_exclude):
+                    raise ValueError(
+                        f"mode={req_mode!r} does not compose with "
+                        "role/tool/exclude")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
@@ -156,7 +169,8 @@ def make_http_server(
                 # so parse-vs-execute must be split, not exception-typed)
                 hits = service.search(text, k=k, mode=req_mode,
                                       return_text=want_text,
-                                      role=req_role, tool=req_tool)
+                                      role=req_role, tool=req_tool,
+                                      exclude=req_exclude)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

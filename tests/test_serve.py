@@ -173,3 +173,35 @@ def test_service_survives_actor_death(built_index, ray_session, small_corpus):
             (d, s) for d, s in want]
     finally:
         svc.close()
+
+
+def test_http_expansion_modes_and_exclude(http_service, small_corpus):
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    vocab = sorted(bf.postings)
+    pre = vocab[10][:2]
+    got = _get(http_service, q=pre + "*", k=5, mode="prefix")["hits"]
+    want = bf.search_prefix(pre + "*", k=5)
+    assert [(h["doc_id"], h["score"]) for h in got] == [(d, s) for d, s in want]
+
+    typo = vocab[10][:-1] + "q" if len(vocab[10]) > 3 else vocab[10]
+    got = _get(http_service, q=typo, k=5, mode="fuzzy")["hits"]
+    want = bf.search_fuzzy(typo, k=5)
+    assert [(h["doc_id"], h["score"]) for h in got] == [(d, s) for d, s in want]
+
+    sub = vocab[10][1:3]
+    got = _get(http_service, q=sub, k=5, mode="contains")["hits"]
+    want = bf.search_contains(sub, k=5)
+    assert [(h["doc_id"], h["score"]) for h in got] == [(d, s) for d, s in want]
+
+    ex = vocab[3]
+    got = _get(http_service, q="the session data", k=5, exclude=ex)["hits"]
+    want = bf.search("the session data", k=5, exclude=ex)
+    assert [(h["doc_id"], h["score"]) for h in got] == [(d, s) for d, s in want]
+
+    # expansion modes reject filters loudly
+    import urllib.error
+    try:
+        _get(http_service, q="x", k=5, mode="fuzzy", role="user")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
