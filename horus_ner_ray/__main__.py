@@ -58,7 +58,17 @@ def main(argv: list[str] | None = None) -> int:
     pq_.add_argument("--index", required=True)
     pq_.add_argument("--text", required=True)
     pq_.add_argument("-k", type=int, default=10)
-    pq_.add_argument("--mode", default="or", choices=["or", "and", "phrase"])
+    pq_.add_argument("--mode", default="or",
+                     choices=["or", "and", "phrase",
+                              "prefix", "fuzzy", "contains"])
+    pq_.add_argument("--exclude", default=None,
+                     help="boolean-NOT terms (or/and modes)")
+
+    pv = sub.add_parser("serve")
+    pv.add_argument("--index", required=True)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=0)
+    pv.add_argument("--actors", type=int, default=4)
 
     pst = sub.add_parser("stats")
     pst.add_argument("--index", required=True)
@@ -102,10 +112,34 @@ def main(argv: list[str] | None = None) -> int:
         eng = QueryEngine(a.index)  # pure mmap reads — no Ray needed
         if a.mode == "phrase":
             hits = eng.search_phrase(a.text, a.k)
+        elif a.mode == "prefix":
+            hits = eng.search_prefix(a.text, a.k)
+        elif a.mode == "fuzzy":
+            hits = eng.search_fuzzy(a.text, a.k)
+        elif a.mode == "contains":
+            hits = eng.search_contains(a.text, a.k)
         else:
-            hits = eng.search(a.text, a.k, mode=a.mode)
+            hits = eng.search(a.text, a.k, mode=a.mode, exclude=a.exclude)
         print(json.dumps([{"rank": i + 1, "doc_id": d, "score": s}
                           for i, (d, s) in enumerate(hits)]))
+        return 0
+
+    if a.cmd == "serve":
+        import ray
+
+        from horus_ner_ray.serve import make_http_server
+
+        _ray_up(a.num_cpus)
+        server, service = make_http_server(
+            a.index, host=a.host, port=a.port, n_actors=a.actors)
+        print(json.dumps({"listening": server.server_address}), flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        server.shutdown()
+        service.close()
+        ray.shutdown()
         return 0
 
     if a.cmd == "stats":

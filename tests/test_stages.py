@@ -785,3 +785,32 @@ def test_collapse_repeats_matches_pandas_and_layout(ray_session):
                                      n_buckets=17)
             .to_pandas().sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got2, want_frame(df))
+
+
+def test_cli_new_query_modes(built_index, small_corpus, capsys):
+    import json as _json
+
+    from horus_ner_ray.__main__ import main
+    from horus_ner_ray.pipelines.query import BruteForceBM25
+
+    idx, _ = built_index
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    vocab = sorted(bf.postings)
+    pre = vocab[10][:2]
+    for args, want in [
+        (["query", "--index", idx, "--text", pre + "*", "--mode", "prefix",
+          "-k", "5"], bf.search_prefix(pre + "*", 5)),
+        (["query", "--index", idx, "--text", vocab[10][:-1] + "q",
+          "--mode", "fuzzy", "-k", "5"],
+         bf.search_fuzzy(vocab[10][:-1] + "q", 5)),
+        (["query", "--index", idx, "--text", vocab[10][1:3],
+          "--mode", "contains", "-k", "5"],
+         bf.search_contains(vocab[10][1:3], 5)),
+        (["query", "--index", idx, "--text", "the session data",
+          "--exclude", vocab[3], "-k", "5"],
+         bf.search("the session data", 5, exclude=vocab[3])),
+    ]:
+        assert main(args) == 0
+        hits = _json.loads(capsys.readouterr().out)
+        assert [(h["doc_id"], h["score"]) for h in hits] == \
+            [(d, s) for d, s in want], args
