@@ -2440,6 +2440,18 @@ def _q_auto_stopwords(sf_dir: str):
     return out
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 TF-IDF terms (exact-int
+    weights, deterministic (w desc, term asc) cut) via the simjoin weight
+    head + one doc-bucket co-group (stages/simjoin.doc_keywords)."""
+    from horus_ner_ray.stages.simjoin import doc_keywords
+
+    n = _n_rows(_docs(sf_dir))
+    out = doc_keywords(_read_docs(sf_dir), n_docs=n, k=3).to_pandas()
+    return (out.sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+            [["doc_id", "kw_rank", "term", "w"]])
+
+
 def _q_tfidf_cosine_pairs(sf_dir: str):
     """Sparse TF-IDF cosine document-similarity join (stages/simjoin.py):
     term-wise pair generation (no all-pairs), exact integer dots/norms,
@@ -2903,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_stopwords": _q_auto_stopwords,
         "bm25_facets": _q_bm25_facets,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        "doc_keywords": _q_doc_keywords,
         "price_zscore": _q_price_zscore,
         "translate_hook": _q_translate_hook,
         "nb_predictions": _q_nb_predictions,
@@ -3550,6 +3563,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, df FROM dfv
             WHERE df * 100 >= 79 * (SELECT count(*) FROM documents)
+        """,
+        "doc_keywords": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+            ),
+            tfq AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+            dfv AS (SELECT term, count(*)::BIGINT df FROM tfq GROUP BY 1),
+            nn AS (SELECT count(*)::BIGINT n FROM documents),
+            w AS (
+              SELECT t.doc_id, t.term,
+                     t.tf * CAST(FLOOR(ln((SELECT n FROM nn)::DOUBLE / d.df)
+                                       * 1e6 + 0.5) AS BIGINT) AS w
+              FROM tfq t JOIN dfv d USING (term)
+            ),
+            ranked AS (
+              SELECT doc_id, term, w,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY w DESC, term) AS kw_rank
+              FROM w WHERE w > 0
+            )
+            SELECT doc_id, kw_rank, term, w FROM ranked WHERE kw_rank <= 3
         """,
         "tfidf_cosine_pairs": f"""
             WITH tok AS (

@@ -257,3 +257,89 @@ def tfidf_cosine_pairs(ds, n_docs: int, threshold: float = 0.9,
         .groupby("bkt")
         .map_groups(pass2, batch_format="pandas", runtime_env=_rte())
     )
+
+
+def tfidf_weight_rows(ds, n_docs: int, max_df: int | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_buckets: int = 64):
+    """Dataset(docs) -> Dataset(doc_id, term, w) of exact-int TF-IDF
+    weights (w = tf * idf_e6 > 0, df <= max_df) — the shared head of the
+    similarity join, exposed for keyword extraction: tf-rows combiner ->
+    term-bucket shuffle (df is exact within its bucket) -> vectorized
+    weight emission."""
+    cap = int(max_df) if max_df is not None else int(n_docs)
+    nbk = np.uint64(n_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["term"], dtype=object)
+        h = pd.util.hash_array(t, categorize=False)
+        return batch.append_column(
+            "bucket", pa.array((h % nbk).astype(np.int64), pa.int64()))
+
+    def weigh(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["term", "doc_id"], kind="stable")
+        terms = g["term"].to_numpy(dtype=object)
+        docs = g["doc_id"].to_numpy(np.int64)
+        tf = g["tf"].to_numpy(np.int64)
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = terms[1:] != terms[:-1]
+        lens = np.diff(np.append(np.flatnonzero(new), n))
+        dfs = np.repeat(lens, lens)
+        idf_e6 = np.floor(np.log(float(n_docs) / dfs) * 1e6 + 0.5).astype(np.int64)
+        w = tf * idf_e6
+        keep = (dfs <= cap) & (w > 0)
+        return pd.DataFrame({"doc_id": docs[keep], "term": terms[keep],
+                             "w": w[keep]})
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_tf_rows(text_col, id_col), batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(weigh, batch_format="pandas", runtime_env=_rte())
+    )
+
+
+def doc_keywords(ds, n_docs: int, k: int = 3, max_df: int | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 64):
+    """Keyword extraction: per document, the top-``k`` TF-IDF terms
+    (weight desc, term asc tie-break — exact-int weights, so the cut is
+    deterministic and SQL-mirrorable).  One doc-bucket co-group after the
+    weight stage; per-bucket lexsort + segment-rank, no per-doc Python."""
+    nbk = np.uint64(n_buckets)
+
+    def bucket_doc(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["doc_id"], dtype=np.int64).astype(np.uint64)
+        return batch.append_column("bkt", pa.array(
+            ((d * _MIXC) % nbk).astype(np.int64), pa.int64()))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g["doc_id"].to_numpy(np.int64)
+        terms = g["term"].to_numpy(dtype=object)
+        w = g["w"].to_numpy(np.int64)
+        order = np.lexsort((terms.astype(str), -w, docs))
+        docs, terms, w = docs[order], terms[order], w[order]
+        n = len(docs)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = docs[1:] != docs[:-1]
+        seg = np.flatnonzero(new)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(
+            seg, np.diff(np.append(seg, n)))
+        keep = rank < k
+        return pd.DataFrame({"doc_id": docs[keep], "term": terms[keep],
+                             "w": w[keep],
+                             "kw_rank": (rank[keep] + 1).astype(np.int64)})
+
+    return (
+        tfidf_weight_rows(ds, n_docs, max_df, text_col, id_col, n_buckets)
+        .map_batches(bucket_doc, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(topk, batch_format="pandas", runtime_env=_rte())
+    )

@@ -119,3 +119,41 @@ def test_empty_and_short_docs(ray_session, tmp_path):
     got = _run(df, tmp_path, 0.5)
     # 'alpha' df=2 of 4 docs -> idf>0; docs 1,2 identical
     assert list(got.itertuples(index=False, name=None)) == [(1, 2, 10**6)]
+
+
+def test_doc_keywords_matches_ground_truth(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.simjoin import doc_keywords
+
+    df = _corpus(seed=33, n=100)
+    got = (doc_keywords(rd.from_pandas(df).repartition(5), n_docs=len(df), k=3)
+           .to_pandas().sort_values(["doc_id", "kw_rank"]).reset_index(drop=True)
+           [["doc_id", "kw_rank", "term", "w"]])
+    # ground truth
+    n_docs = len(df)
+    dfc: dict[str, int] = {}
+    tfs = []
+    for t in df["text"]:
+        tf: dict[str, int] = {}
+        for wd in re.findall(r"[a-z0-9]+", t.lower()):
+            tf[wd] = tf.get(wd, 0) + 1
+        tfs.append(tf)
+        for wd in tf:
+            dfc[wd] = dfc.get(wd, 0) + 1
+    rows = []
+    for d, tf in zip(df["doc_id"], tfs):
+        ws = []
+        for wd, f in tf.items():
+            idf = int(np.floor(np.log(float(n_docs) / dfc[wd]) * 1e6 + 0.5))
+            if f * idf > 0:
+                ws.append((-(f * idf), wd))
+        ws.sort()
+        for r, (negw, wd) in enumerate(ws[:3], 1):
+            rows.append((int(d), r, wd, -negw))
+    want = pd.DataFrame(rows, columns=["doc_id", "kw_rank", "term", "w"])
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64, "kw_rank": np.int64, "w": np.int64}),
+        want.astype({"doc_id": np.int64, "kw_rank": np.int64, "w": np.int64}))
