@@ -100,6 +100,41 @@ def _doc_index_dir(sf_dir: str, positions: bool = False) -> str:
     return str(idx)
 
 
+def _doc_index_dir_deleted(sf_dir: str, compacted: bool = False) -> str:
+    """Build (once, cached) a SEPARATE documents index carrying the
+    deterministic tombstone set ``doc_id % 7 == 3`` — optionally folded in
+    by ``compact_index``.  Its own tree (not ``_doc_index_dir``): deletes
+    and compaction mutate index state, and the undeleted index backs every
+    other bm25 query."""
+    import shutil
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import compact_index, delete_docs
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    tag = "c" if compacted else "d"
+    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_docidx_{tag}el_v{INDEX_FORMAT_VERSION}_{key}"
+    )
+    marker = idx / "state.done"
+    if not marker.exists():
+        shutil.rmtree(idx, ignore_errors=True)  # never resume a half-mutated tree
+        cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
+        build_index([_docs(sf_dir)], idx, cfg)
+        import pyarrow.parquet as pq
+
+        ids = np.asarray(
+            pq.read_table(_docs(sf_dir), columns=["doc_id"])["doc_id"],
+            dtype=np.int64,
+        )
+        delete_docs(idx, ids[ids % 7 == 3])
+        if compacted:
+            compact_index(idx)
+        marker.write_text("ok")
+    return str(idx)
+
+
 def _transcript_corpus(sf: str) -> tuple[list[str], str]:
     """Deterministic synthetic transcript corpus for scale factor ``sf``
     (pure function of (sf, seed); synthesized on first use — no Ray needed).
@@ -251,6 +286,35 @@ def _q_bm25_snippets(sf_dir: str):
         anchors[m] = [amap[int(d)] for d in out.loc[m, "doc_id"]]
     out["anchor_pos"] = anchors
     return out
+
+
+def _q_bm25_after_delete(sf_dir: str):
+    """Tombstone deletion (pipelines/delete.py — the reference's
+    ``processed``-flag store mutation re-expressed as immutable-segment
+    live-docs): docs with ``doc_id % 7 == 3`` are deleted; every search
+    masks them BEFORE top-k while collection statistics (N, avgdl, df)
+    stay STALE until compaction — Lucene semantics, shared with
+    BruteForceBM25.  The SQL oracle states exactly that: full-corpus
+    scoring with deleted docs dropped at rank time."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir_deleted(sf_dir))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_after_compact(sf_dir: str):
+    """The same tombstone set folded in by ``compact_index``: shards and
+    docstore rewritten without the deleted docs, N/avgdl/df REBUILT over
+    the survivors (in hash mode byte-identical to a fresh filtered build,
+    tested).  Against ``bm25_after_delete`` this pair pins the semantic
+    line between masking (stale stats) and merging (fresh stats) — the
+    SQL oracle here is plain BM25 over the filtered corpus."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir_deleted(sf_dir, compacted=True))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
 def _q_bm25_topk_fuzzy(sf_dir: str):
@@ -2904,6 +2968,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_after_delete": _q_bm25_after_delete,
+        "bm25_after_compact": _q_bm25_after_compact,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3033,7 +3099,8 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               ts_window: tuple[str, str] | None = None,
               role_weights: dict[str, float] | None = None,
               q_sql: str | None = None,
-              exclude_rows: str | None = None) -> str:
+              exclude_rows: str | None = None,
+              extra_where: str | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
@@ -3068,6 +3135,10 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
         case = " ".join(f"WHEN '{r}' THEN {float(w)!r}"
                         for r, w in sorted(role_weights.items()))
         sexpr = f"(score * (CASE dm.role {case} ELSE 1.0 END))"
+    if extra_where is not None:
+        # arbitrary rank-time predicate over ``scored`` — the tombstone
+        # oracle drops deleted docs here while stats stay full-corpus
+        wheres.append(extra_where)
     qex = ""
     if exclude_rows is not None:
         qex = f"qex(query_id, term) AS (VALUES {exclude_rows}),\n"
@@ -3538,6 +3609,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100
         """,
         "bm25_topk": _sql_bm25(DOC_QUERIES, conjunctive=False),
+        # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
+        "bm25_after_delete": _sql_bm25(
+            DOC_QUERIES, conjunctive=False,
+            extra_where="(scored.doc_id % 7) <> 3"),
+        "bm25_after_compact": _sql_bm25(
+            DOC_QUERIES, conjunctive=False,
+            pre=("documents AS (SELECT * FROM main.documents "
+                 "WHERE (doc_id % 7) <> 3), ")),
         "bm25_topk_and": _sql_bm25(DOC_AND_QUERIES, conjunctive=True),
         "bm25_topk_prefix": _sql_bm25_prefix(),
         "bm25_topk_not": _sql_bm25_not(),

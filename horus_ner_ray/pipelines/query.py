@@ -99,9 +99,18 @@ class BruteForceBM25:
         self.ts: dict[int, int] = {}  # doc_id -> us timestamp
         self.n_docs = 0
         self.total_tokens = 0
+        self.deleted: set[int] = set()  # tombstones: masked, stats stale
+
+    def delete_docs(self, doc_ids) -> None:
+        """Tombstone docs: excluded from every result set; collection
+        statistics (N, avgdl, df) stay STALE — the engine's exact
+        live-docs semantics (pipelines/delete.py)."""
+        self.deleted.update(int(d) for d in doc_ids)
 
     def _passes(self, doc_id: int, role: str | None, tool: str | None,
                 ts_min=None, ts_max=None) -> bool:
+        if doc_id in self.deleted:
+            return False
         a = self.attrs.get(doc_id, ("", ""))
         if role is not None and a[0] != role:
             return False
@@ -198,6 +207,8 @@ class BruteForceBM25:
             cand = docs if cand is None else (cand & docs)
         matched = []
         for d in cand or ():
+            if d in self.deleted:
+                continue
             toks = self.doc_tokens[d]
             n = len(phrase)
             if any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1)):
@@ -232,6 +243,8 @@ class BruteForceBM25:
         idx = 0 if field == "role" else 1
         out: dict[str, int] = {}
         for d in docs:
+            if d in self.deleted:
+                continue
             k = self.attrs.get(d, ("", ""))[idx]
             out[k] = out.get(k, 0) + 1
         return out
@@ -251,7 +264,8 @@ class BruteForceBM25:
         for t in sel:
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
             for d, f in self.postings[t]:
-                scores[d] += self._contrib(idf, f, self.dl[d])
+                if d not in self.deleted:
+                    scores[d] += self._contrib(idf, f, self.dl[d])
         scores.pop(int(doc_id), None)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
@@ -260,7 +274,8 @@ class BruteForceBM25:
         for t in terms:
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
             for d, f in self.postings[t]:
-                scores[d] += self._contrib(idf, f, self.dl[d])
+                if d not in self.deleted:
+                    scores[d] += self._contrib(idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search_fuzzy(self, text: str, k: int = 10,
@@ -296,7 +311,8 @@ class BruteForceBM25:
         for t in terms:  # ascending term order == engine accumulation order
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
             for d, f in self.postings[t]:
-                scores[d] += self._contrib(idf, f, self.dl[d])
+                if d not in self.deleted:
+                    scores[d] += self._contrib(idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search(self, text: str, k: int = 10, mode: str = "or",
@@ -386,6 +402,13 @@ class QueryEngine:
         )
         self._readers: dict[int, ShardReader] = {}
         self._attr_cache: dict[int, dict[str, np.ndarray]] = {}
+        # tombstones (pipelines/delete.py): deleted docs are masked BEFORE
+        # top-k in every mode; stats stay stale until compact_index —
+        # live-docs semantics, loaded once per engine
+        from horus_ner_ray.pipelines.delete import read_tombstones
+
+        self._deleted = read_tombstones(self.paths.root)
+        self._live_cache: dict[int, np.ndarray | None] = {}
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
         self._tv_terms: np.ndarray | None = None  # term vectors (expansion)
         self._tv: np.ndarray | None = None
@@ -520,7 +543,8 @@ class QueryEngine:
         docs: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):
-            d, s = self._score_shard_or(si, terms, idfs, k)
+            d, s = self._score_shard_or(si, terms, idfs, k,
+                                        mask=self._live_mask(si))
             docs.append(d)
             scores.append(s)
         d = np.concatenate(docs)
@@ -579,6 +603,9 @@ class QueryEngine:
                 if ti is not None:
                     _d, _tf, li = r.postings_local(ti)
                     hit[li] = True
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
             u, c = np.unique(vals[hit], return_counts=True)
             for key, n in zip(u, c):
                 out[str(key)] = out.get(str(key), 0) + int(n)
@@ -607,6 +634,25 @@ class QueryEngine:
                 self._shard_dirs[si], cache_postings=self._cache_per_reader
             )
         return r
+
+    def _live_mask(self, si: int) -> np.ndarray | None:
+        """Per-shard live-docs mask (False at tombstoned docs), or None
+        when no tombstone touches this shard.  One searchsorted per
+        (engine, shard), cached — A7 state like the attr arrays."""
+        if self._deleted is None:
+            return None
+        if si in self._live_cache:
+            return self._live_cache[si]
+        docids = np.asarray(self._reader(si).docids)
+        mask: np.ndarray | None = None
+        if len(docids) and len(self._deleted):
+            pos = np.minimum(np.searchsorted(self._deleted, docids),
+                             len(self._deleted) - 1)
+            hit = self._deleted[pos] == docids
+            if hit.any():
+                mask = ~hit
+        self._live_cache[si] = mask
+        return mask
 
     # -- field/channel scoping (role=/tool= filters) ------------------------
     #
@@ -953,8 +999,11 @@ class QueryEngine:
                     break
             if cand is None or len(cand) == 0:
                 continue
-            if filtered:
-                m = self._filter_mask(si, role, tool)
+            m = self._filter_mask(si, role, tool) if filtered else None
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
+            if m is not None:
                 cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
                 if len(cand) == 0:
                     continue
@@ -1085,6 +1134,9 @@ class QueryEngine:
                 em = self._exclude_mask(si, excl)
                 if em is not None:
                     m = em if m is None else (m & em)
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
             w = (self._weight_vec(si, role_weights)
                  if role_weights is not None else None)
             d, s = score_fn(si, terms, idfs, k, mask=m, wvec=w)
