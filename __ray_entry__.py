@@ -288,6 +288,29 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+NEAR_QUERIES = [  # (two-term query, window) — 2 terms keeps the SQL oracle
+    ("batch join", 3),  # a plain position cross-join (n-term needs a cover scan)
+    ("customer window", 6),
+    ("data filter", 4),
+    ("scan batch", 8),
+    ("zzzqnotfound scan", 5),
+]
+
+
+def _q_bm25_near(sf_dir: str):
+    """Proximity (NEAR/window) search: both query terms must co-occur
+    within a token window (minimal cover span <= window, positions from
+    the positional index); matches score as conjunctive BM25.  The SQL
+    oracle re-derives the window predicate with a position cross-join
+    (min |p_a - p_b| per doc)."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_near(t, TOPK * 3 + 20, window=w)
+            for t, w in NEAR_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
 def _q_bm25_after_delete(sf_dir: str):
     """Tombstone deletion (pipelines/delete.py — the reference's
     ``processed``-flag store mutation re-expressed as immutable-segment
@@ -2970,6 +2993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
+        "bm25_near": _q_bm25_near,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3376,6 +3400,73 @@ documents AS (
                      conjunctive=False, pre=pre, role=role)
 
 
+def _sql_bm25_near() -> str:
+    """NEAR/window proximity over per-term position sets: a doc matches
+    when min |p_a - p_b| over the two terms' occurrence cross-join is
+    within the window — the SQL mirror of QueryEngine.search_near's
+    minimal-cover predicate for 2 distinct terms (for two labels the
+    minimal cover IS the closest cross-label pair).  Matches score with
+    the same conjunctive BM25 body as the phrase oracle."""
+    import re
+
+    q_rows: list[str] = []
+    matched: list[str] = []
+    for qid, (text, w) in enumerate(NEAR_QUERIES):
+        a, b = sorted(set(re.findall(_TOKRE, text.lower())))
+        q_rows.append(f"({qid}, '{a}')")
+        q_rows.append(f"({qid}, '{b}')")
+        matched.append(
+            f"SELECT {qid} AS query_id, a.doc_id FROM posr a "
+            f"JOIN posr b ON b.doc_id = a.doc_id "
+            f"WHERE a.term = '{a}' AND b.term = '{b}' "
+            f"GROUP BY a.doc_id HAVING min(abs(a.pos - b.pos)) <= {w}"
+        )
+    matched_sql = "\n  UNION ALL ".join(matched)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+posr AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM tok
+),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+matched AS (
+  {matched_sql}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+  JOIN dfv ON dfv.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_bm25_phrase() -> str:
     """Phrase adjacency over the token array (list_transform sliding-window
     conjunction), scored with the same BM25 body over each phrase's member
@@ -3613,6 +3704,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),
+        "bm25_near": _sql_bm25_near(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

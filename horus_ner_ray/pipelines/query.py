@@ -221,6 +221,47 @@ class BruteForceBM25:
                 scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_near(self, text: str, k: int = 10,
+                    window: int = 8) -> list[tuple[int, float]]:
+        """Oracle proximity search: independent naive scan — for every
+        candidate doc and every occurrence start, walk forward until all
+        distinct query terms are seen; match iff the best (last - first)
+        span <= window.  Scored as conjunctive BM25 over the distinct
+        terms in ascending-term order."""
+        uniq = sorted(set(_TOKEN_RE.findall(text.lower())))
+        if not uniq or any(t not in self.postings for t in uniq):
+            return []
+        cand: set[int] | None = None
+        for t in uniq:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        want = set(uniq)
+        matched = []
+        for d in cand or ():
+            if d in self.deleted:
+                continue
+            occ = [(i, t) for i, t in enumerate(self.doc_tokens[d])
+                   if t in want]
+            best = None
+            for s in range(len(occ)):
+                seen = set()
+                for e in range(s, len(occ)):
+                    seen.add(occ[e][1])
+                    if len(seen) == len(want):
+                        span = occ[e][0] - occ[s][0]
+                        if best is None or span < best:
+                            best = span
+                        break
+            if best is not None and best <= window:
+                matched.append(d)
+        scores: dict[int, float] = {d: 0.0 for d in matched}
+        for t in uniq:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            tfmap = dict(self.postings[t])
+            for d in matched:
+                scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def match_anchors(self, text: str, doc_ids) -> dict[int, int]:
         """Oracle snippet anchors: index of the first token (unfiltered
         stream) that is any query term — equals the min over terms of
@@ -1046,6 +1087,86 @@ class QueryEngine:
                 scores[int(doc)] = float(s)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_near(self, text: str, k: int = 10, window: int = 8,
+                    role: str | None = None,
+                    tool: str | None = None) -> list[tuple[int, float]]:
+        """Proximity search (NEAR/``window``): docs where ONE occurrence of
+        EVERY distinct query term fits inside a token window — minimal
+        cover span (last - first position) <= ``window`` — scored as
+        conjunctive BM25 over the distinct terms (ascending-term
+        accumulation, bitwise oracle-identical).  Positions are
+        original-text-relative (the phrase machinery's coordinate space,
+        SURVEY.md M6); requires cfg.with_positions.  Phrase search remains
+        the ordered-adjacency operator; NEAR is its unordered relaxation
+        (the reference's neighborhood-merge alignment heuristics,
+        reference: src/core/util.py:186-309, work in the same
+        token-window currency)."""
+        uniq = sorted(set(_TOKEN_RE.findall(text.lower())))
+        if not uniq or any(self.global_df(t) == 0 for t in uniq):
+            return []
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in uniq}
+        filtered = role is not None or tool is not None
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        scores: dict[int, float] = {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            tis = {t: r.term_index(t) for t in uniq}
+            if any(v is None for v in tis.values()):
+                continue
+            dec = {t: r.postings(ti) for t, ti in tis.items()}
+            cand: np.ndarray | None = None
+            for t in uniq:
+                cand = dec[t][0] if cand is None else np.intersect1d(
+                    cand, dec[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is None or len(cand) == 0:
+                continue
+            m = self._filter_mask(si, role, tool) if filtered else None
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
+            if m is not None:
+                cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
+            # merged (candidate, position, term-label) rows for the cover
+            # scan — flat gathers, no per-candidate decode
+            parts_c: list[np.ndarray] = []
+            parts_p: list[np.ndarray] = []
+            parts_l: list[np.ndarray] = []
+            for li, t in enumerate(uniq):
+                d_arr, tf_arr = dec[t]
+                flat, offs = r.positions(tis[t], tf_arr)
+                j_arr = np.searchsorted(d_arr, cand)
+                seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                parts_c.append(np.repeat(
+                    np.arange(len(cand), dtype=np.int64), lens))
+                parts_p.append(seg)
+                parts_l.append(np.full(len(seg), li, dtype=np.int64))
+            ci = np.concatenate(parts_c)
+            pp = np.concatenate(parts_p)
+            ll = np.concatenate(parts_l)
+            order = np.lexsort((ll, pp, ci))
+            spans = _min_cover_spans(ci[order], pp[order], ll[order],
+                                     len(uniq), len(cand))
+            marr = cand[spans <= window]
+            if len(marr) == 0:
+                continue
+            dls = r.doc_length(marr).astype(np.float64)
+            acc = np.zeros(len(marr), dtype=np.float64)
+            for t in uniq:  # ascending-term accumulation (determinism)
+                d_arr, tf_arr = dec[t]
+                jj = np.searchsorted(d_arr, marr)
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+                acc += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            for doc, s in zip(marr, acc):
+                scores[int(doc)] = float(s)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def match_anchors(self, text: str, doc_ids) -> dict[int, int]:
         """Snippet anchors straight from the POSITIONAL index (no text
         access): doc -> smallest token position (0-based, unfiltered
@@ -1150,6 +1271,57 @@ class QueryEngine:
         return [(int(d[i]), float(s[i])) for i in order]
 
 
+def _min_cover_spans(cand_idx: np.ndarray, pos: np.ndarray, label: np.ndarray,
+                     n_labels: int, n_cand: int) -> np.ndarray:
+    """Per-candidate minimal window span: for each candidate, the smallest
+    ``max(pos) - min(pos)`` over any occurrence set covering ALL
+    ``n_labels`` distinct labels; +inf where no cover exists.  Input rows
+    must be sorted by (cand_idx, pos).
+
+    n_labels == 2 (the common NEAR pair) is fully vectorized: in merged
+    position order the minimal 2-cover is always an ADJACENT
+    different-label pair.  Larger label sets take the classic two-pointer
+    per candidate — bounded by that candidate's total occurrence count,
+    and only over candidates that already passed the full conjunctive
+    intersection (small by construction)."""
+    out = np.full(n_cand, np.inf)
+    if len(pos) == 0:
+        return out
+    if n_labels == 1:
+        out[np.unique(cand_idx)] = 0.0
+        return out
+    if n_labels == 2:
+        same = cand_idx[1:] == cand_idx[:-1]
+        valid = same & (label[1:] != label[:-1])
+        if valid.any():
+            np.minimum.at(out, cand_idx[1:][valid],
+                          (pos[1:] - pos[:-1]).astype(np.float64)[valid])
+        return out
+    bounds = np.flatnonzero(np.r_[True, cand_idx[1:] != cand_idx[:-1], True])
+    for gi in range(len(bounds) - 1):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        c = int(cand_idx[lo])
+        p, lb = pos[lo:hi], label[lo:hi]
+        counts = np.zeros(n_labels, dtype=np.int64)
+        covered = 0
+        left = lo
+        best = np.inf
+        for right in range(lo, hi):
+            li = int(lb[right - lo])
+            counts[li] += 1
+            if counts[li] == 1:
+                covered += 1
+            while covered == n_labels:
+                best = min(best, float(p[right - lo] - p[left - lo]))
+                lj = int(lb[left - lo])
+                counts[lj] -= 1
+                if counts[lj] == 0:
+                    covered -= 1
+                left += 1
+        out[c] = best
+    return out
+
+
 def topk_with_margin(hits: list[tuple[int, float]]) -> list[tuple[int, float, float]]:
     """(doc, score) ranking -> (doc, score, margin-to-next) rows.
 
@@ -1230,6 +1402,14 @@ class ScorerActor:
                       "fuzzy": self.engine.search_fuzzy,
                       "contains": self.engine.search_contains}[mode]
                 hits = fn(row.text, int(row.k))
+            elif mode == "near":
+                if exclude:
+                    raise ValueError("mode='near' does not compose with "
+                                     "exclude")
+                w = getattr(row, "window", None)
+                w = 8 if w is None or (isinstance(w, float) and w != w) else int(w)
+                hits = self.engine.search_near(row.text, int(row.k),
+                                               window=w, role=role, tool=tool)
             elif mode == "phrase":
                 hits = self.engine.search_phrase(row.text, int(row.k),
                                                  role=role, tool=tool)

@@ -75,7 +75,7 @@ class QueryService:
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
                tool: str | None = None,
-               exclude: str | None = None) -> list[dict]:
+               exclude: str | None = None, window: int = 8) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -88,7 +88,8 @@ class QueryService:
         q = pd.DataFrame(
             [{"query_id": 0, "text": text, "k": int(k),
               "mode": mode or self.mode, "role": role or "",
-              "tool": tool or "", "exclude": exclude or ""}]
+              "tool": tool or "", "exclude": exclude or "",
+              "window": int(window)}]
         )
         parts = self._scatter(q)
         cand = pd.concat(parts, ignore_index=True)
@@ -150,9 +151,12 @@ def make_http_server(
                 if k < 0:  # pandas head(-n) would return all-but-n rows
                     raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
-                if req_mode not in ("or", "and", "phrase",
+                if req_mode not in ("or", "and", "phrase", "near",
                                     "prefix", "fuzzy", "contains"):
                     raise ValueError(f"unknown mode {req_mode!r}")
+                req_window = int((qs.get("window") or ["8"])[0])
+                if req_window < 0:
+                    raise ValueError(f"window must be >= 0, got {req_window}")
                 want_text = (qs.get("text") or ["0"])[0] not in ("0", "", "false")
                 req_role = (qs.get("role") or [""])[0] or None
                 req_tool = (qs.get("tool") or [""])[0] or None
@@ -162,6 +166,9 @@ def make_http_server(
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "
                         "role/tool/exclude")
+                if req_mode == "near" and req_exclude:
+                    raise ValueError("mode='near' does not compose with "
+                                     "exclude")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
@@ -170,7 +177,7 @@ def make_http_server(
                 hits = service.search(text, k=k, mode=req_mode,
                                       return_text=want_text,
                                       role=req_role, tool=req_tool,
-                                      exclude=req_exclude)
+                                      exclude=req_exclude, window=req_window)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return
