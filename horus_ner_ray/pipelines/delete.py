@@ -247,6 +247,7 @@ class _CompactDocstoreWorker:
             else:
                 live = t
             out.append({
+                "path": str(path),
                 "n_rows": len(live),
                 "sum_dl": int(pc.sum(live["dl"]).as_py() or 0),
             })
@@ -280,6 +281,49 @@ class _CompactShardWorker:
             [self.compact_shard(int(s)) for s in batch["shard_id"]]
         )
 
+    def _filter_runs(self, shard_id: int) -> list[str]:
+        """Filter this shard's RUN files too — append_fragments re-merges
+        shards from runs, so unfiltered runs would resurrect deleted docs
+        on the next append.  Row filter + dense term_idx/vocab re-compact
+        (the merge paths rely on runs covering their footer vocab
+        densely); an all-deleted run file is removed, matching what a
+        fresh build over the filtered corpus writes.  Returns the removed
+        file names (the driver prunes them from fragment manifests)."""
+        from horus_ner_ray.pipelines.build_index import (
+            _RUN_VOCAB_KEY,
+            _RUN_WRITE_KW,
+            _run_vocab_arrow,
+        )
+
+        removed: list[str] = []
+        run_dir = self.paths.run_dir(shard_id)
+        for f in sorted(run_dir.glob("run-*.parquet")):
+            pf = pq.ParquetFile(f)
+            tbl = pf.read()
+            ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+            kill = _isin_sorted(ids, self.deleted)
+            if not kill.any():
+                continue
+            live = tbl.filter(pa.array(~kill))
+            if len(live) == 0:
+                f.unlink()
+                removed.append(str(f))
+                continue
+            vocab = _run_vocab_arrow(pf)
+            gidx = np.asarray(live["term_idx"], dtype=np.int32)
+            used = np.unique(gidx)
+            if len(used) != len(vocab):
+                dense = np.searchsorted(used, gidx).astype(np.int32)
+                live = live.drop(["term_idx"]).add_column(
+                    0, "term_idx", pa.array(dense, pa.int32()))
+                vocab = vocab.take(pa.array(used, pa.int32()))
+            meta = "\n".join(vocab.to_pylist()).encode("utf-8")
+            live = live.replace_schema_metadata({_RUN_VOCAB_KEY: meta})
+            # atomic_write_table adds the build's zstd defaults — the same
+            # writer path as fresh runs, keeping bytes fresh-build-identical
+            atomic_write_table(f, live, **_RUN_WRITE_KW)
+        return removed
+
     def compact_shard(self, shard_id: int) -> dict:
         sdir = self.paths.shard_dir(shard_id)
         data = _decode_full_shard(sdir)
@@ -288,7 +332,9 @@ class _CompactShardWorker:
         man = data["manifest"]
         if not kill_doc.any() and float(man.get("avgdl", -1.0)) == self.avgdl:
             return {"shard_id": shard_id, "n_docs": int(len(docids)),
-                    "n_postings": int(man["n_postings"]), "rewritten": False}
+                    "n_postings": int(man["n_postings"]), "rewritten": False,
+                    "removed_runs": json.dumps([])}
+        removed_runs = self._filter_runs(shard_id) if kill_doc.any() else []
         docs, tfs, starts = data["docs"], data["tfs"], data["starts"]
         df_old = np.diff(np.append(starts, len(docs))).astype(np.int64)
         keep = ~_isin_sorted(docs, self.deleted)
@@ -320,7 +366,8 @@ class _CompactShardWorker:
             positions_flat=new_posf,
         )
         return {"shard_id": shard_id, "n_docs": m["n_docs"],
-                "n_postings": m["n_postings"], "rewritten": True}
+                "n_postings": m["n_postings"], "rewritten": True,
+                "removed_runs": json.dumps(removed_runs)}
 
 
 def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict:
@@ -355,13 +402,34 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     total_tokens = int(parts["sum_dl"].sum()) if len(parts) else 0
     avgdl = total_tokens / n_docs if n_docs else 0.0
 
-    # 2) shard rewrite with the NEW avgdl (one task per shard)
+    # 2) shard + run-file rewrite with the NEW avgdl (one task per shard;
+    #    runs must be filtered too or the next append_fragments' re-merge
+    #    would resurrect deleted docs from them)
     shard_items = [{"shard_id": s} for s in range(int(stats["n_shards"]))]
-    _map_items(shard_items, _CompactShardWorker,
-               {"index_dir": str(index_dir), "cfg_dict": cfg_dict,
-                "avgdl": avgdl, "deleted": deleted_ref}, concurrency)
+    shard_res = _map_items(shard_items, _CompactShardWorker,
+                           {"index_dir": str(index_dir), "cfg_dict": cfg_dict,
+                            "avgdl": avgdl, "deleted": deleted_ref},
+                           concurrency)
 
-    # 3) publish: df table, stats, resume invalidation, tombstone clear
+    # 3) fragment manifests: live counts + pruned run lists, so a later
+    #    append's stats reduce and re-merge see exactly the filtered corpus
+    removed_runs: set[str] = set()
+    for rr in shard_res.get("removed_runs", pd.Series(dtype=object)):
+        removed_runs.update(json.loads(rr))
+    for r in parts.itertuples():
+        name = Path(r.path).name  # part-{frag_id:05d}.parquet
+        frag_id = int(name[len("part-"):len("part-") + 5])
+        mpath = paths.frag_manifest(frag_id)
+        if not mpath.exists():
+            continue
+        m = json.loads(mpath.read_text())
+        rf = [f for f in json.loads(m.get("run_files", "[]"))
+              if f not in removed_runs]
+        m.update({"n_turns": int(r.n_rows), "n_tokens": int(r.sum_dl),
+                  "run_files": json.dumps(rf), "n_runs": len(rf)})
+        atomic_write_json(mpath, m)
+
+    # 4) publish: df table, stats, resume invalidation, tombstone clear
     c = dict(cfg_dict)
     c["stopword_filter"] = tuple(c.get("stopword_filter", ()))
     _write_df_table(paths, PipelineConfig(**c))

@@ -215,6 +215,74 @@ def test_compact_hash_mode_byte_identity(small_corpus, tmp_path_factory,
             == pq.read_table(IndexPaths(clean).df_parquet).to_pydict())
 
 
+def test_delete_then_append_preserves_tombstones(small_corpus,
+                                                 tmp_path_factory, ray_session):
+    """Append after delete (no compaction): the re-merge rebuilds shards
+    from runs (which still hold the deleted docs' postings — stale-stats
+    semantics), but the tombstone file is untouched so results stay
+    masked; new docs are searchable."""
+    from horus_ner_ray.pipelines.build_index import append_fragments
+
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    idx = tmp_path_factory.mktemp("delapp") / "idx"
+    build_index(small_corpus[:2], idx, cfg)
+    store = pd.concat([pq.read_table(p, columns=["doc_id", "conv_id"]).to_pandas()
+                       for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    convs = sorted(store["conv_id"].unique())[:5]
+    delete_by_conv(idx, convs)
+    dead = set(read_tombstones(idx).tolist())
+    append_fragments(idx, small_corpus[2:])
+    assert set(read_tombstones(idx).tolist()) == dead
+    eng = QueryEngine(idx)
+    hits = {d for d, _ in eng.search("the sessionmark", 10**6)}
+    assert hits.isdisjoint(dead)
+    # docs from the appended fragment ARE searchable
+    new_store = pd.concat(
+        [pq.read_table(p, columns=["doc_id", "conv_id"]).to_pandas()
+         for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    appended = set(new_store["doc_id"]) - set(store["doc_id"])
+    assert hits & appended
+
+
+def test_compact_then_append_byte_identity(small_corpus, tmp_path_factory,
+                                           ray_session):
+    """delete -> compact -> append == fresh build over (filtered old + new)
+    byte-for-byte: compaction filters the RUN FILES and fragment manifests
+    too, so the append re-merge and its stats reduce see exactly the
+    filtered corpus (without this, deleted docs would resurrect from the
+    persisted runs)."""
+    from horus_ner_ray.pipelines.build_index import append_fragments
+
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    idx = tmp_path_factory.mktemp("cmpapp") / "idx"
+    build_index(small_corpus[:2], idx, cfg)
+    store = pd.concat([pq.read_table(p, columns=["doc_id", "conv_id"]).to_pandas()
+                       for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    convs = sorted(store["conv_id"].unique())[::5]
+    delete_by_conv(idx, convs)
+    compact_index(idx)
+    append_fragments(idx, small_corpus[2:])
+
+    filt_dir = tmp_path_factory.mktemp("cmpapp_filtered")
+    filt_files = []
+    for f in small_corpus[:2]:
+        t = pq.read_table(f).to_pandas()
+        t = t[~t["conv_id"].isin(convs)]
+        out = filt_dir / Path(f).name
+        t.to_parquet(out, index=False)
+        filt_files.append(str(out))
+    clean = tmp_path_factory.mktemp("cmpapp_clean") / "idx"
+    build_index(filt_files + list(small_corpus[2:]), clean, cfg)
+
+    assert _index_bytes(Path(idx)) == _index_bytes(Path(clean))
+    s_a = json.loads((Path(idx) / "stats.json").read_text())
+    s_b = json.loads((Path(clean) / "stats.json").read_text())
+    assert (s_a["n_docs"], s_a["total_tokens"], s_a["avgdl"]) == (
+        s_b["n_docs"], s_b["total_tokens"], s_b["avgdl"])
+    assert (pq.read_table(IndexPaths(idx).df_parquet).to_pydict()
+            == pq.read_table(IndexPaths(clean).df_parquet).to_pydict())
+
+
 def test_partial_compaction_still_masked_correct(small_corpus,
                                                  tmp_path_factory, ray_session):
     """Crash-safety invariant: docstore already filtered, shards/stats not
