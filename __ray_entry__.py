@@ -1565,6 +1565,76 @@ def _q_bm25_facets(sf_dir: str):
     return out
 
 
+_HISTO_INTERVAL_US = 3_600_000_000  # 1 hour
+
+
+def _q_bm25_date_histogram(sf_dir: str):
+    """Date-histogram aggregation over the FULL match set (the classic
+    search-engine time facet): per query, matching docs bucketed by
+    floor(ts_us / 1h).  Same cached transcript index and attribute-array
+    access pattern as bm25_facets; null-ts docs omitted."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    rows = {"query_id": [], "bucket": [], "n_docs": []}
+    for qid, q in enumerate(reference_queries()):
+        hist = eng.date_histogram(q["text"], interval_us=_HISTO_INTERVAL_US)
+        for b, n in sorted(hist.items()):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(b)
+            rows["n_docs"].append(n)
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                         for k, v in rows.items()})
+
+
+def _sql_bm25_date_histogram() -> str:
+    """Date-histogram oracle: DISTINCT matching docs per (query, hour
+    bucket) over the same transcript derivation; integer floor division
+    (``//``) matches the engine's np.floor_divide on int64 microseconds."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN tok t USING (term)
+)
+SELECT m.query_id,
+       (epoch_us(d.ts) // {_HISTO_INTERVAL_US})::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+WHERE d.ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def _sql_bm25_facets() -> str:
     """Facet oracle: DISTINCT matching docs per (query, role) over the
     same transcript derivation as the role-scoped BM25 oracle."""
@@ -2994,6 +3064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
+        "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3705,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),
         "bm25_near": _sql_bm25_near(),
+        "bm25_date_histogram": _sql_bm25_date_histogram(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

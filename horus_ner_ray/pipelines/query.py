@@ -290,6 +290,25 @@ class BruteForceBM25:
             out[k] = out.get(k, 0) + 1
         return out
 
+    def date_histogram(self, text: str,
+                       interval_us: int = 86_400_000_000) -> dict[int, int]:
+        """Oracle date-histogram: matching docs bucketed by
+        floor(ts_us / interval_us); docs without a timestamp omitted."""
+        terms = [t for t in query_terms(text) if t in self.postings]
+        docs: set[int] = set()
+        for t in terms:
+            docs.update(d for d, _ in self.postings[t])
+        out: dict[int, int] = {}
+        for d in docs:
+            if d in self.deleted:
+                continue
+            t = self.ts.get(d)
+            if t is None:
+                continue
+            b = t // interval_us  # python floor div matches np.floor_divide
+            out[b] = out.get(b, 0) + 1
+        return out
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        m_terms: int = 5) -> list[tuple[int, float]]:
         """Oracle query-by-example: same tf*ln(N/df) top-m selection and
@@ -650,6 +669,49 @@ class QueryEngine:
             u, c = np.unique(vals[hit], return_counts=True)
             for key, n in zip(u, c):
                 out[str(key)] = out.get(str(key), 0) + int(n)
+        return out
+
+    def date_histogram(self, text: str,
+                       interval_us: int = 86_400_000_000) -> dict[int, int]:
+        """Time-bucketed facet over the FULL match set (>= 1 query term,
+        OR semantics): bucket = floor(ts_us / interval_us), value = number
+        of matching docs in that bucket — the classic search-engine
+        date-histogram aggregation (default interval one day).  Docs
+        without a stored timestamp are omitted.  Same access pattern as
+        facet_counts: one postings decode per (term, shard) plus the
+        cached per-shard attribute array; no scoring, no text."""
+        if interval_us <= 0:
+            raise ValueError("interval_us must be positive")
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        out: dict[int, int] = {}
+        if not terms:
+            return out
+        sentinel = np.iinfo(np.int64).min
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            ts = self._doc_attrs(si).get("ts")
+            if ts is None:
+                raise ValueError(
+                    "index docstore has no 'ts' column for date_histogram")
+            hit = np.zeros(nd, dtype=bool)
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is not None:
+                    _d, _tf, li = r.postings_local(ti)
+                    hit[li] = True
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            hts = ts[hit]
+            hts = hts[hts != sentinel]  # null-ts docs are omitted
+            # floor division toward -inf (negative epochs bucket correctly)
+            buckets, counts = np.unique(
+                np.floor_divide(hts, interval_us), return_counts=True)
+            for b, c in zip(buckets, counts):
+                out[int(b)] = out.get(int(b), 0) + int(c)
         return out
 
     def _exclude_mask(self, si: int, terms: list[str]) -> np.ndarray | None:

@@ -204,3 +204,36 @@ def test_facet_counts_missing_field_raises(engines):
     eng, _bf = engines
     with _pytest.raises(ValueError, match="facet"):
         eng.facet_counts("the data", "nonexistent_field")
+
+
+def test_date_histogram_matches_bruteforce(engines):
+    """Time-bucketed facet over the full match set: engine == oracle at
+    hourly and daily intervals; synth ts spans ~60h so both produce
+    multiple buckets."""
+    eng, bf = engines
+    for q in ["the session data", "alpha", "sessionmark"]:
+        for iv in (3_600_000_000, 86_400_000_000):
+            got = eng.date_histogram(q, interval_us=iv)
+            want = bf.date_histogram(q, interval_us=iv)
+            assert got == want, (q, iv)
+    assert len(eng.date_histogram("sessionmark", interval_us=3_600_000_000)) > 1
+    assert eng.date_histogram("zzzqabsent") == {}
+    with pytest.raises(ValueError, match="positive"):
+        eng.date_histogram("the", interval_us=0)
+
+
+def test_date_histogram_respects_tombstones(small_corpus, tmp_path_factory,
+                                            ray_session):
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_docs
+    from horus_ner_ray.config import PipelineConfig
+
+    idx = tmp_path_factory.mktemp("histdel") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    deleted = list(range(0, 60, 3))
+    delete_docs(idx, deleted)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    bf.delete_docs(deleted)
+    eng = QueryEngine(idx)
+    assert (eng.date_histogram("the sessionmark")
+            == bf.date_histogram("the sessionmark"))
