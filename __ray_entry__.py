@@ -288,6 +288,93 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+def _q_bm25_explain(sf_dir: str):
+    """Score explanation (Lucene-explain analogue): for each query's top-3
+    docs (under the shared e6 rerank), the exact per-term BM25
+    contributions from QueryEngine.explain — summing them in listed
+    (ascending-term) order reproduces the search() score bitwise.  The
+    SQL oracle restates each factor (tf, df, dl, idf, contribution) from
+    first principles."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "doc_id": [], "term": [], "tf": [], "df": [],
+            "dl": [], "idf_e6": [], "contrib_e6": []}
+    for qid, text in enumerate(DOC_QUERIES):
+        top = _e6_rerank(_hits_frame([eng.search(text, TOPK * 3 + 20)]),
+                         "score", "doc_id", "score_e6").head(3)
+        for d in top["doc_id"]:
+            for e in eng.explain(text, int(d)):
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(int(d))
+                rows["term"].append(e["term"])
+                rows["tf"].append(e["tf"])
+                rows["df"].append(e["df"])
+                rows["dl"].append(e["dl"])
+                rows["idf_e6"].append(int(_e6(np.array([e["idf"]]))[0]))
+                rows["contrib_e6"].append(
+                    int(_e6(np.array([e["contribution"]]))[0]))
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        if c != "term":
+            out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_bm25_explain() -> str:
+    """Explain oracle: the top-3 docs per query under the e6 rerank, then
+    one row per (query, doc, present term) with every BM25 factor
+    re-derived in SQL."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+topd AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+           ) rk
+    FROM scored
+  ) WHERE rk <= 3
+)
+SELECT t.query_id, t.doc_id, q.term, tf.tf, dfv.df, dl.dl,
+       CAST(FLOOR(ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5)) * 1e6 + 0.5)
+            AS BIGINT) AS idf_e6,
+       CAST(FLOOR( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+                   * tf.tf * ({BM25_K1} + 1)
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+                   * 1e6 + 0.5) AS BIGINT) AS contrib_e6
+FROM topd t
+JOIN q ON q.query_id = t.query_id
+JOIN tf ON tf.doc_id = t.doc_id AND tf.term = q.term
+JOIN dfv ON dfv.term = q.term
+JOIN dl ON dl.doc_id = t.doc_id
+CROSS JOIN stats s
+"""
+
+
 NEAR_QUERIES = [  # (two-term query, window) — 2 terms keeps the SQL oracle
     ("batch join", 3),  # a plain position cross-join (n-term needs a cover scan)
     ("customer window", 6),
@@ -3065,6 +3152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
         "bm25_date_histogram": _q_bm25_date_histogram,
+        "bm25_explain": _q_bm25_explain,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3777,6 +3865,7 @@ def oracle_sql() -> dict[str, str]:
             extra_where="(scored.doc_id % 7) <> 3"),
         "bm25_near": _sql_bm25_near(),
         "bm25_date_histogram": _sql_bm25_date_histogram(),
+        "bm25_explain": _sql_bm25_explain(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

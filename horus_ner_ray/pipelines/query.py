@@ -671,6 +671,47 @@ class QueryEngine:
                 out[str(key)] = out.get(str(key), 0) + int(n)
         return out
 
+    def explain(self, text: str, doc_id: int) -> list[dict]:
+        """Score explanation (the classic engine 'explain' API): for one
+        (query, doc) pair, the exact per-term BM25 contributions —
+        [{term, tf, df, dl, idf, contribution}] in ascending-term order,
+        so float-summing the contributions in listed order reproduces the
+        doc's search() score bitwise.  Terms absent from the doc (or the
+        whole index) are omitted.  One shard resolves the doc (doc-range
+        or hash routing probes each reader's sorted docids)."""
+        terms = sorted({t for t in query_terms(text) if self.global_df(t) > 0})
+        out: list[dict] = []
+        if not terms:
+            return out
+        want = np.asarray([int(doc_id)], dtype=np.int64)
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            docids = np.asarray(r.docids)
+            j = int(np.searchsorted(docids, want[0]))
+            if j >= len(docids) or docids[j] != want[0]:
+                continue
+            lm = self._live_mask(si)
+            if lm is not None and not lm[j]:
+                return []  # tombstoned doc: no score to explain
+            dl = float(r.dl[j])
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                p = int(np.searchsorted(d_arr, want[0]))
+                if p >= len(d_arr) or d_arr[p] != want[0]:
+                    continue
+                tf = float(tf_arr[p])
+                idf = bm25_idf(self.n_docs, self.global_df(t))
+                contrib = idf * (tf * (self.k1 + 1.0)) / (
+                    tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+                out.append({"term": t, "tf": int(tf),
+                            "df": self.global_df(t), "dl": int(dl),
+                            "idf": idf, "contribution": contrib})
+            break
+        return out
+
     def date_histogram(self, text: str,
                        interval_us: int = 86_400_000_000) -> dict[int, int]:
         """Time-bucketed facet over the FULL match set (>= 1 query term,

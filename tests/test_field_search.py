@@ -237,3 +237,35 @@ def test_date_histogram_respects_tombstones(small_corpus, tmp_path_factory,
     eng = QueryEngine(idx)
     assert (eng.date_histogram("the sessionmark")
             == bf.date_histogram("the sessionmark"))
+
+
+def test_explain_sums_to_search_score_bitwise(engines):
+    """The explain API's listed-order (ascending-term) contribution sum
+    reproduces the doc's search() score with NO float tolerance."""
+    eng, _bf = engines
+    for q in ["the session data", "alpha sessionmark", "tok00042"]:
+        hits = eng.search(q, 5)
+        assert hits
+        for doc, score in hits:
+            rows = eng.explain(q, doc)
+            assert rows == sorted(rows, key=lambda r: r["term"])
+            acc = 0.0
+            for r in rows:
+                acc += r["contribution"]
+            assert acc == score, (q, doc)
+    assert eng.explain("zzzqabsent", 0) == []
+
+
+def test_explain_tombstoned_doc_is_empty(small_corpus, tmp_path_factory,
+                                         ray_session):
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_docs
+    from horus_ner_ray.config import PipelineConfig
+
+    idx = tmp_path_factory.mktemp("expldel") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    eng0 = QueryEngine(idx)
+    doc = eng0.search("the", 1)[0][0]
+    assert eng0.explain("the", doc)
+    delete_docs(idx, [doc])
+    assert QueryEngine(idx).explain("the", doc) == []
