@@ -1480,6 +1480,18 @@ class ScorerActor:
             self.engine._reader(si)
         return len(self.engine._shard_dirs)
 
+    def explain(self, text: str, doc_id: int) -> list[dict]:
+        """Per-term score factors for one (query, doc) — only the actor
+        whose shard subset owns the doc returns rows, so a scatter's
+        non-empty union is exact."""
+        return self.engine.explain(text, int(doc_id))
+
+    def date_histogram(self, text: str,
+                       interval_us: int = 86_400_000_000) -> dict[int, int]:
+        """This subset's partial time-bucketed counts; bucket-wise sums
+        across the pool are exact (doc-partitioned shards)."""
+        return self.engine.date_histogram(text, interval_us=interval_us)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():

@@ -115,6 +115,43 @@ class QueryService:
                 h["match_spans"] = sp
         return hits
 
+    def explain(self, text: str, doc_id: int) -> list[dict]:
+        """Per-term BM25 factors for one (query, doc): scatter — only the
+        actor owning the doc's shard returns rows; dead actors respawn
+        like _scatter."""
+        import ray
+
+        refs = [a.explain.remote(text, int(doc_id)) for a in self.actors]
+        out: list[dict] = []
+        for i, ref in enumerate(refs):
+            try:
+                rows = ray.get(ref)
+            except ray.exceptions.RayActorError:
+                self.actors[i] = self._spawn(i)
+                rows = ray.get(self.actors[i].explain.remote(text, int(doc_id)))
+            out.extend(rows)
+        return out
+
+    def date_histogram(self, text: str,
+                       interval_us: int = 86_400_000_000) -> dict[int, int]:
+        """Time-bucketed facet over the full match set: bucket-wise sum of
+        per-subset partials (doc-partitioned shards make the sum exact)."""
+        import ray
+
+        refs = [a.date_histogram.remote(text, interval_us)
+                for a in self.actors]
+        out: dict[int, int] = {}
+        for i, ref in enumerate(refs):
+            try:
+                part = ray.get(ref)
+            except ray.exceptions.RayActorError:
+                self.actors[i] = self._spawn(i)
+                part = ray.get(
+                    self.actors[i].date_histogram.remote(text, interval_us))
+            for b, c in part.items():
+                out[int(b)] = out.get(int(b), 0) + int(c)
+        return out
+
     def close(self) -> None:
         import ray
 
@@ -128,10 +165,12 @@ def make_http_server(
     n_actors: int = 4, mode: str = "or",
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
-    GET /search?q=<text>&k=<int>[&mode=or|and|phrase|prefix|fuzzy|contains]
-    [&role=][&tool=][&exclude=][&text=1] -> JSON hits
+    GET /search?q=<text>&k=<int>[&mode=or|and|phrase|near|prefix|fuzzy|contains]
+    [&role=][&tool=][&exclude=][&window=][&text=1] -> JSON hits
     (&text=1 adds each hit's original document text, like the reference
     route returning the annotated sentence).
+    GET /explain?q=<text>&doc=<id> -> per-term BM25 factor rows.
+    GET /histogram?q=<text>[&interval=<us>] -> time-bucketed match counts.
     port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
     the lifecycle: server.serve_forever() (typically in a thread), then
     server.shutdown() + service.close().
@@ -139,8 +178,50 @@ def make_http_server(
     service = QueryService(index_dir, n_actors=n_actors, mode=mode)
 
     class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802  (http.server API)
             u = urlparse(self.path)
+            if u.path == "/explain":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    doc = int((qs.get("doc") or [""])[0])
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.explain(text, doc)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "doc_id": doc, "terms": rows})
+                return
+            if u.path == "/histogram":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    iv = int((qs.get("interval") or ["86400000000"])[0])
+                    if iv <= 0:
+                        raise ValueError(f"interval must be > 0, got {iv}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hist = service.date_histogram(text, interval_us=iv)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "interval_us": iv,
+                            "buckets": {str(b): c
+                                        for b, c in sorted(hist.items())}})
+                return
             if u.path != "/search":
                 self.send_error(404)
                 return

@@ -205,3 +205,39 @@ def test_http_expansion_modes_and_exclude(http_service, small_corpus):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_explain_and_histogram(http_service, small_corpus, built_index):
+    """/explain rows sum bitwise to the doc's served score; /histogram
+    equals the engine-level histogram; bad params are clean 400s."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    hits = _get(http_service, q="the session data", k=3)["hits"]
+    assert hits
+    # explain route
+    for h in hits:
+        url = http_service + "/explain?" + urllib.parse.urlencode(
+            {"q": "the session data", "doc": h["doc_id"]})
+        with urllib.request.urlopen(url, timeout=30) as r:
+            rows = json.loads(r.read())["terms"]
+        acc = 0.0
+        for row in rows:
+            acc += row["contribution"]
+        assert acc == h["score"]
+    # histogram route vs engine
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    url = http_service + "/histogram?" + urllib.parse.urlencode(
+        {"q": "the session data", "interval": 3_600_000_000})
+    with urllib.request.urlopen(url, timeout=30) as r:
+        got = json.loads(r.read())["buckets"]
+    want = eng.date_histogram("the session data", interval_us=3_600_000_000)
+    assert got == {str(b): c for b, c in want.items()}
+    assert len(got) > 1
+    # bad params -> 400
+    for bad in ["/explain?q=x&doc=abc", "/histogram?q=x&interval=0"]:
+        try:
+            urllib.request.urlopen(http_service + bad, timeout=10)
+            raise AssertionError("expected 400 for " + bad)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
