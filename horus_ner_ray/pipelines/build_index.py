@@ -317,9 +317,26 @@ def _encode_run(parts: list[tuple[pa.Table, int]], gmaps: list[np.ndarray],
         vocab_arr = frag_vocab.take(pa.array(used, pa.int32()))
     else:
         vocab_arr = frag_vocab
-    enc = cat.sort_by([("term_idx", "ascending"), ("doc_id", "ascending")])
+    # combine_chunks canonicalizes the in-memory layout before the write:
+    # parquet page boundaries follow chunk boundaries, so without it run
+    # BYTES would depend on the tokenize batch chunking (format v7 makes
+    # runs single-chunk-canonical — reshard/compact rewrites then
+    # reproduce fresh-build run bytes exactly)
+    enc = cat.sort_by([("term_idx", "ascending"), ("doc_id", "ascending")]).combine_chunks()
     vocab_meta = "\n".join(vocab_arr.to_pylist()).encode("utf-8")
     return enc.replace_schema_metadata({_RUN_VOCAB_KEY: vocab_meta})
+
+
+def _normalize_run_table(t: pa.Table) -> pa.Table:
+    """Round-tripping a run file through parquet renames the positions
+    list child field (arrow's 'item' -> parquet's 'element'), which would
+    change the embedded ARROW:schema bytes on rewrite; cast back so
+    compaction/reshard rewrites stay byte-identical to fresh runs."""
+    if "positions" in t.column_names:
+        i = t.schema.get_field_index("positions")
+        t = t.set_column(i, "positions",
+                         t["positions"].cast(pa.list_(pa.int32())))
+    return t
 
 
 def _run_vocab(pf: pq.ParquetFile) -> np.ndarray:
@@ -960,7 +977,20 @@ def append_fragments(
     # the whole incremental design exists to keep
     atomic_write_json(paths.root / "job.json",
                       _job_identity(old_files + new_files, cfg))
-    return build_index(old_files + new_files, index_dir, cfg, concurrency)
+    res = build_index(old_files + new_files, index_dir, cfg, concurrency)
+    # a compacted index's runs derive from a FILTERED corpus even though
+    # stats list the original files; re-stamp the compaction generation
+    # (build_index rewrote stats/job.json without it) so a later direct
+    # build_index over those original files wipes and rebuilds clean
+    # instead of silently resuming the filtered runs.  Future appends
+    # rewrite job.json themselves first, so the marker never blocks them.
+    gen = stats.get("compaction_gen")
+    if gen:
+        for p in (paths.stats_json, paths.root / "job.json"):
+            d = json.loads(p.read_text())
+            d["compaction_gen"] = gen
+            atomic_write_json(p, d)
+    return res
 
 
 class _ConvMinMaxWorker:

@@ -292,6 +292,7 @@ class _CompactShardWorker:
         from horus_ner_ray.pipelines.build_index import (
             _RUN_VOCAB_KEY,
             _RUN_WRITE_KW,
+            _normalize_run_table,
             _run_vocab_arrow,
         )
 
@@ -299,7 +300,7 @@ class _CompactShardWorker:
         run_dir = self.paths.run_dir(shard_id)
         for f in sorted(run_dir.glob("run-*.parquet")):
             pf = pq.ParquetFile(f)
-            tbl = pf.read()
+            tbl = _normalize_run_table(pf.read())
             ids = np.asarray(tbl["doc_id"], dtype=np.int64)
             kill = _isin_sorted(ids, self.deleted)
             if not kill.any():
@@ -318,7 +319,10 @@ class _CompactShardWorker:
                     0, "term_idx", pa.array(dense, pa.int32()))
                 vocab = vocab.take(pa.array(used, pa.int32()))
             meta = "\n".join(vocab.to_pylist()).encode("utf-8")
-            live = live.replace_schema_metadata({_RUN_VOCAB_KEY: meta})
+            # single-chunk-canonical layout (format v7): bytes must match
+            # what a fresh build over the filtered corpus writes
+            live = live.combine_chunks().replace_schema_metadata(
+                {_RUN_VOCAB_KEY: meta})
             # atomic_write_table adds the build's zstd defaults — the same
             # writer path as fresh runs, keeping bytes fresh-build-identical
             atomic_write_table(f, live, **_RUN_WRITE_KW)

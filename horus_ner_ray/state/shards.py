@@ -52,7 +52,7 @@ from horus_ner_ray.state import codec
 # within chunk) instead of one full-fragment sort.  Shard bytes unchanged.
 # v6: docstore parts additionally carry the source's tool/ts columns when
 # present (field-scoped search filters + snippet fetch).
-INDEX_FORMAT_VERSION = 6
+INDEX_FORMAT_VERSION = 7
 
 
 def shard_of_rank(doc_ids: np.ndarray, n_docs: int, num_shards: int) -> np.ndarray:

@@ -283,6 +283,31 @@ def test_compact_then_append_byte_identity(small_corpus, tmp_path_factory,
             == pq.read_table(IndexPaths(clean).df_parquet).to_pydict())
 
 
+def test_build_over_original_corpus_after_compact_append_rebuilds(
+        small_corpus, tmp_path_factory, ray_session):
+    """After compact->append, job.json keeps the compaction generation, so
+    a DIRECT build_index over the (original old + new) corpus must wipe
+    and rebuild the full corpus — never silently resume the filtered
+    runs while claiming the original files."""
+    from horus_ner_ray.pipelines.build_index import append_fragments
+
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    idx = tmp_path_factory.mktemp("cmpgen") / "idx"
+    build_index(small_corpus[:2], idx, cfg)
+    store = pd.concat([pq.read_table(p, columns=["doc_id", "conv_id"]).to_pandas()
+                       for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    convs = sorted(store["conv_id"].unique())[:6]
+    n_full = len(store)
+    delete_by_conv(idx, convs)
+    compact_index(idx)
+    res_app = append_fragments(idx, small_corpus[2:])
+    assert res_app.n_docs < n_full + 20  # filtered old + new (sanity)
+    assert json.loads((Path(idx) / "job.json").read_text()).get("compaction_gen")
+    res = build_index(list(small_corpus), idx, cfg)
+    full = sum(pq.ParquetFile(f).metadata.num_rows for f in small_corpus)
+    assert res.n_docs == full  # wiped + rebuilt over the FULL corpus
+
+
 def test_partial_compaction_still_masked_correct(small_corpus,
                                                  tmp_path_factory, ray_session):
     """Crash-safety invariant: docstore already filtered, shards/stats not

@@ -1,0 +1,94 @@
+"""Resharding (pipelines/reshard.py): run re-split + re-merge must be
+byte-identical to a fresh build at the new shard count, in every doc-id
+mode, without re-tokenizing (fragment manifests untouched in content,
+phase A never re-runs); composes with append and tombstones."""
+
+import json
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.pipelines.build_index import build_index
+from horus_ner_ray.pipelines.reshard import reshard_index
+from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine
+from horus_ner_ray.state.shards import IndexPaths
+from horus_ner_ray.synth import reference_queries
+
+
+def _index_bytes(idx: Path) -> dict[str, bytes]:
+    out = {}
+    for sub in ("shards", "runs"):
+        for p in sorted((idx / sub).rglob("*")):
+            if p.is_file() and p.name != "manifest.json" \
+                    and not p.name.startswith("_frag-"):
+                out[str(p.relative_to(idx))] = p.read_bytes()
+    out["df"] = (idx / "df.parquet").read_bytes()
+    return out
+
+
+@pytest.mark.parametrize("mode,pos", [("rank", True), ("hash", False)])
+def test_reshard_byte_identical_to_fresh_build(small_corpus, tmp_path,
+                                               ray_session, mode, pos):
+    cfg3 = PipelineConfig(num_shards=3, doc_id_mode=mode, with_positions=pos)
+    cfg5 = PipelineConfig(num_shards=5, doc_id_mode=mode, with_positions=pos)
+    idx = tmp_path / f"resh_{mode}"
+    build_index(small_corpus, idx, cfg3)
+    out = reshard_index(idx, 5)
+    assert out["resharded"] and out["n_shards"] == 5 and out["from"] == 3
+    clean = tmp_path / f"clean_{mode}"
+    build_index(small_corpus, clean, cfg5)
+    assert _index_bytes(idx) == _index_bytes(clean)
+    s_a = json.loads((idx / "stats.json").read_text())
+    assert s_a["n_shards"] == 5 and s_a["config"]["num_shards"] == 5
+    # results stay rank-identical to the oracle across the reshard (the
+    # brute-force oracle assigns rank ids, so only the rank build compares
+    # id-for-id; hash mode is already covered by the byte identity above)
+    if mode == "rank":
+        bf = BruteForceBM25.from_corpus_files(small_corpus)
+        eng = QueryEngine(idx)
+        for q in reference_queries(k=10)[:4]:
+            assert eng.search(q["text"], q["k"]) == bf.search(q["text"], q["k"])
+
+
+def test_reshard_noop_and_validation(small_corpus, tmp_path, ray_session):
+    idx = tmp_path / "resh_noop"
+    build_index(small_corpus[:1], idx, PipelineConfig(num_shards=2))
+    assert reshard_index(idx, 2) == {"resharded": False, "n_shards": 2}
+    with pytest.raises(ValueError, match="positive"):
+        reshard_index(idx, 0)
+
+
+def test_reshard_then_append_byte_identical(small_corpus, tmp_path,
+                                            ray_session):
+    """Resharded manifests/job must support a later append: build(A) ->
+    reshard -> append(B) == fresh build(A+B) at the new count."""
+    from horus_ner_ray.pipelines.build_index import append_fragments
+
+    cfg = PipelineConfig(num_shards=2, doc_id_mode="hash")
+    idx = tmp_path / "resh_app"
+    build_index(small_corpus[:2], idx, cfg)
+    reshard_index(idx, 4)
+    append_fragments(idx, small_corpus[2:])
+    clean = tmp_path / "resh_app_clean"
+    build_index(small_corpus, clean,
+                PipelineConfig(num_shards=4, doc_id_mode="hash"))
+    assert _index_bytes(idx) == _index_bytes(clean)
+
+
+def test_reshard_preserves_tombstones(small_corpus, tmp_path, ray_session):
+    from horus_ner_ray.pipelines.delete import delete_docs, read_tombstones
+
+    idx = tmp_path / "resh_del"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    deleted = list(range(5, 60, 6))
+    delete_docs(idx, deleted)
+    reshard_index(idx, 6)
+    assert read_tombstones(idx).tolist() == sorted(deleted)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    bf.delete_docs(deleted)
+    eng = QueryEngine(idx)
+    for q in reference_queries(k=10)[:4]:
+        assert eng.search(q["text"], q["k"]) == bf.search(q["text"], q["k"])
