@@ -2006,22 +2006,38 @@ def _q_eval_metrics(sf_dir: str):
             .sort_values("cls").reset_index(drop=True))
 
 
+def _hist_wide(out: pd.DataFrame) -> pd.DataFrame:
+    """(media_id, n_px, hist-list) -> exact-int wide histogram rows."""
+    hist = np.stack(out["hist"].to_numpy()).astype(np.int64)
+    cols = {"media_id": out["media_id"].to_numpy(np.int64),
+            "n_px": out["n_px"].to_numpy(np.int64)}
+    for b in range(hist.shape[1]):
+        cols[f"h{b:02d}"] = hist[:, b]
+    return (pd.DataFrame(cols).sort_values("media_id")
+            .reset_index(drop=True))
+
+
 def _q_media_features(sf_dir: str):
     """REAL multimodal decode (round 4): genuine PNG/BMP containers decoded
     by the pure-stdlib codec (zlib IDAT + vectorized scanline unfilter,
-    stages/media_codecs.py) in an actor pool; features are intensity
-    histograms over the decoded pixels."""
+    stages/media_codecs.py) in an actor pool; features are the exact-int
+    16-bin intensity histograms of the decoded samples (the normalized
+    float feature vectors of ``decode_features_dataset`` stay the library
+    surface, pytest-covered — the driver emits the integer sufficient
+    statistics so the oracle hash compares exactly).  ORACLE: the decoded
+    PIXELS inline as SQL VALUES (the one non-SQL primitive, zlib inflate
+    — the `_doc_vocab_hash_values` precedent) and the binning/counting
+    restates entirely in SQL."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from horus_ner_ray.stages.multimodal import (
-        decode_features_dataset,
-        synth_real_media_table,
-    )
+    from horus_ner_ray.stages.media_classify import media_hist_dataset
+    from horus_ner_ray.stages.multimodal import synth_real_media_table
 
     tbl = synth_real_media_table(n=48, seed=42)
     imgs = tbl.filter(pc.not_equal(tbl["media_type"], "audio/wav"))
-    return decode_features_dataset(rd.from_arrow(imgs), decoder="real")
+    out = media_hist_dataset(rd.from_arrow(imgs), keep_label=False).to_pandas()
+    return _hist_wide(out)
 
 
 def _q_media_predictions(sf_dir: str):
@@ -2314,9 +2330,11 @@ def _q_jpeg_features(sf_dir: str):
     """REAL baseline-JPEG entropy decode (round 5; stages/jpeg.py — spec
     FDCT/Huffman both directions, the encoder supplying conforming test
     vectors): genuine JPEG payloads -> exact int64 intensity histograms
-    through the load-once actor pool.  Rows-only (SQL cannot state
-    Huffman + IDCT); the codec itself is pinned by tolerance + hash
-    regression pytests (tests/test_jpeg.py)."""
+    through the load-once actor pool.  ORACLE: the decoded pixels inline
+    as SQL VALUES (Huffman+IDCT is the one non-SQL primitive, evaluated
+    in Python per the `_doc_vocab_hash_values` precedent) and the
+    binning/counting restates in SQL; the decode itself is additionally
+    pinned by tolerance + hash regression pytests (tests/test_jpeg.py)."""
     import ray.data as rd
 
     from horus_ner_ray.stages.media_classify import media_hist_dataset
@@ -2324,13 +2342,55 @@ def _q_jpeg_features(sf_dir: str):
 
     ds = rd.from_arrow(synth_jpeg_media_table(n=32, seed=19))
     out = media_hist_dataset(ds, keep_label=False).to_pandas()
-    hist = np.stack(out["hist"].to_numpy()).astype(np.int64)
-    cols = {"media_id": out["media_id"].to_numpy(np.int64),
-            "n_px": out["n_px"].to_numpy(np.int64)}
-    for b in range(hist.shape[1]):
-        cols[f"h{b:02d}"] = hist[:, b]
-    return (pd.DataFrame(cols).sort_values("media_id")
-            .reset_index(drop=True))
+    return _hist_wide(out)
+
+
+def _sql_pixel_hist(table: "pa.Table") -> str:
+    """Pixel-histogram oracle shared by media_features / jpeg_features:
+    each payload's DECODED samples inline as one (media_id, INTEGER[])
+    VALUES row — the single non-SQL primitive (zlib inflate for PNG,
+    Huffman+IDCT for JPEG, row unfiltering for BMP) evaluated in Python
+    over the seeded synth corpus, the `_doc_vocab_hash_values` precedent
+    — while the 16-bin quantization, per-bin counts and sample totals
+    restate entirely in SQL."""
+    from horus_ner_ray.stages.media_codecs import decode_image
+
+    rows = []
+    for mid, pay in zip(table["media_id"].to_pylist(),
+                        table["payload"].to_pylist()):
+        px = decode_image(pay).reshape(-1)
+        lst = ", ".join(str(int(x)) for x in px)
+        rows.append(f"({mid}, [{lst}]::INTEGER[])")
+    hcols = ",\n       ".join(
+        f"coalesce(max(CASE WHEN b = {b} THEN c END), 0)::BIGINT AS h{b:02d}"
+        for b in range(16))
+    return f"""
+WITH px(media_id, pxs) AS (VALUES {", ".join(rows)}),
+flat AS (SELECT media_id, unnest(pxs) AS p FROM px),
+hist AS (SELECT media_id, p // 16 AS b, count(*)::BIGINT c
+         FROM flat GROUP BY 1, 2),
+n AS (SELECT media_id, count(*)::BIGINT n_px FROM flat GROUP BY 1)
+SELECT n.media_id, n.n_px,
+       {hcols}
+FROM n LEFT JOIN hist USING (media_id)
+GROUP BY 1, 2
+"""
+
+
+def _sql_media_features() -> str:
+    import pyarrow.compute as _pc
+
+    from horus_ner_ray.stages.multimodal import synth_real_media_table
+
+    t = synth_real_media_table(n=48, seed=42)
+    return _sql_pixel_hist(
+        t.filter(_pc.not_equal(t["media_type"], "audio/wav")))
+
+
+def _sql_jpeg_features() -> str:
+    from horus_ner_ray.stages.multimodal import synth_jpeg_media_table
+
+    return _sql_pixel_hist(synth_jpeg_media_table(n=32, seed=19))
 
 
 def _q_gif_pixels(sf_dir: str):
@@ -4443,6 +4503,8 @@ def oracle_sql() -> dict[str, str]:
         "media_predictions": _sql_media_nb(),
         "wav_stats": _sql_wav_stats(),
         "gif_pixels": _sql_gif_pixels(),
+        "media_features": _sql_media_features(),
+        "jpeg_features": _sql_jpeg_features(),
         "image_meta": _sql_image_meta(),
         "cube_revenue": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
