@@ -288,6 +288,111 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end curation COMPOSITION as one Ray Data flow — the chain a
+    training-data pipeline actually runs: exact dedup (keep min doc_id
+    per text) -> quality gate (n_tokens >= 5 AND n_unique >= 3) ->
+    content-group fingerprint over the survivors -> deterministic 80/20
+    split.  One fused metrics pass (the quality + fingerprint batch
+    kernels share a single map_batches), one dedup groupby, one
+    fingerprint-bucket groupby; the keeper id set broadcasts once as the
+    semi-join small side (the bloom joins of stages/joins.py are the
+    beyond-broadcast escalation).  Every stage is an independently
+    oracle-checked operator — this entry checks their composition (the
+    SQL chains the same derivations as CTEs)."""
+    import pyarrow as _pa
+    import ray
+
+    from horus_ner_ray.stages.analysis import fingerprint_batch, quality_batch
+    from horus_ner_ray.stages.dedupe import (
+        buckets_for_rows,
+        exact_dedup_keep_min,
+    )
+    from horus_ner_ray.util import worker_runtime_env
+
+    nbk = buckets_for_rows(_n_rows(_docs(sf_dir)))
+    keep = exact_dedup_keep_min(_read_docs(sf_dir), n_buckets=nbk).to_pandas()
+    keep_ids = np.sort(keep["doc_id"].to_numpy(np.int64))
+    keep_ref = ray.put(keep_ids) if ray.is_initialized() else keep_ids
+
+    def fused_metrics(batch: "_pa.Table") -> "_pa.Table":
+        ks = ray.get(keep_ref) if ray.is_initialized() else keep_ref
+        q = quality_batch(batch)
+        f = fingerprint_batch(batch)
+        ids = np.asarray(q["doc_id"], dtype=np.int64)
+        nt = np.asarray(q["n_tokens"], dtype=np.int64)
+        nu = np.asarray(q["n_unique"], dtype=np.int64)
+        fpv = np.asarray(f["fingerprint"], dtype=np.int64)
+        kept = np.zeros(len(ids), dtype=bool)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            kept = ks[pos] == ids
+        m = kept & (nt >= 5) & (nu >= 3)
+        return _pa.table({
+            "doc_id": _pa.array(ids[m], _pa.int64()),
+            "n_tokens": _pa.array(nt[m], _pa.int64()),
+            "fingerprint": _pa.array(fpv[m], _pa.int64()),
+        })
+
+    surv = _read_docs(sf_dir).map_batches(
+        fused_metrics, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=worker_runtime_env())
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = b["fingerprint"].to_numpy(np.int64).astype(np.uint64)
+        b["fbkt"] = ((h * np.uint64(0x9E3779B97F4A7C15))
+                     % np.uint64(nbk)).astype(np.int64)
+        return b
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["fp_group"] = g.groupby("fingerprint")["doc_id"].transform("min")
+        return g[["doc_id", "n_tokens", "fp_group"]]
+
+    out = (
+        surv.map_batches(bucket, batch_format="pandas",
+                         runtime_env=worker_runtime_env())
+        .groupby("fbkt")
+        .map_groups(lambda g: assign(g.drop(columns=["fbkt"])),
+                    batch_format="pandas", runtime_env=worker_runtime_env())
+        .to_pandas()
+    )
+    out["split"] = np.where(
+        out["doc_id"].to_numpy(np.int64) % 100 < 80, "train", "test")
+    out = out.astype({"doc_id": np.int64, "n_tokens": np.int64,
+                      "fp_group": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_curation_pipeline() -> str:
+    """Oracle: the same chain as CTEs — dedup keepers, quality gate,
+    token-sequence fp_group window min (fingerprint equality == identical
+    token sequence, the `fingerprint` query's documented equivalence),
+    mod-100 split."""
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, text, {_sql_tok()} AS tok FROM documents
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+q AS (
+  SELECT doc_id, len(tok)::BIGINT AS n_tokens,
+         len(list_distinct(tok))::BIGINT AS n_unique,
+         array_to_string(tok, ' ') AS seq
+  FROM tokd
+),
+surv AS (
+  SELECT q.doc_id, q.n_tokens, q.seq
+  FROM q JOIN keep USING (doc_id)
+  WHERE q.n_tokens >= 5 AND q.n_unique >= 3
+)
+SELECT doc_id, n_tokens,
+       min(doc_id) OVER (PARTITION BY seq) AS fp_group,
+       CASE WHEN doc_id % 100 < 80 THEN 'train' ELSE 'test' END AS split
+FROM surv
+"""
+
+
 def _q_bm25_explain(sf_dir: str):
     """Score explanation (Lucene-explain analogue): for each query's top-3
     docs (under the shared e6 rerank), the exact per-term BM25
@@ -3213,6 +3318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_near": _q_bm25_near,
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_explain": _q_bm25_explain,
+        "curation_pipeline": _q_curation_pipeline,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3926,6 +4032,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_near": _sql_bm25_near(),
         "bm25_date_histogram": _sql_bm25_date_histogram(),
         "bm25_explain": _sql_bm25_explain(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "
