@@ -24,6 +24,12 @@ ORACLE_SUBSET = [
     "quality",
     "bpeish_counts",
     "ann_topk",
+    # round-5 session-3 additions (sf-agnostic oracles)
+    "bm25_after_delete",
+    "bm25_after_compact",
+    "bm25_near",
+    "bm25_explain",
+    "curation_pipeline",
 ]
 
 
