@@ -288,6 +288,40 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+def _q_bm25_page2(sf_dir: str):
+    """Cursor pagination (search_after deep paging), page 2: page 1 under
+    the shared e6 rerank; the cursor is its last hit's (doc_id, bitwise
+    FLOAT score); the engine's search_after returns the strict
+    successors, padded and e6-reranked to global ranks 11-20.  SQL: the
+    standard scoring body at rk BETWEEN 11 AND 20.  Boundary caveat
+    (same class as every scored oracle's): a float-vs-e6 order
+    disagreement exactly at the page boundary could swap a doc across
+    pages; exact-equality ties (duplicate texts) order identically on
+    both sides, and padding absorbs within-page ties."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    frames = []
+    for qid, text in enumerate(DOC_QUERIES):
+        p_all = eng.search(text, TOPK * 3 + 20)
+        page1 = _e6_rerank(_hits_frame([p_all]), "score", "doc_id", "score_e6")
+        if len(page1) < TOPK:
+            continue  # fewer than a full page: no page 2 either side
+        last_doc = int(page1["doc_id"].iloc[TOPK - 1])
+        smap = dict(p_all)
+        p2 = eng.search_after(text, TOPK * 3 + 20,
+                              cursor=(last_doc, smap[last_doc]))
+        df = _e6_rerank(_hits_frame([p2]), "score", "doc_id",
+                        "score_e6").head(TOPK)
+        df["query_id"] = qid
+        df["rank"] = df["rank"] + TOPK
+        frames.append(df)
+    cols = ["query_id", "rank", "doc_id", "score_e6"]
+    if not frames:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in cols})
+    return pd.concat(frames, ignore_index=True)[cols].astype(np.int64)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """End-to-end curation COMPOSITION as one Ray Data flow — the chain a
     training-data pipeline actually runs: exact dedup (keep min doc_id
@@ -3319,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_date_histogram": _q_bm25_date_histogram,
         "bm25_explain": _q_bm25_explain,
         "curation_pipeline": _q_curation_pipeline,
+        "bm25_page2": _q_bm25_page2,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -3449,7 +3484,8 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               role_weights: dict[str, float] | None = None,
               q_sql: str | None = None,
               exclude_rows: str | None = None,
-              extra_where: str | None = None) -> str:
+              extra_where: str | None = None,
+              rank_range: tuple[int, int] | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
@@ -3534,7 +3570,8 @@ ranked AS (
          ) rk
   FROM scored {and_filter}
 )
-SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked
+WHERE rk BETWEEN {rank_range[0] if rank_range else 1} AND {rank_range[1] if rank_range else TOPK}
 """
 
 
@@ -4033,6 +4070,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_date_histogram": _sql_bm25_date_histogram(),
         "bm25_explain": _sql_bm25_explain(),
         "curation_pipeline": _sql_curation_pipeline(),
+        "bm25_page2": _sql_bm25(DOC_QUERIES, conjunctive=False,
+                                rank_range=(TOPK + 1, 2 * TOPK)),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

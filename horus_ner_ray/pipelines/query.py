@@ -290,6 +290,19 @@ class BruteForceBM25:
             out[k] = out.get(k, 0) + 1
         return out
 
+    def search_after(self, text: str, k: int = 10,
+                     cursor: tuple[float, int] | None = None,
+                     mode: str = "or") -> list[tuple[int, float]]:
+        """Oracle cursor pagination: full ranking, then the k entries
+        strictly after the (doc_id, score) cursor row under
+        (score desc, doc asc)."""
+        ranked = self.search(text, self.n_docs + k, mode=mode)
+        if cursor is None:
+            return ranked[:k]
+        cd, cs = int(cursor[0]), float(cursor[1])
+        return [(d, s) for d, s in ranked
+                if s < cs or (s == cs and d > cd)][:k]
+
     def date_histogram(self, text: str,
                        interval_us: int = 86_400_000_000) -> dict[int, int]:
         """Oracle date-histogram: matching docs bucketed by
@@ -670,6 +683,51 @@ class QueryEngine:
             for key, n in zip(u, c):
                 out[str(key)] = out.get(str(key), 0) + int(n)
         return out
+
+    def search_after(self, text: str, k: int = 10,
+                     cursor: tuple[float, int] | None = None,
+                     mode: str = "or") -> list[tuple[int, float]]:
+        """Cursor pagination (the search_after deep-paging API): returns
+        the next ``k`` hits STRICTLY after ``cursor`` — the (doc_id,
+        score) pair of the previous page's LAST HIT, i.e. exactly a
+        result row — in the global (score desc, doc_id asc) order.
+        Stateless and stable, unlike offset paging, because the cursor
+        pins a total-order position.  Each shard applies the cursor
+        predicate to its exact local ranking before its top-k, so the
+        global merge stays exact."""
+        if cursor is None:
+            return self.search(text, k, mode=mode)
+        cd, cs = int(cursor[0]), float(cursor[1])
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        if not terms:
+            return []
+        if mode == "and" and any(self.global_df(t) == 0
+                                 for t in query_terms(text)):
+            return []
+        idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
+        score_fn = (self._score_shard_or if mode == "or"
+                    else self._score_shard_and)
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            # fetch enough local candidates to survive the cursor cut:
+            # every hit at-or-before the cursor within this shard can
+            # displace at most one post-cursor hit, so k + (local hits
+            # >= cursor) suffices; simplest exact bound is to rank the
+            # shard fully for the page's candidate pool
+            d, s = score_fn(si, terms, idfs, k + len(self._reader(si).docids),
+                            mask=self._live_mask(si))
+            after = (s < cs) | ((s == cs) & (d > cd))
+            d, s = d[after], s[after]
+            order = np.lexsort((d, -s))[:k]
+            docs.append(d[order])
+            scores.append(s[order])
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
 
     def explain(self, text: str, doc_id: int) -> list[dict]:
         """Score explanation (the classic engine 'explain' API): for one

@@ -269,3 +269,48 @@ def test_explain_tombstoned_doc_is_empty(small_corpus, tmp_path_factory,
     assert eng0.explain("the", doc)
     delete_docs(idx, [doc])
     assert QueryEngine(idx).explain("the", doc) == []
+
+
+def test_search_after_pagination_rank_identity(engines):
+    """Cursor pagination: page chains are float-exact vs the oracle, and
+    concatenating pages reproduces the single big top-k exactly (stable,
+    stateless deep paging)."""
+    eng, bf = engines
+    for q in ["the session data", "alpha sessionmark", "the"]:
+        full = eng.search(q, 30)
+        pages, cursor = [], None
+        for _ in range(3):
+            p_e = eng.search_after(q, 10, cursor=cursor)
+            p_b = bf.search_after(q, 10, cursor=cursor)
+            assert p_e == p_b, (q, cursor)
+            if not p_e:
+                break
+            pages.extend(p_e)
+            cursor = p_e[-1]
+        assert pages == full[:len(pages)], q
+    # cursor past the end -> empty
+    last = eng.search("the", 10**6)[-1]
+    assert eng.search_after("the", 10, cursor=last) == []
+    # AND mode pages too
+    p1 = eng.search_after("alpha beta", 2, mode="and")
+    assert p1, "fixture should contain conjunctive matches"
+    p2 = eng.search_after("alpha beta", 2, cursor=p1[-1], mode="and")
+    assert p1 + p2 == eng.search("alpha beta", 4, mode="and")
+
+
+def test_search_after_respects_tombstones(small_corpus, tmp_path_factory,
+                                          ray_session):
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_docs
+    from horus_ner_ray.config import PipelineConfig
+
+    idx = tmp_path_factory.mktemp("pagedel") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    deleted = list(range(2, 60, 5))
+    delete_docs(idx, deleted)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    bf.delete_docs(deleted)
+    eng = QueryEngine(idx)
+    p1 = eng.search("the sessionmark", 10)
+    assert eng.search_after("the sessionmark", 10, cursor=p1[-1]) \
+        == bf.search_after("the sessionmark", 10, cursor=p1[-1])
