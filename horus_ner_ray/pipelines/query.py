@@ -1564,7 +1564,20 @@ class ScorerActor:
                 tool = None
             if isinstance(exclude, float):
                 exclude = None
-            if mode in ("prefix", "fuzzy", "contains"):
+            after_doc = getattr(row, "after_doc", None)
+            if after_doc is not None and (
+                    isinstance(after_doc, float) and after_doc != after_doc):
+                after_doc = None  # NaN = no cursor
+            if after_doc is not None:
+                # cursor pagination: strict successors of (doc, score)
+                if mode not in ("or", "and") or role or tool or exclude:
+                    raise ValueError(
+                        "cursor pagination composes only with mode=or/and "
+                        "and no field filters")
+                hits = self.engine.search_after(
+                    row.text, int(row.k), mode=mode,
+                    cursor=(int(after_doc), float(row.after_score)))
+            elif mode in ("prefix", "fuzzy", "contains"):
                 # dictionary-expansion modes: field filters don't compose
                 # (fail loudly rather than silently ignoring a filter)
                 if role or tool or exclude:

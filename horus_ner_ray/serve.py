@@ -75,7 +75,8 @@ class QueryService:
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
                tool: str | None = None,
-               exclude: str | None = None, window: int = 8) -> list[dict]:
+               exclude: str | None = None, window: int = 8,
+               after: tuple[int, float] | None = None) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -89,7 +90,10 @@ class QueryService:
             [{"query_id": 0, "text": text, "k": int(k),
               "mode": mode or self.mode, "role": role or "",
               "tool": tool or "", "exclude": exclude or "",
-              "window": int(window)}]
+              "window": int(window),
+              "after_doc": None if after is None else int(after[0]),
+              "after_score": float("nan") if after is None
+              else float(after[1])}]
         )
         parts = self._scatter(q)
         cand = pd.concat(parts, ignore_index=True)
@@ -114,6 +118,30 @@ class QueryService:
             for h, sp in zip(hits, spans):
                 h["match_spans"] = sp
         return hits
+
+    def stats(self) -> dict:
+        """Index-level operational stats (the /stats route): collection
+        numbers from stats.json plus the live tombstone count — driver
+        reads only, no actor round-trip."""
+        import json as _json
+
+        from horus_ner_ray.pipelines.delete import read_tombstones
+        from horus_ner_ray.state.shards import IndexPaths
+
+        paths = IndexPaths(self.index_dir)
+        s = _json.loads(paths.stats_json.read_text())
+        ts = read_tombstones(self.index_dir)
+        return {
+            "n_docs": int(s["n_docs"]),
+            "total_tokens": int(s["total_tokens"]),
+            "avgdl": float(s["avgdl"]),
+            "n_shards": int(s["n_shards"]),
+            "doc_id_mode": s["doc_id_mode"],
+            "with_positions": bool(s.get("with_positions", False)),
+            "n_deleted": 0 if ts is None else int(len(ts)),
+            "compaction_gen": int(s.get("compaction_gen", 0)),
+            "n_actors": len(self.actors),
+        }
 
     def explain(self, text: str, doc_id: int) -> list[dict]:
         """Per-term BM25 factors for one (query, doc): scatter — only the
@@ -171,6 +199,9 @@ def make_http_server(
     route returning the annotated sentence).
     GET /explain?q=<text>&doc=<id> -> per-term BM25 factor rows.
     GET /histogram?q=<text>[&interval=<us>] -> time-bucketed match counts.
+    GET /stats -> collection numbers + live tombstone count.
+    Cursor paging: &after_doc=<id>&after_score=<float> (the previous
+    page's last hit) returns the strict successors — or/and modes only.
     port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
     the lifecycle: server.serve_forever() (typically in a thread), then
     server.shutdown() + service.close().
@@ -188,6 +219,12 @@ def make_http_server(
 
         def do_GET(self):  # noqa: N802  (http.server API)
             u = urlparse(self.path)
+            if u.path == "/stats":
+                try:
+                    self._json(service.stats())
+                except Exception as e:
+                    self.send_error(500, str(e))
+                return
             if u.path == "/explain":
                 qs = parse_qs(u.query)
                 text = (qs.get("q") or [""])[0]
@@ -250,6 +287,17 @@ def make_http_server(
                 if req_mode == "near" and req_exclude:
                     raise ValueError("mode='near' does not compose with "
                                      "exclude")
+                after = None
+                if qs.get("after_doc") or qs.get("after_score"):
+                    # cursor = previous page's last hit; full-precision
+                    # float survives the repr round-trip
+                    after = (int((qs.get("after_doc") or [""])[0]),
+                             float((qs.get("after_score") or [""])[0]))
+                    if req_mode not in ("or", "and") or req_role \
+                            or req_tool or req_exclude:
+                        raise ValueError(
+                            "cursor pagination composes only with "
+                            "mode=or/and and no field filters")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
@@ -258,7 +306,8 @@ def make_http_server(
                 hits = service.search(text, k=k, mode=req_mode,
                                       return_text=want_text,
                                       role=req_role, tool=req_tool,
-                                      exclude=req_exclude, window=req_window)
+                                      exclude=req_exclude, window=req_window,
+                                      after=after)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

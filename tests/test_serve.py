@@ -241,3 +241,29 @@ def test_http_explain_and_histogram(http_service, small_corpus, built_index):
             raise AssertionError("expected 400 for " + bad)
         except urllib.error.HTTPError as e:
             assert e.code == 400, bad
+
+
+def test_http_pagination_and_stats(http_service, small_corpus):
+    """Cursor paging over HTTP chains exactly (page2 = strict successors
+    of page1's last hit, float cursor surviving the repr round-trip);
+    /stats reports the collection numbers; cursor+filter is a 400."""
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    p1 = _get(http_service, q="the session data", k=5)["hits"]
+    last = p1[-1]
+    p2 = _get(http_service, q="the session data", k=5,
+              after_doc=last["doc_id"], after_score=repr(last["score"]))["hits"]
+    want = bf.search_after("the session data", 5,
+                           cursor=(last["doc_id"], last["score"]))
+    assert [(h["doc_id"], h["score"]) for h in p2] == want
+    assert [(h["doc_id"], h["score"]) for h in p1 + p2] == bf.search_after(
+        "the session data", 10)
+    s = json.loads(urllib.request.urlopen(
+        http_service + "/stats", timeout=10).read())
+    assert s["n_docs"] > 0 and s["n_shards"] > 0 and s["n_deleted"] == 0
+    try:
+        urllib.request.urlopen(
+            http_service + "/search?q=x&after_doc=1&after_score=0.5&role=user",
+            timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
