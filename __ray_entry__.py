@@ -288,6 +288,60 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the cross-set n-gram sweep an LLM data
+    pipeline runs before release; distinct from dedup — a small held-out
+    right side, per-doc overlap counts out): docs with doc_id % 17 == 5
+    form the benchmark; every other doc sharing a word 3-gram with it is
+    flagged with its distinct-shared-shingle count.  The benchmark's
+    shingle-hash set broadcasts once; the corpus streams through one
+    map_batches — no shuffle (stages/decontam.py).  Oracle: SQL joins
+    the distinct shingle STRINGS (hash-vs-string equality modulo 64-bit
+    collisions — the fingerprint equivalence argument)."""
+    import pyarrow as _pa
+
+    from horus_ner_ray.stages.decontam import decontaminate_dataset
+    from horus_ner_ray.util import worker_runtime_env
+
+    def mod_filter(eq: bool):
+        def f(b: "_pa.Table") -> "_pa.Table":
+            ids = np.asarray(b["doc_id"], dtype=np.int64)
+            m = (ids % 17 == 5) if eq else (ids % 17 != 5)
+            return b.filter(_pa.array(m))
+        return f
+
+    rte = worker_runtime_env()
+    bench = _read_docs(sf_dir).map_batches(
+        mod_filter(True), batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=rte)
+    corpus = _read_docs(sf_dir).map_batches(
+        mod_filter(False), batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=rte)
+    out = decontaminate_dataset(corpus, bench, k=3).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype({"doc_id": np.int64, "n_shared": np.int64}))
+
+
+def _sql_decontaminate() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+win AS (
+  SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 2)) AS i
+  FROM tok WHERE len(arr) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS s
+  FROM win
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 5)
+SELECT sh.doc_id, count(DISTINCT sh.s)::BIGINT AS n_shared
+FROM sh JOIN bench USING (s)
+WHERE sh.doc_id % 17 <> 5
+GROUP BY 1
+"""
+
+
 def _q_bm25_page2(sf_dir: str):
     """Cursor pagination (search_after deep paging), page 2: page 1 under
     the shared e6 rerank; the cursor is its last hit's (doc_id, bitwise
@@ -3354,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": _q_bm25_explain,
         "curation_pipeline": _q_curation_pipeline,
         "bm25_page2": _q_bm25_page2,
+        "decontaminate": _q_decontaminate,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -4072,6 +4127,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _sql_curation_pipeline(),
         "bm25_page2": _sql_bm25(DOC_QUERIES, conjunctive=False,
                                 rank_range=(TOPK + 1, 2 * TOPK)),
+        "decontaminate": _sql_decontaminate(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

@@ -29,7 +29,9 @@ ORACLE_SUBSET = [
     "bm25_after_compact",
     "bm25_near",
     "bm25_explain",
+    "bm25_page2",
     "curation_pipeline",
+    "decontaminate",
 ]
 
 
