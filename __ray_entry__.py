@@ -1878,8 +1878,11 @@ def _q_bm25_date_histogram(sf_dir: str):
 
 def _sql_bm25_date_histogram() -> str:
     """Date-histogram oracle: DISTINCT matching docs per (query, hour
-    bucket) over the same transcript derivation; integer floor division
-    (``//``) matches the engine's np.floor_divide on int64 microseconds."""
+    bucket) over the same transcript derivation.  Floor division is
+    restated in pure integers — DuckDB's ``//`` truncates toward ZERO
+    (verified: -7 // 2 = -3) while the engine's np.floor_divide floors
+    toward -inf, so the SQL computes (x - nonneg_mod(x, iv)) / iv, which
+    matches for negative epochs too."""
     from horus_ner_ray.synth import reference_queries
 
     _files, glob = _transcript_corpus(_oracle_sf())
@@ -1907,7 +1910,10 @@ matched AS (
   SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN tok t USING (term)
 )
 SELECT m.query_id,
-       (epoch_us(d.ts) // {_HISTO_INTERVAL_US})::BIGINT AS bucket,
+       ((epoch_us(d.ts)
+         - ((epoch_us(d.ts) % {_HISTO_INTERVAL_US} + {_HISTO_INTERVAL_US})
+            % {_HISTO_INTERVAL_US}))
+        // {_HISTO_INTERVAL_US})::BIGINT AS bucket,
        count(*)::BIGINT AS n_docs
 FROM matched m JOIN documents d USING (doc_id)
 WHERE d.ts IS NOT NULL

@@ -33,7 +33,6 @@ answer and a re-run finishes idempotently.
 from __future__ import annotations
 
 import json
-from dataclasses import asdict
 from pathlib import Path
 
 import numpy as np
@@ -238,8 +237,15 @@ class _CompactDocstoreWorker:
                 w = pq.ParquetWriter(tmp, live.schema,
                                      compression="zstd", compression_level=1)
                 for lo in range(0, max(len(live), 1), DOCSTORE_CHUNK_ROWS):
-                    w.write_table(live.slice(lo, DOCSTORE_CHUNK_ROWS),
-                                  row_group_size=DOCSTORE_CHUNK_ROWS)
+                    # re-SORT each re-sliced chunk: deletions shift chunk
+                    # boundaries, so a new chunk can span two old sorted
+                    # chunks — the per-row-group doc_id sort is what the
+                    # fresh build writes (file-order chunks, sorted within)
+                    # and what keeps row-group stats pruning tight
+                    chunk = (live.slice(lo, DOCSTORE_CHUNK_ROWS)
+                             .sort_by([("doc_id", "ascending")])
+                             .combine_chunks())
+                    w.write_table(chunk, row_group_size=DOCSTORE_CHUNK_ROWS)
                 w.close()
                 import os
 
@@ -384,7 +390,12 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     Crash-safe at every prefix: stats/tombstones publish LAST, so an
     interrupted compaction still serves the masked stale-stats answer and
     a re-run converges (already-filtered parts/shards are no-op or
-    idempotent rewrites)."""
+    idempotent rewrites).  A ``compacting.json`` marker brackets the
+    shard-rewrite window: engines seeing it take the exhaustive exact
+    scoring path, because rewritten shards carry pruning metadata built
+    with the NEXT avgdl while stats.json still holds the old one —
+    mismatched MaxScore/champion bounds could otherwise prune true
+    top-k docs."""
     import ray
 
     from horus_ner_ray.pipelines.build_index import _map_items, _write_df_table
@@ -408,7 +419,15 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
 
     # 2) shard + run-file rewrite with the NEW avgdl (one task per shard;
     #    runs must be filtered too or the next append_fragments' re-merge
-    #    would resurrect deleted docs from them)
+    #    would resurrect deleted docs from them).  The marker makes the
+    #    crash window SOUND, not just stale: rewritten shards carry
+    #    block-max/champion metadata computed with the NEW avgdl while
+    #    stats.json still holds the old one, and a MaxScore upper bound
+    #    built from mismatched avgdl can prune true top-k docs — engines
+    #    seeing the marker route every query down the exhaustive exact
+    #    path until the publish completes
+    atomic_write_json(paths.root / "compacting.json",
+                      {"avgdl_next": avgdl, "n_docs_next": n_docs})
     shard_items = [{"shard_id": s} for s in range(int(stats["n_shards"]))]
     shard_res = _map_items(shard_items, _CompactShardWorker,
                            {"index_dir": str(index_dir), "cfg_dict": cfg_dict,
@@ -421,8 +440,10 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     for rr in shard_res.get("removed_runs", pd.Series(dtype=object)):
         removed_runs.update(json.loads(rr))
     for r in parts.itertuples():
-        name = Path(r.path).name  # part-{frag_id:05d}.parquet
-        frag_id = int(name[len("part-"):len("part-") + 5])
+        # part-{frag_id:05d}.parquet — parse the full digit run, not a
+        # fixed 5-char slice (frag counts past 100000 widen the field)
+        name = Path(r.path).name
+        frag_id = int(name[len("part-"):].split(".")[0])
         mpath = paths.frag_manifest(frag_id)
         if not mpath.exists():
             continue
@@ -450,5 +471,6 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
         job["compaction_gen"] = gen  # never equals a fresh _job_identity
         atomic_write_json(jp, job)
     _tombstone_path(index_dir).unlink(missing_ok=True)
+    (paths.root / "compacting.json").unlink(missing_ok=True)
     return {"deleted": int(len(deleted)), "compacted": True,
             "n_docs": n_docs, "avgdl": avgdl, "compaction_gen": gen}

@@ -482,6 +482,11 @@ class QueryEngine:
 
         self._deleted = read_tombstones(self.paths.root)
         self._live_cache: dict[int, np.ndarray | None] = {}
+        # an in-flight compaction rewrites shards with the NEXT avgdl
+        # before stats publish; champion/MaxScore bounds built from
+        # mismatched avgdl are unsound, so the marker forces the
+        # exhaustive exact path until the publish completes
+        self._force_exhaustive = (self.paths.root / "compacting.json").exists()
         self.pruned_term_evals = 0  # MaxScore restrictions taken (introspection)
         self._tv_terms: np.ndarray | None = None  # term vectors (expansion)
         self._tv: np.ndarray | None = None
@@ -710,14 +715,22 @@ class QueryEngine:
         docs: list[np.ndarray] = []
         scores: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):
-            # fetch enough local candidates to survive the cursor cut:
-            # every hit at-or-before the cursor within this shard can
-            # displace at most one post-cursor hit, so k + (local hits
-            # >= cursor) suffices; simplest exact bound is to rank the
-            # shard fully for the page's candidate pool
-            d, s = score_fn(si, terms, idfs, k + len(self._reader(si).docids),
-                            mask=self._live_mask(si))
-            after = (s < cs) | ((s == cs) & (d > cd))
+            # iterative deepening: fetch the shard's exact top-k2 and
+            # grow k2 until >= k post-cursor hits survive or the shard is
+            # exhausted — the first k post-cursor hits are ranks
+            # (r+1..r+k) for cursor rank r, all inside top-k2 once
+            # k2 - r >= k, so the page is exact at every stop.  Pages
+            # near the top (the common case) cost one ordinary top-k
+            # pass; deep pages approach one exhaustive pass.
+            nd = len(self._reader(si).docids)
+            lm = self._live_mask(si)
+            k2 = max(2 * k, 16)
+            while True:
+                d, s = score_fn(si, terms, idfs, k2, mask=lm)
+                after = (s < cs) | ((s == cs) & (d > cd))
+                if int(after.sum()) >= k or len(d) < k2 or k2 > nd:
+                    break
+                k2 *= 4
             d, s = d[after], s[after]
             order = np.lexsort((d, -s))[:k]
             docs.append(d[order])
@@ -976,6 +989,8 @@ class QueryEngine:
         nd = len(r.docids)
         if nd == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
+        if self._force_exhaustive and mask is None:
+            mask = np.ones(nd, dtype=bool)  # disables champion/MaxScore
         dl_arr = np.asarray(r.dl, dtype=np.float64)
         docids = np.asarray(r.docids)
         present = [(t, idf, r.term_index(t)) for t, idf in zip(terms, idfs)]

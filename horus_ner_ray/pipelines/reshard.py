@@ -134,6 +134,11 @@ def reshard_index(index_dir: str | Path, new_num_shards: int,
     )
 
     paths = IndexPaths(index_dir)
+    old_runs = paths.root / "runs.old"
+    if not paths.runs.exists() and old_runs.exists():
+        # crash landed between the two swap renames: the old layout is
+        # stranded at runs.old — restore it before doing anything else
+        old_runs.rename(paths.runs)
     stats = json.loads(paths.stats_json.read_text())
     old_num = int(stats["n_shards"])
     new_num = int(new_num_shards)
@@ -185,10 +190,12 @@ def reshard_index(index_dir: str | Path, new_num_shards: int,
     # fully intact and serving
     for m in frags:
         fid = int(m["frag_id"])
-        nf = new_by_frag.get(fid, [])
+        # record the FINAL post-swap locations, not the staging paths —
+        # later reshards/compactions read these lists back
+        nf = [str(paths.runs / Path(f).relative_to(staging))
+              for f in new_by_frag.get(fid, [])]
         m.update({"run_files": json.dumps(nf), "n_runs": len(nf)})
         atomic_write_json(staging / f"_frag-{fid:05d}.json", m)
-    old_runs = paths.root / "runs.old"
     if old_runs.exists():
         shutil.rmtree(old_runs)
     paths.runs.rename(old_runs)

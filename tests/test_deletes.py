@@ -283,6 +283,80 @@ def test_compact_then_append_byte_identity(small_corpus, tmp_path_factory,
             == pq.read_table(IndexPaths(clean).df_parquet).to_pydict())
 
 
+def test_mid_compaction_marker_forces_exhaustive_and_stays_correct(
+        small_corpus, tmp_path_factory, ray_session):
+    """The compacting.json window: shards rewritten with the NEXT avgdl
+    while stats.json still holds the old one — engines must take the
+    exhaustive path (mismatched MaxScore/champion bounds are unsound)
+    and still answer masked-correct (code-review regression)."""
+    from horus_ner_ray.pipelines.delete import (
+        _CompactDocstoreWorker,
+        _CompactShardWorker,
+    )
+    from horus_ner_ray.state.shards import atomic_write_json
+
+    idx = tmp_path_factory.mktemp("midcmp") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    deleted = list(range(0, 60, 2))  # heavy deletion shifts avgdl
+    delete_docs(idx, deleted)
+    paths = IndexPaths(idx)
+    stats = json.loads(paths.stats_json.read_text())
+    dead = read_tombstones(idx)
+    # steps 1-2 of compact_index by hand, stopping BEFORE the publish
+    w = _CompactDocstoreWorker(dead)
+    parts = w(pd.DataFrame([{"path": str(p)}
+                            for p in sorted(paths.docstore.glob("part-*.parquet"))]))
+    n = int(parts["n_rows"].sum())
+    avgdl_next = int(parts["sum_dl"].sum()) / n
+    assert avgdl_next != stats["avgdl"]
+    atomic_write_json(paths.root / "compacting.json",
+                      {"avgdl_next": avgdl_next})
+    sw = _CompactShardWorker(str(idx), stats["config"], avgdl_next, dead)
+    sw(pd.DataFrame([{"shard_id": s} for s in range(int(stats["n_shards"]))]))
+    # stats.json still OLD; marker present
+    eng = QueryEngine(idx)
+    assert eng._force_exhaustive
+    o = _oracle_with_deletes(small_corpus, deleted)
+    for q in reference_queries(k=10):
+        assert eng.search(q["text"], q["k"]) == o.search(q["text"], q["k"])
+    assert eng.search("sessionmark", 5) == o.search("sessionmark", 5)
+    # finishing the compaction clears the marker
+    out = compact_index(idx)
+    assert out["compacted"]
+    assert not (paths.root / "compacting.json").exists()
+    assert not QueryEngine(idx)._force_exhaustive
+
+
+def test_compact_docstore_chunks_stay_sorted(tmp_path, monkeypatch):
+    """Deletions shift chunk boundaries; every rewritten row group must be
+    re-sorted by doc_id (fresh-build invariant + row-group-stats pruning;
+    code-review regression).  Chunk size patched small to force multi-
+    group parts at test scale."""
+    import pyarrow as pa
+
+    import horus_ner_ray.pipelines.build_index as bi
+    from horus_ner_ray.pipelines.delete import _CompactDocstoreWorker
+
+    monkeypatch.setattr(bi, "DOCSTORE_CHUNK_ROWS", 4)
+    # two file-order chunks, each sorted internally, ranges interleaved
+    ids = [1, 3, 5, 7, 0, 2, 6, 9]
+    part = tmp_path / "part-00000.parquet"
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "dl": pa.array([1] * len(ids), pa.int32())})
+    w = pq.ParquetWriter(part, t.schema)
+    w.write_table(t.slice(0, 4), row_group_size=4)
+    w.write_table(t.slice(4, 4), row_group_size=4)
+    w.close()
+    wkr = _CompactDocstoreWorker(np.array([3], dtype=np.int64))
+    out = wkr(pd.DataFrame([{"path": str(part)}]))
+    assert int(out["n_rows"].iloc[0]) == 7
+    pf = pq.ParquetFile(part)
+    assert pf.metadata.num_row_groups == 2  # 4 + 3 rows
+    for rg in range(pf.metadata.num_row_groups):
+        got = pf.read_row_group(rg)["doc_id"].to_pylist()
+        assert got == sorted(got), rg
+
+
 def test_build_over_original_corpus_after_compact_append_rebuilds(
         small_corpus, tmp_path_factory, ray_session):
     """After compact->append, job.json keeps the compaction generation, so

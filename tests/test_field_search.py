@@ -314,3 +314,22 @@ def test_search_after_respects_tombstones(small_corpus, tmp_path_factory,
     p1 = eng.search("the sessionmark", 10)
     assert eng.search_after("the sessionmark", 10, cursor=p1[-1]) \
         == bf.search_after("the sessionmark", 10, cursor=p1[-1])
+
+
+def test_sql_floor_division_matches_numpy_for_negative_epochs():
+    """The date-histogram oracle's integer floor-division restatement:
+    DuckDB's // truncates toward zero, so the SQL uses
+    (x - nonneg_mod(x, iv)) // iv — must equal np.floor_divide for
+    negative epochs too (code-review regression)."""
+    import duckdb
+    import numpy as np
+
+    iv = 3_600_000_000
+    xs = [-7, -1, 0, 1, 7, -iv, -iv - 1, -iv + 1, iv, iv + 1,
+          -123456789012345, 1750000000000000]
+    con = duckdb.connect()
+    for x in xs:
+        got = con.execute(
+            f"SELECT (({x} - (({x} % {iv} + {iv}) % {iv})) // {iv})::BIGINT"
+        ).fetchone()[0]
+        assert got == int(np.floor_divide(x, iv)), x

@@ -78,6 +78,42 @@ def test_reshard_then_append_byte_identical(small_corpus, tmp_path,
     assert _index_bytes(idx) == _index_bytes(clean)
 
 
+def test_reshard_twice_and_then_compact(small_corpus, tmp_path, ray_session):
+    """Double reshard: the rewritten fragment manifests must point at the
+    FINAL run locations (not the staging dir), or the second reshard and
+    any later compaction read dangling paths (code-review regression)."""
+    from horus_ner_ray.pipelines.delete import compact_index, delete_docs
+
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    idx = tmp_path / "resh_twice"
+    build_index(small_corpus, idx, cfg)
+    reshard_index(idx, 5)
+    reshard_index(idx, 2)
+    clean = tmp_path / "resh_twice_clean"
+    build_index(small_corpus, clean,
+                PipelineConfig(num_shards=2, doc_id_mode="hash"))
+    assert _index_bytes(idx) == _index_bytes(clean)
+    # manifests are readable and compaction over them works
+    store = pd.concat([pq.read_table(p, columns=["doc_id"]).to_pandas()
+                       for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    delete_docs(idx, store["doc_id"].tolist()[::9])
+    assert compact_index(idx)["compacted"]
+
+
+def test_reshard_recovers_from_swap_crash(small_corpus, tmp_path, ray_session):
+    """Crash between the two swap renames strands the layout at runs.old;
+    the next reshard must restore it and succeed."""
+    idx = tmp_path / "resh_crash"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    p = IndexPaths(idx)
+    p.runs.rename(p.root / "runs.old")  # simulate the crash window
+    out = reshard_index(idx, 4)
+    assert out["resharded"] and out["n_shards"] == 4
+    clean = tmp_path / "resh_crash_clean"
+    build_index(small_corpus, clean, PipelineConfig(num_shards=4))
+    assert _index_bytes(idx) == _index_bytes(clean)
+
+
 def test_reshard_preserves_tombstones(small_corpus, tmp_path, ray_session):
     from horus_ner_ray.pipelines.delete import delete_docs, read_tombstones
 
