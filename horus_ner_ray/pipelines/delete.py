@@ -403,6 +403,10 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     paths = IndexPaths(index_dir)
     deleted = read_tombstones(index_dir)
     if deleted is None:
+        # a crash between the tombstone unlink and the marker unlink
+        # would otherwise strand compacting.json forever (every future
+        # engine forced exhaustive) — this is the only other remover
+        (paths.root / "compacting.json").unlink(missing_ok=True)
         return {"deleted": 0, "compacted": False}
     stats = json.loads(paths.stats_json.read_text())
     cfg_dict = stats["config"]

@@ -291,7 +291,7 @@ class BruteForceBM25:
         return out
 
     def search_after(self, text: str, k: int = 10,
-                     cursor: tuple[float, int] | None = None,
+                     cursor: tuple[int, float] | None = None,
                      mode: str = "or") -> list[tuple[int, float]]:
         """Oracle cursor pagination: full ranking, then the k entries
         strictly after the (doc_id, score) cursor row under
@@ -459,6 +459,11 @@ class QueryEngine:
         unchanged — only varint decode + searchsorted are skipped on hot
         terms."""
         self.paths = IndexPaths(index_dir)
+        if (self.paths.root / "resharding.json").exists():
+            raise RuntimeError(
+                "index is mid-reshard (resharding.json present): the shard "
+                "set is incomplete and would silently serve subset results "
+                "— re-run reshard_index to finish, then retry")
         self.stats = json.loads(self.paths.stats_json.read_text())
         self.k1 = float(self.stats["k1"])
         self.b = float(self.stats["b"])
@@ -690,7 +695,7 @@ class QueryEngine:
         return out
 
     def search_after(self, text: str, k: int = 10,
-                     cursor: tuple[float, int] | None = None,
+                     cursor: tuple[int, float] | None = None,
                      mode: str = "or") -> list[tuple[int, float]]:
         """Cursor pagination (the search_after deep-paging API): returns
         the next ``k`` hits STRICTLY after ``cursor`` — the (doc_id,
@@ -845,6 +850,15 @@ class QueryEngine:
     def _reader(self, si: int) -> ShardReader:
         r = self._readers.get(si)
         if r is None:
+            # re-probe the compaction marker at OPEN time: a compaction
+            # that started after this engine's construction may have
+            # rewritten this shard with NEXT-avgdl pruning metadata — an
+            # already-open reader keeps serving its old mmap'd inode
+            # (consistent), but a fresh open sees the new file and must
+            # not prune against the engine's old stats
+            if not self._force_exhaustive and (
+                    self.paths.root / "compacting.json").exists():
+                self._force_exhaustive = True
             r = self._readers[si] = ShardReader(
                 self._shard_dirs[si], cache_postings=self._cache_per_reader
             )
@@ -858,14 +872,10 @@ class QueryEngine:
             return None
         if si in self._live_cache:
             return self._live_cache[si]
-        docids = np.asarray(self._reader(si).docids)
-        mask: np.ndarray | None = None
-        if len(docids) and len(self._deleted):
-            pos = np.minimum(np.searchsorted(self._deleted, docids),
-                             len(self._deleted) - 1)
-            hit = self._deleted[pos] == docids
-            if hit.any():
-                mask = ~hit
+        from horus_ner_ray.pipelines.delete import _isin_sorted
+
+        hit = _isin_sorted(np.asarray(self._reader(si).docids), self._deleted)
+        mask = ~hit if hit.any() else None
         self._live_cache[si] = mask
         return mask
 

@@ -14,9 +14,15 @@ provided routing on (doc_id, id_space, S) with id_space unchanged
 (tested).  Tombstones are doc-keyed and routing-independent — they ride
 through untouched.
 
-Crash-safe: new runs stage under ``runs.new`` and swap in atomically
-only when every fragment finished; the old runs/shards serve reads until
-the swap, and a killed reshard re-runs from scratch (idempotent).
+Crash-safe, with an explicit OFFLINE window: new runs stage under
+``runs.new`` and swap in only when every fragment finished; the old
+layout serves reads until the swap, but from the swap until the new
+stats publish the shard set is incomplete, so a ``resharding.json``
+marker is written first and ``QueryEngine`` REFUSES to open the index
+while it exists (a partial shard set would silently return subset
+results).  A killed reshard leaves the marker; re-running
+``reshard_index`` recovers (restores a stranded ``runs.old`` if the
+crash hit between the two swap renames) and clears it.
 """
 
 from __future__ import annotations
@@ -149,13 +155,16 @@ def reshard_index(index_dir: str | Path, new_num_shards: int,
     saved = dict(stats["config"])
     saved["stopword_filter"] = tuple(saved.get("stopword_filter", ()))
     new_cfg = PipelineConfig(**{**saved, "num_shards": new_num})
-    # rank/provided routing needs the id space the build used: rank ids
-    # are dense (id_space == n_docs); provided mode used max(doc_id)+1
-    # from corpus footer stats (_scan_id_space) — recover the same value
-    # from the docstore parts' footer stats (they mirror every corpus
-    # row, including zero-token docs absent from shard docids)
+    # rank/provided routing needs the id space the build used.  Recover
+    # max(doc_id)+1 from the docstore parts' footer stats in BOTH modes
+    # (they mirror every corpus row, including zero-token docs absent
+    # from shard docids): for a never-compacted rank build this equals
+    # n_docs (dense ids), but after a compaction stats["n_docs"] shrinks
+    # while the surviving ids keep their original values — routing by the
+    # live count would send tail docs to shard indices >= new_num whose
+    # runs are never merged (silent posting loss; code-review regression)
     id_space = int(stats["n_docs"])
-    if stats["doc_id_mode"] == "provided":
+    if stats["doc_id_mode"] in ("rank", "provided"):
         hi = 0
         for f in sorted(paths.docstore.glob("part-*.parquet")):
             md = pq.ParquetFile(f).metadata
@@ -196,6 +205,11 @@ def reshard_index(index_dir: str | Path, new_num_shards: int,
               for f in new_by_frag.get(fid, [])]
         m.update({"run_files": json.dumps(nf), "n_runs": len(nf)})
         atomic_write_json(staging / f"_frag-{fid:05d}.json", m)
+    # OFFLINE window begins: from here to the final publish the shard set
+    # is incomplete — engines seeing the marker refuse to open (a partial
+    # set would silently serve subset results)
+    atomic_write_json(paths.root / "resharding.json",
+                      {"from": old_num, "to": new_num})
     if old_runs.exists():
         shutil.rmtree(old_runs)
     paths.runs.rename(old_runs)
@@ -224,5 +238,6 @@ def reshard_index(index_dir: str | Path, new_num_shards: int,
         # filtered runs never masquerade as a fresh original-corpus build
         job["compaction_gen"] = stats["compaction_gen"]
     atomic_write_json(paths.root / "job.json", job)
+    (paths.root / "resharding.json").unlink(missing_ok=True)
     return {"resharded": True, "n_shards": new_num, "from": old_num,
             "n_fragments": len(items)}

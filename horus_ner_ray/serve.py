@@ -60,17 +60,23 @@ class QueryService:
         RayActorError to the client.  Each actor's shard set is fixed, so
         the respawned actor computes the identical partial (mmaps reopen
         lazily; results stay bitwise-equal)."""
+        return self._call_all(lambda a: a.__call__.remote(q))
+
+    def _call_all(self, fn):
+        """Fan out ``fn(actor) -> ObjectRef`` to the whole pool and gather;
+        a DEAD actor is respawned on its fixed shard subset and its call
+        retried once — the ONE place the churn-resilience policy lives."""
         import ray
 
-        refs = [a.__call__.remote(q) for a in self.actors]
-        parts: list[pd.DataFrame] = []
+        refs = [fn(a) for a in self.actors]
+        out = []
         for i, ref in enumerate(refs):
             try:
-                parts.append(ray.get(ref))
+                out.append(ray.get(ref))
             except ray.exceptions.RayActorError:
                 self.actors[i] = self._spawn(i)
-                parts.append(ray.get(self.actors[i].__call__.remote(q)))
-        return parts
+                out.append(ray.get(fn(self.actors[i])))
+        return out
 
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
@@ -145,37 +151,18 @@ class QueryService:
 
     def explain(self, text: str, doc_id: int) -> list[dict]:
         """Per-term BM25 factors for one (query, doc): scatter — only the
-        actor owning the doc's shard returns rows; dead actors respawn
-        like _scatter."""
-        import ray
-
-        refs = [a.explain.remote(text, int(doc_id)) for a in self.actors]
-        out: list[dict] = []
-        for i, ref in enumerate(refs):
-            try:
-                rows = ray.get(ref)
-            except ray.exceptions.RayActorError:
-                self.actors[i] = self._spawn(i)
-                rows = ray.get(self.actors[i].explain.remote(text, int(doc_id)))
-            out.extend(rows)
-        return out
+        actor owning the doc's shard returns rows."""
+        parts = self._call_all(lambda a: a.explain.remote(text, int(doc_id)))
+        return [row for rows in parts for row in rows]
 
     def date_histogram(self, text: str,
                        interval_us: int = 86_400_000_000) -> dict[int, int]:
         """Time-bucketed facet over the full match set: bucket-wise sum of
         per-subset partials (doc-partitioned shards make the sum exact)."""
-        import ray
-
-        refs = [a.date_histogram.remote(text, interval_us)
-                for a in self.actors]
+        parts = self._call_all(
+            lambda a: a.date_histogram.remote(text, interval_us))
         out: dict[int, int] = {}
-        for i, ref in enumerate(refs):
-            try:
-                part = ray.get(ref)
-            except ray.exceptions.RayActorError:
-                self.actors[i] = self._spawn(i)
-                part = ray.get(
-                    self.actors[i].date_histogram.remote(text, interval_us))
+        for part in parts:
             for b, c in part.items():
                 out[int(b)] = out.get(int(b), 0) + int(c)
         return out

@@ -25,11 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from horus_ner_ray.stages.dedupe import _shingle_hashes
-from horus_ner_ray.util import worker_runtime_env as _rte_fn
-
-
-def _rte():
-    return _rte_fn()
+from horus_ner_ray.util import worker_runtime_env
 
 
 def decontaminate_dataset(docs_ds, bench_ds, k: int = 3,
@@ -49,7 +45,7 @@ def decontaminate_dataset(docs_ds, bench_ds, k: int = 3,
     parts = (
         bench_ds.select_columns([text_col])
         .map_batches(bench_hashes, batch_format="pyarrow",
-                     zero_copy_batch=True, runtime_env=_rte())
+                     zero_copy_batch=True, runtime_env=worker_runtime_env())
         .to_pandas()
     )
     bset = (np.unique(parts["h"].to_numpy(np.int64))
@@ -76,4 +72,4 @@ def decontaminate_dataset(docs_ds, bench_ds, k: int = 3,
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pyarrow", zero_copy_batch=True,
-        runtime_env=_rte())
+        runtime_env=worker_runtime_env())

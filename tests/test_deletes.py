@@ -327,6 +327,31 @@ def test_mid_compaction_marker_forces_exhaustive_and_stays_correct(
     assert not QueryEngine(idx)._force_exhaustive
 
 
+def test_stale_compacting_marker_cleared_and_lazy_probe(
+        small_corpus, tmp_path_factory, ray_session):
+    """(a) a crash between the tombstone unlink and the marker unlink
+    strands compacting.json — the no-op compact re-run must clear it, or
+    every future engine is forced exhaustive forever; (b) an engine built
+    BEFORE a compaction starts must pick the marker up at lazy shard
+    open, not only at construction (code-review regressions)."""
+    from horus_ner_ray.pipelines.delete import compact_index
+
+    idx = tmp_path_factory.mktemp("stalemk") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    # (b) engine constructed with no marker; marker appears before the
+    # first shard open
+    eng = QueryEngine(idx)
+    assert not eng._force_exhaustive
+    (Path(idx) / "compacting.json").write_text("{}")
+    eng.search("the sessionmark", 5)  # triggers lazy reader open
+    assert eng._force_exhaustive
+    # (a) the crash-stranded state: marker present, no tombstones
+    out = compact_index(idx)
+    assert out == {"deleted": 0, "compacted": False}
+    assert not (Path(idx) / "compacting.json").exists()
+    assert not QueryEngine(idx)._force_exhaustive
+
+
 def test_compact_docstore_chunks_stay_sorted(tmp_path, monkeypatch):
     """Deletions shift chunk boundaries; every rewritten row group must be
     re-sorted by doc_id (fresh-build invariant + row-group-stats pruning;

@@ -114,6 +114,58 @@ def test_reshard_recovers_from_swap_crash(small_corpus, tmp_path, ray_session):
     assert _index_bytes(idx) == _index_bytes(clean)
 
 
+def test_reshard_after_compact_rank_mode_loses_no_postings(
+        small_corpus, tmp_path, ray_session):
+    """Compaction keeps original rank ids while shrinking stats n_docs;
+    reshard must route by the ORIGINAL id space (max id + 1 from the
+    docstore) or tail docs land on shard indices that are never merged —
+    silent posting loss (code-review regression)."""
+    from horus_ner_ray.pipelines.delete import compact_index, delete_by_conv
+
+    idx = tmp_path / "cmp_resh"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    store = pd.concat([pq.read_table(p, columns=["doc_id", "conv_id"]).to_pandas()
+                       for p in sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))])
+    convs = sorted(store["conv_id"].unique())[:8]  # low-id convs: max id survives
+    delete_by_conv(idx, convs)
+    compact_index(idx)
+    reshard_index(idx, 5)
+    dset = set(store.loc[store["conv_id"].isin(convs), "doc_id"])
+    frames = [pq.read_table(f, columns=["conv_id", "turn_idx", "text", "role",
+                                        "tool", "ts"]).to_pandas()
+              for f in small_corpus]
+    df = pd.concat(frames, ignore_index=True).sort_values(
+        ["conv_id", "turn_idx"], kind="stable")
+    df["doc_id"] = range(len(df))
+    bf = BruteForceBM25()
+    for r in df.itertuples():
+        if int(r.doc_id) not in dset:
+            bf.add_doc(int(r.doc_id), r.text, r.role or "", r.tool or "",
+                       ts=None if pd.isna(r.ts) else r.ts)
+    eng = QueryEngine(idx)
+    # the highest-id docs (last convs, untouched) must still be findable
+    for q in reference_queries(k=10):
+        assert eng.search(q["text"], q["k"]) == bf.search(q["text"], q["k"])
+    assert {d for d, _ in eng.search("the", 10**6)} == {
+        d for d, _ in bf.search("the", 10**6)}
+
+
+def test_resharding_marker_refuses_queries(small_corpus, tmp_path,
+                                           ray_session):
+    """Mid-reshard the shard set is incomplete: engines must refuse to
+    open (partial sets would silently serve subset results); the marker
+    clears after a completed reshard."""
+    idx = tmp_path / "resh_marker"
+    build_index(small_corpus[:1], idx, PipelineConfig(num_shards=2))
+    (Path(idx) / "resharding.json").write_text("{}")
+    with pytest.raises(RuntimeError, match="mid-reshard"):
+        QueryEngine(idx)
+    (Path(idx) / "resharding.json").unlink()
+    reshard_index(idx, 3)
+    assert not (Path(idx) / "resharding.json").exists()
+    assert QueryEngine(idx).search("the", 3)
+
+
 def test_reshard_preserves_tombstones(small_corpus, tmp_path, ray_session):
     from horus_ner_ray.pipelines.delete import delete_docs, read_tombstones
 
