@@ -765,12 +765,18 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
     ``job.json`` is written before any derived output, so a killed first
     run resumes; a job change never resumes by accident."""
     jp = paths.root / "job.json"
-    if jp.exists():
+    # a crashed reshard leaves re-split runs with stale stats/job: never
+    # resume over that state — wipe and start clean (self-healing; the
+    # marker also blocks QueryEngine/append/compact until then)
+    mid_reshard = (paths.root / "resharding.json").exists()
+    if jp.exists() and not mid_reshard:
         try:
             if json.loads(jp.read_text()) == identity:
                 return
         except (json.JSONDecodeError, OSError):
             pass
+    if mid_reshard:
+        (paths.root / "resharding.json").unlink(missing_ok=True)
     import shutil
 
     for d in (paths.runs, paths.shards, paths.docstore, paths.offsets):
@@ -939,6 +945,11 @@ def append_fragments(
     re-key already-published docstore rows.
     """
     paths = IndexPaths(index_dir)
+    if (paths.root / "resharding.json").exists():
+        raise RuntimeError(
+            "index is mid-reshard (resharding.json present): runs are "
+            "re-split for the new shard count while stats still claim the "
+            "old one — re-run reshard_index to finish, then append")
     stats = json.loads(paths.stats_json.read_text())
     if stats["doc_id_mode"] != "hash":
         raise ValueError(

@@ -401,6 +401,10 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     from horus_ner_ray.pipelines.build_index import _map_items, _write_df_table
 
     paths = IndexPaths(index_dir)
+    if (paths.root / "resharding.json").exists():
+        raise RuntimeError(
+            "index is mid-reshard (resharding.json present): the shard set "
+            "is incomplete — re-run reshard_index to finish, then compact")
     deleted = read_tombstones(index_dir)
     if deleted is None:
         # a crash between the tombstone unlink and the marker unlink

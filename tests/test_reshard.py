@@ -160,7 +160,17 @@ def test_resharding_marker_refuses_queries(small_corpus, tmp_path,
     (Path(idx) / "resharding.json").write_text("{}")
     with pytest.raises(RuntimeError, match="mid-reshard"):
         QueryEngine(idx)
-    (Path(idx) / "resharding.json").unlink()
+    # append/compact also refuse; a direct rebuild wipes and self-heals
+    from horus_ner_ray.pipelines.build_index import append_fragments
+    from horus_ner_ray.pipelines.delete import compact_index
+
+    with pytest.raises(RuntimeError, match="mid-reshard"):
+        append_fragments(idx, small_corpus[1:])
+    with pytest.raises(RuntimeError, match="mid-reshard"):
+        compact_index(idx)
+    res = build_index(small_corpus[:1], idx, PipelineConfig(num_shards=2))
+    assert not (Path(idx) / "resharding.json").exists()
+    assert res.n_docs > 0 and QueryEngine(idx).search("the", 3)
     reshard_index(idx, 3)
     assert not (Path(idx) / "resharding.json").exists()
     assert QueryEngine(idx).search("the", 3)
