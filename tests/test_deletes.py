@@ -407,6 +407,47 @@ def test_build_over_original_corpus_after_compact_append_rebuilds(
     assert res.n_docs == full  # wiped + rebuilt over the FULL corpus
 
 
+@pytest.fixture(scope="module")
+def fuzz_del_index(small_corpus, tmp_path_factory, ray_session):
+    idx = tmp_path_factory.mktemp("fuzzdel") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=4))
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    return str(idx), bf
+
+
+def test_delete_fuzz_rank_identity(fuzz_del_index):
+    """Property: for ANY tombstone subset, every mode stays rank-identical
+    to the oracle carrying the same set (one index, tombstone file
+    swapped per example)."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from horus_ner_ray.state.shards import atomic_write_table
+
+    idx, bf = fuzz_del_index
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.sets(st.integers(0, 59), max_size=45),
+           st.sampled_from(["the sessionmark", "alpha beta", "the",
+                            "data stream filter sort", "zzzqabsent the"]))
+    def prop(deleted, q):
+        atomic_write_table(
+            Path(idx) / "tombstones.parquet",
+            pa.table({"doc_id": pa.array(sorted(deleted), pa.int64())}))
+        bf.deleted = set(deleted)
+        eng = QueryEngine(idx)
+        assert eng.search(q, 10) == bf.search(q, 10)
+        assert eng.search(q, 10, mode="and") == bf.search(q, 10, mode="and")
+        assert eng.facet_counts(q) == bf.facet_counts(q)
+
+    try:
+        prop()
+    finally:
+        (Path(idx) / "tombstones.parquet").unlink(missing_ok=True)
+        bf.deleted = set()
+
+
 def test_partial_compaction_still_masked_correct(small_corpus,
                                                  tmp_path_factory, ray_session):
     """Crash-safety invariant: docstore already filtered, shards/stats not
