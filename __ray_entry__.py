@@ -288,6 +288,94 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+BOOLEAN_QUERIES = [  # (must, should, must_not)
+    ("batch join", "data stream", "scan"),
+    ("customer", "window slow", ""),
+    ("data", "filter sort merge", "customer"),
+    ("scan batch", "", "zzzqnotfound"),
+]
+
+
+def _q_bm25_boolean(sf_dir: str):
+    """Lucene-style boolean query (must/should/must_not in ONE scored
+    pass): candidacy = every must term present; score = BM25 over the
+    distinct (must + should) terms present in the doc; must_not docs
+    dropped before top-k.  The SQL oracle counts must hits per doc,
+    filters on the full must count, and bans must_not docs with NOT
+    EXISTS."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_boolean(m, s, n, TOPK * 3 + 20)
+            for m, s, n in BOOLEAN_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_boolean() -> str:
+    import re
+
+    q_rows: list[str] = []
+    ex_rows: list[str] = []
+    nm_rows: list[str] = []
+    for qid, (must, should, must_not) in enumerate(BOOLEAN_QUERIES):
+        mt = sorted(set(re.findall(_TOKRE, must.lower())))
+        stt = sorted(set(re.findall(_TOKRE, should.lower())) - set(mt))
+        for t in mt:
+            q_rows.append(f"({qid}, '{t}', TRUE)")
+        for t in stt:
+            q_rows.append(f"({qid}, '{t}', FALSE)")
+        nm_rows.append(f"({qid}, {len(mt)})")
+        nts = sorted(set(re.findall(_TOKRE, must_not.lower())))
+        for t in (nts or ["###none###"]):  # never tokenizes -> never joins
+            ex_rows.append(f"({qid}, '{t}')")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term, is_must) AS (VALUES {", ".join(q_rows)}),
+nmq(query_id, nm) AS (VALUES {", ".join(nm_rows)}),
+qex(query_id, term) AS (VALUES {", ".join(ex_rows)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score,
+         sum(CASE WHEN q.is_must THEN 1 ELSE 0 END) nmust
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+filt AS (
+  SELECT scored.query_id, scored.doc_id, scored.score
+  FROM scored JOIN nmq USING (query_id)
+  WHERE scored.nmust = nmq.nm
+    AND NOT EXISTS (SELECT 1 FROM qex e JOIN tf x ON x.term = e.term
+                    AND x.doc_id = scored.doc_id
+                    WHERE e.query_id = scored.query_id)
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM filt
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the cross-set n-gram sweep an LLM data
     pipeline runs before release; distinct from dedup — a small held-out
@@ -3415,6 +3503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": _q_curation_pipeline,
         "bm25_page2": _q_bm25_page2,
         "decontaminate": _q_decontaminate,
+        "bm25_boolean": _q_bm25_boolean,
         "bm25_topk_prefix": _q_bm25_topk_prefix,
         "bm25_topk_not": _q_bm25_topk_not,
         "bm25_topk_fuzzy": _q_bm25_topk_fuzzy,
@@ -4134,6 +4223,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_page2": _sql_bm25(DOC_QUERIES, conjunctive=False,
                                 rank_range=(TOPK + 1, 2 * TOPK)),
         "decontaminate": _sql_decontaminate(),
+        "bm25_boolean": _sql_bm25_boolean(),
         "bm25_after_compact": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             pre=("documents AS (SELECT * FROM main.documents "

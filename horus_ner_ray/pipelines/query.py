@@ -290,6 +290,35 @@ class BruteForceBM25:
             out[k] = out.get(k, 0) + 1
         return out
 
+    def search_boolean(self, must: str, should: str = "",
+                       must_not: str = "",
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Oracle boolean query: candidacy = docs containing every must
+        term; score over distinct (must + should) terms present,
+        ascending-term order; must_not docs banned."""
+        must_terms = sorted(set(query_terms(must)))
+        if not must_terms or any(t not in self.postings
+                                 for t in must_terms):
+            return []
+        should_terms = sorted(
+            {t for t in query_terms(should) if t in self.postings}
+            - set(must_terms))
+        cand: set[int] | None = None
+        for t in must_terms:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        banned: set[int] = set(self.deleted)
+        for t in query_terms(must_not):
+            banned.update(d for d, _ in self.postings.get(t, ()))
+        scores: dict[int, float] = {}
+        for t in sorted(set(must_terms) | set(should_terms)):
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                if d in (cand or ()) and d not in banned:
+                    scores[d] = scores.get(d, 0.0) + self._contrib(
+                        idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,
                      mode: str = "or") -> list[tuple[int, float]]:
@@ -693,6 +722,77 @@ class QueryEngine:
             for key, n in zip(u, c):
                 out[str(key)] = out.get(str(key), 0) + int(n)
         return out
+
+    def search_boolean(self, must: str, should: str = "",
+                       must_not: str = "",
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Lucene-style boolean query in one scored pass: docs must
+        contain EVERY ``must`` term; the score is the BM25 sum over the
+        distinct (must + should) terms PRESENT in the doc (ascending-term
+        accumulation — bitwise oracle-identical); docs containing any
+        ``must_not`` term are excluded before top-k.  ``should`` terms
+        boost ranking without affecting candidacy — the reference's
+        evidence-vote aggregation (required noun term + optional
+        supporting evidence, SURVEY.md G1-G4) in query form."""
+        must_terms = sorted(set(query_terms(must)))
+        if not must_terms or any(self.global_df(t) == 0
+                                 for t in must_terms):
+            return []
+        should_terms = sorted(
+            {t for t in query_terms(should) if self.global_df(t) > 0}
+            - set(must_terms))
+        union = sorted(set(must_terms) | set(should_terms))
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in union}
+        excl = [t for t in query_terms(must_not) if self.global_df(t) > 0]
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            tis = {t: r.term_index(t) for t in union}
+            if any(tis[t] is None for t in must_terms):
+                continue
+            cand: np.ndarray | None = None
+            for t in must_terms:
+                d_arr, _tf = r.postings(tis[t])
+                cand = d_arr if cand is None else np.intersect1d(
+                    cand, d_arr, assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is None or len(cand) == 0:
+                continue
+            m = self._exclude_mask(si, excl) if excl else None
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
+            if m is not None:
+                cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
+            dls = r.doc_length(cand).astype(np.float64)
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in union:  # ascending-term accumulation (determinism)
+                ti = tis[t]
+                if ti is None:  # absent should term in this shard
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                pos = np.minimum(np.searchsorted(d_arr, cand),
+                                 max(len(d_arr) - 1, 0))
+                hit = d_arr[pos] == cand
+                if not hit.any():
+                    continue
+                tff = tf_arr[pos[hit]].astype(np.float64)
+                denom = tff + self.k1 * (
+                    1.0 - self.b + self.b * dls[hit] / self.avgdl)
+                acc[hit] += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            d, s = _topk_with_ties(cand, acc, k)
+            docs_out.append(d)
+            scores_out.append(s)
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        s = np.concatenate(scores_out)
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
 
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,

@@ -165,3 +165,51 @@ def test_expand_contains_equals_linear_scan(engines):
     for sub in ("a", "th", "ses", "zzz"):
         assert eng.expand_contains(sub) == sorted(t for t in vocab if sub in t)
     assert eng.expand_contains("") == []
+
+
+BOOLEAN_CASES = [
+    ("the", "alpha beta", "sessionmark"),
+    ("alpha beta", "the", ""),
+    ("the sessionmark", "", "alpha"),
+    ("the", "", ""),                      # pure must == AND mode
+    ("zzzqabsent", "the", ""),            # absent must -> empty
+    ("the", "zzzqabsent", ""),            # absent should is a no-op
+    ("alpha", "alpha the", "alpha"),      # must_not over a must term -> empty
+]
+
+
+def test_boolean_query_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    for m, s, n in BOOLEAN_CASES:
+        got = eng.search_boolean(m, s, n, 10)
+        want = bf.search_boolean(m, s, n, 10)
+        assert got == want, (m, s, n)
+
+
+def test_boolean_reduces_to_and_and_composes(engines):
+    eng, _bf = engines
+    # no should/not: identical to AND mode (same candidacy, same terms)
+    assert eng.search_boolean("alpha beta", k=10) == eng.search(
+        "alpha beta", 10, mode="and")
+    # should terms only ever raise a doc's score
+    base = dict(eng.search_boolean("alpha beta", k=10**6))
+    boosted = dict(eng.search_boolean("alpha beta", "the", k=10**6))
+    assert set(base) == set(boosted)
+    assert all(boosted[d] >= base[d] for d in base)
+
+
+def test_boolean_respects_tombstones(small_corpus, tmp_path_factory,
+                                     ray_session):
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_docs
+
+    idx = tmp_path_factory.mktemp("booldel") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=3))
+    deleted = list(range(1, 60, 4))
+    delete_docs(idx, deleted)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    bf.delete_docs(deleted)
+    eng = QueryEngine(idx)
+    for m, s, n in BOOLEAN_CASES[:4]:
+        assert eng.search_boolean(m, s, n, 10) == bf.search_boolean(m, s, n, 10)
