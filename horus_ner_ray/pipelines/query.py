@@ -1713,6 +1713,16 @@ class ScorerActor:
                       "fuzzy": self.engine.search_fuzzy,
                       "contains": self.engine.search_contains}[mode]
                 hits = fn(row.text, int(row.k))
+            elif mode == "boolean":
+                if role or tool:
+                    raise ValueError(
+                        "mode='boolean' does not compose with role/tool "
+                        "filters")
+                should = getattr(row, "should", "") or ""
+                if isinstance(should, float):
+                    should = ""
+                hits = self.engine.search_boolean(
+                    row.text, should, exclude or "", int(row.k))
             elif mode == "near":
                 if exclude:
                     raise ValueError("mode='near' does not compose with "

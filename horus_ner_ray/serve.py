@@ -82,7 +82,8 @@ class QueryService:
                return_text: bool = False, role: str | None = None,
                tool: str | None = None,
                exclude: str | None = None, window: int = 8,
-               after: tuple[int, float] | None = None) -> list[dict]:
+               after: tuple[int, float] | None = None,
+               should: str | None = None) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -96,7 +97,7 @@ class QueryService:
             [{"query_id": 0, "text": text, "k": int(k),
               "mode": mode or self.mode, "role": role or "",
               "tool": tool or "", "exclude": exclude or "",
-              "window": int(window),
+              "window": int(window), "should": should or "",
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -180,8 +181,11 @@ def make_http_server(
     n_actors: int = 4, mode: str = "or",
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
-    GET /search?q=<text>&k=<int>[&mode=or|and|phrase|near|prefix|fuzzy|contains]
-    [&role=][&tool=][&exclude=][&window=][&text=1] -> JSON hits
+    GET /search?q=<text>&k=<int>
+    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains]
+    [&role=][&tool=][&exclude=][&window=][&should=][&text=1] -> JSON hits
+    (mode=boolean: q holds the must terms, &should= the optional boosts,
+    &exclude= the must_not clause)
     (&text=1 adds each hit's original document text, like the reference
     route returning the annotated sentence).
     GET /explain?q=<text>&doc=<id> -> per-term BM25 factor rows.
@@ -256,9 +260,10 @@ def make_http_server(
                 if k < 0:  # pandas head(-n) would return all-but-n rows
                     raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
-                if req_mode not in ("or", "and", "phrase", "near",
+                if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains"):
                     raise ValueError(f"unknown mode {req_mode!r}")
+                req_should = (qs.get("should") or [""])[0] or None
                 req_window = int((qs.get("window") or ["8"])[0])
                 if req_window < 0:
                     raise ValueError(f"window must be >= 0, got {req_window}")
@@ -274,6 +279,11 @@ def make_http_server(
                 if req_mode == "near" and req_exclude:
                     raise ValueError("mode='near' does not compose with "
                                      "exclude")
+                if req_mode == "boolean" and (req_role or req_tool):
+                    raise ValueError("mode='boolean' does not compose with "
+                                     "role/tool filters")
+                if req_should and req_mode != "boolean":
+                    raise ValueError("should= requires mode='boolean'")
                 after = None
                 if qs.get("after_doc") or qs.get("after_score"):
                     # cursor = previous page's last hit; full-precision
@@ -294,7 +304,7 @@ def make_http_server(
                                       return_text=want_text,
                                       role=req_role, tool=req_tool,
                                       exclude=req_exclude, window=req_window,
-                                      after=after)
+                                      after=after, should=req_should)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

@@ -267,3 +267,20 @@ def test_http_pagination_and_stats(http_service, small_corpus):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_boolean_mode(http_service, small_corpus):
+    """mode=boolean over HTTP: q = must, &should= boosts, &exclude= =
+    must_not — exact vs the oracle; boolean+role is a clean 400."""
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    got = _get(http_service, q="the", k=5, mode="boolean",
+               should="alpha beta", exclude="sessionmark")["hits"]
+    want = bf.search_boolean("the", "alpha beta", "sessionmark", 5)
+    assert [(h["doc_id"], h["score"]) for h in got] == want
+    for bad in ["/search?q=a&mode=boolean&role=user",
+                "/search?q=a&mode=or&should=b"]:
+        try:
+            urllib.request.urlopen(http_service + bad, timeout=10)
+            raise AssertionError("expected 400 for " + bad)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
