@@ -320,11 +320,14 @@ def _sql_bm25_boolean() -> str:
     for qid, (must, should, must_not) in enumerate(BOOLEAN_QUERIES):
         mt = sorted(set(re.findall(_TOKRE, must.lower())))
         stt = sorted(set(re.findall(_TOKRE, should.lower())) - set(mt))
-        for t in mt:
+        # empty must = empty result (engine semantics): a never-tokenizing
+        # sentinel must row keeps nm > 0 so nothing passes vacuously
+        mt_sql = mt or ["###none###"]
+        for t in mt_sql:
             q_rows.append(f"({qid}, '{t}', TRUE)")
         for t in stt:
             q_rows.append(f"({qid}, '{t}', FALSE)")
-        nm_rows.append(f"({qid}, {len(mt)})")
+        nm_rows.append(f"({qid}, {len(mt_sql)})")
         nts = sorted(set(re.findall(_TOKRE, must_not.lower())))
         for t in (nts or ["###none###"]):  # never tokenizes -> never joins
             ex_rows.append(f"({qid}, '{t}')")

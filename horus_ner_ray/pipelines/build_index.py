@@ -775,8 +775,6 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
                 return
         except (json.JSONDecodeError, OSError):
             pass
-    if mid_reshard:
-        (paths.root / "resharding.json").unlink(missing_ok=True)
     import shutil
 
     for d in (paths.runs, paths.shards, paths.docstore, paths.offsets):
@@ -785,6 +783,11 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
     for f in (paths.stats_json, paths.df_parquet):
         if f.exists():
             f.unlink()
+    # the mid-reshard marker lifts only AFTER the wipe completes: a crash
+    # mid-wipe must leave it in place so the next run wipes again instead
+    # of resuming over half-removed re-split runs (and engines keep
+    # refusing the incomplete index meanwhile)
+    (paths.root / "resharding.json").unlink(missing_ok=True)
     paths.ensure()
     atomic_write_json(jp, identity)
 

@@ -751,11 +751,12 @@ class QueryEngine:
             tis = {t: r.term_index(t) for t in union}
             if any(tis[t] is None for t in must_terms):
                 continue
+            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             cand: np.ndarray | None = None
             for t in must_terms:
-                d_arr, _tf = r.postings(tis[t])
-                cand = d_arr if cand is None else np.intersect1d(
-                    cand, d_arr, assume_unique=True)
+                decoded[t] = r.postings(tis[t])  # reused by the score loop
+                cand = decoded[t][0] if cand is None else np.intersect1d(
+                    cand, decoded[t][0], assume_unique=True)
                 if len(cand) == 0:
                     break
             if cand is None or len(cand) == 0:
@@ -774,7 +775,7 @@ class QueryEngine:
                 ti = tis[t]
                 if ti is None:  # absent should term in this shard
                     continue
-                d_arr, tf_arr = r.postings(ti)
+                d_arr, tf_arr = decoded.get(t) or r.postings(ti)
                 pos = np.minimum(np.searchsorted(d_arr, cand),
                                  max(len(d_arr) - 1, 0))
                 hit = d_arr[pos] == cand
@@ -1689,6 +1690,13 @@ class ScorerActor:
                 tool = None
             if isinstance(exclude, float):
                 exclude = None
+            should = getattr(row, "should", "") or ""
+            if isinstance(should, float):
+                should = ""
+            if should and mode != "boolean":
+                # fail loudly (module convention): a silently dropped
+                # boost clause returns plausible-but-unboosted results
+                raise ValueError("should= requires mode='boolean'")
             after_doc = getattr(row, "after_doc", None)
             if after_doc is not None and (
                     isinstance(after_doc, float) and after_doc != after_doc):
@@ -1718,9 +1726,6 @@ class ScorerActor:
                     raise ValueError(
                         "mode='boolean' does not compose with role/tool "
                         "filters")
-                should = getattr(row, "should", "") or ""
-                if isinstance(should, float):
-                    should = ""
                 hits = self.engine.search_boolean(
                     row.text, should, exclude or "", int(row.k))
             elif mode == "near":

@@ -213,3 +213,20 @@ def test_boolean_respects_tombstones(small_corpus, tmp_path_factory,
     eng = QueryEngine(idx)
     for m, s, n in BOOLEAN_CASES[:4]:
         assert eng.search_boolean(m, s, n, 10) == bf.search_boolean(m, s, n, 10)
+
+
+def test_scorer_actor_rejects_should_without_boolean(built_index):
+    """The actor path fails loudly too — a silently dropped boost clause
+    would return plausible-but-unboosted results."""
+    import pandas as pd
+
+    from horus_ner_ray.pipelines.query import ScorerActor
+
+    idx, _ = built_index
+    actor = ScorerActor(idx)
+    with pytest.raises(ValueError, match="should"):
+        actor(pd.DataFrame([{"query_id": 0, "text": "the", "k": 5,
+                             "mode": "or", "should": "alpha"}]))
+    out = actor(pd.DataFrame([{"query_id": 0, "text": "the", "k": 5,
+                               "mode": "boolean", "should": "alpha"}]))
+    assert len(out) > 0

@@ -284,3 +284,16 @@ def test_http_boolean_mode(http_service, small_corpus):
             raise AssertionError("expected 400 for " + bad)
         except urllib.error.HTTPError as e:
             assert e.code == 400, bad
+
+
+def test_http_boolean_composition_rejections(http_service):
+    """boolean+cursor and should+non-boolean are clean 400s (not actor
+    500s) — code-review regression pins."""
+    for bad in ["/search?q=a&mode=boolean&after_doc=5&after_score=1.0",
+                "/search?q=a&mode=phrase&should=b",
+                "/search?q=a&mode=boolean&tool=grep"]:
+        try:
+            urllib.request.urlopen(http_service + bad, timeout=10)
+            raise AssertionError("expected 400 for " + bad)
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
