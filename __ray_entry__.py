@@ -288,6 +288,198 @@ def _q_bm25_snippets(sf_dir: str):
     return out
 
 
+# misspelled dictionary probes for the spell-suggestion query — "dat"/"joi"
+# have multi-term neighborhoods (distance-2 ties resolved by df desc),
+# "zzzz" is empty-result coverage
+SUGGEST_WORDS = ["custmer", "dat", "joi", "sprk", "batc", "zzzz"]
+SUGGEST_K = 5
+SUGGEST_DIST = 2
+SNIPPET_WINDOW = 3
+SIG_K = 10
+SIG_MIN_FG = 2
+
+
+def _q_suggest_terms(sf_dir: str):
+    """Spell suggestion ('did you mean'): per misspelled word, the top
+    dictionary terms within Levenshtein 2, ranked (distance asc, df desc,
+    term asc) — Lucene DirectSpellChecker's contract, all-integer keys.
+    Oracle: DuckDB's native levenshtein() over the derived df table."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "term": [], "dist": [], "df": []}
+    for qid, w in enumerate(SUGGEST_WORDS):
+        for r, (t, d, df) in enumerate(
+                eng.suggest(w, SUGGEST_K, SUGGEST_DIST), 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["term"].append(t)
+            rows["dist"].append(d)
+            rows["df"].append(df)
+    out = pd.DataFrame(rows)
+    return out.astype({c: np.int64 for c in
+                       ("query_id", "rank", "dist", "df")})
+
+
+def _sql_suggest_terms() -> str:
+    qw = ", ".join(f"({i}, '{w}')" for i, w in enumerate(SUGGEST_WORDS))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT df FROM tok GROUP BY 1),
+qw(query_id, w) AS (VALUES {qw}),
+cand AS (
+  SELECT qw.query_id, dfv.term,
+         levenshtein(dfv.term, qw.w)::BIGINT AS dist, dfv.df
+  FROM qw CROSS JOIN dfv
+  WHERE levenshtein(dfv.term, qw.w) <= {SUGGEST_DIST} AND dfv.term <> qw.w
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist, df DESC, term) rk
+  FROM cand
+)
+SELECT query_id, rk::BIGINT AS rank, term, dist, df
+FROM ranked WHERE rk <= {SUGGEST_K}
+"""
+
+
+def _q_bm25_snippet_text(sf_dir: str):
+    """Top-k with the actual snippet STRING: the token window around each
+    hit's anchor (smallest query-term position from the positional index),
+    sliced from the unfiltered [a-z0-9]+ stream by the shared
+    ``snippet_text`` rule.  Oracle: the SQL re-derives the anchor with
+    list_position and slices the same token array (1-based inclusive
+    list slicing)."""
+    from horus_ner_ray.pipelines.query import (
+        QueryEngine,
+        fetch_docs,
+        snippet_text,
+    )
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    out = _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+    texts = fetch_docs(eng.paths.root, out["doc_id"].unique().tolist(),
+                       columns=["doc_id", "text"])
+    tmap = {int(d): str(t) for d, t in zip(texts["doc_id"], texts["text"])}
+    snips = [""] * len(out)
+    for qid, text in enumerate(DOC_QUERIES):
+        m = (out["query_id"] == qid).to_numpy()
+        if not m.any():
+            continue
+        amap = eng.match_anchors(text, out.loc[m, "doc_id"].tolist())
+        for i in np.flatnonzero(m):
+            d = int(out["doc_id"].iloc[i])
+            snips[i] = snippet_text(tmap[d], amap[d], SNIPPET_WINDOW)
+    out["snippet"] = snips
+    return out
+
+
+def _sql_bm25_snippet_text() -> str:
+    w = SNIPPET_WINDOW
+    return f"""
+WITH base AS ({_sql_bm25(DOC_QUERIES, conjunctive=False)}),
+toka AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+q2(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+anch AS (
+  SELECT q2.query_id, t.doc_id,
+         (min(list_position(t.arr, q2.term)) - 1)::BIGINT AS a
+  FROM q2 JOIN toka t ON list_contains(t.arr, q2.term)
+  GROUP BY 1, 2
+)
+SELECT b.query_id, b.rank, b.doc_id, b.score_e6,
+       array_to_string(
+         t.arr[greatest(1, a.a - {w} + 1) : a.a + {w} + 1], ' ') AS snippet
+FROM base b
+JOIN anch a ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+JOIN toka t ON t.doc_id = b.doc_id
+"""
+
+
+def _q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (the Elasticsearch sampler shape):
+    foreground = each query's e6-reranked top-{TOPK} docs; per term,
+    fg (distinct foreground docs containing it) vs the global df, ranked
+    by exact-integer lift_e6 = floor((fg/n_fg)/(df/N)*1e6 + 0.5) with
+    (fg desc, term asc) tie-breaks.  Background stats come from the
+    prebuilt df table; the foreground is a k-sized docstore point-read."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    top = _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+    rows = {"query_id": [], "rank": [], "term": [], "fg": [], "df": [],
+            "lift_e6": []}
+    for qid in sorted(top["query_id"].unique()):
+        ids = top.loc[top["query_id"] == qid, "doc_id"].tolist()
+        for r, (t, f, df, lift) in enumerate(
+                eng.significant_terms(ids, k=SIG_K, min_fg=SIG_MIN_FG), 1):
+            rows["query_id"].append(int(qid))
+            rows["rank"].append(r)
+            rows["term"].append(t)
+            rows["fg"].append(f)
+            rows["df"].append(df)
+            rows["lift_e6"].append(lift)
+    out = pd.DataFrame(rows)
+    return out.astype({c: np.int64 for c in
+                       ("query_id", "rank", "fg", "df", "lift_e6")})
+
+
+def _sql_significant_terms() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+rankedq AS (
+  SELECT query_id, doc_id, row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id) rk
+  FROM scored
+),
+fgset AS (SELECT query_id, doc_id FROM rankedq WHERE rk <= {TOPK}),
+nfg AS (SELECT query_id, count(*)::BIGINT n_fg FROM fgset GROUP BY 1),
+fgt AS (
+  SELECT f.query_id, t.term, count(DISTINCT t.doc_id)::BIGINT fg
+  FROM fgset f JOIN tok t USING (doc_id)
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT fgt.query_id, fgt.term, fgt.fg, dfv.df,
+         (2 * fgt.fg * (SELECT n_docs FROM stats) * 1000000
+          + dfv.df * n.n_fg) // (2 * dfv.df * n.n_fg) AS lift_e6
+  FROM fgt
+  JOIN dfv USING (term)
+  JOIN nfg n ON n.query_id = fgt.query_id
+  WHERE fgt.fg >= {SIG_MIN_FG}
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY lift_e6 DESC, fg DESC, term) rk
+  FROM cand
+)
+SELECT query_id, rk::BIGINT AS rank, term, fg, df, lift_e6
+FROM rnk WHERE rk <= {SIG_K}
+"""
+
+
 BOOLEAN_QUERIES = [  # (must, should, must_not)
     ("batch join", "data stream", "scan"),
     ("customer", "window slow", ""),
@@ -3498,6 +3690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "suggest_terms": _q_suggest_terms,
+        "bm25_snippet_text": _q_bm25_snippet_text,
+        "significant_terms": _q_significant_terms,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4216,6 +4411,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _sql_bm25(DOC_QUERIES, conjunctive=False),
         # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
+        "suggest_terms": _sql_suggest_terms(),
+        "bm25_snippet_text": _sql_bm25_snippet_text(),
+        "significant_terms": _sql_significant_terms(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

@@ -401,6 +401,39 @@ class BruteForceBM25:
             sel.update(t for t in self.postings if sub in t)
         return self._score_term_set(sorted(sel), k)
 
+    def suggest(self, word: str, k: int = 5,
+                max_dist: int = 2) -> list[tuple[str, int, int]]:
+        """Oracle spell suggestion: brute edit-distance scan of the whole
+        vocabulary, ranked (distance asc, df desc, term asc); the word
+        itself is excluded.  Shares the ranking contract with
+        QueryEngine.suggest (integer keys, deterministic)."""
+        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+
+        w = word.lower()
+        vocab = np.array(sorted(self.postings), dtype=object)
+        if not w or len(vocab) == 0:
+            return []
+        d = levenshtein_distances(
+            np.full(len(vocab), w, dtype=object), vocab.astype(str))
+        rows = [(int(di), -len(self.postings[str(t)]), str(t))
+                for t, di in zip(vocab, d)
+                if di <= max_dist and str(t) != w]
+        rows.sort()
+        return [(t, di, -ndf) for di, ndf, t in rows[:k]]
+
+    def search_snippets(self, text: str, k: int = 10,
+                        window: int = 3) -> list[tuple[int, float, str]]:
+        """Oracle snippets: top-k plus the token window around each hit's
+        anchor (smallest position of any query term in the UNFILTERED
+        token stream — the same coordinate space as phrase adjacency)."""
+        qt = [t for t in query_terms(text) if t in self.postings]
+        out = []
+        for d, s in self.search(text, k):
+            toks = self.doc_tokens[d]
+            a = min(toks.index(t) for t in qt if t in toks)
+            out.append((d, s, snippet_text(" ".join(toks), a, window)))
+        return out
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -690,6 +723,93 @@ class QueryEngine:
         sel = sorted(t for _w, t in weighted[:m_terms])
         hits = self._search_terms(sel, k + 1)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    def suggest(self, word: str, k: int = 5,
+                max_dist: int = 2) -> list[tuple[str, int, int]]:
+        """Spell suggestion ('did you mean'): dictionary terms within
+        Levenshtein ``max_dist`` of ``word`` (the word itself excluded),
+        ranked by (edit distance asc, df desc, term asc) — Lucene
+        DirectSpellChecker's contract: popularity breaks distance ties.
+        Length-banded vocab scan (|len(term) - len(word)| <= max_dist
+        candidates only) + the pair-axis-vectorized DP of ``stages/fuzzy``;
+        the ranking keys are all integers, so it is deterministic and
+        SQL-oracle-checkable against DuckDB's native levenshtein().
+        Returns (term, distance, df) rows.  Dictionary state only — no
+        postings decode, no doc access; identical in every serving actor
+        regardless of shard subset (stats/df are global)."""
+        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+
+        w = word.lower()
+        if not w:  # an empty probe would "suggest" every short term
+            return []
+        if self._vocab_lens is None:
+            self._vocab_lens = np.array([len(str(t)) for t in self._vocab],
+                                        dtype=np.int64)
+        idx = np.flatnonzero(np.abs(self._vocab_lens - len(w)) <= max_dist)
+        if len(idx) == 0:
+            return []
+        cand = self._vocab[idx].astype(str)
+        d = levenshtein_distances(np.full(len(cand), w, dtype=object), cand)
+        keep = (d <= max_dist) & (cand != w)
+        cand, d, dfs = cand[keep], d[keep], self._df[idx[keep]]
+        order = np.lexsort((cand, -dfs, d))[:k]
+        return [(str(cand[i]), int(d[i]), int(dfs[i])) for i in order]
+
+    def search_snippets(self, text: str, k: int = 10,
+                        window: int = 3) -> list[tuple[int, float, str]]:
+        """Top-k with token-window snippets: each hit carries
+        ``snippet_text`` around its anchor — the smallest position of any
+        query term, straight from the POSITIONAL index (match_anchors) —
+        so the snippet is the unfiltered token window the phrase machinery
+        coordinates in.  One docstore point-read for the k hit texts
+        (request-sized); requires cfg.with_positions.  Scores and ranks
+        are the unmodified ``search`` output (bitwise oracle-identical)."""
+        hits = self.search(text, k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        anchors = self.match_anchors(text, ids)
+        rows = fetch_docs(self.paths.root, ids, columns=["doc_id", "text"])
+        tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
+        # every OR-mode hit contains >= 1 query term, so an anchor exists
+        return [(d, s, snippet_text(tmap[d], anchors[d], window))
+                for d, s in hits]
+
+    def significant_terms(self, doc_ids, k: int = 10, min_fg: int = 2,
+                          exclude: tuple[str, ...] = ()
+                          ) -> list[tuple[str, int, int, int]]:
+        """Significant-terms aggregation (Elasticsearch's sampler shape)
+        over an explicit FOREGROUND doc set — typically a search's top-N:
+        per term, fg = foreground docs containing it (distinct per doc)
+        vs its global df; ranked by lift = (fg/n_fg)/(df/N) in exact
+        integer arithmetic — lift_e6 = floor(lift*1e6 + 0.5) computed as
+        (2*fg*N*10^6 + df*n_fg) // (2*df*n_fg) — tie-broken (fg desc,
+        term asc).  The foreground is a request-sized docstore point-read
+        (top-N texts), never a corpus scan; background statistics come
+        from the prebuilt global df table, so nothing here touches
+        postings.  Returns (term, fg, df, lift_e6) rows."""
+        want = sorted({int(d) for d in doc_ids})
+        rows = fetch_docs(self.paths.root, want, columns=["doc_id", "text"])
+        n_fg = len(rows)
+        if n_fg == 0:
+            return []
+        fg: dict[str, int] = {}
+        for txt in rows["text"]:
+            for t in set(_TOKEN_RE.findall(str(txt).lower())):
+                fg[t] = fg.get(t, 0) + 1
+        ex = set(exclude)
+        n_total = self.n_docs
+        scored = []
+        for t, f in fg.items():
+            if f < min_fg or t in ex:
+                continue
+            df = self.global_df(t)
+            if df <= 0:  # stopword-filtered at build: not in the dictionary
+                continue
+            lift_e6 = (2 * f * n_total * 1_000_000 + df * n_fg) // (2 * df * n_fg)
+            scored.append((-lift_e6, -f, t, df))
+        scored.sort()
+        return [(t, -nf, df, -nl) for nl, nf, t, df in scored[:k]]
 
     def facet_counts(self, text: str, field: str = "role") -> dict[str, int]:
         """Facet panel: per distinct ``field`` value, how many docs match
@@ -1676,6 +1796,19 @@ class ScorerActor:
         across the pool are exact (doc-partitioned shards)."""
         return self.engine.date_histogram(text, interval_us=interval_us)
 
+    def suggest(self, word: str, k: int = 5,
+                max_dist: int = 2) -> list[tuple[str, int, int]]:
+        """Spell suggestion — dictionary state is GLOBAL (stats/df load
+        whole regardless of shard subset), so any one actor answers
+        exactly; the service routes to a single actor, no scatter."""
+        return self.engine.suggest(word, k=k, max_dist=max_dist)
+
+    def match_anchors(self, text: str, doc_ids) -> dict[int, int]:
+        """This subset's snippet anchors (doc -> smallest query-term
+        position); each doc lives in exactly one shard, so the union
+        across the pool is exact."""
+        return self.engine.match_anchors(text, doc_ids)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
@@ -1869,6 +2002,18 @@ def score_queries(
         num_cpus=1,
         runtime_env=worker_runtime_env(),
     )
+
+
+def snippet_text(text: str, anchor: int, window: int) -> str:
+    """The token window around ``anchor`` — ``tokens[anchor-window :
+    anchor+window+1]`` of the UNFILTERED ``[a-z0-9]+`` stream of
+    lower(text), space-joined.  Anchor coordinates are the positional
+    index's (0-based, unfiltered stream), so the engine, the brute-force
+    oracle, the serving pool and the SQL oracle all slice the same list.
+    ONE implementation shared by all of them."""
+    toks = _TOKEN_RE.findall((text or "").lower())
+    lo = max(0, int(anchor) - window)
+    return " ".join(toks[lo:int(anchor) + window + 1])
 
 
 def highlight_spans(texts, query_text: str) -> list[list[tuple[int, int]]]:

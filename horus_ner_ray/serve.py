@@ -168,6 +168,48 @@ class QueryService:
                 out[int(b)] = out.get(int(b), 0) + int(c)
         return out
 
+    def suggest(self, word: str, k: int = 5,
+                max_dist: int = 2) -> list[dict]:
+        """Spell suggestion ('did you mean'): dictionary state is global
+        in every actor (stats/df load whole regardless of shard subset),
+        so ONE actor answers exactly — round-robin by word hash, no
+        scatter.  A dead actor is respawned and retried once, the same
+        churn policy as the scatter path."""
+        import ray
+
+        i = hash(word) % len(self.actors)
+        try:
+            rows = ray.get(self.actors[i].suggest.remote(word, k, max_dist))
+        except ray.exceptions.RayActorError:
+            self.actors[i] = self._spawn(i)
+            rows = ray.get(self.actors[i].suggest.remote(word, k, max_dist))
+        return [{"rank": r + 1, "term": t, "dist": d, "df": df}
+                for r, (t, d, df) in enumerate(rows)]
+
+    def search_snippets(self, text: str, k: int = 10,
+                        window: int = 3) -> list[dict]:
+        """Top-k with token-window snippets: the ordinary scatter/gather
+        search picks the hits, a second scatter collects each doc's anchor
+        from the one actor owning its shard (positional index), and the
+        serving thread joins the k texts from the docstore — identical
+        strings to QueryEngine.search_snippets (shared snippet_text)."""
+        from horus_ner_ray.pipelines.query import fetch_docs, snippet_text
+
+        hits = self.search(text, k=k, mode="or")
+        if not hits:
+            return []
+        ids = [h["doc_id"] for h in hits]
+        parts = self._call_all(lambda a: a.match_anchors.remote(text, ids))
+        anchors: dict[int, int] = {}
+        for p in parts:  # each doc answered by exactly one subset
+            anchors.update({int(d): int(a) for d, a in p.items()})
+        rows = fetch_docs(self.index_dir, ids, columns=["doc_id", "text"])
+        tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
+        for h in hits:
+            h["snippet"] = snippet_text(
+                tmap[h["doc_id"]], anchors[h["doc_id"]], window)
+        return hits
+
     def close(self) -> None:
         import ray
 
@@ -190,6 +232,11 @@ def make_http_server(
     route returning the annotated sentence).
     GET /explain?q=<text>&doc=<id> -> per-term BM25 factor rows.
     GET /histogram?q=<text>[&interval=<us>] -> time-bucketed match counts.
+    GET /suggest?q=<word>[&k=][&dist=] -> spell suggestions
+    (term, distance, df), distance asc / df desc / term asc.
+    GET /snippets?q=<text>[&k=][&window=] -> top-k hits each carrying the
+    token window around its first query-term occurrence (needs an index
+    built with with_positions).
     GET /stats -> collection numbers + live tombstone count.
     Cursor paging: &after_doc=<id>&after_score=<float> (the previous
     page's last hit) returns the strict successors — or/and modes only.
@@ -249,6 +296,42 @@ def make_http_server(
                 self._json({"query": text, "interval_us": iv,
                             "buckets": {str(b): c
                                         for b, c in sorted(hist.items())}})
+                return
+            if u.path == "/suggest":
+                qs = parse_qs(u.query)
+                word = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["5"])[0])
+                    dist = int((qs.get("dist") or ["2"])[0])
+                    if k < 0 or dist < 0:
+                        raise ValueError("k and dist must be >= 0")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.suggest(word, k=k, max_dist=dist)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": word, "suggestions": rows})
+                return
+            if u.path == "/snippets":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    win = int((qs.get("window") or ["3"])[0])
+                    if k < 0 or win < 0:
+                        raise ValueError("k and window must be >= 0")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.search_snippets(text, k=k, window=win)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "hits": hits})
                 return
             if u.path != "/search":
                 self.send_error(404)

@@ -32,6 +32,10 @@ ORACLE_SUBSET = [
     "bm25_page2",
     "curation_pipeline",
     "decontaminate",
+    # round-5 session-4 additions
+    "suggest_terms",
+    "bm25_snippet_text",
+    "significant_terms",
 ]
 
 
