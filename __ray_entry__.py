@@ -480,6 +480,54 @@ FROM rnk WHERE rk <= {SIG_K}
 """
 
 
+def _q_bm25_after_merge(sf_dir: str):
+    """Index MERGE (the Lucene addIndexes maintenance op): the documents
+    table splits into even/odd doc_id halves, each half builds its OWN
+    index, and merge_indexes combines them WITHOUT re-tokenizing —
+    fragment runs re-route under the union id space (provided mode) and
+    phase B re-merges.  The merged index answers DOC_QUERIES; the oracle
+    is the ordinary BM25 SQL over the FULL documents table, so the merge's
+    stats/postings composition is what's actually checked.  (Byte-identity
+    of the merged tree vs a fresh union build is pinned in
+    tests/test_merge_indexes.py.)"""
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.pipelines.merge import merge_indexes
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    base = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_docidx_merged_v{INDEX_FORMAT_VERSION}_{key}")
+    merged = base / "merged"
+    marker = base / "state.done"
+    if not marker.exists():
+        import shutil
+
+        from horus_ner_ray.pipelines.build_index import build_index
+
+        shutil.rmtree(base, ignore_errors=True)
+        base.mkdir(parents=True)
+        t = pq.read_table(_docs(sf_dir), columns=["doc_id", "text"])
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        halves = []
+        for tag, keep in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+            f = base / f"docs_{tag}.parquet"
+            import pyarrow as _pa
+
+            pq.write_table(t.filter(_pa.array(keep)), f)
+            halves.append(str(f))
+        cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
+        idx_a, idx_b = base / "a", base / "b"
+        build_index([halves[0]], idx_a, cfg)
+        build_index([halves[1]], idx_b, cfg)
+        merge_indexes([idx_a, idx_b], merged)
+        marker.write_text("ok")
+    eng = QueryEngine(str(merged))
+    hits = [eng.search(q, TOPK * 3 + 20) for q in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
 BOOLEAN_QUERIES = [  # (must, should, must_not)
     ("batch join", "data stream", "scan"),
     ("customer", "window slow", ""),
@@ -3693,6 +3741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
         "significant_terms": _q_significant_terms,
+        "bm25_after_merge": _q_bm25_after_merge,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4414,6 +4463,9 @@ def oracle_sql() -> dict[str, str]:
         "suggest_terms": _sql_suggest_terms(),
         "bm25_snippet_text": _sql_bm25_snippet_text(),
         "significant_terms": _sql_significant_terms(),
+        # merge composes stats/postings from two half-corpus indexes; the
+        # oracle scores the full table — plain _sql_bm25 IS the check
+        "bm25_after_merge": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

@@ -36,6 +36,7 @@ ORACLE_SUBSET = [
     "suggest_terms",
     "bm25_snippet_text",
     "significant_terms",
+    "bm25_after_merge",
 ]
 
 
