@@ -619,6 +619,191 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+BOOLEAN_MSM_QUERIES = [  # (must, should, min_should_match)
+    ("data", "filter sort merge", 2),
+    ("customer", "window slow scan", 1),
+    ("batch", "join stream zzzqnotfound", 2),
+    ("scan", "merge table", 0),   # msm=0 == plain boolean
+]
+
+
+def _q_bm25_boolean_msm(sf_dir: str):
+    """Boolean query with Lucene's min_should_match: candidacy = every
+    must term AND >= m distinct should terms present; scoring unchanged
+    (BM25 over present must+should terms).  SQL counts per-doc should
+    hits and filters on the per-query m."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_boolean(m, s, "", TOPK * 3 + 20, min_should_match=n)
+            for m, s, n in BOOLEAN_MSM_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_boolean_msm() -> str:
+    import re
+
+    q_rows: list[str] = []
+    nm_rows: list[str] = []
+    msm_rows: list[str] = []
+    for qid, (must, should, msm) in enumerate(BOOLEAN_MSM_QUERIES):
+        mt = sorted(set(re.findall(_TOKRE, must.lower())))
+        stt = sorted(set(re.findall(_TOKRE, should.lower())) - set(mt))
+        mt_sql = mt or ["###none###"]
+        for t in mt_sql:
+            q_rows.append(f"({qid}, '{t}', TRUE)")
+        for t in stt:
+            q_rows.append(f"({qid}, '{t}', FALSE)")
+        nm_rows.append(f"({qid}, {len(mt_sql)})")
+        msm_rows.append(f"({qid}, {int(msm)})")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term, is_must) AS (VALUES {", ".join(q_rows)}),
+nmq(query_id, nm) AS (VALUES {", ".join(nm_rows)}),
+msmq(query_id, msm) AS (VALUES {", ".join(msm_rows)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score,
+         sum(CASE WHEN q.is_must THEN 1 ELSE 0 END) nmust,
+         sum(CASE WHEN q.is_must THEN 0 ELSE 1 END) nshould
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+filt AS (
+  SELECT scored.query_id, scored.doc_id, scored.score
+  FROM scored JOIN nmq USING (query_id) JOIN msmq USING (query_id)
+  WHERE scored.nmust = nmq.nm AND scored.nshould >= msmq.msm
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM filt
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def _q_match_counts(sf_dir: str):
+    """Total-hits counts (the count API): per query, the OR match count
+    (any term) and the AND match count (every term) over live docs — no
+    scoring, one postings decode per (term, shard)."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "n_or": [], "n_and": []}
+    for qid, q in enumerate(DOC_QUERIES):
+        rows["query_id"].append(qid)
+        rows["n_or"].append(eng.match_count(q, "or"))
+        rows["n_and"].append(eng.match_count(q, "and"))
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_match_counts() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tfd AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+qn AS (SELECT query_id, count(*)::BIGINT nt FROM q GROUP BY 1),
+hit AS (
+  SELECT q.query_id, tfd.doc_id, count(*)::BIGINT nhit
+  FROM q JOIN tfd USING (term) GROUP BY 1, 2
+),
+agg AS (
+  SELECT h.query_id, count(*)::BIGINT n_or,
+         sum(CASE WHEN h.nhit = qn.nt THEN 1 ELSE 0 END)::BIGINT n_and
+  FROM hit h JOIN qn USING (query_id) GROUP BY 1
+)
+SELECT qn.query_id, coalesce(agg.n_or, 0)::BIGINT AS n_or,
+       coalesce(agg.n_and, 0)::BIGINT AS n_and
+FROM qn LEFT JOIN agg USING (query_id)
+"""
+
+
+def _q_bm25_sorted_by_time(sf_dir: str):
+    """Field-sorted retrieval (Lucene Sort-by-field): each query's match
+    set over the transcript index ordered by the stored turn timestamp
+    (ts asc, doc_id tie-break) instead of relevance — no scoring, so the
+    rows are all-integer and the oracle compares exactly."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "ts_us": []}
+    for qid, q in enumerate(reference_queries()):
+        for r, (d, v) in enumerate(
+                eng.search_sorted_by(q["text"], TOPK, field="ts",
+                                     ascending=True), 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+            rows["ts_us"].append(v)
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_bm25_sorted_by_time() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM docs),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+v AS (
+  SELECT m.query_id, m.doc_id, epoch_us(d.ts)::BIGINT AS ts_us
+  FROM m JOIN docs d ON d.doc_id = m.doc_id
+  WHERE d.ts IS NOT NULL
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ts_us, doc_id) rk
+  FROM v
+)
+SELECT query_id, rk::BIGINT AS rank, doc_id, ts_us FROM r WHERE rk <= {TOPK}
+"""
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (the cross-set n-gram sweep an LLM data
     pipeline runs before release; distinct from dedup — a small held-out
@@ -3742,6 +3927,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippet_text": _q_bm25_snippet_text,
         "significant_terms": _q_significant_terms,
         "bm25_after_merge": _q_bm25_after_merge,
+        "bm25_boolean_msm": _q_bm25_boolean_msm,
+        "match_counts": _q_match_counts,
+        "bm25_sorted_by_time": _q_bm25_sorted_by_time,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4466,6 +4654,9 @@ def oracle_sql() -> dict[str, str]:
         # merge composes stats/postings from two half-corpus indexes; the
         # oracle scores the full table — plain _sql_bm25 IS the check
         "bm25_after_merge": _sql_bm25(DOC_QUERIES, conjunctive=False),
+        "bm25_boolean_msm": _sql_bm25_boolean_msm(),
+        "match_counts": _sql_match_counts(),
+        "bm25_sorted_by_time": _sql_bm25_sorted_by_time(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

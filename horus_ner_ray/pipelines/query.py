@@ -292,10 +292,12 @@ class BruteForceBM25:
 
     def search_boolean(self, must: str, should: str = "",
                        must_not: str = "",
-                       k: int = 10) -> list[tuple[int, float]]:
+                       k: int = 10,
+                       min_should_match: int = 0) -> list[tuple[int, float]]:
         """Oracle boolean query: candidacy = docs containing every must
-        term; score over distinct (must + should) terms present,
-        ascending-term order; must_not docs banned."""
+        term (plus >= min_should_match distinct should terms); score over
+        distinct (must + should) terms present, ascending-term order;
+        must_not docs banned."""
         must_terms = sorted(set(query_terms(must)))
         if not must_terms or any(t not in self.postings
                                  for t in must_terms):
@@ -303,10 +305,20 @@ class BruteForceBM25:
         should_terms = sorted(
             {t for t in query_terms(should) if t in self.postings}
             - set(must_terms))
+        msm = int(min_should_match)
+        if msm > len(should_terms):
+            return []
         cand: set[int] | None = None
         for t in must_terms:
             docs = {d for d, _ in self.postings[t]}
             cand = docs if cand is None else (cand & docs)
+        if msm > 0:
+            scount: dict[int, int] = {}
+            for t in should_terms:
+                for d, _f in self.postings[t]:
+                    if d in (cand or ()):
+                        scount[d] = scount.get(d, 0) + 1
+            cand = {d for d in (cand or ()) if scount.get(d, 0) >= msm}
         banned: set[int] = set(self.deleted)
         for t in query_terms(must_not):
             banned.update(d for d, _ in self.postings.get(t, ()))
@@ -318,6 +330,38 @@ class BruteForceBM25:
                     scores[d] = scores.get(d, 0.0) + self._contrib(
                         idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def match_count(self, text: str, mode: str = "or",
+                    role: str | None = None,
+                    tool: str | None = None) -> int:
+        """Oracle total-hits count: live docs matching the query under
+        the optional field filters."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return 0
+        sets = [{d for d, _ in self.postings[t]} for t in terms]
+        docs = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        return sum(1 for d in docs if self._passes(d, role, tool))
+
+    def search_sorted_by(self, text: str, k: int = 10, field: str = "ts",
+                         ascending: bool = True, mode: str = "or",
+                         role: str | None = None,
+                         tool: str | None = None) -> list[tuple[int, int]]:
+        """Oracle field-sorted retrieval: match set ordered by the stored
+        timestamp, (value, doc_id) tie-break; docs without it drop out."""
+        if field != "ts":
+            raise ValueError("oracle sorts on 'ts' only")
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        sets = [{d for d, _ in self.postings[t]} for t in terms]
+        docs = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        rows = [(self.ts[d], d) for d in docs
+                if d in self.ts and self._passes(d, role, tool)]
+        rows.sort(key=lambda tv: (tv[0] if ascending else -tv[0], tv[1]))
+        return [(d, v) for v, d in rows[:k]]
 
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,
@@ -845,7 +889,8 @@ class QueryEngine:
 
     def search_boolean(self, must: str, should: str = "",
                        must_not: str = "",
-                       k: int = 10) -> list[tuple[int, float]]:
+                       k: int = 10,
+                       min_should_match: int = 0) -> list[tuple[int, float]]:
         """Lucene-style boolean query in one scored pass: docs must
         contain EVERY ``must`` term; the score is the BM25 sum over the
         distinct (must + should) terms PRESENT in the doc (ascending-term
@@ -853,7 +898,14 @@ class QueryEngine:
         ``must_not`` term are excluded before top-k.  ``should`` terms
         boost ranking without affecting candidacy — the reference's
         evidence-vote aggregation (required noun term + optional
-        supporting evidence, SURVEY.md G1-G4) in query form."""
+        supporting evidence, SURVEY.md G1-G4) in query form.
+
+        ``min_should_match=m`` (Lucene's parameter of the same name)
+        additionally requires at least ``m`` DISTINCT should terms
+        present in the doc — candidacy, applied before top-k; the
+        dictionary (post-dedup, post-df-filter, minus must overlap)
+        defines "distinct", so asking for more should matches than
+        should terms yields the empty result."""
         must_terms = sorted(set(query_terms(must)))
         if not must_terms or any(self.global_df(t) == 0
                                  for t in must_terms):
@@ -861,6 +913,9 @@ class QueryEngine:
         should_terms = sorted(
             {t for t in query_terms(should) if self.global_df(t) > 0}
             - set(must_terms))
+        msm = int(min_should_match)
+        if msm > len(should_terms):
+            return []
         union = sorted(set(must_terms) | set(should_terms))
         idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in union}
         excl = [t for t in query_terms(must_not) if self.global_df(t) > 0]
@@ -889,6 +944,20 @@ class QueryEngine:
                 cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
                 if len(cand) == 0:
                     continue
+            if msm > 0:
+                scount = np.zeros(len(cand), dtype=np.int64)
+                for t in should_terms:
+                    ti = tis[t]
+                    if ti is None:
+                        continue
+                    decoded[t] = decoded.get(t) or r.postings(ti)
+                    d_arr = decoded[t][0]
+                    pos = np.minimum(np.searchsorted(d_arr, cand),
+                                     max(len(d_arr) - 1, 0))
+                    scount += d_arr[pos] == cand
+                cand = cand[scount >= msm]
+                if len(cand) == 0:
+                    continue
             dls = r.doc_length(cand).astype(np.float64)
             acc = np.zeros(len(cand), dtype=np.float64)
             for t in union:  # ascending-term accumulation (determinism)
@@ -914,6 +983,121 @@ class QueryEngine:
         s = np.concatenate(scores_out)
         order = np.lexsort((d, -s))[:k]
         return [(int(d[i]), float(s[i])) for i in order]
+
+    def match_count(self, text: str, mode: str = "or",
+                    role: str | None = None,
+                    tool: str | None = None) -> int:
+        """Total-hits count (the fulltext engine's count API): how many
+        live docs match the query — OR: any term, AND: all terms — under
+        the optional field filters.  One postings decode per (term,
+        shard), no scoring, no text access; counts sum exactly across
+        shards (doc-partitioned)."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        if not terms:
+            return 0
+        if mode == "and" and len(terms) != len(all_terms):
+            return 0
+        need = len(terms) if mode == "and" else 1
+        filtered = role is not None or tool is not None
+        total = 0
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            cnt = np.zeros(nd, dtype=np.int64)
+            missing = False
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    if mode == "and":
+                        missing = True
+                        break
+                    continue
+                _d, _tf, li = r.postings_local(ti)
+                cnt[li] += 1
+            if missing:
+                continue
+            hit = cnt >= need
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            if filtered:
+                hit &= self._filter_mask(si, role, tool)
+            total += int(hit.sum())
+        return total
+
+    def search_sorted_by(self, text: str, k: int = 10, field: str = "ts",
+                         ascending: bool = True, mode: str = "or",
+                         role: str | None = None,
+                         tool: str | None = None
+                         ) -> list[tuple[int, int]]:
+        """Field-sorted retrieval (Lucene's Sort-by-field): the query's
+        match set — OR: any term, AND: all terms — ordered by the stored
+        integer doc attribute (``ts``, int64 microseconds) instead of
+        relevance; docs without the attribute drop out.  Per shard the
+        hit mask comes from the local postings index, the values from
+        the cached attribute array; each shard's exact local top-k by
+        (value, doc_id) merges into the global k (doc-partitioned
+        shards keep the union exact, same argument as scored search).
+        Returns (doc_id, value) rows."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        need = len(terms) if mode == "and" else 1
+        filtered = role is not None or tool is not None
+        sentinel = np.iinfo(np.int64).min
+        docs_out: list[np.ndarray] = []
+        vals_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            vals = self._doc_attrs(si).get(field)
+            if vals is None:
+                raise ValueError(
+                    f"index docstore has no '{field}' column to sort on")
+            if not np.issubdtype(vals.dtype, np.integer):
+                raise ValueError(
+                    f"'{field}' is not an integer attribute — only "
+                    "integer-valued fields (ts) are sortable")
+            cnt = np.zeros(nd, dtype=np.int64)
+            missing = False
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    if mode == "and":
+                        missing = True
+                        break
+                    continue
+                _d, _tf, li = r.postings_local(ti)
+                cnt[li] += 1
+            if missing:
+                continue
+            hit = cnt >= need
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            if filtered:
+                hit &= self._filter_mask(si, role, tool)
+            hit &= vals != sentinel  # no attribute -> not sortable -> out
+            idx = np.flatnonzero(hit)
+            if not len(idx):
+                continue
+            v = vals[idx]
+            d = np.asarray(r.docids)[idx]
+            order = np.lexsort((d, v if ascending else -v))[:k]
+            docs_out.append(d[order])
+            vals_out.append(v[order])
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        v = np.concatenate(vals_out)
+        order = np.lexsort((d, v if ascending else -v))[:k]
+        return [(int(d[i]), int(v[i])) for i in order]
 
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,
@@ -1809,6 +1993,21 @@ class ScorerActor:
         across the pool is exact."""
         return self.engine.match_anchors(text, doc_ids)
 
+    def match_count(self, text: str, mode: str = "or",
+                    role: str | None = None,
+                    tool: str | None = None) -> int:
+        """This subset's match count; sums exactly across the pool
+        (doc-partitioned shards)."""
+        return self.engine.match_count(text, mode=mode, role=role, tool=tool)
+
+    def search_sorted_by(self, text: str, k: int = 10, field: str = "ts",
+                         ascending: bool = True,
+                         mode: str = "or") -> list[tuple[int, int]]:
+        """This subset's exact field-sorted top-k; the pool merge by
+        (value, doc_id) stays exact (doc-partitioned shards)."""
+        return self.engine.search_sorted_by(text, k=k, field=field,
+                                            ascending=ascending, mode=mode)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
@@ -1830,6 +2029,12 @@ class ScorerActor:
                 # fail loudly (module convention): a silently dropped
                 # boost clause returns plausible-but-unboosted results
                 raise ValueError("should= requires mode='boolean'")
+            _msm_probe = getattr(row, "msm", None)
+            if (_msm_probe is not None
+                    and not (isinstance(_msm_probe, float)
+                             and _msm_probe != _msm_probe)
+                    and int(_msm_probe) > 0 and mode != "boolean"):
+                raise ValueError("msm= requires mode='boolean'")
             after_doc = getattr(row, "after_doc", None)
             if after_doc is not None and (
                     isinstance(after_doc, float) and after_doc != after_doc):
@@ -1859,8 +2064,12 @@ class ScorerActor:
                     raise ValueError(
                         "mode='boolean' does not compose with role/tool "
                         "filters")
+                msm = getattr(row, "msm", None)
+                if msm is None or (isinstance(msm, float) and msm != msm):
+                    msm = 0
                 hits = self.engine.search_boolean(
-                    row.text, should, exclude or "", int(row.k))
+                    row.text, should, exclude or "", int(row.k),
+                    min_should_match=int(msm))
             elif mode == "near":
                 if exclude:
                     raise ValueError("mode='near' does not compose with "

@@ -83,7 +83,8 @@ class QueryService:
                tool: str | None = None,
                exclude: str | None = None, window: int = 8,
                after: tuple[int, float] | None = None,
-               should: str | None = None) -> list[dict]:
+               should: str | None = None,
+               min_should_match: int = 0) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -98,6 +99,7 @@ class QueryService:
               "mode": mode or self.mode, "role": role or "",
               "tool": tool or "", "exclude": exclude or "",
               "window": int(window), "should": should or "",
+              "msm": int(min_should_match),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -168,6 +170,28 @@ class QueryService:
                 out[int(b)] = out.get(int(b), 0) + int(c)
         return out
 
+    def count(self, text: str, mode: str = "or", role: str | None = None,
+              tool: str | None = None) -> int:
+        """Total-hits count: per-subset partial counts sum exactly
+        (doc-partitioned shards)."""
+        parts = self._call_all(
+            lambda a: a.match_count.remote(text, mode, role, tool))
+        return int(sum(parts))
+
+    def search_sorted(self, text: str, k: int = 10, field: str = "ts",
+                      ascending: bool = True,
+                      mode: str = "or") -> list[dict]:
+        """Field-sorted retrieval: scatter for each subset's exact local
+        top-k by (value, doc_id), tiny global merge — identical rows to
+        QueryEngine.search_sorted_by."""
+        parts = self._call_all(
+            lambda a: a.search_sorted_by.remote(text, k, field, ascending,
+                                                mode))
+        rows = [t for p in parts for t in p]
+        rows.sort(key=lambda dv: ((dv[1] if ascending else -dv[1]), dv[0]))
+        return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
+                for r, (d, v) in enumerate(rows[:k])]
+
     def suggest(self, word: str, k: int = 5,
                 max_dist: int = 2) -> list[dict]:
         """Spell suggestion ('did you mean'): dictionary state is global
@@ -234,6 +258,12 @@ def make_http_server(
     GET /histogram?q=<text>[&interval=<us>] -> time-bucketed match counts.
     GET /suggest?q=<word>[&k=][&dist=] -> spell suggestions
     (term, distance, df), distance asc / df desc / term asc.
+    GET /count?q=<text>[&mode=or|and][&role=][&tool=] -> total match
+    count over the live docs.
+    GET /sorted?q=<text>[&k=][&order=asc|desc][&mode=or|and] -> the match
+    set ordered by stored timestamp instead of relevance.
+    mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
+    >= m distinct should terms present).
     GET /snippets?q=<text>[&k=][&window=] -> top-k hits each carrying the
     token window around its first query-term occurrence (needs an index
     built with with_positions).
@@ -315,6 +345,53 @@ def make_http_server(
                     return
                 self._json({"query": word, "suggestions": rows})
                 return
+            if u.path == "/count":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    req_mode = (qs.get("mode") or ["or"])[0]
+                    if req_mode not in ("or", "and"):
+                        raise ValueError(
+                            f"count supports mode=or|and, got {req_mode!r}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    n = service.count(text, mode=req_mode,
+                                      role=(qs.get("role") or [""])[0] or None,
+                                      tool=(qs.get("tool") or [""])[0] or None)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "mode": req_mode, "count": n})
+                return
+            if u.path == "/sorted":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    if k < 0:
+                        raise ValueError(f"k must be >= 0, got {k}")
+                    order = (qs.get("order") or ["asc"])[0]
+                    if order not in ("asc", "desc"):
+                        raise ValueError(f"order must be asc|desc, got "
+                                         f"{order!r}")
+                    req_mode = (qs.get("mode") or ["or"])[0]
+                    if req_mode not in ("or", "and"):
+                        raise ValueError(
+                            f"sorted supports mode=or|and, got {req_mode!r}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.search_sorted(
+                        text, k=k, ascending=(order == "asc"), mode=req_mode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "order": order,
+                            "hits": hits})
+                return
             if u.path == "/snippets":
                 qs = parse_qs(u.query)
                 text = (qs.get("q") or [""])[0]
@@ -347,6 +424,11 @@ def make_http_server(
                                     "prefix", "fuzzy", "contains"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
+                req_msm = int((qs.get("msm") or ["0"])[0])
+                if req_msm < 0:
+                    raise ValueError(f"msm must be >= 0, got {req_msm}")
+                if req_msm and req_mode != "boolean":
+                    raise ValueError("msm= requires mode=boolean")
                 req_window = int((qs.get("window") or ["8"])[0])
                 if req_window < 0:
                     raise ValueError(f"window must be >= 0, got {req_window}")
@@ -387,7 +469,8 @@ def make_http_server(
                                       return_text=want_text,
                                       role=req_role, tool=req_tool,
                                       exclude=req_exclude, window=req_window,
-                                      after=after, should=req_should)
+                                      after=after, should=req_should,
+                                      min_should_match=req_msm)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

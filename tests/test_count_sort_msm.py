@@ -1,0 +1,142 @@
+"""min_should_match boolean candidacy, total-hits counts and
+field-sorted retrieval: engine vs brute-force parity, edge semantics,
+and the served (pool + HTTP) paths."""
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine
+from horus_ner_ray.synth import reference_queries
+
+
+@pytest.fixture(scope="module")
+def engines(built_index, small_corpus):
+    idx, _res = built_index
+    return QueryEngine(idx), BruteForceBM25.from_corpus_files(small_corpus)
+
+
+def test_boolean_msm_rank_identical(engines):
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    must = vocab[len(vocab) // 2]
+    should = " ".join([vocab[1], vocab[5], vocab[9]])
+    for m in (0, 1, 2, 3):
+        got = eng.search_boolean(must, should, "", 10, min_should_match=m)
+        want = bf.search_boolean(must, should, "", 10, min_should_match=m)
+        assert got == want, m
+
+
+def test_boolean_msm_tightens_candidacy(engines):
+    eng, _bf = engines
+    vocab = [str(t) for t in eng._vocab]
+    must, should = vocab[0], " ".join(vocab[1:4])
+    sizes = [len(eng.search_boolean(must, should, "", 10 ** 6,
+                                    min_should_match=m))
+             for m in range(0, 4)]
+    assert sizes == sorted(sizes, reverse=True)  # monotone non-increasing
+    # more matches required than should terms exist -> empty
+    assert eng.search_boolean(must, should, "", 10,
+                              min_should_match=4) == []
+    # msm=0 == the plain boolean query
+    assert eng.search_boolean(must, should, "", 10) == \
+        eng.search_boolean(must, should, "", 10, min_should_match=0)
+
+
+def test_match_count_parity_and_semantics(engines):
+    eng, bf = engines
+    for q in reference_queries(k=5):
+        for mode in ("or", "and"):
+            assert eng.match_count(q["text"], mode) == \
+                bf.match_count(q["text"], mode), (q["text"], mode)
+    assert eng.match_count("zzzqabsent") == 0
+    assert eng.match_count("") == 0
+    # count equals the size of the exhaustive result set
+    q = reference_queries(k=5)[0]["text"]
+    assert eng.match_count(q, "or") == len(eng.search(q, 10 ** 6))
+
+
+def test_match_count_respects_filters(engines):
+    eng, bf = engines
+    q = reference_queries(k=5)[0]["text"]
+    n_user = eng.match_count(q, "or", role="user")
+    assert n_user == bf.match_count(q, "or", role="user")
+    assert n_user <= eng.match_count(q, "or")
+
+
+def test_search_sorted_by_parity(engines):
+    eng, bf = engines
+    for q in reference_queries(k=5):
+        for asc in (True, False):
+            got = eng.search_sorted_by(q["text"], 10, ascending=asc)
+            want = bf.search_sorted_by(q["text"], 10, ascending=asc)
+            assert got == want, (q["text"], asc)
+        got_and = eng.search_sorted_by(q["text"], 10, mode="and")
+        assert got_and == bf.search_sorted_by(q["text"], 10, mode="and")
+
+
+def test_search_sorted_by_ordering_and_errors(engines):
+    eng, _bf = engines
+    rows = eng.search_sorted_by(reference_queries(k=5)[0]["text"], 20)
+    keys = [(v, d) for d, v in rows]
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError, match="not an integer|no .* column"):
+        eng.search_sorted_by("the", 5, field="role")
+    assert eng.search_sorted_by("zzzqabsent", 5) == []
+
+
+@pytest.fixture(scope="module")
+def http_service(built_index, ray_session):
+    from horus_ner_ray.serve import make_http_server
+
+    idx, _ = built_index
+    server, service = make_http_server(idx, port=0, n_actors=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}", service
+    server.shutdown()
+    service.close()
+
+
+def _get(base: str, path: str, **params) -> dict:
+    url = base + path + "?" + urllib.parse.urlencode(params)
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_served_count_and_sorted(http_service, engines):
+    base, service = http_service
+    eng, _bf = engines
+    q = reference_queries(k=5)[0]["text"]
+    assert service.count(q, "or") == eng.match_count(q, "or")
+    assert _get(base, "/count", q=q, mode="and")["count"] == \
+        eng.match_count(q, "and")
+    want = eng.search_sorted_by(q, 5)
+    via_pool = service.search_sorted(q, k=5)
+    assert [(h["doc_id"], h["ts"]) for h in via_pool] == want
+    via_http = _get(base, "/sorted", q=q, k=5, order="asc")["hits"]
+    assert [(h["doc_id"], h["ts"]) for h in via_http] == want
+    desc = _get(base, "/sorted", q=q, k=5, order="desc")["hits"]
+    assert [(h["doc_id"], h["ts"]) for h in desc] == \
+        eng.search_sorted_by(q, 5, ascending=False)
+
+
+def test_served_boolean_msm(http_service, engines):
+    base, _service = http_service
+    eng, _bf = engines
+    vocab = [str(t) for t in eng._vocab]
+    must, should = vocab[0], " ".join(vocab[1:4])
+    want = eng.search_boolean(must, should, "", 5, min_should_match=2)
+    got = _get(base, "/search", q=must, mode="boolean", should=should,
+               k=5, msm=2)["hits"]
+    assert [(h["doc_id"], h["score"]) for h in got] == want
+    # msm outside boolean mode -> clean 400
+    try:
+        urllib.request.urlopen(
+            base + "/search?q=the&msm=1", timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -37,6 +37,9 @@ ORACLE_SUBSET = [
     "bm25_snippet_text",
     "significant_terms",
     "bm25_after_merge",
+    "bm25_boolean_msm",
+    "match_counts",
+    "bm25_sorted_by_time",
 ]
 
 
