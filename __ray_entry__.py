@@ -619,6 +619,56 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+LM_MU = 1000.0
+
+
+def _q_lm_topk(sf_dir: str):
+    """Dirichlet-smoothed query-likelihood ranking (the pluggable second
+    similarity beside BM25; Lucene LMDirichletSimilarity / Zhai &
+    Lafferty): per matching term ln(1 + tf/(mu*cf/T)) + ln(mu/(dl+mu)),
+    collection stats from the prebuilt df table.  The SQL restates the
+    formula verbatim (same division order; engine uses ln(1+x), not
+    log1p, so the floats match before the e6 round)."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_lm(t, TOPK * 3 + 20, mu=LM_MU) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_lm_topk() -> str:
+    mu = LM_MU
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+tt AS (SELECT sum(dl)::DOUBLE t FROM dl),
+cfv AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + tf.tf / ({mu!r} * (cfv.cf / tt.t)))
+              + ln({mu!r} / (dl.dl + {mu!r})) ) score
+  FROM q
+  JOIN cfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tt
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 BOOLEAN_MSM_QUERIES = [  # (must, should, min_should_match)
     ("data", "filter sort merge", 2),
     ("customer", "window slow scan", 1),
@@ -3930,6 +3980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boolean_msm": _q_bm25_boolean_msm,
         "match_counts": _q_match_counts,
         "bm25_sorted_by_time": _q_bm25_sorted_by_time,
+        "lm_topk": _q_lm_topk,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4657,6 +4708,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boolean_msm": _sql_bm25_boolean_msm(),
         "match_counts": _sql_match_counts(),
         "bm25_sorted_by_time": _sql_bm25_sorted_by_time(),
+        "lm_topk": _sql_lm_topk(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

@@ -331,6 +331,34 @@ class BruteForceBM25:
                         idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_lm(self, text: str, k: int = 10, mu: float = 1000.0,
+                  mode: str = "or") -> list[tuple[int, float]]:
+        """Oracle Dirichlet-smoothed query likelihood: same formula and
+        ascending-term float64 accumulation as QueryEngine.search_lm.
+        Deliberately np.log, not math.log: numpy's log kernel is
+        bit-consistent between its scalar and vectorized paths (verified
+        incl. SIMD remainder tails) but differs from libm in the last
+        ulp — bitwise parity requires the same kernel on both sides."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        cand: set[int] | None = None
+        if mode == "and":
+            for t in terms:
+                docs = {d for d, _ in self.postings[t]}
+                cand = docs if cand is None else (cand & docs)
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            cf = sum(f for _d, f in self.postings[t])
+            p = cf / self.total_tokens
+            for d, f in self.postings[t]:
+                if d in self.deleted or (cand is not None and d not in cand):
+                    continue
+                scores[d] += float(np.log(1.0 + f / (mu * p))
+                                   + np.log(mu / (self.dl[d] + mu)))
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def match_count(self, text: str, mode: str = "or",
                     role: str | None = None,
                     tool: str | None = None) -> int:
@@ -578,6 +606,8 @@ class QueryEngine:
         t = pq.read_table(self.paths.df_parquet)
         self._vocab = np.asarray(t["term"], dtype=object)  # sorted
         self._df = np.asarray(t["df"], dtype=np.int64)
+        self._cf = np.asarray(t["cf"], dtype=np.int64)
+        self.total_tokens = int(self.stats["total_tokens"])
         self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
         if shard_subset is not None:
             self._shard_dirs = [self._shard_dirs[i] for i in shard_subset]
@@ -651,6 +681,76 @@ class QueryEngine:
         if i < len(self._vocab) and self._vocab[i] == term:
             return int(self._df[i])
         return 0
+
+    def global_cf(self, term: str) -> int:
+        i = int(np.searchsorted(self._vocab, term))
+        if i < len(self._vocab) and self._vocab[i] == term:
+            return int(self._cf[i])
+        return 0
+
+    def search_lm(self, text: str, k: int = 10, mu: float = 1000.0,
+                  mode: str = "or") -> list[tuple[int, float]]:
+        """Query-likelihood ranking with Dirichlet smoothing — the
+        PLUGGABLE SECOND SIMILARITY (Lucene ships LMDirichletSimilarity
+        beside BM25 the same way; Zhai & Lafferty 2001 smoothing): per
+        matching query term,
+            ln(1 + tf / (mu * P(t|C))) + ln(mu / (dl + mu)),
+        P(t|C) = cf_t / total_tokens, summed per doc in ascending-term
+        order over float64 (bitwise brute-force parity; ``np.log(1 + x)``
+        deliberately, not log1p, so the SQL oracle's ln(1+x) computes the
+        identical float).  Unclamped (no per-term floor) — scores may be
+        negative; ranking is (score desc, doc_id asc).  Collection
+        statistics (cf, total tokens) come from the prebuilt df table and
+        stay global; tombstones mask before top-k.  Exhaustive per shard —
+        the BM25 block-max bounds don't apply to this score shape; the
+        scan is the same vectorized postings_local pass as match_count."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        need = len(terms) if mode == "and" else 1
+        tt = float(self.total_tokens)
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            dl = np.asarray(r.dl, dtype=np.float64)
+            acc = np.zeros(nd, dtype=np.float64)
+            cnt = np.zeros(nd, dtype=np.int64)
+            missing = False
+            for t in terms:  # ascending-term accumulation (determinism)
+                ti = r.term_index(t)
+                if ti is None:
+                    if mode == "and":
+                        missing = True
+                        break
+                    continue
+                _d, tf, li = r.postings_local(ti)
+                p = self.global_cf(t) / tt
+                acc[li] += (np.log(1.0 + tf.astype(np.float64) / (mu * p))
+                            + np.log(mu / (dl[li] + mu)))
+                cnt[li] += 1
+            if missing:
+                continue
+            hit = cnt >= need
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            idx = np.flatnonzero(hit)
+            if not len(idx):
+                continue
+            d, s = _topk_with_ties(np.asarray(r.docids)[idx], acc[idx], k)
+            docs_out.append(d)
+            scores_out.append(s)
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        s = np.concatenate(scores_out)
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms starting with ``prefix`` (sorted) — one
@@ -2078,6 +2178,12 @@ class ScorerActor:
                 w = 8 if w is None or (isinstance(w, float) and w != w) else int(w)
                 hits = self.engine.search_near(row.text, int(row.k),
                                                window=w, role=role, tool=tool)
+            elif mode == "lm":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='lm' does not compose with role/tool/exclude "
+                        "filters")
+                hits = self.engine.search_lm(row.text, int(row.k))
             elif mode == "phrase":
                 hits = self.engine.search_phrase(row.text, int(row.k),
                                                  role=role, tool=tool)

@@ -248,7 +248,9 @@ def make_http_server(
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
     GET /search?q=<text>&k=<int>
-    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains]
+    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm]
+    (mode=lm ranks by Dirichlet-smoothed query likelihood instead of
+    BM25 — the pluggable second similarity)
     [&role=][&tool=][&exclude=][&window=][&should=][&text=1] -> JSON hits
     (mode=boolean: q holds the must terms, &should= the optional boosts,
     &exclude= the must_not clause)
@@ -421,7 +423,7 @@ def make_http_server(
                     raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
-                                    "prefix", "fuzzy", "contains"):
+                                    "prefix", "fuzzy", "contains", "lm"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -436,7 +438,7 @@ def make_http_server(
                 req_role = (qs.get("role") or [""])[0] or None
                 req_tool = (qs.get("tool") or [""])[0] or None
                 req_exclude = (qs.get("exclude") or [""])[0] or None
-                if req_mode in ("prefix", "fuzzy", "contains") and (
+                if req_mode in ("prefix", "fuzzy", "contains", "lm") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "

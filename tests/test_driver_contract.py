@@ -40,6 +40,7 @@ ORACLE_SUBSET = [
     "bm25_boolean_msm",
     "match_counts",
     "bm25_sorted_by_time",
+    "lm_topk",
 ]
 
 
