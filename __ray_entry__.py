@@ -619,6 +619,59 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+# stored-query table for the percolator: OR alerts (ids 0..) + AND
+# alerts (ids 100..); the zero-token and absent-term rows are coverage
+PERCOLATE_QUERIES = (
+    [{"query_id": i, "text": t, "mode": "or"}
+     for i, t in enumerate(DOC_QUERIES)]
+    + [{"query_id": 100 + i, "text": t, "mode": "and"}
+       for i, t in enumerate(DOC_AND_QUERIES)]
+)
+
+
+def _q_percolate(sf_dir: str):
+    """Percolation (reverse search / standing-query alerting): the stored
+    query table broadcasts into one streaming map_batches; per distinct
+    stored term ONE vectorized Arrow regex computes membership — no
+    shuffle, no tokenize.  The SQL restates membership via the shared
+    tokenizer (unnest + group), so the hash checks the regex<->tokenizer
+    equivalence itself."""
+    from horus_ner_ray.stages.percolate import percolate_dataset
+
+    out = percolate_dataset(_read_docs(sf_dir), PERCOLATE_QUERIES).to_pandas()
+    return (out.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+            .astype(np.int64))
+
+
+def _sql_percolate() -> str:
+    import re
+
+    rows = []
+    nt_rows = []
+    for q in PERCOLATE_QUERIES:
+        terms = sorted(set(re.findall(_TOKRE, q["text"].lower())))
+        for t in terms:
+            rows.append(f"({q['query_id']}, '{t}')")
+        # OR queries need 1 hit; AND queries need every term
+        need = len(terms) if q["mode"] == "and" else (1 if terms else 0)
+        if terms:
+            nt_rows.append(f"({q['query_id']}, {need})")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tfd AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {", ".join(rows)}),
+need(query_id, nt) AS (VALUES {", ".join(nt_rows)}),
+hit AS (
+  SELECT q.query_id, tfd.doc_id, count(*)::BIGINT nhit
+  FROM q JOIN tfd USING (term) GROUP BY 1, 2
+)
+SELECT h.query_id, h.doc_id
+FROM hit h JOIN need USING (query_id)
+WHERE h.nhit >= need.nt
+ORDER BY 1, 2
+"""
+
+
 LM_MU = 1000.0
 
 
@@ -3981,6 +4034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts": _q_match_counts,
         "bm25_sorted_by_time": _q_bm25_sorted_by_time,
         "lm_topk": _q_lm_topk,
+        "percolate_matches": _q_percolate,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4709,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "match_counts": _sql_match_counts(),
         "bm25_sorted_by_time": _sql_bm25_sorted_by_time(),
         "lm_topk": _sql_lm_topk(),
+        "percolate_matches": _sql_percolate(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

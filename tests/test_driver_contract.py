@@ -41,6 +41,7 @@ ORACLE_SUBSET = [
     "match_counts",
     "bm25_sorted_by_time",
     "lm_topk",
+    "percolate_matches",
 ]
 
 
