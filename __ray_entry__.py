@@ -619,6 +619,104 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+# regexp term queries (anchored fullmatch; RE2 subset so Python re and
+# DuckDB regexp_full_match agree); last one matches nothing
+REGEX_QUERIES = ["cust.* jo.n", "[a-z]*an", "(scan|sort) fast",
+                 "da?ta", "zzz.*"]
+
+
+def _q_regex_topk(sf_dir: str):
+    """Regexp term query (Lucene RegexpQuery): each pattern expands to
+    the dictionary terms it fully matches; the union scores as OR.  The
+    SQL performs the SAME expansion with regexp_full_match over its df
+    table, so the expansion itself is what's checked."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_regex(p, TOPK * 3 + 20) for p in REGEX_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_regex_topk() -> str:
+    parts = []
+    for qid, text in enumerate(REGEX_QUERIES):
+        for p in text.split():
+            parts.append(f"SELECT {qid} AS query_id, term FROM dfv "
+                         f"WHERE regexp_full_match(term, '{p}')")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _q_ts_field_stats(sf_dir: str):
+    """Match-set field statistics (the stats aggregation): count / min /
+    max / floor-mean of the stored turn timestamp over each query's OR
+    match set on the transcript index — exact integer arithmetic on both
+    sides (Python ints for the sum; SQL uses HUGEINT then floors)."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    rows = {"query_id": [], "n": [], "ts_min": [], "ts_max": [],
+            "ts_avg": []}
+    for qid, q in enumerate(reference_queries()):
+        st = eng.field_stats(q["text"], field="ts", mode="or")
+        rows["query_id"].append(qid)
+        rows["n"].append(st["count"])
+        rows["ts_min"].append(st["min"])
+        rows["ts_max"].append(st["max"])
+        rows["ts_avg"].append(st["avg"])
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_ts_field_stats() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM docs),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+qids AS (SELECT DISTINCT query_id FROM q),
+m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+v AS (
+  SELECT m.query_id, epoch_us(d.ts)::BIGINT AS ts_us
+  FROM m JOIN docs d ON d.doc_id = m.doc_id
+  WHERE d.ts IS NOT NULL
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT n, min(ts_us) ts_min, max(ts_us) ts_max,
+         (sum(ts_us::HUGEINT) // count(*))::BIGINT ts_avg
+  FROM v GROUP BY 1
+)
+SELECT qids.query_id, coalesce(agg.n, 0)::BIGINT n,
+       coalesce(agg.ts_min, 0)::BIGINT ts_min,
+       coalesce(agg.ts_max, 0)::BIGINT ts_max,
+       coalesce(agg.ts_avg, 0)::BIGINT ts_avg
+FROM qids LEFT JOIN agg USING (query_id)
+"""
+
+
 # stored-query table for the percolator: OR alerts (ids 0..) + AND
 # alerts (ids 100..); the zero-token and absent-term rows are coverage
 PERCOLATE_QUERIES = (
@@ -4035,6 +4133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_sorted_by_time": _q_bm25_sorted_by_time,
         "lm_topk": _q_lm_topk,
         "percolate_matches": _q_percolate,
+        "regex_topk": _q_regex_topk,
+        "ts_field_stats": _q_ts_field_stats,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4764,6 +4864,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_sorted_by_time": _sql_bm25_sorted_by_time(),
         "lm_topk": _sql_lm_topk(),
         "percolate_matches": _sql_percolate(),
+        "regex_topk": _sql_regex_topk(),
+        "ts_field_stats": _sql_ts_field_stats(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

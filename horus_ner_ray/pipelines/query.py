@@ -506,6 +506,37 @@ class BruteForceBM25:
             out.append((d, s, snippet_text(" ".join(toks), a, window)))
         return out
 
+    def search_regex(self, pattern_text: str,
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Oracle regexp term query: anchored fullmatch scan of the
+        vocabulary per whitespace-separated pattern; union scores as OR."""
+        import re as _re
+
+        sel: set[str] = set()
+        for p in pattern_text.split():
+            rx = _re.compile(p)
+            sel.update(t for t in self.postings if rx.fullmatch(t))
+        return self._score_term_set(sorted(sel), k)
+
+    def field_stats(self, text: str, field: str = "ts",
+                    mode: str = "or") -> dict[str, int]:
+        """Oracle match-set stats: count/min/max/floor-mean of the stored
+        timestamp over live matching docs (docs without it excluded)."""
+        if field != "ts":
+            raise ValueError("oracle supports field='ts' only")
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+        sets = [{d for d, _ in self.postings[t]} for t in terms]
+        docs = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        vals = [self.ts[d] for d in docs
+                if d in self.ts and d not in self.deleted]
+        if not vals:
+            return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+        return {"count": len(vals), "min": min(vals), "max": max(vals),
+                "avg": sum(vals) // len(vals), "sum": sum(vals)}
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -807,6 +838,84 @@ class QueryEngine:
         for sub in query_terms(text):
             terms.update(self.expand_contains(sub))
         return self._search_terms(sorted(terms), k)
+
+    def search_regex(self, pattern_text: str,
+                     k: int = 10) -> list[tuple[int, float]]:
+        """Regexp term query (Lucene RegexpQuery): each
+        whitespace-separated pattern expands to every dictionary term it
+        FULLY matches (anchored, like Lucene — ``cust.*`` matches
+        customer, ``art`` matches only the exact term); the union scores
+        as a plain OR query.  A linear vocab scan per pattern by nature
+        (no sorted-range shortcut for general regexes — same cost class
+        as infix), vectorized via pandas' C-loop fullmatch.  Patterns
+        must stay inside the RE2 subset (no backrefs/lookaround) so the
+        DuckDB oracle's regexp_full_match agrees."""
+        sel: set[str] = set()
+        vs = pd.Series(self._vocab, dtype=object)
+        for p in pattern_text.split():
+            m = vs.str.fullmatch(p).to_numpy(dtype=bool)
+            sel.update(str(t) for t in self._vocab[m])
+        return self._search_terms(sorted(sel), k)
+
+    def field_stats(self, text: str, field: str = "ts",
+                    mode: str = "or") -> dict[str, int]:
+        """Match-set statistics on a stored integer attribute (the
+        engine's stats aggregation): count / min / max / floor-mean of
+        ``field`` over the live docs matching the query; docs without the
+        attribute are excluded from ALL four numbers.  Exact integer
+        arithmetic (Python ints for the sum — no float drift, no int64
+        overflow at corpus scale), so the SQL oracle compares exactly."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+        need = len(terms) if mode == "and" else 1
+        sentinel = np.iinfo(np.int64).min
+        total = 0
+        vmin: int | None = None
+        vmax: int | None = None
+        vsum = 0
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            vals = self._doc_attrs(si).get(field)
+            if vals is None:
+                raise ValueError(
+                    f"index docstore has no '{field}' column")
+            if not np.issubdtype(vals.dtype, np.integer):
+                raise ValueError(f"'{field}' is not an integer attribute")
+            cnt = np.zeros(nd, dtype=np.int64)
+            missing = False
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    if mode == "and":
+                        missing = True
+                        break
+                    continue
+                _d, _tf, li = r.postings_local(ti)
+                cnt[li] += 1
+            if missing:
+                continue
+            hit = cnt >= need
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            hit &= vals != sentinel
+            v = vals[hit]
+            if not len(v):
+                continue
+            total += int(len(v))
+            lo, hi = int(v.min()), int(v.max())
+            vmin = lo if vmin is None else min(vmin, lo)
+            vmax = hi if vmax is None else max(vmax, hi)
+            vsum += int(v.astype(object).sum())  # exact (Python ints)
+        if total == 0:
+            return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+        return {"count": total, "min": vmin, "max": vmax,
+                "avg": vsum // total, "sum": vsum}
 
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Wildcard search: tokens ending in ``*`` expand to every
@@ -2108,6 +2217,12 @@ class ScorerActor:
         return self.engine.search_sorted_by(text, k=k, field=field,
                                             ascending=ascending, mode=mode)
 
+    def field_stats(self, text: str, field: str = "ts",
+                    mode: str = "or") -> dict[str, int]:
+        """This subset's partial stats (count/min/max/sum are mergeable;
+        the service recomputes the floor-mean from the merged sums)."""
+        return self.engine.field_stats(text, field=field, mode=mode)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         for row in batch.itertuples():
@@ -2148,7 +2263,7 @@ class ScorerActor:
                 hits = self.engine.search_after(
                     row.text, int(row.k), mode=mode,
                     cursor=(int(after_doc), float(row.after_score)))
-            elif mode in ("prefix", "fuzzy", "contains"):
+            elif mode in ("prefix", "fuzzy", "contains", "regex"):
                 # dictionary-expansion modes: field filters don't compose
                 # (fail loudly rather than silently ignoring a filter)
                 if role or tool or exclude:
@@ -2157,7 +2272,8 @@ class ScorerActor:
                         "exclude filters")
                 fn = {"prefix": self.engine.search_prefix,
                       "fuzzy": self.engine.search_fuzzy,
-                      "contains": self.engine.search_contains}[mode]
+                      "contains": self.engine.search_contains,
+                      "regex": self.engine.search_regex}[mode]
                 hits = fn(row.text, int(row.k))
             elif mode == "boolean":
                 if role or tool:

@@ -192,6 +192,23 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def field_stats(self, text: str, field: str = "ts",
+                    mode: str = "or") -> dict:
+        """Match-set stats on a stored integer attribute: per-subset
+        (count, min, max, sum) partials merge exactly; the floor-mean
+        recomputes from the merged sum."""
+        parts = [p for p in self._call_all(
+            lambda a: a.field_stats.remote(text, field, mode))
+            if p["count"]]
+        if not parts:
+            return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+        count = sum(p["count"] for p in parts)
+        s = sum(p["sum"] for p in parts)
+        return {"count": count,
+                "min": min(p["min"] for p in parts),
+                "max": max(p["max"] for p in parts),
+                "avg": s // count, "sum": s}
+
     def suggest(self, word: str, k: int = 5,
                 max_dist: int = 2) -> list[dict]:
         """Spell suggestion ('did you mean'): dictionary state is global
@@ -248,9 +265,12 @@ def make_http_server(
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
     GET /search?q=<text>&k=<int>
-    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm]
+    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm|regex]
     (mode=lm ranks by Dirichlet-smoothed query likelihood instead of
-    BM25 — the pluggable second similarity)
+    BM25 — the pluggable second similarity; mode=regex expands each
+    whitespace-separated pattern over the dictionary, anchored)
+    GET /fieldstats?q=<text>[&mode=or|and][&field=ts] -> count/min/max/
+    floor-mean of the stored attribute over the match set.
     [&role=][&tool=][&exclude=][&window=][&should=][&text=1] -> JSON hits
     (mode=boolean: q holds the must terms, &should= the optional boosts,
     &exclude= the must_not clause)
@@ -347,6 +367,27 @@ def make_http_server(
                     return
                 self._json({"query": word, "suggestions": rows})
                 return
+            if u.path == "/fieldstats":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    req_mode = (qs.get("mode") or ["or"])[0]
+                    if req_mode not in ("or", "and"):
+                        raise ValueError(
+                            f"fieldstats supports mode=or|and, got "
+                            f"{req_mode!r}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    st = service.field_stats(
+                        text, field=(qs.get("field") or ["ts"])[0],
+                        mode=req_mode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "mode": req_mode, "stats": st})
+                return
             if u.path == "/count":
                 qs = parse_qs(u.query)
                 text = (qs.get("q") or [""])[0]
@@ -423,7 +464,8 @@ def make_http_server(
                     raise ValueError(f"k must be >= 0, got {k}")
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
-                                    "prefix", "fuzzy", "contains", "lm"):
+                                    "prefix", "fuzzy", "contains", "lm",
+                                    "regex"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -438,7 +480,8 @@ def make_http_server(
                 req_role = (qs.get("role") or [""])[0] or None
                 req_tool = (qs.get("tool") or [""])[0] or None
                 req_exclude = (qs.get("exclude") or [""])[0] or None
-                if req_mode in ("prefix", "fuzzy", "contains", "lm") and (
+                if req_mode in ("prefix", "fuzzy", "contains", "lm",
+                                "regex") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "

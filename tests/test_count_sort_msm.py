@@ -140,3 +140,51 @@ def test_served_boolean_msm(http_service, engines):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_search_regex_parity_and_anchoring(engines):
+    import re as _re
+
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    long = [t for t in vocab if len(t) > 4]
+    pats = [long[0][:3] + ".*", "[a-z]*" + long[1][-2:], f"({vocab[0]}|{vocab[-1]})",
+            "zzzq.*", vocab[2]]
+    for p in pats:
+        assert eng.search_regex(p, 10) == bf.search_regex(p, 10), p
+    # anchored: a pattern matching only a PREFIX of a term must not expand
+    t = long[2]
+    inner = _re.escape(t[:-1])
+    assert all(x == t[:-1] for x in
+               [v for v in vocab if _re.fullmatch(inner, v)])
+    assert eng.search_regex(inner, 10) == bf.search_regex(inner, 10)
+    # exact-term pattern == plain single-term search
+    assert eng.search_regex(vocab[3], 10) == eng.search(vocab[3], 10)
+
+
+def test_field_stats_parity(engines):
+    eng, bf = engines
+    for q in reference_queries(k=5):
+        for mode in ("or", "and"):
+            assert eng.field_stats(q["text"], mode=mode) == \
+                bf.field_stats(q["text"], mode=mode), (q["text"], mode)
+    st = eng.field_stats(reference_queries(k=5)[0]["text"])
+    assert st["min"] <= st["avg"] <= st["max"]
+    assert st["avg"] == st["sum"] // st["count"]
+    assert eng.field_stats("zzzqabsent") == {
+        "count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
+
+
+def test_served_regex_and_fieldstats(http_service, engines):
+    base, service = http_service
+    eng, _bf = engines
+    q = reference_queries(k=5)[0]["text"]
+    st = service.field_stats(q, mode="or")
+    assert st == eng.field_stats(q, mode="or")
+    got = _get(base, "/fieldstats", q=q, mode="or")["stats"]
+    assert got["count"] == st["count"] and got["avg"] == st["avg"]
+    vocab = [str(t) for t in eng._vocab]
+    pat = vocab[0][:2] + ".*"
+    want = eng.search_regex(pat, 5)
+    got = _get(base, "/search", q=pat, mode="regex", k=5)["hits"]
+    assert [(h["doc_id"], h["score"]) for h in got] == want

@@ -2,13 +2,20 @@
 SQL-expressible ones match their DuckDB oracle (full sweep at sf0.01 lives
 in tools/conformance.py; the driver runs the real gate)."""
 
+import os
 from pathlib import Path
 
 import duckdb
 import pytest
 
-import __ray_entry__ as E
-from tools.conformance import TABLES, canon, to_pandas
+# transcript-corpus oracles pin their synth corpus via GRAFT_ORACLE_SF
+# (tools/conformance.py sets it from its sf_dir; the driver's default is
+# 0.01) — this suite runs queries() at sf0.001, so the SQL must read the
+# SAME corpus or whole-match-set aggregates (ts_field_stats) diverge
+os.environ.setdefault("GRAFT_ORACLE_SF", "0.001")
+
+import __ray_entry__ as E  # noqa: E402
+from tools.conformance import TABLES, canon, to_pandas  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
@@ -42,6 +49,8 @@ ORACLE_SUBSET = [
     "bm25_sorted_by_time",
     "lm_topk",
     "percolate_matches",
+    "regex_topk",
+    "ts_field_stats",
 ]
 
 
