@@ -777,10 +777,17 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
             pass
     import shutil
 
+    from horus_ner_ray.pipelines.delete import TOMBSTONE_FILE
+
     for d in (paths.runs, paths.shards, paths.docstore, paths.offsets):
         if d.exists():
             shutil.rmtree(d)
-    for f in (paths.stats_json, paths.df_parquet):
+    for f in (paths.stats_json, paths.df_parquet,
+              # tombstones are doc-keyed state of the OLD corpus: left in
+              # place they would silently mask new-corpus docs sharing
+              # (conv_id, turn_idx) hash ids (or provided ids) — a job
+              # change must clear them with the rest of the derived state
+              paths.root / TOMBSTONE_FILE):
         if f.exists():
             f.unlink()
     # the mid-reshard marker lifts only AFTER the wipe completes: a crash

@@ -314,6 +314,10 @@ def merge_indexes(index_dirs: list[str | Path], out_dir: str | Path,
                       {"out_dir": str(out_root), "fast": fast,
                        "num_shards": S, "doc_id_mode": mode,
                        "id_space": id_space}, concurrency)
+    if len(mani) != len(items):  # before ANY publish: a dropped import
+        raise RuntimeError(     # task must not yield a doc-missing index
+            f"fragment import incomplete: {len(mani)}/{len(items)} "
+            "manifests returned — re-run merge_indexes to resume")
 
     n_docs = int(sum(int(s["n_docs"]) for s in stats_list))
     total_tokens = int(sum(int(s["total_tokens"]) for s in stats_list))
@@ -353,6 +357,5 @@ def merge_indexes(index_dirs: list[str | Path], out_dir: str | Path,
     if dead:
         delete_docs(out_root, np.unique(np.concatenate(dead)))
 
-    assert len(mani) == len(items)
     return BuildResult(str(out_root), n_docs, total_tokens, avgdl, S,
                        len(items), round(time.time() - t0, 3))

@@ -877,8 +877,7 @@ class QueryEngine:
         vsum = 0
         for si in range(len(self._shard_dirs)):
             r = self._reader(si)
-            nd = len(r.docids)
-            if nd == 0:
+            if len(r.docids) == 0:
                 continue
             vals = self._doc_attrs(si).get(field)
             if vals is None:
@@ -886,23 +885,9 @@ class QueryEngine:
                     f"index docstore has no '{field}' column")
             if not np.issubdtype(vals.dtype, np.integer):
                 raise ValueError(f"'{field}' is not an integer attribute")
-            cnt = np.zeros(nd, dtype=np.int64)
-            missing = False
-            for t in terms:
-                ti = r.term_index(t)
-                if ti is None:
-                    if mode == "and":
-                        missing = True
-                        break
-                    continue
-                _d, _tf, li = r.postings_local(ti)
-                cnt[li] += 1
-            if missing:
+            hit = self._shard_match_mask(si, terms, need)
+            if hit is None:
                 continue
-            hit = cnt >= need
-            lm = self._live_mask(si)
-            if lm is not None:
-                hit &= lm
             hit &= vals != sentinel
             v = vals[hit]
             if not len(v):
@@ -1193,6 +1178,38 @@ class QueryEngine:
         order = np.lexsort((d, -s))[:k]
         return [(int(d[i]), float(s[i])) for i in order]
 
+    def _shard_match_mask(self, si: int, terms: list[str], need: int,
+                          role: str | None = None,
+                          tool: str | None = None) -> np.ndarray | None:
+        """Shared candidacy for the unscored set-operators (match_count,
+        search_sorted_by, field_stats): boolean hit mask over the shard's
+        docids — count(present terms) >= ``need``, live-docs and optional
+        field filters applied — or None when the shard is empty or a
+        required term is absent from it.  ONE implementation so the match
+        semantics cannot drift apart across those surfaces (search_lm
+        keeps a fused loop because it accumulates scores with the same
+        decode, but follows this contract)."""
+        r = self._reader(si)
+        nd = len(r.docids)
+        if nd == 0:
+            return None
+        cnt = np.zeros(nd, dtype=np.int64)
+        for t in terms:
+            ti = r.term_index(t)
+            if ti is None:
+                if need >= len(terms):  # conjunctive (or single-term OR):
+                    return None         # an absent term empties the shard
+                continue
+            _d, _tf, li = r.postings_local(ti)
+            cnt[li] += 1
+        hit = cnt >= need
+        lm = self._live_mask(si)
+        if lm is not None:
+            hit &= lm
+        if role is not None or tool is not None:
+            hit &= self._filter_mask(si, role, tool)
+        return hit
+
     def match_count(self, text: str, mode: str = "or",
                     role: str | None = None,
                     tool: str | None = None) -> int:
@@ -1208,33 +1225,11 @@ class QueryEngine:
         if mode == "and" and len(terms) != len(all_terms):
             return 0
         need = len(terms) if mode == "and" else 1
-        filtered = role is not None or tool is not None
         total = 0
         for si in range(len(self._shard_dirs)):
-            r = self._reader(si)
-            nd = len(r.docids)
-            if nd == 0:
-                continue
-            cnt = np.zeros(nd, dtype=np.int64)
-            missing = False
-            for t in terms:
-                ti = r.term_index(t)
-                if ti is None:
-                    if mode == "and":
-                        missing = True
-                        break
-                    continue
-                _d, _tf, li = r.postings_local(ti)
-                cnt[li] += 1
-            if missing:
-                continue
-            hit = cnt >= need
-            lm = self._live_mask(si)
-            if lm is not None:
-                hit &= lm
-            if filtered:
-                hit &= self._filter_mask(si, role, tool)
-            total += int(hit.sum())
+            hit = self._shard_match_mask(si, terms, need, role, tool)
+            if hit is not None:
+                total += int(hit.sum())
         return total
 
     def search_sorted_by(self, text: str, k: int = 10, field: str = "ts",
@@ -1256,14 +1251,12 @@ class QueryEngine:
         if not terms or (mode == "and" and len(terms) != len(all_terms)):
             return []
         need = len(terms) if mode == "and" else 1
-        filtered = role is not None or tool is not None
         sentinel = np.iinfo(np.int64).min
         docs_out: list[np.ndarray] = []
         vals_out: list[np.ndarray] = []
         for si in range(len(self._shard_dirs)):
             r = self._reader(si)
-            nd = len(r.docids)
-            if nd == 0:
+            if len(r.docids) == 0:
                 continue
             vals = self._doc_attrs(si).get(field)
             if vals is None:
@@ -1273,25 +1266,9 @@ class QueryEngine:
                 raise ValueError(
                     f"'{field}' is not an integer attribute — only "
                     "integer-valued fields (ts) are sortable")
-            cnt = np.zeros(nd, dtype=np.int64)
-            missing = False
-            for t in terms:
-                ti = r.term_index(t)
-                if ti is None:
-                    if mode == "and":
-                        missing = True
-                        break
-                    continue
-                _d, _tf, li = r.postings_local(ti)
-                cnt[li] += 1
-            if missing:
+            hit = self._shard_match_mask(si, terms, need, role, tool)
+            if hit is None:
                 continue
-            hit = cnt >= need
-            lm = self._live_mask(si)
-            if lm is not None:
-                hit &= lm
-            if filtered:
-                hit &= self._filter_mask(si, role, tool)
             hit &= vals != sentinel  # no attribute -> not sortable -> out
             idx = np.flatnonzero(hit)
             if not len(idx):

@@ -62,21 +62,28 @@ class QueryService:
         lazily; results stay bitwise-equal)."""
         return self._call_all(lambda a: a.__call__.remote(q))
 
-    def _call_all(self, fn):
-        """Fan out ``fn(actor) -> ObjectRef`` to the whole pool and gather;
-        a DEAD actor is respawned on its fixed shard subset and its call
-        retried once — the ONE place the churn-resilience policy lives."""
+    def _gather_one(self, i: int, ref, fn):
+        """Gather one actor's in-flight ref; a DEAD actor is respawned on
+        its fixed shard subset and the call retried once — the ONE place
+        the churn-resilience policy lives (scatter and single-actor
+        routes both land here)."""
         import ray
 
+        try:
+            return ray.get(ref)
+        except ray.exceptions.RayActorError:
+            self.actors[i] = self._spawn(i)
+            return ray.get(fn(self.actors[i]))
+
+    def _call_one(self, i: int, fn):
+        return self._gather_one(i, fn(self.actors[i]), fn)
+
+    def _call_all(self, fn):
+        """Fan out ``fn(actor) -> ObjectRef`` to the whole pool FIRST
+        (calls run concurrently), then gather with the shared per-actor
+        retry."""
         refs = [fn(a) for a in self.actors]
-        out = []
-        for i, ref in enumerate(refs):
-            try:
-                out.append(ray.get(ref))
-            except ray.exceptions.RayActorError:
-                self.actors[i] = self._spawn(i)
-                out.append(ray.get(fn(self.actors[i])))
-        return out
+        return [self._gather_one(i, ref, fn) for i, ref in enumerate(refs)]
 
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
@@ -214,16 +221,9 @@ class QueryService:
         """Spell suggestion ('did you mean'): dictionary state is global
         in every actor (stats/df load whole regardless of shard subset),
         so ONE actor answers exactly — round-robin by word hash, no
-        scatter.  A dead actor is respawned and retried once, the same
-        churn policy as the scatter path."""
-        import ray
-
+        scatter; churn handling via the shared _call_one retry."""
         i = hash(word) % len(self.actors)
-        try:
-            rows = ray.get(self.actors[i].suggest.remote(word, k, max_dist))
-        except ray.exceptions.RayActorError:
-            self.actors[i] = self._spawn(i)
-            rows = ray.get(self.actors[i].suggest.remote(word, k, max_dist))
+        rows = self._call_one(i, lambda a: a.suggest.remote(word, k, max_dist))
         return [{"rank": r + 1, "term": t, "dist": d, "df": df}
                 for r, (t, d, df) in enumerate(rows)]
 

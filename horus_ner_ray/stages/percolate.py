@@ -32,7 +32,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+from horus_ner_ray.config import TOKEN_PATTERN
+
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+# the boundary regexes below negate the token character class, so they
+# must derive from the SAME pattern (CLAUDE.md: the tokenizer rule is
+# shared verbatim with the oracle SQL — change both or neither)
+assert TOKEN_PATTERN.startswith("[") and TOKEN_PATTERN.endswith("]+"), \
+    "percolate boundary regex assumes a '[...]+' token pattern"
+_NON_TOKEN = f"[^{TOKEN_PATTERN[1:-2]}]"
 
 
 def parse_stored_queries(queries: list[dict]) -> list[dict]:
@@ -57,7 +65,7 @@ def _match_batch(batch: pa.Table, parsed: list[dict],
     terms = sorted({t for q in parsed for t in q["terms"]})
     member: dict[str, np.ndarray] = {}
     for t in terms:
-        pat = f"(^|[^a-z0-9]){t}($|[^a-z0-9])"
+        pat = f"(^|{_NON_TOKEN}){t}($|{_NON_TOKEN})"
         member[t] = np.asarray(
             pc.match_substring_regex(low, pat), dtype=bool)
     n = len(batch)

@@ -475,3 +475,28 @@ def test_partial_compaction_still_masked_correct(small_corpus,
     assert out["compacted"]
     stats = json.loads((Path(idx) / "stats.json").read_text())
     assert stats["n_docs"] == o.n_docs - len(deleted)  # all ids < n_docs
+
+
+def test_job_change_clears_tombstones(small_corpus, tmp_path_factory,
+                                      ray_session):
+    """A job change (different corpus into the same index dir) must wipe
+    tombstones with the rest of the derived state: hash doc ids are
+    content-derived, so stale tombstones would silently mask new-corpus
+    docs sharing (conv_id, turn_idx) with previously deleted ones."""
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    idx = tmp_path_factory.mktemp("tombwipe") / "idx"
+    build_index(small_corpus[:2], idx, cfg)
+    eng = QueryEngine(idx)
+    dead = np.asarray(eng._reader(0).docids)[:5]
+    delete_docs(idx, dead)
+    assert read_tombstones(idx) is not None
+    # same job resumes: tombstones survive
+    build_index(small_corpus[:2], idx, cfg)
+    assert set(read_tombstones(idx).tolist()) == set(dead.tolist())
+    # job change (superset corpus via direct build): tombstones wiped —
+    # the shared docs keep their hash ids and must be live again
+    build_index(small_corpus, idx, cfg)
+    assert read_tombstones(idx) is None
+    eng2 = QueryEngine(idx)
+    hits = {d for d, _ in eng2.search("the sessionmark", 10**6)}
+    assert hits & set(dead.tolist())

@@ -14,15 +14,9 @@ from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.pipelines.build_index import build_index
 from horus_ner_ray.pipelines.merge import merge_indexes
 
-
-def _tree_bytes(idx: Path) -> dict[str, bytes]:
-    out = {}
-    for sub in ("shards", "docstore"):
-        for p in sorted((idx / sub).rglob("*")):
-            if p.is_file() and p.name != "manifest.json":
-                out[str(p.relative_to(idx))] = p.read_bytes()
-    out["df.parquet"] = (idx / "df.parquet").read_bytes()
-    return out
+# the ONE byte-identity helper (shards + docstore + df table) — shared so
+# a change to the corpus-pure file set updates both merge suites at once
+from tests.test_merge_indexes import _tree_bytes  # noqa: F401
 
 
 @pytest.fixture(scope="module")
