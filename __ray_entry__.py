@@ -619,6 +619,48 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+# query-time synonym map over the documents vocabulary ("chunk" is
+# absent from the dictionary — coverage for a mapping to nothing)
+SYNONYM_MAP = {
+    "join": ["merge"],
+    "batch": ["data chunk"],
+    "slow": ["fast"],
+    "scan": ["sort row"],
+}
+
+
+def _q_synonym_topk(sf_dir: str):
+    """Query-time synonym expansion (the index untouched): each query
+    term unions with its mapped synonyms, the expanded set scores as OR.
+    The SQL performs the SAME expansion — the map inlines as a VALUES
+    relation joined to the base query terms — so the expansion itself is
+    what's checked."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_synonyms(t, SYNONYM_MAP, TOPK * 3 + 20)
+            for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_synonym_topk() -> str:
+    import re
+
+    base = _sql_values_queries(DOC_QUERIES)
+    syn_rows = []
+    for t, vals in sorted(SYNONYM_MAP.items()):
+        for v in sorted(set(re.findall(_TOKRE, " ".join(vals).lower()))):
+            syn_rows.append(f"('{t}', '{v}')")
+    q_sql = f"""
+SELECT * FROM (VALUES {base}) qb(query_id, term)
+UNION
+SELECT qb.query_id, s.syn_term AS term
+FROM (VALUES {base}) qb(query_id, term)
+JOIN (VALUES {", ".join(syn_rows)}) s(term, syn_term) USING (term)
+"""
+    return _sql_bm25([], conjunctive=False, q_sql=q_sql)
+
+
 # regexp term queries (anchored fullmatch; RE2 subset so Python re and
 # DuckDB regexp_full_match agree); last one matches nothing
 REGEX_QUERIES = ["cust.* jo.n", "[a-z]*an", "(scan|sort) fast",
@@ -4135,6 +4177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_matches": _q_percolate,
         "regex_topk": _q_regex_topk,
         "ts_field_stats": _q_ts_field_stats,
+        "synonym_topk": _q_synonym_topk,
         "bm25_after_delete": _q_bm25_after_delete,
         "bm25_after_compact": _q_bm25_after_compact,
         "bm25_near": _q_bm25_near,
@@ -4866,6 +4909,7 @@ def oracle_sql() -> dict[str, str]:
         "percolate_matches": _sql_percolate(),
         "regex_topk": _sql_regex_topk(),
         "ts_field_stats": _sql_ts_field_stats(),
+        "synonym_topk": _sql_synonym_topk(),
         "bm25_after_delete": _sql_bm25(
             DOC_QUERIES, conjunctive=False,
             extra_where="(scored.doc_id % 7) <> 3"),

@@ -506,6 +506,16 @@ class BruteForceBM25:
             out.append((d, s, snippet_text(" ".join(toks), a, window)))
         return out
 
+    def search_synonyms(self, text: str, synonyms: dict[str, list[str]],
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Oracle synonym expansion: same set-union rule, OR scoring."""
+        base = query_terms(text)
+        expanded: set[str] = set(base)
+        for t in base:
+            expanded.update(query_terms(" ".join(synonyms.get(t, ()))))
+        return self._score_term_set(
+            sorted(t for t in expanded if t in self.postings), k)
+
     def search_regex(self, pattern_text: str,
                      k: int = 10) -> list[tuple[int, float]]:
         """Oracle regexp term query: anchored fullmatch scan of the
@@ -838,6 +848,23 @@ class QueryEngine:
         for sub in query_terms(text):
             terms.update(self.expand_contains(sub))
         return self._search_terms(sorted(terms), k)
+
+    def search_synonyms(self, text: str, synonyms: dict[str, list[str]],
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Query-time synonym expansion (Lucene's SynonymGraphFilter
+        applied at query time — the index stays untouched): each query
+        term unions with its mapped synonyms under set semantics and the
+        expanded set scores as a plain OR query (ascending-term
+        accumulation, bitwise oracle-identical).  The map is request
+        state — for a serving pool, ship it once per actor like the
+        term-vector table (set_term_vectors pattern); map values are
+        tokenized by the shared rule, so multi-word entries contribute
+        each token."""
+        base = query_terms(text)
+        expanded: set[str] = set(base)
+        for t in base:
+            expanded.update(query_terms(" ".join(synonyms.get(t, ()))))
+        return self._search_terms(sorted(expanded), k)
 
     def search_regex(self, pattern_text: str,
                      k: int = 10) -> list[tuple[int, float]]:

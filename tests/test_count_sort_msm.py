@@ -188,3 +188,22 @@ def test_served_regex_and_fieldstats(http_service, engines):
     want = eng.search_regex(pat, 5)
     got = _get(base, "/search", q=pat, mode="regex", k=5)["hits"]
     assert [(h["doc_id"], h["score"]) for h in got] == want
+
+
+def test_search_synonyms_parity_and_semantics(engines):
+    eng, bf = engines
+    vocab = sorted(bf.postings)
+    syn = {vocab[0]: [vocab[5]], vocab[1]: [f"{vocab[7]} {vocab[9]}"],
+           "zzabsent": [vocab[2]]}
+    for q in reference_queries(k=5):
+        got = eng.search_synonyms(q["text"], syn, 10)
+        want = bf.search_synonyms(q["text"], syn, 10)
+        assert got == want, q["text"]
+    # a query hitting the mapped term scores like the expanded OR query
+    assert eng.search_synonyms(vocab[0], syn, 10) == \
+        eng.search(f"{vocab[0]} {vocab[5]}", 10)
+    # empty map / unmapped terms == plain search
+    assert eng.search_synonyms(vocab[3], {}, 10) == eng.search(vocab[3], 10)
+    # a synonym mapping to an absent term changes nothing
+    assert eng.search_synonyms(vocab[3], {vocab[3]: ["zzqx"]}, 10) == \
+        eng.search(vocab[3], 10)

@@ -51,6 +51,7 @@ ORACLE_SUBSET = [
     "percolate_matches",
     "regex_topk",
     "ts_field_stats",
+    "synonym_topk",
 ]
 
 
