@@ -769,9 +769,12 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
     # resume over that state — wipe and start clean (self-healing; the
     # marker also blocks QueryEngine/append/compact until then)
     mid_reshard = (paths.root / "resharding.json").exists()
-    if jp.exists() and not mid_reshard:
+    old_corpus = None  # the previous job's corpus list, if readable
+    if jp.exists():
         try:
-            if json.loads(jp.read_text()) == identity:
+            old = json.loads(jp.read_text())
+            old_corpus = old.get("corpus_files")
+            if old == identity and not mid_reshard:
                 return
         except (json.JSONDecodeError, OSError):
             pass
@@ -782,12 +785,18 @@ def _gate_resume_state(paths: IndexPaths, identity: dict) -> None:
     for d in (paths.runs, paths.shards, paths.docstore, paths.offsets):
         if d.exists():
             shutil.rmtree(d)
-    for f in (paths.stats_json, paths.df_parquet,
-              # tombstones are doc-keyed state of the OLD corpus: left in
-              # place they would silently mask new-corpus docs sharing
-              # (conv_id, turn_idx) hash ids (or provided ids) — a job
-              # change must clear them with the rest of the derived state
-              paths.root / TOMBSTONE_FILE):
+    wipe_files = [paths.stats_json, paths.df_parquet]
+    # tombstones are doc-keyed USER state: they survive same-corpus job
+    # changes (config/shard-count changes, the mid-reshard self-heal —
+    # doc ids are a pure function of the corpus, so the deletions stay
+    # valid) but must clear when the CORPUS changes: stale ids would
+    # silently mask new-corpus docs sharing (conv_id, turn_idx) hash ids
+    # or provided ids.  Unknown provenance (no readable prior job) also
+    # clears — a tombstone table that can't be tied to this corpus is
+    # not trustworthy.
+    if old_corpus != identity["corpus_files"]:
+        wipe_files.append(paths.root / TOMBSTONE_FILE)
+    for f in wipe_files:
         if f.exists():
             f.unlink()
     # the mid-reshard marker lifts only AFTER the wipe completes: a crash
@@ -1174,7 +1183,8 @@ def _write_df_table(paths: IndexPaths, cfg: PipelineConfig) -> None:
     """Global (term, df, cf): sum of per-shard dict entries.  Vocab-sized —
     at sandbox scale a single Arrow group_by; at 10^12-turn scale this is a
     Ray Data ``read_parquet(dicts).groupby('term')`` with the same schema."""
-    dict_files = sorted(paths.shards.glob("shard-*/dict.parquet"))
+    dict_files = [d / "dict.parquet" for d in paths.published_shards()
+                  if (d / "dict.parquet").exists()]
     tbls = [pq.read_table(f, columns=["term", "df", "cf"]) for f in dict_files]
     tbls = [t for t in tbls if len(t)]
     if not tbls:

@@ -649,7 +649,7 @@ class QueryEngine:
         self._df = np.asarray(t["df"], dtype=np.int64)
         self._cf = np.asarray(t["cf"], dtype=np.int64)
         self.total_tokens = int(self.stats["total_tokens"])
-        self._shard_dirs = sorted(self.paths.shards.glob("shard-*"))
+        self._shard_dirs = self.paths.published_shards()
         if shard_subset is not None:
             self._shard_dirs = [self._shard_dirs[i] for i in shard_subset]
         self._cache_per_reader = (
@@ -2387,7 +2387,7 @@ def serve_queries_partitioned(
     from horus_ner_ray.state.shards import IndexPaths
     from horus_ner_ray.util import worker_runtime_env
 
-    n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
+    n_shards = len(IndexPaths(index_dir).published_shards())
     n_actors = max(1, min(n_actors, n_shards))
     subsets = [list(range(i, n_shards, n_actors)) for i in range(n_actors)]
     env = worker_runtime_env()

@@ -37,7 +37,7 @@ class QueryService:
         from horus_ner_ray.util import worker_runtime_env
 
         self.index_dir = index_dir
-        n_shards = len(sorted(IndexPaths(index_dir).shards.glob("shard-*")))
+        n_shards = len(IndexPaths(index_dir).published_shards())
         n_actors = max(1, min(n_actors, n_shards))
         self._subsets = [list(range(i, n_shards, n_actors))
                          for i in range(n_actors)]

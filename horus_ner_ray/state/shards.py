@@ -100,6 +100,15 @@ class IndexPaths:
     def frag_manifest(self, frag_id: int) -> Path:
         return self.runs / f"_frag-{frag_id:05d}.json"
 
+    def published_shards(self) -> list[Path]:
+        """Sorted PUBLISHED shard dirs — excludes ``shard-NNNNN.tmp``
+        staging directories a killed phase-B may leave behind (write_shard
+        stages whole dirs; a bare glob('shard-*') would match them and
+        readers would open a partial shard).  Every read path resolves
+        shard dirs through here."""
+        return sorted(p for p in self.shards.glob("shard-*")
+                      if not p.name.endswith(".tmp"))
+
     def shard_dir(self, shard: int) -> Path:
         return self.shards / f"shard-{shard:05d}"
 
