@@ -96,11 +96,12 @@ def verify_index(index_dir: str | Path, deep: bool = False) -> dict:
             problems.append(
                 f"{d.name}: postings.bin is {pb} bytes, manifest says "
                 f"{m['postings_bytes']}")
-        if int(m["n_terms"]) and int(dt["df"][0].as_py()) >= 0:
-            if int(pa.compute.sum(dt["df"]).as_py()) != int(m["n_postings"]):
+        if len(dt):
+            sdf = int(pa.compute.sum(dt["df"]).as_py())
+            if sdf != int(m["n_postings"]):
                 problems.append(
-                    f"{d.name}: sum(df)={pa.compute.sum(dt['df']).as_py()} "
-                    f"!= manifest n_postings {m['n_postings']}")
+                    f"{d.name}: sum(df)={sdf} != manifest n_postings "
+                    f"{m['n_postings']}")
         n_docs_shards += len(docids)
         n_terms += len(dt)
         dict_tables.append(dt.select(["term", "df", "cf"]))
