@@ -204,3 +204,30 @@ def test_merge_refusals(hash_halves, small_corpus, tmp_path_factory,
     (Path(frozen) / "resharding.json").write_text("{}")
     with pytest.raises(RuntimeError, match="mid-reshard"):
         merge_indexes([a, str(frozen)], out)
+
+
+def test_merge_positional_byte_identity(small_corpus, tmp_path_factory,
+                                        ray_session):
+    """Positional runs carry a list<int32> payload column — the merge
+    (both the hard-link path and the re-split normalize path) must keep
+    phrase/NEAR machinery byte-identical to a fresh positional build."""
+    cfg = PipelineConfig(num_shards=3, doc_id_mode="hash",
+                         with_positions=True)
+    base = tmp_path_factory.mktemp("mrg_pos")
+    a, b, full, out = base / "a", base / "b", base / "full", base / "out"
+    build_index(small_corpus[:2], a, cfg)
+    build_index(small_corpus[2:], b, cfg)
+    build_index(small_corpus, full, cfg)
+    merge_indexes([str(a), str(b)], out)
+    assert _tree_bytes(out) == _tree_bytes(full)
+    em, ef = QueryEngine(out), QueryEngine(full)
+    assert em.search_phrase("the sessionmark", 10) == \
+        ef.search_phrase("the sessionmark", 10)
+    # shard-count change drives the re-split path over positional runs
+    out5 = base / "out5"
+    merge_indexes([str(a), str(b)], out5, num_shards=5)
+    full5 = base / "full5"
+    build_index(small_corpus, full5,
+                PipelineConfig(num_shards=5, doc_id_mode="hash",
+                               with_positions=True))
+    assert _tree_bytes(out5) == _tree_bytes(full5)
