@@ -135,6 +135,46 @@ class QueryService:
                 h["match_spans"] = sp
         return hits
 
+    def search_batch(self, queries: list[dict]) -> list[dict]:
+        """Many queries in ONE scatter: the whole query frame ships to
+        every actor (ScorerActor scores batches natively — one actor
+        round-trip per pool member instead of per query), each returns
+        its shards' exact top-k per query, and the per-query merges are
+        tiny.  Entries: {id?, q, k?, mode?, role?, tool?, exclude?,
+        window?, should?, msm?}.  Returns one {id, query, hits} row per
+        entry, in input order."""
+        rows = []
+        for i, e in enumerate(queries):
+            rows.append({
+                "query_id": i, "text": str(e.get("q", "")),
+                "k": int(e.get("k", 10)),
+                "mode": e.get("mode") or self.mode,
+                "role": e.get("role") or "",
+                "tool": e.get("tool") or "",
+                "exclude": e.get("exclude") or "",
+                "window": int(e.get("window", 8)),
+                "should": e.get("should") or "",
+                "msm": int(e.get("msm", 0)),
+                "after_doc": None, "after_score": float("nan"),
+            })
+        qdf = pd.DataFrame(rows)
+        parts = self._scatter(qdf)
+        cand = pd.concat(parts, ignore_index=True)
+        out = []
+        for i, e in enumerate(queries):
+            g = cand[cand.query_id == i] if len(cand) else cand
+            hits = []
+            if len(g):
+                g = g.sort_values(["score", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="stable").head(int(rows[i]["k"]))
+                hits = [{"rank": r + 1, "doc_id": int(d), "score": float(s)}
+                        for r, (d, s) in enumerate(zip(g["doc_id"],
+                                                       g["score"]))]
+            out.append({"id": e.get("id", i), "query": rows[i]["text"],
+                        "hits": hits})
+        return out
+
     def stats(self) -> dict:
         """Index-level operational stats (the /stats route): collection
         numbers from stats.json plus the live tombstone count — driver
@@ -290,6 +330,12 @@ def make_http_server(
     token window around its first query-term occurrence (needs an index
     built with with_positions).
     GET /stats -> collection numbers + live tombstone count.
+    GET /analyze?q=<text> -> tokens + 0-based positions under the shared
+    tokenizer rule (the _analyze introspection route).
+    POST /batch {"queries": [{id?, q, k?, mode?, role?, tool?, exclude?,
+    window?, should?, msm?}, ...]} -> all results in ONE pool scatter
+    (ScorerActor scores batches natively — one actor round-trip per pool
+    member instead of per query).
     Cursor paging: &after_doc=<id>&after_score=<float> (the previous
     page's last hit) returns the strict successors — or/and modes only.
     port=0 binds an ephemeral port (server.server_address[1]).  Caller owns
@@ -307,8 +353,48 @@ def make_http_server(
             self.end_headers()
             self.wfile.write(body)
 
+        def do_POST(self):  # noqa: N802  (http.server API)
+            u = urlparse(self.path)
+            if u.path != "/batch":
+                self.send_error(404)
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                queries = body["queries"]
+                if not isinstance(queries, list):
+                    raise ValueError("'queries' must be a list")
+                for e in queries:
+                    m = e.get("mode", service.mode)
+                    if m not in ("or", "and", "phrase", "near", "boolean",
+                                 "prefix", "fuzzy", "contains", "lm",
+                                 "regex"):
+                        raise ValueError(f"unknown mode {m!r}")
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self.send_error(400, str(e))
+                return
+            try:
+                results = service.search_batch(queries)
+            except Exception as e:
+                self.send_error(500, str(e))
+                return
+            self._json({"results": results})
+
         def do_GET(self):  # noqa: N802  (http.server API)
             u = urlparse(self.path)
+            if u.path == "/analyze":
+                # the _analyze introspection route: how a text tokenizes
+                # under the engine's shared rule (terms + 0-based
+                # unfiltered-stream positions, the phrase coordinate space)
+                from horus_ner_ray.pipelines.query import _TOKEN_RE
+
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                toks = _TOKEN_RE.findall(text.lower())
+                self._json({"text": text,
+                            "tokens": [{"token": t, "position": i}
+                                       for i, t in enumerate(toks)]})
+                return
             if u.path == "/stats":
                 try:
                     self._json(service.stats())

@@ -297,3 +297,40 @@ def test_http_boolean_composition_rejections(http_service):
             raise AssertionError("expected 400 for " + bad)
         except urllib.error.HTTPError as e:
             assert e.code == 400, bad
+
+
+def test_http_batch_and_analyze(http_service, small_corpus):
+    import urllib.request as _rq
+
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    body = json.dumps({"queries": [
+        {"id": "a", "q": "sessionmark", "k": 3},
+        {"id": "b", "q": "alpha beta", "k": 5, "mode": "and"},
+        {"id": "c", "q": "zzzqabsent", "k": 5},
+    ]}).encode()
+    req = _rq.Request(http_service + "/batch", data=body,
+                      headers={"Content-Type": "application/json"})
+    with _rq.urlopen(req, timeout=30) as r:
+        res = json.loads(r.read())["results"]
+    assert [e["id"] for e in res] == ["a", "b", "c"]
+    assert [(h["doc_id"], h["score"]) for h in res[0]["hits"]] == \
+        bf.search("sessionmark", 3)
+    assert [(h["doc_id"], h["score"]) for h in res[1]["hits"]] == \
+        bf.search("alpha beta", 5, mode="and")
+    assert res[2]["hits"] == []
+    # malformed body / unknown mode -> clean 400
+    for bad in (b"{}", json.dumps({"queries": [{"q": "x",
+                                                "mode": "nope"}]}).encode()):
+        req = _rq.Request(http_service + "/batch", data=bad)
+        try:
+            _rq.urlopen(req, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    # analyze: tokens + positions under the shared rule
+    with _rq.urlopen(http_service +
+                     "/analyze?q=Hello%2C%20World-42", timeout=10) as r:
+        j = json.loads(r.read())
+    assert j["tokens"] == [{"token": "hello", "position": 0},
+                           {"token": "world", "position": 1},
+                           {"token": "42", "position": 2}]
