@@ -1,0 +1,134 @@
+"""Randomized maintenance-chain property fuzz: ANY sequence of
+delete / append / compact / reshard operations on a hash-mode index
+must land exactly where a from-scratch reconstruction lands — fresh
+build over the per-fragment FILTERED contents at the final shard count,
+plus the not-yet-compacted tombstones.  Shards/docstore/df compare
+byte-identical; tombstone sets and query results compare exactly.
+
+This generalizes the pairwise composition tests (delete->compact,
+delete->append, merge->append, double-reshard) to arbitrary chains —
+the operational reality of a long-lived 100 TB index."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from horus_ner_ray.config import PipelineConfig
+from horus_ner_ray.pipelines.build_index import append_fragments, build_index
+from horus_ner_ray.pipelines.delete import (
+    compact_index,
+    delete_docs,
+    read_tombstones,
+)
+from horus_ner_ray.pipelines.query import QueryEngine
+from horus_ner_ray.pipelines.reshard import reshard_index
+from horus_ner_ray.synth import (
+    reference_queries,
+    synth_transcripts,
+    transcript_files,
+)
+from tests.test_merge_indexes import _tree_bytes
+
+
+def _live_keys(idx) -> list[tuple[int, str, int]]:
+    """(doc_id, conv_id, turn_idx) of every docstore row not currently
+    tombstoned."""
+    from horus_ner_ray.state.shards import IndexPaths
+
+    parts = sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))
+    rows = []
+    for p in parts:
+        t = pq.read_table(p, columns=["doc_id", "conv_id", "turn_idx"])
+        rows.extend(zip(t["doc_id"].to_pylist(), t["conv_id"].to_pylist(),
+                        t["turn_idx"].to_pylist()))
+    dead = read_tombstones(idx)
+    dead = set() if dead is None else set(dead.tolist())
+    return sorted((d, c, ti) for d, c, ti in rows if d not in dead)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_any_maintenance_chain_matches_reconstruction(data,
+                                                      tmp_path_factory,
+                                                      ray_session):
+    base = tmp_path_factory.mktemp("chain")
+    synth_transcripts(base / "c0", n_convs=12, seed=3, convs_per_file=6)
+    files = list(transcript_files(base / "c0"))
+    s0 = data.draw(st.sampled_from([2, 3]), label="initial_shards")
+    idx = base / "idx"
+    build_index(files, idx, PipelineConfig(num_shards=s0,
+                                           doc_id_mode="hash"))
+
+    removed: set[tuple[str, int]] = set()   # compact-folded (conv, turn)
+    pending: dict[int, tuple[str, int]] = {}  # live tombstones
+    n_shards = s0
+    n_appends = 0
+    ops = data.draw(st.lists(
+        st.sampled_from(["delete", "append", "compact", "reshard"]),
+        min_size=3, max_size=5), label="ops")
+    for op in ops:
+        if op == "delete":
+            live = _live_keys(idx)
+            if not live:
+                continue
+            step = data.draw(st.integers(2, 5), label="del_step")
+            chosen = live[::step][:6]
+            delete_docs(idx, [d for d, _c, _t in chosen])
+            for d, c, t in chosen:
+                pending[d] = (c, t)
+        elif op == "append":
+            n_appends += 1
+            d = base / f"extra{n_appends}"
+            synth_transcripts(d, n_convs=4, seed=100 + n_appends,
+                              convs_per_file=4)
+            new = transcript_files(d)
+            append_fragments(idx, new)
+            files += new
+        elif op == "compact":
+            compact_index(idx)
+            removed |= set(pending.values())
+            pending = {}
+        else:  # reshard
+            n_shards = data.draw(st.sampled_from([2, 3, 4]),
+                                 label="new_shards")
+            reshard_index(idx, n_shards)
+
+    # reconstruction: fresh build over per-fragment FILTERED contents at
+    # the final shard count, then the still-pending tombstones
+    ref_dir = base / "refsrc"
+    ref_dir.mkdir()
+    ref_files = []
+    for i, f in enumerate(files):
+        t = pq.read_table(f).to_pandas()
+        keep = [
+            (str(c), int(ti)) not in removed
+            for c, ti in zip(t["conv_id"], t["turn_idx"])
+        ]
+        out = ref_dir / f"part-{i:05d}.parquet"
+        t[np.asarray(keep)].to_parquet(out, index=False)
+        ref_files.append(str(out))
+    ref = base / "ref"
+    build_index(ref_files, ref, PipelineConfig(num_shards=n_shards,
+                                               doc_id_mode="hash"))
+    if pending:
+        delete_docs(ref, sorted(pending))
+
+    assert _tree_bytes(Path(idx)) == _tree_bytes(Path(ref))
+    got_dead = read_tombstones(idx)
+    want_dead = read_tombstones(ref)
+    assert (got_dead is None) == (want_dead is None)
+    if got_dead is not None:
+        assert got_dead.tolist() == want_dead.tolist()
+    si = json.loads((Path(idx) / "stats.json").read_text())
+    sr = json.loads((Path(ref) / "stats.json").read_text())
+    assert (si["n_docs"], si["total_tokens"], si["avgdl"]) == (
+        sr["n_docs"], sr["total_tokens"], sr["avgdl"])
+    ei, er = QueryEngine(idx), QueryEngine(ref)
+    for q in reference_queries(k=10):
+        assert ei.search(q["text"], q["k"]) == er.search(q["text"], q["k"])
