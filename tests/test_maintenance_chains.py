@@ -27,6 +27,7 @@ from horus_ner_ray.pipelines.delete import (
 )
 from horus_ner_ray.pipelines.query import QueryEngine
 from horus_ner_ray.pipelines.reshard import reshard_index
+from horus_ner_ray.pipelines.verify import verify_index
 from horus_ner_ray.synth import (
     reference_queries,
     synth_transcripts,
@@ -98,6 +99,9 @@ def test_any_maintenance_chain_matches_reconstruction(data,
             n_shards = data.draw(st.sampled_from([2, 3, 4]),
                                  label="new_shards")
             reshard_index(idx, n_shards)
+        # every op must leave a fully consistent index behind
+        # (continuous fsck: manifests vs files vs stats vs df table)
+        assert verify_index(idx)["ok"]
 
     # reconstruction: fresh build over per-fragment FILTERED contents at
     # the final shard count, then the still-pending tombstones
@@ -132,3 +136,5 @@ def test_any_maintenance_chain_matches_reconstruction(data,
     ei, er = QueryEngine(idx), QueryEngine(ref)
     for q in reference_queries(k=10):
         assert ei.search(q["text"], q["k"]) == er.search(q["text"], q["k"])
+    # the end state also passes the deep tombstone-membership scan
+    assert verify_index(idx, deep=True)["ok"]
