@@ -332,6 +332,8 @@ def make_http_server(
     GET /stats -> collection numbers + live tombstone count.
     GET /analyze?q=<text> -> tokens + 0-based positions under the shared
     tokenizer rule (the _analyze introspection route).
+    GET /docs?ids=<id,id,...> -> the original docstore rows (multi-get;
+    row-group-pruned point reads, capped at 1000 ids).
     POST /batch {"queries": [{id?, q, k?, mode?, role?, tool?, exclude?,
     window?, should?, msm?}, ...]} -> all results in ONE pool scatter
     (ScorerActor scores batches natively — one actor round-trip per pool
@@ -394,6 +396,29 @@ def make_http_server(
                 self._json({"text": text,
                             "tokens": [{"token": t, "position": i}
                                        for i, t in enumerate(toks)]})
+                return
+            if u.path == "/docs":
+                # multi-get: original docstore rows for a (small) id list
+                from horus_ner_ray.pipelines.query import fetch_docs
+
+                qs = parse_qs(u.query)
+                try:
+                    raw = (qs.get("ids") or [""])[0]
+                    ids = [int(x) for x in raw.split(",") if x != ""]
+                    if not ids:
+                        raise ValueError("ids= must list at least one id")
+                    if len(ids) > 1000:
+                        raise ValueError("ids= is capped at 1000 per call")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = fetch_docs(service.index_dir, ids)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"docs": json.loads(
+                    rows.to_json(orient="records"))})
                 return
             if u.path == "/stats":
                 try:

@@ -334,3 +334,25 @@ def test_http_batch_and_analyze(http_service, small_corpus):
     assert j["tokens"] == [{"token": "hello", "position": 0},
                            {"token": "world", "position": 1},
                            {"token": "42", "position": 2}]
+
+
+def test_http_docs_multiget(http_service, small_corpus):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # ground truth rows keyed by rank doc_id
+    df = pd.concat([pq.read_table(f).to_pandas() for f in small_corpus],
+                   ignore_index=True).sort_values(
+        ["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+    with urllib.request.urlopen(http_service + "/docs?ids=5,2,9",
+                                timeout=30) as r:
+        docs = json.loads(r.read())["docs"]
+    assert [d["doc_id"] for d in docs] == [2, 5, 9]  # doc_id-ordered
+    for d in docs:
+        assert d["text"] == df["text"].iloc[d["doc_id"]]
+    for bad in ("/docs?ids=", "/docs?ids=x", "/docs"):
+        try:
+            urllib.request.urlopen(http_service + bad, timeout=10)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
