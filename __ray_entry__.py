@@ -63,6 +63,14 @@ NOT_QUERIES = [
     ("window", "window"),       # self-exclusion == empty result
 ]
 TOPK = 10
+# (query, per-term boost map) — Lucene term^boost; weights are powers of
+# two so idf*boost is IEEE-exact on both the numpy and the SQL side
+BOOSTED_QUERIES = [
+    ("batch join", {"batch": 4.0}),
+    ("data stream filter sort", {"stream": 0.5, "sort": 8.0}),
+    ("customer window slow", {"window": 0.25}),
+    ("spark merge", {"zzzqnotfound": 2.0}),  # absent-term boost == no-op
+]
 
 _STOPLIST = (
     "the to a and of in is you that it for on with as are this be have from or at"
@@ -264,6 +272,21 @@ def _q_bm25_topk_not(sf_dir: str):
 
     eng = QueryEngine(_doc_index_dir(sf_dir))
     hits = [eng.search(t, TOPK * 3 + 20, exclude=ex) for t, ex in NOT_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_boosted(sf_dir: str):
+    """Per-term query boosts (Lucene ``term^boost``): each boosted term's
+    idf is multiplied ONCE before accumulation, scaling its contribution
+    while the ascending-term accumulation order (and bitwise brute-force
+    parity, tests/test_boosts.py) is untouched.  The SQL oracle carries
+    the boost as a q-relation column and multiplies it into the idf at
+    the same arithmetic point; power-of-two weights make the multiply
+    IEEE-exact on both sides."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search(t, TOPK * 3 + 20, boosts=b) for t, b in BOOSTED_QUERIES]
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
@@ -4166,6 +4189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_boosted": _q_bm25_boosted,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
         "significant_terms": _q_significant_terms,
@@ -4318,7 +4342,8 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               q_sql: str | None = None,
               exclude_rows: str | None = None,
               extra_where: str | None = None,
-              rank_range: tuple[int, int] | None = None) -> str:
+              rank_range: tuple[int, int] | None = None,
+              boosts_list: list[dict[str, float]] | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
@@ -4332,7 +4357,15 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
     VALUES list of boolean-NOT terms: any ranked doc containing one of
     its query's excluded terms is dropped before top-k (NOT EXISTS over
     tf), scores of survivors untouched — the engine's ``exclude=``
-    semantics."""
+    semantics.
+
+    ``boosts_list`` (one per-term weight map per query, aligned with
+    ``texts``) restates the engine's Lucene ``term^boost``: the q relation
+    carries a boost column and each term's idf is multiplied by it FIRST
+    — ``(ln(...) * boost)`` — the engine's arithmetic point
+    (``QueryEngine.search`` scales idfs before accumulation).  Driver
+    boosts are powers of two, so the multiply is IEEE-exact on both
+    sides."""
     joins: list[str] = []
     wheres: list[str] = []
     if conjunctive:
@@ -4364,8 +4397,19 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
             "NOT EXISTS (SELECT 1 FROM qex e JOIN tf x ON x.term = e.term"
             " AND x.doc_id = scored.doc_id WHERE e.query_id = scored.query_id)"
         )
-    q_body = (f"q(query_id, term) AS (VALUES {_sql_values_queries(texts)})"
-              if q_sql is None else f"q AS ({q_sql})")
+    idf_expr = "ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))"
+    if boosts_list is not None:
+        import re
+
+        rows = []
+        for qid, (t, bmap) in enumerate(zip(texts, boosts_list)):
+            for term in sorted(set(re.findall(_TOKRE, t.lower()))):
+                rows.append(f"({qid}, '{term}', {float(bmap.get(term, 1.0))!r})")
+        q_body = f"q(query_id, term, boost) AS (VALUES {', '.join(rows)})"
+        idf_expr = f"({idf_expr} * q.boost)"
+    else:
+        q_body = (f"q(query_id, term) AS (VALUES {_sql_values_queries(texts)})"
+                  if q_sql is None else f"q AS ({q_sql})")
     and_filter = " ".join(joins)
     if wheres:
         and_filter += " WHERE " + " AND ".join(wheres)
@@ -4383,7 +4427,7 @@ dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
 {qex}{q_body},
 scored AS (
   SELECT q.query_id, tf.doc_id,
-         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+         sum( {idf_expr}
               * tf.tf * ({BM25_K1} + 1)
               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score,
          count(*) nhit
@@ -4895,6 +4939,9 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY term ORDER BY cf DESC, term ASC LIMIT 100
         """,
         "bm25_topk": _sql_bm25(DOC_QUERIES, conjunctive=False),
+        "bm25_boosted": _sql_bm25(
+            [t for t, _ in BOOSTED_QUERIES], conjunctive=False,
+            boosts_list=[b for _, b in BOOSTED_QUERIES]),
         # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
         "suggest_terms": _sql_suggest_terms(),
         "bm25_snippet_text": _sql_bm25_snippet_text(),

@@ -80,6 +80,29 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def parse_boosts(spec: str) -> dict[str, float]:
+    """Serving-side boost spec: ``"term:2,other:0.5"`` -> per-term weight
+    map (the ``&boost=`` HTTP param and the scorer-row ``boost`` column
+    share this one parser).  Terms are normalized through the shared
+    tokenizer rule; a malformed pair or non-positive weight fails loudly."""
+    out: dict[str, float] = {}
+    for pair in spec.split(","):
+        pair = pair.strip()
+        if not pair:
+            continue
+        term, sep, w = pair.rpartition(":")
+        if not sep or not term:
+            raise ValueError(f"malformed boost pair {pair!r} (want term:weight)")
+        toks = _TOKEN_RE.findall(term.lower())
+        if len(toks) != 1:
+            raise ValueError(f"boost key {term!r} is not a single term")
+        wf = float(w)
+        if wf <= 0.0:
+            raise ValueError(f"boost for {toks[0]!r} must be > 0, got {wf}")
+        out[toks[0]] = wf
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Oracle
 # ---------------------------------------------------------------------------
@@ -568,13 +591,16 @@ class BruteForceBM25:
                ts_min=None, ts_max=None,
                role_weights: dict[str, float] | None = None,
                exclude: str | None = None,
+               boosts: dict[str, float] | None = None,
                ) -> list[tuple[int, float]]:
         """``role``/``tool``/``ts_min``/``ts_max`` restrict the RESULT set
         to matching docs; collection statistics (idf, avgdl, N) stay
         global — standard filtered search semantics, shared with
         QueryEngine.  ``role_weights`` boosts each doc's FINAL score by
         its role's weight (one multiply after accumulation — the same
-        arithmetic point as the engine, so ranks stay bitwise-shared)."""
+        arithmetic point as the engine, so ranks stay bitwise-shared).
+        ``boosts`` multiplies each TERM's idf once before accumulation
+        (Lucene ``term^boost``) — same arithmetic point as the engine."""
         all_terms = query_terms(text)
         terms = [t for t in all_terms if t in self.postings]
         if not terms:
@@ -595,6 +621,8 @@ class BruteForceBM25:
         scores: dict[int, float] = defaultdict(float)
         for t in terms:  # ascending term order == engine accumulation order
             idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            if boosts:
+                idf = idf * float(boosts.get(t, 1.0))
             for d, f in self.postings[t]:
                 if mode == "and" and d not in cand:
                     continue
@@ -2015,6 +2043,7 @@ class QueryEngine:
                tool: str | None = None, ts_min=None, ts_max=None,
                role_weights: dict[str, float] | None = None,
                exclude: str | None = None,
+               boosts: dict[str, float] | None = None,
                ) -> list[tuple[int, float]]:
         """``expand_terms=k`` unions each query term's k nearest
         term-vector neighbors before OR scoring (recall expansion;
@@ -2034,8 +2063,17 @@ class QueryEngine:
         ``exclude`` is a boolean-NOT clause: docs containing ANY of its
         terms are dropped BEFORE top-k (one postings decode per excluded
         term, composable with the field filters; scores of survivors are
-        untouched)."""
+        untouched).
+
+        ``boosts`` maps query terms to per-term weights (Lucene
+        ``term^boost``): each boosted term's idf is multiplied ONCE before
+        accumulation, so contributions scale while accumulation order (and
+        bitwise rank parity with the brute-force oracle) is untouched.
+        Boosts must be > 0 — the MaxScore/champion pruning bounds assume
+        positive per-term upper bounds."""
         base = query_terms(text)
+        if boosts is not None and any(float(w) <= 0.0 for w in boosts.values()):
+            raise ValueError("boosts must be > 0 (use exclude= for NOT)")
         if expand_terms > 0:
             if mode != "or":
                 raise ValueError("expand_terms requires mode='or'")
@@ -2046,6 +2084,9 @@ class QueryEngine:
         if mode == "and" and any(self.global_df(t) == 0 for t in query_terms(text)):
             return []
         idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
+        if boosts:
+            idfs = [idf * float(boosts.get(t, 1.0))
+                    for t, idf in zip(terms, idfs)]
         score_fn = self._score_shard_or if mode == "or" else self._score_shard_and
         filtered = any(x is not None for x in (role, tool, ts_min, ts_max))
         excl = ([t for t in query_terms(exclude) if self.global_df(t) > 0]
@@ -2241,6 +2282,14 @@ class ScorerActor:
                 tool = None
             if isinstance(exclude, float):
                 exclude = None
+            boost = getattr(row, "boost", None) or None
+            if isinstance(boost, float):
+                boost = None
+            boosts = parse_boosts(boost) if boost else None
+            if boosts and mode not in ("or", "and"):
+                # fail loudly (module convention): silently ignoring a
+                # boost returns plausible-but-unboosted results
+                raise ValueError("boost= composes only with mode=or/and")
             should = getattr(row, "should", "") or ""
             if isinstance(should, float):
                 should = ""
@@ -2260,10 +2309,10 @@ class ScorerActor:
                 after_doc = None  # NaN = no cursor
             if after_doc is not None:
                 # cursor pagination: strict successors of (doc, score)
-                if mode not in ("or", "and") or role or tool or exclude:
+                if mode not in ("or", "and") or role or tool or exclude or boosts:
                     raise ValueError(
                         "cursor pagination composes only with mode=or/and "
-                        "and no field filters")
+                        "and no field filters or boosts")
                 hits = self.engine.search_after(
                     row.text, int(row.k), mode=mode,
                     cursor=(int(after_doc), float(row.after_score)))
@@ -2310,7 +2359,7 @@ class ScorerActor:
             else:
                 hits = self.engine.search(row.text, int(row.k), mode,
                                           role=role, tool=tool,
-                                          exclude=exclude)
+                                          exclude=exclude, boosts=boosts)
             for rank, (doc, score) in enumerate(hits, 1):
                 out["query_id"].append(int(row.query_id))
                 out["rank"].append(rank)

@@ -91,7 +91,8 @@ class QueryService:
                exclude: str | None = None, window: int = 8,
                after: tuple[int, float] | None = None,
                should: str | None = None,
-               min_should_match: int = 0) -> list[dict]:
+               min_should_match: int = 0,
+               boost: str | None = None) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -106,7 +107,7 @@ class QueryService:
               "mode": mode or self.mode, "role": role or "",
               "tool": tool or "", "exclude": exclude or "",
               "window": int(window), "should": should or "",
-              "msm": int(min_should_match),
+              "msm": int(min_should_match), "boost": boost or "",
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -155,6 +156,7 @@ class QueryService:
                 "window": int(e.get("window", 8)),
                 "should": e.get("should") or "",
                 "msm": int(e.get("msm", 0)),
+                "boost": e.get("boost") or "",
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -311,7 +313,9 @@ def make_http_server(
     whitespace-separated pattern over the dictionary, anchored)
     GET /fieldstats?q=<text>[&mode=or|and][&field=ts] -> count/min/max/
     floor-mean of the stored attribute over the match set.
-    [&role=][&tool=][&exclude=][&window=][&should=][&text=1] -> JSON hits
+    [&role=][&tool=][&exclude=][&window=][&should=][&boost=term:2,b:0.5]
+    [&text=1] -> JSON hits (&boost= multiplies listed terms' idf once —
+    Lucene term^boost; mode=or/and only)
     (mode=boolean: q holds the must terms, &should= the optional boosts,
     &exclude= the must_not clause)
     (&text=1 adds each hit's original document text, like the reference
@@ -605,6 +609,14 @@ def make_http_server(
                                      "role/tool filters")
                 if req_should and req_mode != "boolean":
                     raise ValueError("should= requires mode='boolean'")
+                req_boost = (qs.get("boost") or [""])[0] or None
+                if req_boost:
+                    if req_mode not in ("or", "and"):
+                        raise ValueError(
+                            "boost= composes only with mode=or/and")
+                    from horus_ner_ray.pipelines.query import parse_boosts
+
+                    parse_boosts(req_boost)  # malformed spec -> clean 400
                 after = None
                 if qs.get("after_doc") or qs.get("after_score"):
                     # cursor = previous page's last hit; full-precision
@@ -612,10 +624,10 @@ def make_http_server(
                     after = (int((qs.get("after_doc") or [""])[0]),
                              float((qs.get("after_score") or [""])[0]))
                     if req_mode not in ("or", "and") or req_role \
-                            or req_tool or req_exclude:
+                            or req_tool or req_exclude or req_boost:
                         raise ValueError(
                             "cursor pagination composes only with "
-                            "mode=or/and and no field filters")
+                            "mode=or/and and no field filters or boosts")
             except ValueError as e:  # bad k etc. -> clean 400, not a reset
                 self.send_error(400, str(e))
                 return
@@ -626,7 +638,8 @@ def make_http_server(
                                       role=req_role, tool=req_tool,
                                       exclude=req_exclude, window=req_window,
                                       after=after, should=req_should,
-                                      min_should_match=req_msm)
+                                      min_should_match=req_msm,
+                                      boost=req_boost)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return
