@@ -290,6 +290,98 @@ def _q_bm25_boosted(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _tr_index_dir(sf_dir: str) -> str:
+    """Build (once, cached) the transcript-corpus index — shared with
+    _q_transcripts_bm25 and the field-scoped bm25 queries."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}")
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    return str(idx)
+
+
+def _exhaustive_e6_matches(idx: str, texts: list[str],
+                           attr: str) -> pd.DataFrame:
+    """FULL match set per query as (query_id, doc_id, score_e6, <attr>)
+    — the grouping-query head.  Scores come from the engine's exhaustive
+    ascending-term accumulation (search with k = N); the group reductions
+    happen downstream in the INTEGER e6 domain on both the Ray and the
+    SQL side, so per-group argmax ties resolve identically (the library's
+    float-domain search_collapse/search_grouped are brute-force-parity
+    tested in tests/test_collapse.py instead)."""
+    import pyarrow.dataset as pads
+
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import IndexPaths
+
+    eng = QueryEngine(idx)
+    rows = {"query_id": [], "doc_id": [], "score": []}
+    for qid, t in enumerate(texts):
+        for d, s in eng.search(t, k=max(eng.n_docs, 1)):
+            rows["query_id"].append(qid)
+            rows["doc_id"].append(d)
+            rows["score"].append(s)
+    df = pd.DataFrame(rows)
+    df["score_e6"] = _e6(df["score"]) if len(df) else pd.Series([], dtype=np.int64)
+    parts = sorted(str(p) for p in
+                   IndexPaths(idx).docstore.glob("part-*.parquet"))
+    amap = pads.dataset(parts).to_table(
+        columns=["doc_id", attr]).to_pandas()
+    out = df.merge(amap, on="doc_id", how="left")
+    return out[["query_id", "doc_id", "score_e6", attr]]
+
+
+def _q_bm25_collapse(sf_dir: str):
+    """Field collapsing (Lucene/ES collapse): one best doc per
+    conversation, conversations ranked by their representative.  Reduction
+    runs in the exact e6 integer domain ((score_e6 desc, doc_id asc) for
+    both the in-conv argmax and the conv ranking); SQL restates it with
+    two row_number windows over the same rank-rule doc ids."""
+    texts = [q["text"] for q in _sq().reference_queries()]
+    m = _exhaustive_e6_matches(_tr_index_dir(sf_dir), texts, "conv_id")
+    m = m.sort_values(["query_id", "conv_id", "score_e6", "doc_id"],
+                      ascending=[True, True, False, True], kind="stable")
+    best = m.groupby(["query_id", "conv_id"], sort=True).head(1)
+    out = []
+    for qid, g in best.groupby("query_id", sort=True):
+        g = g.sort_values(["score_e6", "doc_id"],
+                          ascending=[False, True], kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "conv_id", "doc_id", "score_e6"]])
+    res = pd.concat(out, ignore_index=True)
+    for c in ("query_id", "rank", "doc_id", "score_e6"):
+        res[c] = res[c].astype(np.int64)
+    return res
+
+
+def _q_bm25_top_per_role(sf_dir: str):
+    """Grouped top hits (terms aggregation + top_hits): per role, that
+    group's top-3 docs by (score_e6 desc, doc_id asc) — the e6-domain
+    restatement of QueryEngine.search_grouped."""
+    texts = [q["text"] for q in _sq().reference_queries()]
+    m = _exhaustive_e6_matches(_tr_index_dir(sf_dir), texts, "role")
+    m = m.sort_values(["query_id", "role", "score_e6", "doc_id"],
+                      ascending=[True, True, False, True], kind="stable")
+    g = m.groupby(["query_id", "role"], sort=True)
+    res = m.loc[g.cumcount() < 3].copy()
+    res["rank"] = g.cumcount()[g.cumcount() < 3] + 1
+    res = res[["query_id", "role", "rank", "doc_id", "score_e6"]].reset_index(drop=True)
+    for c in ("query_id", "rank", "doc_id", "score_e6"):
+        res[c] = res[c].astype(np.int64)
+    return res
+
+
+def _sq():
+    from horus_ner_ray import synth
+
+    return synth
+
+
 def _q_bm25_snippets(sf_dir: str):
     """Top-k + snippet anchors: each ranked doc carries the smallest token
     position of any query term, decoded from the POSITIONAL index (the
@@ -4190,6 +4282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_boosted": _q_bm25_boosted,
+        "bm25_collapse": _q_bm25_collapse,
+        "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
         "significant_terms": _q_significant_terms,
@@ -4613,6 +4707,93 @@ documents AS (
     return _sql_bm25([q["text"] for q in reference_queries()], conjunctive=False, pre=pre)
 
 
+def _sql_grouping_core(attr: str) -> str:
+    """Shared CTE chain for the grouping oracles: rank-rule doc ids over
+    the synth transcript files with ``attr`` riding the documents CTE,
+    the standard BM25 scoring body, and an e6 relation ready for window
+    reductions (the Ray side reduces in the same integer domain)."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, {attr}, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+e6 AS (
+  SELECT sc.query_id, sc.doc_id, d.{attr},
+         CAST(FLOOR(sc.score * 1e6 + 0.5) AS BIGINT) score_e6
+  FROM scored sc JOIN documents d USING (doc_id)
+)"""
+
+
+def _sql_bm25_collapse() -> str:
+    return f"""
+WITH {_sql_grouping_core("conv_id")},
+coll AS (
+  SELECT query_id, conv_id, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id, conv_id
+                            ORDER BY score_e6 DESC, doc_id) rin
+  FROM e6
+),
+ranked AS (
+  SELECT query_id, conv_id, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id) rk
+  FROM coll WHERE rin = 1
+)
+SELECT query_id, rk AS rank, conv_id, doc_id, score_e6
+FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def _sql_bm25_top_per_role() -> str:
+    return f"""
+WITH {_sql_grouping_core("role")},
+ranked AS (
+  SELECT query_id, role, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id, role
+                            ORDER BY score_e6 DESC, doc_id) rk
+  FROM e6
+)
+SELECT query_id, role, rk AS rank, doc_id, score_e6
+FROM ranked WHERE rk <= 3
+"""
+
+
 def _sql_transcripts_bm25_role(role: str = "user") -> str:
     """Field-scoped BM25 oracle: the transcripts pre additionally carries
     the role column; ranked docs post-filter on it while every collection
@@ -4942,6 +5123,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosted": _sql_bm25(
             [t for t, _ in BOOSTED_QUERIES], conjunctive=False,
             boosts_list=[b for _, b in BOOSTED_QUERIES]),
+        "bm25_collapse": _sql_bm25_collapse(),
+        "bm25_top_per_role": _sql_bm25_top_per_role(),
         # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
         "suggest_terms": _sql_suggest_terms(),
         "bm25_snippet_text": _sql_bm25_snippet_text(),

@@ -120,6 +120,7 @@ class BruteForceBM25:
         self.doc_tokens: dict[int, list[str]] = {}
         self.attrs: dict[int, tuple[str, str]] = {}  # doc_id -> (role, tool)
         self.ts: dict[int, int] = {}  # doc_id -> us timestamp
+        self.convs: dict[int, str] = {}  # doc_id -> conv_id (collapse field)
         self.n_docs = 0
         self.total_tokens = 0
         self.deleted: set[int] = set()  # tombstones: masked, stats stale
@@ -150,10 +151,12 @@ class BruteForceBM25:
         return True
 
     def add_doc(self, doc_id: int, text: str, role: str = "",
-                tool: str = "", ts=None) -> None:
+                tool: str = "", ts=None, conv: str = "") -> None:
         toks_all = _TOKEN_RE.findall(text.lower())
         toks = [t for t in toks_all if t not in self.stopwords] if self.stopwords else toks_all
         self.attrs[doc_id] = (role, tool)
+        if conv:
+            self.convs[doc_id] = conv
         if ts is not None:
             self.ts[doc_id] = QueryEngine._ts_us(ts)
         self.n_docs += 1
@@ -188,10 +191,12 @@ class BruteForceBM25:
         roles = df["role"] if "role" in extra else [""] * len(df)
         tools = df["tool"] if "tool" in extra else [""] * len(df)
         tss = df["ts"] if "ts" in extra else [None] * len(df)
-        for doc_id, text, role, tool, ts in zip(df["doc_id"], df["text"],
-                                                roles, tools, tss):
+        for doc_id, text, role, tool, ts, conv in zip(df["doc_id"], df["text"],
+                                                      roles, tools, tss,
+                                                      df["conv_id"]):
             self.add_doc(int(doc_id), text, role or "", tool or "",
-                         ts=None if ts is None or pd.isna(ts) else ts)
+                         ts=None if ts is None or pd.isna(ts) else ts,
+                         conv=str(conv))
         return self
 
     @classmethod
@@ -635,6 +640,39 @@ class BruteForceBM25:
                 for d, s in scores.items()}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def _field_value(self, doc_id: int, field: str) -> str:
+        if field == "conv_id":
+            return self.convs.get(doc_id, "")
+        if field == "role":
+            return self.attrs.get(doc_id, ("", ""))[0]
+        if field == "tool":
+            return self.attrs.get(doc_id, ("", ""))[1]
+        raise ValueError(f"unknown collapse field {field!r}")
+
+    def search_collapse(self, text: str, k: int = 10, field: str = "conv_id",
+                        mode: str = "or") -> list[tuple[str, int, float]]:
+        """Oracle field collapsing: full ranking, first (= best by score
+        desc, doc asc) doc per distinct field value, values ranked by
+        their best doc."""
+        best: dict[str, tuple[int, float]] = {}
+        for d, s in self.search(text, k=max(self.n_docs, 1), mode=mode):
+            v = self._field_value(d, field)
+            if v not in best:  # hits arrive in (score desc, doc asc) order
+                best[v] = (d, s)
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))
+        return [(v, d, s) for v, (d, s) in ranked[:k]]
+
+    def search_grouped(self, text: str, field: str = "role", k: int = 3,
+                       mode: str = "or") -> dict[str, list[tuple[int, float]]]:
+        """Oracle grouped top hits: per distinct field value, that group's
+        top-k docs under the global (score desc, doc asc) order."""
+        groups: dict[str, list[tuple[int, float]]] = {}
+        for d, s in self.search(text, k=max(self.n_docs, 1), mode=mode):
+            g = groups.setdefault(self._field_value(d, field), [])
+            if len(g) < k:
+                g.append((d, s))
+        return dict(sorted(groups.items()))
 
 
 # ---------------------------------------------------------------------------
@@ -1534,7 +1572,7 @@ class QueryEngine:
     # via a doc_id-range-pruned docstore read (rank-mode parts are
     # doc-sorted, so row-group statistics skip unrelated fragments).
 
-    ATTR_COLUMNS = ("role", "tool", "ts")
+    ATTR_COLUMNS = ("role", "tool", "ts", "conv_id")
 
     def _doc_attrs(self, si: int) -> dict[str, np.ndarray]:
         a = self._attr_cache.get(si)
@@ -2115,6 +2153,136 @@ class QueryEngine:
         order = np.lexsort((d, -s))[:k]  # (score desc, doc_id asc)
         return [(int(d[i]), float(s[i])) for i in order]
 
+    def _scored_match_rows(self, si: int, terms: list[str],
+                           idfs: list[float], mode: str,
+                           field: str) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray] | None:
+        """One shard's FULL match set as (field value, doc, score) arrays
+        — the grouping primitives' shared head.  Forces the exhaustive
+        exact path (all-ones mask) so scores accumulate in the oracle's
+        ascending-term order; live docs masked before anything returns."""
+        r = self._reader(si)
+        nd = len(r.docids)
+        if nd == 0:
+            return None
+        m = self._live_mask(si)
+        if m is None:
+            m = np.ones(nd, dtype=bool)
+        score_fn = (self._score_shard_or if mode == "or"
+                    else self._score_shard_and)
+        d, s = score_fn(si, terms, idfs, nd, mask=m)
+        if len(d) == 0:
+            return None
+        vals = self._doc_attrs(si).get(field)
+        if vals is None:
+            raise ValueError(
+                f"index docstore has no {field!r} column to collapse on")
+        li = np.searchsorted(np.asarray(r.docids), d)
+        return vals[li], d, s
+
+    @staticmethod
+    def _collapse_rows(vals: np.ndarray, d: np.ndarray,
+                       s: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+        """Best (score desc, doc asc) row per distinct value — the
+        collapse reduction; associative, so per-shard collapse then a
+        merge collapse is exact."""
+        uniq, codes = np.unique(vals, return_inverse=True)
+        order = np.lexsort((d, -s, codes))
+        cc = codes[order]
+        first = np.r_[True, cc[1:] != cc[:-1]]
+        keep = order[first]
+        return uniq[cc[first]], d[keep], s[keep]
+
+    def search_collapse(self, text: str, k: int = 10,
+                        field: str = "conv_id",
+                        mode: str = "or") -> list[tuple[str, int, float]]:
+        """Field collapsing (Lucene/ES ``collapse``): the match set keeps
+        only the best-scoring doc per distinct ``field`` value, and the
+        collapsed groups rank by their representative's (score desc,
+        doc_id asc).  Per shard the match set collapses BEFORE anything
+        crosses shards, so the merge is bounded by distinct values — not
+        matches — and on a cluster each scatter member ships one row per
+        value it saw.  Results are bitwise rank-identical to the
+        brute-force oracle (same exhaustive ascending-term accumulation).
+        Reference analogue: one evidence row per sentence group
+        (horus0.1.5.db.sql:59-109)."""
+        if k <= 0:
+            return []
+        terms, idfs = self._or_and_terms(text, mode)
+        if not terms:
+            return []
+        parts = [self._scored_match_rows(si, terms, idfs, mode, field)
+                 for si in range(len(self._shard_dirs))]
+        parts = [self._collapse_rows(*p) for p in parts if p is not None]
+        if not parts:
+            return []
+        vals = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        s = np.concatenate([p[2] for p in parts])
+        vals, d, s = self._collapse_rows(vals, d, s)
+        order = np.lexsort((d, -s))[:k]
+        return [(str(vals[i]), int(d[i]), float(s[i])) for i in order]
+
+    @staticmethod
+    def _group_topk_rows(vals: np.ndarray, d: np.ndarray, s: np.ndarray,
+                         k: int) -> tuple[np.ndarray, np.ndarray,
+                                          np.ndarray]:
+        """Top-k (score desc, doc asc) rows per distinct value —
+        associative like the collapse reduction."""
+        uniq, codes = np.unique(vals, return_inverse=True)
+        order = np.lexsort((d, -s, codes))
+        cc = codes[order]
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        sizes = np.diff(np.r_[starts, len(cc)])
+        rank = np.arange(len(cc)) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        return uniq[codes[keep]], d[keep], s[keep]
+
+    def search_grouped(self, text: str, field: str = "role", k: int = 3,
+                       mode: str = "or",
+                       ) -> dict[str, list[tuple[int, float]]]:
+        """Grouped top hits (ES ``terms`` aggregation + ``top_hits``):
+        for every distinct ``field`` value in the match set, that group's
+        top-k docs by (score desc, doc_id asc).  Same per-shard-partial
+        shape as ``search_collapse`` (per-group top-k is associative);
+        bitwise rank-identical to the brute-force oracle."""
+        if k <= 0:
+            return {}
+        terms, idfs = self._or_and_terms(text, mode)
+        if not terms:
+            return {}
+        parts = [self._scored_match_rows(si, terms, idfs, mode, field)
+                 for si in range(len(self._shard_dirs))]
+        parts = [self._group_topk_rows(*p, k) for p in parts
+                 if p is not None]
+        if not parts:
+            return {}
+        vals = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        s = np.concatenate([p[2] for p in parts])
+        vals, d, s = self._group_topk_rows(vals, d, s, k)
+        uniq, codes = np.unique(vals, return_inverse=True)
+        order = np.lexsort((d, -s, codes))
+        out: dict[str, list[tuple[int, float]]] = {}
+        for i in order:
+            out.setdefault(str(uniq[codes[i]]), []).append(
+                (int(d[i]), float(s[i])))
+        return out
+
+    def _or_and_terms(self, text: str,
+                      mode: str) -> tuple[list[str], list[float]]:
+        """Shared (terms, idfs) head for the or/and grouping searches —
+        mirrors ``search``'s term filtering and empty-conjunction rule."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"grouping searches need mode=or/and, got {mode!r}")
+        base = query_terms(text)
+        terms = [t for t in base if self.global_df(t) > 0]
+        if mode == "and" and len(terms) != len(base):
+            return [], []
+        return terms, [bm25_idf(self.n_docs, self.global_df(t))
+                       for t in terms]
+
 
 def _min_cover_spans(cand_idx: np.ndarray, pos: np.ndarray, label: np.ndarray,
                      n_labels: int, n_cand: int) -> np.ndarray:
@@ -2253,6 +2421,21 @@ class ScorerActor:
         """This subset's match count; sums exactly across the pool
         (doc-partitioned shards)."""
         return self.engine.match_count(text, mode=mode, role=role, tool=tool)
+
+    def search_collapse(self, text: str, k: int = 10,
+                        field: str = "conv_id",
+                        mode: str = "or") -> list[tuple[str, int, float]]:
+        """This subset's top-k collapsed (value, doc, score) rows; the
+        collapse reduction is associative and a global-top-k value is
+        always inside the local top-k of the subset holding its
+        representative, so the service's merge re-collapse is exact."""
+        return self.engine.search_collapse(text, k=k, field=field, mode=mode)
+
+    def search_grouped(self, text: str, field: str = "role", k: int = 3,
+                       mode: str = "or") -> dict[str, list[tuple[int, float]]]:
+        """This subset's per-group top-k; per-group merge across the pool
+        re-applies the same top-k (associative), staying exact."""
+        return self.engine.search_grouped(text, field=field, k=k, mode=mode)
 
     def search_sorted_by(self, text: str, k: int = 10, field: str = "ts",
                          ascending: bool = True,

@@ -241,6 +241,40 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def collapse(self, text: str, k: int = 10, field: str = "conv_id",
+                 mode: str = "or") -> list[dict]:
+        """Field collapsing: each subset ships its top-k collapsed
+        (value, doc, score) rows; the merge re-collapses (best row per
+        value, then rank values by their representative) — exact, see
+        ScorerActor.search_collapse."""
+        parts = self._call_all(
+            lambda a: a.search_collapse.remote(text, k, field, mode))
+        best: dict[str, tuple[int, float]] = {}
+        for v, d, s in (t for p in parts for t in p):
+            cur = best.get(v)
+            if cur is None or (-s, d) < (-cur[1], cur[0]):
+                best[v] = (int(d), float(s))
+        ranked = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[1][0]))
+        return [{"rank": r + 1, field: v, "doc_id": d, "score": s}
+                for r, (v, (d, s)) in enumerate(ranked[:k])]
+
+    def grouped(self, text: str, field: str = "role", k: int = 3,
+                mode: str = "or") -> dict[str, list[dict]]:
+        """Grouped top hits: per-group top-k partials from every subset
+        re-reduce with the same (score desc, doc asc) rule — exact."""
+        parts = self._call_all(
+            lambda a: a.search_grouped.remote(text, field, k, mode))
+        groups: dict[str, list[tuple[int, float]]] = {}
+        for p in parts:
+            for v, hits in p.items():
+                groups.setdefault(v, []).extend(hits)
+        out: dict[str, list[dict]] = {}
+        for v in sorted(groups):
+            hits = sorted(groups[v], key=lambda ds: (-ds[1], ds[0]))[:k]
+            out[v] = [{"rank": r + 1, "doc_id": int(d), "score": float(s)}
+                      for r, (d, s) in enumerate(hits)]
+        return out
+
     def field_stats(self, text: str, field: str = "ts",
                     mode: str = "or") -> dict:
         """Match-set stats on a stored integer attribute: per-subset
@@ -328,6 +362,10 @@ def make_http_server(
     count over the live docs.
     GET /sorted?q=<text>[&k=][&order=asc|desc][&mode=or|and] -> the match
     set ordered by stored timestamp instead of relevance.
+    GET /collapse?q=<text>[&k=][&field=conv_id|role|tool][&mode=or|and]
+    -> field-collapsed top-k: one best doc per distinct field value.
+    GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
+    top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
     >= m distinct should terms present).
     GET /snippets?q=<text>[&k=][&window=] -> top-k hits each carrying the
@@ -567,6 +605,51 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/collapse":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    fld = (qs.get("field") or ["conv_id"])[0]
+                    cmode = (qs.get("mode") or ["or"])[0]
+                    if k < 0:
+                        raise ValueError(f"k must be >= 0, got {k}")
+                    if cmode not in ("or", "and"):
+                        raise ValueError("collapse supports mode=or/and")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.collapse(text, k=k, field=fld, mode=cmode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "field": fld, "k": k,
+                            "hits": hits})
+                return
+            if u.path == "/grouped":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["3"])[0])
+                    fld = (qs.get("field") or ["role"])[0]
+                    gmode = (qs.get("mode") or ["or"])[0]
+                    if k < 0:
+                        raise ValueError(f"k must be >= 0, got {k}")
+                    if gmode not in ("or", "and"):
+                        raise ValueError("grouped supports mode=or/and")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    groups = service.grouped(text, field=fld, k=k,
+                                             mode=gmode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "field": fld, "k": k,
+                            "groups": groups})
                 return
             if u.path != "/search":
                 self.send_error(404)
