@@ -290,6 +290,33 @@ def _q_bm25_boosted(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+# ordered sloppy-phrase driver queries: (phrase, slop) — distinct terms,
+# 2 and 3 labels so the SQL ordered-min-span joins stay tractable
+SLOP_QUERIES_DRV = [
+    ("batch join", 2),
+    ("join batch", 3),
+    ("data filter sort", 4),
+    ("customer slow", 1),
+    ("scan zzzqnotfound", 5),   # absent term -> empty result
+]
+
+
+def _q_bm25_phrase_slop(sf_dir: str):
+    """Ordered sloppy phrase (Lucene phrase slop): one occurrence per
+    term IN PHRASE ORDER with minimal stretch last-first-(n-1) <= slop;
+    matches score as conjunctive BM25.  The engine evaluates it as a
+    vectorized last-valid-predecessor chain sweep over the positional
+    index (tests/test_slop_phrase.py pins it to an explicit-max DP and a
+    cubic enumerator); the SQL oracle restates the predicate as an
+    ordered position self-join with HAVING min(stretch) <= slop."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_phrase(t, TOPK * 3 + 20, slop=s)
+            for t, s in SLOP_QUERIES_DRV]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
 def _tr_index_dir(sf_dir: str) -> str:
     """Build (once, cached) the transcript-corpus index — shared with
     _q_transcripts_bm25 and the field-scoped bm25 queries."""
@@ -4283,6 +4310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
+        "bm25_phrase_slop": _q_bm25_phrase_slop,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -4887,6 +4915,80 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+def _sql_bm25_phrase_slop() -> str:
+    """Ordered sloppy phrase: per query an ordered position self-join
+    (one posr alias per phrase label, ``a.pos < b.pos < ...``) with
+    ``HAVING min(last - first - (n-1)) <= slop``; matches score with the
+    shared conjunctive BM25 body (position base offsets cancel in the
+    stretch, so 1-based SQL positions match the engine's 0-based ones)."""
+    import re
+
+    q_rows: list[str] = []
+    matched: list[str] = []
+    for qid, (text, slop) in enumerate(SLOP_QUERIES_DRV):
+        terms = re.findall(_TOKRE, text.lower())
+        for t in sorted(set(terms)):
+            q_rows.append(f"({qid}, '{t}')")
+        n = len(terms)
+        aliases = [chr(ord("a") + i) for i in range(n)]
+        joins = " ".join(
+            f"JOIN posr {al} ON {al}.doc_id = a.doc_id"
+            for al in aliases[1:])
+        conds = [f"{al}.term = '{t}'" for al, t in zip(aliases, terms)]
+        conds += [f"{x}.pos < {y}.pos"
+                  for x, y in zip(aliases, aliases[1:])]
+        matched.append(
+            f"SELECT {qid} AS query_id, a.doc_id FROM posr a {joins} "
+            f"WHERE {' AND '.join(conds)} "
+            f"GROUP BY a.doc_id "
+            f"HAVING min({aliases[-1]}.pos - a.pos - {n - 1}) <= {slop}"
+        )
+    matched_sql = "\n  UNION ALL ".join(matched)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+posr AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM tok
+),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+matched AS (
+  {matched_sql}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+  JOIN dfv ON dfv.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_bm25_phrase() -> str:
     """Phrase adjacency over the token array (list_transform sliding-window
     conjunction), scored with the same BM25 body over each phrase's member
@@ -5124,6 +5226,7 @@ def oracle_sql() -> dict[str, str]:
             [t for t, _ in BOOSTED_QUERIES], conjunctive=False,
             boosts_list=[b for _, b in BOOSTED_QUERIES]),
         "bm25_collapse": _sql_bm25_collapse(),
+        "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_top_per_role": _sql_bm25_top_per_role(),
         # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
         "suggest_terms": _sql_suggest_terms(),

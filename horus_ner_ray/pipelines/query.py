@@ -219,16 +219,26 @@ class BruteForceBM25:
             tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
         )
 
-    def search_phrase(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+    def search_phrase(self, text: str, k: int = 10,
+                      slop: int = 0) -> list[tuple[int, float]]:
         """Oracle phrase search: scan each candidate doc's token list for
         the exact adjacent sequence; score matches with standard BM25 over
-        the member terms in ascending-term order."""
+        the member terms in ascending-term order.
+
+        ``slop > 0`` relaxes adjacency to the ordered-window rule (Lucene
+        sloppy phrase over distinct terms): one occurrence per term, in
+        phrase order, with total stretch ``last - first - (n-1) <=
+        slop``; the oracle evaluates it as an explicit max-over-valid-
+        chain-starts DP per occurrence (an independent formulation of the
+        engine's last-valid-predecessor chain)."""
         phrase = _TOKEN_RE.findall(text.lower())
         if not phrase:
             return []
         uniq = sorted(set(phrase))
         if any(t not in self.postings for t in uniq):
             return []
+        if slop > 0 and len(uniq) != len(phrase):
+            raise ValueError("slop phrase requires distinct terms")
         cand: set[int] | None = None
         for t in uniq:
             docs = {d for d, _ in self.postings[t]}
@@ -239,6 +249,21 @@ class BruteForceBM25:
                 continue
             toks = self.doc_tokens[d]
             n = len(phrase)
+            if slop > 0:
+                occ = {t: [i for i, w in enumerate(toks) if w == t]
+                       for t in phrase}
+                chains = [(p, p) for p in occ[phrase[0]]]  # (pos, start)
+                for t in phrase[1:]:
+                    chains = [
+                        (p, max(st for pp, st in chains if pp < p))
+                        for p in occ[t]
+                        if any(pp < p for pp, _ in chains)
+                    ]
+                    if not chains:
+                        break
+                if chains and min(p - st for p, st in chains) - (n - 1) <= slop:
+                    matched.append(d)
+                continue
             if any(toks[i : i + n] == phrase for i in range(len(toks) - n + 1)):
                 matched.append(d)
         scores: dict[int, float] = {d: 0.0 for d in matched}
@@ -1878,14 +1903,23 @@ class QueryEngine:
         return _topk_with_ties(cand, acc, k)
 
     def search_phrase(self, text: str, k: int = 10, role: str | None = None,
-                      tool: str | None = None) -> list[tuple[int, float]]:
+                      tool: str | None = None,
+                      slop: int = 0) -> list[tuple[int, float]]:
         """Exact phrase match via position-list adjacency: candidates from
         full posting intersection per shard, then per-candidate positional
         verify (P_0 ∩ (P_1 - 1) ∩ ... nonempty); matches scored by standard
         BM25 over member terms.  Reference analogue: NP-compound chunking
         (SURVEY.md M6) — multi-token units as adjacent position lists.
         Requires an index built with cfg.with_positions=True.
-        ``role``/``tool`` filter candidates before the positional verify."""
+        ``role``/``tool`` filter candidates before the positional verify.
+
+        ``slop > 0`` relaxes adjacency to Lucene's ordered sloppy-phrase
+        rule over distinct terms: one occurrence per term, in phrase
+        order, minimal stretch ``last - first - (n-1) <= slop``
+        (``slop=0`` via this rule equals exact adjacency; the exact path
+        additionally supports repeated terms)."""
+        if slop > 0:
+            return self._search_phrase_slop(text, k, role, tool, slop)
         phrase = _TOKEN_RE.findall(text.lower())  # ordered, duplicates kept
         if not phrase:
             return []
@@ -1945,6 +1979,97 @@ class QueryEngine:
             if keys is None or len(keys) == 0:
                 continue
             marr = cand[np.unique(keys >> np.int64(32))]
+            dls = r.doc_length(marr).astype(np.float64)
+            acc = np.zeros(len(marr), dtype=np.float64)
+            for t in uniq:  # ascending-term accumulation (determinism)
+                d_arr, tf_arr = dec[t]
+                jj = np.searchsorted(d_arr, marr)
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (1.0 - self.b + self.b * dls / self.avgdl)
+                acc += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            for doc, s in zip(marr, acc):
+                scores[int(doc)] = float(s)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def _search_phrase_slop(self, text: str, k: int, role: str | None,
+                            tool: str | None,
+                            slop: int) -> list[tuple[int, float]]:
+        """Ordered-window (sloppy) phrase: a doc matches iff one
+        occurrence per term exists IN PHRASE ORDER with minimal stretch
+        ``p_last - p_first - (n-1) <= slop``.  The minimal stretch is a
+        fully vectorized chain sweep: per label l, every occurrence links
+        to the LAST still-valid label-(l-1) occurrence before it
+        (composite ``(candidate << 32) | pos`` keys + one searchsorted
+        per label).  Chain starts are monotone nondecreasing in position
+        — so the last valid predecessor carries the maximal (= optimal)
+        chain start, and validity is monotone too (property-tested
+        against the brute-force explicit-max DP).  Scored as conjunctive
+        BM25 over the distinct terms, ascending-term accumulation."""
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        phrase = _TOKEN_RE.findall(text.lower())
+        if not phrase:
+            return []
+        if len(set(phrase)) != len(phrase):
+            raise ValueError("slop phrase requires distinct terms")
+        if any(self.global_df(t) == 0 for t in phrase):
+            return []
+        uniq = sorted(phrase)
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in uniq}
+        n = len(phrase)
+        filtered = role is not None or tool is not None
+        scores: dict[int, float] = {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            tis = {t: r.term_index(t) for t in phrase}
+            if any(v is None for v in tis.values()):
+                continue
+            dec = {t: r.postings(ti) for t, ti in tis.items()}
+            cand: np.ndarray | None = None
+            for t in uniq:
+                cand = dec[t][0] if cand is None else np.intersect1d(
+                    cand, dec[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is None or len(cand) == 0:
+                continue
+            m = self._filter_mask(si, role, tool) if filtered else None
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
+            if m is not None:
+                cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
+            keys_f: tuple[np.ndarray, np.ndarray] | None = None
+            for li, t in enumerate(phrase):
+                d_arr, tf_arr = dec[t]
+                flat, offs = r.positions(tis[t], tf_arr)
+                j_arr = np.searchsorted(d_arr, cand)
+                seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                key = (cidx << np.int64(32)) | seg
+                if li == 0:
+                    keys_f = (key, seg)  # chain start = own position
+                    continue
+                prev_key, prev_f = keys_f
+                idx = np.searchsorted(prev_key, key) - 1
+                idx_c = np.maximum(idx, 0)
+                ok = (idx >= 0) & ((prev_key[idx_c] >> np.int64(32))
+                                   == (key >> np.int64(32)))
+                keys_f = (key[ok], prev_f[idx_c][ok])
+                if len(keys_f[0]) == 0:
+                    break
+            key, f = keys_f if keys_f is not None else (np.zeros(0, np.int64),) * 2
+            if len(key) == 0:
+                continue
+            stretch = (key & np.int64(0xFFFFFFFF)) - f - np.int64(n - 1)
+            best = np.full(len(cand), np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(best, key >> np.int64(32), stretch)
+            marr = cand[best <= slop]
+            if len(marr) == 0:
+                continue
             dls = r.doc_length(marr).astype(np.float64)
             acc = np.zeros(len(marr), dtype=np.float64)
             for t in uniq:  # ascending-term accumulation (determinism)
@@ -2480,6 +2605,12 @@ class ScorerActor:
                 # fail loudly (module convention): a silently dropped
                 # boost clause returns plausible-but-unboosted results
                 raise ValueError("should= requires mode='boolean'")
+            _slop_probe = getattr(row, "slop", None)
+            if (_slop_probe is not None
+                    and not (isinstance(_slop_probe, float)
+                             and _slop_probe != _slop_probe)
+                    and int(_slop_probe) > 0 and mode != "phrase"):
+                raise ValueError("slop= requires mode='phrase'")
             _msm_probe = getattr(row, "msm", None)
             if (_msm_probe is not None
                     and not (isinstance(_msm_probe, float)
@@ -2537,8 +2668,12 @@ class ScorerActor:
                         "filters")
                 hits = self.engine.search_lm(row.text, int(row.k))
             elif mode == "phrase":
+                sl = getattr(row, "slop", None)
+                sl = 0 if sl is None or (isinstance(sl, float)
+                                         and sl != sl) else int(sl)
                 hits = self.engine.search_phrase(row.text, int(row.k),
-                                                 role=role, tool=tool)
+                                                 role=role, tool=tool,
+                                                 slop=sl)
             else:
                 hits = self.engine.search(row.text, int(row.k), mode,
                                           role=role, tool=tool,

@@ -92,7 +92,8 @@ class QueryService:
                after: tuple[int, float] | None = None,
                should: str | None = None,
                min_should_match: int = 0,
-               boost: str | None = None) -> list[dict]:
+               boost: str | None = None,
+               slop: int = 0) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -108,6 +109,7 @@ class QueryService:
               "tool": tool or "", "exclude": exclude or "",
               "window": int(window), "should": should or "",
               "msm": int(min_should_match), "boost": boost or "",
+              "slop": int(slop),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -157,6 +159,7 @@ class QueryService:
                 "should": e.get("should") or "",
                 "msm": int(e.get("msm", 0)),
                 "boost": e.get("boost") or "",
+                "slop": int(e.get("slop", 0)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -349,7 +352,8 @@ def make_http_server(
     floor-mean of the stored attribute over the match set.
     [&role=][&tool=][&exclude=][&window=][&should=][&boost=term:2,b:0.5]
     [&text=1] -> JSON hits (&boost= multiplies listed terms' idf once —
-    Lucene term^boost; mode=or/and only)
+    Lucene term^boost; mode=or/and only).  mode=phrase accepts
+    &slop=<n> (ordered sloppy phrase over distinct terms).
     (mode=boolean: q holds the must terms, &should= the optional boosts,
     &exclude= the must_not clause)
     (&text=1 adds each hit's original document text, like the reference
@@ -692,6 +696,11 @@ def make_http_server(
                                      "role/tool filters")
                 if req_should and req_mode != "boolean":
                     raise ValueError("should= requires mode='boolean'")
+                req_slop = int((qs.get("slop") or ["0"])[0])
+                if req_slop < 0:
+                    raise ValueError(f"slop must be >= 0, got {req_slop}")
+                if req_slop and req_mode != "phrase":
+                    raise ValueError("slop= requires mode=phrase")
                 req_boost = (qs.get("boost") or [""])[0] or None
                 if req_boost:
                     if req_mode not in ("or", "and"):
@@ -722,7 +731,7 @@ def make_http_server(
                                       exclude=req_exclude, window=req_window,
                                       after=after, should=req_should,
                                       min_should_match=req_msm,
-                                      boost=req_boost)
+                                      boost=req_boost, slop=req_slop)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return
