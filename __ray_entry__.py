@@ -2330,6 +2330,30 @@ def _q_orders_anti_join(sf_dir: str):
     return out
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): priority = u**(1/w) with u drawn from the keyed
+    splitmix64 hash — a pure function of (key, weight, seed), so the
+    top-k IS the sample and the SQL oracle replicates it bit-for-bit
+    (HUGEINT splitmix64 + libm pow on both sides; exactness also pinned
+    in tests/test_functions.py).  Weight = o_totalprice over orders."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_topk
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice"])
+    out = weighted_sample_topk(ds, "o_orderkey", "o_totalprice",
+                               k=50, seed=7).to_pandas()
+    return pd.DataFrame({
+        "rank": pd.Series(np.arange(1, len(out) + 1), dtype=np.int64),
+        "o_orderkey": out["o_orderkey"].astype(np.int64),
+        "price_c": pd.Series(
+            np.floor(out["o_totalprice"].to_numpy(np.float64) * 100 + 0.5),
+            dtype=np.int64),
+    })
+
+
 def _q_train_test_split(sf_dir: str):
     from horus_ner_ray.functions.sampling import hash_split
 
@@ -4311,6 +4335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
+        "weighted_sample": _q_weighted_sample,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5227,6 +5252,27 @@ def oracle_sql() -> dict[str, str]:
             boosts_list=[b for _, b in BOOSTED_QUERIES]),
         "bm25_collapse": _sql_bm25_collapse(),
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
+        "weighted_sample": f"""
+            WITH h AS (
+              SELECT o_orderkey, o_totalprice,
+                     {_sql_splitmix64("xor(CAST(o_orderkey AS UBIGINT), CAST(7 AS UBIGINT))")} AS hh
+              FROM orders
+            ),
+            p AS (
+              SELECT o_orderkey, o_totalprice,
+                     pow((CAST(hh AS DOUBLE) + 1.0) / 18446744073709551616.0,
+                         1.0 / o_totalprice) AS pr
+              FROM h WHERE o_totalprice > 0
+            ),
+            r AS (
+              SELECT o_orderkey, o_totalprice,
+                     row_number() OVER (ORDER BY pr DESC, o_orderkey) AS rk
+              FROM p
+            )
+            SELECT rk AS rank, o_orderkey,
+                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+            FROM r WHERE rk <= 50
+        """,
         "bm25_top_per_role": _sql_bm25_top_per_role(),
         # tombstone pair: stale-stats masking vs compacted (rebuilt) stats
         "suggest_terms": _sql_suggest_terms(),

@@ -37,6 +37,51 @@ def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80, buckets: int = 1
                           runtime_env=_rte())
 
 
+def weighted_sample_topk(ds, key_col: str, weight_col: str, k: int,
+                         seed: int = 42):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis' A-ES, Inf. Process. Lett. 97(5) 2006): each row draws
+    ``u = (splitmix64(key XOR seed) + 1) / 2**64`` in (0, 1] and takes
+    priority ``u**(1/w)``; the k largest priorities are exactly a
+    weighted sample without replacement.  Pseudorandomness comes from the
+    keyed hash, so the sample is a pure function of (keys, weights,
+    seed) — order- and partitioning-independent, reproducible across
+    cluster sizes, and SQL-expressible for the oracle (the same
+    splitmix64 restated in HUGEINT arithmetic; numpy's ``power`` and
+    DuckDB's ``pow`` share libm, pinned by the conformance hash).
+
+    Rows with weight <= 0 are excluded (their inclusion probability is
+    the A-ES limit 0).  Scale shape: a per-batch top-k combiner (at most
+    k rows leave each batch) followed by a sort+limit over the bounded
+    partial set — the full table never shuffles.  Ties (possible only
+    for duplicate keys) break (priority desc, key asc)."""
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col], dtype=np.int64)
+        w = np.asarray(batch[weight_col], dtype=np.float64)
+        ok = w > 0.0
+        keys, w = keys[ok], w[ok]
+        h = splitmix64(keys.astype(np.uint64) ^ np.uint64(seed))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        pr = np.power(u, 1.0 / w)
+        if len(keys) > k:
+            sel = np.lexsort((keys, -pr))[:k]
+            keys, w, pr = keys[sel], w[sel], pr[sel]
+        return pa.table({key_col: pa.array(keys, pa.int64()),
+                         weight_col: pa.array(w, pa.float64()),
+                         "priority": pa.array(pr, pa.float64())})
+
+    parts = ds.select_columns([key_col, weight_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+    return parts.sort(["priority", key_col],
+                      descending=[True, False]).limit(k)
+
+
 def split_proportions(ds, id_col: str = "doc_id", train_pct: int = 80):
     """(split, n) counts for the hash split — combiner + tiny groupby."""
     from ray.data.aggregate import Sum

@@ -1,6 +1,7 @@
 """Sampling/split/export helpers + stopword-filtered build + margins."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from horus_ner_ray.config import PipelineConfig
@@ -64,3 +65,60 @@ def test_topk_with_margin():
     rows = topk_with_margin([(5, 3.0), (2, 2.5), (9, 2.5)])
     assert rows == [(5, 3.0, 0.5), (2, 2.5, 0.0), (9, 2.5, 2.5)]
     assert topk_with_margin([]) == []
+
+
+def test_weighted_sample_exact_and_invariant(ray_session):
+    """A-ES weighted top-k: exactly the reference priorities' top-k,
+    partitioning-invariant, weight<=0 excluded, k>n returns all."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_topk
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 50, n).astype(np.float64)
+    w[::97] = 0.0  # excluded rows
+    ds = rd.from_arrow(pa.table({"k": keys, "w": w}))
+    got = weighted_sample_topk(ds, "k", "w", k=100, seed=11).to_pandas()
+    ok = w > 0
+    h = splitmix64(keys[ok].astype(np.uint64) ^ np.uint64(11))
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    pr = np.power(u, 1.0 / w[ok])
+    sel = np.lexsort((keys[ok], -pr))[:100]
+    assert (got["k"].to_numpy() == keys[ok][sel]).all()
+    assert not np.isin(np.flatnonzero(~ok), got["k"].to_numpy()).any()
+    # partitioning invariance (combiner + sort path, not row order)
+    got2 = weighted_sample_topk(ds.repartition(17), "k", "w",
+                                k=100, seed=11).to_pandas()
+    assert (got2["k"].to_numpy() == got["k"].to_numpy()).all()
+    # k > n: every positive-weight row comes back
+    small = rd.from_arrow(pa.table({"k": keys[:20], "w": w[:20]}))
+    allrows = weighted_sample_topk(small, "k", "w", k=500).to_pandas()
+    assert len(allrows) == int((w[:20] > 0).sum())
+    with pytest.raises(ValueError, match="k must be > 0"):
+        weighted_sample_topk(ds, "k", "w", k=0)
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    """Statistical sanity across seeds: rows with 10x weight must be
+    sampled far more often (binomial bound, deterministic seeds)."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_topk
+
+    n = 400
+    keys = np.arange(n, dtype=np.int64)
+    w = np.where(keys < 40, 10.0, 1.0)  # 40 heavy rows
+    ds = rd.from_arrow(pa.table({"k": keys, "w": w}))
+    heavy_hits = 0
+    draws = 0
+    for seed in range(8):
+        got = weighted_sample_topk(ds, "k", "w", k=40, seed=seed).to_pandas()
+        heavy_hits += int((got["k"].to_numpy() < 40).sum())
+        draws += 40
+    # heavy rows hold 10/19 of total mass; expect well above the 10%
+    # uniform share — 40% is > 6 sigma below the A-ES expectation and
+    # > 10 sigma above uniform
+    assert heavy_hits / draws > 0.40, heavy_hits / draws
