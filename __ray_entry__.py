@@ -971,6 +971,69 @@ def _q_lm_topk(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _sql_bm25_rescore() -> str:
+    """Rescore oracle: the shared BM25 body picks the e6-domain top-20
+    window per query; the shared LM body scores exactly the window rows;
+    the final row_number ranks by (lm_e6 desc, doc asc)."""
+    mu = LM_MU
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+tt AS (SELECT sum(dl)::DOUBLE t FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+cfv AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+bm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+           ) rk
+    FROM bm
+  ) WHERE rk <= {RESCORE_WINDOW}
+),
+lm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + tf.tf / ({mu!r} * (cfv.cf / tt.t)))
+              + ln({mu!r} / (dl.dl + {mu!r})) ) score
+  FROM q
+  JOIN cfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tt
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT w.query_id, w.doc_id,
+         CAST(FLOOR(lm.score * 1e6 + 0.5) AS BIGINT) lm_e6,
+         row_number() OVER (
+           PARTITION BY w.query_id
+           ORDER BY CAST(FLOOR(lm.score * 1e6 + 0.5) AS BIGINT) DESC, w.doc_id
+         ) rk
+  FROM win w JOIN lm ON lm.query_id = w.query_id AND lm.doc_id = w.doc_id
+)
+SELECT query_id, rk AS rank, doc_id, lm_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_lm_topk() -> str:
     mu = LM_MU
     return f"""
@@ -2328,6 +2391,41 @@ def _q_orders_anti_join(sf_dir: str):
     out.columns = ["o_orderstatus", "n"]
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+RESCORE_WINDOW = 20
+
+
+def _q_bm25_rescore(sf_dir: str):
+    """Two-phase rescoring (Lucene Rescorer / ES rescore window): the
+    BM25 top-20 window reranks by Dirichlet query likelihood.  Window
+    selection AND the final rerank run in the e6 integer domain on both
+    sides (the library's float-domain rescore_lm is brute-force-parity
+    tested in tests/test_rescore.py); the LM leg reuses lm_topk's
+    np.log-vs-SQL-ln agreement."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    out = []
+    for qid, text in enumerate(DOC_QUERIES):
+        cand = eng.search(text, k=RESCORE_WINDOW * 3 + 20)
+        if not cand:
+            continue
+        df = pd.DataFrame({"doc_id": [d for d, _ in cand],
+                           "score": [s for _, s in cand]})
+        df["bm_e6"] = _e6(df["score"])
+        win = df.sort_values(["bm_e6", "doc_id"], ascending=[False, True],
+                             kind="stable").head(RESCORE_WINDOW)
+        lm = eng.lm_scores(text, win["doc_id"].tolist(), mu=LM_MU)
+        g = pd.DataFrame({
+            "doc_id": win["doc_id"].to_numpy(np.int64),
+            "lm_e6": _e6(np.array([lm[int(d)] for d in win["doc_id"]])),
+        }).sort_values(["lm_e6", "doc_id"], ascending=[False, True],
+                       kind="stable").head(TOPK)
+        g = g.assign(query_id=qid, rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "doc_id", "lm_e6"]])
+    res = pd.concat(out, ignore_index=True)
+    return res.astype(np.int64)
 
 
 def _q_weighted_sample(sf_dir: str):
@@ -4336,6 +4434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "weighted_sample": _q_weighted_sample,
+        "bm25_rescore": _q_bm25_rescore,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5252,6 +5351,7 @@ def oracle_sql() -> dict[str, str]:
             boosts_list=[b for _, b in BOOSTED_QUERIES]),
         "bm25_collapse": _sql_bm25_collapse(),
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
+        "bm25_rescore": _sql_bm25_rescore(),
         "weighted_sample": f"""
             WITH h AS (
               SELECT o_orderkey, o_totalprice,

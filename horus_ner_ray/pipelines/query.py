@@ -412,6 +412,34 @@ class BruteForceBM25:
                                    + np.log(mu / (self.dl[d] + mu)))
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def lm_scores(self, text: str, doc_ids,
+                  mu: float = 1000.0) -> dict[int, float]:
+        """Dirichlet query-likelihood scores for SPECIFIC docs (the
+        rescore window) — the search_lm accumulation restricted to the
+        given ids; docs matching no query term stay 0.0.  Same np.log
+        kernel and ascending-term order as the engine (bitwise-shared)."""
+        terms = [t for t in query_terms(text) if t in self.postings]
+        want = {int(d) for d in doc_ids}
+        out = {d: 0.0 for d in want}
+        for t in terms:
+            cf = sum(f for _d, f in self.postings[t])
+            p = cf / self.total_tokens
+            for d, f in self.postings[t]:
+                if d in want:
+                    out[d] += float(np.log(1.0 + f / (mu * p))
+                                    + np.log(mu / (self.dl[d] + mu)))
+        return out
+
+    def rescore_lm(self, text: str, k: int = 10, window: int = 50,
+                   mu: float = 1000.0) -> list[tuple[int, float]]:
+        """Oracle two-phase rescore: BM25 top-``window`` candidates
+        rerank by query likelihood, (score desc, doc asc)."""
+        win = self.search(text, k=window)
+        if not win:
+            return []
+        sc = self.lm_scores(text, [d for d, _ in win], mu=mu)
+        return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def match_count(self, text: str, mode: str = "or",
                     role: str | None = None,
                     tool: str | None = None) -> int:
@@ -883,6 +911,71 @@ class QueryEngine:
         s = np.concatenate(scores_out)
         order = np.lexsort((d, -s))[:k]
         return [(int(d[i]), float(s[i])) for i in order]
+
+    def lm_scores(self, text: str, doc_ids,
+                  mu: float = 1000.0) -> dict[int, float]:
+        """Dirichlet query-likelihood scores for SPECIFIC docs — the
+        rescore window's second-phase scorer.  Per shard, only the
+        window members resident there accumulate (one postings_local
+        searchsorted per term); the expression, np.log kernel and
+        ascending-term order are exactly search_lm's, so a doc's score
+        here is bitwise the score search_lm would give it.  Docs
+        containing no query term stay 0.0 (search_lm's match-only
+        semantics); callers pass a window that came from a live search,
+        so tombstones are already excluded."""
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        ids = np.asarray(sorted({int(d) for d in doc_ids}), dtype=np.int64)
+        out = {int(d): 0.0 for d in ids}
+        if not len(ids) or not terms:
+            return out
+        tt = float(self.total_tokens)
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            docids = np.asarray(r.docids)
+            if not len(docids):
+                continue
+            pos = np.minimum(np.searchsorted(docids, ids), len(docids) - 1)
+            mem = docids[pos] == ids
+            if not mem.any():
+                continue
+            wdocs = ids[mem]
+            dlw = np.asarray(r.dl, dtype=np.float64)[pos[mem]]
+            acc = np.zeros(len(wdocs), dtype=np.float64)
+            for t in terms:  # ascending-term accumulation (determinism)
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf, _li = r.postings_local(ti)
+                if not len(d_arr):
+                    continue
+                j = np.minimum(np.searchsorted(d_arr, wdocs),
+                               len(d_arr) - 1)
+                ok = d_arr[j] == wdocs
+                if not ok.any():
+                    continue
+                p = self.global_cf(t) / tt
+                tfv = tf[j[ok]].astype(np.float64)
+                acc[ok] += (np.log(1.0 + tfv / (mu * p))
+                            + np.log(mu / (dlw[ok] + mu)))
+            for d, s in zip(wdocs, acc):
+                out[int(d)] = float(s)
+        return out
+
+    def rescore_lm(self, text: str, k: int = 10, window: int = 50,
+                   mu: float = 1000.0) -> list[tuple[int, float]]:
+        """Two-phase rescoring (Lucene Rescorer / the ES rescore window):
+        phase 1 takes the BM25 top-``window`` (cheap, prunable); phase 2
+        rescores ONLY those candidates with the Dirichlet
+        query-likelihood similarity and reranks by (LM score desc,
+        doc_id asc).  The expensive similarity touches ``window`` docs
+        instead of the match set — the standard shape for costly
+        second-phase scorers.  Bitwise rank-identical to the brute-force
+        oracle (shared window rule + shared LM kernel)."""
+        win = self.search(text, k=window)
+        if not win:
+            return []
+        sc = self.lm_scores(text, [d for d, _ in win], mu=mu)
+        return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms starting with ``prefix`` (sorted) — one
@@ -2546,6 +2639,23 @@ class ScorerActor:
         """This subset's match count; sums exactly across the pool
         (doc-partitioned shards)."""
         return self.engine.match_count(text, mode=mode, role=role, tool=tool)
+
+    def lm_scores(self, text: str, doc_ids,
+                  mu: float = 1000.0) -> dict[int, float]:
+        """LM scores for the window docs RESIDENT in this subset's shards
+        (others stay 0.0 and are dropped here); each doc lives in exactly
+        one shard, so the pool union is exact."""
+        sc = self.engine.lm_scores(text, doc_ids, mu=mu)
+        resident = set()
+        for si in range(len(self.engine._shard_dirs)):
+            r = self.engine._reader(si)
+            docids = np.asarray(r.docids)
+            ids = np.asarray(sorted(sc), dtype=np.int64)
+            if not len(docids) or not len(ids):
+                continue
+            pos = np.minimum(np.searchsorted(docids, ids), len(docids) - 1)
+            resident.update(int(d) for d in ids[docids[pos] == ids])
+        return {d: s for d, s in sc.items() if d in resident}
 
     def search_collapse(self, text: str, k: int = 10,
                         field: str = "conv_id",

@@ -244,6 +244,24 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def rescore(self, text: str, k: int = 10, window: int = 50,
+                mu: float = 1000.0) -> list[dict]:
+        """Two-phase rescore through the pool: the ordinary scatter picks
+        the global BM25 top-``window``, then one more scatter LM-scores
+        the window (each actor scores its resident docs; union exact).
+        Row-identical to QueryEngine.rescore_lm."""
+        win = self.search(text, k=window)
+        if not win:
+            return []
+        ids = [h["doc_id"] for h in win]
+        parts = self._call_all(lambda a: a.lm_scores.remote(text, ids, mu))
+        sc: dict[int, float] = {d: 0.0 for d in ids}
+        for p in parts:
+            sc.update(p)
+        ranked = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [{"rank": r + 1, "doc_id": int(d), "score": float(s)}
+                for r, (d, s) in enumerate(ranked)]
+
     def collapse(self, text: str, k: int = 10, field: str = "conv_id",
                  mode: str = "or") -> list[dict]:
         """Field collapsing: each subset ships its top-k collapsed
@@ -368,6 +386,8 @@ def make_http_server(
     set ordered by stored timestamp instead of relevance.
     GET /collapse?q=<text>[&k=][&field=conv_id|role|tool][&mode=or|and]
     -> field-collapsed top-k: one best doc per distinct field value.
+    GET /rescore?q=<text>[&k=][&window=][&mu=] -> BM25 top-window
+    reranked by Dirichlet query likelihood (two-phase rescoring).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
     top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
@@ -609,6 +629,27 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/rescore":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    win = int((qs.get("window") or ["50"])[0])
+                    mu = float((qs.get("mu") or ["1000"])[0])
+                    if k < 0 or win < 0 or mu <= 0:
+                        raise ValueError(
+                            "k/window must be >= 0 and mu > 0")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.rescore(text, k=k, window=win, mu=mu)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "window": win,
+                            "hits": hits})
                 return
             if u.path == "/collapse":
                 qs = parse_qs(u.query)
