@@ -91,7 +91,16 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
 
     corpus = ds.select_columns([id_col, text_col])
     if checkpoint_dir is None:
+        # self-owned checkpoint: the returned dataset is LAZY, so the
+        # directory can't be removed here — register process-exit cleanup
+        # instead (callers that outlive the result pass their own dir).
+        # Without this, every bench/test invocation leaked one
+        # corpus-bigram-sized directory in /tmp.
+        import atexit
+        import shutil
+
         checkpoint_dir = tempfile.mkdtemp(prefix="horus_bigram_c12_")
+        atexit.register(shutil.rmtree, checkpoint_dir, True)
     c12_path = str(checkpoint_dir)
     # consumed twice (prefix counts + stat attach): persist to Parquet and
     # re-read per consumer instead of pinning a corpus-sized object-store
