@@ -55,6 +55,10 @@ MLT_TERMS = 5
 FUZZY_QUERIES = ["batck join", "scann", "streem filtr", "qzqzq"]
 # infix substring patterns over the dictionary ('usto' -> customer, ...)
 INFIX_QUERIES = ["usto", "art", "zzz"]
+# 'did you mean' queries: absent terms rewrite to their best suggestion
+# (distance asc, df desc, term asc); qqqqqqzz has no dist<=2 neighborhood
+CORRECTED_QUERIES = ["batcj joib", "custoner slww", "merge streajm",
+                     "qqqqqqzz scan", "datx filtr sost"]
 # (query, boolean-NOT clause): docs containing any excluded term drop
 NOT_QUERIES = [
     ("batch join", "slow"),
@@ -2393,6 +2397,48 @@ def _q_orders_anti_join(sf_dir: str):
     return out
 
 
+def _q_bm25_corrected(sf_dir: str):
+    """'Did you mean' search: absent query terms rewrite to their best
+    spell suggestion under the suggest contract (distance asc, df desc,
+    term asc — integer keys, deterministic), then the corrected set runs
+    as a plain OR query.  The SQL performs the SAME rewrite itself
+    (levenshtein + row_number over dfv), so the correction rule — not an
+    inlined expansion — is what's checked."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_corrected(t, TOPK * 3 + 20)[1]
+            for t in CORRECTED_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_corrected() -> str:
+    import re
+
+    rows = []
+    for qid, t in enumerate(CORRECTED_QUERIES):
+        for term in sorted(set(re.findall(_TOKRE, t.lower()))):
+            rows.append(f"({qid}, '{term}')")
+    vals = ", ".join(rows)
+    q_sql = f"""
+SELECT DISTINCT query_id, term FROM (
+  SELECT r.query_id, r.term
+  FROM (VALUES {vals}) r(query_id, term) JOIN dfv USING (term)
+  UNION ALL
+  SELECT query_id, term FROM (
+    SELECT a.query_id, a.orig, d.term,
+           row_number() OVER (
+             PARTITION BY a.query_id, a.orig
+             ORDER BY levenshtein(a.orig, d.term), d.df DESC, d.term) rn
+    FROM (SELECT r2.query_id, r2.term AS orig
+          FROM (VALUES {vals}) r2(query_id, term)
+          WHERE NOT EXISTS (SELECT 1 FROM dfv dd WHERE dd.term = r2.term)) a
+    JOIN dfv d ON levenshtein(a.orig, d.term) <= 2
+  ) WHERE rn = 1
+)"""
+    return _sql_bm25([], conjunctive=False, q_sql=q_sql)
+
+
 RESCORE_WINDOW = 20
 
 
@@ -4435,6 +4481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "weighted_sample": _q_weighted_sample,
         "bm25_rescore": _q_bm25_rescore,
+        "bm25_corrected": _q_bm25_corrected,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5352,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse": _sql_bm25_collapse(),
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_rescore": _sql_bm25_rescore(),
+        "bm25_corrected": _sql_bm25_corrected(),
         "weighted_sample": f"""
             WITH h AS (
               SELECT o_orderkey, o_totalprice,

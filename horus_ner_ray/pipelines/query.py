@@ -574,6 +574,27 @@ class BruteForceBM25:
         rows.sort()
         return [(t, di, -ndf) for di, ndf, t in rows[:k]]
 
+    def correct_query_terms(self, text: str, max_dist: int = 2) -> list[str]:
+        """Oracle query rewrite: absent terms replace with their best
+        suggestion under the shared (distance, df desc, term) contract."""
+        out: set[str] = set()
+        for t in query_terms(text):
+            if t in self.postings:
+                out.add(t)
+            else:
+                s = self.suggest(t, k=1, max_dist=max_dist)
+                if s:
+                    out.add(s[0][0])
+        return sorted(out)
+
+    def search_corrected(self, text: str, k: int = 10, max_dist: int = 2,
+                         ) -> tuple[list[str], list[tuple[int, float]]]:
+        """Oracle 'did you mean' search: rewrite then plain OR search."""
+        terms = self.correct_query_terms(text, max_dist)
+        if not terms:
+            return terms, []
+        return terms, self.search(" ".join(terms), k=k)
+
     def search_snippets(self, text: str, k: int = 10,
                         window: int = 3) -> list[tuple[int, float, str]]:
         """Oracle snippets: top-k plus the token window around each hit's
@@ -1203,6 +1224,36 @@ class QueryEngine:
         cand, d, dfs = cand[keep], d[keep], self._df[idx[keep]]
         order = np.lexsort((cand, -dfs, d))[:k]
         return [(str(cand[i]), int(d[i]), int(dfs[i])) for i in order]
+
+    def correct_query_terms(self, text: str, max_dist: int = 2) -> list[str]:
+        """'Did you mean' query rewrite: every query term ABSENT from the
+        dictionary is replaced by its best spell suggestion (the
+        ``suggest`` contract: distance asc, df desc, term asc — Lucene
+        DirectSpellChecker); absent terms with an empty neighborhood drop
+        out, present terms pass through.  Returns the corrected DISTINCT
+        sorted term set (the OR-query currency).  Dictionary state only —
+        deterministic, identical in every serving actor."""
+        out: set[str] = set()
+        for t in query_terms(text):
+            if self.global_df(t) > 0:
+                out.add(t)
+            else:
+                s = self.suggest(t, k=1, max_dist=max_dist)
+                if s:
+                    out.add(s[0][0])
+        return sorted(out)
+
+    def search_corrected(self, text: str, k: int = 10, max_dist: int = 2,
+                         ) -> tuple[list[str], list[tuple[int, float]]]:
+        """'Did you mean' search: rewrite absent terms via
+        ``correct_query_terms``, then run the plain OR search over the
+        corrected set.  Returns (corrected terms, hits) so callers can
+        surface the rewrite; bitwise rank-identical to the brute oracle
+        (shared rewrite rule + shared scorer)."""
+        terms = self.correct_query_terms(text, max_dist)
+        if not terms:
+            return terms, []
+        return terms, self.search(" ".join(terms), k=k)
 
     def search_snippets(self, text: str, k: int = 10,
                         window: int = 3) -> list[tuple[int, float, str]]:
@@ -2639,6 +2690,11 @@ class ScorerActor:
         """This subset's match count; sums exactly across the pool
         (doc-partitioned shards)."""
         return self.engine.match_count(text, mode=mode, role=role, tool=tool)
+
+    def correct_query_terms(self, text: str, max_dist: int = 2) -> list[str]:
+        """'Did you mean' rewrite — dictionary state is GLOBAL, so any
+        one actor answers exactly (single-actor route, like suggest)."""
+        return self.engine.correct_query_terms(text, max_dist=max_dist)
 
     def lm_scores(self, text: str, doc_ids,
                   mu: float = 1000.0) -> dict[int, float]:

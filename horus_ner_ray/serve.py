@@ -244,6 +244,16 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def search_corrected(self, text: str, k: int = 10,
+                         max_dist: int = 2) -> dict:
+        """'Did you mean' search: one actor rewrites the query (global
+        dictionary state), the ordinary scatter scores the corrected
+        terms.  Returns {corrected, hits}."""
+        terms = self._call_one(
+            0, lambda a: a.correct_query_terms.remote(text, max_dist))
+        hits = self.search(" ".join(terms), k=k) if terms else []
+        return {"corrected": terms, "hits": hits}
+
     def rescore(self, text: str, k: int = 10, window: int = 50,
                 mu: float = 1000.0) -> list[dict]:
         """Two-phase rescore through the pool: the ordinary scatter picks
@@ -388,6 +398,8 @@ def make_http_server(
     -> field-collapsed top-k: one best doc per distinct field value.
     GET /rescore?q=<text>[&k=][&window=][&mu=] -> BM25 top-window
     reranked by Dirichlet query likelihood (two-phase rescoring).
+    GET /corrected?q=<text>[&k=][&dist=] -> 'did you mean' search:
+    absent terms rewrite to their best suggestion, then plain OR.
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
     top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
@@ -629,6 +641,24 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/corrected":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    dist = int((qs.get("dist") or ["2"])[0])
+                    if k < 0 or dist < 0:
+                        raise ValueError("k and dist must be >= 0")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    out = service.search_corrected(text, k=k, max_dist=dist)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, **out})
                 return
             if u.path == "/rescore":
                 qs = parse_qs(u.query)

@@ -204,3 +204,52 @@ def test_http_suggest_errors(http_service):
         assert e.code == 400
     # empty word: clean empty result
     assert _get(base, "/suggest", q="")["suggestions"] == []
+
+
+# --- 'did you mean' corrected search -----------------------------------
+
+
+def test_corrected_rank_identical_to_bruteforce(engines):
+    eng, bf = engines
+    queries = ["alpha betb", "sessionnark", "uniqueedge2 appeard",
+               "qqqqqqzz alpha", "the sessoin data"]
+    nonempty = 0
+    for q in queries:
+        gt, gh = eng.search_corrected(q, k=10)
+        wt, wh = bf.search_corrected(q, k=10)
+        assert gt == wt, q
+        assert gh == wh, q
+        nonempty += bool(gh)
+    assert nonempty >= 3
+
+
+def test_corrected_present_terms_pass_through(engines):
+    eng, _bf = engines
+    from horus_ner_ray.pipelines.query import query_terms
+
+    t = "the sessionmark alpha"
+    terms, hits = eng.search_corrected(t, k=10)
+    assert terms == [x for x in query_terms(t) if eng.global_df(x) > 0]
+    assert hits == eng.search(t, k=10)
+
+
+def test_corrected_no_neighborhood_drops(engines):
+    eng, _bf = engines
+    terms, hits = eng.search_corrected("qqqqqqzz", k=10)
+    assert terms == [] and hits == []
+
+
+def test_service_corrected(built_index, ray_session):
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import QueryService
+
+    idx, _res = built_index
+    eng = QueryEngine(idx)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        out = svc.search_corrected("alpha betb", k=5)
+        terms, hits = eng.search_corrected("alpha betb", k=5)
+        assert out["corrected"] == terms
+        assert [(h["doc_id"], h["score"]) for h in out["hits"]] == hits
+    finally:
+        svc.close()
