@@ -2576,6 +2576,62 @@ _IVF_ITERS = 2
 _IVF_NPROBE = 3
 
 
+_PQ_M, _PQ_KS, _PQ_ITERS = 4, 16, 2
+_PQ_CACHE: dict[str, Any] = {}
+
+
+def _pq_fitted(sf_dir: str):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.pq import PQIndex
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    key = str(Path(sf_dir).resolve())
+    if key not in _PQ_CACHE:  # deterministic fit: share across queries
+        _PQ_CACHE[key] = PQIndex(m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITERS).fit(emb)
+    return _PQ_CACHE[key], emb
+
+
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization codes (Jégou et al. 2011): per subspace the
+    deterministic Lloyd's codebook (the kmeans_clusters-oracle fit over
+    the sub-slice) and the argmin-L2 code assignment.  The SQL unrolls
+    one independent k-means chain per subspace and joins the four final
+    assignments — the COMPRESSION itself is hash-checked, not a recall
+    bound."""
+    pqi, emb = _pq_fitted(sf_dir)
+    out = pqi.encode(emb).to_pandas().sort_values("vec_id")
+    res = pd.DataFrame({"vec_id": out["vec_id"].astype(np.int64)})
+    for mi in range(_PQ_M):
+        res[f"code_{mi}"] = out[f"code_{mi}"].astype(np.int64).to_numpy()
+    return res.reset_index(drop=True)
+
+
+def _q_pq_ann(sf_dir: str):
+    """PQ asymmetric-distance (ADC) top-k: approximate distance = the
+    sum of per-subspace exact query-to-assigned-centroid distances,
+    accumulated in subspace order (the SQL's explicit left-associated
+    d0+d1+d2+d3).  Ranks by (adist_e6 asc, vec_id asc) on both sides."""
+    import pyarrow.parquet as pq
+
+    pqi, emb = _pq_fitted(sf_dir)
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    raw = pqi.search(pqi.encode(emb), qt["vec_id"].to_numpy(np.int64),
+                     qm, k=TOPK * 3 + 20)
+    raw["adist_e6"] = _e6(raw["adist"])
+    out = []
+    for qid, g in raw.groupby("query_id", sort=True):
+        g = g.sort_values(["adist_e6", "vec_id"],
+                          ascending=[True, True], kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "vec_id", "adist_e6"]])
+    return pd.concat(out, ignore_index=True).astype(np.int64)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF pruned-probe ANN, ORACLE-checked (round 5; was rows-only):
     the coarse quantizer is the deterministic distributed k-means the
@@ -3839,25 +3895,32 @@ _TOPICS = {
 }
 
 
-def _sql_kmeans_ctes(k: int, n_iter: int, dim: int = 64):
+def _sql_kmeans_ctes(k: int, n_iter: int, dim: int = 64,
+                     prefix: str = "", src: str | None = None):
     """Unrolled Lloyd's k-means as DuckDB CTEs — same deterministic init
     (k smallest vec_ids), same squared-L2 inner-product expansion, same
     order-free e6-integer centroid sums as stages/clustering.py.  Shared
-    by the kmeans_clusters and ann_ivf oracles."""
+    by the kmeans_clusters and ann_ivf oracles; ``prefix``/``src`` let
+    the PQ oracle run one independent chain per subspace over a
+    sub-sliced embedding source."""
+    e = f"{prefix}emb"
+    dims = f"{prefix}dims"
+    if src is None:
+        src = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
 
     def dist_cte(name: str, cents: str) -> str:
         return f"""
-        {name} AS (
-          SELECT emb.vec_id, {cents}.cluster,
-                 list_inner_product(emb.e, emb.e)
-                 - 2 * list_inner_product(emb.e, {cents}.c)
+        {name} AS MATERIALIZED (
+          SELECT {e}.vec_id, {cents}.cluster,
+                 list_inner_product({e}.e, {e}.e)
+                 - 2 * list_inner_product({e}.e, {cents}.c)
                  + list_inner_product({cents}.c, {cents}.c) AS dist
-          FROM emb CROSS JOIN {cents}
+          FROM {e} CROSS JOIN {cents}
         )"""
 
     def argmin_cte(name: str, dists: str) -> str:
         return f"""
-        {name} AS (
+        {name} AS MATERIALIZED (
           SELECT vec_id, cluster FROM (
             SELECT vec_id, cluster,
                    row_number() OVER (
@@ -3867,14 +3930,14 @@ def _sql_kmeans_ctes(k: int, n_iter: int, dim: int = 64):
 
     def update_cte(mname: str, cname: str, assign: str, prev: str) -> str:
         return f"""
-        {mname} AS (
-          SELECT {assign}.cluster, dims.i,
-                 sum(CAST(FLOOR(emb.e[dims.i] * 1e6 + 0.5) AS BIGINT)) AS s,
+        {mname} AS MATERIALIZED (
+          SELECT {assign}.cluster, {dims}.i,
+                 sum(CAST(FLOOR({e}.e[{dims}.i] * 1e6 + 0.5) AS BIGINT)) AS s,
                  count(*) AS cnt
-          FROM emb JOIN {assign} USING (vec_id) CROSS JOIN dims
+          FROM {e} JOIN {assign} USING (vec_id) CROSS JOIN {dims}
           GROUP BY 1, 2
         ),
-        {cname} AS (
+        {cname} AS MATERIALIZED (
           SELECT {prev}.cluster,
                  CASE WHEN count({mname}.i) = 0 THEN any_value({prev}.c)
                       ELSE list({mname}.s / ({mname}.cnt * 1e6)
@@ -3884,29 +3947,112 @@ def _sql_kmeans_ctes(k: int, n_iter: int, dim: int = 64):
         )"""
 
     ctes = [f"""
-        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        dims AS (SELECT unnest(range(1, {dim + 1})) AS i),
-        c0 AS (
+        {e} AS MATERIALIZED ({src}),
+        {dims} AS (SELECT unnest(range(1, {dim + 1})) AS i),
+        {prefix}c0 AS MATERIALIZED (
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, e AS c
-          FROM emb ORDER BY vec_id LIMIT {k}
+          FROM {e} ORDER BY vec_id LIMIT {k}
         )"""]
-    prev = "c0"
+    prev = f"{prefix}c0"
     for it in range(1, n_iter + 1):
-        ctes.append(dist_cte(f"d{it}", prev))
-        ctes.append(argmin_cte(f"a{it}", f"d{it}"))
-        ctes.append(update_cte(f"m{it}", f"c{it}", f"a{it}", prev))
-        prev = f"c{it}"
-    ctes.append(dist_cte("dfin", prev))
-    ctes.append(argmin_cte("afin", "dfin"))
+        ctes.append(dist_cte(f"{prefix}d{it}", prev))
+        ctes.append(argmin_cte(f"{prefix}a{it}", f"{prefix}d{it}"))
+        ctes.append(update_cte(f"{prefix}m{it}", f"{prefix}c{it}",
+                               f"{prefix}a{it}", prev))
+        prev = f"{prefix}c{it}"
+    ctes.append(dist_cte(f"{prefix}dfin", prev))
+    ctes.append(argmin_cte(f"{prefix}afin", f"{prefix}dfin"))
     # callers get the chain plus the names of the final assignment CTE
     # ('afin': vec_id -> cluster) and the final centroid CTE
-    return ctes, "afin", prev
+    return ctes, f"{prefix}afin", prev
 
 
 def _sql_kmeans(k: int, n_iter: int, dim: int = 64) -> str:
     ctes, assign, _cent = _sql_kmeans_ctes(k, n_iter, dim)
     return ("WITH " + ",".join(ctes)
             + f"\nSELECT vec_id, cluster::BIGINT AS cluster FROM {assign}")
+
+
+def _sql_pq_chains(dim: int = 64):
+    """One unrolled per-subspace k-means chain per PQ subspace (prefixes
+    p0_..p{M-1}_), each over the 1-based-inclusive list slice of its
+    dims.  Returns (all ctes, [assign names], [centroid names])."""
+    dsub = dim // _PQ_M
+    ctes: list[str] = []
+    assigns: list[str] = []
+    cents: list[str] = []
+    for mi in range(_PQ_M):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        src = (f"SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] "
+               f"AS e FROM embeddings")
+        c, a, ce = _sql_kmeans_ctes(_PQ_KS, _PQ_ITERS, dim=dsub,
+                                    prefix=f"p{mi}_", src=src)
+        ctes.extend(c)
+        assigns.append(a)
+        cents.append(ce)
+    return ctes, assigns, cents
+
+
+def _sql_pq_codes(dim: int = 64) -> str:
+    ctes, assigns, _cents = _sql_pq_chains(dim)
+    joins = " ".join(f"JOIN {a} a{i} USING (vec_id)"
+                     for i, a in enumerate(assigns[1:], start=1))
+    cols = ", ".join(f"a{i}.cluster::BIGINT AS code_{i}"
+                     for i in range(_PQ_M))
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT a0.vec_id, {cols}
+        FROM {assigns[0]} a0 {joins}""")
+
+
+def _sql_pq_ann(topk: int, dim: int = 64) -> str:
+    """ADC oracle: per query and subspace, the exact squared distance
+    from the query's sub-slice to EVERY centroid (the same inner-product
+    expansion as the fit); each vector's approximate distance joins its
+    four assigned codes to those tables and sums left-associated —
+    the engine's accumulation order."""
+    dsub = dim // _PQ_M
+    ctes, assigns, cents = _sql_pq_chains(dim)
+    q_ctes = []
+    for mi in range(_PQ_M):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        q_ctes.append(f"""
+        q{mi} AS (
+          SELECT vec_id AS query_id,
+                 (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS e
+          FROM embeddings WHERE vec_id < 5
+        ),
+        qd{mi} AS (
+          SELECT q.query_id, {cents[mi]}.cluster,
+                 list_inner_product(q.e, q.e)
+                 - 2 * list_inner_product(q.e, {cents[mi]}.c)
+                 + list_inner_product({cents[mi]}.c, {cents[mi]}.c) AS dist
+          FROM q{mi} q CROSS JOIN {cents[mi]}
+        )""")
+    code_joins = " ".join(f"JOIN {a} a{i} USING (vec_id)"
+                          for i, a in enumerate(assigns[1:], start=1))
+    qd_joins = " ".join(
+        f"JOIN qd{i} ON qd{i}.query_id = qd0.query_id "
+        f"AND qd{i}.cluster = a{i}.cluster"
+        for i in range(1, _PQ_M))
+    adist = " + ".join(f"qd{i}.dist" for i in range(_PQ_M))
+    return ("WITH " + ",".join(ctes) + "," + ",".join(q_ctes) + f""",
+        scored AS (
+          SELECT qd0.query_id, a0.vec_id, {adist} AS adist
+          FROM {assigns[0]} a0 {code_joins}
+          JOIN qd0 ON qd0.cluster = a0.cluster
+          {qd_joins}
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 CAST(FLOOR(adist * 1e6 + 0.5) AS BIGINT) AS adist_e6,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(FLOOR(adist * 1e6 + 0.5) AS BIGINT),
+                            vec_id) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk AS rank, vec_id, adist_e6
+        FROM ranked WHERE rk <= {topk}""")
 
 
 def _sql_ann_ivf(k_centroids: int, n_iter: int, nprobe: int, topk: int,
@@ -4482,6 +4628,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_corrected": _q_bm25_corrected,
+        "pq_codes": _q_pq_codes,
+        "pq_ann": _q_pq_ann,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5400,6 +5548,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_rescore": _sql_bm25_rescore(),
         "bm25_corrected": _sql_bm25_corrected(),
+        "pq_codes": _sql_pq_codes(),
+        "pq_ann": _sql_pq_ann(TOPK),
         "weighted_sample": f"""
             WITH h AS (
               SELECT o_orderkey, o_totalprice,
