@@ -2474,6 +2474,24 @@ def _q_bm25_rescore(sf_dir: str):
     return res.astype(np.int64)
 
 
+_PACK_CAP, _PACK_RANGE = 256, 128
+
+
+def _q_packed_sequences(sf_dir: str):
+    """Greedy sequence packing (the LLM-training batch constructor):
+    docs walk in id order within fixed doc-id ranges, first-fit into
+    token-capacity bins (oversized docs get a bin alone, bins never
+    span ranges — the embarrassingly-parallel partitioning assumption).
+    The SQL re-derives the sequential walk as a per-range recursive
+    CTE."""
+    from horus_ner_ray.stages.packing import pack_sequences
+
+    out = pack_sequences(_read_docs(sf_dir), capacity=_PACK_CAP,
+                         range_size=_PACK_RANGE).to_pandas()
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            .astype(np.int64))
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (Efraimidis-
     Spirakis A-ES): priority = u**(1/w) with u drawn from the keyed
@@ -4626,6 +4644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "weighted_sample": _q_weighted_sample,
+        "packed_sequences": _q_packed_sequences,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_corrected": _q_bm25_corrected,
         "pq_codes": _q_pq_codes,
@@ -5550,6 +5569,29 @@ def oracle_sql() -> dict[str, str]:
         "bm25_corrected": _sql_bm25_corrected(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
+        "packed_sequences": f"""
+            WITH RECURSIVE dl AS (
+              SELECT doc_id,
+                     len({_sql_tok()})::BIGINT AS dl,
+                     doc_id // {_PACK_RANGE} AS rid,
+                     row_number() OVER (PARTITION BY doc_id // {_PACK_RANGE}
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            pack AS (
+              SELECT rid, rn, doc_id, dl, 0::BIGINT AS bin, dl AS fill
+              FROM dl WHERE rn = 1
+              UNION ALL
+              SELECT d.rid, d.rn, d.doc_id, d.dl,
+                     CASE WHEN p.fill > 0 AND p.fill + d.dl > {_PACK_CAP}
+                          THEN p.bin + 1 ELSE p.bin END,
+                     CASE WHEN p.fill > 0 AND p.fill + d.dl > {_PACK_CAP}
+                          THEN d.dl ELSE p.fill + d.dl END
+              FROM pack p JOIN dl d ON d.rid = p.rid AND d.rn = p.rn + 1
+            )
+            SELECT doc_id, dl, (rid * {_PACK_RANGE} + bin)::BIGINT AS bin_id
+            FROM pack ORDER BY doc_id
+        """,
         "weighted_sample": f"""
             WITH h AS (
               SELECT o_orderkey, o_totalprice,
