@@ -2474,6 +2474,43 @@ def _q_bm25_rescore(sf_dir: str):
     return res.astype(np.int64)
 
 
+def _q_doc_term_vectors(sf_dir: str):
+    """Term-vectors API (ES termvectors): per stored doc the (term, tf,
+    global df) rows under the shared tokenizer rule — one docstore
+    point-read + dictionary lookups; SQL re-derives tf from the selected
+    docs and df from the WHOLE corpus."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"doc_id": [], "term": [], "tf": [], "df": []}
+    for d in MLT_DOC_IDS:
+        for t, f, df in eng.term_vector(d):
+            rows["doc_id"].append(d)
+            rows["term"].append(t)
+            rows["tf"].append(f)
+            rows["df"].append(df)
+    out = pd.DataFrame(rows)
+    for c in ("doc_id", "tf", "df"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_doc_term_vectors() -> str:
+    ids = ", ".join(str(i) for i in MLT_DOC_IDS)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+        ),
+        dfv AS (
+          SELECT term, count(DISTINCT doc_id)::BIGINT df FROM tok GROUP BY 1
+        )
+        SELECT t.doc_id, t.term, count(*)::BIGINT AS tf, any_value(dfv.df) AS df
+        FROM tok t JOIN dfv USING (term)
+        WHERE t.doc_id IN ({ids})
+        GROUP BY t.doc_id, t.term
+    """
+
+
 _PACK_CAP, _PACK_RANGE = 256, 128
 
 
@@ -4645,6 +4682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "weighted_sample": _q_weighted_sample,
         "packed_sequences": _q_packed_sequences,
+        "doc_term_vectors": _q_doc_term_vectors,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_corrected": _q_bm25_corrected,
         "pq_codes": _q_pq_codes,
@@ -5567,6 +5605,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_rescore": _sql_bm25_rescore(),
         "bm25_corrected": _sql_bm25_corrected(),
+        "doc_term_vectors": _sql_doc_term_vectors(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
         "packed_sequences": f"""

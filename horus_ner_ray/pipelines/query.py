@@ -574,6 +574,18 @@ class BruteForceBM25:
         rows.sort()
         return [(t, di, -ndf) for di, ndf, t in rows[:k]]
 
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, int]]:
+        """Oracle term vectors: (term, tf over the unfiltered stream,
+        dictionary df) rows, term-ascending."""
+        toks = self.doc_tokens.get(int(doc_id))
+        if toks is None:
+            return []
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        return [(t, f, len(self.postings.get(t, ())))
+                for t, f in sorted(tf.items())]
+
     def correct_query_terms(self, text: str, max_dist: int = 2) -> list[str]:
         """Oracle query rewrite: absent terms replace with their best
         suggestion under the shared (distance, df desc, term) contract."""
@@ -1193,6 +1205,23 @@ class QueryEngine:
         sel = sorted(t for _w, t in weighted[:m_terms])
         hits = self._search_terms(sel, k + 1)
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, int]]:
+        """Term-vectors API (the ES ``termvectors`` route): one doc's
+        (term, tf, global df) rows, term-ascending.  tf counts the
+        UNFILTERED stored token stream (one docstore point-read under
+        the shared tokenizer rule); df comes from the dictionary, so a
+        term filtered out at build time (stopword builds) reports df=0
+        — callers see both what the doc says and what the index knows."""
+        row = fetch_docs(self.paths.root, [int(doc_id)],
+                         columns=["doc_id", "text"])
+        if len(row) == 0:
+            return []
+        toks = _TOKEN_RE.findall(str(row["text"].iloc[0]).lower())
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        return [(t, f, self.global_df(t)) for t, f in sorted(tf.items())]
 
     def suggest(self, word: str, k: int = 5,
                 max_dist: int = 2) -> list[tuple[str, int, int]]:
@@ -2695,6 +2724,11 @@ class ScorerActor:
         """'Did you mean' rewrite — dictionary state is GLOBAL, so any
         one actor answers exactly (single-actor route, like suggest)."""
         return self.engine.correct_query_terms(text, max_dist=max_dist)
+
+    def term_vector(self, doc_id: int) -> list[tuple[str, int, int]]:
+        """Term vectors — docstore point-read + global dictionary, so
+        any one actor answers exactly (single-actor route)."""
+        return self.engine.term_vector(int(doc_id))
 
     def lm_scores(self, text: str, doc_ids,
                   mu: float = 1000.0) -> dict[int, float]:

@@ -244,6 +244,13 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def term_vector(self, doc_id: int) -> list[dict]:
+        """Term-vectors route: single-actor exact answer (docstore
+        point-read + global dictionary)."""
+        rows = self._call_one(0, lambda a: a.term_vector.remote(doc_id))
+        return [{"term": t, "tf": int(f), "df": int(df)}
+                for t, f, df in rows]
+
     def search_corrected(self, text: str, k: int = 10,
                          max_dist: int = 2) -> dict:
         """'Did you mean' search: one actor rewrites the query (global
@@ -400,6 +407,8 @@ def make_http_server(
     reranked by Dirichlet query likelihood (two-phase rescoring).
     GET /corrected?q=<text>[&k=][&dist=] -> 'did you mean' search:
     absent terms rewrite to their best suggestion, then plain OR.
+    GET /termvectors?doc=<id> -> the doc's (term, tf, df) rows under
+    the shared tokenizer rule (the termvectors API).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
     top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
@@ -641,6 +650,20 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/termvectors":
+                qs = parse_qs(u.query)
+                try:
+                    doc = int((qs.get("doc") or [""])[0])
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.term_vector(doc)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"doc_id": doc, "terms": rows})
                 return
             if u.path == "/corrected":
                 qs = parse_qs(u.query)

@@ -253,3 +253,48 @@ def test_service_corrected(built_index, ray_session):
         assert [(h["doc_id"], h["score"]) for h in out["hits"]] == hits
     finally:
         svc.close()
+
+
+# --- term vectors API --------------------------------------------------
+
+
+def test_term_vector_matches_bruteforce(engines):
+    eng, bf = engines
+    for d in (0, 5, 17, 42):
+        assert eng.term_vector(d) == bf.term_vector(d), d
+    assert eng.term_vector(10**9) == []  # absent doc
+
+
+def test_term_vector_df_zero_for_stopword_build(small_corpus, tmp_path,
+                                                ray_session):
+    """A stopword-filtered build still reports tf over the stored
+    stream, but df=0 for the filtered term (not indexed)."""
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    stop = ("the",)
+    build_index(small_corpus, tmp_path / "i",
+                PipelineConfig(num_shards=2, stopword_filter=stop))
+    eng = QueryEngine(tmp_path / "i")
+    rows = {}
+    for d in range(40):  # doc 0 is an empty-text edge doc; scan forward
+        rows = {t: (f, df) for t, f, df in eng.term_vector(d)}
+        if "the" in rows:
+            break
+    assert "the" in rows and rows["the"][1] == 0 and rows["the"][0] > 0
+
+
+def test_service_term_vector(built_index, ray_session):
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import QueryService
+
+    idx, _res = built_index
+    eng = QueryEngine(idx)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        got = svc.term_vector(3)
+        want = eng.term_vector(3)
+        assert [(r["term"], r["tf"], r["df"]) for r in got] == want
+    finally:
+        svc.close()
