@@ -2474,6 +2474,81 @@ def _q_bm25_rescore(sf_dir: str):
     return res.astype(np.int64)
 
 
+# binary-exact quantiles only (0.9 * n in float can cross an integer the
+# exact 9n/10 doesn't; powers of two can't) — the SQL computes
+# k = (pct*n + 99) // 100 in integers, equal iff q is float-exact
+_PCT_POINTS = [(25, 0.25), (50, 0.5), (75, 0.75)]
+
+
+def _q_ts_percentiles(sf_dir: str):
+    """EXACT match-set percentiles (the ES percentiles aggregation,
+    exact instead of t-digest): percentile_disc semantics (k-th smallest
+    stored ts, k = ceil(q*n)), computed by distributed histogram
+    refinement — per round one mergeable count vector per shard, values
+    never leave their shards.  The SQL sorts the match set and picks
+    row_number == (pct*n+99)//100."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    rows = {"query_id": [], "pct": [], "n": [], "value": []}
+    for qid, t in enumerate(q["text"] for q in reference_queries()):
+        for pct, qf in _PCT_POINTS:
+            r = eng.field_percentile(t, q=qf)
+            rows["query_id"].append(qid)
+            rows["pct"].append(pct)
+            rows["n"].append(r["count"])
+            rows["value"].append(r["value"])
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_ts_percentiles() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    pcts = ", ".join(f"({p})" for p, _ in _PCT_POINTS)
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM docs),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+qids AS (SELECT DISTINCT query_id FROM q),
+pcts(pct) AS (VALUES {pcts}),
+m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+v AS (
+  SELECT m.query_id, epoch_us(d.ts)::BIGINT AS ts_us,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY epoch_us(d.ts)::BIGINT) AS rn,
+         count(*) OVER (PARTITION BY m.query_id) AS n
+  FROM m JOIN docs d ON d.doc_id = m.doc_id
+  WHERE d.ts IS NOT NULL
+),
+hit AS (
+  SELECT v.query_id, p.pct, v.n, v.ts_us
+  FROM v JOIN pcts p
+    ON v.rn = greatest(1, (p.pct * v.n + 99) // 100)
+)
+SELECT qids.query_id, p.pct::BIGINT AS pct,
+       coalesce(h.n, 0)::BIGINT AS n,
+       coalesce(h.ts_us, 0)::BIGINT AS value
+FROM qids CROSS JOIN pcts p
+LEFT JOIN hit h ON h.query_id = qids.query_id AND h.pct = p.pct
+"""
+
+
 def _q_doc_term_vectors(sf_dir: str):
     """Term-vectors API (ES termvectors): per stored doc the (term, tf,
     global df) rows under the shared tokenizer rule — one docstore
@@ -4683,6 +4758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "packed_sequences": _q_packed_sequences,
         "doc_term_vectors": _q_doc_term_vectors,
+        "ts_percentiles": _q_ts_percentiles,
         "bm25_rescore": _q_bm25_rescore,
         "bm25_corrected": _q_bm25_corrected,
         "pq_codes": _q_pq_codes,
@@ -5606,6 +5682,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _sql_bm25_rescore(),
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
+        "ts_percentiles": _sql_ts_percentiles(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
         "packed_sequences": f"""

@@ -661,6 +661,31 @@ class BruteForceBM25:
         return {"count": len(vals), "min": min(vals), "max": max(vals),
                 "avg": sum(vals) // len(vals), "sum": sum(vals)}
 
+    def field_percentile(self, text: str, q: float = 0.5,
+                         field: str = "ts",
+                         mode: str = "or") -> dict[str, int]:
+        """Oracle exact percentile: the k-th smallest stored value of the
+        match set, k = ceil(q * n) — percentile_disc semantics, via a
+        literal sort (independent of the engine's histogram refinement)."""
+        import math
+
+        if field != "ts":
+            raise ValueError("oracle supports field='ts' only")
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"q must be in (0, 1], got {q}")
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return {"count": 0, "value": 0}
+        sets = [{d for d, _ in self.postings[t]} for t in terms]
+        docs = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        vals = sorted(self.ts[d] for d in docs
+                      if d in self.ts and d not in self.deleted)
+        if not vals:
+            return {"count": 0, "value": 0}
+        return {"count": len(vals),
+                "value": vals[max(1, math.ceil(q * len(vals))) - 1]}
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -1145,6 +1170,56 @@ class QueryEngine:
             return {"count": 0, "min": 0, "max": 0, "avg": 0, "sum": 0}
         return {"count": total, "min": vmin, "max": vmax,
                 "avg": vsum // total, "sum": vsum}
+
+    def _field_hist(self, text: str, field: str, mode: str,
+                    lo: int, hi: int,
+                    n_buckets: int) -> tuple[np.ndarray, int]:
+        """One percentile-refinement round: match-set values in [lo, hi]
+        bucketed by integer width w = ceil((hi-lo+1)/n_buckets); returns
+        (counts, w).  Plain-sum mergeable — the ScorerActor exposes it as
+        the pool's partial."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        need = len(terms) if mode == "and" else 1
+        w = (hi - lo + n_buckets) // n_buckets
+        nb = (hi - lo) // w + 1
+        counts = np.zeros(nb, dtype=np.int64)
+        sentinel = np.iinfo(np.int64).min
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            if len(r.docids) == 0:
+                continue
+            vals = self._doc_attrs(si).get(field)
+            hit = self._shard_match_mask(si, terms, need)
+            if hit is None:
+                continue
+            hit &= vals != sentinel
+            v = vals[hit]
+            v = v[(v >= lo) & (v <= hi)]
+            if len(v):
+                counts += np.bincount((v - lo) // w, minlength=nb)
+        return counts, w
+
+    def field_percentile(self, text: str, q: float = 0.5,
+                         field: str = "ts", mode: str = "or",
+                         n_buckets: int = 1024) -> dict[str, int]:
+        """EXACT percentile of a stored integer attribute over the match
+        set (the ES percentiles aggregation, exact instead of t-digest):
+        percentile_disc semantics — the k-th smallest with
+        k = ceil(q * n).  Distributed histogram refinement: each round
+        buckets the candidate value range into <= n_buckets integer-width
+        cells (one mergeable count vector per shard/actor), descends into
+        the cell holding the k-th value, terminates at cell width 1 —
+        log_B(range) rounds, histogram-sized payloads; the match-set
+        VALUES never leave their shards (the corpus-level shape of
+        stages/quantiles, applied at query time)."""
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"q must be in (0, 1], got {q}")
+        st = self.field_stats(text, field=field, mode=mode)
+        return _percentile_refine(
+            st, q,
+            lambda lo, hi: self._field_hist(text, field, mode, lo, hi,
+                                            n_buckets))
 
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Wildcard search: tokens ending in ``*`` expand to every
@@ -2633,6 +2708,30 @@ def _min_cover_spans(cand_idx: np.ndarray, pos: np.ndarray, label: np.ndarray,
     return out
 
 
+def _percentile_refine(stats: dict, q: float, hist_fn) -> dict[str, int]:
+    """Shared percentile-refinement driver (engine loops its shards,
+    QueryService scatters the same rounds over the pool): descend the
+    k-th smallest value's bucket until bucket width 1.  ``hist_fn(lo,
+    hi) -> (counts, w)`` is one mergeable histogram round."""
+    import math
+
+    n = stats["count"]
+    if n == 0:
+        return {"count": 0, "value": 0}
+    k = max(1, math.ceil(q * n))
+    lo, hi = stats["min"], stats["max"]
+    while True:
+        counts, w = hist_fn(lo, hi)
+        cum = np.cumsum(counts)
+        bi = int(np.searchsorted(cum, k))
+        if bi:
+            k -= int(cum[bi - 1])
+        lo = lo + bi * w
+        hi = min(lo + w - 1, hi)
+        if w == 1:
+            return {"count": n, "value": int(lo)}
+
+
 def topk_with_margin(hits: list[tuple[int, float]]) -> list[tuple[int, float, float]]:
     """(doc, score) ranking -> (doc, score, margin-to-next) rows.
 
@@ -2746,6 +2845,15 @@ class ScorerActor:
             pos = np.minimum(np.searchsorted(docids, ids), len(docids) - 1)
             resident.update(int(d) for d in ids[docids[pos] == ids])
         return {d: s for d, s in sc.items() if d in resident}
+
+    def field_histogram(self, text: str, field: str, mode: str,
+                        lo: int, hi: int,
+                        n_buckets: int) -> tuple[list[int], int]:
+        """This subset's percentile-refinement partial (counts sum
+        plainly across the pool)."""
+        counts, w = self.engine._field_hist(text, field, mode, lo, hi,
+                                            n_buckets)
+        return counts.tolist(), w
 
     def search_collapse(self, text: str, k: int = 10,
                         field: str = "conv_id",

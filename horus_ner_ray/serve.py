@@ -244,6 +244,36 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def field_percentile(self, text: str, q: float = 0.5,
+                         field: str = "ts", mode: str = "or",
+                         n_buckets: int = 1024) -> dict:
+        """Exact match-set percentile through the pool: the stats merge
+        seeds the bounds, then each refinement round is ONE scatter of
+        mergeable histogram partials — log_B(range) rounds, values never
+        leave the actors (QueryEngine.field_percentile's loop, pool-
+        shaped)."""
+        import numpy as np
+
+        from horus_ner_ray.pipelines.query import _percentile_refine
+
+        st = self.field_stats(text, field=field, mode=mode)
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"q must be in (0, 1], got {q}")
+
+        def hist(lo: int, hi: int):
+            parts = self._call_all(
+                lambda a: a.field_histogram.remote(text, field, mode,
+                                                   lo, hi, n_buckets))
+            counts = None
+            w = None
+            for c, ww in parts:
+                arr = np.asarray(c, dtype=np.int64)
+                counts = arr if counts is None else counts + arr
+                w = ww
+            return counts, w
+
+        return _percentile_refine(st, q, hist)
+
     def term_vector(self, doc_id: int) -> list[dict]:
         """Term-vectors route: single-actor exact answer (docstore
         point-read + global dictionary)."""
@@ -409,6 +439,9 @@ def make_http_server(
     absent terms rewrite to their best suggestion, then plain OR.
     GET /termvectors?doc=<id> -> the doc's (term, tf, df) rows under
     the shared tokenizer rule (the termvectors API).
+    GET /percentile?q=<text>[&p=0.5][&mode=or|and] -> the EXACT p-th
+    percentile of the match set's stored timestamp (histogram
+    refinement; values never leave the actors).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
     top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
@@ -650,6 +683,27 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/percentile":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    quant = float((qs.get("p") or ["0.5"])[0])
+                    pmode = (qs.get("mode") or ["or"])[0]
+                    if pmode not in ("or", "and"):
+                        raise ValueError("percentile supports mode=or/and")
+                    if not (0.0 < quant <= 1.0):
+                        raise ValueError(f"p must be in (0, 1], got {quant}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    out = service.field_percentile(text, q=quant,
+                                                   mode=pmode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "p": quant, **out})
                 return
             if u.path == "/termvectors":
                 qs = parse_qs(u.query)

@@ -207,3 +207,58 @@ def test_search_synonyms_parity_and_semantics(engines):
     # a synonym mapping to an absent term changes nothing
     assert eng.search_synonyms(vocab[3], {vocab[3]: ["zzqx"]}, 10) == \
         eng.search(vocab[3], 10)
+
+
+# --- exact match-set percentiles ----------------------------------------
+
+
+def test_field_percentile_matches_bruteforce(engines):
+    import numpy as np
+
+    eng, bf = engines
+    rng = np.random.default_rng(9)
+    nonempty = 0
+    for q in reference_queries(k=10):
+        for quant in (0.1, 0.25, 0.5, 0.75, 0.9, 1.0,
+                      float(rng.uniform(0.01, 0.99))):
+            for mode in ("or", "and"):
+                got = eng.field_percentile(q["text"], q=quant, mode=mode)
+                want = bf.field_percentile(q["text"], q=quant, mode=mode)
+                assert got == want, (q["text"], quant, mode)
+                nonempty += got["count"] > 0
+    assert nonempty >= 40
+
+
+def test_field_percentile_small_buckets_refine(engines):
+    """Tiny bucket counts force many refinement rounds — result must not
+    depend on n_buckets."""
+    eng, bf = engines
+    for nb in (2, 3, 7, 1024):
+        got = eng.field_percentile("the sessionmark", q=0.5, n_buckets=nb)
+        assert got == bf.field_percentile("the sessionmark", q=0.5), nb
+
+
+def test_field_percentile_rejects_bad_q(engines):
+    import pytest as _pytest
+
+    eng, _bf = engines
+    with _pytest.raises(ValueError, match="q must be"):
+        eng.field_percentile("the", q=0.0)
+    with _pytest.raises(ValueError, match="q must be"):
+        eng.field_percentile("the", q=1.5)
+
+
+def test_service_field_percentile(built_index, ray_session):
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import QueryService
+
+    idx, _res = built_index
+    eng = QueryEngine(idx)
+    svc = QueryService(idx, n_actors=2)
+    try:
+        for quant in (0.25, 0.5, 0.9):
+            got = svc.field_percentile("the sessionmark", q=quant)
+            want = eng.field_percentile("the sessionmark", q=quant)
+            assert got == want, quant
+    finally:
+        svc.close()
