@@ -1,6 +1,7 @@
 """Randomized maintenance-chain property fuzz: ANY sequence of
-delete / append / compact / reshard operations on a hash-mode index
-must land exactly where a from-scratch reconstruction lands — fresh
+delete / append / compact / reshard / snapshot / merge operations on a
+hash-mode index must land exactly where a from-scratch reconstruction
+lands — fresh
 build over the per-fragment FILTERED contents at the final shard count,
 plus the not-yet-compacted tombstones.  Shards/docstore/df compare
 byte-identical; tombstone sets and query results compare exactly.
@@ -25,8 +26,10 @@ from horus_ner_ray.pipelines.delete import (
     delete_docs,
     read_tombstones,
 )
+from horus_ner_ray.pipelines.merge import merge_indexes
 from horus_ner_ray.pipelines.query import QueryEngine
 from horus_ner_ray.pipelines.reshard import reshard_index
+from horus_ner_ray.pipelines.snapshot import snapshot_index
 from horus_ner_ray.pipelines.verify import verify_index
 from horus_ner_ray.synth import (
     reference_queries,
@@ -70,9 +73,15 @@ def test_any_maintenance_chain_matches_reconstruction(data,
     pending: dict[int, tuple[str, int]] = {}  # live tombstones
     n_shards = s0
     n_appends = 0
+    snapshots: list[tuple[Path, dict]] = []
+    n_merges = 0
     ops = data.draw(st.lists(
-        st.sampled_from(["delete", "append", "compact", "reshard"]),
+        st.sampled_from(["delete", "append", "compact", "reshard",
+                         "snapshot", "merge"]),
         min_size=3, max_size=5), label="ops")
+    # every example exercises the point-in-time and the cross-index ops
+    # at least once (random position for the rest of the chain)
+    ops += [o for o in ("snapshot", "merge") if o not in ops]
     for op in ops:
         if op == "delete":
             live = _live_keys(idx)
@@ -95,6 +104,28 @@ def test_any_maintenance_chain_matches_reconstruction(data,
             compact_index(idx)
             removed |= set(pending.values())
             pending = {}
+        elif op == "snapshot":
+            # point-in-time hard-link copy: later chain ops must leave it
+            # bit-identical (every writer publishes tmp+rename)
+            sdst = base / f"snap{len(snapshots)}"
+            snapshot_index(idx, sdst)
+            snapshots.append((sdst, _tree_bytes(Path(idx))))
+        elif op == "merge":
+            # merge a small independently built index (disjoint convs)
+            n_merges += 1
+            d = base / f"msrc{n_merges}"
+            synth_transcripts(d, n_convs=4, seed=200 + n_merges,
+                              convs_per_file=4)
+            new = list(transcript_files(d))
+            idx2 = base / f"midx{n_merges}"
+            build_index(new, idx2,
+                        PipelineConfig(num_shards=data.draw(
+                            st.sampled_from([2, 3]), label="merge_shards"),
+                            doc_id_mode="hash"))
+            out = base / f"merged{n_merges}"
+            merge_indexes([idx, idx2], out, num_shards=n_shards)
+            idx = out
+            files += new
         else:  # reshard
             n_shards = data.draw(st.sampled_from([2, 3, 4]),
                                  label="new_shards")
@@ -138,3 +169,8 @@ def test_any_maintenance_chain_matches_reconstruction(data,
         assert ei.search(q["text"], q["k"]) == er.search(q["text"], q["k"])
     # the end state also passes the deep tombstone-membership scan
     assert verify_index(idx, deep=True)["ok"]
+    # every snapshot is STILL bit-identical to its point-in-time source
+    # tree and still passes fsck, no matter what the chain did afterwards
+    for sdst, frozen in snapshots:
+        assert _tree_bytes(Path(sdst)) == frozen
+        assert verify_index(sdst)["ok"]
