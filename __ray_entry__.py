@@ -2762,6 +2762,38 @@ def _q_pq_ann(sf_dir: str):
     return pd.concat(out, ignore_index=True).astype(np.int64)
 
 
+def _q_ivfpq_ann(sf_dir: str):
+    """IVF + PQ composed (the FAISS IVFPQ shape): the deterministic
+    coarse k-means prunes each query to its nprobe nearest partitions
+    and candidates rank by PQ asymmetric distance over their codes —
+    the scan touches nprobe/n_centroids of the (already compressed)
+    codes table and never decodes an embedding.  The SQL chains the two
+    existing oracle builders (coarse kmeans chain + per-subspace PQ
+    chains), so pruning AND compression are hash-checked together."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.pq import ivfpq_search
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    raw = ivfpq_search(rd.read_parquet(path, columns=["vec_id", "embedding"]),
+                       qt["vec_id"].to_numpy(np.int64), qm,
+                       k=TOPK * 3 + 20, n_centroids=_IVF_K,
+                       nprobe=_IVF_NPROBE, m=_PQ_M, ks=_PQ_KS,
+                       n_iter=_PQ_ITERS)
+    raw["adist_e6"] = _e6(raw["adist"])
+    out = []
+    for qid, g in raw.groupby("query_id", sort=True):
+        g = g.sort_values(["adist_e6", "vec_id"],
+                          ascending=[True, True], kind="stable").head(TOPK)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g[["query_id", "rank", "vec_id", "adist_e6"]])
+    return pd.concat(out, ignore_index=True).astype(np.int64)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF pruned-probe ANN, ORACLE-checked (round 5; was rows-only):
     the coarse quantizer is the deterministic distributed k-means the
@@ -4185,6 +4217,76 @@ def _sql_pq_ann(topk: int, dim: int = 64) -> str:
         FROM ranked WHERE rk <= {topk}""")
 
 
+def _sql_ivfpq_ann(topk: int, dim: int = 64) -> str:
+    """IVFPQ oracle: the coarse kmeans chain (prefix g_) gives partition
+    assignment + per-query probes; the per-subspace PQ chains give codes
+    + ADC tables; candidates = vectors whose coarse cluster is probed,
+    ranked by the explicit left-associated ADC sum."""
+    dsub = dim // _PQ_M
+    gc, g_assign, g_cent = _sql_kmeans_ctes(_IVF_K, _IVF_ITERS, dim=dim,
+                                            prefix="g_")
+    pctes, assigns, cents = _sql_pq_chains(dim)
+    q_ctes = [f"""
+        gq AS (SELECT vec_id AS query_id, e FROM g_emb WHERE vec_id < 5),
+        gqd AS (
+          SELECT gq.query_id, {g_cent}.cluster,
+                 list_inner_product(gq.e, gq.e)
+                 - 2 * list_inner_product(gq.e, {g_cent}.c)
+                 + list_inner_product({g_cent}.c, {g_cent}.c) AS dist
+          FROM gq CROSS JOIN {g_cent}
+        ),
+        probes AS (
+          SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY dist, cluster) AS rk
+            FROM gqd) WHERE rk <= {_IVF_NPROBE}
+        )"""]
+    for mi in range(_PQ_M):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        q_ctes.append(f"""
+        q{mi} AS (
+          SELECT vec_id AS query_id,
+                 (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS e
+          FROM embeddings WHERE vec_id < 5
+        ),
+        qd{mi} AS (
+          SELECT q.query_id, {cents[mi]}.cluster,
+                 list_inner_product(q.e, q.e)
+                 - 2 * list_inner_product(q.e, {cents[mi]}.c)
+                 + list_inner_product({cents[mi]}.c, {cents[mi]}.c) AS dist
+          FROM q{mi} q CROSS JOIN {cents[mi]}
+        )""")
+    code_joins = " ".join(f"JOIN {a} a{i} USING (vec_id)"
+                          for i, a in enumerate(assigns[1:], start=1))
+    qd_joins = " ".join(
+        f"JOIN qd{i} ON qd{i}.query_id = pb.query_id "
+        f"AND qd{i}.cluster = a{i}.cluster"
+        for i in range(1, _PQ_M))
+    adist = " + ".join(f"qd{i}.dist" for i in range(_PQ_M))
+    return ("WITH " + ",".join(gc + pctes) + "," + ",".join(q_ctes) + f""",
+        scored AS (
+          SELECT pb.query_id, a0.vec_id, {adist} AS adist
+          FROM {assigns[0]} a0 {code_joins}
+          JOIN {g_assign} ga USING (vec_id)
+          JOIN probes pb ON pb.cluster = ga.cluster
+          JOIN qd0 ON qd0.query_id = pb.query_id
+                  AND qd0.cluster = a0.cluster
+          {qd_joins}
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 CAST(FLOOR(adist * 1e6 + 0.5) AS BIGINT) AS adist_e6,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(FLOOR(adist * 1e6 + 0.5) AS BIGINT),
+                            vec_id) AS rk
+          FROM scored
+        )
+        SELECT query_id, rk AS rank, vec_id, adist_e6
+        FROM ranked WHERE rk <= {topk}""")
+
+
 def _sql_ann_ivf(k_centroids: int, n_iter: int, nprobe: int, topk: int,
                  dim: int = 64) -> str:
     """Pruned-probe IVF oracle: the SAME unrolled deterministic k-means
@@ -4763,6 +4865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_corrected": _q_bm25_corrected,
         "pq_codes": _q_pq_codes,
         "pq_ann": _q_pq_ann,
+        "ivfpq_ann": _q_ivfpq_ann,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5685,6 +5788,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_percentiles": _sql_ts_percentiles(),
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
+        "ivfpq_ann": _sql_ivfpq_ann(TOPK),
         "packed_sequences": f"""
             WITH RECURSIVE dl AS (
               SELECT doc_id,

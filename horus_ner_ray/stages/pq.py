@@ -213,3 +213,100 @@ class PQIndex:
 
         return pd.concat(outs, ignore_index=True)[
             ["query_id", "rank", id_col, "adist"]]
+
+
+def ivfpq_search(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                 m: int = 4, ks: int = 16, n_iter: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF + PQ composed (the FAISS ``IVFPQ`` shape): the deterministic
+    coarse k-means prunes each query to its ``nprobe`` nearest
+    partitions (the ``ann_ivf`` quantizer) and the surviving candidates
+    rank by PQ asymmetric distance over their CODES (the ``pq_ann``
+    scorer) — at scale the scan touches nprobe/n_centroids of the codes
+    table (already ~d*4/M x smaller than the vectors) and never decodes
+    an embedding.  One combined encode pass emits (vec_id, cluster,
+    code_0..code_{m-1}); probes and distance tables are driver-side
+    numpy over the tiny centroid state.  Fully deterministic — both legs
+    replicate in SQL (the ``ivfpq_ann`` conformance query chains the two
+    existing oracle builders)."""
+    import pandas as pd
+    import ray
+
+    from horus_ner_ray.stages.clustering import kmeans_fit
+
+    cents = kmeans_fit(emb_ds, n_centroids, n_iter=n_iter,
+                       id_col=id_col, vec_col=vec_col)
+    pqi = PQIndex(m=m, ks=ks, n_iter=n_iter).fit(
+        emb_ds, id_col=id_col, vec_col=vec_col)
+    dsub = pqi.d // m
+    state = (cents, pqi.codebooks)
+    ref = ray.put(state) if ray.is_initialized() else state
+
+    def encode(batch: pa.Table, _ref=ref) -> pa.Table:
+        ce, cb = ray.get(_ref) if ray.is_initialized() else _ref
+        x = list_column_to_matrix(batch[vec_col])
+        cols = {id_col: batch[id_col],
+                "cluster": pa.array(
+                    np.argmin(_sq_dists(x, ce), axis=1).astype(np.int32),
+                    pa.int32())}
+        for mi in range(m):
+            sub = x[:, mi * dsub:(mi + 1) * dsub]
+            cols[f"code_{mi}"] = pa.array(
+                np.argmin(_sq_dists(sub, cb[mi]), axis=1).astype(np.int32),
+                pa.int32())
+        return pa.table(cols)
+
+    codes = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+
+    q = np.asarray(query_mat, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # per-query probe sets: nprobe nearest coarse centroids (the same
+    # squared-L2 expansion as the fit; argsort ties -> lowest cluster)
+    probes = np.argsort(_sq_dists(q, cents), axis=1,
+                        kind="stable")[:, :nprobe]
+    dts = pqi.distance_tables(q)
+    sref = ray.put((dts, probes)) if ray.is_initialized() else (dts, probes)
+
+    def partial(batch: pa.Table, _ref=sref) -> pa.Table:
+        dt, pr = ray.get(_ref) if ray.is_initialized() else _ref
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        cl = np.asarray(batch["cluster"], dtype=np.int64)
+        cds = [np.asarray(batch[f"code_{mi}"], dtype=np.int64)
+               for mi in range(m)]
+        out_q, out_i, out_d = [], [], []
+        for qi in range(len(dt)):
+            mask = np.isin(cl, pr[qi])
+            if not mask.any():
+                continue
+            sel_ids = ids[mask]
+            acc = dt[qi, 0][cds[0][mask]]
+            for mi in range(1, m):  # fixed order == SQL's d0+d1+...
+                acc = acc + dt[qi, mi][cds[mi][mask]]
+            sel = np.lexsort((sel_ids, acc))[:k]
+            out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
+            out_i.append(sel_ids[sel])
+            out_d.append(acc[sel])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "adist": pa.array([], pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "adist": pa.array(np.concatenate(out_d),
+                                           pa.float64())})
+
+    parts = codes.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              runtime_env=_rte()).to_pandas()
+    outs = []
+    for qi in qids:
+        g = parts[parts.query_id == qi]
+        sel = np.lexsort((g[id_col].to_numpy(), g["adist"].to_numpy()))[:k]
+        g = g.iloc[sel].reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        outs.append(g)
+    return pd.concat(outs, ignore_index=True)[
+        ["query_id", "rank", id_col, "adist"]]

@@ -102,3 +102,39 @@ def test_pq_rejects_bad_dims(emb_ds):
         PQIndex(m=5, ks=8).fit(ds)
     with pytest.raises(ValueError, match="fit"):
         PQIndex(m=4).encode(ds)
+
+
+def test_ivfpq_matches_reference_composition(emb_ds):
+    """IVFPQ == (coarse kmeans probes) ∩ (plain-numpy ADC): candidates
+    are exactly the probed clusters' members, ranked by the same table
+    sums."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.pq import ivfpq_search
+    from horus_ner_ray.stages.clustering import kmeans_fit
+
+    ds, X = emb_ds
+    res = ivfpq_search(ds, np.arange(3, dtype=np.int64), X[:3], k=10,
+                       n_centroids=8, nprobe=2, m=4, ks=8, n_iter=2)
+    cents = kmeans_fit(ds, 8, n_iter=2)
+    assign = np.argmin(_sq_dists(X, cents), axis=1)
+    pqi = PQIndex(m=4, ks=8, n_iter=2).fit(ds)
+    codes = pqi.encode(ds).to_pandas().sort_values("vec_id")
+    cm = codes[[f"code_{i}" for i in range(4)]].to_numpy(np.int64)
+    ids = codes["vec_id"].to_numpy(np.int64)
+    dts = pqi.distance_tables(X[:3])
+    probes = np.argsort(_sq_dists(X[:3], cents), axis=1,
+                        kind="stable")[:, :2]
+    for qi in range(3):
+        mask = np.isin(assign, probes[qi])
+        sel_ids = ids[mask]
+        acc = dts[qi, 0][cm[mask, 0]]
+        for mi in range(1, 4):
+            acc = acc + dts[qi, mi][cm[mask, mi]]
+        sel = np.lexsort((sel_ids, acc))[:10]
+        g = res[res.query_id == qi]
+        assert (g["vec_id"].to_numpy() == sel_ids[sel]).all(), qi
+        assert (g["adist"].to_numpy() == acc[sel]).all(), qi
+        # pruning semantics: every hit's coarse cluster was probed
+        hit_assign = assign[np.searchsorted(ids, g["vec_id"].to_numpy())]
+        assert np.isin(hit_assign, probes[qi]).all(), qi
