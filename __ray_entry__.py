@@ -2779,11 +2779,12 @@ def _q_ivfpq_ann(sf_dir: str):
     qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
     qt = qt[qt.vec_id < 5].sort_values("vec_id")
     qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    pqi, _emb = _pq_fitted(sf_dir)  # deterministic fit: shared cache
     raw = ivfpq_search(rd.read_parquet(path, columns=["vec_id", "embedding"]),
                        qt["vec_id"].to_numpy(np.int64), qm,
                        k=TOPK * 3 + 20, n_centroids=_IVF_K,
                        nprobe=_IVF_NPROBE, m=_PQ_M, ks=_PQ_KS,
-                       n_iter=_PQ_ITERS)
+                       n_iter=_PQ_ITERS, pq=pqi)
     raw["adist_e6"] = _e6(raw["adist"])
     out = []
     for qid, g in raw.groupby("query_id", sort=True):

@@ -218,7 +218,8 @@ class PQIndex:
 def ivfpq_search(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
                  k: int = 10, n_centroids: int = 16, nprobe: int = 4,
                  m: int = 4, ks: int = 16, n_iter: int = 2,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 pq: "PQIndex | None" = None):
     """IVF + PQ composed (the FAISS ``IVFPQ`` shape): the deterministic
     coarse k-means prunes each query to its ``nprobe`` nearest
     partitions (the ``ann_ivf`` quantizer) and the surviving candidates
@@ -237,8 +238,11 @@ def ivfpq_search(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
 
     cents = kmeans_fit(emb_ds, n_centroids, n_iter=n_iter,
                        id_col=id_col, vec_col=vec_col)
-    pqi = PQIndex(m=m, ks=ks, n_iter=n_iter).fit(
+    # ``pq=`` accepts a prefitted quantizer (the fit is a pure function
+    # of the table, so reuse is free determinism-wise)
+    pqi = pq if pq is not None else PQIndex(m=m, ks=ks, n_iter=n_iter).fit(
         emb_ds, id_col=id_col, vec_col=vec_col)
+    m = pqi.m
     dsub = pqi.d // m
     state = (cents, pqi.codebooks)
     ref = ray.put(state) if ray.is_initialized() else state
