@@ -2439,6 +2439,120 @@ SELECT DISTINCT query_id, term FROM (
     return _sql_bm25([], conjunctive=False, q_sql=q_sql)
 
 
+# relaxation-cascade queries: one per tier + one all-empty
+RELAX_QUERIES = ["batch join",            # AND matches -> tier 'and'
+                 "batch zzzqnotfound",    # AND empty -> tier 'or'
+                 "batcj joib",            # OR empty -> tier 'corrected'
+                 "qqqqqqzz"]              # nothing anywhere -> no rows
+
+
+def _q_bm25_relaxed(sf_dir: str):
+    """Zero-results relaxation cascade: strict AND, then OR, then the
+    'did you mean' corrected query — first non-empty tier wins.  The SQL
+    re-derives all three rankings over the shared scoring core and picks
+    the minimum non-empty tier per query."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "tier": [], "doc_id": [], "score": []}
+    for qid, t in enumerate(RELAX_QUERIES):
+        tier, hits = eng.search_relaxed(t, k=TOPK * 3 + 20)
+        for d, s in hits:
+            rows["query_id"].append(qid)
+            rows["tier"].append(tier)
+            rows["doc_id"].append(d)
+            rows["score"].append(s)
+    df = pd.DataFrame(rows)
+    out = _e6_rerank(df, "score", "doc_id", "score_e6")
+    tmap = df.drop_duplicates("query_id").set_index("query_id")["tier"]
+    out["tier"] = out["query_id"].map(tmap)
+    return out
+
+
+def _sql_bm25_relaxed() -> str:
+    import re
+
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, t in enumerate(RELAX_QUERIES)
+        for term in sorted(set(re.findall(_TOKRE, t.lower()))))
+    corr_q = f"""
+SELECT DISTINCT query_id, term FROM (
+  SELECT r.query_id, r.term
+  FROM qraw r JOIN dfv USING (term)
+  UNION ALL
+  SELECT query_id, term FROM (
+    SELECT a.query_id, a.orig, d.term,
+           row_number() OVER (
+             PARTITION BY a.query_id, a.orig
+             ORDER BY levenshtein(a.orig, d.term), d.df DESC, d.term) rn
+    FROM (SELECT r2.query_id, r2.term AS orig FROM qraw r2
+          WHERE NOT EXISTS (SELECT 1 FROM dfv dd WHERE dd.term = r2.term)) a
+    JOIN dfv d ON levenshtein(a.orig, d.term) <= 2
+  ) WHERE rn = 1
+)"""
+
+    def scored(name: str, qrel: str, conj: bool) -> str:
+        having = ("HAVING count(*) = any_value(qn.nt)" if conj else "")
+        join_nt = ("JOIN (SELECT query_id, count(*) nt FROM qraw "
+                   "GROUP BY query_id) qn USING (query_id)" if conj else "")
+        return f"""
+{name} AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) )
+              * 1e6 + 0.5) AS BIGINT) score_e6
+  FROM {qrel} q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  {join_nt}
+  GROUP BY q.query_id, tf.doc_id
+  {having}
+)"""
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+qraw(query_id, term) AS (VALUES {vals}),
+qcorr AS ({corr_q}),
+{scored("sc_and", "qraw", True).lstrip()},
+{scored("sc_or", "qraw", False).lstrip()},
+{scored("sc_corr", "qcorr", False).lstrip()},
+alltiers AS (
+  SELECT 1 AS t, 'and' AS tier, query_id, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id) rk
+  FROM sc_and
+  UNION ALL
+  SELECT 2, 'or', query_id, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id) rk
+  FROM sc_or
+  UNION ALL
+  SELECT 3, 'corrected', query_id, doc_id, score_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id) rk
+  FROM sc_corr
+),
+best AS (SELECT query_id, min(t) t FROM alltiers GROUP BY 1)
+SELECT a.query_id, a.rank, a.doc_id, a.score_e6, a.tier FROM (
+  SELECT alltiers.*, rk AS rank FROM alltiers
+  JOIN best USING (query_id) WHERE alltiers.t = best.t
+) a WHERE a.rank <= {TOPK}
+"""
+
+
 RESCORE_WINDOW = 20
 
 
@@ -4867,6 +4981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "pq_ann": _q_pq_ann,
         "ivfpq_ann": _q_ivfpq_ann,
+        "bm25_relaxed": _q_bm25_relaxed,
         "bm25_top_per_role": _q_bm25_top_per_role,
         "suggest_terms": _q_suggest_terms,
         "bm25_snippet_text": _q_bm25_snippet_text,
@@ -5790,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
         "ivfpq_ann": _sql_ivfpq_ann(TOPK),
+        "bm25_relaxed": _sql_bm25_relaxed(),
         "packed_sequences": f"""
             WITH RECURSIVE dl AS (
               SELECT doc_id,

@@ -607,6 +607,18 @@ class BruteForceBM25:
             return terms, []
         return terms, self.search(" ".join(terms), k=k)
 
+    def search_relaxed(self, text: str, k: int = 10, max_dist: int = 2,
+                       ) -> tuple[str, list[tuple[int, float]]]:
+        """Oracle relaxation cascade: and -> or -> corrected."""
+        hits = self.search(text, k=k, mode="and")
+        if hits:
+            return "and", hits
+        hits = self.search(text, k=k, mode="or")
+        if hits:
+            return "or", hits
+        _terms, hits = self.search_corrected(text, k=k, max_dist=max_dist)
+        return "corrected", hits
+
     def search_snippets(self, text: str, k: int = 10,
                         window: int = 3) -> list[tuple[int, float, str]]:
         """Oracle snippets: top-k plus the token window around each hit's
@@ -1358,6 +1370,24 @@ class QueryEngine:
         if not terms:
             return terms, []
         return terms, self.search(" ".join(terms), k=k)
+
+    def search_relaxed(self, text: str, k: int = 10, max_dist: int = 2,
+                       ) -> tuple[str, list[tuple[int, float]]]:
+        """Zero-results relaxation cascade (the search-UX staple): the
+        strict conjunctive query first, relax to disjunctive when it
+        matches nothing, fall back to the 'did you mean' corrected query
+        when even OR is empty.  Returns (tier, hits), tier in {'and',
+        'or', 'corrected'} — each leg is deterministic, so the cascade
+        itself is SQL-checkable (the bm25_relaxed oracle re-derives all
+        three rankings and picks the first non-empty tier)."""
+        hits = self.search(text, k=k, mode="and")
+        if hits:
+            return "and", hits
+        hits = self.search(text, k=k, mode="or")
+        if hits:
+            return "or", hits
+        _terms, hits = self.search_corrected(text, k=k, max_dist=max_dist)
+        return "corrected", hits
 
     def search_snippets(self, text: str, k: int = 10,
                         window: int = 3) -> list[tuple[int, float, str]]:

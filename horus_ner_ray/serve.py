@@ -291,6 +291,21 @@ class QueryService:
         hits = self.search(" ".join(terms), k=k) if terms else []
         return {"corrected": terms, "hits": hits}
 
+    def search_relaxed(self, text: str, k: int = 10,
+                       max_dist: int = 2) -> dict:
+        """Zero-results cascade through the pool: AND, then OR, then the
+        corrected query — first non-empty tier wins (each leg is the
+        ordinary exact scatter)."""
+        hits = self.search(text, k=k, mode="and")
+        if hits:
+            return {"tier": "and", "hits": hits}
+        hits = self.search(text, k=k, mode="or")
+        if hits:
+            return {"tier": "or", "hits": hits}
+        out = self.search_corrected(text, k=k, max_dist=max_dist)
+        return {"tier": "corrected", "corrected": out["corrected"],
+                "hits": out["hits"]}
+
     def rescore(self, text: str, k: int = 10, window: int = 50,
                 mu: float = 1000.0) -> list[dict]:
         """Two-phase rescore through the pool: the ordinary scatter picks
@@ -442,6 +457,8 @@ def make_http_server(
     GET /percentile?q=<text>[&p=0.5][&mode=or|and] -> the EXACT p-th
     percentile of the match set's stored timestamp (histogram
     refinement; values never leave the actors).
+    GET /relaxed?q=<text>[&k=][&dist=] -> zero-results cascade:
+    AND, then OR, then the corrected query (tier + hits).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
     top-k hits (terms aggregation + top_hits).
     mode=boolean also accepts &msm=<m> (min_should_match: candidacy needs
@@ -683,6 +700,24 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/relaxed":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    dist = int((qs.get("dist") or ["2"])[0])
+                    if k < 0 or dist < 0:
+                        raise ValueError("k and dist must be >= 0")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    out = service.search_relaxed(text, k=k, max_dist=dist)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, **out})
                 return
             if u.path == "/percentile":
                 qs = parse_qs(u.query)

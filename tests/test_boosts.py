@@ -128,3 +128,24 @@ def test_scorer_actor_boost_column(built_index):
             {"query_id": 0, "text": "batch join", "k": 5,
              "boost": "batch:2", "mode": "phrase"},
         ]))
+
+
+def test_search_relaxed_cascade(engines):
+    """Each tier fires on the right fixture query and matches brute."""
+    eng, bf = engines
+    cases = [
+        ("the sessionmark", "and"),           # conjunction matches
+        ("the zzzqabsent", "or"),             # absent term kills AND
+        ("sessionnark zzqx", "corrected"),    # only the rewrite matches
+        ("qqqqqqzz", "corrected"),            # nothing anywhere
+    ]
+    for text, want_tier in cases:
+        gt, gh = eng.search_relaxed(text, k=10)
+        wt, wh = bf.search_relaxed(text, k=10)
+        assert gt == wt == want_tier, (text, gt, wt)
+        assert gh == wh, text
+        if text != "qqqqqqzz":
+            assert gh, text
+    # the chosen tier's hits equal that tier's direct search
+    tier, hits = eng.search_relaxed("the zzzqabsent", k=10)
+    assert hits == eng.search("the zzzqabsent", k=10, mode="or")
