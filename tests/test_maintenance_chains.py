@@ -39,6 +39,22 @@ from horus_ner_ray.synth import (
 from tests.test_merge_indexes import _tree_bytes
 
 
+
+def _disjoint_conv_files(src_dir: Path, tag: str) -> list[str]:
+    """synth conv ids are seed-independent (conv-<idx>), so extra corpora
+    would COLLIDE with the base corpus's (conv_id, turn_idx) keys — and a
+    key deleted+compacted earlier must not filter a later re-added row in
+    the reconstruction.  Prefix the conv ids to keep id spaces disjoint
+    (the semantics merge/append are specified for)."""
+    out = []
+    for f in sorted(Path(src_dir).glob("part-*.parquet")):
+        t = pq.read_table(f).to_pandas()
+        t["conv_id"] = tag + t["conv_id"]
+        dst = f.with_name(f"{tag}{f.name}")
+        t.to_parquet(dst, index=False)
+        out.append(str(dst))
+    return out
+
 def _live_keys(idx) -> list[tuple[int, str, int]]:
     """(doc_id, conv_id, turn_idx) of every docstore row not currently
     tombstoned."""
@@ -97,7 +113,7 @@ def test_any_maintenance_chain_matches_reconstruction(data,
             d = base / f"extra{n_appends}"
             synth_transcripts(d, n_convs=4, seed=100 + n_appends,
                               convs_per_file=4)
-            new = transcript_files(d)
+            new = _disjoint_conv_files(d, f"a{n_appends}x")
             append_fragments(idx, new)
             files += new
         elif op == "compact":
@@ -116,7 +132,7 @@ def test_any_maintenance_chain_matches_reconstruction(data,
             d = base / f"msrc{n_merges}"
             synth_transcripts(d, n_convs=4, seed=200 + n_merges,
                               convs_per_file=4)
-            new = list(transcript_files(d))
+            new = _disjoint_conv_files(d, f"m{n_merges}x")
             idx2 = base / f"midx{n_merges}"
             build_index(new, idx2,
                         PipelineConfig(num_shards=data.draw(
