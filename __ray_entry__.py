@@ -2703,6 +2703,29 @@ def _sql_doc_term_vectors() -> str:
 _PACK_CAP, _PACK_RANGE = 256, 128
 
 
+def _q_sample_by_source(sf_dir: str):
+    """Domain-mixture sampling: k docs PER source, weighted by document
+    length (A-ES priorities from the keyed splitmix64 hash — the same
+    deterministic machinery as weighted_sample, reduced per group).
+    SQL: row_number over (PARTITION BY source ORDER BY priority DESC,
+    doc_id)."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_per_group
+
+    ds = rd.read_parquet(_docs(sf_dir),
+                         columns=["doc_id", "source", "n_chars"])
+    out = weighted_sample_per_group(ds, "source", "doc_id", "n_chars",
+                                    k=8, seed=13).to_pandas()
+    out = out.sort_values(["source", "rank"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "rank": out["rank"].astype(np.int64),
+        "doc_id": out["doc_id"].astype(np.int64),
+        "n_chars": out["n_chars"].astype(np.int64),
+    })
+
+
 def _q_packed_sequences(sf_dir: str):
     """Greedy sequence packing (the LLM-training batch constructor):
     docs walk in id order within fixed doc-id ranges, first-fit into
@@ -4974,6 +4997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_slop": _q_bm25_phrase_slop,
         "weighted_sample": _q_weighted_sample,
         "packed_sequences": _q_packed_sequences,
+        "sample_by_source": _q_sample_by_source,
         "doc_term_vectors": _q_doc_term_vectors,
         "ts_percentiles": _q_ts_percentiles,
         "bm25_rescore": _q_bm25_rescore,
@@ -5902,6 +5926,27 @@ def oracle_sql() -> dict[str, str]:
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
         "ts_percentiles": _sql_ts_percentiles(),
+        "sample_by_source": f"""
+            WITH h AS (
+              SELECT source, doc_id, n_chars,
+                     {_sql_splitmix64("xor(CAST(doc_id AS UBIGINT), CAST(13 AS UBIGINT))")} AS hh
+              FROM documents
+            ),
+            p AS (
+              SELECT source, doc_id, n_chars,
+                     pow((CAST(hh AS DOUBLE) + 1.0) / 18446744073709551616.0,
+                         1.0 / n_chars) AS pr
+              FROM h WHERE n_chars > 0
+            ),
+            r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY pr DESC, doc_id) AS rk
+              FROM p
+            )
+            SELECT source, rk AS rank, doc_id, n_chars
+            FROM r WHERE rk <= 8
+        """,
         "pq_codes": _sql_pq_codes(),
         "pq_ann": _sql_pq_ann(TOPK),
         "ivfpq_ann": _sql_ivfpq_ann(TOPK),

@@ -82,6 +82,64 @@ def weighted_sample_topk(ds, key_col: str, weight_col: str, k: int,
                       descending=[True, False]).limit(k)
 
 
+def weighted_sample_per_group(ds, group_col: str, key_col: str,
+                              weight_col: str, k: int, seed: int = 42):
+    """Per-group A-ES weighted sampling without replacement — the
+    domain-mixture constructor (k docs per source/language/domain,
+    weighted by quality or length, deterministic).  Same keyed-hash
+    priorities as ``weighted_sample_topk``; the top-k reduction applies
+    PER distinct ``group_col`` value.  Scale shape: a per-batch
+    per-group top-k combiner (at most k rows per group leave each
+    batch), then one small ``map_groups`` top-k over the bounded
+    partials — the table never shuffles whole.  Ties break (priority
+    desc, key asc); weight <= 0 rows are excluded."""
+    import pandas as pd
+
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col], dtype=np.int64)
+        w = np.asarray(batch[weight_col], dtype=np.float64)
+        grp = np.asarray(batch[group_col], dtype=object)
+        ok = w > 0.0
+        keys, w, grp = keys[ok], w[ok], grp[ok]
+        h = splitmix64(keys.astype(np.uint64) ^ np.uint64(seed))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        pr = np.power(u, 1.0 / w)
+        uniq, codes = np.unique(grp, return_inverse=True)
+        order = np.lexsort((keys, -pr, codes))
+        cc = codes[order]
+        starts = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        sizes = np.diff(np.r_[starts, len(cc)])
+        rank = np.arange(len(cc)) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        return pa.table({
+            group_col: pa.array(grp[keep].astype(str), pa.string()),
+            key_col: pa.array(keys[keep], pa.int64()),
+            weight_col: pa.array(w[keep], pa.float64()),
+            "priority": pa.array(pr[keep], pa.float64()),
+        })
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        sel = np.lexsort((df[key_col].to_numpy(),
+                          -df["priority"].to_numpy()))[:k]
+        out = df.iloc[np.sort(sel)].copy()
+        order = np.lexsort((out[key_col].to_numpy(),
+                            -out["priority"].to_numpy()))
+        out = out.iloc[order].reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1)
+        return out[[group_col, "rank", key_col, weight_col, "priority"]]
+
+    parts = ds.select_columns([group_col, key_col, weight_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+    return parts.groupby(group_col).map_groups(finish,
+                                               batch_format="pandas")
+
+
 def split_proportions(ds, id_col: str = "doc_id", train_pct: int = 80):
     """(split, n) counts for the hash split — combiner + tiny groupby."""
     from ray.data.aggregate import Sum

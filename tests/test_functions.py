@@ -122,3 +122,38 @@ def test_weighted_sample_prefers_heavy_rows(ray_session):
     # uniform share — 40% is > 6 sigma below the A-ES expectation and
     # > 10 sigma above uniform
     assert heavy_hits / draws > 0.40, heavy_hits / draws
+
+
+def test_weighted_sample_per_group_exact(ray_session):
+    """Per-group A-ES: exactly each group's reference top-k, invariant
+    to partitioning, weight<=0 excluded."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_per_group
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    keys = np.arange(n, dtype=np.int64)
+    w = rng.integers(0, 30, n).astype(np.float64)  # some zeros
+    grp = np.array([f"g{int(x)}" for x in keys % 5], dtype=object)
+    ds = rd.from_arrow(pa.table({"g": grp.astype(str), "k": keys, "w": w}))
+    got = weighted_sample_per_group(ds, "g", "k", "w", k=12,
+                                    seed=3).to_pandas()
+    h = splitmix64(keys.astype(np.uint64) ^ np.uint64(3))
+    u = (h.astype(np.float64) + 1.0) / 2.0**64
+    pr = np.power(u, 1.0 / np.where(w > 0, w, 1.0))
+    for g in sorted(set(grp)):
+        m = (grp == g) & (w > 0)
+        sel = np.lexsort((keys[m], -pr[m]))[:12]
+        want = keys[m][sel]
+        gg = got[got.g == g].sort_values("rank")
+        assert (gg["k"].to_numpy() == want).all(), g
+        assert (gg["rank"].to_numpy() == np.arange(1, len(want) + 1)).all()
+    got2 = weighted_sample_per_group(ds.repartition(11), "g", "k", "w",
+                                     k=12, seed=3).to_pandas()
+    a = got.sort_values(["g", "rank"]).reset_index(drop=True)
+    b = got2.sort_values(["g", "rank"]).reset_index(drop=True)
+    assert (a[["g", "k"]].to_numpy() == b[["g", "k"]].to_numpy()).all()
+    with pytest.raises(ValueError, match="k must be > 0"):
+        weighted_sample_per_group(ds, "g", "k", "w", k=0)
