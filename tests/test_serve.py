@@ -356,3 +356,85 @@ def test_http_docs_multiget(http_service, small_corpus):
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def _expect_code(base: str, path_qs: str, code: int) -> None:
+    import urllib.error
+
+    try:
+        urllib.request.urlopen(base + path_qs, timeout=30)
+        raise AssertionError(f"expected HTTP {code} for {path_qs}")
+    except urllib.error.HTTPError as e:
+        assert e.code == code, (path_qs, e.code)
+
+
+def test_http_session5_routes_match_engine(http_service, built_index):
+    """The session-5 GET routes reproduce the direct engine results."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    base = http_service
+
+    r = json.load(urllib.request.urlopen(
+        base + "/search?q=the+sessionmark&k=5&boost=sessionmark:8"))
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == \
+        eng.search("the sessionmark", k=5, boosts={"sessionmark": 8.0})
+
+    r = json.load(urllib.request.urlopen(base + "/collapse?q=the+session&k=4"))
+    assert [(h["conv_id"], h["doc_id"], h["score"]) for h in r["hits"]] == \
+        eng.search_collapse("the session", k=4)
+
+    r = json.load(urllib.request.urlopen(
+        base + "/grouped?q=the+session&field=role&k=2"))
+    assert {v: [(h["doc_id"], h["score"]) for h in hs]
+            for v, hs in r["groups"].items()} == \
+        eng.search_grouped("the session", field="role", k=2)
+
+    r = json.load(urllib.request.urlopen(
+        base + "/rescore?q=the+session&k=5&window=20"))
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == \
+        eng.rescore_lm("the session", k=5, window=20)
+
+    r = json.load(urllib.request.urlopen(base + "/corrected?q=sessionnark&k=5"))
+    terms, hits = eng.search_corrected("sessionnark", k=5)
+    assert r["corrected"] == terms
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == hits
+
+    r = json.load(urllib.request.urlopen(base + "/relaxed?q=the+zzzqabsent&k=5"))
+    tier, hits = eng.search_relaxed("the zzzqabsent", k=5)
+    assert r["tier"] == tier
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == hits
+
+    r = json.load(urllib.request.urlopen(base + "/termvectors?doc=3"))
+    assert [(x["term"], x["tf"], x["df"]) for x in r["terms"]] == \
+        eng.term_vector(3)
+
+    r = json.load(urllib.request.urlopen(base + "/percentile?q=the&p=0.5"))
+    want = eng.field_percentile("the", q=0.5)
+    assert r["count"] == want["count"] and r["value"] == want["value"]
+
+
+def test_http_session5_routes_reject_bad_params(http_service):
+    """Every new route returns a clean 400 on malformed input, never a
+    500 or a hang."""
+    base = http_service
+    for path_qs in [
+        "/search?q=a&boost=nocolon",                # malformed boost spec
+        "/search?q=a&boost=x:0",                    # non-positive boost
+        "/search?q=a&boost=x:2&mode=phrase",        # boost needs or/and
+        "/search?q=a&slop=2",                       # slop needs phrase
+        "/search?q=a&slop=-1&mode=phrase",          # negative slop
+        "/collapse?q=a&k=-1",                       # negative k
+        "/collapse?q=a&mode=phrase",                # collapse or/and only
+        "/grouped?q=a&mode=lm",                     # grouped or/and only
+        "/rescore?q=a&mu=0",                        # mu must be > 0
+        "/rescore?q=a&window=-2",                   # negative window
+        "/corrected?q=a&dist=-1",                   # negative dist
+        "/relaxed?q=a&k=-3",                        # negative k
+        "/termvectors?doc=notanint",                # malformed doc id
+        "/percentile?q=a&p=0",                      # p out of (0, 1]
+        "/percentile?q=a&p=1.5",
+        "/percentile?q=a&mode=phrase",              # percentile or/and only
+    ]:
+        _expect_code(base, path_qs, 400)
