@@ -1038,6 +1038,110 @@ SELECT query_id, rk AS rank, doc_id, lm_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+RRF_K = 60
+
+
+def _q_bm25_rrf(sf_dir: str):
+    """Hybrid reciprocal-rank fusion (the ES/Lucene RRF retriever): the
+    BM25 and Dirichlet-QL rankings fuse by the shared integer rule
+    (``rrf_fuse``: ranks assigned in the e6 domain, contribution =
+    1e6 // (60 + rank), top-``RESCORE_WINDOW`` of each leg) — fused
+    scores are exact integer sums, bit-identical between the engine and
+    the SQL restatement.  Both phase rankings are brute-parity tested in
+    tests/test_rrf.py."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "rrf": []}
+    for qid, text in enumerate(DOC_QUERIES):
+        fused = eng.search_fused(text, k=TOPK, window=RESCORE_WINDOW,
+                                 k_rrf=RRF_K, mu=LM_MU)
+        for r, (d, s) in enumerate(fused, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+            rows["rrf"].append(s)
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_bm25_rrf() -> str:
+    """RRF oracle: the shared BM25 and LM bodies each rank in the e6
+    integer domain; the top-window ranks of each leg contribute the
+    exact integer 1e6 // (RRF_K + rank); the fused ranking orders
+    (rrf desc, doc asc)."""
+    mu = LM_MU
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+tt AS (SELECT sum(dl)::DOUBLE t FROM dl),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+cfv AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+bm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+lm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + tf.tf / ({mu!r} * (cfv.cf / tt.t)))
+              + ln({mu!r} / (dl.dl + {mu!r})) ) score
+  FROM q
+  JOIN cfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tt
+  GROUP BY 1, 2
+),
+bmrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM bm
+),
+lmrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM lm
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk) AS c
+  FROM bmrank WHERE rk <= {RESCORE_WINDOW}
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk)
+  FROM lmrank WHERE rk <= {RESCORE_WINDOW}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c)::BIGINT rrf FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id
+         ) rk
+  FROM fused
+)
+SELECT query_id, rk AS rank, doc_id, rrf FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_lm_topk() -> str:
     mu = LM_MU
     return f"""
@@ -4992,6 +5096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_rrf": _q_bm25_rrf,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
@@ -5923,6 +6028,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_collapse": _sql_bm25_collapse(),
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_rescore": _sql_bm25_rescore(),
+        "bm25_rrf": _sql_bm25_rrf(),
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
         "ts_percentiles": _sql_ts_percentiles(),

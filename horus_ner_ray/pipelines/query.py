@@ -103,6 +103,36 @@ def parse_boosts(spec: str) -> dict[str, float]:
     return out
 
 
+def rrf_fuse(rankings: list[list[tuple[int, float]]], k: int,
+             window: int = 50, k_rrf: int = 60) -> list[tuple[int, int]]:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of several
+    (doc_id, float score) rankings into one exact-INTEGER fused ranking.
+
+    THE one fusion rule, shared verbatim by the brute-force oracle, the
+    engine, the serving pool and the DuckDB oracle SQL:
+
+    * each input ranking is re-ranked in the e6 integer domain
+      (floor(score * 1e6 + 0.5) desc, doc_id asc) so rank assignment is
+      independent of float tie order between the two sides;
+    * the top-``window`` docs of each ranking contribute the exact
+      integer ``1_000_000 // (k_rrf + rank)`` (rank is 1-based) — the
+      classic 1/(k+r) scaled to e6 and floored, so fused scores are
+      order-free integer sums;
+    * fused ranking ties break (rrf desc, doc_id asc).
+
+    Inputs are expected to be PADDED fetches (>= window rows when that
+    many match) so the e6 re-rank's window boundary is stable — the same
+    3k+20 padding rule the driver's ``_e6_rerank`` uses.
+    """
+    rrf: dict[int, int] = {}
+    for hits in rankings:
+        order = sorted(
+            ((-(math.floor(s * 1e6 + 0.5)), d) for d, s in hits))
+        for rank, (_negs, d) in enumerate(order[:window], start=1):
+            rrf[d] = rrf.get(d, 0) + 1_000_000 // (k_rrf + rank)
+    return sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
 # ---------------------------------------------------------------------------
 # Oracle
 # ---------------------------------------------------------------------------
@@ -439,6 +469,17 @@ class BruteForceBM25:
             return []
         sc = self.lm_scores(text, [d for d, _ in win], mu=mu)
         return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_fused(self, text: str, k: int = 10, window: int = 50,
+                     k_rrf: int = 60,
+                     mu: float = 1000.0) -> list[tuple[int, int]]:
+        """Oracle hybrid ranking: reciprocal-rank fusion of the BM25 and
+        Dirichlet-QL rankings through the shared ``rrf_fuse`` rule.
+        Returns (doc_id, exact integer rrf score)."""
+        pad = window * 3 + 20
+        return rrf_fuse(
+            [self.search(text, k=pad), self.search_lm(text, k=pad, mu=mu)],
+            k=k, window=window)
 
     def match_count(self, text: str, mode: str = "or",
                     role: str | None = None,
@@ -1046,6 +1087,21 @@ class QueryEngine:
             return []
         sc = self.lm_scores(text, [d for d, _ in win], mu=mu)
         return sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_fused(self, text: str, k: int = 10, window: int = 50,
+                     k_rrf: int = 60,
+                     mu: float = 1000.0) -> list[tuple[int, int]]:
+        """Hybrid ranking (the ES/Lucene RRF retriever): fuse the BM25
+        and Dirichlet-QL rankings by reciprocal rank through the shared
+        ``rrf_fuse`` rule — both phase rankings are the engine's bitwise
+        brute-parity rankings, the fusion itself is exact integer
+        arithmetic, so the fused list is rank-identical to
+        ``BruteForceBM25.search_fused`` end to end.  Returns (doc_id,
+        integer rrf score)."""
+        pad = window * 3 + 20
+        return rrf_fuse(
+            [self.search(text, k=pad), self.search_lm(text, k=pad, mu=mu)],
+            k=k, window=window)
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms starting with ``prefix`` (sorted) — one

@@ -324,6 +324,25 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), "score": float(s)}
                 for r, (d, s) in enumerate(ranked)]
 
+    def fused(self, text: str, k: int = 10, window: int = 50,
+              k_rrf: int = 60) -> list[dict]:
+        """Hybrid RRF ranking through the pool: two ordinary scatters
+        (BM25 and mode=lm at the scorer-row default mu) feed the shared
+        ``rrf_fuse`` integer rule — rank-identical to
+        QueryEngine.search_fused / BruteForceBM25.search_fused at the
+        default mu."""
+        from horus_ner_ray.pipelines.query import rrf_fuse
+
+        pad = window * 3 + 20
+        a = self.search(text, k=pad)
+        b = self.search(text, k=pad, mode="lm")
+        fused = rrf_fuse(
+            [[(h["doc_id"], h["score"]) for h in a],
+             [(h["doc_id"], h["score"]) for h in b]],
+            k=k, window=window, k_rrf=k_rrf)
+        return [{"rank": r + 1, "doc_id": int(d), "rrf": int(s)}
+                for r, (d, s) in enumerate(fused)]
+
     def collapse(self, text: str, k: int = 10, field: str = "conv_id",
                  mode: str = "or") -> list[dict]:
         """Field collapsing: each subset ships its top-k collapsed
@@ -792,6 +811,28 @@ def make_http_server(
                     return
                 self._json({"query": text, "k": k, "window": win,
                             "hits": hits})
+                return
+            if u.path == "/fused":
+                # hybrid RRF ranking (BM25 + LM through rrf_fuse)
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    win = int((qs.get("window") or ["50"])[0])
+                    k_rrf = int((qs.get("k_rrf") or ["60"])[0])
+                    if k < 0 or win < 0 or k_rrf < 1:
+                        raise ValueError(
+                            "k/window must be >= 0 and k_rrf >= 1")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.fused(text, k=k, window=win, k_rrf=k_rrf)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "window": win,
+                            "k_rrf": k_rrf, "hits": hits})
                 return
             if u.path == "/collapse":
                 qs = parse_qs(u.query)

@@ -396,6 +396,11 @@ def test_http_session5_routes_match_engine(http_service, built_index):
     assert [(h["doc_id"], h["score"]) for h in r["hits"]] == \
         eng.rescore_lm("the session", k=5, window=20)
 
+    r = json.load(urllib.request.urlopen(
+        base + "/fused?q=the+session&k=5&window=20"))
+    assert [(h["doc_id"], h["rrf"]) for h in r["hits"]] == \
+        eng.search_fused("the session", k=5, window=20)
+
     r = json.load(urllib.request.urlopen(base + "/corrected?q=sessionnark&k=5"))
     terms, hits = eng.search_corrected("sessionnark", k=5)
     assert r["corrected"] == terms
@@ -430,6 +435,8 @@ def test_http_session5_routes_reject_bad_params(http_service):
         "/grouped?q=a&mode=lm",                     # grouped or/and only
         "/rescore?q=a&mu=0",                        # mu must be > 0
         "/rescore?q=a&window=-2",                   # negative window
+        "/fused?q=a&k_rrf=0",                       # k_rrf must be >= 1
+        "/fused?q=a&window=-2",                     # negative window
         "/corrected?q=a&dist=-1",                   # negative dist
         "/relaxed?q=a&k=-3",                        # negative k
         "/termvectors?doc=notanint",                # malformed doc id
