@@ -1040,6 +1040,44 @@ SELECT query_id, rk AS rank, doc_id, lm_e6 FROM ranked WHERE rk <= {TOPK}
 
 RRF_K = 60
 
+CHUNK_WINDOW, CHUNK_STRIDE = 32, 24
+
+
+def _q_chunked_docs(sf_dir: str):
+    """RAG-style token-window chunking: each document's token stream
+    (shared [a-z0-9]+ rule) splits into 32-token windows advancing by 24
+    (8-token overlap); chunk j covers tokens [j*24, min(j*24+32, dl)).
+    One streaming map_batches — tokenize + a single vectorized
+    overlap-window gather, no per-doc Python (stages/chunking.py).  The
+    SQL restates the rule with regexp_extract_all + generate_series +
+    1-based inclusive list slicing."""
+    from horus_ner_ray.stages.chunking import chunk_documents_dataset
+
+    df = chunk_documents_dataset(
+        _read_docs(sf_dir), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    ).to_pandas()
+    return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _sql_chunked_docs() -> str:
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_tok()} AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, (len(toks) + {s - 1}) // {s} - 1)) AS i
+  FROM tok
+)
+SELECT doc_id, i AS chunk_idx,
+       least(i*{s} + {w}, len(toks)) - i*{s} AS n_tokens,
+       array_to_string(toks[i*{s} + 1 : least(i*{s} + {w}, len(toks))], ' ')
+         AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""
+
 
 def _q_bm25_rrf(sf_dir: str):
     """Hybrid reciprocal-rank fusion (the ES/Lucene RRF retriever): the
@@ -5097,6 +5135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_rrf": _q_bm25_rrf,
+        "chunked_docs": _q_chunked_docs,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
@@ -6029,6 +6068,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_slop": _sql_bm25_phrase_slop(),
         "bm25_rescore": _sql_bm25_rescore(),
         "bm25_rrf": _sql_bm25_rrf(),
+        "chunked_docs": _sql_chunked_docs(),
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
         "ts_percentiles": _sql_ts_percentiles(),
