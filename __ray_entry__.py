@@ -1042,6 +1042,103 @@ RRF_K = 60
 
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24
 
+# recency function-score constants: NOW past every synth timestamp at any
+# sf, horizon wide enough that boosts vary across the corpus (10 years,
+# seconds granularity keeps boost_e6 * horizon_s far inside int64)
+RECENCY_NOW_US = 1_893_456_000_000_000   # 2030-01-01T00:00:00 epoch us
+RECENCY_HORIZON_S = 315_360_000          # 10 * 365 days
+RECENCY_BOOST_E6 = 5_000_000
+
+
+def _q_bm25_recency(sf_dir: str):
+    """Recency function-score (ES function_score linear decay): BM25
+    moves to the e6 integer domain and adds the shared integer decay
+    boost over the stored turn timestamp (pipelines/query.py
+    recency_boost_e6); ranking (final desc, doc asc) is exact-integer on
+    both sides, so top-k compares directly — no boundary padding.
+    Brute-force parity in tests/test_recency.py."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "doc_id": [], "score_e6": []}
+    for qid, q in enumerate(reference_queries()):
+        hits = eng.search_recency(q["text"], k=TOPK, now_us=RECENCY_NOW_US,
+                                  horizon_s=RECENCY_HORIZON_S,
+                                  boost_e6=RECENCY_BOOST_E6)
+        for r, (d, v) in enumerate(hits, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+            rows["score_e6"].append(v)
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_bm25_recency() -> str:
+    """Recency oracle: the shared transcripts BM25 body, then the exact
+    integer decay — age_s = max(now - ts, 0) // 1e6, boost =
+    boost_e6 * max(horizon_s - age_s, 0) // horizon_s — added to the e6
+    BM25 score before ranking."""
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    now, hz, be = RECENCY_NOW_US, RECENCY_HORIZON_S, RECENCY_BOOST_E6
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries([q["text"] for q in reference_queries()])}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+boosted AS (
+  SELECT sc.query_id, sc.doc_id,
+         CAST(FLOOR(sc.score * 1e6 + 0.5) AS BIGINT)
+         + (CASE WHEN dm.ts IS NULL THEN 0
+                 ELSE {be} * greatest(
+                        {hz} - (greatest({now} - epoch_us(dm.ts), 0) // 1000000),
+                        0) // {hz}
+            END) AS score_e6
+  FROM scored sc JOIN documents dm USING (doc_id)
+),
+ranked AS (
+  SELECT query_id, doc_id, score_e6,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
+         ) rk
+  FROM boosted
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
 
 def _q_chunked_docs(sf_dir: str):
     """RAG-style token-window chunking: each document's token stream
@@ -5136,6 +5233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
+        "bm25_recency": _q_bm25_recency,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
@@ -6069,6 +6167,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rescore": _sql_bm25_rescore(),
         "bm25_rrf": _sql_bm25_rrf(),
         "chunked_docs": _sql_chunked_docs(),
+        "bm25_recency": _sql_bm25_recency(),
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
         "ts_percentiles": _sql_ts_percentiles(),

@@ -103,6 +103,28 @@ def parse_boosts(spec: str) -> dict[str, float]:
     return out
 
 
+def recency_boost_e6(ts_us: int | None, now_us: int,
+                     horizon_s: int, boost_e6: int) -> int:
+    """THE integer recency-decay rule (ES ``function_score`` with a
+    linear decay), shared by the brute-force oracle, the engine's
+    vectorized path (parity-pinned in tests/test_recency.py) and the
+    DuckDB oracle SQL:
+
+        age_s  = max(now_us - ts_us, 0) // 1_000_000
+        boost  = boost_e6 * max(horizon_s - age_s, 0) // horizon_s
+
+    Exact integer arithmetic end to end (seconds granularity keeps
+    boost_e6 * horizon_s far inside int64); a missing timestamp boosts
+    by 0.  Future timestamps clamp to age 0 (full boost)."""
+    if ts_us is None:
+        return 0
+    age_s = max(now_us - int(ts_us), 0) // 1_000_000
+    fresh = horizon_s - age_s
+    if fresh <= 0:
+        return 0
+    return boost_e6 * fresh // horizon_s
+
+
 def rrf_fuse(rankings: list[list[tuple[int, float]]], k: int,
              window: int = 50, k_rrf: int = 60) -> list[tuple[int, int]]:
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of several
@@ -512,6 +534,23 @@ class BruteForceBM25:
                 if d in self.ts and self._passes(d, role, tool)]
         rows.sort(key=lambda tv: (tv[0] if ascending else -tv[0], tv[1]))
         return [(d, v) for v, d in rows[:k]]
+
+    def search_recency(self, text: str, k: int = 10, now_us: int = 0,
+                       horizon_s: int = 2_592_000,
+                       boost_e6: int = 5_000_000,
+                       mode: str = "or") -> list[tuple[int, int]]:
+        """Oracle function-score query: every match's BM25 score moves to
+        the e6 integer domain and adds the shared linear recency decay
+        (``recency_boost_e6``); ranking is (final_e6 desc, doc asc)."""
+        if horizon_s <= 0:
+            raise ValueError("horizon_s must be > 0")
+        ranked = self.search(text, self.n_docs + k, mode=mode)
+        rows = [(d, math.floor(s * 1e6 + 0.5)
+                 + recency_boost_e6(self.ts.get(d), now_us,
+                                    horizon_s, boost_e6))
+                for d, s in ranked]
+        rows.sort(key=lambda dv: (-dv[1], dv[0]))
+        return rows[:k]
 
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,
@@ -1736,6 +1775,54 @@ class QueryEngine:
         v = np.concatenate(vals_out)
         order = np.lexsort((d, v if ascending else -v))[:k]
         return [(int(d[i]), int(v[i])) for i in order]
+
+    def search_recency(self, text: str, k: int = 10, now_us: int = 0,
+                       horizon_s: int = 2_592_000,
+                       boost_e6: int = 5_000_000,
+                       mode: str = "or") -> list[tuple[int, int]]:
+        """Function-score query (ES ``function_score`` / Lucene
+        FunctionScoreQuery with a linear recency decay): every match's
+        BM25 score moves to the e6 integer domain and adds the shared
+        ``recency_boost_e6`` decay over the stored ``ts`` attribute —
+        newer docs rank higher, docs older than ``horizon_s`` (or with no
+        timestamp) keep their pure BM25 order.  The combined key is
+        computable per shard (global stats + shard-local attrs), so each
+        shard ships its exact local top-k in the COMBINED domain and the
+        merge stays exact — same argument as scored search.  Exact-rank
+        identical to ``BruteForceBM25.search_recency`` (integer fusion on
+        bitwise-equal BM25 floats)."""
+        if k <= 0:
+            return []
+        if horizon_s <= 0:
+            raise ValueError("horizon_s must be > 0")
+        terms, idfs = self._or_and_terms(text, mode)
+        if not terms:
+            return []
+        sentinel = np.iinfo(np.int64).min
+        dd: list[np.ndarray] = []
+        ff: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            p = self._scored_match_rows(si, terms, idfs, mode, "ts")
+            if p is None:
+                continue
+            ts, d, s = p
+            e6 = np.floor(s * 1e6 + 0.5).astype(np.int64)
+            valid = ts != sentinel
+            age = np.zeros(len(ts), dtype=np.int64)
+            np.subtract(now_us, ts, out=age, where=valid)
+            age_s = np.maximum(age, 0) // 1_000_000
+            fresh = np.maximum(horizon_s - age_s, 0)
+            fresh[~valid] = 0
+            final = e6 + (boost_e6 * fresh) // horizon_s
+            order = np.lexsort((d, -final))[:k]
+            dd.append(d[order])
+            ff.append(final[order])
+        if not dd:
+            return []
+        d = np.concatenate(dd)
+        f = np.concatenate(ff)
+        order = np.lexsort((d, -f))[:k]
+        return [(int(d[i]), int(f[i])) for i in order]
 
     def search_after(self, text: str, k: int = 10,
                      cursor: tuple[int, float] | None = None,
@@ -2963,6 +3050,17 @@ class ScorerActor:
         (value, doc_id) stays exact (doc-partitioned shards)."""
         return self.engine.search_sorted_by(text, k=k, field=field,
                                             ascending=ascending, mode=mode)
+
+    def search_recency(self, text: str, k: int = 10, now_us: int = 0,
+                       horizon_s: int = 2_592_000,
+                       boost_e6: int = 5_000_000,
+                       mode: str = "or") -> list[tuple[int, int]]:
+        """This subset's exact top-k in the combined (bm25 e6 + recency
+        boost) integer domain; the pool merge by (final desc, doc asc)
+        stays exact (doc-partitioned shards)."""
+        return self.engine.search_recency(text, k=k, now_us=now_us,
+                                          horizon_s=horizon_s,
+                                          boost_e6=boost_e6, mode=mode)
 
     def field_stats(self, text: str, field: str = "ts",
                     mode: str = "or") -> dict[str, int]:

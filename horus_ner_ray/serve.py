@@ -244,6 +244,20 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), field: int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def recency(self, text: str, k: int = 10, now_us: int = 0,
+                horizon_s: int = 2_592_000, boost_e6: int = 5_000_000,
+                mode: str = "or") -> list[dict]:
+        """Recency function-score through the pool: each subset ships its
+        exact local top-k in the combined integer domain, tiny merge —
+        row-identical to QueryEngine.search_recency."""
+        parts = self._call_all(
+            lambda a: a.search_recency.remote(text, k, now_us, horizon_s,
+                                              boost_e6, mode))
+        rows = [t for p in parts for t in p]
+        rows.sort(key=lambda dv: (-dv[1], dv[0]))
+        return [{"rank": r + 1, "doc_id": int(d), "score_e6": int(v)}
+                for r, (d, v) in enumerate(rows[:k])]
+
     def field_percentile(self, text: str, q: float = 0.5,
                          field: str = "ts", mode: str = "or",
                          n_buckets: int = 1024) -> dict:
@@ -833,6 +847,33 @@ def make_http_server(
                     return
                 self._json({"query": text, "k": k, "window": win,
                             "k_rrf": k_rrf, "hits": hits})
+                return
+            if u.path == "/recency":
+                # recency function-score (linear decay over stored ts)
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    now_us = int((qs.get("now") or ["0"])[0])
+                    horizon_s = int((qs.get("horizon") or ["2592000"])[0])
+                    boost_e6 = int((qs.get("boost_e6") or ["5000000"])[0])
+                    mode = (qs.get("mode") or ["or"])[0]
+                    if k < 0 or horizon_s <= 0 or boost_e6 < 0:
+                        raise ValueError(
+                            "k/boost_e6 must be >= 0 and horizon > 0")
+                    if mode not in ("or", "and"):
+                        raise ValueError("recency needs mode=or/and")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.recency(text, k=k, now_us=now_us,
+                                           horizon_s=horizon_s,
+                                           boost_e6=boost_e6, mode=mode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "hits": hits})
                 return
             if u.path == "/collapse":
                 qs = parse_qs(u.query)

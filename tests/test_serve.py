@@ -401,6 +401,13 @@ def test_http_session5_routes_match_engine(http_service, built_index):
     assert [(h["doc_id"], h["rrf"]) for h in r["hits"]] == \
         eng.search_fused("the session", k=5, window=20)
 
+    now_us = 1_750_000_000_000_000
+    r = json.load(urllib.request.urlopen(
+        base + f"/recency?q=the+session&k=5&now={now_us}&horizon=2592000"))
+    assert [(h["doc_id"], h["score_e6"]) for h in r["hits"]] == \
+        eng.search_recency("the session", k=5, now_us=now_us,
+                           horizon_s=2592000)
+
     r = json.load(urllib.request.urlopen(base + "/corrected?q=sessionnark&k=5"))
     terms, hits = eng.search_corrected("sessionnark", k=5)
     assert r["corrected"] == terms
@@ -437,6 +444,8 @@ def test_http_session5_routes_reject_bad_params(http_service):
         "/rescore?q=a&window=-2",                   # negative window
         "/fused?q=a&k_rrf=0",                       # k_rrf must be >= 1
         "/fused?q=a&window=-2",                     # negative window
+        "/recency?q=a&horizon=0",                   # horizon must be > 0
+        "/recency?q=a&mode=phrase",                 # recency or/and only
         "/corrected?q=a&dist=-1",                   # negative dist
         "/relaxed?q=a&k=-3",                        # negative k
         "/termvectors?doc=notanint",                # malformed doc id
