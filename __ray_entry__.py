@@ -1042,6 +1042,110 @@ RRF_K = 60
 
 CHUNK_WINDOW, CHUNK_STRIDE = 32, 24
 
+MMR_POOL, MMR_K, MMR_LAM10 = 15, 5, 7
+
+
+def _q_bm25_diverse(sf_dir: str):
+    """MMR result diversification: the e6-reranked BM25 top-15 pool
+    re-orders greedily by 0.7 * rank-relevance - 0.3 * max-Jaccard-to-
+    selected, all exact integers (pipelines/query.py mmr_select; brute
+    parity in tests/test_rrf.py).  The SQL unrolls the k-step greedy
+    selection as chained CTEs — each step an anti-joined argmax window
+    over the candidate pairs relation."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "doc_id": []}
+    for qid, text in enumerate(DOC_QUERIES):
+        picked = eng.search_diverse(text, k=MMR_K, pool_n=MMR_POOL,
+                                    lam10=MMR_LAM10)
+        for r, d in enumerate(picked, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_bm25_diverse() -> str:
+    lam, mal = MMR_LAM10, 10 - MMR_LAM10
+    steps = []
+    for s in range(2, MMR_K + 1):
+        steps.append(f""",
+p{s} AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id,
+         {lam} * c.rel_e6 - {mal} * max(p.sim_e6) AS mmr
+  FROM cand c
+  JOIN sel{s - 1} s0 ON s0.query_id = c.query_id
+  JOIN pairs p ON p.query_id = c.query_id AND p.da = c.doc_id
+              AND p.db = s0.doc_id
+  LEFT JOIN sel{s - 1} sx ON sx.query_id = c.query_id
+                         AND sx.doc_id = c.doc_id
+  WHERE sx.doc_id IS NULL
+  GROUP BY c.query_id, c.doc_id, c.rel_e6
+),
+sel{s} AS MATERIALIZED (
+  SELECT query_id, doc_id, rank FROM sel{s - 1}
+  UNION ALL
+  SELECT query_id, doc_id, {s} FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id) rn
+    FROM p{s}) WHERE rn = 1
+)""")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+scored AS MATERIALIZED (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+  SELECT query_id, doc_id, rn,
+         (({MMR_POOL} - rn + 1) * 1000000) // {MMR_POOL} AS rel_e6
+  FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id) rn
+    FROM scored)
+  WHERE rn <= {MMR_POOL}
+),
+dt AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_sql_tok()}) AS toks FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM cand)
+),
+pairs AS MATERIALIZED (
+  SELECT query_id, da, db,
+         CASE WHEN ua + ub - inter = 0 THEN 0
+              ELSE inter * 1000000 // (ua + ub - inter) END AS sim_e6
+  FROM (
+    SELECT ca.query_id, ca.doc_id da, cb.doc_id db,
+           len(list_intersect(ta.toks, tb.toks))::BIGINT AS inter,
+           len(ta.toks)::BIGINT ua, len(tb.toks)::BIGINT ub
+    FROM cand ca
+    JOIN cand cb ON ca.query_id = cb.query_id AND ca.doc_id <> cb.doc_id
+    JOIN dt ta ON ta.doc_id = ca.doc_id
+    JOIN dt tb ON tb.doc_id = cb.doc_id)
+),
+sel1 AS MATERIALIZED (SELECT query_id, doc_id, 1 AS rank FROM cand WHERE rn = 1){"".join(steps)}
+SELECT query_id, rank, doc_id FROM sel{MMR_K}
+"""
+
+
 # recency function-score constants: NOW past every synth timestamp at any
 # sf, horizon wide enough that boosts vary across the corpus (10 years,
 # seconds granularity keeps boost_e6 * horizon_s far inside int64)
@@ -5234,6 +5338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
         "bm25_recency": _q_bm25_recency,
+        "bm25_diverse": _q_bm25_diverse,
         "bm25_boosted": _q_bm25_boosted,
         "bm25_collapse": _q_bm25_collapse,
         "bm25_phrase_slop": _q_bm25_phrase_slop,
@@ -6168,6 +6273,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rrf": _sql_bm25_rrf(),
         "chunked_docs": _sql_chunked_docs(),
         "bm25_recency": _sql_bm25_recency(),
+        "bm25_diverse": _sql_bm25_diverse(),
         "bm25_corrected": _sql_bm25_corrected(),
         "doc_term_vectors": _sql_doc_term_vectors(),
         "ts_percentiles": _sql_ts_percentiles(),

@@ -125,6 +125,48 @@ def recency_boost_e6(ts_us: int | None, now_us: int,
     return boost_e6 * fresh // horizon_s
 
 
+def mmr_select(docs: list[int], toksets: dict[int, set[str]], k: int,
+               pool_n: int, lam10: int = 7) -> list[int]:
+    """THE maximal-marginal-relevance selection rule (Carbonell &
+    Goldstein MMR), shared by the brute-force oracle, the engine and the
+    DuckDB oracle SQL — exact integer arithmetic end to end:
+
+    * ``docs`` is the candidate pool in e6-domain relevance order
+      (best first, already truncated to ``pool_n``); candidate at
+      0-based rank i has ``rel_e6 = (pool_n - i) * 1_000_000 // pool_n``
+      (rank-based relevance — float BM25 never enters the blend);
+    * pairwise similarity is exact integer Jaccard over DISTINCT token
+      sets: ``|A ∩ B| * 1_000_000 // |A ∪ B|``;
+    * greedy: seed with the top candidate, then repeatedly take the
+      argmax of ``lam10 * rel_e6 - (10 - lam10) * max_sim_to_selected``
+      (ties: doc_id asc) until ``k`` picked or the pool is dry.
+    """
+    if not docs or k <= 0:
+        return []
+    rel = {d: (pool_n - i) * 1_000_000 // pool_n for i, d in enumerate(docs)}
+
+    def jac(a: int, b: int) -> int:
+        sa, sb = toksets[a], toksets[b]
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        return inter * 1_000_000 // union if union else 0
+
+    selected = [docs[0]]
+    remaining = docs[1:]
+    while remaining and len(selected) < k:
+        best_key = None
+        best_doc = None
+        for d in remaining:
+            ms = max(jac(d, s) for s in selected)
+            mmr = lam10 * rel[d] - (10 - lam10) * ms
+            key = (-mmr, d)
+            if best_key is None or key < best_key:
+                best_key, best_doc = key, d
+        selected.append(best_doc)
+        remaining.remove(best_doc)
+    return selected
+
+
 def rrf_fuse(rankings: list[list[tuple[int, float]]], k: int,
              window: int = 50, k_rrf: int = 60) -> list[tuple[int, int]]:
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of several
@@ -502,6 +544,18 @@ class BruteForceBM25:
         return rrf_fuse(
             [self.search(text, k=pad), self.search_lm(text, k=pad, mu=mu)],
             k=k, window=window)
+
+    def search_diverse(self, text: str, k: int = 10, pool_n: int = 15,
+                       lam10: int = 7, mode: str = "or") -> list[int]:
+        """Oracle MMR diversification: e6-reranked BM25 top-``pool_n``
+        candidates through the shared ``mmr_select`` integer rule; token
+        sets come from the oracle's own tokenized corpus."""
+        hits = self.search(text, k=pool_n * 3 + 20, mode=mode)
+        order = sorted(
+            ((-(math.floor(s * 1e6 + 0.5)), d) for d, s in hits))[:pool_n]
+        docs = [d for _s, d in order]
+        toksets = {d: set(self.doc_tokens.get(d, ())) for d in docs}
+        return mmr_select(docs, toksets, k, pool_n, lam10)
 
     def match_count(self, text: str, mode: str = "or",
                     role: str | None = None,
@@ -1141,6 +1195,27 @@ class QueryEngine:
         return rrf_fuse(
             [self.search(text, k=pad), self.search_lm(text, k=pad, mu=mu)],
             k=k, window=window)
+
+    def search_diverse(self, text: str, k: int = 10, pool_n: int = 15,
+                       lam10: int = 7, mode: str = "or") -> list[int]:
+        """MMR result diversification (Carbonell & Goldstein; Lucene's
+        diversified-top-docs shape): the e6-reranked BM25 top-``pool_n``
+        re-orders greedily by ``lam10/10 * rank-relevance - (1 -
+        lam10/10) * max-Jaccard-to-selected`` through the shared exact-
+        integer ``mmr_select`` rule.  Candidate token sets come from the
+        stored forward stream (``term_vector``), which reproduces the
+        shared tokenizer rule exactly — so the whole selection is
+        deterministic integer arithmetic and exact-rank identical to
+        ``BruteForceBM25.search_diverse``.  The pool stays tiny
+        (``pool_n`` docs), so diversification costs ``pool_n`` point
+        reads regardless of corpus size."""
+        hits = self.search(text, k=pool_n * 3 + 20, mode=mode)
+        order = sorted(
+            ((-(math.floor(s * 1e6 + 0.5)), d) for d, s in hits))[:pool_n]
+        docs = [d for _s, d in order]
+        toksets = {d: {t for t, _tf, _df in self.term_vector(d)}
+                   for d in docs}
+        return mmr_select(docs, toksets, k, pool_n, lam10)
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """All dictionary terms starting with ``prefix`` (sorted) — one
