@@ -5227,6 +5227,38 @@ def _q_pmi_top(sf_dir: str):
                      top_k=100)
 
 
+def _q_term_pagerank(sf_dir: str):
+    """TextRank keywords (stages/graph.py term_pagerank): weighted
+    PageRank over the df-filtered document co-occurrence graph, 5
+    exact-integer fixed-point iterations (contributions are single
+    HUGEINT-safe floor divisions, order-free sums), arcs checkpointed to
+    Parquet so iterations never re-tokenize, rank vector O(vocab)
+    broadcast per round.  ORACLE: the recurrence unrolled as 5 chained
+    MATERIALIZED CTEs over the same pair derivation as pmi_top."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.graph import term_pagerank
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return term_pagerank(docs, min_df=2, max_df_ratio=0.9, min_pair_count=2,
+                         n_iter=5, top_k=100)
+
+
+def _q_cooc_triangles(sf_dir: str):
+    """Triangle census of the co-occurrence graph (stages/graph.py
+    cooc_triangles): sorted packed edge keys broadcast once, per-batch
+    searchsorted neighbor-range intersection — each triangle counted at
+    its least edge.  ORACLE: three-way self-join with ta < tb < tc."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.graph import cooc_triangles
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return cooc_triangles(docs, min_df=2, max_df_ratio=0.9, min_pair_count=2)
+
+
 def _q_rolling_windows(sf_dir: str):
     """5-row moving aggregates per user ordered by (ts, event_id)
     (stages/analytic.py rolling_aggregates_dataset): exact int rolling sum
@@ -5335,6 +5367,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "term_pagerank": _q_term_pagerank,
+        "cooc_triangles": _q_cooc_triangles,
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
         "bm25_recency": _q_bm25_recency,
@@ -6218,6 +6252,76 @@ _SQL_CONLL = """
            'sentence' AS role, text, tags
     FROM sent
 """
+
+
+_SQL_COOC_EDGES = """
+    toks AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({tok}) AS term FROM documents)
+    ),
+    dfv AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    kept AS (
+      SELECT term FROM dfv
+      WHERE df >= 2
+        AND df <= FLOOR(0.9 * (SELECT count(*) FROM documents))
+    ),
+    kt AS (SELECT t.doc_id, t.term FROM toks t JOIN kept k USING (term)),
+    p AS MATERIALIZED (
+      SELECT a.term AS ta, b.term AS tb, count(*)::BIGINT AS c
+      FROM kt a JOIN kt b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+      HAVING count(*) >= 2
+    )"""
+
+
+def _sql_term_pagerank(n_iter: int = 5, top_k: int = 100) -> str:
+    """The exact-integer PageRank recurrence of stages/graph.py unrolled
+    as chained CTEs over the pmi_top pair derivation.  MATERIALIZED is
+    load-bearing: DuckDB inlines CTEs by default and would re-execute the
+    multi-referenced rank chain exponentially (the pq_codes lesson)."""
+    head = _SQL_COOC_EDGES + """,
+    arcs AS MATERIALIZED (
+      SELECT ta AS src, tb AS dst, c FROM p
+      UNION ALL
+      SELECT tb AS src, ta AS dst, c FROM p
+    ),
+    w AS MATERIALIZED (
+      SELECT src, CAST(SUM(c) AS HUGEINT) AS wsum FROM arcs GROUP BY src
+    ),
+    r0 AS MATERIALIZED (
+      SELECT src AS node, CAST(1000000000 AS HUGEINT) AS r FROM w
+    )"""
+    iters = "".join(f""",
+    r{i} AS MATERIALIZED (
+      SELECT a.dst AS node,
+             CAST(150000000 AS HUGEINT)
+             + SUM((85 * a.c * r.r) // (100 * w.wsum)) AS r
+      FROM arcs a
+      JOIN r{i - 1} r ON r.node = a.src
+      JOIN w ON w.src = a.src
+      GROUP BY a.dst
+    )""" for i in range(1, n_iter + 1))
+    return ("WITH " + head + iters + f"""
+    SELECT node AS term, CAST(r AS BIGINT) AS rank_e9
+    FROM r{n_iter}
+    ORDER BY rank_e9 DESC, term
+    LIMIT {top_k}
+    """).replace("{tok}", _sql_tok())
+
+
+def _sql_cooc_triangles() -> str:
+    """Triangle census: each triangle ta < tb < tc counted once via the
+    (e1, e2, e3) = ((a,b), (a,c), (b,c)) three-way self-join."""
+    return ("WITH " + _SQL_COOC_EDGES + """
+    SELECT
+      (SELECT count(*) FROM (SELECT ta AS t FROM p
+                             UNION SELECT tb FROM p)) ::BIGINT AS n_nodes,
+      (SELECT count(*) FROM p)::BIGINT AS n_edges,
+      (SELECT count(*) FROM p e1
+         JOIN p e2 ON e2.ta = e1.ta AND e2.tb > e1.tb
+         JOIN p e3 ON e3.ta = e1.tb AND e3.tb = e2.tb)::BIGINT
+        AS n_triangles
+    """).replace("{tok}", _sql_tok())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7131,6 +7235,8 @@ def oracle_sql() -> dict[str, str]:
                           * 1e6 + 0.5) AS BIGINT) AS cume_e6
             FROM e
         """,
+        "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
+        "cooc_triangles": _sql_cooc_triangles(),
         "pmi_top": """
             WITH toks AS (
               SELECT DISTINCT doc_id, term FROM (
