@@ -5259,6 +5259,26 @@ def _q_cooc_triangles(sf_dir: str):
     return cooc_triangles(docs, min_df=2, max_df_ratio=0.9, min_pair_count=2)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Duplicated k-gram spans (stages/dupspans.py): exact-substring dedup
+    statistic at 4-gram granularity — per doc, how many start positions
+    carry a corpus-duplicated 4-gram and the longest consecutive run
+    (= longest duplicated substring, Lee et al. 2022).  Salted replicate
+    membership + vectorized gaps-and-islands.  ORACLE: list-sliced
+    k-grams, HAVING count>=2, row_number gaps-and-islands."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
+    from horus_ner_ray.stages.dupspans import dup_span_stats
+
+    n = _n_rows(str(Path(sf_dir) / "documents.parquet"))
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return dup_span_stats(docs, k=4, min_count=2,
+                          n_buckets=buckets_for_rows(n),
+                          n_salts=salts_for_rows(n))
+
+
 def _q_rolling_windows(sf_dir: str):
     """5-row moving aggregates per user ordered by (ts, event_id)
     (stages/analytic.py rolling_aggregates_dataset): exact int rolling sum
@@ -5369,6 +5389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
+        "dup_spans": _q_dup_spans,
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
         "bm25_recency": _q_bm25_recency,
@@ -7237,6 +7258,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
         "cooc_triangles": _sql_cooc_triangles(),
+        "dup_spans": """
+            WITH toks AS (SELECT doc_id, {tok} AS ts FROM documents),
+            posi AS (
+              SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts) - 3)) AS i
+              FROM toks
+            ),
+            pos AS MATERIALIZED (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(ts[i:i+3], ' ') AS kg
+              FROM posi
+            ),
+            dupkg AS MATERIALIZED (
+              SELECT kg FROM pos GROUP BY kg HAVING count(*) >= 2
+            ),
+            dup AS MATERIALIZED (
+              SELECT p.doc_id, p.pos FROM pos p JOIN dupkg USING (kg)
+            ),
+            tot AS (
+              SELECT doc_id, greatest(len(ts) - 3, 0) AS total FROM toks
+            ),
+            runs AS (
+              SELECT doc_id,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+              FROM dup
+            ),
+            rlen AS (
+              SELECT doc_id, grp, count(*) AS rl
+              FROM runs GROUP BY doc_id, grp
+            )
+            SELECT a.doc_id,
+                   any_value(t.total)::BIGINT AS total_kgrams,
+                   count(*)::BIGINT AS dup_kgrams,
+                   (SELECT max(rl) FROM rlen r
+                    WHERE r.doc_id = a.doc_id)::BIGINT AS max_dup_run
+            FROM dup a JOIN tot t USING (doc_id)
+            GROUP BY a.doc_id
+            ORDER BY a.doc_id
+        """.replace("{tok}", _sql_tok()),
         "pmi_top": """
             WITH toks AS (
               SELECT DISTINCT doc_id, term FROM (
