@@ -55,6 +55,14 @@ MLT_TERMS = 5
 FUZZY_QUERIES = ["batck join", "scann", "streem filtr", "qzqzq"]
 # infix substring patterns over the dictionary ('usto' -> customer, ...)
 INFIX_QUERIES = ["usto", "art", "zzz"]
+# stem-expansion queries: plurals stem to corpus singulars (queries ->
+# query, tables -> table, ...); 'bus'/'class' exercise the us/ss guards
+STEM_QUERIES = ["queries tables", "sorts merges windows",
+                "customers streams", "bus class"]
+# span-first queries scored with the first_n=5 position gate
+FIRST_QUERIES = ["window merge", "customer query sort", "the big table",
+                 "zzzqnotfound"]
+FIRST_N = 5
 # 'did you mean' queries: absent terms rewrite to their best suggestion
 # (distance asc, df desc, term asc); qqqqqqzz has no dist<=2 neighborhood
 CORRECTED_QUERIES = ["batcj joib", "custoner slww", "merge streajm",
@@ -265,6 +273,35 @@ def _q_bm25_topk_prefix(sf_dir: str):
 
     eng = QueryEngine(_doc_index_dir(sf_dir))
     hits = [eng.search_prefix(t, TOPK * 3 + 20) for t in PREFIX_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_stemmed(sf_dir: str):
+    """Stem-expansion search (QueryEngine.search_stemmed): each query
+    term's S-stem selects every dictionary term sharing that stem (the
+    vocab stem table is engine state, one vectorized pass); the union
+    scores as plain OR.  ORACLE: the same three-rule CASE expression
+    stems BOTH the dfv dictionary and the raw query-term VALUES in SQL,
+    so the expansion rule itself is checked."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_stemmed(t, TOPK * 3 + 20) for t in STEM_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_span_first(sf_dir: str):
+    """Span-first search (QueryEngine.search_span_first, Lucene
+    SpanFirstQuery as a filter): only docs where some query term occurs
+    within the first FIRST_N token positions survive (first occurrence
+    read straight from the positional index); survivors score as plain
+    OR, stats global.  ORACLE: EXISTS over the list-sliced first-N token
+    stream."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_span_first(t, TOPK * 3 + 20, first_n=FIRST_N)
+            for t in FIRST_QUERIES]
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
@@ -5390,6 +5427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
+        "bm25_stemmed": _q_bm25_stemmed,
+        "bm25_span_first": _q_bm25_span_first,
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
         "bm25_recency": _q_bm25_recency,
@@ -5689,6 +5728,57 @@ def _sql_bm25_prefix() -> str:
             parts.append(
                 f"SELECT {qid} AS query_id, term FROM dfv WHERE term LIKE '{p}%'")
     return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_stem_case(col: str) -> str:
+    """The Harman S-stemmer as a SQL CASE — the VERBATIM twin of
+    horus_ner_ray.pipelines.query.s_stem (three ordered suffix rules with
+    the same exception endings); change both or neither."""
+    return f"""CASE
+      WHEN {col} LIKE '%ies' AND {col} NOT LIKE '%eies'
+           AND {col} NOT LIKE '%aies'
+        THEN substr({col}, 1, length({col}) - 3) || 'y'
+      WHEN {col} LIKE '%es' AND {col} NOT LIKE '%aes'
+           AND {col} NOT LIKE '%ees' AND {col} NOT LIKE '%oes'
+        THEN substr({col}, 1, length({col}) - 1)
+      WHEN {col} LIKE '%s' AND {col} NOT LIKE '%us'
+           AND {col} NOT LIKE '%ss'
+        THEN substr({col}, 1, length({col}) - 1)
+      ELSE {col} END"""
+
+
+def _sql_bm25_stemmed() -> str:
+    """Stem-expansion oracle: per query, the term set is every dfv term
+    whose SQL-stem appears among the SQL-stems of the query's raw term
+    VALUES — both sides of the stem rule run in SQL, so the rule itself
+    is checked (the search_corrected precedent)."""
+    import re
+
+    parts: list[str] = []
+    for qid, text in enumerate(STEM_QUERIES):
+        raw = sorted(set(re.findall(_TOKRE, text.lower())))
+        vals = ", ".join(f"('{t}')" for t in raw)
+        parts.append(f"""SELECT {qid} AS query_id, term FROM dfv
+            WHERE ({_sql_stem_case('term')}) IN (
+              SELECT {_sql_stem_case('w')}
+              FROM (VALUES {vals}) qr(w))""")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
+def _sql_bm25_span_first() -> str:
+    """Span-first oracle: the standard OR scoring body plus a rank-time
+    EXISTS over the first-FIRST_N token stream (1-based inclusive list
+    slice of the shared tokenizer's output) — mask before top-k, stats
+    global, exactly the engine's filter point."""
+    pre = f"""firstpos AS (
+      SELECT doc_id, unnest(({_sql_tok()})[1:{FIRST_N}]) AS term
+      FROM documents
+    ), """
+    extra = ("EXISTS (SELECT 1 FROM firstpos fp JOIN q q2 "
+             "ON q2.term = fp.term WHERE q2.query_id = scored.query_id "
+             "AND fp.doc_id = scored.doc_id)")
+    return _sql_bm25(FIRST_QUERIES, conjunctive=False, pre=pre,
+                     extra_where=extra)
 
 
 def _sql_bm25_snippets() -> str:
@@ -7258,6 +7348,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
         "cooc_triangles": _sql_cooc_triangles(),
+        "bm25_stemmed": _sql_bm25_stemmed(),
+        "bm25_span_first": _sql_bm25_span_first(),
         "dup_spans": """
             WITH toks AS (SELECT doc_id, {tok} AS ts FROM documents),
             posi AS (

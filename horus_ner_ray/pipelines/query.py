@@ -76,6 +76,22 @@ def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
     return sorted(lits), sorted(pres)
 
 
+def s_stem(w: str) -> str:
+    """Harman S-stemmer (the light plural stemmer of classic IR): three
+    ordered suffix rules — ies->y (unless -eies/-aies), -es drops the s
+    (unless -aes/-ees/-oes), -s drops (unless -us/-ss).  Shared VERBATIM
+    by QueryEngine.search_stemmed, BruteForceBM25 and the DuckDB oracle's
+    CASE expression (__ray_entry__._sql_stem_case) — change all three or
+    none."""
+    if w.endswith("ies") and not w.endswith(("eies", "aies")):
+        return w[:-3] + "y"
+    if w.endswith("es") and not w.endswith(("aes", "ees", "oes")):
+        return w[:-1]
+    if w.endswith("s") and not w.endswith(("us", "ss")):
+        return w[:-1]
+    return w
+
+
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -687,6 +703,35 @@ class BruteForceBM25:
         for sub in query_terms(text):
             sel.update(t for t in self.postings if sub in t)
         return self._score_term_set(sorted(sel), k)
+
+    def search_stemmed(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Oracle stem-expansion search: every vocabulary term whose
+        S-stem equals the S-stem of any query term joins the union
+        (query-time stemming over an unstemmed index); OR scoring."""
+        qstems = {s_stem(t) for t in query_terms(text)}
+        sel = sorted(t for t in self.postings if s_stem(t) in qstems)
+        return self._score_term_set(sel, k)
+
+    def search_span_first(self, text: str, k: int = 10,
+                          first_n: int = 8) -> list[tuple[int, float]]:
+        """Oracle span-first search (Lucene SpanFirstQuery as a filter):
+        a doc matches iff any of its first ``first_n`` tokens is a query
+        term; survivors score as plain OR over full term frequencies
+        (mask before top-k, stats global — the field-filter contract)."""
+        tset = set(query_terms(text))
+        terms = sorted(t for t in tset if t in self.postings)
+        if not terms or first_n <= 0:
+            return []
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                if d in self.deleted:
+                    continue
+                if not any(w in tset for w in self.doc_tokens[d][:first_n]):
+                    continue
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def suggest(self, word: str, k: int = 5,
                 max_dist: int = 2) -> list[tuple[str, int, int]]:
@@ -1415,6 +1460,103 @@ class QueryEngine:
         for p in prefixes:
             expanded.update(self.expand_prefix(p))
         return self._search_terms(sorted(expanded), k)
+
+    def _vocab_stems(self) -> np.ndarray:
+        """S-stem of every dictionary term, computed once per engine with
+        vectorized pandas string kernels (masks mirror the sequential
+        rule order of ``s_stem`` exactly)."""
+        cached = getattr(self, "_stems_cache", None)
+        if cached is None:
+            vs = pd.Series(self._vocab, dtype=object).astype(str)
+            m1 = (vs.str.endswith("ies") & ~vs.str.endswith("eies")
+                  & ~vs.str.endswith("aies"))
+            m2 = (~m1 & vs.str.endswith("es") & ~vs.str.endswith("aes")
+                  & ~vs.str.endswith("ees") & ~vs.str.endswith("oes"))
+            m3 = (~m1 & ~m2 & vs.str.endswith("s") & ~vs.str.endswith("us")
+                  & ~vs.str.endswith("ss"))
+            st = vs.copy()
+            st[m1] = vs[m1].str[:-3] + "y"
+            st[m2] = vs[m2].str[:-1]
+            st[m3] = vs[m3].str[:-1]
+            cached = st.to_numpy(object)
+            self._stems_cache = cached
+        return cached
+
+    def search_stemmed(self, text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Stem-expansion search (query-time stemming over an unstemmed
+        index — Lucene's analyzer-at-query-time pattern without reindex):
+        each query term's S-stem selects every dictionary term sharing
+        that stem; the union scores as a plain OR query (ascending-term
+        accumulation, bitwise oracle-identical).  The vocab stem table is
+        engine state, computed once (``_vocab_stems``)."""
+        qstems = {s_stem(t) for t in query_terms(text)}
+        if not qstems:
+            return []
+        stems = self._vocab_stems()
+        hit = pd.Series(stems, dtype=object).isin(qstems).to_numpy(bool)
+        return self._search_terms(
+            sorted(str(t) for t in self._vocab[hit]), k)
+
+    def search_span_first(self, text: str, k: int = 10,
+                          first_n: int = 8) -> list[tuple[int, float]]:
+        """Span-first search (Lucene SpanFirstQuery as a filter): the
+        match set is restricted to docs where SOME query term occurs
+        within the first ``first_n`` token positions (first occurrence
+        straight from the positional index — per-doc position lists are
+        ascending, so one gather per term suffices); survivors score as
+        plain OR over full term frequencies.  Mask before top-k, stats
+        global — the field-filter contract.  Requires
+        cfg.with_positions."""
+        terms = sorted({t for t in query_terms(text)
+                        if self.global_df(t) > 0})
+        if not terms or first_n <= 0:
+            return []
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in terms}
+        scores: dict[int, float] = {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            cand_parts: list[np.ndarray] = []
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                if len(d_arr) == 0:
+                    continue
+                dec[t] = (d_arr, tf_arr)
+                flat, offs = r.positions(ti, tf_arr)
+                firsts = flat[offs[:len(d_arr)]]
+                sel = d_arr[firsts < first_n]
+                if len(sel):
+                    cand_parts.append(sel)
+            if not cand_parts:
+                continue
+            cand = np.unique(np.concatenate(cand_parts))
+            lm = self._live_mask(si)
+            if lm is not None:
+                docids = np.asarray(r.docids)
+                cand = cand[lm[np.searchsorted(docids, cand)]]
+                if len(cand) == 0:
+                    continue
+            dls = r.doc_length(cand).astype(np.float64)
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in terms:  # ascending-term accumulation (determinism)
+                if t not in dec:
+                    continue
+                d_arr, tf_arr = dec[t]
+                jj = np.minimum(np.searchsorted(d_arr, cand), len(d_arr) - 1)
+                ok = d_arr[jj] == cand
+                if not ok.any():
+                    continue
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (
+                    1.0 - self.b + self.b * dls / self.avgdl)
+                contrib = idfs[t] * (tff * (self.k1 + 1.0)) / denom
+                acc[ok] += contrib[ok]
+            for doc, s in zip(cand, acc):
+                scores[int(doc)] = float(s)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def _search_terms(self, terms: list[str],
                       k: int) -> list[tuple[int, float]]:
@@ -3197,7 +3339,7 @@ class ScorerActor:
                 hits = self.engine.search_after(
                     row.text, int(row.k), mode=mode,
                     cursor=(int(after_doc), float(row.after_score)))
-            elif mode in ("prefix", "fuzzy", "contains", "regex"):
+            elif mode in ("prefix", "fuzzy", "contains", "regex", "stemmed"):
                 # dictionary-expansion modes: field filters don't compose
                 # (fail loudly rather than silently ignoring a filter)
                 if role or tool or exclude:
@@ -3207,8 +3349,19 @@ class ScorerActor:
                 fn = {"prefix": self.engine.search_prefix,
                       "fuzzy": self.engine.search_fuzzy,
                       "contains": self.engine.search_contains,
-                      "regex": self.engine.search_regex}[mode]
+                      "regex": self.engine.search_regex,
+                      "stemmed": self.engine.search_stemmed}[mode]
                 hits = fn(row.text, int(row.k))
+            elif mode == "first":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='first' does not compose with role/tool/"
+                        "exclude filters")
+                fn_ = getattr(row, "first_n", None)
+                fn_ = 8 if fn_ is None or (isinstance(fn_, float)
+                                           and fn_ != fn_) else int(fn_)
+                hits = self.engine.search_span_first(row.text, int(row.k),
+                                                     first_n=fn_)
             elif mode == "boolean":
                 if role or tool:
                     raise ValueError(

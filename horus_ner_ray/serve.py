@@ -93,7 +93,8 @@ class QueryService:
                should: str | None = None,
                min_should_match: int = 0,
                boost: str | None = None,
-               slop: int = 0) -> list[dict]:
+               slop: int = 0,
+               first_n: int = 8) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -109,7 +110,7 @@ class QueryService:
               "tool": tool or "", "exclude": exclude or "",
               "window": int(window), "should": should or "",
               "msm": int(min_should_match), "boost": boost or "",
-              "slop": int(slop),
+              "slop": int(slop), "first_n": int(first_n),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -160,6 +161,7 @@ class QueryService:
                 "msm": int(e.get("msm", 0)),
                 "boost": e.get("boost") or "",
                 "slop": int(e.get("slop", 0)),
+                "first_n": int(e.get("first_n", 8)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -457,10 +459,14 @@ def make_http_server(
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
     GET /search?q=<text>&k=<int>
-    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm|regex]
+    [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm|regex|
+     stemmed|first]
     (mode=lm ranks by Dirichlet-smoothed query likelihood instead of
     BM25 — the pluggable second similarity; mode=regex expands each
-    whitespace-separated pattern over the dictionary, anchored)
+    whitespace-separated pattern over the dictionary, anchored;
+    mode=stemmed unions dictionary terms sharing each query term's
+    S-stem; mode=first&first_n=N keeps only docs where a query term
+    occurs in the first N token positions)
     GET /fieldstats?q=<text>[&mode=or|and][&field=ts] -> count/min/max/
     floor-mean of the stored attribute over the match set.
     [&role=][&tool=][&exclude=][&window=][&should=][&boost=term:2,b:0.5]
@@ -932,7 +938,7 @@ def make_http_server(
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains", "lm",
-                                    "regex"):
+                                    "regex", "stemmed", "first"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -948,7 +954,7 @@ def make_http_server(
                 req_tool = (qs.get("tool") or [""])[0] or None
                 req_exclude = (qs.get("exclude") or [""])[0] or None
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
-                                "regex") and (
+                                "regex", "stemmed", "first") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "
@@ -966,6 +972,12 @@ def make_http_server(
                     raise ValueError(f"slop must be >= 0, got {req_slop}")
                 if req_slop and req_mode != "phrase":
                     raise ValueError("slop= requires mode=phrase")
+                req_first_n = int((qs.get("first_n") or ["8"])[0])
+                if req_first_n < 0:
+                    raise ValueError(
+                        f"first_n must be >= 0, got {req_first_n}")
+                if qs.get("first_n") and req_mode != "first":
+                    raise ValueError("first_n= requires mode=first")
                 req_boost = (qs.get("boost") or [""])[0] or None
                 if req_boost:
                     if req_mode not in ("or", "and"):
@@ -996,7 +1008,8 @@ def make_http_server(
                                       exclude=req_exclude, window=req_window,
                                       after=after, should=req_should,
                                       min_should_match=req_msm,
-                                      boost=req_boost, slop=req_slop)
+                                      boost=req_boost, slop=req_slop,
+                                      first_n=req_first_n)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return
