@@ -5316,6 +5316,25 @@ def _q_dup_spans(sf_dir: str):
                           n_salts=salts_for_rows(n))
 
 
+_BPE_MERGES = 8
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Full BPE tokenizer training (stages/bpe.py): distributed word-type
+    counts, then the iterative merge loop on the vocab-bounded type table
+    — best pair by (count desc, left, right), merges applied as
+    non-overlapping left-to-right replaces on space-sentineled
+    segmentations.  ORACLE: the identical loop unrolled as chained
+    MATERIALIZED CTEs (SQL replace() shares the scan semantics)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.bpe import bpe_train
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return bpe_train(docs, n_merges=_BPE_MERGES)
+
+
 def _q_rolling_windows(sf_dir: str):
     """5-row moving aggregates per user ordered by (ts, event_id)
     (stages/analytic.py rolling_aggregates_dataset): exact int rolling sum
@@ -5428,6 +5447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
         "bm25_stemmed": _q_bm25_stemmed,
+        "bpe_merges": _q_bpe_merges,
         "bm25_span_first": _q_bm25_span_first,
         "bm25_rrf": _q_bm25_rrf,
         "chunked_docs": _q_chunked_docs,
@@ -6420,6 +6440,52 @@ def _sql_term_pagerank(n_iter: int = 5, top_k: int = 100) -> str:
     """).replace("{tok}", _sql_tok())
 
 
+def _sql_bpe_merges(n_merges: int) -> str:
+    """The BPE merge loop of stages/bpe.py unrolled: each round counts
+    adjacent symbol pairs over the current segmentations (list-indexed,
+    the dup_spans position pattern), picks the best by
+    (count desc, left, right), and rewrites segs with the same
+    non-overlapping left-to-right ``replace()``.  MATERIALIZED is
+    load-bearing (the pq_codes lesson)."""
+    head = f"""
+    words AS MATERIALIZED (
+      SELECT term AS w, count(*)::BIGINT AS n
+      FROM (SELECT unnest({_sql_tok()}) AS term FROM documents)
+      GROUP BY term
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT n, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS seg
+      FROM words
+    )"""
+    steps = []
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+    pos{i} AS (
+      SELECT n, ts, unnest(generate_series(1, len(ts) - 1)) AS j
+      FROM (SELECT n, string_split(trim(seg), ' ') AS ts FROM seg{i - 1})
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT ts[j] AS l, ts[j + 1] AS r, SUM(n)::BIGINT AS c
+      FROM pos{i} GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT {i}::BIGINT AS step, l, r, c FROM p{i}
+      ORDER BY c DESC, l, r LIMIT 1
+    ),
+    seg{i} AS MATERIALIZED (
+      SELECT n, replace(seg,
+        ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}) || ' ',
+        ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS seg
+      FROM seg{i - 1}
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{i}"
+                               for i in range(1, n_merges + 1))
+    return ("WITH " + head + "".join(steps) + f"""
+    SELECT step, l AS "left", r AS "right", c AS pair_count
+    FROM ({union}) ORDER BY step
+    """)
+
+
 def _sql_cooc_triangles() -> str:
     """Triangle census: each triangle ta < tb < tc counted once via the
     (e1, e2, e3) = ((a,b), (a,c), (b,c)) three-way self-join."""
@@ -7349,6 +7415,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
         "cooc_triangles": _sql_cooc_triangles(),
         "bm25_stemmed": _sql_bm25_stemmed(),
+        "bpe_merges": _sql_bpe_merges(_BPE_MERGES),
         "bm25_span_first": _sql_bm25_span_first(),
         "dup_spans": """
             WITH toks AS (SELECT doc_id, {tok} AS ts FROM documents),
