@@ -83,6 +83,32 @@ BOOSTED_QUERIES = [
     ("customer window slow", {"window": 0.25}),
     ("spark merge", {"zzzqnotfound": 2.0}),  # absent-term boost == no-op
 ]
+# boosting query (positive, negative, negative_boost): negative matches
+# DEMOTE (one multiply after accumulation) — nb powers of two keep the
+# multiply IEEE-exact on both sides
+BOOSTING_QUERIES = [
+    ("batch join", "slow", 0.5),
+    ("data stream filter sort", "merge", 0.25),
+    ("customer window slow", "zzzqnotfound", 0.5),  # absent neg == plain
+    ("scan", "scan", 0.5),                          # every match demoted
+]
+# dis_max subquery pairs (q1, q2, tie_breaker): per doc, the better
+# subquery score + tie * the other (first-argmax tie rule; tb powers of
+# two keep the combine IEEE-exact)
+DISMAX_QUERIES = [
+    ("batch join", "customer slow", 0.5),
+    ("data stream", "filter sort", 0.25),
+    ("zzzqnotfound", "spark merge", 0.5),  # one empty subquery
+]
+# match_phrase_prefix (text, max_expansions): last token is a prefix;
+# fixed terms must be adjacent, followed by any of the first
+# max_expansions dictionary terms with that prefix
+PP_QUERIES_DRV = [
+    ("batch jo", 50),
+    ("data st", 50),
+    ("customer sl", 2),     # tight expansion cap
+    ("the zzzqxx", 50),     # prefix expands to nothing -> empty
+]
 
 _STOPLIST = (
     "the to a and of in is you that it for on with as are this be have from or at"
@@ -328,6 +354,52 @@ def _q_bm25_boosted(sf_dir: str):
 
     eng = QueryEngine(_doc_index_dir(sf_dir))
     hits = [eng.search(t, TOPK * 3 + 20, boosts=b) for t, b in BOOSTED_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_boosting(sf_dir: str):
+    """Boosting query (Lucene BoostingQuery / ES ``boosting``,
+    QueryEngine.search_boosting): positive-match docs rank by BM25, docs
+    also containing a negative term have the FINAL score multiplied by
+    negative_boost — demotion, not exclusion.  Exhaustive per shard
+    (demotion breaks the pruning bounds), brute-parity-tested in
+    tests/test_dismax_boosting.py.  SQL: same CASE-EXISTS multiply at
+    the same arithmetic point."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_boosting(p, n, TOPK * 3 + 20, negative_boost=nb)
+            for p, n, nb in BOOSTING_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_dismax(sf_dir: str):
+    """dis_max (Lucene DisjunctionMaxQuery, QueryEngine.search_dismax):
+    per doc the BEST subquery score + tie_breaker * the other subquery's
+    score; the max slot is the FIRST index achieving it (np.argmax ==
+    SQL's CASE a >= b).  SQL: two scored CTEs FULL OUTER JOINed with
+    COALESCE 0."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_dismax([a, b], TOPK * 3 + 20, tie_breaker=tb)
+            for a, b, tb in DISMAX_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_phrase_prefix(sf_dir: str):
+    """match_phrase_prefix (ES, QueryEngine.search_phrase_prefix): the
+    last token expands to the first max_expansions dictionary terms with
+    that prefix (term order); fixed terms must appear adjacently followed
+    by any expansion; scored as BM25 over the distinct FIXED terms only.
+    SQL: position-chain join + an expansion join over the LIMITed
+    LIKE-expansion of dfv — the expansion rule itself is checked in
+    SQL."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_phrase_prefix(t, TOPK * 3 + 20, max_expansions=mx)
+            for t, mx in PP_QUERIES_DRV]
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
@@ -5443,6 +5515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_boosting": _q_bm25_boosting,
+        "bm25_dismax": _q_bm25_dismax,
+        "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -5621,7 +5696,9 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
               exclude_rows: str | None = None,
               extra_where: str | None = None,
               rank_range: tuple[int, int] | None = None,
-              boosts_list: list[dict[str, float]] | None = None) -> str:
+              boosts_list: list[dict[str, float]] | None = None,
+              demote_rows: str | None = None,
+              demote_nb_rows: str | None = None) -> str:
     """BM25 top-k SQL over a ``documents(doc_id, text)`` relation; ``pre``
     optionally prepends CTEs (ending with one named ``documents``) so the
     same scoring body runs over a derived doc table (transcripts).
@@ -5675,6 +5752,17 @@ def _sql_bm25(texts: list[str], conjunctive: bool, pre: str = "",
             "NOT EXISTS (SELECT 1 FROM qex e JOIN tf x ON x.term = e.term"
             " AND x.doc_id = scored.doc_id WHERE e.query_id = scored.query_id)"
         )
+    if demote_rows is not None:
+        # boosting query: negative-term matches multiply the accumulated
+        # double by the query's negative_boost ONCE — the engine's exact
+        # arithmetic point (search_boosting's np.where multiply)
+        qex += (f"qneg(query_id, term) AS (VALUES {demote_rows}),\n"
+                f"qnb(query_id, nb) AS (VALUES {demote_nb_rows}),\n")
+        joins.append("JOIN qnb USING (query_id)")
+        sexpr = ("(score * (CASE WHEN EXISTS (SELECT 1 FROM qneg e "
+                 "JOIN tf x ON x.term = e.term AND x.doc_id = scored.doc_id "
+                 "WHERE e.query_id = scored.query_id) "
+                 "THEN qnb.nb ELSE 1.0 END))")
     idf_expr = "ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))"
     if boosts_list is not None:
         import re
@@ -6226,6 +6314,177 @@ stats AS (
          (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
 ),
 dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+matched AS (
+  {matched_sql}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+  JOIN dfv ON dfv.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def _sql_bm25_boosting() -> str:
+    """Negative-boost demotion through the shared BM25 body: qneg carries
+    each query's negative terms, qnb its negative_boost, and the ranked
+    score multiplies by nb exactly when a negative term's tf row exists
+    for the doc — QueryEngine.search_boosting's arithmetic point."""
+    import re
+
+    neg_rows, nb_rows = [], []
+    for qid, (_p, n, nb) in enumerate(BOOSTING_QUERIES):
+        for t in sorted(set(re.findall(_TOKRE, n.lower()))):
+            neg_rows.append(f"({qid}, '{t}')")
+        nb_rows.append(f"({qid}, {float(nb)!r}::DOUBLE)")
+    return _sql_bm25([p for p, _n, _nb in BOOSTING_QUERIES],
+                     conjunctive=False,
+                     demote_rows=", ".join(neg_rows),
+                     demote_nb_rows=", ".join(nb_rows))
+
+
+def _sql_bm25_dismax() -> str:
+    """dis_max over two subqueries: per-subquery BM25 scored CTEs, FULL
+    OUTER JOIN with COALESCE 0, then CASE a >= b THEN a + tb*b ELSE
+    b + tb*a — the engine's first-argmax + ordered rest-sum rule
+    (np.argmax picks the first max; tb powers of two keep the combine
+    IEEE-exact)."""
+    import re
+
+    def _q_rows(texts_i: list[str]) -> str:
+        rows = []
+        for qid, t in enumerate(texts_i):
+            for term in sorted(set(re.findall(_TOKRE, t.lower()))):
+                rows.append(f"({qid}, '{term}')")
+        return ", ".join(rows)
+
+    q1 = _q_rows([a for a, _b, _t in DISMAX_QUERIES])
+    q2 = _q_rows([b for _a, b, _t in DISMAX_QUERIES])
+    tb = ", ".join(f"({qid}, {float(t)!r}::DOUBLE)"
+                   for qid, (_a, _b, t) in enumerate(DISMAX_QUERIES))
+    body = """
+  SELECT {Q}.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({K1} + 1)
+              / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) ) score
+  FROM {Q}
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = {Q}.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+""".replace("{K1}", str(BM25_K1)).replace("{B}", str(BM25_B))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q1(query_id, term) AS (VALUES {q1}),
+q2(query_id, term) AS (VALUES {q2}),
+qtb(query_id, tb) AS (VALUES {tb}),
+s1 AS ({body.replace("{Q}", "q1")}),
+s2 AS ({body.replace("{Q}", "q2")}),
+comb AS (
+  SELECT coalesce(s1.query_id, s2.query_id) AS query_id,
+         coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         coalesce(s1.score, 0.0) AS a, coalesce(s2.score, 0.0) AS b
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.query_id = s2.query_id AND s1.doc_id = s2.doc_id
+),
+final AS (
+  SELECT c.query_id, c.doc_id,
+         CASE WHEN a >= b THEN a + qtb.tb * b ELSE b + qtb.tb * a END AS score
+  FROM comb c JOIN qtb ON qtb.query_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM final
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
+def _sql_bm25_phrase_prefix() -> str:
+    """match_phrase_prefix: per query, the prefix expands IN SQL (LIKE
+    over dfv, term order, LIMIT max_expansions — the engine's
+    first-max_expansions global-dictionary rule), candidacy is a
+    position-chain join (fixed terms adjacent, then any expansion at the
+    next position), and scoring is the shared BM25 body over the distinct
+    FIXED terms only."""
+    import re
+
+    q_rows: list[str] = []
+    exps: list[str] = []
+    matched: list[str] = []
+    for qid, (text, mx) in enumerate(PP_QUERIES_DRV):
+        toks = re.findall(_TOKRE, text.lower())
+        fixed, pref = toks[:-1], toks[-1]
+        for t in sorted(set(fixed)):
+            q_rows.append(f"({qid}, '{t}')")
+        exps.append(
+            f"exp{qid} AS (SELECT term FROM dfv WHERE term LIKE '{pref}%' "
+            f"ORDER BY term LIMIT {mx})")
+        n = len(fixed)
+        chain_joins = []
+        for j in range(1, n):
+            chain_joins.append(
+                f"JOIN positions p{j} ON p{j}.doc_id = p0.doc_id "
+                f"AND p{j}.pos = p0.pos + {j} AND p{j}.term = '{fixed[j]}'")
+        matched.append(
+            f"SELECT DISTINCT {qid} AS query_id, p0.doc_id FROM positions p0 "
+            + " ".join(chain_joins)
+            + f" JOIN positions pe ON pe.doc_id = p0.doc_id "
+            f"AND pe.pos = p0.pos + {n} "
+            f"JOIN exp{qid} e ON pe.term = e.term "
+            f"WHERE p0.term = '{fixed[0]}'")
+    matched_sql = "\n  UNION ALL ".join(matched)
+    exps_sql = ",\n".join(exps)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+positions AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(1, len(arr))) AS pos
+  FROM tok
+),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+{exps_sql},
 q(query_id, term) AS (VALUES {", ".join(q_rows)}),
 matched AS (
   {matched_sql}
@@ -7412,6 +7671,9 @@ def oracle_sql() -> dict[str, str]:
                           * 1e6 + 0.5) AS BIGINT) AS cume_e6
             FROM e
         """,
+        "bm25_boosting": _sql_bm25_boosting(),
+        "bm25_dismax": _sql_bm25_dismax(),
+        "bm25_phrase_prefix": _sql_bm25_phrase_prefix(),
         "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
         "cooc_triangles": _sql_cooc_triangles(),
         "bm25_stemmed": _sql_bm25_stemmed(),

@@ -976,6 +976,88 @@ class BruteForceBM25:
                 g.append((d, s))
         return dict(sorted(groups.items()))
 
+    def search_boosting(self, positive: str, negative: str, k: int = 10,
+                        negative_boost: float = 0.5,
+                        mode: str = "or") -> list[tuple[int, float]]:
+        """Oracle boosting query (Lucene BoostingQuery / ES ``boosting``):
+        candidacy and base scores come from the positive query; docs that
+        ALSO contain any negative-query term are DEMOTED — final score
+        multiplied by ``negative_boost`` — not excluded.  One multiply
+        after accumulation (exact for power-of-two boosts)."""
+        if not (0.0 < float(negative_boost) <= 1.0):
+            raise ValueError("negative_boost must be in (0, 1]")
+        hits = self.search(positive, k=max(self.n_docs, 1), mode=mode)
+        neg: set[int] = set()
+        for t in query_terms(negative):
+            neg.update(d for d, _ in self.postings.get(t, ()))
+        scored = [(d, s * float(negative_boost)) if d in neg else (d, s)
+                  for d, s in hits]
+        return sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_dismax(self, queries: list[str], k: int = 10,
+                      tie_breaker: float = 0.5,
+                      mode: str = "or") -> list[tuple[int, float]]:
+        """Oracle dis_max (Lucene DisjunctionMaxQuery): per doc, the BEST
+        subquery score plus ``tie_breaker`` times the sum of the OTHER
+        subqueries' scores, summed in subquery-list order (the max slot is
+        the FIRST index achieving it — the tie rule both sides share)."""
+        per = [dict(self.search(q, k=max(self.n_docs, 1), mode=mode))
+               for q in queries]
+        docs: set[int] = set().union(*[set(p) for p in per]) if per else set()
+        out = []
+        for d in docs:
+            ss = [p.get(d, 0.0) for p in per]
+            mi = max(range(len(ss)), key=lambda i: ss[i])  # first argmax
+            rest = 0.0
+            for i, s in enumerate(ss):
+                if i != mi:
+                    rest += s
+            out.append((d, ss[mi] + float(tie_breaker) * rest))
+        return sorted(out, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_phrase_prefix(self, text: str, k: int = 10,
+                             max_expansions: int = 50
+                             ) -> list[tuple[int, float]]:
+        """Oracle match_phrase_prefix (ES): the LAST token is a prefix that
+        expands to the first ``max_expansions`` dictionary terms with that
+        prefix (term-sorted order); a doc matches iff the fixed terms
+        appear adjacently followed by ANY expansion at the next position.
+        Scored as BM25 over the distinct FIXED terms only (documented
+        variant: the expansion slot gates candidacy, not score — a rare
+        expansion's idf can't dominate the ranking).  Needs >= 2 tokens
+        (a bare prefix is ``search_prefix``)."""
+        phrase = _TOKEN_RE.findall(text.lower())
+        if len(phrase) < 2:
+            raise ValueError("phrase_prefix needs >= 2 tokens "
+                             "(use search_prefix for a bare prefix)")
+        fixed, pref = phrase[:-1], phrase[-1]
+        exp = sorted(t for t in self.postings
+                     if t.startswith(pref))[:max_expansions]
+        uniq = sorted(set(fixed))
+        if not exp or any(t not in self.postings for t in uniq):
+            return []
+        cand: set[int] | None = None
+        for t in uniq:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        es = set(exp)
+        n = len(fixed)
+        matched = []
+        for d in cand or ():
+            if d in self.deleted:
+                continue
+            toks = self.doc_tokens[d]
+            if any(toks[i:i + n] == fixed and toks[i + n] in es
+                   for i in range(len(toks) - n)):
+                matched.append(d)
+        scores: dict[int, float] = {d: 0.0 for d in matched}
+        for t in uniq:  # ascending-term accumulation, like search_phrase
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            tfmap = dict(self.postings[t])
+            for d in matched:
+                scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
 
 # ---------------------------------------------------------------------------
 # Distributed engine
@@ -3046,6 +3128,221 @@ class QueryEngine:
         return terms, [bm25_idf(self.n_docs, self.global_df(t))
                        for t in terms]
 
+    def _shard_scores_full(self, si: int, terms: list[str],
+                           idfs: list[float],
+                           mode: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """One shard's FULL match set (doc, score) — the all-ones mask
+        forces the exhaustive exact path so accumulation order matches
+        the brute-force oracle; live docs masked.  Shared head of the
+        score-rewriting searches (boosting / dis_max), which must see
+        every match before demotion/combination."""
+        r = self._reader(si)
+        nd = len(r.docids)
+        if nd == 0:
+            return None
+        m = self._live_mask(si)
+        if m is None:
+            m = np.ones(nd, dtype=bool)
+        score_fn = (self._score_shard_or if mode == "or"
+                    else self._score_shard_and)
+        d, s = score_fn(si, terms, idfs, nd, mask=m)
+        if len(d) == 0:
+            return None
+        return d, s
+
+    def search_boosting(self, positive: str, negative: str, k: int = 10,
+                        negative_boost: float = 0.5,
+                        mode: str = "or") -> list[tuple[int, float]]:
+        """Boosting query (Lucene BoostingQuery / ES ``boosting``): docs
+        matching the positive query rank by BM25; docs that ALSO contain
+        any negative-query term are demoted — final score multiplied by
+        ``negative_boost`` in (0, 1] — not excluded.  Exhaustive per shard
+        (demotion invalidates the MaxScore pruning bounds: an unpruned
+        doc can overtake a demoted top doc), negative membership from one
+        postings decode per negative term (``_exclude_mask``, no text
+        access), ONE multiply per demoted doc AFTER accumulation (exact
+        for power-of-two boosts, the role_weights arithmetic point) —
+        then per-shard top-k, so the merge stays bounded by k."""
+        if not (0.0 < float(negative_boost) <= 1.0):
+            raise ValueError("negative_boost must be in (0, 1]")
+        terms, idfs = self._or_and_terms(positive, mode)
+        if not terms:
+            return []
+        neg_terms = [t for t in query_terms(negative)
+                     if self.global_df(t) > 0]
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            p = self._shard_scores_full(si, terms, idfs, mode)
+            if p is None:
+                continue
+            d, s = p
+            if neg_terms:
+                em = self._exclude_mask(si, neg_terms)
+                if em is not None:
+                    r = self._reader(si)
+                    li = np.searchsorted(np.asarray(r.docids), d)
+                    s = np.where(~em[li], s * float(negative_boost), s)
+            d, s = _topk_with_ties(d, s, k)
+            docs.append(d)
+            scores.append(s)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
+    def search_dismax(self, queries: list[str], k: int = 10,
+                      tie_breaker: float = 0.5,
+                      mode: str = "or") -> list[tuple[int, float]]:
+        """dis_max (Lucene DisjunctionMaxQuery): per doc, the BEST
+        subquery score plus ``tie_breaker`` times the sum of the OTHER
+        subqueries' scores.  The max slot is the FIRST subquery index
+        achieving the max (np.argmax's rule == the oracle's first-argmax)
+        and the rest-sum accumulates in subquery-list order with an exact
+        +0.0 at the max slot — bitwise-identical to the oracle's
+        skip-the-max loop.  Exhaustive per shard (the combination breaks
+        per-subquery pruning bounds); per-shard top-k bounds the merge."""
+        per_terms = [self._or_and_terms(q, mode) for q in queries]
+        docs: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            parts = [self._shard_scores_full(si, t, i, mode) if t else None
+                     for t, i in per_terms]
+            live = [p for p in parts if p is not None]
+            if not live:
+                continue
+            union = np.unique(np.concatenate([p[0] for p in live]))
+            S = np.zeros((len(queries), len(union)), dtype=np.float64)
+            for qi, p in enumerate(parts):
+                if p is None:
+                    continue
+                d_i, s_i = p
+                S[qi, np.searchsorted(union, d_i)] = s_i
+            mi = np.argmax(S, axis=0)  # first max, like the oracle
+            best = S[mi, np.arange(len(union))]
+            rest = np.zeros(len(union), dtype=np.float64)
+            for qi in range(len(queries)):  # subquery-list order
+                rest += np.where(mi == qi, 0.0, S[qi])
+            comb = best + float(tie_breaker) * rest
+            d, s = _topk_with_ties(union, comb, k)
+            docs.append(d)
+            scores.append(s)
+        if not docs:
+            return []
+        d = np.concatenate(docs)
+        s = np.concatenate(scores)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
+    def search_phrase_prefix(self, text: str, k: int = 10,
+                             max_expansions: int = 50
+                             ) -> list[tuple[int, float]]:
+        """match_phrase_prefix (ES): the LAST token is a prefix expanding
+        to the first ``max_expansions`` GLOBAL-dictionary terms with that
+        prefix (term-sorted; global, so every scatter member expands
+        identically); a doc matches iff the fixed terms appear adjacently
+        followed by ANY expansion at the next position.  Scored as BM25
+        over the distinct FIXED terms only (the expansion slot gates
+        candidacy, not score — shared with the oracle).  The positional
+        verify reuses the phrase composite-key intersection with the
+        expansion slot as a key UNION across expansions.  Requires
+        cfg.with_positions and >= 2 tokens."""
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        phrase = _TOKEN_RE.findall(text.lower())
+        if len(phrase) < 2:
+            raise ValueError("phrase_prefix needs >= 2 tokens "
+                             "(use search_prefix for a bare prefix)")
+        fixed, pref = phrase[:-1], phrase[-1]
+        exp = self.expand_prefix(pref)[:max_expansions]
+        uniq = sorted(set(fixed))
+        if not exp or any(self.global_df(t) == 0 for t in uniq):
+            return []
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in uniq}
+        off_e = np.int64(len(fixed))  # the expansion slot's offset
+        scores: dict[int, float] = {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            tis = {t: r.term_index(t) for t in uniq}
+            if any(v is None for v in tis.values()):
+                continue
+            dec = {t: r.postings(ti) for t, ti in tis.items()}
+            cand: np.ndarray | None = None
+            for t in uniq:
+                cand = dec[t][0] if cand is None else np.intersect1d(
+                    cand, dec[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is None or len(cand) == 0:
+                continue
+            lm = self._live_mask(si)
+            if lm is not None:
+                cand = cand[lm[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
+            keys: np.ndarray | None = None
+            for off, t in enumerate(fixed):
+                d_arr, tf_arr = dec[t]
+                j_arr = np.searchsorted(d_arr, cand)
+                flat, offs = r.positions(tis[t], tf_arr)
+                seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                cidx = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+                kt = (cidx << np.int64(32)) | (seg - off)
+                kt = kt[seg >= off]
+                keys = kt if keys is None else np.intersect1d(
+                    keys, kt, assume_unique=True)
+                if len(keys) == 0:
+                    break
+            if keys is None or len(keys) == 0:
+                continue
+            # expansion slot: UNION of (cand, start) keys over expansions
+            eparts: list[np.ndarray] = []
+            for e in exp:
+                ti = r.term_index(e)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                if len(d_arr) == 0:
+                    continue
+                idx = np.searchsorted(d_arr, cand)
+                idx_c = np.minimum(idx, len(d_arr) - 1)
+                present = np.flatnonzero(d_arr[idx_c] == cand)
+                if len(present) == 0:
+                    continue
+                j_arr = idx_c[present]
+                flat, offs = r.positions(ti, tf_arr)
+                seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                cidx = np.repeat(present.astype(np.int64), lens)
+                kt = (cidx << np.int64(32)) | (seg - off_e)
+                eparts.append(kt[seg >= off_e])
+            if not eparts:
+                continue
+            ekeys = np.unique(np.concatenate(eparts))
+            keys = np.intersect1d(keys, ekeys, assume_unique=True)
+            if len(keys) == 0:
+                continue
+            marr = cand[np.unique(keys >> np.int64(32))]
+            dls = r.doc_length(marr).astype(np.float64)
+            acc = np.zeros(len(marr), dtype=np.float64)
+            for t in uniq:  # ascending-term accumulation (determinism)
+                d_arr, tf_arr = dec[t]
+                jj = np.searchsorted(d_arr, marr)
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (1.0 - self.b
+                                         + self.b * dls / self.avgdl)
+                acc += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            for doc, sc in zip(marr, acc):
+                scores[int(doc)] = float(sc)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
 
 def _min_cover_spans(cand_idx: np.ndarray, pos: np.ndarray, label: np.ndarray,
                      n_labels: int, n_cand: int) -> np.ndarray:
@@ -3362,6 +3659,42 @@ class ScorerActor:
                                            and fn_ != fn_) else int(fn_)
                 hits = self.engine.search_span_first(row.text, int(row.k),
                                                      first_n=fn_)
+            elif mode == "boosting":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='boosting' does not compose with role/tool/"
+                        "exclude filters (the negative clause demotes; "
+                        "use exclude= with mode=or for hard NOT)")
+                neg = getattr(row, "negative", "") or ""
+                if isinstance(neg, float):
+                    neg = ""
+                nb = getattr(row, "nb", None)
+                nb = 0.5 if nb is None or (isinstance(nb, float)
+                                           and nb != nb) else float(nb)
+                hits = self.engine.search_boosting(row.text, neg,
+                                                   int(row.k),
+                                                   negative_boost=nb)
+            elif mode == "dismax":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='dismax' does not compose with role/tool/"
+                        "exclude filters")
+                tb = getattr(row, "tie", None)
+                tb = 0.5 if tb is None or (isinstance(tb, float)
+                                           and tb != tb) else float(tb)
+                subqs = [p for p in str(row.text).split("|") if p.strip()]
+                hits = self.engine.search_dismax(subqs, int(row.k),
+                                                 tie_breaker=tb)
+            elif mode == "phrase_prefix":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='phrase_prefix' does not compose with "
+                        "role/tool/exclude filters")
+                mx = getattr(row, "max_exp", None)
+                mx = 50 if mx is None or (isinstance(mx, float)
+                                          and mx != mx) else int(mx)
+                hits = self.engine.search_phrase_prefix(
+                    row.text, int(row.k), max_expansions=mx)
             elif mode == "boolean":
                 if role or tool:
                     raise ValueError(

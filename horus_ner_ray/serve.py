@@ -94,7 +94,11 @@ class QueryService:
                min_should_match: int = 0,
                boost: str | None = None,
                slop: int = 0,
-               first_n: int = 8) -> list[dict]:
+               first_n: int = 8,
+               negative: str | None = None,
+               negative_boost: float = 0.5,
+               tie_breaker: float = 0.5,
+               max_expansions: int = 50) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -111,6 +115,9 @@ class QueryService:
               "window": int(window), "should": should or "",
               "msm": int(min_should_match), "boost": boost or "",
               "slop": int(slop), "first_n": int(first_n),
+              "negative": negative or "",
+              "nb": float(negative_boost), "tie": float(tie_breaker),
+              "max_exp": int(max_expansions),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -162,6 +169,10 @@ class QueryService:
                 "boost": e.get("boost") or "",
                 "slop": int(e.get("slop", 0)),
                 "first_n": int(e.get("first_n", 8)),
+                "negative": e.get("negative") or "",
+                "nb": float(e.get("nb", 0.5)),
+                "tie": float(e.get("tie", 0.5)),
+                "max_exp": int(e.get("max_exp", 50)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -460,13 +471,20 @@ def make_http_server(
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
     GET /search?q=<text>&k=<int>
     [&mode=or|and|phrase|near|boolean|prefix|fuzzy|contains|lm|regex|
-     stemmed|first]
+     stemmed|first|boosting|dismax|phrase_prefix]
     (mode=lm ranks by Dirichlet-smoothed query likelihood instead of
     BM25 — the pluggable second similarity; mode=regex expands each
     whitespace-separated pattern over the dictionary, anchored;
     mode=stemmed unions dictionary terms sharing each query term's
     S-stem; mode=first&first_n=N keeps only docs where a query term
-    occurs in the first N token positions)
+    occurs in the first N token positions;
+    mode=boosting&negative=<terms>&nb=<f> demotes — multiplies by nb in
+    (0,1] — docs containing any negative term, without excluding them;
+    mode=dismax&tie=<f>: q holds |-separated subqueries, each doc scores
+    best-subquery + tie * sum-of-others (DisjunctionMaxQuery);
+    mode=phrase_prefix&max_exp=<n>: match_phrase_prefix — the last token
+    is a prefix expanding to the first n dictionary terms, the fixed
+    terms must be adjacent followed by any expansion)
     GET /fieldstats?q=<text>[&mode=or|and][&field=ts] -> count/min/max/
     floor-mean of the stored attribute over the match set.
     [&role=][&tool=][&exclude=][&window=][&should=][&boost=term:2,b:0.5]
@@ -546,7 +564,8 @@ def make_http_server(
                     m = e.get("mode", service.mode)
                     if m not in ("or", "and", "phrase", "near", "boolean",
                                  "prefix", "fuzzy", "contains", "lm",
-                                 "regex"):
+                                 "regex", "boosting", "dismax",
+                                 "phrase_prefix"):
                         raise ValueError(f"unknown mode {m!r}")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self.send_error(400, str(e))
@@ -938,7 +957,8 @@ def make_http_server(
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains", "lm",
-                                    "regex", "stemmed", "first"):
+                                    "regex", "stemmed", "first",
+                                    "boosting", "dismax", "phrase_prefix"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -954,11 +974,33 @@ def make_http_server(
                 req_tool = (qs.get("tool") or [""])[0] or None
                 req_exclude = (qs.get("exclude") or [""])[0] or None
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
-                                "regex", "stemmed", "first") and (
+                                "regex", "stemmed", "first", "boosting",
+                                "dismax", "phrase_prefix") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "
                         "role/tool/exclude")
+                req_negative = (qs.get("negative") or [""])[0] or None
+                if req_negative and req_mode != "boosting":
+                    raise ValueError("negative= requires mode=boosting")
+                req_nb = float((qs.get("nb") or ["0.5"])[0])
+                if not (0.0 < req_nb <= 1.0):
+                    raise ValueError(
+                        f"nb must be in (0, 1], got {req_nb}")
+                if qs.get("nb") and req_mode != "boosting":
+                    raise ValueError("nb= requires mode=boosting")
+                req_tie = float((qs.get("tie") or ["0.5"])[0])
+                if not (0.0 <= req_tie <= 1.0):
+                    raise ValueError(
+                        f"tie must be in [0, 1], got {req_tie}")
+                if qs.get("tie") and req_mode != "dismax":
+                    raise ValueError("tie= requires mode=dismax")
+                req_max_exp = int((qs.get("max_exp") or ["50"])[0])
+                if req_max_exp < 1:
+                    raise ValueError(
+                        f"max_exp must be >= 1, got {req_max_exp}")
+                if qs.get("max_exp") and req_mode != "phrase_prefix":
+                    raise ValueError("max_exp= requires mode=phrase_prefix")
                 if req_mode == "near" and req_exclude:
                     raise ValueError("mode='near' does not compose with "
                                      "exclude")
@@ -1009,7 +1051,11 @@ def make_http_server(
                                       after=after, should=req_should,
                                       min_should_match=req_msm,
                                       boost=req_boost, slop=req_slop,
-                                      first_n=req_first_n)
+                                      first_n=req_first_n,
+                                      negative=req_negative,
+                                      negative_boost=req_nb,
+                                      tie_breaker=req_tie,
+                                      max_expansions=req_max_exp)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

@@ -454,3 +454,39 @@ def test_http_session5_routes_reject_bad_params(http_service):
         "/percentile?q=a&mode=phrase",              # percentile or/and only
     ]:
         _expect_code(base, path_qs, 400)
+
+
+def test_http_boosting_dismax_modes(http_service, built_index):
+    """The boosting / dismax modes reproduce direct engine results over
+    HTTP, and their params validate cleanly."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    base = http_service
+
+    r = _get(base, q="tok00007 tok00011", k=5, mode="boosting",
+             negative="tok00011", nb=0.25)
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == \
+        eng.search_boosting("tok00007 tok00011", "tok00011", k=5,
+                            negative_boost=0.25)
+
+    r = _get(base, q="tok00007 tok00011|the sessionmark", k=5,
+             mode="dismax", tie=0.25)
+    assert [(h["doc_id"], h["score"]) for h in r["hits"]] == \
+        eng.search_dismax(["tok00007 tok00011", "the sessionmark"],
+                          k=5, tie_breaker=0.25)
+
+    for path_qs in [
+        "/search?q=a&mode=boosting&nb=0",          # nb out of (0, 1]
+        "/search?q=a&mode=boosting&nb=1.5",
+        "/search?q=a&negative=x",                  # negative needs boosting
+        "/search?q=a&nb=0.5",                      # nb needs boosting
+        "/search?q=a&tie=0.5",                     # tie needs dismax
+        "/search?q=a&mode=dismax&tie=1.5",         # tie out of [0, 1]
+        "/search?q=a&max_exp=10",                  # max_exp needs pp mode
+        "/search?q=a+b&mode=phrase_prefix&max_exp=0",  # max_exp >= 1
+        "/search?q=a&mode=boosting&role=user",     # no filter composition
+        "/search?q=a&mode=dismax&exclude=x",
+    ]:
+        _expect_code(base, path_qs, 400)
