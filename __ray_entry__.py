@@ -5244,6 +5244,35 @@ def _q_bigram_logprob(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_kn_bigram(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM (stages/ngram.py
+    kn_bigram_logprob_vectors — Kneser & Ney 1995): P(w2|w1) =
+    (max(c12-D,0) + ((D*nf)*np)/nt)/c1 with continuation counts nf/np/nt
+    from the distinct-bigram table, D=0.75; per-(doc,bigram)
+    contributions e9-int-quantized before summation (order-free).  SQL
+    restates the continuation counts and the exact float association."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
+    from horus_ner_ray.stages.ngram import kn_bigram_logprob_vectors
+
+    n = _n_rows(_docs(sf_dir))
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="horus_kn_c12_")
+    try:
+        out = kn_bigram_logprob_vectors(
+            docs, n_buckets=buckets_for_rows(n), n_salts=salts_for_rows(n),
+            checkpoint_dir=ckpt).to_pandas()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (out.astype(np.int64).sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def _q_rollup_revenue(sf_dir: str):
     """GROUP BY ROLLUP(flag, status) (stages/groupwise.py rollup_sums):
     one corpus scan builds the finest level via a combiner; every coarser
@@ -5518,6 +5547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
+        "kn_bigram_logprob": _q_kn_bigram,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7674,6 +7704,46 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosting": _sql_bm25_boosting(),
         "bm25_dismax": _sql_bm25_dismax(),
         "bm25_phrase_prefix": _sql_bm25_phrase_prefix(),
+        "kn_bigram_logprob": """
+            WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
+            uni AS (
+              SELECT doc_id, unnest(arr) AS term,
+                     generate_subscripts(arr, 1) AS pos
+              FROM tok
+            ),
+            big AS (
+              SELECT a.doc_id, a.term AS w1, b.term AS w2
+              FROM uni a JOIN uni b
+                ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS nf
+                   FROM c12 GROUP BY w1),
+            w2s AS (SELECT w2, count(*) AS np FROM c12 GROUP BY w2),
+            ntv AS (SELECT count(*) AS nt FROM c12),
+            bt AS (
+              SELECT doc_id, w1, w2, count(*) AS tf2
+              FROM big GROUP BY doc_id, w1, w2
+            ),
+            sc AS (
+              SELECT bt.doc_id,
+                     sum(CAST(FLOOR(bt.tf2 * ln(
+                           (greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+                            + ((0.75 * CAST(c1.nf AS DOUBLE))
+                               * CAST(w2s.np AS DOUBLE))
+                              / CAST((SELECT nt FROM ntv) AS DOUBLE))
+                           / CAST(c1.c1 AS DOUBLE))
+                           * 1e9 + 0.5) AS BIGINT)) AS kn_lp_e9,
+                     sum(bt.tf2)::BIGINT AS n_bigrams
+              FROM bt JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                      JOIN w2s USING (w2)
+              GROUP BY bt.doc_id
+            )
+            SELECT doc_id, n_bigrams, CAST(kn_lp_e9 AS BIGINT) AS kn_lp_e9,
+                   CAST(FLOOR(CAST(kn_lp_e9 AS DOUBLE) / (n_bigrams * 1e9)
+                              * 1e6 + 0.5) AS BIGINT) AS mean_kn_lp_e6
+            FROM sc
+        """.replace("{tok}", _sql_tok()),
         "term_pagerank": _sql_term_pagerank(n_iter=5, top_k=100),
         "cooc_triangles": _sql_cooc_triangles(),
         "bm25_stemmed": _sql_bm25_stemmed(),

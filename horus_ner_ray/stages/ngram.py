@@ -326,3 +326,300 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
             .aggregate(_Sum("lp2_e9", alias_name="lp2_e9"),
                        _Sum("n_bigrams", alias_name="n_bigrams"))
             .map_batches(finish, batch_format="pyarrow", runtime_env=_rte()))
+
+
+def kn_bigram_logprob_vectors(ds, discount: float = 0.75,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", n_buckets: int = 256,
+                              n_salts: int = 16,
+                              checkpoint_dir: str | None = None):
+    """-> Dataset (doc_id, n_bigrams, kn_lp_e9, mean_kn_lp_e6).
+
+    Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    1998's interpolated form) — the standard perplexity-filter LM, one
+    step up from the add-one model above:
+
+        P(w2|w1) = (max(c12 - D, 0) + ((D * nf) * np) / nt) / c1
+
+    with c12 = corpus bigram count, c1 = count of bigrams starting with
+    w1, nf = N1+(w1, .) distinct continuations of w1, np = N1+(. , w2)
+    distinct left-contexts of w2 (the continuation probability's
+    numerator — how many contexts w2 COMPLETES, not how often it
+    occurs), nt = N1+(. , .) total distinct bigram types, D the absolute
+    discount.  The single-division factored form above IS the arithmetic
+    contract (float64 ops in exactly that association on both the numpy
+    and the SQL side; D defaults to 0.75, exactly representable).
+
+    Same skew-proof shape as ``bigram_logprob_vectors``: checkpointed
+    bigram-type table; per-w1 stats (c1, nf) and per-w2 stats (np)
+    attach via SALTED replicate joins; per-(doc, bigram) contributions
+    quantize to int64 e9 BEFORE summation (order-free, hash-stable).
+    Every doc bigram exists in the corpus model by construction, so
+    p > 0 and the inner joins are total; docs with < 2 tokens drop.
+    """
+    import tempfile
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    B, S = np.uint64(n_buckets), np.uint64(n_salts)
+    s_int = int(n_salts)
+    D = float(discount)
+    if not (0.0 < D < 1.0):
+        raise ValueError(f"discount must be in (0, 1), got {D}")
+
+    def c12_partial(batch: pa.Table) -> pa.Table:
+        docs, bg = _doc_bigrams(batch, text_col, id_col)
+        if len(bg) == 0:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(bg.astype(str), return_counts=True)
+        return pa.table({"bigram": pa.array(u, pa.string()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    corpus = ds.select_columns([id_col, text_col])
+    if checkpoint_dir is None:
+        import atexit
+        import shutil
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="horus_kn_c12_")
+        atexit.register(shutil.rmtree, checkpoint_dir, True)
+    c12_path = str(checkpoint_dir)
+    (corpus.map_batches(c12_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, runtime_env=_rte())
+     .groupby("bigram").aggregate(Sum("cnt", alias_name="c12"))
+     .write_parquet(c12_path))
+    from pathlib import Path as _Path
+
+    if not any(_Path(c12_path).glob("*.parquet")):
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "kn_lp_e9": pa.array([], pa.int64()),
+            "mean_kn_lp_e6": pa.array([], pa.int64()),
+        }))
+    c12 = rd.read_parquet(c12_path, columns=["bigram", "c12"])
+    # nt = distinct bigram types — one small scalar on the driver
+    nt = int(c12.count())
+
+    # --- per-w1 stats (c1 = sum c12, nf = distinct continuations) -------
+    def w1_partial(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
+        g = (pd.DataFrame({"w1": w1,
+                           "c": np.asarray(batch["c12"], dtype=np.int64)})
+             .groupby("w1", sort=False)
+             .agg(c=("c", "sum"), nf=("c", "size")).reset_index())
+        return pa.table({"w1": pa.array(g["w1"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                         "nf": pa.array(g["nf"].to_numpy(np.int64),
+                                        pa.int64())})
+
+    w1s = (c12.map_batches(w1_partial, batch_format="pyarrow",
+                           runtime_env=_rte())
+           .groupby("w1").aggregate(Sum("c", alias_name="c1"),
+                                    Sum("nf", alias_name="nf")))
+
+    # --- per-w2 stats (np = distinct left contexts) ---------------------
+    def w2_partial(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        w2 = np.array([b.split(" ", 1)[1] for b in bgs], dtype=object)
+        g = (pd.DataFrame({"w2": w2}).groupby("w2", sort=False)
+             .size().reset_index(name="c"))
+        return pa.table({"w2": pa.array(g["w2"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64),
+                                       pa.int64())})
+
+    w2s = (c12.map_batches(w2_partial, batch_format="pyarrow",
+                           runtime_env=_rte())
+           .groupby("w2").aggregate(Sum("c", alias_name="npre")))
+
+    # --- attach (c1, nf) then (npre) to the bigram-type rows ------------
+    def _attach(data_key, stats, stat_key, stat_cols, carry_cols):
+        """Salted replicate join: one stat row per key attaches to every
+        data row sharing it; hot keys spread over S salt groups."""
+        def data_rows(batch: pa.Table) -> pa.Table:
+            bgs = np.asarray(batch["bigram"], dtype=object)
+            keys = np.array([data_key(b) for b in bgs], dtype=object)
+            h = pd.util.hash_array(keys, categorize=False)
+            mix = pd.util.hash_array(bgs, categorize=False)
+            gbkt = ((h % B) * S + mix % S).astype(np.int64)
+            n = len(bgs)
+            cols = {"bigram": batch["bigram"],
+                    "_key": pa.array(keys, pa.string())}
+            for c in carry_cols:
+                cols[c] = batch[c]
+            for c in stat_cols:
+                cols[c] = pa.nulls(n, pa.int64())
+            cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+            cols["gbkt"] = pa.array(gbkt, pa.int64())
+            return pa.table(cols)
+
+        def stat_rows(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(batch[stat_key], dtype=object)
+            h = pd.util.hash_array(keys, categorize=False)
+            base = (h % B) * S
+            n = len(keys)
+            gbkt = (np.repeat(base, s_int)
+                    + np.tile(np.arange(s_int, dtype=np.uint64), n)
+                    ).astype(np.int64)
+            cols = {"bigram": pa.nulls(n * s_int, pa.string()),
+                    "_key": pa.array(np.repeat(keys, s_int), pa.string())}
+            for c in carry_cols:
+                cols[c] = pa.nulls(n * s_int, pa.int64())
+            for c in stat_cols:
+                cols[c] = pa.array(
+                    np.repeat(np.asarray(batch[c], dtype=np.int64), s_int),
+                    pa.int64())
+            cols["side"] = pa.array(np.ones(n * s_int, np.int8), pa.int8())
+            cols["gbkt"] = pa.array(gbkt, pa.int64())
+            return pa.table(cols)
+
+        def attach_group(g: pd.DataFrame) -> pa.Table:
+            data = g[g["side"] == 0]
+            out_cols = ["bigram"] + list(carry_cols) + list(stat_cols)
+            if len(data) == 0:
+                return pa.table({
+                    "bigram": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.int64())
+                       for c in out_cols if c != "bigram"}})
+            stat = g[g["side"] == 1]
+            sw = stat["_key"].to_numpy(dtype=str)
+            order = np.argsort(sw, kind="stable")
+            sw = sw[order]
+            dw = data["_key"].to_numpy(dtype=str)
+            idx = np.searchsorted(sw, dw)
+            idx_c = np.minimum(idx, max(len(sw) - 1, 0))
+            if len(sw) == 0 or not (sw[idx_c] == dw).all():
+                raise AssertionError(
+                    "KN stat rows missing in group — salted routing "
+                    "invariant violated")
+            cols = {"bigram": pa.array(data["bigram"].to_numpy(object),
+                                       pa.string())}
+            for c in carry_cols:
+                cols[c] = pa.array(data[c].to_numpy(np.int64), pa.int64())
+            for c in stat_cols:
+                sc = stat[c].to_numpy(np.int64)[order]
+                cols[c] = pa.array(sc[idx_c], pa.int64())
+            return pa.table(cols)
+
+        left = c12_attached[0].map_batches(
+            data_rows, batch_format="pyarrow", runtime_env=_rte())
+        right = stats.map_batches(stat_rows, batch_format="pyarrow",
+                                  runtime_env=_rte())
+        return (left.union(right).groupby("gbkt")
+                .map_groups(lambda g: attach_group(g.drop(columns=["gbkt"])),
+                            batch_format="pandas", runtime_env=_rte()))
+
+    # chain the two attaches (a one-slot list threads the growing table)
+    c12_attached = [c12]
+    c12_attached[0] = _attach(lambda b: b.split(" ", 1)[0], w1s, "w1",
+                              ["c1", "nf"], ["c12"])
+    c12_attached[0] = _attach(lambda b: b.split(" ", 1)[1], w2s, "w2",
+                              ["npre"], ["c12", "c1", "nf"])
+    bg_stats = c12_attached[0]
+
+    # --- per-doc scoring join keyed on the bigram -----------------------
+    stat_cols = ("c12", "c1", "nf", "npre")
+
+    def data_rows(batch: pa.Table) -> pa.Table:
+        docs, bg = _doc_bigrams(batch, text_col, id_col)
+        g = (pd.DataFrame({"d": docs, "b": bg})
+             .groupby(["d", "b"], sort=False).size().reset_index(name="tf2"))
+        bh = pd.util.hash_array(g["b"].to_numpy(object), categorize=False)
+        dh = g["d"].to_numpy(np.int64).astype(np.uint64)
+        gbkt = ((bh % B) * S + (dh * _MIX) % S).astype(np.int64)
+        n = len(g)
+        cols = {id_col: pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+                "bigram": pa.array(g["b"].to_numpy(object), pa.string()),
+                "tf2": pa.array(g["tf2"].to_numpy(np.int64), pa.int64())}
+        for c in stat_cols:
+            cols[c] = pa.nulls(n, pa.int64())
+        cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        cols["gbkt"] = pa.array(gbkt, pa.int64())
+        return pa.table(cols)
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        bh = pd.util.hash_array(bgs, categorize=False)
+        base = (bh % B) * S
+        n = len(bgs)
+        gbkt = (np.repeat(base, s_int)
+                + np.tile(np.arange(s_int, dtype=np.uint64), n)
+                ).astype(np.int64)
+        cols = {id_col: pa.nulls(n * s_int, pa.int64()),
+                "bigram": pa.array(np.repeat(bgs, s_int), pa.string()),
+                "tf2": pa.nulls(n * s_int, pa.int64())}
+        for c in stat_cols:
+            cols[c] = pa.array(
+                np.repeat(np.asarray(batch[c], dtype=np.int64), s_int),
+                pa.int64())
+        cols["side"] = pa.array(np.ones(n * s_int, np.int8), pa.int8())
+        cols["gbkt"] = pa.array(gbkt, pa.int64())
+        return pa.table(cols)
+
+    ntf = float(nt)
+
+    def score_group(g: pd.DataFrame) -> pa.Table:
+        data = g[g["side"] == 0]
+        if len(data) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "kn_lp_e9": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        stat = g[g["side"] == 1].drop_duplicates("bigram")
+        m = data.merge(stat[["bigram", *stat_cols]], on="bigram",
+                       how="inner", suffixes=("_x", ""))
+        if len(m) != len(data):
+            raise AssertionError(
+                f"KN stat rows missing for {len(data) - len(m)} data rows "
+                f"in group — salted routing invariant violated")
+        tf2 = m["tf2"].to_numpy(np.float64)
+        c12v = m["c12"].to_numpy(np.float64)
+        c1v = m["c1"].to_numpy(np.float64)
+        nfv = m["nf"].to_numpy(np.float64)
+        npv = m["npre"].to_numpy(np.float64)
+        # THE arithmetic contract (docstring) — same association in SQL
+        p = (np.maximum(c12v - D, 0.0) + ((D * nfv) * npv) / ntf) / c1v
+        lp = np.floor(tf2 * np.log(p) * 1e9 + 0.5).astype(np.int64)
+        out = pd.DataFrame({id_col: m[id_col].to_numpy(np.int64),
+                            "kn_lp_e9": lp,
+                            "n_bigrams": m["tf2"].to_numpy(np.int64)})
+        out = (out.groupby(id_col, sort=False)
+               .agg(kn_lp_e9=("kn_lp_e9", "sum"),
+                    n_bigrams=("n_bigrams", "sum")).reset_index())
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(np.int64), pa.int64()),
+            "kn_lp_e9": pa.array(out["kn_lp_e9"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_bigrams": pa.array(out["n_bigrams"].to_numpy(np.int64),
+                                  pa.int64()),
+        })
+
+    per_group = (
+        corpus.map_batches(data_rows, batch_format="pyarrow",
+                           zero_copy_batch=True, runtime_env=_rte())
+        .union(bg_stats.map_batches(stat_rows, batch_format="pyarrow",
+                                    runtime_env=_rte()))
+        .groupby("gbkt")
+        .map_groups(lambda g: score_group(g.drop(columns=["gbkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lp = np.asarray(batch["kn_lp_e9"], dtype=np.int64)
+        nb = np.asarray(batch["n_bigrams"], dtype=np.int64)
+        mean = np.floor(lp.astype(np.float64) / (nb.astype(np.float64) * 1e9)
+                        * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": batch["n_bigrams"],
+            "kn_lp_e9": batch["kn_lp_e9"],
+            "mean_kn_lp_e6": pa.array(mean, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    return (per_group.groupby(id_col)
+            .aggregate(_Sum("kn_lp_e9", alias_name="kn_lp_e9"),
+                       _Sum("n_bigrams", alias_name="n_bigrams"))
+            .map_batches(finish, batch_format="pyarrow", runtime_env=_rte()))
