@@ -5244,6 +5244,52 @@ def _q_bigram_logprob(sf_dir: str):
             .reset_index(drop=True))
 
 
+_PROJ_DIM = 8
+_PROJ_SEED = 2025
+
+
+def _q_jl_projection(sf_dir: str):
+    """Sparse sign JL projection (stages/projection.py — Achlioptas 2003
+    {+1,0,-1} density-1/3 matrix from the oracle-shared splitmix64):
+    embeddings e6-quantize then int64-matmul — EXACT integers, pure
+    per-batch map, no shuffle.  SQL re-derives every matrix entry with
+    _sql_splitmix64 and re-sums per (vec_id, dim)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.projection import sparse_sign_projection
+
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    out = (sparse_sign_projection(emb, out_dim=_PROJ_DIM, seed=_PROJ_SEED)
+           .to_pandas().astype(np.int64)
+           .sort_values(["vec_id", "dim"]).reset_index(drop=True))
+    return out
+
+
+def _sql_jl_projection() -> str:
+    h = _sql_splitmix64(
+        f"xor(CAST((e.i - 1) * {_PROJ_DIM} + d.j AS UBIGINT), "
+        f"CAST({_PROJ_SEED} AS UBIGINT))")
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+d AS (SELECT unnest(generate_series(0, {_PROJ_DIM - 1})) AS j),
+m AS (
+  SELECT e.vec_id, d.j AS dim,
+         CAST(FLOOR(CAST(e.x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qv,
+         ({h}) % 6 AS r
+  FROM e CROSS JOIN d
+)
+SELECT vec_id, dim,
+       sum(CASE WHEN r = 0 THEN qv WHEN r = 1 THEN -qv ELSE 0 END)::BIGINT
+         AS value
+FROM m GROUP BY 1, 2 ORDER BY vec_id, dim
+"""
+
+
 def _q_kn_bigram(sf_dir: str):
     """Interpolated Kneser-Ney bigram LM (stages/ngram.py
     kn_bigram_logprob_vectors — Kneser & Ney 1995): P(w2|w1) =
@@ -5548,6 +5594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "kn_bigram_logprob": _q_kn_bigram,
+        "jl_projection": _q_jl_projection,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7704,6 +7751,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_boosting": _sql_bm25_boosting(),
         "bm25_dismax": _sql_bm25_dismax(),
         "bm25_phrase_prefix": _sql_bm25_phrase_prefix(),
+        "jl_projection": _sql_jl_projection(),
         "kn_bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
             uni AS (
