@@ -5290,6 +5290,64 @@ FROM m GROUP BY 1, 2 ORDER BY vec_id, dim
 """
 
 
+_MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_MATRIX_SCALES = [1, 100, 100, 100]
+
+
+def _q_matrix_stats(sf_dir: str):
+    """ES matrix_stats aggregation (stages/stats.py matrix_stats): the
+    full pairwise covariance/correlation matrix over lineitem numerics
+    from ONE streaming combiner scan — exact hi/lo-split integer moments,
+    float casts only in the O(pairs) finish.  SQL mirrors with HUGEINT
+    sums and the same CAST points."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import matrix_stats
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=_MATRIX_COLS)
+    return (matrix_stats(li, _MATRIX_COLS, _MATRIX_SCALES)
+            .sort_values(["col_x", "col_y"]).reset_index(drop=True))
+
+
+def _sql_matrix_stats() -> str:
+    k = len(_MATRIX_COLS)
+    qcols = ", ".join(
+        f"CAST(FLOOR({c} * {s} + 0.5) AS HUGEINT) AS q{i}"
+        for i, (c, s) in enumerate(zip(_MATRIX_COLS, _MATRIX_SCALES)))
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+    sums = (["count(*)::HUGEINT AS n"]
+            + [f"sum(q{i}) AS s{i}" for i in range(k)]
+            + [f"sum(q{i} * q{j}) AS p{i}_{j}" for i, j in pairs])
+    rows = []
+    for i, j in pairs:
+        si, sj = float(_MATRIX_SCALES[i]), float(_MATRIX_SCALES[j])
+        num = f"(n * p{i}_{j} - s{i} * s{j})"
+        dx = f"(n * p{i}_{i} - s{i} * s{i})"
+        dy = f"(n * p{j}_{j} - s{j} * s{j})"
+        rows.append(f"""
+  SELECT '{_MATRIX_COLS[i]}' AS col_x, '{_MATRIX_COLS[j]}' AS col_y,
+         CAST(n AS BIGINT) AS n_rows,
+         CAST(FLOOR(CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE) / {si!r}
+                    * 1e6 + 0.5) AS BIGINT) AS mean_x_e6,
+         CAST(FLOOR(CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE) / {sj!r}
+                    * 1e6 + 0.5) AS BIGINT) AS mean_y_e6,
+         CAST(FLOOR(CAST({num} AS DOUBLE) / CAST(n * n AS DOUBLE)
+                    / {si * sj!r} * 1e6 + 0.5) AS BIGINT) AS cov_e6,
+         CASE WHEN {dx} <= 0 OR {dy} <= 0 THEN 0
+              ELSE CAST(FLOOR(CAST({num} AS DOUBLE)
+                   / (sqrt(CAST({dx} AS DOUBLE)) * sqrt(CAST({dy} AS DOUBLE)))
+                   * 1e6 + 0.5) AS BIGINT)
+         END AS corr_e6
+  FROM s""")
+    return f"""
+WITH q AS (SELECT {qcols} FROM lineitem),
+s AS (SELECT {", ".join(sums)} FROM q)
+{" UNION ALL ".join(rows)}
+ORDER BY col_x, col_y
+"""
+
+
 def _q_kn_bigram(sf_dir: str):
     """Interpolated Kneser-Ney bigram LM (stages/ngram.py
     kn_bigram_logprob_vectors — Kneser & Ney 1995): P(w2|w1) =
@@ -5595,6 +5653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
         "kn_bigram_logprob": _q_kn_bigram,
         "jl_projection": _q_jl_projection,
+        "matrix_stats": _q_matrix_stats,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7752,6 +7811,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax": _sql_bm25_dismax(),
         "bm25_phrase_prefix": _sql_bm25_phrase_prefix(),
         "jl_projection": _sql_jl_projection(),
+        "matrix_stats": _sql_matrix_stats(),
         "kn_bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
             uni AS (

@@ -254,3 +254,75 @@ def grouped_zscore(ds, key_col: str, x_col: str, id_cols: list[str],
         .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                      runtime_env=_rte())
     )
+
+
+def matrix_stats(ds, cols: list[str], scales: list[int]) -> pd.DataFrame:
+    """ES ``matrix_stats`` aggregation over numeric columns — the full
+    pairwise covariance / correlation matrix from ONE streaming scan.
+
+    Every column quantizes to int64 (its own fixed-point scale); a single
+    combiner pass accumulates n, per-column sums, and hi/lo-split sums of
+    ALL C(k+1, 2) pair products, so the corpus is read once no matter how
+    many columns.  Returns one row per ordered pair (i <= j):
+
+        (col_x, col_y, n_rows, mean_x_e6, mean_y_e6, cov_e6, corr_e6)
+
+    cov  = double(n*sxy - sx*sy) / double(n*n) / (scale_x * scale_y)
+    corr = double(n*sxy - sx*sy)
+           / (sqrt(double(n*sxx - sx*sx)) * sqrt(double(n*syy - sy*sy)))
+    (0 when either side is constant) — the exact-integer-then-CAST points
+    the SQL oracle mirrors.  Population (not sample) covariance, like the
+    grouped_variance family."""
+    from ray.data.aggregate import Sum
+
+    k = len(cols)
+    if k != len(scales) or k < 1:
+        raise ValueError("cols and scales must align and be non-empty")
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qs = [_quant(batch[c], s) for c, s in zip(cols, scales)]
+        row: dict[str, list[int]] = {"n": [len(qs[0])]}
+        for i in range(k):
+            row[f"s{i}"] = [int(qs[i].sum())]
+        for i, j in pairs:
+            p = qs[i] * qs[j]
+            row[f"p{i}_{j}_hi"] = [int((p >> 30).sum())]
+            row[f"p{i}_{j}_lo"] = [int((p & (_SPLIT - 1)).sum())]
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in row.items()})
+
+    stat_cols = (["n"] + [f"s{i}" for i in range(k)]
+                 + [f"p{i}_{j}_{h}" for i, j in pairs for h in ("hi", "lo")])
+    sums = (ds.select_columns(list(dict.fromkeys(cols)))
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .sum(stat_cols))
+    n = int(sums["sum(n)"])
+    s = [int(sums[f"sum(s{i})"]) for i in range(k)]
+    prod = {(i, j): int(sums[f"sum(p{i}_{j}_hi)"]) * _SPLIT
+            + int(sums[f"sum(p{i}_{j}_lo)"]) for i, j in pairs}
+    out = {c: [] for c in ("col_x", "col_y", "n_rows", "mean_x_e6",
+                           "mean_y_e6", "cov_e6", "corr_e6")}
+    for i, j in pairs:
+        num = n * prod[(i, j)] - s[i] * s[j]
+        dx = n * prod[(i, i)] - s[i] * s[i]
+        dy = n * prod[(j, j)] - s[j] * s[j]
+        cov = float(num) / float(n * n) / (float(scales[i]) * float(scales[j]))
+        if dx <= 0 or dy <= 0:
+            corr = None
+        else:
+            corr = float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+        out["col_x"].append(cols[i])
+        out["col_y"].append(cols[j])
+        out["n_rows"].append(n)
+        out["mean_x_e6"].append(math.floor(
+            float(s[i]) / float(n) / float(scales[i]) * 1e6 + 0.5))
+        out["mean_y_e6"].append(math.floor(
+            float(s[j]) / float(n) / float(scales[j]) * 1e6 + 0.5))
+        out["cov_e6"].append(math.floor(cov * 1e6 + 0.5))
+        out["corr_e6"].append(0 if corr is None
+                              else math.floor(corr * 1e6 + 0.5))
+    df = pd.DataFrame(out)
+    for c in ("n_rows", "mean_x_e6", "mean_y_e6", "cov_e6", "corr_e6"):
+        df[c] = df[c].astype(np.int64)
+    return df

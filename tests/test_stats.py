@@ -163,3 +163,56 @@ def test_grouped_zscore_zero_variance_and_layout(ray_session):
          .sort_values("id").reset_index(drop=True))
     assert (a["z_e6"][:4] == 0).all()  # zero-variance group emits 0
     assert a.equals(b)  # layout-invariant
+
+
+def test_matrix_stats_matches_pandas(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import matrix_stats
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.randint(0, 50, n).astype(np.float64),
+        "b": np.round(rng.randn(n) * 10 + 100, 2),
+        "c": np.round(rng.rand(n), 2),
+    })
+    got = matrix_stats(rd.from_pandas(df).repartition(7),
+                       ["a", "b", "c"], [1, 100, 100])
+    qs = {"a": np.floor(df["a"] * 1 + 0.5).astype(np.int64),
+          "b": np.floor(df["b"] * 100 + 0.5).astype(np.int64),
+          "c": np.floor(df["c"] * 100 + 0.5).astype(np.int64)}
+    sc = {"a": 1.0, "b": 100.0, "c": 100.0}
+    for r in got.itertuples():
+        x, y = qs[r.col_x].astype(object), qs[r.col_y].astype(object)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = n * sxy - sx * sy
+        cov = float(num) / float(n * n) / (sc[r.col_x] * sc[r.col_y])
+        assert r.n_rows == n
+        assert r.cov_e6 == math.floor(cov * 1e6 + 0.5)
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        want_corr = math.floor(
+            float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+            * 1e6 + 0.5)
+        assert r.corr_e6 == want_corr
+        assert r.mean_x_e6 == math.floor(
+            float(sx) / n / sc[r.col_x] * 1e6 + 0.5)
+    # diagonal corr is exactly 1
+    diag = got[got.col_x == got.col_y]
+    assert (diag.corr_e6 == 1_000_000).all()
+
+
+def test_matrix_stats_constant_column_zero_corr(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import matrix_stats
+
+    df = pd.DataFrame({"a": np.ones(100), "b": np.arange(100, dtype=float)})
+    got = matrix_stats(rd.from_pandas(df), ["a", "b"], [1, 1])
+    ab = got[(got.col_x == "a") & (got.col_y == "b")].iloc[0]
+    assert ab.corr_e6 == 0 and ab.cov_e6 == 0
