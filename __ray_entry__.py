@@ -5290,6 +5290,59 @@ FROM m GROUP BY 1, 2 ORDER BY vec_id, dim
 """
 
 
+_COMPOSITE_PAGE = 25
+
+
+def _q_composite_pages(sf_dir: str):
+    """ES composite aggregation with after-key paging (stages/groupwise
+    composite_page): key-ordered (user_id, event_type) buckets, two
+    chained pages — page 2's cursor is page 1's last key, exactly the ES
+    after_key contract.  Page extraction never sorts the full bucket
+    table (per-block cursor-filtered first-P partials).  SQL restates the
+    cursor with the same lexicographic predicate."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import composite_page
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    p1 = composite_page(ev, ["user_id", "event_type"], "value",
+                        page_size=_COMPOSITE_PAGE)
+    after = tuple(p1.iloc[-1][["user_id", "event_type"]])
+    p2 = composite_page(ev, ["user_id", "event_type"], "value",
+                        page_size=_COMPOSITE_PAGE, after=after)
+    p1.insert(0, "page", np.int64(1))
+    p2.insert(0, "page", np.int64(2))
+    out = pd.concat([p1, p2], ignore_index=True)
+    out["page"] = out["page"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out
+
+
+def _sql_composite_pages() -> str:
+    p = _COMPOSITE_PAGE
+    return f"""
+WITH b AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n_rows,
+         sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))::BIGINT AS sum_e6
+  FROM events GROUP BY 1, 2
+),
+p1 AS (SELECT * FROM b ORDER BY user_id, event_type LIMIT {p}),
+lastk AS (SELECT user_id AS u, event_type AS t FROM p1
+          ORDER BY user_id DESC, event_type DESC LIMIT 1),
+p2 AS (
+  SELECT b.* FROM b, lastk
+  WHERE b.user_id > lastk.u
+     OR (b.user_id = lastk.u AND b.event_type > lastk.t)
+  ORDER BY user_id, event_type LIMIT {p}
+)
+SELECT 1::BIGINT AS page, * FROM p1
+UNION ALL
+SELECT 2::BIGINT AS page, * FROM p2
+ORDER BY page, user_id, event_type
+"""
+
+
 _MATRIX_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _MATRIX_SCALES = [1, 100, 100, 100]
 
@@ -5654,6 +5707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_logprob": _q_kn_bigram,
         "jl_projection": _q_jl_projection,
         "matrix_stats": _q_matrix_stats,
+        "composite_pages": _q_composite_pages,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7812,6 +7866,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase_prefix": _sql_bm25_phrase_prefix(),
         "jl_projection": _sql_jl_projection(),
         "matrix_stats": _sql_matrix_stats(),
+        "composite_pages": _sql_composite_pages(),
         "kn_bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
             uni AS (

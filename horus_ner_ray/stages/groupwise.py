@@ -344,3 +344,49 @@ def grouped_mode(ds, group_col: str, value_col: str,
     return topk_per_group(counts, key=group_col,
                           sort_cols=[count_alias, value_col],
                           ascending=[False, True], k=1)
+
+
+def composite_page(ds, group_cols: list[str], value_col: str,
+                   page_size: int, after: tuple | None = None,
+                   value_scale: int = 1_000_000) -> pd.DataFrame:
+    """ES ``composite`` aggregation page: the first ``page_size`` buckets
+    of the (group_cols)-keyed aggregate in ascending key order, strictly
+    AFTER the ``after`` cursor tuple (None = from the start).  Returns
+    (group_cols..., n_rows, <sum_col>) — the caller chains pages by
+    passing the last row's key tuple as the next ``after``.
+
+    Scale shape: the bucket table comes from the shared one-scan combiner
+    (``_grouped_sum_fine``); the page then extracts WITHOUT a full sort —
+    every output block reduces to its local cursor-filtered first
+    ``page_size`` buckets, so only O(blocks * page_size) partial rows
+    reach the driver regardless of bucket count (the ES after-key paging
+    contract: no deep sort, no offset scan)."""
+    if page_size < 1:
+        raise ValueError(f"page_size must be >= 1, got {page_size}")
+    if after is not None and len(after) != len(group_cols):
+        raise ValueError("after cursor must have one value per group col")
+    sum_col = _sum_col_name(value_scale)
+    fine, _aggs = _grouped_sum_fine(ds, group_cols, value_col,
+                                    value_scale, sum_col)
+
+    def _after_mask(df: pd.DataFrame) -> np.ndarray:
+        gt = np.zeros(len(df), dtype=bool)
+        eq = np.ones(len(df), dtype=bool)
+        for c, a in zip(group_cols, after):
+            col = df[c].to_numpy()
+            gt |= eq & (col > a)
+            eq &= col == a
+        return gt
+
+    def page_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if after is not None and len(df):
+            df = df[_after_mask(df)]
+        return df.sort_values(group_cols, kind="stable").head(page_size)
+
+    parts = (fine.map_batches(page_partial, batch_format="pandas",
+                              runtime_env=_rte()).to_pandas())
+    out = (parts.sort_values(group_cols, kind="stable").head(page_size)
+           .reset_index(drop=True))
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out[sum_col] = out[sum_col].astype(np.int64)
+    return out

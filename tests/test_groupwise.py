@@ -236,3 +236,52 @@ def test_cube_sums_matches_pandas(ray_session):
         pd.testing.assert_frame_equal(
             got.astype({"n_rows": np.int64, "sum_e2": np.int64}),
             want.astype({"n_rows": np.int64, "sum_e2": np.int64}))
+
+
+def test_composite_paging_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import composite_page
+
+    rng = np.random.RandomState(8)
+    n = 3000
+    df = pd.DataFrame({
+        "u": rng.randint(0, 40, n).astype(np.int64),
+        "t": rng.choice(["click", "view", "buy"], n),
+        "v": np.round(rng.rand(n) * 10, 3),
+    })
+    ref = df.assign(s=np.floor(df["v"] * 1e6 + 0.5).astype(np.int64),
+                    one=1)
+    ref = (ref.groupby(["u", "t"], as_index=False)
+           .agg(n_rows=("one", "sum"), sum_e6=("s", "sum"))
+           .sort_values(["u", "t"]).reset_index(drop=True))
+    ds = rd.from_pandas(df).repartition(6)
+    # walk ALL pages and compare the concatenation to the full aggregate
+    pages, after = [], None
+    while True:
+        p = composite_page(ds, ["u", "t"], "v", page_size=7, after=after)
+        if len(p) == 0:
+            break
+        pages.append(p)
+        after = tuple(p.iloc[-1][["u", "t"]])
+        if len(p) < 7:
+            break
+    got = pd.concat(pages, ignore_index=True)
+    assert len(got) == len(ref)
+    assert (got["u"].to_numpy() == ref["u"].to_numpy()).all()
+    assert (got["t"].to_numpy() == ref["t"].to_numpy()).all()
+    assert (got["n_rows"].to_numpy() == ref["n_rows"].to_numpy()).all()
+    assert (got["sum_e6"].to_numpy() == ref["sum_e6"].to_numpy()).all()
+
+
+def test_composite_page_validation(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from horus_ner_ray.stages.groupwise import composite_page
+
+    ds = rd.from_pandas(pd.DataFrame({"u": [1], "t": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="page_size"):
+        composite_page(ds, ["u", "t"], "v", page_size=0)
+    with pytest.raises(ValueError, match="cursor"):
+        composite_page(ds, ["u", "t"], "v", page_size=5, after=(1,))
