@@ -651,6 +651,92 @@ JOIN toka t ON t.doc_id = b.doc_id
 """
 
 
+_FRAG_WINDOW = 3
+_FRAG_N = 3
+
+
+def _q_bm25_fragments(sf_dir: str):
+    """Multi-fragment highlighter (QueryEngine.search_fragments / the ES
+    highlighter's number_of_fragments): up to {_FRAG_N} NON-OVERLAPPING
+    token windows per hit — anchors are ALL query-term positions from the
+    positional index, selected by the shared greedy rule
+    (select_fragment_anchors: a_1 = min pos, a_{{i+1}} = min pos >
+    a_i + 2*window).  Fragments publish '||'-joined.  Oracle: the SQL
+    unrolls the greedy chain (a1/a2/a3 CTEs) and slices the same token
+    array."""
+    from horus_ner_ray.pipelines.query import (
+        QueryEngine,
+        fetch_docs,
+        select_fragment_anchors,
+        snippet_text,
+    )
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    out = _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+    texts = fetch_docs(eng.paths.root, out["doc_id"].unique().tolist(),
+                       columns=["doc_id", "text"])
+    tmap = {int(d): str(t) for d, t in zip(texts["doc_id"], texts["text"])}
+    frags = [""] * len(out)
+    for qid, text in enumerate(DOC_QUERIES):
+        m = (out["query_id"] == qid).to_numpy()
+        if not m.any():
+            continue
+        pmap = eng.match_positions(text, out.loc[m, "doc_id"].tolist())
+        for i in np.flatnonzero(m):
+            d = int(out["doc_id"].iloc[i])
+            anchors = select_fragment_anchors(pmap.get(d, ()),
+                                              _FRAG_WINDOW, _FRAG_N)
+            frags[i] = "||".join(snippet_text(tmap[d], a, _FRAG_WINDOW)
+                                 for a in anchors)
+    out["fragments"] = frags
+    return out
+
+
+def _sql_bm25_fragments() -> str:
+    w, gap = _FRAG_WINDOW, 2 * _FRAG_WINDOW
+    return f"""
+WITH base AS ({_sql_bm25(DOC_QUERIES, conjunctive=False)}),
+toka AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+q2(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+pos AS (
+  SELECT q2.query_id, t.doc_id,
+         (generate_subscripts(t.arr, 1) - 1)::BIGINT AS p,
+         unnest(t.arr) AS tk
+  FROM q2 JOIN toka t ON list_contains(t.arr, q2.term)
+),
+anch AS (
+  SELECT DISTINCT pos.query_id, pos.doc_id, pos.p
+  FROM pos JOIN q2 ON q2.query_id = pos.query_id AND q2.term = pos.tk
+),
+a1 AS (SELECT query_id, doc_id, min(p) AS p FROM anch GROUP BY 1, 2),
+a2 AS (SELECT an.query_id, an.doc_id, min(an.p) AS p
+       FROM anch an JOIN a1 ON a1.query_id = an.query_id
+            AND a1.doc_id = an.doc_id AND an.p > a1.p + {gap}
+       GROUP BY 1, 2),
+a3 AS (SELECT an.query_id, an.doc_id, min(an.p) AS p
+       FROM anch an JOIN a2 ON a2.query_id = an.query_id
+            AND a2.doc_id = an.doc_id AND an.p > a2.p + {gap}
+       GROUP BY 1, 2),
+sel AS (
+  SELECT query_id, doc_id, p, 1 AS fi FROM a1
+  UNION ALL SELECT query_id, doc_id, p, 2 FROM a2
+  UNION ALL SELECT query_id, doc_id, p, 3 FROM a3
+),
+fr AS (
+  SELECT s.query_id, s.doc_id,
+         string_agg(array_to_string(
+           t.arr[greatest(1, s.p - {w} + 1) : s.p + {w} + 1], ' '),
+           '||' ORDER BY s.fi) AS fragments
+  FROM sel s JOIN toka t ON t.doc_id = s.doc_id
+  GROUP BY 1, 2
+)
+SELECT b.query_id, b.rank, b.doc_id, b.score_e6, fr.fragments
+FROM base b
+JOIN fr ON fr.query_id = b.query_id AND fr.doc_id = b.doc_id
+"""
+
+
 def _q_significant_terms(sf_dir: str):
     """Significant-terms aggregation (the Elasticsearch sampler shape):
     foreground = each query's e6-reranked top-{TOPK} docs; per term,
@@ -5708,6 +5794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection": _q_jl_projection,
         "matrix_stats": _q_matrix_stats,
         "composite_pages": _q_composite_pages,
+        "bm25_fragments": _q_bm25_fragments,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7867,6 +7954,7 @@ def oracle_sql() -> dict[str, str]:
         "jl_projection": _sql_jl_projection(),
         "matrix_stats": _sql_matrix_stats(),
         "composite_pages": _sql_composite_pages(),
+        "bm25_fragments": _sql_bm25_fragments(),
         "kn_bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
             uni AS (

@@ -438,6 +438,35 @@ class BruteForceBM25:
                     break
         return out
 
+    def match_positions(self, text: str, doc_ids) -> dict[int, list[int]]:
+        """Oracle multi-anchor positions: ALL ascending token positions
+        (unfiltered stream) holding any query term, per doc."""
+        terms = {t for t in query_terms(text) if t in self.postings}
+        out: dict[int, list[int]] = {}
+        for d in doc_ids:
+            ps = [i for i, w in enumerate(self.doc_tokens.get(int(d), []))
+                  if w in terms]
+            if ps:
+                out[int(d)] = ps
+        return out
+
+    def search_fragments(self, text: str, k: int = 10, window: int = 3,
+                         n_fragments: int = 3
+                         ) -> list[tuple[int, float, list[str]]]:
+        """Oracle multi-fragment highlighter: top-k plus up to
+        ``n_fragments`` non-overlapping token windows per hit, anchors by
+        the shared greedy rule (select_fragment_anchors)."""
+        hits = self.search(text, k)
+        pos = self.match_positions(text, [d for d, _ in hits])
+        out = []
+        for d, s in hits:
+            anchors = select_fragment_anchors(pos.get(d, ()), window,
+                                              n_fragments)
+            toks = " ".join(self.doc_tokens[d])
+            out.append((d, s, [snippet_text(toks, a, window)
+                               for a in anchors]))
+        return out
+
     def facet_counts(self, text: str, field: str = "role") -> dict[str, int]:
         """Oracle facet panel: distinct matching docs per field value."""
         terms = [t for t in query_terms(text) if t in self.postings]
@@ -2921,6 +2950,74 @@ class QueryEngine:
                         out[int(d)] = int(p)
         return out
 
+    def match_positions(self, text: str, doc_ids) -> dict[int, list[int]]:
+        """ALL query-term token positions per doc (ascending, unfiltered
+        stream) straight from the POSITIONAL index — the multi-fragment
+        highlighter's anchor source.  One postings + positions decode per
+        (term, shard), merged ascending across terms per doc.  Requires
+        cfg.with_positions."""
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        terms = [t for t in query_terms(text) if self.global_df(t) > 0]
+        want = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        acc: dict[int, list[np.ndarray]] = {}
+        if not terms or not len(want):
+            return {}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            docids = np.asarray(r.docids)
+            if len(docids) == 0:
+                continue
+            pw = np.minimum(np.searchsorted(docids, want), len(docids) - 1)
+            here = want[docids[pw] == want]
+            if len(here) == 0:
+                continue
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                if len(d_arr) == 0:
+                    continue
+                j = np.minimum(np.searchsorted(d_arr, here), len(d_arr) - 1)
+                ok = d_arr[j] == here
+                if not ok.any():
+                    continue
+                flat, offs = r.positions(ti, tf_arr)
+                j_ok = j[ok]
+                seg = gather_segments(flat.astype(np.int64), offs, j_ok)
+                lens = (offs[j_ok + 1] - offs[j_ok]).astype(np.int64)
+                owners = np.repeat(here[ok], lens)
+                for d in np.unique(owners):
+                    acc.setdefault(int(d), []).append(seg[owners == d])
+        return {d: np.unique(np.concatenate(ps)).tolist()
+                for d, ps in acc.items()}
+
+    def search_fragments(self, text: str, k: int = 10, window: int = 3,
+                         n_fragments: int = 3
+                         ) -> list[tuple[int, float, list[str]]]:
+        """Multi-fragment highlighter (the ES highlighter's
+        number_of_fragments): top-k plus up to ``n_fragments``
+        NON-OVERLAPPING token windows per hit — anchors are ALL query-term
+        positions from the positional index, selected by the shared
+        greedy rule (``select_fragment_anchors``); one docstore point-read
+        for the k hit texts.  Scores/ranks are the unmodified ``search``
+        output.  Requires cfg.with_positions."""
+        hits = self.search(text, k)
+        if not hits:
+            return []
+        ids = [d for d, _ in hits]
+        pos = self.match_positions(text, ids)
+        rows = fetch_docs(self.paths.root, ids, columns=["doc_id", "text"])
+        tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
+        out = []
+        for d, s in hits:
+            anchors = select_fragment_anchors(pos.get(d, ()), window,
+                                              n_fragments)
+            out.append((d, s, [snippet_text(tmap[d], a, window)
+                               for a in anchors]))
+        return out
+
     def search(self, text: str, k: int = 10, mode: str = "or",
                expand_terms: int = 0, role: str | None = None,
                tool: str | None = None, ts_min=None, ts_max=None,
@@ -3506,6 +3603,12 @@ class ScorerActor:
         (doc-partitioned shards)."""
         return self.engine.match_count(text, mode=mode, role=role, tool=tool)
 
+    def match_positions(self, text: str, doc_ids) -> dict[int, list[int]]:
+        """This subset's full anchor-position lists (doc -> ascending
+        query-term positions); each doc lives in exactly one shard, so
+        the union across the pool is exact."""
+        return self.engine.match_positions(text, doc_ids)
+
     def correct_query_terms(self, text: str, max_dist: int = 2) -> list[str]:
         """'Did you mean' rewrite — dictionary state is GLOBAL, so any
         one actor answers exactly (single-actor route, like suggest)."""
@@ -3857,6 +3960,26 @@ def score_queries(
         num_cpus=1,
         runtime_env=worker_runtime_env(),
     )
+
+
+def select_fragment_anchors(positions, window: int,
+                            n_fragments: int) -> list[int]:
+    """Greedy non-overlapping fragment anchors — THE shared highlighter
+    rule (engine / brute-force / serving / SQL all restate it): walk the
+    ascending match positions, accept one iff it lies strictly beyond
+    ``last_accepted + 2 * window`` (so the token windows cannot overlap),
+    stop after ``n_fragments``.  Equivalent formulation used by the SQL
+    oracle: a_1 = min(pos); a_{i+1} = min(pos > a_i + 2*window)."""
+    out: list[int] = []
+    last: int | None = None
+    for p in positions:
+        p = int(p)
+        if last is None or p > last + 2 * window:
+            out.append(p)
+            last = p
+            if len(out) >= n_fragments:
+                break
+    return out
 
 
 def snippet_text(text: str, anchor: int, window: int) -> str:

@@ -456,6 +456,36 @@ class QueryService:
                 tmap[h["doc_id"]], anchors[h["doc_id"]], window)
         return hits
 
+    def search_fragments(self, text: str, k: int = 10, window: int = 3,
+                         n_fragments: int = 3) -> list[dict]:
+        """Multi-fragment highlighter over the pool: the scatter/gather
+        search picks the hits, a second scatter collects each doc's FULL
+        anchor-position list from its owning actor, and the serving thread
+        applies the shared greedy selection + snippet rule — identical
+        strings to QueryEngine.search_fragments."""
+        from horus_ner_ray.pipelines.query import (
+            fetch_docs,
+            select_fragment_anchors,
+            snippet_text,
+        )
+
+        hits = self.search(text, k=k, mode="or")
+        if not hits:
+            return []
+        ids = [h["doc_id"] for h in hits]
+        parts = self._call_all(lambda a: a.match_positions.remote(text, ids))
+        pos: dict[int, list[int]] = {}
+        for p in parts:  # each doc answered by exactly one subset
+            pos.update({int(d): list(v) for d, v in p.items()})
+        rows = fetch_docs(self.index_dir, ids, columns=["doc_id", "text"])
+        tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
+        for h in hits:
+            anchors = select_fragment_anchors(pos.get(h["doc_id"], ()),
+                                              window, n_fragments)
+            h["fragments"] = [snippet_text(tmap[h["doc_id"]], a, window)
+                              for a in anchors]
+        return hits
+
     def close(self) -> None:
         import ray
 
@@ -523,6 +553,10 @@ def make_http_server(
     GET /snippets?q=<text>[&k=][&window=] -> top-k hits each carrying the
     token window around its first query-term occurrence (needs an index
     built with with_positions).
+    GET /fragments?q=<text>[&k=][&window=][&n=] -> the multi-fragment
+    highlighter: up to n NON-OVERLAPPING token windows per hit (greedy
+    anchor selection over all query-term positions; needs
+    with_positions).
     GET /stats -> collection numbers + live tombstone count.
     GET /analyze?q=<text> -> tokens + 0-based positions under the shared
     tokenizer rule (the _analyze introspection route).
@@ -758,6 +792,27 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "k": k, "hits": hits})
+                return
+            if u.path == "/fragments":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    win = int((qs.get("window") or ["3"])[0])
+                    nf = int((qs.get("n") or ["3"])[0])
+                    if k < 0 or win < 0 or nf < 1:
+                        raise ValueError(
+                            "k/window must be >= 0 and n >= 1")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    hits = service.search_fragments(text, k=k, window=win,
+                                                    n_fragments=nf)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "k": k, "n": nf, "hits": hits})
                 return
             if u.path == "/relaxed":
                 qs = parse_qs(u.query)

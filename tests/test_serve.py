@@ -490,3 +490,33 @@ def test_http_boosting_dismax_modes(http_service, built_index):
         "/search?q=a&mode=dismax&exclude=x",
     ]:
         _expect_code(base, path_qs, 400)
+
+
+def test_http_fragments_route(small_corpus, tmp_path_factory, ray_session):
+    """/fragments over a positions index matches the engine."""
+    import threading
+
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import make_http_server
+
+    idx = tmp_path_factory.mktemp("fragidx") / "idx"
+    build_index(small_corpus, idx,
+                PipelineConfig(num_shards=4, with_positions=True))
+    server, service = make_http_server(str(idx), port=0, n_actors=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        eng = QueryEngine(str(idx))
+        r = json.load(urllib.request.urlopen(
+            base + "/fragments?q=the+sessionmark&k=4&window=2&n=3"))
+        want = eng.search_fragments("the sessionmark", k=4, window=2,
+                                    n_fragments=3)
+        assert [(h["doc_id"], h["score"], h["fragments"])
+                for h in r["hits"]] == [(d, s, f) for d, s, f in want]
+        _expect_code(base, "/fragments?q=a&n=0", 400)
+    finally:
+        server.shutdown()
+        service.close()

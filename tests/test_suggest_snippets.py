@@ -298,3 +298,52 @@ def test_service_term_vector(built_index, ray_session):
         assert [(r["term"], r["tf"], r["df"]) for r in got] == want
     finally:
         svc.close()
+
+
+# --------------------------------------------------------------------------
+# multi-fragment highlighter
+# --------------------------------------------------------------------------
+
+
+def test_select_fragment_anchors_rule():
+    from horus_ner_ray.pipelines.query import select_fragment_anchors
+
+    # windows of w=2 cover [a-2, a+2]; next anchor must be > a + 4
+    assert select_fragment_anchors([0, 1, 4, 5, 9, 20], 2, 3) == [0, 5, 20]
+    # n_fragments cap
+    assert select_fragment_anchors([0, 10, 20, 30], 2, 2) == [0, 10]
+    # single position
+    assert select_fragment_anchors([7], 3, 5) == [7]
+    assert select_fragment_anchors([], 3, 5) == []
+
+
+def test_search_fragments_matches_bruteforce(engines):
+    eng, bf = engines
+    for q in ["sessionmark", "the tok00042 uniqueedge1", "alpha beta",
+              "zzzqabsent"]:
+        for nf in (1, 3):
+            got = eng.search_fragments(q, k=5, window=3, n_fragments=nf)
+            want = bf.search_fragments(q, k=5, window=3, n_fragments=nf)
+            assert got == want, (q, nf)
+
+
+def test_fragments_are_nonoverlapping_and_bounded(engines):
+    eng, _bf = engines
+    res = eng.search_fragments("the sessionmark", k=5, window=2,
+                               n_fragments=3)
+    assert res
+    multi = False
+    for _d, _s, frags in res:
+        assert 1 <= len(frags) <= 3
+        multi = multi or len(frags) > 1
+        for f in frags:
+            assert 1 <= len(f.split()) <= 5  # window 2 -> <= 2w+1 tokens
+    assert multi  # the hot query must actually produce >1 fragment
+
+
+def test_match_positions_all_occurrences(engines):
+    eng, bf = engines
+    hits = [d for d, _ in eng.search("sessionmark the", k=5)]
+    got = eng.match_positions("sessionmark the", hits)
+    want = bf.match_positions("sessionmark the", hits)
+    assert got == want
