@@ -5376,6 +5376,130 @@ FROM m GROUP BY 1, 2 ORDER BY vec_id, dim
 """
 
 
+_RARE_MAX_DF = 3
+_RARE_K = 100
+_GSPLIT_PCT = 80
+_GSPLIT_SEED = 42
+
+
+def _q_rare_terms(sf_dir: str):
+    """ES rare_terms aggregation (stages/termstats.rare_terms): the
+    long-tail mirror of top_terms — terms with df <= max_df ranked
+    (df asc, term asc), page extracted via per-block bottom-k partials
+    (no full sort).  Runs over the TRANSCRIPT corpus (each turn is a
+    doc; its seeded rare terms give the aggregation a real long tail —
+    the documents table has none); the turn id derives as
+    conv_number * 1000 + turn_idx on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import rare_terms
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+
+    def add_id(b: pa.Table) -> pa.Table:
+        conv = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(b["conv_id"], pa.string()), 5, 32), pa.int64())
+        did = pc.add(pc.multiply(conv, pa.scalar(1000, pa.int64())),
+                     pc.cast(b["turn_idx"], pa.int64()))
+        return pa.table({"doc_id": did, "text": b["text"]})
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    docs = tr.map_batches(add_id, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          runtime_env=worker_runtime_env())
+    out = rare_terms(docs, max_df=_RARE_MAX_DF, k=_RARE_K)
+    out["df"] = out["df"].astype(np.int64)
+    return out
+
+
+def _sql_rare_terms() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH tok AS (
+  SELECT CAST(substr(conv_id, 6) AS BIGINT) * 1000 + turn_idx AS did,
+         unnest({_sql_tok()}) AS term
+  FROM read_parquet('{glob}')
+),
+dfv AS (SELECT term, count(DISTINCT did)::BIGINT AS df
+        FROM tok GROUP BY term)
+SELECT term, df FROM dfv WHERE df <= {_RARE_MAX_DF}
+ORDER BY df, term LIMIT {_RARE_K}
+"""
+
+
+def _q_group_split(sf_dir: str):
+    """Leakage-safe group-aware split (functions/sampling
+    group_hash_split, the GroupShuffleSplit contract): every event of a
+    user lands in one split via splitmix64(user XOR seed) % 100.  The
+    published frame aggregates per split (row count, distinct users,
+    exact value_e6 sum) — the SQL derives the SAME hash per user with
+    _sql_splitmix64, so both the rule and the group atomicity are
+    checked."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.functions.sampling import group_hash_split
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "value"])
+    tagged = group_hash_split(ev, "user_id", train_pct=_GSPLIT_PCT,
+                              seed=_GSPLIT_SEED)
+
+    def partial(b):
+        import pyarrow as pa
+
+        v = np.floor(np.asarray(b["value"], dtype=np.float64) * 1e6
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({"split": np.asarray(b["split"], dtype=object),
+                           "user_id": np.asarray(b["user_id"],
+                                                 dtype=np.int64),
+                           "v": v})
+        g = (df.groupby(["split", "user_id"], sort=False)
+             .agg(n=("v", "size"), s=("v", "sum")).reset_index())
+        return pa.table({"split": pa.array(g["split"], pa.string()),
+                         "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    per_user = (tagged.map_batches(partial, batch_format="pyarrow",
+                                   runtime_env=worker_runtime_env())
+                .groupby(["split", "user_id"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s")).to_pandas())
+    out = (per_user.groupby("split", as_index=False)
+           .agg(n_rows=("n", "sum"), n_users=("user_id", "nunique"),
+                sum_e6=("s", "sum"))
+           .sort_values("split").reset_index(drop=True))
+    for c in ("n_rows", "n_users", "sum_e6"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_group_split() -> str:
+    h = _sql_splitmix64(
+        f"xor(CAST(user_id AS UBIGINT), CAST({_GSPLIT_SEED} AS UBIGINT))")
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN ({h}) % 100 < {_GSPLIT_PCT} THEN 'train' ELSE 'test' END
+           AS split,
+         user_id,
+         CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT split, count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(v)::BIGINT AS sum_e6
+FROM t GROUP BY split ORDER BY split
+"""
+
+
 _COMPOSITE_PAGE = 25
 
 
@@ -5795,6 +5919,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": _q_matrix_stats,
         "composite_pages": _q_composite_pages,
         "bm25_fragments": _q_bm25_fragments,
+        "rare_terms": _q_rare_terms,
+        "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
         "cooc_triangles": _q_cooc_triangles,
         "dup_spans": _q_dup_spans,
@@ -7955,6 +8081,8 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats": _sql_matrix_stats(),
         "composite_pages": _sql_composite_pages(),
         "bm25_fragments": _sql_bm25_fragments(),
+        "rare_terms": _sql_rare_terms(),
+        "group_split": _sql_group_split(),
         "kn_bigram_logprob": """
             WITH tok AS (SELECT doc_id, {tok} AS arr FROM documents),
             uni AS (

@@ -157,3 +157,30 @@ def split_proportions(ds, id_col: str = "doc_id", train_pct: int = 80):
         batch_size=None, runtime_env=_rte(),
     )
     return parts.groupby("split").aggregate(Sum("n", alias_name="n"))
+
+
+def group_hash_split(ds, group_col: str, train_pct: int = 80,
+                     seed: int = 42):
+    """Leakage-safe GROUP-aware split (sklearn GroupShuffleSplit's
+    contract, deterministic): EVERY row of a group lands in the same
+    split — split = 'train' iff splitmix64(group XOR seed) % 100 <
+    train_pct.  The hash is keyed on the GROUP value (int64), so the
+    assignment is a pure function of (group, seed): order-,
+    partitioning- and cluster-size-independent, and SQL-expressible
+    (_sql_splitmix64).  Use for user-/conversation-keyed corpora where a
+    row-level split would leak near-duplicate context across train and
+    test."""
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    if not (0 <= int(train_pct) <= 100):
+        raise ValueError(f"train_pct must be in [0, 100], got {train_pct}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col], dtype=np.int64).astype(np.uint64)
+        h = splitmix64(g ^ np.uint64(seed))
+        split = np.where((h % np.uint64(100)) < np.uint64(train_pct),
+                         "train", "test")
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          runtime_env=_rte())

@@ -322,3 +322,32 @@ def unigram_logprob_vectors(ds, total_tokens: float | None = None,
         .map_groups(lambda g: finish(g.drop(columns=["dbkt"])),
                     batch_format="pandas", runtime_env=_rte())
     )
+
+
+def rare_terms(ds, max_df: int, k: int = 100, text_col: str = "text",
+               id_col: str = "doc_id") -> "pd.DataFrame":
+    """ES ``rare_terms`` aggregation: terms whose document frequency is
+    <= ``max_df``, ranked (df asc, term asc), first ``k``.  The df table
+    comes from the standard skew-free combiner (term_df_dataset); the
+    page extracts WITHOUT a full sort — each df-table block reduces to
+    its local filtered bottom-k, so only O(blocks * k) rows reach the
+    driver (the long-tail mirror of the top_terms head)."""
+    import pandas as pd
+
+    if k < 1 or max_df < 1:
+        raise ValueError("k and max_df must be >= 1")
+    df = term_df_dataset(ds, text_col=text_col, id_col=id_col)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["df"] <= max_df]
+        return b.sort_values(["df", "term"], kind="stable").head(k)
+
+    parts = (df.map_batches(partial, batch_format="pandas",
+                            runtime_env=_rte()).to_pandas())
+    if len(parts) == 0:  # nothing under max_df: typed empty frame
+        import numpy as np
+
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "df": pd.Series([], dtype=np.int64)})
+    return (parts.sort_values(["df", "term"], kind="stable").head(k)
+            .reset_index(drop=True))

@@ -157,3 +157,56 @@ def test_weighted_sample_per_group_exact(ray_session):
     assert (a[["g", "k"]].to_numpy() == b[["g", "k"]].to_numpy()).all()
     with pytest.raises(ValueError, match="k must be > 0"):
         weighted_sample_per_group(ds, "g", "k", "w", k=0)
+
+
+def test_group_hash_split_is_group_atomic_and_deterministic(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import group_hash_split
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    rng = np.random.RandomState(6)
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 60, 2000).astype(np.int64),
+        "v": rng.rand(2000),
+    })
+    for parts in (1, 5):
+        got = (group_hash_split(
+            rd.from_pandas(df.sample(frac=1, random_state=parts))
+            .repartition(parts), "user_id", train_pct=80, seed=42)
+            .to_pandas())
+        # group-atomicity: one split value per user
+        per = got.groupby("user_id")["split"].nunique()
+        assert (per == 1).all()
+        # the rule itself
+        for u in per.index[:10]:
+            h = int(splitmix64(np.array([np.uint64(u) ^ np.uint64(42)],
+                                        dtype=np.uint64))[0])
+            want = "train" if h % 100 < 80 else "test"
+            assert (got.loc[got.user_id == u, "split"] == want).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="train_pct"):
+        group_hash_split(rd.from_pandas(df), "user_id", train_pct=150)
+
+
+def test_rare_terms_long_tail(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import rare_terms
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": [f"common filler rare{i:03d}" + (" semi" if i < 5 else "")
+                 for i in range(50)],
+    })
+    got = rare_terms(rd.from_pandas(df).repartition(4), max_df=5, k=10)
+    # every rare{i} term has df == 1; first 10 in term order
+    assert list(got["term"])[:10] == [f"rare{i:03d}" for i in range(10)]
+    assert (got["df"] == 1).all()
+    # df-ordering: 'semi' (df 5) ranks after all df-1 terms, outside k=10
+    full = rare_terms(rd.from_pandas(df), max_df=5, k=1000)
+    assert list(full["term"])[-1] == "semi" and int(full["df"].iloc[-1]) == 5
+    assert "common" not in set(full["term"])  # df 50 > max_df
