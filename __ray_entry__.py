@@ -651,6 +651,94 @@ JOIN toka t ON t.doc_id = b.doc_id
 """
 
 
+# span-not driver queries: (query, not-clause, dist) — a doc matches iff
+# some query-term occurrence sits > dist positions from EVERY not-term
+# occurrence; survivors score as plain OR
+SPAN_NOT_QUERIES = [
+    ("scan", "slow", 2),
+    ("batch join", "data", 1),
+    ("window", "zzzqnotfound", 2),   # absent B == plain OR
+    ("merge", "merge", 0),           # self-exclusion at dist 0 == empty
+]
+
+
+def _q_bm25_span_not(sf_dir: str):
+    """Span-not search (QueryEngine.search_span_not, Lucene SpanNotQuery
+    with slop): positional complement of NEAR — 'A away from B'.  The
+    engine probes each A-occurrence's two B-neighbors in the composite
+    (cand, pos) key space; SQL restates the predicate as NOT EXISTS over
+    the position table."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_span_not(a, b, TOPK * 3 + 20, dist=d)
+            for a, b, d in SPAN_NOT_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_span_not() -> str:
+    import re
+
+    q_rows: list[str] = []
+    matched: list[str] = []
+    for qid, (a, b, dist) in enumerate(SPAN_NOT_QUERIES):
+        aterms = sorted(set(re.findall(_TOKRE, a.lower())))
+        bterms = sorted(set(re.findall(_TOKRE, b.lower())))
+        for t in aterms:
+            q_rows.append(f"({qid}, '{t}')")
+        a_in = ", ".join(f"'{t}'" for t in aterms)
+        b_in = ", ".join(f"'{t}'" for t in bterms) or "''"
+        matched.append(
+            f"SELECT DISTINCT {qid} AS query_id, p.doc_id FROM positions p "
+            f"WHERE p.term IN ({a_in}) AND NOT EXISTS ("
+            f"SELECT 1 FROM positions b WHERE b.doc_id = p.doc_id "
+            f"AND b.term IN ({b_in}) AND abs(b.pos - p.pos) <= {dist})")
+    matched_sql = "\n  UNION ALL ".join(matched)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+positions AS (
+  SELECT doc_id, unnest(arr) AS term,
+         (generate_subscripts(arr, 1) - 1)::BIGINT AS pos
+  FROM tok
+),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(q_rows)}),
+matched AS (
+  {matched_sql}
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = q.term
+  JOIN dfv ON dfv.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 _FRAG_WINDOW = 3
 _FRAG_N = 3
 
@@ -5919,6 +6007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": _q_matrix_stats,
         "composite_pages": _q_composite_pages,
         "bm25_fragments": _q_bm25_fragments,
+        "bm25_span_not": _q_bm25_span_not,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8081,6 +8170,7 @@ def oracle_sql() -> dict[str, str]:
         "matrix_stats": _sql_matrix_stats(),
         "composite_pages": _sql_composite_pages(),
         "bm25_fragments": _sql_bm25_fragments(),
+        "bm25_span_not": _sql_bm25_span_not(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -438,6 +438,40 @@ class BruteForceBM25:
                     break
         return out
 
+    def search_span_not(self, text: str, not_text: str, k: int = 10,
+                        dist: int = 2) -> list[tuple[int, float]]:
+        """Oracle span-not: independent naive scan — a doc matches iff
+        some query-term occurrence has no not-term occurrence within
+        ``dist`` positions; survivors score as plain OR."""
+        terms = sorted({t for t in query_terms(text) if t in self.postings})
+        nterms = {t for t in query_terms(not_text) if t in self.postings}
+        if not terms:
+            return []
+        if dist < 0:
+            raise ValueError(f"dist must be >= 0, got {dist}")
+        cand: set[int] = set()
+        for t in terms:
+            cand.update(d for d, _ in self.postings[t])
+        matched = []
+        tset = set(terms)
+        for d in cand:
+            if d in self.deleted:
+                continue
+            toks = self.doc_tokens[d]
+            bpos = [i for i, w in enumerate(toks) if w in nterms]
+            for p, w in enumerate(toks):
+                if w in tset and not any(abs(p - q) <= dist for q in bpos):
+                    matched.append(d)
+                    break
+        scores: dict[int, float] = {d: 0.0 for d in matched}
+        for t in terms:  # ascending-term accumulation
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            tfmap = dict(self.postings[t])
+            for d in matched:
+                if d in tfmap:
+                    scores[d] += self._contrib(idf, tfmap[d], self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def match_positions(self, text: str, doc_ids) -> dict[int, list[int]]:
         """Oracle multi-anchor positions: ALL ascending token positions
         (unfiltered stream) holding any query term, per doc."""
@@ -1666,6 +1700,120 @@ class QueryEngine:
                 contrib = idfs[t] * (tff * (self.k1 + 1.0)) / denom
                 acc[ok] += contrib[ok]
             for doc, s in zip(cand, acc):
+                scores[int(doc)] = float(s)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    def search_span_not(self, text: str, not_text: str, k: int = 10,
+                        dist: int = 2) -> list[tuple[int, float]]:
+        """Span-not search (Lucene SpanNotQuery with pre/post slop): a doc
+        matches iff SOME query-term occurrence has NO ``not_text``-term
+        occurrence within ``dist`` token positions — "A away from B", the
+        positional complement of search_near.  Survivors score as plain
+        OR over the query terms (mask before top-k, stats global — the
+        field-filter contract).  Absent exclusion terms exclude nothing.
+        Vectorized: A and B occurrences encode as (cand << 32) | pos
+        composite keys and each A key probes its two B neighbors with one
+        searchsorted.  Requires cfg.with_positions."""
+        terms = sorted({t for t in query_terms(text)
+                        if self.global_df(t) > 0})
+        nterms = sorted({t for t in query_terms(not_text)
+                         if self.global_df(t) > 0})
+        if not terms:
+            return []
+        if dist < 0:
+            raise ValueError(f"dist must be >= 0, got {dist}")
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in terms}
+        scores: dict[int, float] = {}
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            cand_parts: list[np.ndarray] = []
+            for t in terms:
+                ti = r.term_index(t)
+                if ti is None:
+                    continue
+                d_arr, tf_arr = r.postings(ti)
+                if len(d_arr) == 0:
+                    continue
+                dec[t] = (d_arr, tf_arr)
+                cand_parts.append(d_arr)
+            if not cand_parts:
+                continue
+            cand = np.unique(np.concatenate(cand_parts))
+            lm = self._live_mask(si)
+            if lm is not None:
+                docids = np.asarray(r.docids)
+                cand = cand[lm[np.searchsorted(docids, cand)]]
+                if len(cand) == 0:
+                    continue
+
+            def _keys(term_list, decoded_only):
+                parts = []
+                for t in term_list:
+                    if decoded_only and t in dec:
+                        d_arr, tf_arr = dec[t]
+                        ti = r.term_index(t)
+                    else:
+                        ti = r.term_index(t)
+                        if ti is None:
+                            continue
+                        d_arr, tf_arr = r.postings(ti)
+                        if len(d_arr) == 0:
+                            continue
+                    idx = np.searchsorted(d_arr, cand)
+                    idx_c = np.minimum(idx, len(d_arr) - 1)
+                    present = np.flatnonzero(d_arr[idx_c] == cand)
+                    if len(present) == 0:
+                        continue
+                    j_arr = idx_c[present]
+                    flat, offs = r.positions(ti, tf_arr)
+                    seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+                    lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+                    cidx = np.repeat(present.astype(np.int64), lens)
+                    parts.append((cidx << np.int64(32)) | seg)
+                if not parts:
+                    return np.zeros(0, dtype=np.int64)
+                return np.unique(np.concatenate(parts))
+
+            akeys = _keys(terms, True)
+            if len(akeys) == 0:
+                continue
+            bkeys = _keys(nterms, False) if nterms else np.zeros(
+                0, dtype=np.int64)
+            if len(bkeys) == 0:
+                keep = np.ones(len(akeys), dtype=bool)
+            else:
+                ins = np.searchsorted(bkeys, akeys)
+                ac, ap = akeys >> np.int64(32), akeys & np.int64(0xFFFFFFFF)
+                near = np.zeros(len(akeys), dtype=bool)
+                for nb in (ins - 1, ins):  # left and right B neighbor
+                    nb_c = np.clip(nb, 0, len(bkeys) - 1)
+                    bc = bkeys[nb_c] >> np.int64(32)
+                    bp = bkeys[nb_c] & np.int64(0xFFFFFFFF)
+                    valid = (nb >= 0) & (nb < len(bkeys)) & (bc == ac)
+                    near |= valid & (np.abs(bp - ap) <= dist)
+                keep = ~near
+            marr = cand[np.unique(akeys[keep] >> np.int64(32))]
+            if len(marr) == 0:
+                continue
+            dls = r.doc_length(marr).astype(np.float64)
+            acc = np.zeros(len(marr), dtype=np.float64)
+            for t in terms:  # ascending-term accumulation (determinism)
+                if t not in dec:
+                    continue
+                d_arr, tf_arr = dec[t]
+                jj = np.minimum(np.searchsorted(d_arr, marr), len(d_arr) - 1)
+                ok = d_arr[jj] == marr
+                if not ok.any():
+                    continue
+                tff = tf_arr[jj].astype(np.float64)
+                denom = tff + self.k1 * (
+                    1.0 - self.b + self.b * dls / self.avgdl)
+                contrib = idfs[t] * (tff * (self.k1 + 1.0)) / denom
+                acc[ok] += contrib[ok]
+            for doc, s in zip(marr, acc):
                 scores[int(doc)] = float(s)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
@@ -3798,6 +3946,20 @@ class ScorerActor:
                                           and mx != mx) else int(mx)
                 hits = self.engine.search_phrase_prefix(
                     row.text, int(row.k), max_expansions=mx)
+            elif mode == "span_not":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='span_not' does not compose with role/tool/"
+                        "exclude filters (the negative clause is "
+                        "positional)")
+                neg = getattr(row, "negative", "") or ""
+                if isinstance(neg, float):
+                    neg = ""
+                dv = getattr(row, "dist", None)
+                dv = 2 if dv is None or (isinstance(dv, float)
+                                         and dv != dv) else int(dv)
+                hits = self.engine.search_span_not(row.text, neg,
+                                                   int(row.k), dist=dv)
             elif mode == "boolean":
                 if role or tool:
                     raise ValueError(

@@ -98,7 +98,8 @@ class QueryService:
                negative: str | None = None,
                negative_boost: float = 0.5,
                tie_breaker: float = 0.5,
-               max_expansions: int = 50) -> list[dict]:
+               max_expansions: int = 50,
+               dist: int = 2) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -117,7 +118,7 @@ class QueryService:
               "slop": int(slop), "first_n": int(first_n),
               "negative": negative or "",
               "nb": float(negative_boost), "tie": float(tie_breaker),
-              "max_exp": int(max_expansions),
+              "max_exp": int(max_expansions), "dist": int(dist),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -173,6 +174,7 @@ class QueryService:
                 "nb": float(e.get("nb", 0.5)),
                 "tie": float(e.get("tie", 0.5)),
                 "max_exp": int(e.get("max_exp", 50)),
+                "dist": int(e.get("dist", 2)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -599,7 +601,7 @@ def make_http_server(
                     if m not in ("or", "and", "phrase", "near", "boolean",
                                  "prefix", "fuzzy", "contains", "lm",
                                  "regex", "boosting", "dismax",
-                                 "phrase_prefix"):
+                                 "phrase_prefix", "span_not"):
                         raise ValueError(f"unknown mode {m!r}")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self.send_error(400, str(e))
@@ -1013,7 +1015,8 @@ def make_http_server(
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains", "lm",
                                     "regex", "stemmed", "first",
-                                    "boosting", "dismax", "phrase_prefix"):
+                                    "boosting", "dismax", "phrase_prefix",
+                                    "span_not"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -1030,14 +1033,21 @@ def make_http_server(
                 req_exclude = (qs.get("exclude") or [""])[0] or None
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
                                 "regex", "stemmed", "first", "boosting",
-                                "dismax", "phrase_prefix") and (
+                                "dismax", "phrase_prefix",
+                                "span_not") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "
                         "role/tool/exclude")
                 req_negative = (qs.get("negative") or [""])[0] or None
-                if req_negative and req_mode != "boosting":
-                    raise ValueError("negative= requires mode=boosting")
+                if req_negative and req_mode not in ("boosting", "span_not"):
+                    raise ValueError(
+                        "negative= requires mode=boosting or span_not")
+                req_dist = int((qs.get("dist") or ["2"])[0])
+                if req_dist < 0:
+                    raise ValueError(f"dist must be >= 0, got {req_dist}")
+                if qs.get("dist") and req_mode != "span_not":
+                    raise ValueError("dist= requires mode=span_not")
                 req_nb = float((qs.get("nb") or ["0.5"])[0])
                 if not (0.0 < req_nb <= 1.0):
                     raise ValueError(
@@ -1110,7 +1120,8 @@ def make_http_server(
                                       negative=req_negative,
                                       negative_boost=req_nb,
                                       tie_breaker=req_tie,
-                                      max_expansions=req_max_exp)
+                                      max_expansions=req_max_exp,
+                                      dist=req_dist)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

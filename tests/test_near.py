@@ -150,3 +150,66 @@ def test_min_cover_spans_matches_naive(n_labels, rows):
     for c in range(3):
         m = ci == c
         assert got[c] == _naive_cover(pp[m], ll[m], n_labels), (c, rows)
+
+
+# --------------------------------------------------------------------------
+# span_not ("A away from B")
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_engines(near_index, near_oracle):
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    return QueryEngine(near_index), near_oracle
+
+
+def test_span_not_rank_identical(pos_engines):
+    eng, bf = pos_engines
+    cases = [
+        ("sessionmark", "the", 1),
+        ("sessionmark", "the", 3),
+        ("tok00007 tok00011", "sessionmark", 2),
+        ("alpha", "beta", 1),
+        ("tok00013", "zzzqabsent", 2),   # absent B == plain OR
+        ("zzzqabsent", "the", 2),        # absent A -> empty
+    ]
+    hit_any = drop_any = False
+    for a, b, dist in cases:
+        got = eng.search_span_not(a, b, k=10, dist=dist)
+        want = bf.search_span_not(a, b, k=10, dist=dist)
+        assert got == want, (a, b, dist)
+        hit_any = hit_any or bool(got)
+        plain = eng.search(a, k=10)
+        drop_any = drop_any or (bool(plain) and got != plain)
+    assert hit_any and drop_any  # exercises both match and exclusion
+
+
+def test_span_not_absent_b_is_plain_or(pos_engines):
+    eng, _bf = pos_engines
+    assert eng.search_span_not("tok00013", "zzzqabsent", k=10, dist=3) == \
+        eng.search("tok00013", k=10)
+
+
+def test_span_not_negative_dist_raises(pos_engines):
+    eng, bf = pos_engines
+    import pytest
+
+    for obj in (eng, bf):
+        with pytest.raises(ValueError, match="dist"):
+            obj.search_span_not("a", "b", dist=-1)
+
+
+def test_span_not_served_end_to_end(near_index, near_oracle, ray_session):
+    import pandas as pd
+
+    from horus_ner_ray.pipelines.query import QueryEngine, ScorerActor
+
+    eng = QueryEngine(near_index)
+    actor = ScorerActor(near_index)
+    out = actor(pd.DataFrame([{
+        "query_id": 0, "text": "sessionmark", "k": 5,
+        "mode": "span_not", "negative": "the", "dist": 2}]))
+    want = eng.search_span_not("sessionmark", "the", k=5, dist=2)
+    assert [(int(d), float(s)) for d, s in
+            zip(out["doc_id"], out["score"])] == want
