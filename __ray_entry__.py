@@ -3289,6 +3289,86 @@ LEFT JOIN hit h ON h.query_id = qids.query_id AND h.pct = p.pct
 """
 
 
+_RANK_PROBE_OFFS_S = [0, 100_000, 450_000, 1_000_000, 1_800_000]
+
+
+def _rank_probe_values() -> list[int]:
+    base = int(np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64))
+    return [base + o * 1_000_000 for o in _RANK_PROBE_OFFS_S]
+
+
+def _q_ts_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks aggregation, EXACT
+    (QueryEngine.field_percentile_ranks): for each probe timestamp, the
+    inclusive-CDF fraction of the match set's stored ts <= it,
+    rank_e6 = floor(count_le / count * 1e6 + 0.5).  One pass per shard,
+    only a probes-sized count vector merges.  SQL: count FILTER per
+    probe over the same derived doc table."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    probes = _rank_probe_values()
+    rows = {"query_id": [], "value": [], "count_le": [], "n": [],
+            "rank_e6": []}
+    for qid, t in enumerate(q["text"] for q in reference_queries()):
+        for r in eng.field_percentile_ranks(t, probes):
+            rows["query_id"].append(qid)
+            rows["value"].append(r["value"])
+            rows["count_le"].append(r["count_le"])
+            rows["n"].append(r["count"])
+            rows["rank_e6"].append(r["rank_e6"])
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_ts_percentile_ranks() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    probes = ", ".join(f"({v})" for v in _rank_probe_values())
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM docs),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+qids AS (SELECT DISTINCT query_id FROM q),
+probes(value) AS (VALUES {probes}),
+m AS (SELECT DISTINCT q.query_id, tok.doc_id FROM q JOIN tok USING (term)),
+r AS (
+  SELECT m.query_id, p.value,
+         count(*) FILTER (WHERE epoch_us(d.ts)::BIGINT <= p.value)::BIGINT
+           AS count_le,
+         count(*)::BIGINT AS n
+  FROM m JOIN docs d ON d.doc_id = m.doc_id
+  CROSS JOIN probes p
+  WHERE d.ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT qids.query_id, p.value::BIGINT AS value,
+       coalesce(r.count_le, 0)::BIGINT AS count_le,
+       coalesce(r.n, 0)::BIGINT AS n,
+       CASE WHEN coalesce(r.n, 0) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(r.count_le AS DOUBLE)
+                            / CAST(r.n AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+       END AS rank_e6
+FROM qids CROSS JOIN probes p
+LEFT JOIN r ON r.query_id = qids.query_id AND r.value = p.value
+"""
+
+
 def _q_doc_term_vectors(sf_dir: str):
     """Term-vectors API (ES termvectors): per stored doc the (term, tf,
     global df) rows under the shared tokenizer rule — one docstore
@@ -6008,6 +6088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_pages": _q_composite_pages,
         "bm25_fragments": _q_bm25_fragments,
         "bm25_span_not": _q_bm25_span_not,
+        "ts_percentile_ranks": _q_ts_percentile_ranks,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8171,6 +8252,7 @@ def oracle_sql() -> dict[str, str]:
         "composite_pages": _sql_composite_pages(),
         "bm25_fragments": _sql_bm25_fragments(),
         "bm25_span_not": _sql_bm25_span_not(),
+        "ts_percentile_ranks": _sql_ts_percentile_ranks(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -940,6 +940,35 @@ class BruteForceBM25:
         return {"count": len(vals),
                 "value": vals[max(1, math.ceil(q * len(vals))) - 1]}
 
+    def field_percentile_ranks(self, text: str, values,
+                               field: str = "ts",
+                               mode: str = "or") -> list[dict]:
+        """Oracle percentile ranks: literal sorted match-set scan —
+        rank_e6 = floor(count(val <= v) / count * 1e6 + 0.5)."""
+        import math
+
+        if field != "ts":
+            raise ValueError("oracle supports field='ts' only")
+        probes = [int(v) for v in values]
+        if not probes:
+            raise ValueError("values must be non-empty")
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return [{"value": v, "count_le": 0, "count": 0, "rank_e6": 0}
+                    for v in probes]
+        sets = [{d for d, _ in self.postings[t]} for t in terms]
+        docs = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        vals = sorted(self.ts[d] for d in docs
+                      if d in self.ts and d not in self.deleted)
+        out = []
+        for v in probes:
+            c = sum(1 for x in vals if x <= v)
+            rank = math.floor(c / len(vals) * 1e6 + 0.5) if vals else 0
+            out.append({"value": v, "count_le": c, "count": len(vals),
+                        "rank_e6": rank})
+        return out
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -1571,6 +1600,53 @@ class QueryEngine:
             if len(v):
                 counts += np.bincount((v - lo) // w, minlength=nb)
         return counts, w
+
+    def field_percentile_ranks(self, text: str, values,
+                               field: str = "ts",
+                               mode: str = "or") -> list[dict]:
+        """ES ``percentile_ranks`` aggregation, EXACT: for each probe
+        value v, the fraction of the match set's stored attribute <= v,
+        published as rank_e6 = floor(count(val <= v) / count * 1e6 + 0.5)
+        (inclusive CDF — percent_rank of the value, the inverse of
+        field_percentile).  One pass per shard: the match-set values
+        never leave their shards, only a len(values)-sized count vector
+        merges."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        probes = [int(v) for v in values]
+        if not probes:
+            raise ValueError("values must be non-empty")
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return [{"value": v, "count_le": 0, "count": 0, "rank_e6": 0}
+                    for v in probes]
+        need = len(terms) if mode == "and" else 1
+        sentinel = np.iinfo(np.int64).min
+        le = np.zeros(len(probes), dtype=object)
+        total = 0
+        parr = np.asarray(probes, dtype=np.int64)
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            if len(r.docids) == 0:
+                continue
+            vals = self._doc_attrs(si).get(field)
+            if vals is None:
+                raise ValueError(f"index docstore has no '{field}' column")
+            hit = self._shard_match_mask(si, terms, need)
+            if hit is None:
+                continue
+            hit &= vals != sentinel
+            v = np.sort(vals[hit])
+            if not len(v):
+                continue
+            total += int(len(v))
+            le += np.searchsorted(v, parr, side="right")
+        out = []
+        for v, c in zip(probes, le):
+            rank = (math.floor(int(c) / total * 1e6 + 0.5)
+                    if total else 0)
+            out.append({"value": v, "count_le": int(c), "count": total,
+                        "rank_e6": rank})
+        return out
 
     def field_percentile(self, text: str, q: float = 0.5,
                          field: str = "ts", mode: str = "or",
@@ -3783,6 +3859,16 @@ class ScorerActor:
             pos = np.minimum(np.searchsorted(docids, ids), len(docids) - 1)
             resident.update(int(d) for d in ids[docids[pos] == ids])
         return {d: s for d, s in sc.items() if d in resident}
+
+    def field_rank_partial(self, text: str, values, field: str = "ts",
+                           mode: str = "or") -> tuple[list[int], int]:
+        """This subset's percentile-rank partial: (count_le per probe,
+        match count) — plain sums merge across the pool; the service
+        recomputes rank_e6 from the merged integers."""
+        rows = self.engine.field_percentile_ranks(text, values, field=field,
+                                                  mode=mode)
+        return [r["count_le"] for r in rows], (rows[0]["count"]
+                                               if rows else 0)
 
     def field_histogram(self, text: str, field: str, mode: str,
                         lo: int, hi: int,

@@ -273,6 +273,31 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), "score_e6": int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def field_percentile_ranks(self, text: str, values,
+                               field: str = "ts",
+                               mode: str = "or") -> list[dict]:
+        """Exact percentile ranks through the pool: ONE scatter of
+        (count_le vector, count) integer partials, rank_e6 recomputed
+        from the merged sums — identical numbers to
+        QueryEngine.field_percentile_ranks."""
+        import math
+
+        probes = [int(v) for v in values]
+        if not probes:
+            raise ValueError("values must be non-empty")
+        parts = self._call_all(
+            lambda a: a.field_rank_partial.remote(text, probes, field, mode))
+        le = [0] * len(probes)
+        total = 0
+        for c, n in parts:
+            total += int(n)
+            for i, v in enumerate(c):
+                le[i] += int(v)
+        return [{"value": v, "count_le": c, "count": total,
+                 "rank_e6": (math.floor(c / total * 1e6 + 0.5)
+                             if total else 0)}
+                for v, c in zip(probes, le)]
+
     def field_percentile(self, text: str, q: float = 0.5,
                          field: str = "ts", mode: str = "or",
                          n_buckets: int = 1024) -> dict:
@@ -546,6 +571,9 @@ def make_http_server(
     GET /percentile?q=<text>[&p=0.5][&mode=or|and] -> the EXACT p-th
     percentile of the match set's stored timestamp (histogram
     refinement; values never leave the actors).
+    GET /percentile_ranks?q=<text>&values=<v,v,...>[&mode=or|and] -> the
+    inverse: for each value, the exact fraction of the match set's
+    stored timestamps <= it (rank_e6; one scatter of integer partials).
     GET /relaxed?q=<text>[&k=][&dist=] -> zero-results cascade:
     AND, then OR, then the corrected query (tier + hits).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
@@ -854,6 +882,30 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "p": quant, **out})
+                return
+            if u.path == "/percentile_ranks":
+                qs = parse_qs(u.query)
+                text = (qs.get("q") or [""])[0]
+                try:
+                    raw = (qs.get("values") or [""])[0]
+                    vals = [int(x) for x in raw.split(",") if x != ""]
+                    if not vals:
+                        raise ValueError(
+                            "values= must list at least one integer")
+                    pmode = (qs.get("mode") or ["or"])[0]
+                    if pmode not in ("or", "and"):
+                        raise ValueError(
+                            "percentile_ranks supports mode=or/and")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.field_percentile_ranks(text, vals,
+                                                          mode=pmode)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": text, "ranks": rows})
                 return
             if u.path == "/termvectors":
                 qs = parse_qs(u.query)

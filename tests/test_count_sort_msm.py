@@ -262,3 +262,48 @@ def test_service_field_percentile(built_index, ray_session):
             assert got == want, quant
     finally:
         svc.close()
+
+
+# --- percentile ranks (the inverse aggregation) --------------------------
+
+
+def test_field_percentile_ranks_matches_bruteforce(engines):
+    eng, bf = engines
+    st = eng.field_stats("the sessionmark")
+    probes = [st["min"] - 1, st["min"], (st["min"] + st["max"]) // 2,
+              st["max"], st["max"] + 1]
+    for q in reference_queries(k=10)[:6]:
+        for mode in ("or", "and"):
+            got = eng.field_percentile_ranks(q["text"], probes, mode=mode)
+            want = bf.field_percentile_ranks(q["text"], probes, mode=mode)
+            assert got == want, (q["text"], mode)
+    # CDF endpoints: below-min is 0, at-max is exactly 1e6
+    rows = eng.field_percentile_ranks("the sessionmark", probes)
+    assert rows[0]["rank_e6"] == 0 and rows[0]["count_le"] == 0
+    assert rows[3]["rank_e6"] == 1_000_000
+    assert rows[4]["count_le"] == rows[3]["count"]
+
+
+def test_field_percentile_ranks_inverts_percentile(engines):
+    """rank(percentile(p)) >= p (discrete CDF inverse relation)."""
+    eng, _bf = engines
+    for p in (0.25, 0.5, 0.9):
+        v = eng.field_percentile("the sessionmark", q=p)["value"]
+        r = eng.field_percentile_ranks("the sessionmark", [v])[0]
+        assert r["rank_e6"] >= int(p * 1e6) - 1
+
+
+def test_field_percentile_ranks_served(built_index, ray_session):
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import QueryService
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    st = eng.field_stats("sessionmark")
+    probes = [st["min"], (st["min"] + st["max"]) // 2, st["max"]]
+    svc = QueryService(idx, n_actors=2)
+    try:
+        assert svc.field_percentile_ranks("sessionmark", probes) == \
+            eng.field_percentile_ranks("sessionmark", probes)
+    finally:
+        svc.close()
