@@ -5971,6 +5971,26 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(docs, n_merges=_BPE_MERGES)
 
 
+def _q_bpe_encoded(sf_dir: str):
+    """BPE APPLICATION (stages/bpe.bpe_encode_stats): train the merge
+    table, then replay it over the corpus — per doc the token count and
+    post-merge subword count (the compression a learned vocabulary
+    achieves; the train -> tokenize loop every LLM pipeline runs).
+    ORACLE: the merge chain re-derives in SQL with the word carried
+    through, then joins back to each doc's token instances."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.bpe import bpe_encode_stats, bpe_train
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text"])
+    merges = [(l, r) for _s, l, r, _c in map(
+        tuple, bpe_train(docs, n_merges=_BPE_MERGES)
+        .itertuples(index=False))]
+    return (bpe_encode_stats(docs, merges).to_pandas().astype(np.int64)
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_rolling_windows(sf_dir: str):
     """5-row moving aggregates per user ordered by (ts, event_id)
     (stages/analytic.py rolling_aggregates_dataset): exact int rolling sum
@@ -6089,6 +6109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fragments": _q_bm25_fragments,
         "bm25_span_not": _q_bm25_span_not,
         "ts_percentile_ranks": _q_ts_percentile_ranks,
+        "bpe_encoded": _q_bpe_encoded,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -7272,6 +7293,51 @@ def _sql_term_pagerank(n_iter: int = 5, top_k: int = 100) -> str:
     """).replace("{tok}", _sql_tok())
 
 
+def _sql_bpe_encode(n_merges: int) -> str:
+    """The bpe_merges chain with the word CARRIED through every seg CTE,
+    finished by the per-doc encode aggregation: n_subwords = sum over a
+    doc's token instances of its word type's post-merge segment length
+    (stages/bpe.bpe_encode_stats replays the same merges with the same
+    sentinel-space replace)."""
+    head = f"""
+    words AS MATERIALIZED (
+      SELECT term AS w, count(*)::BIGINT AS n
+      FROM (SELECT unnest({_sql_tok()}) AS term FROM documents)
+      GROUP BY term
+    ),
+    seg0 AS MATERIALIZED (
+      SELECT w, n, regexp_replace(w, '(.)', ' \\1', 'g') || ' ' AS seg
+      FROM words
+    )"""
+    steps = []
+    for i in range(1, n_merges + 1):
+        steps.append(f""",
+    pos{i} AS (
+      SELECT n, ts, unnest(generate_series(1, len(ts) - 1)) AS j
+      FROM (SELECT n, string_split(trim(seg), ' ') AS ts FROM seg{i - 1})
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT ts[j] AS l, ts[j + 1] AS r, SUM(n)::BIGINT AS c
+      FROM pos{i} GROUP BY 1, 2
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+    ),
+    seg{i} AS MATERIALIZED (
+      SELECT w, n, replace(seg,
+        ' ' || (SELECT l FROM b{i}) || ' ' || (SELECT r FROM b{i}) || ' ',
+        ' ' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || ' ') AS seg
+      FROM seg{i - 1}
+    )""")
+    return ("WITH " + head + "".join(steps) + f""",
+    docw AS (SELECT doc_id, unnest({_sql_tok()}) AS w FROM documents)
+    SELECT d.doc_id, count(*)::BIGINT AS n_tokens,
+           sum(len(string_split(trim(s.seg), ' ')))::BIGINT AS n_subwords
+    FROM docw d JOIN seg{n_merges} s ON s.w = d.w
+    GROUP BY 1 ORDER BY doc_id
+    """)
+
+
 def _sql_bpe_merges(n_merges: int) -> str:
     """The BPE merge loop of stages/bpe.py unrolled: each round counts
     adjacent symbol pairs over the current segmentations (list-indexed,
@@ -8253,6 +8319,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_fragments": _sql_bm25_fragments(),
         "bm25_span_not": _sql_bm25_span_not(),
         "ts_percentile_ranks": _sql_ts_percentile_ranks(),
+        "bpe_encoded": _sql_bpe_encode(_BPE_MERGES),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -118,3 +118,53 @@ def bpe_train(ds, n_merges: int = 6, text_col: str = "text",
     return pd.DataFrame(rows, columns=["step", "left", "right",
                                        "pair_count"]).astype(
         {"step": np.int64, "pair_count": np.int64})
+
+
+def bpe_encode_stats(ds, merges: list[tuple[str, str]],
+                     text_col: str = "text", id_col: str = "doc_id"):
+    """APPLY a learned merge table -> Dataset (doc_id, n_tokens,
+    n_subwords): tokenize each doc, segment every word type, replay the
+    merges IN TRAINING ORDER with the same sentinel-space
+    non-overlapping ``replace`` rule as ``bpe_train``, and count the
+    resulting subwords.  n_subwords/n_tokens is the compression the
+    learned vocabulary achieves — the number every tokenizer-training
+    run reports.
+
+    Scale shape: a pure per-batch map (no shuffle): the merge table is a
+    small Python list captured in the closure (broadcast once per task),
+    and each batch segments only its OWN unique word types, so the
+    per-batch work is vocabulary-of-batch bounded."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch[text_col])
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_subwords": pa.array([], pa.int64())})
+        uniq, inv = np.unique(flat.astype(str), return_inverse=True)
+        segs = pd.Series([" " + " ".join(w) + " " for w in uniq],
+                         dtype=object)
+        for lft, rgt in merges:
+            segs = segs.str.replace(f" {lft} {rgt} ", f" {lft}{rgt} ",
+                                    regex=False)
+        ns = segs.str.strip().str.split(" ").str.len().to_numpy(np.int64)
+        df = pd.DataFrame({id_col: ids[parents], "ns": ns[inv]})
+        g = (df.groupby(id_col, sort=False)
+             .agg(n_tokens=("ns", "size"), n_subwords=("ns", "sum"))
+             .reset_index())
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_subwords": pa.array(g["n_subwords"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(encode, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte()))

@@ -96,3 +96,36 @@ def test_bpe_exhaustion_raises(ray_session):
     df = pd.DataFrame({"doc_id": [0, 1], "text": ["ab", "ab"]})
     with pytest.raises(ValueError, match="exhausted"):
         bpe_train(rd.from_pandas(df), n_merges=5)
+
+
+def test_bpe_encode_stats_matches_reference(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.bpe import bpe_encode_stats, bpe_train
+
+    df = _mk()
+    merges = [(l, r) for _s, l, r, _c in
+              map(tuple, bpe_train(rd.from_pandas(df), n_merges=8)
+                  .itertuples(index=False))]
+    got = (bpe_encode_stats(rd.from_pandas(df).repartition(5), merges)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # scalar reference: replay the same sentinel-replace rule per doc
+    tok = re.compile(r"[a-z0-9]+")
+    for r in got.itertuples():
+        ws = tok.findall(df.loc[df.doc_id == r.doc_id, "text"].iloc[0]
+                         .lower())
+        assert r.n_tokens == len(ws)
+        total = 0
+        for w in ws:
+            seg = " " + " ".join(w) + " "
+            for l_, r_ in merges:
+                seg = seg.replace(f" {l_} {r_} ", f" {l_}{r_} ")
+            total += len(seg.split())
+        assert r.n_subwords == total, r.doc_id
+    # each word is >= 1 subword, and the merges strictly compress vs the
+    # no-merge (character-level) encoding somewhere
+    assert (got["n_subwords"] >= got["n_tokens"]).all()
+    nochars = (bpe_encode_stats(rd.from_pandas(df), [])
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (got["n_subwords"] <= nochars["n_subwords"]).all()
+    assert (got["n_subwords"] < nochars["n_subwords"]).any()
