@@ -3289,6 +3289,58 @@ LEFT JOIN hit h ON h.query_id = qids.query_id AND h.pct = p.pct
 """
 
 
+_ADJ_FILTERS = {"batchq": "batch", "joinish": "join merge",
+                "slowwin": "slow window", "noneq": "zzzqnotfound"}
+
+
+def _q_adjacency_cells(sf_dir: str):
+    """ES adjacency_matrix aggregation (QueryEngine.adjacency_matrix):
+    named term-filters, live-doc count of every pairwise intersection
+    (diagonal = each filter's own count).  Per shard each filter's doc
+    set decodes once; pairwise np.intersect1d; counts sum across shards.
+    SQL: per-filter DISTINCT doc sets self-joined on doc_id, zero cells
+    filled from the name-pair universe."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = eng.adjacency_matrix(_ADJ_FILTERS)
+    return pd.DataFrame({
+        "name_a": [a for a, _b, _c in rows],
+        "name_b": [b for _a, b, _c in rows],
+        "n_docs": pd.Series([c for _a, _b, c in rows], dtype=np.int64),
+    })
+
+
+def _sql_adjacency_cells() -> str:
+    import re
+
+    sets = []
+    for name in sorted(_ADJ_FILTERS):
+        terms = sorted(set(re.findall(_TOKRE, _ADJ_FILTERS[name].lower())))
+        t_in = ", ".join(f"'{t}'" for t in terms)
+        sets.append(f"SELECT '{name}' AS name, doc_id FROM tok "
+                    f"WHERE term IN ({t_in}) GROUP BY 1, 2")
+    names = ", ".join(f"('{n}')" for n in sorted(_ADJ_FILTERS))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+fdocs AS (
+  {" UNION ALL ".join(sets)}
+),
+nm(name) AS (VALUES {names}),
+cnt AS (
+  SELECT a.name AS name_a, b.name AS name_b, count(*)::BIGINT AS n
+  FROM fdocs a JOIN fdocs b USING (doc_id)
+  WHERE a.name <= b.name
+  GROUP BY 1, 2
+)
+SELECT x.name AS name_a, y.name AS name_b,
+       coalesce(cnt.n, 0)::BIGINT AS n_docs
+FROM nm x JOIN nm y ON x.name <= y.name
+LEFT JOIN cnt ON cnt.name_a = x.name AND cnt.name_b = y.name
+ORDER BY name_a, name_b
+"""
+
+
 _RANK_PROBE_OFFS_S = [0, 100_000, 450_000, 1_000_000, 1_800_000]
 
 
@@ -6110,6 +6162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_span_not": _q_bm25_span_not,
         "ts_percentile_ranks": _q_ts_percentile_ranks,
         "bpe_encoded": _q_bpe_encoded,
+        "adjacency_cells": _q_adjacency_cells,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8320,6 +8373,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_span_not": _sql_bm25_span_not(),
         "ts_percentile_ranks": _sql_ts_percentile_ranks(),
         "bpe_encoded": _sql_bpe_encode(_BPE_MERGES),
+        "adjacency_cells": _sql_adjacency_cells(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

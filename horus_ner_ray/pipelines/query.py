@@ -940,6 +940,22 @@ class BruteForceBM25:
         return {"count": len(vals),
                 "value": vals[max(1, math.ceil(q * len(vals))) - 1]}
 
+    def adjacency_matrix(self, filters: dict[str, str]
+                         ) -> list[tuple[str, str, int]]:
+        """Oracle adjacency matrix: literal set intersections over the
+        per-term posting doc sets."""
+        names = sorted(filters)
+        if not names:
+            raise ValueError("filters must be non-empty")
+        sets = {}
+        for name in names:
+            docs: set[int] = set()
+            for t in query_terms(filters[name]):
+                docs.update(d for d, _ in self.postings.get(t, ()))
+            sets[name] = docs - self.deleted
+        return [(a, b, len(sets[a] & sets[b]))
+                for i, a in enumerate(names) for b in names[i:]]
+
     def field_percentile_ranks(self, text: str, values,
                                field: str = "ts",
                                mode: str = "or") -> list[dict]:
@@ -1600,6 +1616,51 @@ class QueryEngine:
             if len(v):
                 counts += np.bincount((v - lo) // w, minlength=nb)
         return counts, w
+
+    def adjacency_matrix(self, filters: dict[str, str]
+                         ) -> list[tuple[str, str, int]]:
+        """ES ``adjacency_matrix`` aggregation: for named term-query
+        filters, the live-doc count of every pairwise INTERSECTION
+        (including each filter's own count on the diagonal), rows
+        (name_a, name_b, count) with name_a <= name_b, sorted.  Per
+        shard each filter's doc set decodes once (postings union) and
+        pairs intersect with np.intersect1d — counts sum exactly across
+        shards (doc-partitioned), so the pool scatter is mergeable."""
+        names = sorted(filters)
+        if not names:
+            raise ValueError("filters must be non-empty")
+        counts: dict[tuple[str, str], int] = {
+            (a, b): 0 for i, a in enumerate(names) for b in names[i:]}
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            if len(r.docids) == 0:
+                continue
+            lm = self._live_mask(si)
+            sets: dict[str, np.ndarray] = {}
+            for name in names:
+                parts = []
+                for t in query_terms(filters[name]):
+                    ti = r.term_index(t)
+                    if ti is None:
+                        continue
+                    d_arr, _tf = r.postings(ti)
+                    if len(d_arr):
+                        parts.append(d_arr)
+                ds_ = (np.unique(np.concatenate(parts)) if parts
+                       else np.zeros(0, dtype=np.int64))
+                if lm is not None and len(ds_):
+                    ds_ = ds_[lm[np.searchsorted(
+                        np.asarray(r.docids), ds_)]]
+                sets[name] = ds_
+            for i, a in enumerate(names):
+                for b in names[i:]:
+                    if a == b:
+                        counts[(a, b)] += len(sets[a])
+                    else:
+                        counts[(a, b)] += len(np.intersect1d(
+                            sets[a], sets[b], assume_unique=True))
+        return [(a, b, counts[(a, b)])
+                for i, a in enumerate(names) for b in names[i:]]
 
     def field_percentile_ranks(self, text: str, values,
                                field: str = "ts",
@@ -3859,6 +3920,12 @@ class ScorerActor:
             pos = np.minimum(np.searchsorted(docids, ids), len(docids) - 1)
             resident.update(int(d) for d in ids[docids[pos] == ids])
         return {d: s for d, s in sc.items() if d in resident}
+
+    def adjacency_partial(self, filters: dict[str, str]
+                          ) -> list[tuple[str, str, int]]:
+        """This subset's adjacency-matrix counts; pairwise sums across
+        the pool are exact (doc-partitioned shards)."""
+        return self.engine.adjacency_matrix(filters)
 
     def field_rank_partial(self, text: str, values, field: str = "ts",
                            mode: str = "or") -> tuple[list[int], int]:

@@ -273,6 +273,18 @@ class QueryService:
         return [{"rank": r + 1, "doc_id": int(d), "score_e6": int(v)}
                 for r, (d, v) in enumerate(rows[:k])]
 
+    def adjacency_matrix(self, filters: dict[str, str]) -> list[dict]:
+        """Adjacency-matrix aggregation through the pool: one scatter of
+        per-subset pairwise counts, summed — exact because shards
+        partition documents."""
+        parts = self._call_all(lambda a: a.adjacency_partial.remote(filters))
+        acc: dict[tuple[str, str], int] = {}
+        for p in parts:
+            for a, b, c in p:
+                acc[(a, b)] = acc.get((a, b), 0) + int(c)
+        return [{"a": a, "b": b, "count": c}
+                for (a, b), c in sorted(acc.items())]
+
     def field_percentile_ranks(self, text: str, values,
                                field: str = "ts",
                                mode: str = "or") -> list[dict]:
@@ -574,6 +586,9 @@ def make_http_server(
     GET /percentile_ranks?q=<text>&values=<v,v,...>[&mode=or|and] -> the
     inverse: for each value, the exact fraction of the match set's
     stored timestamps <= it (rank_e6; one scatter of integer partials).
+    GET /adjacency?filters=name:terms;name:terms -> the adjacency-matrix
+    aggregation: live-doc counts of every pairwise filter intersection
+    (diagonal = each filter's own count).
     GET /relaxed?q=<text>[&k=][&dist=] -> zero-results cascade:
     AND, then OR, then the corrected query (tier + hits).
     GET /grouped?q=<text>[&field=role][&k=][&mode=or|and] -> per-group
@@ -882,6 +897,34 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": text, "p": quant, **out})
+                return
+            if u.path == "/adjacency":
+                # filters=name:terms;name:terms (terms space-separated,
+                # '+' for spaces in URL encoding)
+                qs = parse_qs(u.query)
+                try:
+                    raw = (qs.get("filters") or [""])[0]
+                    filters = {}
+                    for part in raw.split(";"):
+                        if not part:
+                            continue
+                        if ":" not in part:
+                            raise ValueError(
+                                f"malformed filter {part!r} (name:terms)")
+                        name, terms = part.split(":", 1)
+                        filters[name] = terms
+                    if not filters:
+                        raise ValueError(
+                            "filters= must list name:terms pairs")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.adjacency_matrix(filters)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"filters": filters, "cells": rows})
                 return
             if u.path == "/percentile_ranks":
                 qs = parse_qs(u.query)

@@ -307,3 +307,42 @@ def test_field_percentile_ranks_served(built_index, ray_session):
             eng.field_percentile_ranks("sessionmark", probes)
     finally:
         svc.close()
+
+
+# --- adjacency matrix ----------------------------------------------------
+
+
+def test_adjacency_matrix_matches_bruteforce(engines):
+    eng, bf = engines
+    filters = {"hot": "sessionmark", "stop": "the to",
+               "mid": "tok00007 tok00011", "none": "zzzqabsent"}
+    got = eng.adjacency_matrix(filters)
+    want = bf.adjacency_matrix(filters)
+    assert got == want
+    cells = {(a, b): c for a, b, c in got}
+    # diagonal = the filter's own live match count (df for one term)
+    assert cells[("hot", "hot")] == eng.global_df("sessionmark")
+    # intersection bounded by the smaller diagonal
+    assert cells[("hot", "mid")] <= cells[("mid", "mid")]
+    assert cells[("none", "none")] == 0
+    import pytest
+
+    for obj in (eng, bf):
+        with pytest.raises(ValueError, match="non-empty"):
+            obj.adjacency_matrix({})
+
+
+def test_adjacency_matrix_served(built_index, ray_session):
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.serve import QueryService
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    filters = {"a": "sessionmark", "b": "tok00007"}
+    svc = QueryService(idx, n_actors=2)
+    try:
+        got = svc.adjacency_matrix(filters)
+    finally:
+        svc.close()
+    assert [(r["a"], r["b"], r["count"]) for r in got] == \
+        eng.adjacency_matrix(filters)
