@@ -3289,6 +3289,53 @@ LEFT JOIN hit h ON h.query_id = qids.query_id AND h.pct = p.pct
 """
 
 
+def _q_conversion_times(sf_dir: str):
+    """Funnel time-to-convert (stages/funnel.conversion_delays): per
+    converting user the microseconds from their first 'click' to the
+    first 'purchase' strictly after it ((ts, event_id) lexicographic
+    order, the funnel_counts contract).  SQL restates first-A / first-B
+    with row_number windows."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import conversion_delays
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    return (conversion_delays(ev, "click", "purchase")
+            .to_pandas().astype(np.int64)
+            .sort_values("user_id").reset_index(drop=True))
+
+
+_SQL_CONVERSION_TIMES = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts)::BIGINT AS t
+  FROM events
+),
+fa AS (
+  SELECT user_id, t, event_id FROM (
+    SELECT user_id, t, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS rn
+    FROM e WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+fb AS (
+  SELECT user_id, t AS tb FROM (
+    SELECT b.user_id, b.t,
+           row_number() OVER (PARTITION BY b.user_id
+                              ORDER BY b.t, b.event_id) AS rn
+    FROM e b JOIN fa ON fa.user_id = b.user_id
+    WHERE b.event_type = 'purchase'
+      AND (b.t > fa.t OR (b.t = fa.t AND b.event_id > fa.event_id))
+  ) WHERE rn = 1
+)
+SELECT fa.user_id, (fb.tb - fa.t)::BIGINT AS delta_us
+FROM fa JOIN fb USING (user_id)
+ORDER BY user_id
+"""
+
+
 _ADJ_FILTERS = {"batchq": "batch", "joinish": "join merge",
                 "slowwin": "slow window", "noneq": "zzzqnotfound"}
 
@@ -6163,6 +6210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_percentile_ranks": _q_ts_percentile_ranks,
         "bpe_encoded": _q_bpe_encoded,
         "adjacency_cells": _q_adjacency_cells,
+        "conversion_times": _q_conversion_times,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8374,6 +8422,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_percentile_ranks": _sql_ts_percentile_ranks(),
         "bpe_encoded": _sql_bpe_encode(_BPE_MERGES),
         "adjacency_cells": _sql_adjacency_cells(),
+        "conversion_times": _SQL_CONVERSION_TIMES,
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -155,3 +155,64 @@ def funnel_counts(ds, steps: list[str], key_col: str = "user_id",
         .groupby(["step_idx", "step"])
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
+
+
+def conversion_delays(ds, step_a: str, step_b: str,
+                      key_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id", n_buckets: int = 256):
+    """-> Dataset (user_id, delta_us): per converting user, the time
+    from their FIRST ``step_a`` event to the FIRST ``step_b`` event
+    strictly after it ((ts, id) lexicographic order, the funnel_counts
+    contract) — the time-to-convert table behind funnel latency
+    percentiles.  Users who never complete the pair emit no row.
+
+    Same scale shape as funnel_counts: user-hash coarse buckets, one
+    vectorized kernel per bucket, no per-user Python."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[key_col], dtype=np.int64).astype(np.uint64)
+        bkt = ((ids * _MIX) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tv = g[ts_col].to_numpy()
+        # pandas 2 preserves parquet's us resolution; older paths give ns
+        # — convert the DELTA by the column's actual unit, not a guess
+        if np.issubdtype(tv.dtype, np.datetime64):
+            unit = np.datetime_data(tv.dtype)[0]
+            div = {"ns": 1000, "us": 1}.get(unit)
+            if div is None:
+                raise ValueError(f"unsupported datetime unit {unit!r}")
+            tus = tv.view(np.int64)
+        else:
+            div = 1
+            tus = tv.astype(np.int64)
+        f = pd.DataFrame({"u": g[key_col].to_numpy(np.int64),
+                          "t": tus,
+                          "i": g[id_col].to_numpy(np.int64),
+                          "y": g[type_col].to_numpy(object)})
+        first_a = (f[f["y"] == step_a]
+                   .sort_values(["u", "t", "i"], kind="stable")
+                   .drop_duplicates("u")[["u", "t", "i"]])
+        b = f[f["y"] == step_b].merge(first_a, on="u", how="inner",
+                                      suffixes=("", "_a"))
+        after = (b["t"] > b["t_a"]) | ((b["t"] == b["t_a"])
+                                       & (b["i"] > b["i_a"]))
+        conv = (b[after]
+                .sort_values(["u", "t", "i"], kind="stable")
+                .drop_duplicates("u"))
+        delta = (conv["t"] - conv["t_a"]).to_numpy(np.int64) // div
+        return pd.DataFrame({
+            "user_id": conv["u"].to_numpy(np.int64),
+            "delta_us": delta,
+        })
+
+    return (
+        ds.select_columns([key_col, type_col, ts_col, id_col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )

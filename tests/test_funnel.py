@@ -131,3 +131,36 @@ def test_event_paths_and_top_paths(ray_session):
                        kind="stable").head(5).reset_index(drop=True))
     assert list(tp["path"]) == list(wc["path"])
     assert list(tp["n_users"].astype(int)) == list(wc["n_users"].astype(int))
+
+
+def test_conversion_delays_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.funnel import conversion_delays
+
+    rng = np.random.RandomState(12)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 80, n).astype(np.int64),
+        "event_type": rng.choice(["view", "click", "buy"], n,
+                                 p=[0.5, 0.3, 0.2]),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**7, n), unit="us"),
+    })
+    got = (conversion_delays(rd.from_pandas(df).repartition(6),
+                             "click", "buy")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    # reference: plain pandas per-user scan
+    want = {}
+    for u, g in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        a = g[g.event_type == "click"]
+        if not len(a):
+            continue
+        ta, ia = a.iloc[0]["ts"], a.iloc[0]["event_id"]
+        b = g[(g.event_type == "buy")
+              & ((g.ts > ta) | ((g.ts == ta) & (g.event_id > ia)))]
+        if len(b):
+            want[u] = int((b.iloc[0]["ts"] - ta).value // 1000)
+    assert dict(zip(got["user_id"], got["delta_us"])) == want
+    assert (got["delta_us"] >= 0).all()
