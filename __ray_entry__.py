@@ -1697,6 +1697,82 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+def _q_lm_ranking_eval(sf_dir: str):
+    """IR retrieval-quality evaluation (stages/evalmetrics
+    ranking_metrics_row — the TREC counters): the Dirichlet-LM top-10
+    judged against the BM25 e6-top-10 as binary qrels, per query:
+    n_rel / n_hit / mrr_e6 / dcg_e9 / ndcg_e6 / recall_e6.  Exact-int
+    contract: each relevant rank contributes floor(1e9/log2(p+1)+0.5)
+    BEFORE summation (order-free), every ratio floors from int inputs.
+    SQL re-derives BOTH rankings (the bm25 + lm oracle bodies) and
+    restates the counters."""
+    from horus_ner_ray.stages.evalmetrics import ranking_metrics_row
+
+    bm = _bm25_topk_frame(sf_dir, DOC_QUERIES, "or")
+    lm = _q_lm_topk(sf_dir)
+    rows = {c: [] for c in ("query_id", "n_rel", "n_hit", "mrr_e6",
+                            "dcg_e9", "ndcg_e6", "recall_e6")}
+    for qid in range(len(DOC_QUERIES)):
+        qrels = bm.loc[bm["query_id"] == qid].sort_values("rank")[
+            "doc_id"].tolist()
+        run = lm.loc[lm["query_id"] == qid].sort_values("rank")[
+            "doc_id"].tolist()
+        m = ranking_metrics_row(run, qrels, k=TOPK)
+        rows["query_id"].append(qid)
+        for c in ("n_rel", "n_hit", "mrr_e6", "dcg_e9", "ndcg_e6",
+                  "recall_e6"):
+            rows[c].append(m[c])
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_lm_ranking_eval() -> str:
+    return f"""
+WITH bm AS ({_sql_bm25(DOC_QUERIES, conjunctive=False)}),
+lmr AS ({_sql_lm_topk()}),
+qids(query_id) AS (VALUES {", ".join(f"({i})" for i in range(len(DOC_QUERIES)))}),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM bm GROUP BY 1),
+hits AS (
+  SELECT l.query_id, l.rank AS p
+  FROM lmr l JOIN bm ON bm.query_id = l.query_id AND bm.doc_id = l.doc_id
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n_hit,
+         CAST(FLOOR(1e6 / min(p) + 0.5) AS BIGINT) AS mrr_e6,
+         sum(CAST(FLOOR(1e9 / log2(p + 1) + 0.5) AS BIGINT))::BIGINT
+           AS dcg_e9
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT n.query_id,
+         sum(CAST(FLOOR(1e9 / log2(p + 1) + 0.5) AS BIGINT))::BIGINT
+           AS idcg_e9
+  FROM nrel n
+  JOIN (SELECT unnest(generate_series(1, {TOPK})) AS p) s
+    ON s.p <= least({TOPK}, n.n_rel)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       coalesce(n.n_rel, 0)::BIGINT AS n_rel,
+       coalesce(a.n_hit, 0)::BIGINT AS n_hit,
+       coalesce(a.mrr_e6, 0)::BIGINT AS mrr_e6,
+       coalesce(a.dcg_e9, 0)::BIGINT AS dcg_e9,
+       CASE WHEN coalesce(a.dcg_e9, 0) = 0 OR coalesce(i.idcg_e9, 0) = 0
+            THEN 0
+            ELSE CAST(FLOOR(CAST(a.dcg_e9 AS DOUBLE) / i.idcg_e9
+                            * 1e6 + 0.5) AS BIGINT)
+       END AS ndcg_e6,
+       CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(coalesce(a.n_hit, 0) AS DOUBLE) / n.n_rel
+                            * 1e6 + 0.5) AS BIGINT)
+       END AS recall_e6
+FROM qids q
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN agg a USING (query_id)
+LEFT JOIN ideal i USING (query_id)
+ORDER BY q.query_id
+"""
+
+
 BOOLEAN_MSM_QUERIES = [  # (must, should, min_should_match)
     ("data", "filter sort merge", 2),
     ("customer", "window slow scan", 1),
@@ -6211,6 +6287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encoded": _q_bpe_encoded,
         "adjacency_cells": _q_adjacency_cells,
         "conversion_times": _q_conversion_times,
+        "lm_ranking_eval": _q_lm_ranking_eval,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8423,6 +8500,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encoded": _sql_bpe_encode(_BPE_MERGES),
         "adjacency_cells": _sql_adjacency_cells(),
         "conversion_times": _SQL_CONVERSION_TIMES,
+        "lm_ranking_eval": _sql_lm_ranking_eval(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

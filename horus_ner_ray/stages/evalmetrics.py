@@ -63,3 +63,37 @@ def accuracy_from_confusion(cm: pd.DataFrame) -> float:
     if not total:
         return 0.0
     return int(cm.loc[cm["label"] == cm["pred"], "n"].sum()) / total
+
+
+def ranking_metrics_row(run_ids, qrel_ids, k: int = 10) -> dict:
+    """IR eval of one ranked result list vs a binary-relevance qrel set
+    (the TREC counters, G8's retrieval-side sibling): returns exact-int
+    {n_rel, n_hit, mrr_e6, dcg_e9, idcg_e9, ndcg_e6, recall_e6}.
+
+    The integer contract (order-free, SQL-replicable): each relevant
+    rank p contributes floor(1e9 / log2(p+1) + 0.5) to dcg_e9 BEFORE
+    summation (the bigram-LM e9 move — float log2 happens per position,
+    never in an order-dependent float sum); idcg_e9 is the same series
+    over ranks 1..min(k, n_rel); ndcg_e6 = floor(dcg/idcg * 1e6 + 0.5);
+    mrr_e6 = floor(1e6 / first_relevant_rank + 0.5); recall_e6 =
+    floor(n_hit / n_rel * 1e6 + 0.5).  Empty qrels -> all zeros."""
+    import math
+
+    run = [int(d) for d in run_ids][:k]
+    rels = {int(d) for d in qrel_ids}
+    n_rel = len(rels)
+    out = {"n_rel": n_rel, "n_hit": 0, "mrr_e6": 0, "dcg_e9": 0,
+           "idcg_e9": 0, "ndcg_e6": 0, "recall_e6": 0}
+    if n_rel == 0:
+        return out
+    hit_ranks = [p for p, d in enumerate(run, 1) if d in rels]
+    out["n_hit"] = len(hit_ranks)
+    if hit_ranks:
+        out["mrr_e6"] = math.floor(1e6 / hit_ranks[0] + 0.5)
+    out["dcg_e9"] = sum(math.floor(1e9 / math.log2(p + 1) + 0.5)
+                        for p in hit_ranks)
+    out["idcg_e9"] = sum(math.floor(1e9 / math.log2(p + 1) + 0.5)
+                         for p in range(1, min(k, n_rel) + 1))
+    out["ndcg_e6"] = math.floor(out["dcg_e9"] / out["idcg_e9"] * 1e6 + 0.5)
+    out["recall_e6"] = math.floor(len(hit_ranks) / n_rel * 1e6 + 0.5)
+    return out

@@ -131,3 +131,29 @@ def test_langid_accuracy_on_labeled_fixture(ray_session):
     want = np.array([l for l, _ in _LANGID_FIXTURE], dtype=object)
     acc = float((got["lang_pred"].to_numpy(object) == want).mean())
     assert acc >= 0.9, (acc, list(zip(want, got["lang_pred"])))
+
+
+def test_ranking_metrics_hand_computed():
+    import math
+
+    from horus_ner_ray.stages.evalmetrics import ranking_metrics_row
+
+    # perfect ranking
+    m = ranking_metrics_row([1, 2, 3], [1, 2, 3], k=10)
+    assert m["ndcg_e6"] == 1_000_000 and m["mrr_e6"] == 1_000_000
+    assert m["recall_e6"] == 1_000_000 and m["n_hit"] == 3
+    # one relevant at rank 2
+    m = ranking_metrics_row([9, 1, 8], [1], k=10)
+    assert m["mrr_e6"] == 500_000
+    assert m["dcg_e9"] == math.floor(1e9 / math.log2(3) + 0.5)
+    assert m["idcg_e9"] == 10**9  # ideal: rank 1, log2(2) == 1
+    assert m["recall_e6"] == 1_000_000
+    # miss entirely
+    m = ranking_metrics_row([9, 8], [1, 2], k=10)
+    assert m["n_hit"] == 0 and m["ndcg_e6"] == 0 and m["mrr_e6"] == 0
+    assert m["idcg_e9"] > 0
+    # empty qrels -> zeros
+    assert ranking_metrics_row([1, 2], [], k=10)["idcg_e9"] == 0
+    # k truncation: a hit at rank 11 doesn't count with k=10
+    m = ranking_metrics_row(list(range(100, 110)) + [1], [1], k=10)
+    assert m["n_hit"] == 0
