@@ -4227,6 +4227,56 @@ GROUP BY 1, 2
 """
 
 
+def _q_date_histogram_pipeline(sf_dir: str):
+    """ES pipeline aggregations (cumulative_sum + derivative) over the
+    date histogram: buckets densified min..max (min_doc_count=0), each
+    row carrying the running total and the delta vs the previous bucket
+    (first bucket's delta = its own count) — the shared
+    ``histogram_pipeline`` rule.  SQL: generate_series densification +
+    window sum/lag."""
+    from horus_ner_ray.pipelines.query import QueryEngine, histogram_pipeline
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    rows = {"query_id": [], "bucket": [], "n_docs": [], "cum_docs": [],
+            "delta": []}
+    for qid, q in enumerate(reference_queries()):
+        hist = eng.date_histogram(q["text"], interval_us=_HISTO_INTERVAL_US)
+        for b, n, c, d in histogram_pipeline(hist):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(b)
+            rows["n_docs"].append(n)
+            rows["cum_docs"].append(c)
+            rows["delta"].append(d)
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                         for k, v in rows.items()})
+
+
+def _sql_date_histogram_pipeline() -> str:
+    base = _sql_bm25_date_histogram().strip()
+    return f"""
+WITH hist AS ({base}),
+bounds AS (SELECT query_id, min(bucket) lo, max(bucket) hi
+           FROM hist GROUP BY 1),
+series AS (
+  SELECT b.query_id, unnest(generate_series(b.lo, b.hi)) AS bucket
+  FROM bounds b
+),
+dense AS (
+  SELECT s.query_id, s.bucket, coalesce(h.n_docs, 0)::BIGINT AS n_docs
+  FROM series s LEFT JOIN hist h USING (query_id, bucket)
+)
+SELECT query_id, bucket, n_docs,
+       sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket)::BIGINT
+         AS cum_docs,
+       (n_docs - coalesce(lag(n_docs) OVER (PARTITION BY query_id
+                                            ORDER BY bucket), 0))::BIGINT
+         AS delta
+FROM dense
+ORDER BY query_id, bucket
+"""
+
+
 def _sql_bm25_facets() -> str:
     """Facet oracle: DISTINCT matching docs per (query, role) over the
     same transcript derivation as the role-scoped BM25 oracle."""
@@ -6288,6 +6338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjacency_cells": _q_adjacency_cells,
         "conversion_times": _q_conversion_times,
         "lm_ranking_eval": _q_lm_ranking_eval,
+        "date_histogram_pipeline": _q_date_histogram_pipeline,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8501,6 +8552,7 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_cells": _sql_adjacency_cells(),
         "conversion_times": _SQL_CONVERSION_TIMES,
         "lm_ranking_eval": _sql_lm_ranking_eval(),
+        "date_histogram_pipeline": _sql_date_histogram_pipeline(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -4277,6 +4277,29 @@ def score_queries(
     )
 
 
+def histogram_pipeline(hist: dict[int, int]
+                       ) -> list[tuple[int, int, int, int]]:
+    """ES pipeline aggregations over a (date-)histogram: buckets
+    DENSIFIED from min to max (the min_doc_count=0 gap-fill), each row
+    (bucket, n, cum_n, delta) with cum_n the cumulative_sum and delta
+    the derivative vs the previous bucket (the FIRST bucket's delta is
+    its own count — derivative against the empty past).  Pure integer
+    math; THE shared rule for engine, brute force, serving and the SQL
+    oracle.  Empty histogram -> []."""
+    if not hist:
+        return []
+    lo, hi = min(hist), max(hist)
+    out = []
+    cum = 0
+    prev = 0
+    for b in range(int(lo), int(hi) + 1):
+        n = int(hist.get(b, 0))
+        cum += n
+        out.append((b, n, cum, n - prev))
+        prev = n
+    return out
+
+
 def select_fragment_anchors(positions, window: int,
                             n_fragments: int) -> list[int]:
     """Greedy non-overlapping fragment anchors — THE shared highlighter

@@ -730,9 +730,21 @@ def make_http_server(
                 except Exception as e:
                     self.send_error(500, str(e))
                     return
-                self._json({"query": text, "interval_us": iv,
-                            "buckets": {str(b): c
-                                        for b, c in sorted(hist.items())}})
+                body = {"query": text, "interval_us": iv,
+                        "buckets": {str(b): c
+                                    for b, c in sorted(hist.items())}}
+                if (qs.get("pipeline") or ["0"])[0] not in ("0", "",
+                                                            "false"):
+                    # ES pipeline aggs: densified buckets with
+                    # cumulative_sum + derivative (shared rule)
+                    from horus_ner_ray.pipelines.query import (
+                        histogram_pipeline,
+                    )
+
+                    body["pipeline"] = [
+                        {"bucket": b, "n": n, "cum_n": c, "delta": d}
+                        for b, n, c, d in histogram_pipeline(hist)]
+                self._json(body)
                 return
             if u.path == "/suggest":
                 qs = parse_qs(u.query)

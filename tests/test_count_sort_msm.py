@@ -346,3 +346,28 @@ def test_adjacency_matrix_served(built_index, ray_session):
         svc.close()
     assert [(r["a"], r["b"], r["count"]) for r in got] == \
         eng.adjacency_matrix(filters)
+
+
+def test_histogram_pipeline_rule():
+    from horus_ner_ray.pipelines.query import histogram_pipeline
+
+    # gap-filled, cumulative, derivative-with-empty-past
+    rows = histogram_pipeline({3: 5, 6: 2, 4: 1})
+    assert rows == [(3, 5, 5, 5), (4, 1, 6, -4), (5, 0, 6, -1),
+                    (6, 2, 8, 2)]
+    assert histogram_pipeline({}) == []
+    assert histogram_pipeline({7: 4}) == [(7, 4, 4, 4)]
+
+
+def test_histogram_pipeline_on_engine_histogram(engines):
+    from horus_ner_ray.pipelines.query import histogram_pipeline
+
+    eng, bf = engines
+    iv = 3_600_000_000
+    got = histogram_pipeline(eng.date_histogram("sessionmark",
+                                                interval_us=iv))
+    want = histogram_pipeline(bf.date_histogram("sessionmark",
+                                                interval_us=iv))
+    assert got == want and got
+    # cumulative total equals the histogram total
+    assert got[-1][2] == sum(n for _b, n, _c, _d in got)
