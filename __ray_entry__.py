@@ -3412,6 +3412,48 @@ ORDER BY user_id
 """
 
 
+_COMPLETE_PREFIXES = ["s", "st", "wi", "ta", "zzzq"]
+_COMPLETE_K = 8
+
+
+def _q_completions(sf_dir: str):
+    """Completion suggester (QueryEngine.complete): dictionary terms
+    with each prefix ranked (df desc, term asc), first k — popularity-
+    ordered autocomplete off the sorted global vocab.  SQL: LIKE over
+    dfv + row_number."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    rows = {"query_id": [], "rank": [], "term": [], "df": []}
+    for qid, p in enumerate(_COMPLETE_PREFIXES):
+        for r, (t, df) in enumerate(eng.complete(p, k=_COMPLETE_K), 1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["term"].append(t)
+            rows["df"].append(df)
+    out = pd.DataFrame(rows)
+    return out.astype({c: np.int64 for c in ("query_id", "rank", "df")})
+
+
+def _sql_completions() -> str:
+    parts = []
+    for qid, p in enumerate(_COMPLETE_PREFIXES):
+        parts.append(f"""
+  SELECT * FROM (
+    SELECT {qid} AS query_id,
+           row_number() OVER (ORDER BY df DESC, term) AS rank,
+           term, df
+    FROM dfv WHERE term LIKE '{p}%'
+  ) WHERE rank <= {_COMPLETE_K}""")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM tok GROUP BY term)
+{" UNION ALL ".join(parts)}
+ORDER BY query_id, rank
+"""
+
+
 _ADJ_FILTERS = {"batchq": "batch", "joinish": "join merge",
                 "slowwin": "slow window", "noneq": "zzzqnotfound"}
 
@@ -6339,6 +6381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_times": _q_conversion_times,
         "lm_ranking_eval": _q_lm_ranking_eval,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
+        "completions": _q_completions,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8553,6 +8596,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_times": _SQL_CONVERSION_TIMES,
         "lm_ranking_eval": _sql_lm_ranking_eval(),
         "date_histogram_pipeline": _sql_date_histogram_pipeline(),
+        "completions": _sql_completions(),
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -985,6 +985,19 @@ class BruteForceBM25:
                         "rank_e6": rank})
         return out
 
+    def complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Oracle completion suggester: vocabulary terms with the prefix
+        ranked (df desc, term asc), first k."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        toks = query_terms(prefix)
+        p = toks[0] if toks else ""
+        if not p:
+            return []
+        ranked = sorted(((t, len(ps)) for t, ps in self.postings.items()
+                         if t.startswith(p)), key=lambda td: (-td[1], td[0]))
+        return ranked[:k]
+
     def search_prefix(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle wildcard search: trailing-``*`` tokens expand to every
         vocabulary term with that prefix; union scores as a plain OR."""
@@ -1463,6 +1476,21 @@ class QueryEngine:
         hi = int(np.searchsorted(
             self._vocab, prefix[:-1] + chr(ord(prefix[-1]) + 1)))
         return [str(t) for t in self._vocab[lo:hi]]
+
+    def complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Completion suggester (ES completion / Lucene suggest-on-
+        prefix): the dictionary terms starting with ``prefix`` ranked
+        (df desc, term asc), first ``k`` — popularity-ordered
+        autocomplete straight off the sorted global vocab (one binary-
+        search range + a k-bounded sort; dictionary state is global, so
+        any single serving actor answers exactly)."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        terms = self.expand_prefix(query_terms(prefix)[0]
+                                   if query_terms(prefix) else "")
+        ranked = sorted(((t, self.global_df(t)) for t in terms),
+                        key=lambda td: (-td[1], td[0]))
+        return ranked[:k]
 
     def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
         """Dictionary terms within Levenshtein ``max_dist`` of ``term``
@@ -3898,6 +3926,11 @@ class ScorerActor:
         """'Did you mean' rewrite — dictionary state is GLOBAL, so any
         one actor answers exactly (single-actor route, like suggest)."""
         return self.engine.correct_query_terms(text, max_dist=max_dist)
+
+    def complete(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Completion suggester — dictionary + df state are GLOBAL, so
+        any one actor answers exactly (single-actor route)."""
+        return self.engine.complete(prefix, k=k)
 
     def term_vector(self, doc_id: int) -> list[tuple[str, int, int]]:
         """Term vectors — docstore point-read + global dictionary, so

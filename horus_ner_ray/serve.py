@@ -471,6 +471,15 @@ class QueryService:
         return [{"rank": r + 1, "term": t, "dist": d, "df": df}
                 for r, (t, d, df) in enumerate(rows)]
 
+    def complete(self, prefix: str, k: int = 10) -> list[dict]:
+        """Completion suggester (prefix -> df-ranked completions):
+        dictionary + df state are global, so one actor answers exactly
+        (single-actor route like suggest)."""
+        i = hash(prefix) % len(self.actors)
+        rows = self._call_one(i, lambda a: a.complete.remote(prefix, k))
+        return [{"rank": r + 1, "term": t, "df": df}
+                for r, (t, df) in enumerate(rows)]
+
     def search_snippets(self, text: str, k: int = 10,
                         window: int = 3) -> list[dict]:
         """Top-k with token-window snippets: the ordinary scatter/gather
@@ -568,6 +577,8 @@ def make_http_server(
     GET /histogram?q=<text>[&interval=<us>] -> time-bucketed match counts.
     GET /suggest?q=<word>[&k=][&dist=] -> spell suggestions
     (term, distance, df), distance asc / df desc / term asc.
+    GET /complete?q=<prefix>[&k=] -> completion suggester: dictionary
+    terms with the prefix ranked df desc / term asc.
     GET /count?q=<text>[&mode=or|and][&role=][&tool=] -> total match
     count over the live docs.
     GET /sorted?q=<text>[&k=][&order=asc|desc][&mode=or|and] -> the match
@@ -763,6 +774,23 @@ def make_http_server(
                     self.send_error(500, str(e))
                     return
                 self._json({"query": word, "suggestions": rows})
+                return
+            if u.path == "/complete":
+                qs = parse_qs(u.query)
+                prefix = (qs.get("q") or [""])[0]
+                try:
+                    k = int((qs.get("k") or ["10"])[0])
+                    if k < 1:
+                        raise ValueError(f"k must be >= 1, got {k}")
+                except ValueError as e:
+                    self.send_error(400, str(e))
+                    return
+                try:
+                    rows = service.complete(prefix, k=k)
+                except Exception as e:
+                    self.send_error(500, str(e))
+                    return
+                self._json({"query": prefix, "completions": rows})
                 return
             if u.path == "/fieldstats":
                 qs = parse_qs(u.query)

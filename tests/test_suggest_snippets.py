@@ -347,3 +347,39 @@ def test_match_positions_all_occurrences(engines):
     got = eng.match_positions("sessionmark the", hits)
     want = bf.match_positions("sessionmark the", hits)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# completion suggester
+# --------------------------------------------------------------------------
+
+
+def test_complete_matches_bruteforce(engines):
+    eng, bf = engines
+    for p in ["tok000", "sess", "t", "zzzq", "THE"]:
+        got = eng.complete(p, k=8)
+        want = bf.complete(p, k=8)
+        assert got == want, p
+    # ordering: df desc then term asc
+    rows = eng.complete("tok0", k=20)
+    keys = [(-df, t) for t, df in rows]
+    assert keys == sorted(keys)
+    assert eng.complete("zzzq", k=5) == []
+    import pytest
+
+    for obj in (eng, bf):
+        with pytest.raises(ValueError, match="k must be"):
+            obj.complete("t", k=0)
+
+
+def test_complete_served(pos_index, ray_session):
+    from horus_ner_ray.serve import QueryService
+
+    eng = QueryEngine(pos_index)
+    svc = QueryService(pos_index, n_actors=2)
+    try:
+        got = svc.complete("tok000", k=5)
+    finally:
+        svc.close()
+    assert [(r["term"], r["df"]) for r in got] == eng.complete("tok000",
+                                                              k=5)
