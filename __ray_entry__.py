@@ -3412,6 +3412,56 @@ ORDER BY user_id
 """
 
 
+def _q_qty_skew_kurt(sf_dir: str):
+    """Population skewness + excess kurtosis per return flag
+    (stages/stats.grouped_skew_kurt): exact integer raw moments s1..s4
+    (powers hi/lo-split in the combiner), float only in the O(groups)
+    finish — SQL restates the same numerators in HUGEINT and the same
+    pow points."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_skew_kurt
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_returnflag", "l_quantity"])
+    return (grouped_skew_kurt(li, "l_returnflag", "l_quantity", scale=1)
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
+_SQL_QTY_SKEW_KURT = """
+WITH q AS (
+  SELECT l_returnflag AS k,
+         CAST(FLOOR(l_quantity * 1 + 0.5) AS HUGEINT) AS x
+  FROM lineitem
+),
+s AS (
+  SELECT k, count(*)::HUGEINT AS n, sum(x) AS s1, sum(x*x) AS s2,
+         sum(x*x*x) AS s3, sum((x*x)*(x*x)) AS s4
+  FROM q GROUP BY k
+)
+SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CASE WHEN n*s2 - s1*s1 <= 0 THEN 0
+            ELSE CAST(FLOOR(
+              (CAST(n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS DOUBLE)
+               / CAST(n*n*n AS DOUBLE))
+              / pow(CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE),
+                    1.5)
+              * 1e6 + 0.5) AS BIGINT)
+       END AS skew_e6,
+       CASE WHEN n*s2 - s1*s1 <= 0 THEN 0
+            ELSE CAST(FLOOR(
+              ((CAST(n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+                     - 3*s1*s1*s1*s1 AS DOUBLE)
+                / CAST(n*n*n*n AS DOUBLE))
+               / ((CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE))
+                  * (CAST(n*s2 - s1*s1 AS DOUBLE) / CAST(n*n AS DOUBLE)))
+               - 3.0)
+              * 1e6 + 0.5) AS BIGINT)
+       END AS kurt_e6
+FROM s ORDER BY l_returnflag
+"""
+
+
 _COMPLETE_PREFIXES = ["s", "st", "wi", "ta", "zzzq"]
 _COMPLETE_K = 8
 
@@ -6382,6 +6432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_ranking_eval": _q_lm_ranking_eval,
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "completions": _q_completions,
+        "qty_skew_kurt": _q_qty_skew_kurt,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8597,6 +8648,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_ranking_eval": _sql_lm_ranking_eval(),
         "date_histogram_pipeline": _sql_date_histogram_pipeline(),
         "completions": _sql_completions(),
+        "qty_skew_kurt": _SQL_QTY_SKEW_KURT,
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

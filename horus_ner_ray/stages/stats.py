@@ -326,3 +326,88 @@ def matrix_stats(ds, cols: list[str], scales: list[int]) -> pd.DataFrame:
     for c in ("n_rows", "mean_x_e6", "mean_y_e6", "cov_e6", "corr_e6"):
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def grouped_skew_kurt(ds, key_col: str, x_col: str,
+                      scale: int = 1) -> pd.DataFrame:
+    """Per-key population SKEWNESS and (excess) KURTOSIS from exact
+    integer raw moments — the 3rd/4th-moment completion of the
+    variance/corr family: one combiner scan accumulates s1..s4 with
+    every power SPLIT base 2**30 into (hi2, hi1, lo) int64 columns
+    (exact for |x*scale| < 2**15 and groups to ~2**33 rows — documented
+    bound, like grouped_moment_sums'), recombined as Python big ints.
+
+        m2 = (n*s2 - s1^2) / n^2                     [exact int num]
+        m3 = (n^2*s3 - 3n*s1*s2 + 2*s1^3) / n^3      [exact int num]
+        m4 = (n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4) / n^4
+        skew = m3 / m2**1.5        kurt = m4 / m2^2 - 3
+
+    published as skew_e6 / kurt_e6 (0 when m2 <= 0); float conversions
+    happen only in the O(groups) finish at the exact points the SQL
+    oracle mirrors (libm pow on both sides)."""
+    from ray.data.aggregate import Sum
+
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    B = 1 << 30
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xq = _quant(batch[x_col], scale)
+        if np.abs(xq).max(initial=0) >= (1 << 15):
+            raise ValueError(
+                "grouped_skew_kurt documented bound exceeded: "
+                "|x*scale| must be < 2**15")
+        keys = batch[key_col].to_pandas().to_numpy()
+        df = pd.DataFrame({"k": keys})
+        df["n"] = np.int64(1)
+        df["s1"] = xq
+        for mi, p in (("s2", xq * xq), ("s3", xq * xq * xq),
+                      ("s4", (xq * xq) * (xq * xq))):
+            df[f"{mi}_h2"] = p >> 60
+            df[f"{mi}_h1"] = (p >> 30) & (B - 1)
+            df[f"{mi}_lo"] = p & (B - 1)
+        g = df.groupby("k", sort=False).sum().reset_index()
+        cols = {key_col: pa.array(g["k"])}
+        for c in g.columns[1:]:
+            cols[c] = pa.array(g[c].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    stat_cols = ["n", "s1"] + [f"{m}_{h}" for m in ("s2", "s3", "s4")
+                               for h in ("h2", "h1", "lo")]
+    sums = (ds.select_columns([key_col, x_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in stat_cols])
+            .to_pandas())
+
+    def recomb(row, m):
+        return (int(row[f"{m}_h2"]) * (B * B) + int(row[f"{m}_h1"]) * B
+                + int(row[f"{m}_lo"]))
+
+    out = {key_col: [], "n_rows": [], "skew_e6": [], "kurt_e6": []}
+    for _i, row in sums.iterrows():
+        n, s1 = int(row["n"]), int(row["s1"])
+        s2, s3, s4 = (recomb(row, m) for m in ("s2", "s3", "s4"))
+        num2 = n * s2 - s1 * s1
+        num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        num4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        out[key_col].append(row[key_col])
+        out["n_rows"].append(n)
+        if num2 <= 0:
+            out["skew_e6"].append(0)
+            out["kurt_e6"].append(0)
+            continue
+        # scale cancels in both ratios (homogeneous) — compute in the
+        # quantized domain, the SQL's exact float points
+        m2 = float(num2) / float(n * n)
+        m3 = float(num3) / float(n ** 3)
+        m4 = float(num4) / float(n ** 4)
+        out["skew_e6"].append(math.floor(m3 / m2 ** 1.5 * 1e6 + 0.5))
+        out["kurt_e6"].append(math.floor((m4 / (m2 * m2) - 3.0)
+                                         * 1e6 + 0.5))
+    df = pd.DataFrame(out)
+    for c in ("n_rows", "skew_e6", "kurt_e6"):
+        df[c] = df[c].astype(np.int64)
+    return df

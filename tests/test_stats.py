@@ -216,3 +216,47 @@ def test_matrix_stats_constant_column_zero_corr(ray_session):
     got = matrix_stats(rd.from_pandas(df), ["a", "b"], [1, 1])
     ab = got[(got.col_x == "a") & (got.col_y == "b")].iloc[0]
     assert ab.corr_e6 == 0 and ab.cov_e6 == 0
+
+
+def test_grouped_skew_kurt_matches_reference(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_skew_kurt
+
+    rng = np.random.RandomState(3)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "x": np.round(rng.gamma(2.0, 5.0, n), 2),  # skewed by design
+    })
+    got = grouped_skew_kurt(rd.from_pandas(df).repartition(7), "k", "x",
+                            scale=100)
+    for r in got.itertuples():
+        xq = np.floor(df.loc[df.k == r.k, "x"].to_numpy() * 100
+                      + 0.5).astype(object)
+        nn = len(xq)
+        s1, s2 = int(xq.sum()), int((xq * xq).sum())
+        s3 = int((xq * xq * xq).sum())
+        s4 = int(((xq * xq) * (xq * xq)).sum())
+        num2 = nn * s2 - s1 * s1
+        num3 = nn * nn * s3 - 3 * nn * s1 * s2 + 2 * s1 ** 3
+        num4 = (nn ** 3 * s4 - 4 * nn * nn * s1 * s3
+                + 6 * nn * s1 * s1 * s2 - 3 * s1 ** 4)
+        m2 = float(num2) / float(nn * nn)
+        m3 = float(num3) / float(nn ** 3)
+        m4 = float(num4) / float(nn ** 4)
+        assert r.n_rows == nn
+        assert r.skew_e6 == math.floor(m3 / m2 ** 1.5 * 1e6 + 0.5)
+        assert r.kurt_e6 == math.floor((m4 / (m2 * m2) - 3.0) * 1e6 + 0.5)
+        assert r.skew_e6 > 0  # gamma(2) is right-skewed
+    # constant column -> zeros, bound violation raises
+    cst = pd.DataFrame({"k": ["z"] * 50, "x": np.ones(50)})
+    g = grouped_skew_kurt(rd.from_pandas(cst), "k", "x")
+    assert int(g["skew_e6"].iloc[0]) == 0 and int(g["kurt_e6"].iloc[0]) == 0
+    import pytest
+
+    big = pd.DataFrame({"k": ["z"], "x": [40000.0]})
+    with pytest.raises(Exception, match="bound"):
+        grouped_skew_kurt(rd.from_pandas(big), "k", "x").to_string()
