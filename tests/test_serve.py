@@ -520,3 +520,30 @@ def test_http_fragments_route(small_corpus, tmp_path_factory, ray_session):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_http_batch_new_modes(http_service, built_index):
+    """POST /batch carries the session-6 mode params through the one-
+    scatter path."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    body = json.dumps({"queries": [
+        {"id": "b", "q": "tok00007 tok00011", "k": 3, "mode": "boosting",
+         "negative": "tok00011", "nb": 0.25},
+        {"id": "d", "q": "tok00007|the sessionmark", "k": 3,
+         "mode": "dismax", "tie": 0.25},
+    ]}).encode()
+    req = urllib.request.Request(http_service + "/batch", data=body,
+                                 headers={"Content-Type":
+                                          "application/json"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        res = json.loads(r.read())["results"]
+    want_b = eng.search_boosting("tok00007 tok00011", "tok00011", k=3,
+                                 negative_boost=0.25)
+    want_d = eng.search_dismax(["tok00007", "the sessionmark"], k=3,
+                               tie_breaker=0.25)
+    got = {e["id"]: [(h["doc_id"], h["score"]) for h in e["hits"]]
+           for e in res}
+    assert got["b"] == want_b and got["d"] == want_d
