@@ -3412,6 +3412,54 @@ ORDER BY user_id
 """
 
 
+def _q_props_field_stats(sf_dir: str):
+    """JSON sidecar-field extraction (stages/analysis
+    json_int_field_dataset): the integer 'k' property parsed out of the
+    events.props JSON strings with ONE compiled regex per batch (exact
+    JSON semantics for flat integer fields), then aggregated per event
+    type.  ORACLE: DuckDB's REAL json_extract parses the same strings —
+    the regex fast path is checked against a full JSON parser."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from horus_ner_ray.stages.analysis import json_int_field_dataset
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_type", "props"])
+    k = json_int_field_dataset(ev, "props", "k", out_col="k",
+                               id_cols=["event_type"])
+    def drop_null(b):
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_valid(b["k"]))
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    out = (k.map_batches(drop_null, batch_format="pyarrow",
+                         zero_copy_batch=True,
+                         runtime_env=worker_runtime_env())
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_rows"),
+                      Sum("k", alias_name="sum_k"),
+                      Min("k", alias_name="min_k"),
+                      Max("k", alias_name="max_k"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    for c in ("n_rows", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_SQL_PROPS_FIELD_STATS = """
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS max_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def _q_qty_skew_kurt(sf_dir: str):
     """Population skewness + excess kurtosis per return flag
     (stages/stats.grouped_skew_kurt): exact integer raw moments s1..s4
@@ -6433,6 +6481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram_pipeline": _q_date_histogram_pipeline,
         "completions": _q_completions,
         "qty_skew_kurt": _q_qty_skew_kurt,
+        "props_field_stats": _q_props_field_stats,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8649,6 +8698,7 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram_pipeline": _sql_date_histogram_pipeline(),
         "completions": _sql_completions(),
         "qty_skew_kurt": _SQL_QTY_SKEW_KURT,
+        "props_field_stats": _SQL_PROPS_FIELD_STATS,
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

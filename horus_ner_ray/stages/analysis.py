@@ -513,3 +513,42 @@ def bpe_pair_counts_dataset(ds, text_col: str = "text", id_col: str = "doc_id"):
         zero_copy_batch=True, batch_size=None, runtime_env=_rte()
     )
     return parts.groupby("pair").aggregate(Sum("n", alias_name="n"))
+
+
+def json_int_field_dataset(ds, col: str, key: str, out_col: str = "value",
+                           id_cols: list[str] | None = None):
+    """Extract an integer field from a flat-JSON string column — the
+    ETL sidecar-parse step (event properties, tool-call payloads):
+    Dataset -> Dataset(id_cols..., <out_col>), null where the key is
+    absent or non-integer.
+
+    Vectorized fast path: one compiled regex per batch
+    (``"<key>"\\s*:\\s*(-?\\d+)``) instead of a per-row json.loads —
+    exact JSON semantics for FLAT objects with integer values (the
+    driver oracle checks this contract against DuckDB's real
+    json_extract).  Keys are matched as whole JSON strings, so 'k'
+    never matches 'kk'."""
+    import re as _re
+
+    pat = _re.compile('"' + _re.escape(key) + r'"\s*:\s*(-?\d+)')
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(np.asarray(batch[col], dtype=object), dtype=object)
+        ext = s.str.extract(pat, expand=False)
+        vals = pd.to_numeric(ext, errors="coerce")
+        cols = {}
+        for c in (id_cols or []):
+            cols[c] = batch[c]
+        arr = vals.to_numpy(np.float64)
+        miss = np.isnan(arr)
+        cols[out_col] = pa.array(
+            np.where(miss, 0, arr).astype(np.int64), pa.int64(),
+            mask=miss)
+        return pa.table(cols)
+
+    keep = list(dict.fromkeys([*(id_cols or []), col]))
+    return ds.select_columns(keep).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())

@@ -814,3 +814,24 @@ def test_cli_new_query_modes(built_index, small_corpus, capsys):
         hits = _json.loads(capsys.readouterr().out)
         assert [(h["doc_id"], h["score"]) for h in hits] == \
             [(d, s) for d, s in want], args
+
+
+def test_json_int_field_extraction(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analysis import json_int_field_dataset
+
+    df = pd.DataFrame({
+        "id": np.arange(7, dtype=np.int64),
+        "props": ['{"k": 42}', '{"k":-7, "x": 1}', '{"kk": 9}',
+                  '{"x": 3}', '{"k": "str"}', "", '{ "k" : 12 }'],
+    })
+    got = (json_int_field_dataset(rd.from_pandas(df).repartition(3),
+                                  "props", "k", out_col="k",
+                                  id_cols=["id"])
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = [42, -7, None, None, None, None, 12]
+    for i, w in enumerate(want):
+        v = got["k"].iloc[i]
+        assert (pd.isna(v) and w is None) or v == w, (i, v, w)
