@@ -3747,6 +3747,30 @@ def _q_sample_by_source(sf_dir: str):
     })
 
 
+def _q_sample_by_source_temp(sf_dir: str):
+    """Temperature-scaled domain-mixture sampling (the multilingual-
+    corpus temperature knob, T = 2): weights rescale to w**(1/T) before
+    the A-ES priority draw, flattening the length bias toward uniform;
+    everything else identical to sample_by_source.  SQL: the same
+    pow(u, 1/pow(w, 0.5)) priorities."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_per_group
+
+    ds = rd.read_parquet(_docs(sf_dir),
+                         columns=["doc_id", "source", "n_chars"])
+    out = weighted_sample_per_group(ds, "source", "doc_id", "n_chars",
+                                    k=8, seed=13,
+                                    temperature=2.0).to_pandas()
+    out = out.sort_values(["source", "rank"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "source": out["source"].astype(str),
+        "rank": out["rank"].astype(np.int64),
+        "doc_id": out["doc_id"].astype(np.int64),
+        "n_chars": out["n_chars"].astype(np.int64),
+    })
+
+
 def _q_packed_sequences(sf_dir: str):
     """Greedy sequence packing (the LLM-training batch constructor):
     docs walk in id order within fixed doc-id ranges, first-fit into
@@ -6482,6 +6506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completions": _q_completions,
         "qty_skew_kurt": _q_qty_skew_kurt,
         "props_field_stats": _q_props_field_stats,
+        "sample_by_source_temp": _q_sample_by_source_temp,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8699,6 +8724,27 @@ def oracle_sql() -> dict[str, str]:
         "completions": _sql_completions(),
         "qty_skew_kurt": _SQL_QTY_SKEW_KURT,
         "props_field_stats": _SQL_PROPS_FIELD_STATS,
+        "sample_by_source_temp": f"""
+            WITH h AS (
+              SELECT source, doc_id, n_chars,
+                     {_sql_splitmix64("xor(CAST(doc_id AS UBIGINT), CAST(13 AS UBIGINT))")} AS hh
+              FROM documents
+            ),
+            p AS (
+              SELECT source, doc_id, n_chars,
+                     pow((CAST(hh AS DOUBLE) + 1.0) / 18446744073709551616.0,
+                         1.0 / pow(n_chars, 0.5)) AS pr
+              FROM h WHERE n_chars > 0
+            ),
+            r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY pr DESC, doc_id) AS rk
+              FROM p
+            )
+            SELECT source, rk AS rank, doc_id, n_chars
+            FROM r WHERE rk <= 8
+        """,
         "rare_terms": _sql_rare_terms(),
         "group_split": _sql_group_split(),
         "kn_bigram_logprob": """

@@ -83,12 +83,17 @@ def weighted_sample_topk(ds, key_col: str, weight_col: str, k: int,
 
 
 def weighted_sample_per_group(ds, group_col: str, key_col: str,
-                              weight_col: str, k: int, seed: int = 42):
+                              weight_col: str, k: int, seed: int = 42,
+                              temperature: float = 1.0):
     """Per-group A-ES weighted sampling without replacement — the
     domain-mixture constructor (k docs per source/language/domain,
     weighted by quality or length, deterministic).  Same keyed-hash
     priorities as ``weighted_sample_topk``; the top-k reduction applies
-    PER distinct ``group_col`` value.  Scale shape: a per-batch
+    PER distinct ``group_col`` value.  ``temperature`` T rescales the
+    weights to w**(1/T) BEFORE the priority draw (the data-mixture
+    temperature knob: T > 1 flattens the weight distribution toward
+    uniform, T < 1 sharpens it; T = 1 is a bitwise no-op — libm
+    pow(w, 1.0) returns w exactly).  Published weights stay RAW.  Scale shape: a per-batch
     per-group top-k combiner (at most k rows per group leave each
     batch), then one small ``map_groups`` top-k over the bounded
     partials — the table never shuffles whole.  Ties break (priority
@@ -99,6 +104,9 @@ def weighted_sample_per_group(ds, group_col: str, key_col: str,
 
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    if not (temperature > 0.0):
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    inv_t = 1.0 / float(temperature)
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = np.asarray(batch[key_col], dtype=np.int64)
@@ -108,7 +116,7 @@ def weighted_sample_per_group(ds, group_col: str, key_col: str,
         keys, w, grp = keys[ok], w[ok], grp[ok]
         h = splitmix64(keys.astype(np.uint64) ^ np.uint64(seed))
         u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
-        pr = np.power(u, 1.0 / w)
+        pr = np.power(u, 1.0 / np.power(w, inv_t))
         uniq, codes = np.unique(grp, return_inverse=True)
         order = np.lexsort((keys, -pr, codes))
         cc = codes[order]

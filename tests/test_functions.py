@@ -210,3 +210,33 @@ def test_rare_terms_long_tail(ray_session):
     full = rare_terms(rd.from_pandas(df), max_df=5, k=1000)
     assert list(full["term"])[-1] == "semi" and int(full["df"].iloc[-1]) == 5
     assert "common" not in set(full["term"])  # df 50 > max_df
+
+
+def test_group_sampler_temperature(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import weighted_sample_per_group
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], 500),
+        "id": np.arange(500, dtype=np.int64),
+        "w": rng.randint(1, 1000, 500).astype(np.float64),
+    })
+    ds = rd.from_pandas(df)
+    base = weighted_sample_per_group(ds, "g", "id", "w", k=5,
+                                     seed=3).to_pandas()
+    # T=1 is bitwise the default (libm pow(w, 1.0) == w)
+    t1 = weighted_sample_per_group(ds, "g", "id", "w", k=5, seed=3,
+                                   temperature=1.0).to_pandas()
+    assert t1.equals(base)
+    # T=2 flattens: the sample changes, raw weights still published
+    t2 = weighted_sample_per_group(ds, "g", "id", "w", k=5, seed=3,
+                                   temperature=2.0).to_pandas()
+    assert not t2["id"].equals(base["id"])
+    assert set(t2["w"]).issubset(set(df["w"]))
+    import pytest
+
+    with pytest.raises(ValueError, match="temperature"):
+        weighted_sample_per_group(ds, "g", "id", "w", k=5, temperature=0.0)
