@@ -399,125 +399,78 @@ def kn_bigram_logprob_vectors(ds, discount: float = 0.75,
             "mean_kn_lp_e6": pa.array([], pa.int64()),
         }))
     c12 = rd.read_parquet(c12_path, columns=["bigram", "c12"])
-    # nt = distinct bigram types — one small scalar on the driver
-    nt = int(c12.count())
 
-    # --- per-w1 stats (c1 = sum c12, nf = distinct continuations) -------
-    def w1_partial(batch: pa.Table) -> pa.Table:
+    # --- per-word stats in ONE pass over the bigram table ---------------
+    # left-side stats (c1 = sum c12, nf = distinct continuations) and
+    # right-side stats (np = distinct left contexts) share the word key,
+    # so one combiner emits both and ONE groupby(word) folds them
+    def word_partial(batch: pa.Table) -> pa.Table:
         bgs = np.asarray(batch["bigram"], dtype=object)
+        c = np.asarray(batch["c12"], dtype=np.int64)
         w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
-        g = (pd.DataFrame({"w1": w1,
-                           "c": np.asarray(batch["c12"], dtype=np.int64)})
-             .groupby("w1", sort=False)
-             .agg(c=("c", "sum"), nf=("c", "size")).reset_index())
-        return pa.table({"w1": pa.array(g["w1"], pa.string()),
-                         "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
-                         "nf": pa.array(g["nf"].to_numpy(np.int64),
-                                        pa.int64())})
-
-    w1s = (c12.map_batches(w1_partial, batch_format="pyarrow",
-                           runtime_env=_rte())
-           .groupby("w1").aggregate(Sum("c", alias_name="c1"),
-                                    Sum("nf", alias_name="nf")))
-
-    # --- per-w2 stats (np = distinct left contexts) ---------------------
-    def w2_partial(batch: pa.Table) -> pa.Table:
-        bgs = np.asarray(batch["bigram"], dtype=object)
         w2 = np.array([b.split(" ", 1)[1] for b in bgs], dtype=object)
-        g = (pd.DataFrame({"w2": w2}).groupby("w2", sort=False)
-             .size().reset_index(name="c"))
-        return pa.table({"w2": pa.array(g["w2"], pa.string()),
-                         "c": pa.array(g["c"].to_numpy(np.int64),
-                                       pa.int64())})
+        g1 = (pd.DataFrame({"w": w1, "c": c}).groupby("w", sort=False)
+              .agg(c1=("c", "sum"), nf=("c", "size")).reset_index())
+        g1["npre"] = np.int64(0)
+        g2 = (pd.DataFrame({"w": w2}).groupby("w", sort=False)
+              .size().reset_index(name="npre"))
+        g2["c1"] = np.int64(0)
+        g2["nf"] = np.int64(0)
+        g = pd.concat([g1, g2[["w", "c1", "nf", "npre"]]],
+                      ignore_index=True)
+        return pa.table({
+            "w": pa.array(g["w"].to_numpy(object), pa.string()),
+            "c1": pa.array(g["c1"].to_numpy(np.int64), pa.int64()),
+            "nf": pa.array(g["nf"].to_numpy(np.int64), pa.int64()),
+            "npre": pa.array(g["npre"].to_numpy(np.int64), pa.int64()),
+        })
 
-    w2s = (c12.map_batches(w2_partial, batch_format="pyarrow",
-                           runtime_env=_rte())
-           .groupby("w2").aggregate(Sum("c", alias_name="npre")))
+    wstats = (c12.map_batches(word_partial, batch_format="pyarrow",
+                              runtime_env=_rte())
+              .groupby("w").aggregate(Sum("c1", alias_name="c1"),
+                                      Sum("nf", alias_name="nf"),
+                                      Sum("npre", alias_name="npre")))
 
-    # --- attach (c1, nf) then (npre) to the bigram-type rows ------------
-    def _attach(data_key, stats, stat_key, stat_cols, carry_cols):
-        """Salted replicate join: one stat row per key attaches to every
-        data row sharing it; hot keys spread over S salt groups."""
-        def data_rows(batch: pa.Table) -> pa.Table:
-            bgs = np.asarray(batch["bigram"], dtype=object)
-            keys = np.array([data_key(b) for b in bgs], dtype=object)
-            h = pd.util.hash_array(keys, categorize=False)
-            mix = pd.util.hash_array(bgs, categorize=False)
-            gbkt = ((h % B) * S + mix % S).astype(np.int64)
-            n = len(bgs)
-            cols = {"bigram": batch["bigram"],
-                    "_key": pa.array(keys, pa.string())}
-            for c in carry_cols:
-                cols[c] = batch[c]
-            for c in stat_cols:
-                cols[c] = pa.nulls(n, pa.int64())
-            cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
-            cols["gbkt"] = pa.array(gbkt, pa.int64())
-            return pa.table(cols)
+    # --- attach (c1, nf, npre) to the bigram-type rows ------------------
+    # The per-w1 and per-w2 stat tables are UNIGRAM-VOCAB-BOUNDED (one
+    # row per distinct word), so they BROADCAST (the pmi_pairs
+    # sorted-Arrow-array precedent): ray.put once, one searchsorted
+    # attach per c12 batch — no shuffle (the bigram-keyed doc join below
+    # stays salted because the bigram table is superlinear).
+    import ray
 
-        def stat_rows(batch: pa.Table) -> pa.Table:
-            keys = np.asarray(batch[stat_key], dtype=object)
-            h = pd.util.hash_array(keys, categorize=False)
-            base = (h % B) * S
-            n = len(keys)
-            gbkt = (np.repeat(base, s_int)
-                    + np.tile(np.arange(s_int, dtype=np.uint64), n)
-                    ).astype(np.int64)
-            cols = {"bigram": pa.nulls(n * s_int, pa.string()),
-                    "_key": pa.array(np.repeat(keys, s_int), pa.string())}
-            for c in carry_cols:
-                cols[c] = pa.nulls(n * s_int, pa.int64())
-            for c in stat_cols:
-                cols[c] = pa.array(
-                    np.repeat(np.asarray(batch[c], dtype=np.int64), s_int),
-                    pa.int64())
-            cols["side"] = pa.array(np.ones(n * s_int, np.int8), pa.int8())
-            cols["gbkt"] = pa.array(gbkt, pa.int64())
-            return pa.table(cols)
+    wdf = wstats.to_pandas().sort_values("w")
+    # nt = distinct bigram types == sum of continuation counts — free
+    # from the already-collected word-stat table, no extra c12 pass
+    nt = int(wdf["nf"].sum())
+    w_ref = ray.put((
+        wdf["w"].to_numpy(dtype=str),
+        wdf["c1"].to_numpy(np.int64), wdf["nf"].to_numpy(np.int64),
+        wdf["npre"].to_numpy(np.int64),
+    ))
 
-        def attach_group(g: pd.DataFrame) -> pa.Table:
-            data = g[g["side"] == 0]
-            out_cols = ["bigram"] + list(carry_cols) + list(stat_cols)
-            if len(data) == 0:
-                return pa.table({
-                    "bigram": pa.array([], pa.string()),
-                    **{c: pa.array([], pa.int64())
-                       for c in out_cols if c != "bigram"}})
-            stat = g[g["side"] == 1]
-            sw = stat["_key"].to_numpy(dtype=str)
-            order = np.argsort(sw, kind="stable")
-            sw = sw[order]
-            dw = data["_key"].to_numpy(dtype=str)
-            idx = np.searchsorted(sw, dw)
-            idx_c = np.minimum(idx, max(len(sw) - 1, 0))
-            if len(sw) == 0 or not (sw[idx_c] == dw).all():
-                raise AssertionError(
-                    "KN stat rows missing in group — salted routing "
-                    "invariant violated")
-            cols = {"bigram": pa.array(data["bigram"].to_numpy(object),
-                                       pa.string())}
-            for c in carry_cols:
-                cols[c] = pa.array(data[c].to_numpy(np.int64), pa.int64())
-            for c in stat_cols:
-                sc = stat[c].to_numpy(np.int64)[order]
-                cols[c] = pa.array(sc[idx_c], pa.int64())
-            return pa.table(cols)
+    def attach_stats(batch: pa.Table) -> pa.Table:
+        sw, c1v_, nfv_, npv_ = ray.get(w_ref)
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=str)
+        w2 = np.array([b.split(" ", 1)[1] for b in bgs], dtype=str)
+        i1 = np.searchsorted(sw, w1)
+        i2 = np.searchsorted(sw, w2)
+        if (len(sw) == 0
+                or not (sw[np.minimum(i1, len(sw) - 1)] == w1).all()
+                or not (sw[np.minimum(i2, len(sw) - 1)] == w2).all()):
+            raise AssertionError(
+                "KN stat rows missing — every bigram's words must appear "
+                "in the vocab stat table by construction")
+        return pa.table({
+            "bigram": batch["bigram"], "c12": batch["c12"],
+            "c1": pa.array(c1v_[i1], pa.int64()),
+            "nf": pa.array(nfv_[i1], pa.int64()),
+            "npre": pa.array(npv_[i2], pa.int64()),
+        })
 
-        left = c12_attached[0].map_batches(
-            data_rows, batch_format="pyarrow", runtime_env=_rte())
-        right = stats.map_batches(stat_rows, batch_format="pyarrow",
-                                  runtime_env=_rte())
-        return (left.union(right).groupby("gbkt")
-                .map_groups(lambda g: attach_group(g.drop(columns=["gbkt"])),
-                            batch_format="pandas", runtime_env=_rte()))
-
-    # chain the two attaches (a one-slot list threads the growing table)
-    c12_attached = [c12]
-    c12_attached[0] = _attach(lambda b: b.split(" ", 1)[0], w1s, "w1",
-                              ["c1", "nf"], ["c12"])
-    c12_attached[0] = _attach(lambda b: b.split(" ", 1)[1], w2s, "w2",
-                              ["npre"], ["c12", "c1", "nf"])
-    bg_stats = c12_attached[0]
+    bg_stats = c12.map_batches(attach_stats, batch_format="pyarrow",
+                               runtime_env=_rte())
 
     # --- per-doc scoring join keyed on the bigram -----------------------
     stat_cols = ("c12", "c1", "nf", "npre")
