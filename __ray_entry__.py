@@ -3412,6 +3412,34 @@ ORDER BY user_id
 """
 
 
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority",
+                 "o_orderdate"]
+
+
+def _q_orders_profile(sf_dir: str):
+    """Column profiler (stages/stats.profile_columns): per column row /
+    null / EXACT distinct counts — the ETL pre-flight report.  Distinct
+    counts shuffle batch-distinct partials, never raw rows."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import profile_columns
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "orders.parquet"),
+                         columns=_PROFILE_COLS)
+    return profile_columns(ds, _PROFILE_COLS)
+
+
+def _sql_orders_profile() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+  SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+         count(*) FILTER ({c} IS NULL)::BIGINT AS n_null,
+         count(DISTINCT {c})::BIGINT AS n_distinct
+  FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_props_field_stats(sf_dir: str):
     """JSON sidecar-field extraction (stages/analysis
     json_int_field_dataset): the integer 'k' property parsed out of the
@@ -6507,6 +6535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_skew_kurt": _q_qty_skew_kurt,
         "props_field_stats": _q_props_field_stats,
         "sample_by_source_temp": _q_sample_by_source_temp,
+        "orders_profile": _q_orders_profile,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8724,6 +8753,7 @@ def oracle_sql() -> dict[str, str]:
         "completions": _sql_completions(),
         "qty_skew_kurt": _SQL_QTY_SKEW_KURT,
         "props_field_stats": _SQL_PROPS_FIELD_STATS,
+        "orders_profile": _sql_orders_profile(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -411,3 +411,64 @@ def grouped_skew_kurt(ds, key_col: str, x_col: str,
     for c in ("n_rows", "skew_e6", "kurt_e6"):
         df[c] = df[c].astype(np.int64)
     return df
+
+
+def profile_columns(ds, cols: list[str]) -> pd.DataFrame:
+    """Data-profiling report — per column: row count, null count, EXACT
+    distinct count.  The ETL pre-flight every pipeline runs before
+    trusting a new table.
+
+    Shape: TWO passes total regardless of column count — one combiner
+    scan tallies rows/nulls for every column at once, and one scan emits
+    each batch's per-column DISTINCT values as (column, value) pairs so
+    a single two-key groupby (distinct-bounded partials, never raw
+    rows) followed by a per-column count yields exact cardinalities."""
+    from ray.data.aggregate import Sum
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        row = {"n": pa.array([len(batch)], pa.int64())}
+        for c in cols:
+            row[f"nn_{c}"] = pa.array(
+                [int(pc.sum(pc.is_null(batch[c])).as_py() or 0)],
+                pa.int64())
+        return pa.table(row)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            a = batch[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            u = a.drop_null().unique().cast(pa.string())
+            names.append(np.repeat(np.array([c], dtype=object), len(u)))
+            vals.append(np.asarray(u, dtype=object))
+        return pa.table({
+            "column": pa.array(np.concatenate(names), pa.string()),
+            "v": pa.array(np.concatenate(vals), pa.string()),
+        })
+
+    keep = list(dict.fromkeys(cols))
+    tallies = (ds.select_columns(keep)
+               .map_batches(counts_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, runtime_env=_rte())
+               .sum(["n"] + [f"nn_{c}" for c in cols]))
+    nd = (ds.select_columns(keep)
+          .map_batches(distinct_partial, batch_format="pyarrow",
+                       zero_copy_batch=True, runtime_env=_rte())
+          .groupby(["column", "v"]).count()
+          .groupby("column").count().to_pandas())
+    nd_map = dict(zip(nd["column"], nd["count()"]))
+    df = pd.DataFrame({
+        "column": cols,
+        "n_rows": [int(tallies["sum(n)"])] * len(cols),
+        "n_null": [int(tallies[f"sum(nn_{c})"]) for c in cols],
+        "n_distinct": [int(nd_map.get(c, 0)) for c in cols],
+    })
+    for c2 in ("n_rows", "n_null", "n_distinct"):
+        df[c2] = df[c2].astype(np.int64)
+    return df

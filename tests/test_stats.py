@@ -260,3 +260,23 @@ def test_grouped_skew_kurt_matches_reference(ray_session):
     big = pd.DataFrame({"k": ["z"], "x": [40000.0]})
     with pytest.raises(Exception, match="bound"):
         grouped_skew_kurt(rd.from_pandas(big), "k", "x").to_string()
+
+
+def test_profile_columns(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import profile_columns
+
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None, 4] * 20,
+        "b": ["x", "y", "x", "x", None] * 20,
+    })
+    got = profile_columns(rd.from_pandas(df).repartition(4), ["a", "b"])
+    ga = got[got.column == "a"].iloc[0]
+    gb = got[got.column == "b"].iloc[0]
+    assert ga.n_rows == 100 and ga.n_null == 20 and ga.n_distinct == 3
+    assert gb.n_rows == 100 and gb.n_null == 20 and gb.n_distinct == 2
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(rd.from_pandas(df), [])
