@@ -1195,6 +1195,11 @@ PERCOLATE_QUERIES = (
      for i, t in enumerate(DOC_QUERIES)]
     + [{"query_id": 100 + i, "text": t, "mode": "and"}
        for i, t in enumerate(DOC_AND_QUERIES)]
+    # boolean-NOT stored clauses: alert unless the exclude term appears
+    + [{"query_id": 200, "text": "batch join", "mode": "or",
+        "exclude": "slow"},
+       {"query_id": 201, "text": "scan", "mode": "or",
+        "exclude": "zzzqnotfound"}]   # absent exclusion == plain alert
 )
 
 
@@ -1217,18 +1222,24 @@ def _sql_percolate() -> str:
 
     rows = []
     nt_rows = []
+    ex_rows = []
     for q in PERCOLATE_QUERIES:
         terms = sorted(set(re.findall(_TOKRE, q["text"].lower())))
         for t in terms:
             rows.append(f"({q['query_id']}, '{t}')")
+        for t in sorted(set(re.findall(_TOKRE,
+                                       q.get("exclude", "").lower()))):
+            ex_rows.append(f"({q['query_id']}, '{t}')")
         # OR queries need 1 hit; AND queries need every term
         need = len(terms) if q["mode"] == "and" else (1 if terms else 0)
         if terms:
             nt_rows.append(f"({q['query_id']}, {need})")
+    ex_sql = ", ".join(ex_rows) or "(-1, '')"
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
 tfd AS (SELECT DISTINCT doc_id, term FROM tok),
 q(query_id, term) AS (VALUES {", ".join(rows)}),
+qex(query_id, term) AS (VALUES {ex_sql}),
 need(query_id, nt) AS (VALUES {", ".join(nt_rows)}),
 hit AS (
   SELECT q.query_id, tfd.doc_id, count(*)::BIGINT nhit
@@ -1237,6 +1248,9 @@ hit AS (
 SELECT h.query_id, h.doc_id
 FROM hit h JOIN need USING (query_id)
 WHERE h.nhit >= need.nt
+  AND NOT EXISTS (SELECT 1 FROM qex e JOIN tfd x
+                  ON x.term = e.term AND x.doc_id = h.doc_id
+                  WHERE e.query_id = h.query_id)
 ORDER BY 1, 2
 """
 

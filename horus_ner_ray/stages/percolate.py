@@ -55,6 +55,8 @@ def parse_stored_queries(queries: list[dict]) -> list[dict]:
             "query_id": int(q["query_id"]),
             "terms": sorted(set(_TOKEN_RE.findall(str(q["text"]).lower()))),
             "mode": mode,
+            "exclude": sorted(set(_TOKEN_RE.findall(
+                str(q.get("exclude", "")).lower()))),
         })
     return out
 
@@ -62,7 +64,8 @@ def parse_stored_queries(queries: list[dict]) -> list[dict]:
 def _match_batch(batch: pa.Table, parsed: list[dict],
                  id_col: str, text_col: str) -> pa.Table:
     low = pc.utf8_lower(batch[text_col])
-    terms = sorted({t for q in parsed for t in q["terms"]})
+    terms = sorted({t for q in parsed for t in q["terms"]}
+                   | {t for q in parsed for t in q.get("exclude", ())})
     member: dict[str, np.ndarray] = {}
     for t in terms:
         pat = f"(^|{_NON_TOKEN}){t}($|{_NON_TOKEN})"
@@ -84,6 +87,8 @@ def _match_batch(batch: pa.Table, parsed: list[dict],
                 acc &= m
             else:
                 acc |= m
+        for t in q.get("exclude", ()):  # boolean-NOT stored clause
+            acc &= ~member[t]
         hit = np.flatnonzero(acc)
         if len(hit):
             out_doc.append(ids[hit])

@@ -21,6 +21,8 @@ def _reference(docs: pd.DataFrame, queries) -> set[tuple[int, int]]:
                 continue
             ok = (all(t in toks for t in q["terms"]) if q["mode"] == "and"
                   else any(t in toks for t in q["terms"]))
+            if ok and any(t in toks for t in q.get("exclude", ())):
+                ok = False
             if ok:
                 out.add((q["query_id"], int(row["doc_id"])))
     return out
@@ -47,6 +49,10 @@ QUERIES = [
     {"query_id": 3, "text": "quick zzzqabsent", "mode": "and"},
     {"query_id": 4, "text": "quick zzzqabsent", "mode": "or"},
     {"query_id": 5, "text": "!!!", "mode": "or"},   # zero tokens
+    # boolean-NOT stored clause: fox docs NOT mentioning trot
+    {"query_id": 6, "text": "fox", "mode": "or", "exclude": "trot"},
+    # exclusion of an absent term == plain query
+    {"query_id": 7, "text": "art", "mode": "or", "exclude": "zzqx"},
 ]
 
 
