@@ -3426,6 +3426,111 @@ ORDER BY user_id
 """
 
 
+PHRASE_SUGGEST_QUERIES = ["batck join", "custoner slow scan", "filtr",
+                          "qqqqqqzz stream", "datx strem"]
+_PSUG_DIST = 1
+_PSUG_PER = 3
+
+
+def _q_phrase_suggest(sf_dir: str):
+    """Phrase suggester (stages/spell.phrase_suggest — the ES phrase
+    suggester's shape): per-token Levenshtein candidates ranked
+    (dist, df desc, term), candidate SEQUENCES rescored by the add-one
+    bigram LM with per-pair e9-int contributions, best by (score desc,
+    sequence asc).  The corpus-sized bigram table is never built — one
+    streaming combiner counts only the candidate pairs.  SQL restates
+    candidates (native levenshtein), the LM counts, the cross-joined
+    sequences and the argmax."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.spell import phrase_suggest
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    out = phrase_suggest(docs, PHRASE_SUGGEST_QUERIES,
+                         max_dist=_PSUG_DIST, per_token=_PSUG_PER)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
+def _sql_phrase_suggest() -> str:
+    import re
+
+    parts = []
+    for qid, q in enumerate(PHRASE_SUGGEST_QUERIES):
+        toks = re.findall(_TOKRE, q.lower())
+        if not toks:
+            continue
+        cand_ctes = []
+        for s, t in enumerate(toks):
+            cand_ctes.append(f"""
+cand{qid}_{s} AS (
+  SELECT term FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY levenshtein(term, '{t}'),
+                              df DESC, term) AS rn
+    FROM dfv WHERE levenshtein(term, '{t}') <= {_PSUG_DIST}
+  ) WHERE rn <= {_PSUG_PER}
+)""")
+        if len(toks) == 1:
+            body = (f"SELECT {qid} AS query_id, term AS suggestion, "
+                    f"0::BIGINT AS score_e9 FROM cand{qid}_0 "
+                    f"ORDER BY term LIMIT 1")
+            # rank-1 candidate: the window above already ordered by
+            # (dist, df desc, term); re-select it
+            body = (f"SELECT {qid} AS query_id, term AS suggestion, "
+                    f"0::BIGINT AS score_e9 FROM (SELECT term, "
+                    f"row_number() OVER (ORDER BY levenshtein(term, "
+                    f"'{toks[0]}'), df DESC, term) AS rn FROM dfv "
+                    f"WHERE levenshtein(term, '{toks[0]}') <= "
+                    f"{_PSUG_DIST}) WHERE rn = 1")
+            parts.append((",".join(cand_ctes), body))
+            continue
+        froms = [f"cand{qid}_0 c0"]
+        joins = []
+        score_terms = []
+        sugg = "c0.term"
+        for s in range(1, len(toks)):
+            froms.append(f"CROSS JOIN cand{qid}_{s} c{s}")
+            joins.append(
+                f"LEFT JOIN c12 p{s} ON p{s}.w1 = c{s-1}.term "
+                f"AND p{s}.w2 = c{s}.term")
+            joins.append(
+                f"LEFT JOIN c1 l{s} ON l{s}.w1 = c{s-1}.term")
+            score_terms.append(
+                f"CAST(FLOOR(ln((coalesce(p{s}.c, 0) + 1.0)"
+                f" / (coalesce(l{s}.c, 0)"
+                f" + (SELECT count(*) FROM dfv))) * 1e9 + 0.5) AS BIGINT)")
+            sugg += f" || ' ' || c{s}.term"
+        body = f"""
+  SELECT * FROM (
+    SELECT {qid} AS query_id, {sugg} AS suggestion,
+           ({" + ".join(score_terms)})::BIGINT AS score_e9
+    FROM {" ".join(froms)} {" ".join(joins)}
+  ) ORDER BY score_e9 DESC, suggestion LIMIT 1"""
+        parts.append((",".join(cand_ctes), body))
+    all_ctes = ",".join(p[0] for p in parts).lstrip(",")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM ({p[1]})" for p in parts)
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+uni AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) AS pos
+  FROM tok
+),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        FROM flat GROUP BY term),
+big AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::BIGINT AS c FROM big GROUP BY 1),
+{all_ctes}
+{union}
+ORDER BY query_id
+"""
+
+
 _PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority",
                  "o_orderdate"]
 
@@ -6550,6 +6655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_field_stats": _q_props_field_stats,
         "sample_by_source_temp": _q_sample_by_source_temp,
         "orders_profile": _q_orders_profile,
+        "phrase_suggestions": _q_phrase_suggest,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8768,6 +8874,7 @@ def oracle_sql() -> dict[str, str]:
         "qty_skew_kurt": _SQL_QTY_SKEW_KURT,
         "props_field_stats": _SQL_PROPS_FIELD_STATS,
         "orders_profile": _sql_orders_profile(),
+        "phrase_suggestions": _sql_phrase_suggest(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,
