@@ -135,22 +135,11 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                                   zero_copy_batch=True, runtime_env=_rte())
                .groupby("term").count().count())
 
-    # --- prefix counts c1 via salted replicate join keyed on w1 ----------
-    def c12_rows(batch: pa.Table) -> pa.Table:
-        bgs = np.asarray(batch["bigram"], dtype=object)
-        w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
-        h = pd.util.hash_array(w1, categorize=False)
-        mix = pd.util.hash_array(bgs, categorize=False)
-        gbkt = ((h % B) * S + mix % S).astype(np.int64)
-        n = len(bgs)
-        return pa.table({
-            "bigram": batch["bigram"], "w1": pa.array(w1, pa.string()),
-            "c12": batch["c12"],
-            "c1": pa.nulls(n, pa.int64()),
-            "side": pa.array(np.zeros(n, np.int8), pa.int8()),
-            "gbkt": pa.array(gbkt, pa.int64()),
-        })
-
+    # --- prefix counts c1: vocab-bounded broadcast attach ----------------
+    # the per-w1 table has one row per distinct word (unigram-vocab
+    # bounded), so it BROADCASTS (the KN / pmi_pairs precedent): ray.put
+    # once, one searchsorted attach per c12 batch — no shuffle (the
+    # bigram-keyed doc join below stays salted: that table is superlinear)
     def c1_partial(batch: pa.Table) -> pa.Table:
         bgs = np.asarray(batch["bigram"], dtype=object)
         w1 = np.array([b.split(" ", 1)[0] for b in bgs], dtype=object)
@@ -161,64 +150,33 @@ def bigram_logprob_vectors(ds, text_col: str = "text",
                          "c": pa.array(g["c"].to_numpy(np.int64),
                                        pa.int64())})
 
-    c1 = (c12.map_batches(c1_partial, batch_format="pyarrow",
-                          runtime_env=_rte())
-          .groupby("w1").aggregate(Sum("c", alias_name="c1")))
+    import ray
 
-    def c1_rows(batch: pa.Table) -> pa.Table:
-        w1 = np.asarray(batch["w1"], dtype=object)
-        h = pd.util.hash_array(w1, categorize=False)
-        base = (h % B) * S
-        n = len(w1)
-        gbkt = (np.repeat(base, s_int)
-                + np.tile(np.arange(s_int, dtype=np.uint64), n)
-                ).astype(np.int64)
-        return pa.table({
-            "bigram": pa.nulls(n * s_int, pa.string()),
-            "w1": pa.array(np.repeat(w1, s_int), pa.string()),
-            "c12": pa.nulls(n * s_int, pa.int64()),
-            "c1": pa.array(np.repeat(np.asarray(batch["c1"],
-                                                dtype=np.int64), s_int),
-                           pa.int64()),
-            "side": pa.array(np.ones(n * s_int, np.int8), pa.int8()),
-            "gbkt": pa.array(gbkt, pa.int64()),
-        })
+    c1df = (c12.map_batches(c1_partial, batch_format="pyarrow",
+                            runtime_env=_rte())
+            .groupby("w1").aggregate(Sum("c", alias_name="c1"))
+            .to_pandas().sort_values("w1"))
+    c1_ref = ray.put((c1df["w1"].to_numpy(dtype=str),
+                      c1df["c1"].to_numpy(np.int64)))
 
-    def attach_c1(g: pd.DataFrame) -> pa.Table:
-        data = g[g["side"] == 0]
-        if len(data) == 0:
-            return pa.table({"bigram": pa.array([], pa.string()),
-                             "c12": pa.array([], pa.int64()),
-                             "c1": pa.array([], pa.int64())})
-        stat = g[g["side"] == 1]
-        # sorted-array searchsorted attach (no per-row Python dict/map):
-        # each w1's stat row is unique within a group (one salt replica
-        # routes here), so the match must be exact — fail loudly otherwise
-        sw = stat["w1"].to_numpy(dtype=str)
-        sc = stat["c1"].to_numpy(np.int64)
-        order = np.argsort(sw, kind="stable")
-        sw, sc = sw[order], sc[order]
-        dw = data["w1"].to_numpy(dtype=str)
+    def attach_c1(batch: pa.Table) -> pa.Table:
+        sw, sc = ray.get(c1_ref)
+        bgs = np.asarray(batch["bigram"], dtype=object)
+        dw = np.array([b.split(" ", 1)[0] for b in bgs], dtype=str)
         idx = np.searchsorted(sw, dw)
         idx_c = np.minimum(idx, max(len(sw) - 1, 0))
         if len(sw) == 0 or not (sw[idx_c] == dw).all():
             raise AssertionError(
-                "bigram prefix stat rows missing in group — salted routing "
-                "invariant violated")
+                "bigram prefix stat rows missing — every bigram's left "
+                "word must appear in the prefix table by construction")
         return pa.table({
-            "bigram": pa.array(data["bigram"].to_numpy(object), pa.string()),
-            "c12": pa.array(data["c12"].to_numpy(np.int64), pa.int64()),
+            "bigram": batch["bigram"],
+            "c12": batch["c12"],
             "c1": pa.array(sc[idx_c], pa.int64()),
         })
 
-    bg_stats = (
-        c12.map_batches(c12_rows, batch_format="pyarrow", runtime_env=_rte())
-        .union(c1.map_batches(c1_rows, batch_format="pyarrow",
-                              runtime_env=_rte()))
-        .groupby("gbkt")
-        .map_groups(lambda g: attach_c1(g.drop(columns=["gbkt"])),
-                    batch_format="pandas", runtime_env=_rte())
-    )
+    bg_stats = c12.map_batches(attach_c1, batch_format="pyarrow",
+                               runtime_env=_rte())
 
     # --- per-doc scoring via salted replicate join keyed on the bigram ---
     def data_rows(batch: pa.Table) -> pa.Table:
