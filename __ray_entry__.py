@@ -3426,6 +3426,45 @@ ORDER BY user_id
 """
 
 
+_NEG_K = 3
+_NEG_SEED = 9
+
+
+def _q_negative_pairs(sf_dir: str):
+    """Deterministic negative sampling (functions/sampling
+    negative_pairs — the contrastive-pair constructor): per doc, k
+    pseudo-random OTHER doc ids from splitmix64((id*k+j) XOR seed) %
+    (N-1) shifted past the anchor — pure arithmetic map, no shuffle.
+    SQL re-derives every draw with _sql_splitmix64."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import negative_pairs
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+    return (negative_pairs(docs, k=_NEG_K, seed=_NEG_SEED)
+            .to_pandas().astype(np.int64)
+            .sort_values(["doc_id", "neg_rank"]).reset_index(drop=True))
+
+
+def _sql_negative_pairs() -> str:
+    h = _sql_splitmix64(
+        f"xor(CAST(doc_id * {_NEG_K} + j AS UBIGINT), "
+        f"CAST({_NEG_SEED} AS UBIGINT))")
+    return f"""
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+j AS (SELECT unnest(generate_series(0, {_NEG_K - 1})) AS j),
+d AS (
+  SELECT doc_id, j.j AS neg_rank,
+         CAST(({h}) % CAST((SELECT n FROM n) - 1 AS UBIGINT) AS BIGINT)
+           AS off
+  FROM documents CROSS JOIN j
+)
+SELECT doc_id, neg_rank,
+       (off + CASE WHEN off >= doc_id THEN 1 ELSE 0 END)::BIGINT AS neg_id
+FROM d ORDER BY doc_id, neg_rank
+"""
+
+
 PHRASE_SUGGEST_QUERIES = ["batck join", "custoner slow scan", "filtr",
                           "qqqqqqzz stream", "datx strem"]
 _PSUG_DIST = 1
@@ -6656,6 +6695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source_temp": _q_sample_by_source_temp,
         "orders_profile": _q_orders_profile,
         "phrase_suggestions": _q_phrase_suggest,
+        "negative_pairs": _q_negative_pairs,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8875,6 +8915,7 @@ def oracle_sql() -> dict[str, str]:
         "props_field_stats": _SQL_PROPS_FIELD_STATS,
         "orders_profile": _sql_orders_profile(),
         "phrase_suggestions": _sql_phrase_suggest(),
+        "negative_pairs": _sql_negative_pairs(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -192,3 +192,45 @@ def group_hash_split(ds, group_col: str, train_pct: int = 80,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           runtime_env=_rte())
+
+
+def negative_pairs(ds, id_col: str = "doc_id", n_ids: int | None = None,
+                   k: int = 3, seed: int = 42):
+    """Deterministic NEGATIVE sampling (contrastive-training pair
+    constructor): for each row, ``k`` pseudo-random OTHER ids drawn by
+    the keyed hash — neg_j = splitmix64((id * k + j) XOR seed) % (N-1),
+    shifted past the anchor so neg != id always.  A pure function of
+    (id, j, seed, N): order-/partitioning-invariant, collision-free with
+    the anchor, SQL-replicable (_sql_splitmix64).  Requires the DENSE id
+    space 0..N-1 (the docstore doc-id contract); ``n_ids`` defaults to
+    ``ds.count()``.
+
+    Scale shape: a pure per-batch map — no shuffle, no broadcast; the
+    negatives are arithmetic, not lookups."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    n = int(ds.count()) if n_ids is None else int(n_ids)
+    if n < 2:
+        raise ValueError(f"need >= 2 ids to draw negatives, got {n}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        anchor = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.uint64), len(ids))
+        key = anchor.astype(np.uint64) * np.uint64(k) + j
+        h = splitmix64(key ^ np.uint64(seed))
+        off = (h % np.uint64(n - 1)).astype(np.int64)
+        # shift past the anchor: values land in 0..N-1 \ {anchor}
+        neg = off + (off >= anchor).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(anchor, pa.int64()),
+            "neg_rank": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                         len(ids)), pa.int64()),
+            "neg_id": pa.array(neg, pa.int64()),
+        })
+
+    return ds.select_columns([id_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())

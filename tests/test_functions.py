@@ -240,3 +240,34 @@ def test_group_sampler_temperature(ray_session):
 
     with pytest.raises(ValueError, match="temperature"):
         weighted_sample_per_group(ds, "g", "id", "w", k=5, temperature=0.0)
+
+
+def test_negative_pairs(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import negative_pairs
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    n = 200
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)})
+    for parts in (1, 5):
+        got = (negative_pairs(rd.from_pandas(df).repartition(parts),
+                              k=3, seed=9)
+               .to_pandas().sort_values(["doc_id", "neg_rank"])
+               .reset_index(drop=True))
+        assert len(got) == n * 3
+        # never the anchor, always in range
+        assert (got["neg_id"] != got["doc_id"]).all()
+        assert got["neg_id"].between(0, n - 1).all()
+        # the rule itself, scalar-recomputed
+        for r in got.head(9).itertuples():
+            h = int(splitmix64(np.array(
+                [np.uint64(r.doc_id * 3 + r.neg_rank) ^ np.uint64(9)],
+                dtype=np.uint64))[0])
+            off = h % (n - 1)
+            assert r.neg_id == off + (1 if off >= r.doc_id else 0)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        negative_pairs(rd.from_pandas(df), k=0)
