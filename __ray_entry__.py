@@ -3426,6 +3426,68 @@ ORDER BY user_id
 """
 
 
+_TREND_MIN = 5
+_TREND_K = 5
+
+
+def _q_trending_terms(sf_dir: str):
+    """Trending terms (stages/termstats.trending_terms): per hour
+    bucket, the top-5 terms by occurrence-count INCREASE over the
+    strictly preceding bucket (gap resets baseline to 0), among terms
+    with >= 5 occurrences — the trending-topics report, all exact
+    integers.  SQL: lag over term partitions with a strict-adjacency
+    CASE + per-bucket row_number."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import trending_terms
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files, columns=["ts", "text"])
+    out = (trending_terms(tr, _HISTO_INTERVAL_US, min_count=_TREND_MIN,
+                          top_k=_TREND_K)
+           .to_pandas().sort_values(["bucket", "rank"])
+           .reset_index(drop=True))
+    out["term"] = out["term"].astype(str)
+    for c in ("bucket", "rank", "n", "prev_n", "delta"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_trending_terms() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    iv = _HISTO_INTERVAL_US
+    return f"""
+WITH raw AS (SELECT ts, text FROM read_parquet('{glob}')),
+tok AS (
+  SELECT ((epoch_us(ts)
+           - ((epoch_us(ts) % {iv} + {iv}) % {iv})) // {iv})::BIGINT
+           AS bucket,
+         unnest({_sql_tok()}) AS term
+  FROM raw
+),
+fine AS (SELECT bucket, term, count(*)::BIGINT AS n
+         FROM tok GROUP BY 1, 2),
+d AS (
+  SELECT bucket, term, n,
+         CASE WHEN lag(bucket) OVER w = bucket - 1
+              THEN lag(n) OVER w ELSE 0 END AS prev_n
+  FROM fine
+  WINDOW w AS (PARTITION BY term ORDER BY bucket)
+),
+r AS (
+  SELECT bucket, term, n, prev_n, (n - prev_n)::BIGINT AS delta,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY n - prev_n DESC, term) AS rank
+  FROM d WHERE n >= {_TREND_MIN}
+)
+SELECT bucket, rank::BIGINT AS rank, term, n, prev_n::BIGINT AS prev_n,
+       delta
+FROM r WHERE rank <= {_TREND_K}
+ORDER BY bucket, rank
+"""
+
+
 _NEG_K = 3
 _NEG_SEED = 9
 
@@ -6696,6 +6758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": _q_orders_profile,
         "phrase_suggestions": _q_phrase_suggest,
         "negative_pairs": _q_negative_pairs,
+        "trending_terms": _q_trending_terms,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8916,6 +8979,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": _sql_orders_profile(),
         "phrase_suggestions": _sql_phrase_suggest(),
         "negative_pairs": _sql_negative_pairs(),
+        "trending_terms": _sql_trending_terms(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

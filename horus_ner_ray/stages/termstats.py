@@ -351,3 +351,113 @@ def rare_terms(ds, max_df: int, k: int = 100, text_col: str = "text",
                              "df": pd.Series([], dtype=np.int64)})
     return (parts.sort_values(["df", "term"], kind="stable").head(k)
             .reset_index(drop=True))
+
+
+def trending_terms(ds, interval_us: int, min_count: int = 5,
+                   top_k: int = 5, text_col: str = "text",
+                   ts_col: str = "ts"):
+    """Trending-topics report: per time bucket, the ``top_k`` terms with
+    the largest occurrence-count INCREASE over the immediately preceding
+    bucket (strict adjacency — a gap resets the baseline to 0), among
+    terms with >= ``min_count`` occurrences in the bucket.  Rows
+    (bucket, rank, term, n, prev_n, delta), all exact integers.
+
+    Shape: one combiner scan -> (bucket, term, n) via groupby (a hot
+    term contributes one partial row per batch); deltas join per TERM
+    (a term has at most #buckets rows — never a hot group); the final
+    per-bucket top-k reduces groupwise.  Bucket = floor-div of epoch
+    microseconds (np.floor_divide semantics, shared with the
+    date-histogram oracle)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if interval_us <= 0 or top_k < 1 or min_count < 1:
+        raise ValueError("interval_us/top_k/min_count must be positive")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch[text_col])
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        ts = batch[ts_col]
+        tsv = np.asarray(pc.cast(ts, pa.int64()), dtype=np.int64)
+        bkt = np.floor_divide(tsv, np.int64(interval_us))[parents]
+        g = (pd.DataFrame({"bucket": bkt, "term": flat})
+             .groupby(["bucket", "term"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "bucket": pa.array(g["bucket"].to_numpy(np.int64), pa.int64()),
+            "term": pa.array(g["term"].to_numpy(object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fine = (ds.select_columns([ts_col, text_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .groupby(["bucket", "term"])
+            .aggregate(Sum("n", alias_name="n")))
+
+    # coarse-bucket the TERM axis so the delta kernel runs vectorized
+    # over thousands of terms per group (per-term map_groups would be a
+    # Python call per tiny group — the documented anti-pattern)
+    import pandas as pd
+
+    def add_tkey(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["term"], dtype=object)
+        h = pd.util.hash_array(t, categorize=False)
+        return batch.append_column(
+            "tb", pa.array((h % np.uint64(256)).astype(np.int64)))
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        t = g["term"].to_numpy(dtype=str)
+        b = g["bucket"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.lexsort((b, t))
+        t, b, n = t[order], b[order], n[order]
+        prev = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            adj = (t[1:] == t[:-1]) & (b[1:] == b[:-1] + 1)
+            prev[1:][adj] = n[:-1][adj]
+        keep = n >= min_count
+        return pd.DataFrame({
+            "bucket": b[keep], "term": t[keep], "n": n[keep],
+            "prev_n": prev[keep], "delta": (n - prev)[keep],
+        })
+
+    cand = (fine.map_batches(add_tkey, batch_format="pyarrow",
+                             runtime_env=_rte())
+            .groupby("tb")
+            .map_groups(lambda g: deltas(g.drop(columns=["tb"])),
+                        batch_format="pandas", runtime_env=_rte()))
+
+    # per-BUCKET top-k, again over coarse groups with a vectorized
+    # rank-take inside (buckets hash-grouped, many per group)
+    def add_bkey(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bucket"], dtype=np.int64).astype(np.uint64)
+        return batch.append_column(
+            "bb", pa.array(((b * np.uint64(0x9E3779B97F4A7C15))
+                            % np.uint64(64)).astype(np.int64)))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                                 for c in ("bucket", "rank", "term", "n",
+                                           "prev_n", "delta")})
+        b = g["bucket"].to_numpy(np.int64)
+        order = np.lexsort((g["term"].to_numpy(dtype=str),
+                            -g["delta"].to_numpy(np.int64), b))
+        bb = b[order]
+        starts = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        sizes = np.diff(np.r_[starts, len(bb)])
+        rank = np.arange(len(bb)) - np.repeat(starts, sizes)
+        keep = order[rank < top_k]
+        out = g.iloc[keep].reset_index(drop=True)
+        out["rank"] = (rank[rank < top_k] + 1).astype(np.int64)
+        return out[["bucket", "rank", "term", "n", "prev_n", "delta"]]
+
+    return (cand.map_batches(add_bkey, batch_format="pyarrow",
+                             runtime_env=_rte())
+            .groupby("bb")
+            .map_groups(lambda g: bucket_topk(g.drop(columns=["bb"])),
+                        batch_format="pandas", runtime_env=_rte()))

@@ -280,3 +280,56 @@ def test_profile_columns(ray_session):
 
     with pytest.raises(ValueError, match="non-empty"):
         profile_columns(rd.from_pandas(df), [])
+
+
+def test_trending_terms_matches_pandas(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.termstats import trending_terms
+
+    rng = np.random.RandomState(5)
+    iv = 3_600_000_000
+    base = np.int64(1_700_000_000_000_000)
+    rows = []
+    for i in range(800):
+        b = int(rng.randint(0, 6))
+        # 'spike' floods bucket 3 only
+        words = ["alpha", "beta", "gamma"]
+        if b == 3:
+            words += ["spike"] * 3
+        rows.append((base + b * iv + int(rng.randint(0, iv)),
+                     " ".join(rng.choice(words, 4))))
+    df = pd.DataFrame(rows, columns=["ts", "text"])
+    got = (trending_terms(rd.from_pandas(df).repartition(5), iv,
+                          min_count=5, top_k=3)
+           .to_pandas().sort_values(["bucket", "rank"])
+           .reset_index(drop=True))
+    # pandas reference
+    tok = re.compile(r"[a-z0-9]+")
+    cnt = {}
+    for ts, tx in rows:
+        b = ts // iv
+        for t in tok.findall(tx.lower()):
+            cnt[(b, t)] = cnt.get((b, t), 0) + 1
+    ref = []
+    for (b, t), n in cnt.items():
+        if n < 5:
+            continue
+        prev = cnt.get((b - 1, t), 0)
+        ref.append((b, t, n, prev, n - prev))
+    want = {}
+    for b in {r[0] for r in ref}:
+        rs = sorted([r for r in ref if r[0] == b],
+                    key=lambda r: (-r[4], r[1]))[:3]
+        for rk, r in enumerate(rs, 1):
+            want[(b, rk)] = r[1:]
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert want[(r.bucket, r.rank)] == (r.term, r.n, r.prev_n,
+                                            r.delta)
+    # the injected spike tops its bucket
+    spike_bucket = int(base // iv) + 3
+    top = got[(got.bucket == spike_bucket) & (got["rank"] == 1)]
+    assert top.iloc[0]["term"] == "spike" and top.iloc[0]["prev_n"] == 0
