@@ -3426,6 +3426,66 @@ ORDER BY user_id
 """
 
 
+def _q_rocchio_predictions(sf_dir: str):
+    """Nearest-centroid (Rocchio) classifier over the labeled embedding
+    table (stages/clustering.nearest_centroid_classify): e6-quantized
+    vectors, exact-int FLOOR-mean centroids, exact int64 squared-L2
+    argmin (ties -> smaller label).  SQL restates the floor-mean with
+    the nonneg-mod divisibility trick (DuckDB // truncates, Python //
+    floors) and the integer distances in HUGEINT."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import nearest_centroid_classify
+
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                          columns=["vec_id", "embedding", "label"])
+    out = (nearest_centroid_classify(emb).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    for c in ("vec_id", "label", "pred"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_SQL_ROCCHIO = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+s AS (
+  SELECT label, i, sum(qv)::BIGINT AS sv,
+         count(DISTINCT vec_id)::BIGINT AS n
+  FROM e GROUP BY 1, 2
+),
+cent AS (
+  -- Python floor division: make the numerator divisible first
+  SELECT label, i,
+         ((sv - ((sv % n + n) % n)) // n)::BIGINT AS cv
+  FROM s
+),
+dist AS (
+  SELECT e.vec_id, cent.label AS clabel,
+         sum(CAST(e.qv - cent.cv AS HUGEINT)
+             * CAST(e.qv - cent.cv AS HUGEINT)) AS d2
+  FROM e JOIN cent ON cent.i = e.i
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, clabel) AS rn
+  FROM dist
+)
+SELECT e2.vec_id, CAST(e2.label AS BIGINT) AS label,
+       b.clabel::BIGINT AS pred
+FROM (SELECT DISTINCT vec_id, label FROM embeddings) e2
+JOIN best b ON b.vec_id = e2.vec_id AND b.rn = 1
+ORDER BY e2.vec_id
+"""
+
+
 _TREND_MIN = 5
 _TREND_K = 5
 
@@ -6759,6 +6819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggestions": _q_phrase_suggest,
         "negative_pairs": _q_negative_pairs,
         "trending_terms": _q_trending_terms,
+        "rocchio_predictions": _q_rocchio_predictions,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -8980,6 +9041,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_suggestions": _sql_phrase_suggest(),
         "negative_pairs": _sql_negative_pairs(),
         "trending_terms": _sql_trending_terms(),
+        "rocchio_predictions": _SQL_ROCCHIO,
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -375,3 +375,96 @@ def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
     )
+
+
+def nearest_centroid_classify(ds, vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              label_col: str = "label"):
+    """Rocchio / nearest-centroid classifier over a labeled embedding
+    table — EXACT integer arithmetic end-to-end: vectors e6-quantize,
+    per-label centroids are FLOOR-means (sum_e6 // n, exact int), and
+    each vector classifies to the centroid with the smallest exact
+    integer squared-L2 distance (ties -> smaller label).  Returns a
+    Dataset (vec_id, label, pred).
+
+    Shape: one combiner scan for the per-label sums (labels x dim
+    partials), centroids broadcast once, one streaming classify pass —
+    no shuffle of the vector table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _mat(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            widths = np.unique(offs[1:] - offs[:-1])
+            if len(widths) != 1:
+                raise ValueError("ragged embedding lists")
+            d = int(widths[0])
+            return np.asarray(col.values, dtype=np.float64).reshape(-1, d)
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            return np.stack([np.asarray(a, dtype=np.float64) for a in arr])
+        return np.asarray(arr, dtype=np.float64)
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        q = np.floor(_mat(batch[vec_col]) * 1e6 + 0.5).astype(np.int64)
+        lab = np.asarray(batch[label_col], dtype=np.int64)
+        uniq = np.unique(lab)
+        rows = {"label": [], "n": []}
+        d = q.shape[1]
+        for j in range(d):
+            rows[f"s{j}"] = []
+        for lv in uniq:
+            m = lab == lv
+            rows["label"].append(int(lv))
+            rows["n"].append(int(m.sum()))
+            s = q[m].sum(axis=0)
+            for j in range(d):
+                rows[f"s{j}"].append(int(s[j]))
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    # probe the dimension from ONE row (the LSH precedent), then fold
+    # the per-label sums
+    b1 = ds.take_batch(1, batch_format="pyarrow")
+    d = _mat(b1[vec_col]).shape[1]
+    sums = (ds.select_columns([vec_col, label_col])
+            .map_batches(sums_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .groupby("label"))
+    agg = sums.aggregate(Sum("n", alias_name="n"),
+                         *[Sum(f"s{j}", alias_name=f"s{j}")
+                           for j in range(d)]).to_pandas()
+    agg = agg.sort_values("label").reset_index(drop=True)
+    labels = agg["label"].to_numpy(np.int64)
+    cent = np.stack([
+        np.array([int(agg[f"s{j}"].iloc[i]) // int(agg["n"].iloc[i])
+                  for j in range(d)], dtype=np.int64)
+        for i in range(len(agg))])
+    ref = ray.put((labels, cent))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(ref)
+        q = np.floor(_mat(batch[vec_col]) * 1e6 + 0.5).astype(np.int64)
+        # exact int64 squared distances — dim-aware overflow guard:
+        # sum(diff^2) <= dim * (2*M)^2 must stay under 2^63
+        limit = int((2 ** 63 / q.shape[1]) ** 0.5 / 2)
+        if max(np.abs(q).max(initial=0), np.abs(c).max(initial=0)) > limit:
+            raise ValueError(
+                "nearest_centroid_classify bound exceeded: "
+                f"|x*1e6| must be <= {limit} at dim {q.shape[1]}")
+        diff = q[:, None, :] - c[None, :, :]
+        dist = (diff * diff).sum(axis=2)
+        best = np.argmin(dist, axis=1)  # first min == smaller label
+        return pa.table({
+            id_col: batch[id_col],
+            label_col: batch[label_col],
+            "pred": pa.array(labs[best], pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col, label_col]).map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())

@@ -160,3 +160,42 @@ def test_kmeans_k_too_large(ray_session):
     df = _mk(n=5)
     with pytest.raises(ValueError, match="exceeds"):
         kmeans_fit(rd.from_pandas(df), 10)
+
+
+def test_nearest_centroid_classifier(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.clustering import nearest_centroid_classify
+
+    rng = np.random.RandomState(4)
+    d, n = 8, 300
+    centers = {0: rng.randn(d) * 0.3, 1: rng.randn(d) * 0.3 + 2.0,
+               2: rng.randn(d) * 0.3 - 2.0}
+    labs = rng.randint(0, 3, n)
+    X = np.stack([centers[int(l)] + rng.randn(d) * 0.2 for l in labs])
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "label": labs.astype(np.int64),
+                       "embedding": [row.astype(np.float32) for row in X]})
+    for parts in (1, 5):
+        got = (nearest_centroid_classify(
+            rd.from_pandas(df.sample(frac=1, random_state=parts))
+            .repartition(parts))
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        # scalar reference: exact-int floor-mean centroids + int dists
+        q = np.floor(X.astype(np.float32).astype(np.float64) * 1e6
+                     + 0.5).astype(object)
+        cent = {}
+        for lv in (0, 1, 2):
+            m = labs == lv
+            cent[lv] = np.array(
+                [int(q[m, j].sum()) // int(m.sum()) for j in range(d)],
+                dtype=object)
+        for r in got.itertuples():
+            qs = q[r.vec_id]
+            dists = [(int(((qs - cent[lv]) ** 2).sum()), lv)
+                     for lv in (0, 1, 2)]
+            assert r.pred == min(dists)[1], r.vec_id
+        # separated clusters classify back to their own label mostly
+        acc = (got["pred"] == got["label"]).mean()
+        assert acc > 0.95
