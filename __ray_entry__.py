@@ -3426,6 +3426,43 @@ ORDER BY user_id
 """
 
 
+def _q_conv_profiles(sf_dir: str):
+    """Per-conversation profile (stages/windows.conversation_profiles —
+    the transcript-domain summary): turn count, user/assistant token
+    totals under the shared tokenizer, tool-turn count.  Combiner +
+    one groupby; all exact integers."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import conversation_profiles
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files,
+                         columns=["conv_id", "role", "text", "tool"])
+    out = (conversation_profiles(tr).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    out["conv_id"] = out["conv_id"].astype(str)
+    for c in ("n_turns", "user_tokens", "assistant_tokens", "tool_turns",
+              "total_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_conv_profiles() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN role = 'user' THEN len({_sql_tok()}) ELSE 0
+           END)::BIGINT AS user_tokens,
+       sum(CASE WHEN role = 'assistant' THEN len({_sql_tok()}) ELSE 0
+           END)::BIGINT AS assistant_tokens,
+       sum(CASE WHEN tool <> '' THEN 1 ELSE 0 END)::BIGINT AS tool_turns,
+       sum(len({_sql_tok()}))::BIGINT AS total_tokens
+FROM read_parquet('{glob}')
+GROUP BY conv_id ORDER BY conv_id
+"""
+
+
 def _q_rocchio_predictions(sf_dir: str):
     """Nearest-centroid (Rocchio) classifier over the labeled embedding
     table (stages/clustering.nearest_centroid_classify): e6-quantized
@@ -6820,6 +6857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_pairs": _q_negative_pairs,
         "trending_terms": _q_trending_terms,
         "rocchio_predictions": _q_rocchio_predictions,
+        "conv_profiles": _q_conv_profiles,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9042,6 +9080,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_pairs": _sql_negative_pairs(),
         "trending_terms": _sql_trending_terms(),
         "rocchio_predictions": _SQL_ROCCHIO,
+        "conv_profiles": _sql_conv_profiles(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -347,3 +347,45 @@ def collapse_repeats_dataset(ds, key_col: str = "user_id",
         .groupby("bucket")
         .map_groups(collapse, batch_format="pandas", runtime_env=_rte())
     )
+
+
+def conversation_profiles(ds, conv_col: str = "conv_id",
+                          role_col: str = "role", text_col: str = "text",
+                          tool_col: str = "tool"):
+    """Per-conversation profile — the transcript-domain summary table:
+    (conv_id, n_turns, user_tokens, assistant_tokens, tool_turns,
+    total_tokens).  One combiner scan (per-batch per-conv partials), one
+    groupby; token counts under the shared tokenizer rule — all exact
+    integers."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.tokenize import token_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tc = token_counts(batch[text_col]).astype(np.int64)
+        role = np.asarray(batch[role_col], dtype=object)
+        tool = np.asarray(batch[tool_col], dtype=object)
+        df = pd.DataFrame({
+            "conv_id": np.asarray(batch[conv_col], dtype=object),
+            "n_turns": np.int64(1),
+            "user_tokens": np.where(role == "user", tc, 0),
+            "assistant_tokens": np.where(role == "assistant", tc, 0),
+            "tool_turns": (tool != "").astype(np.int64),
+            "total_tokens": tc,
+        })
+        g = df.groupby("conv_id", sort=False).sum().reset_index()
+        cols = {"conv_id": pa.array(g["conv_id"].to_numpy(object),
+                                    pa.string())}
+        for c in ("n_turns", "user_tokens", "assistant_tokens",
+                  "tool_turns", "total_tokens"):
+            cols[c] = pa.array(g[c].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(c, alias_name=c)
+            for c in ("n_turns", "user_tokens", "assistant_tokens",
+                      "tool_turns", "total_tokens")]
+    return (ds.select_columns([conv_col, role_col, text_col, tool_col])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .groupby("conv_id").aggregate(*aggs))
