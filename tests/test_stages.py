@@ -835,3 +835,25 @@ def test_json_int_field_extraction(ray_session):
     for i, w in enumerate(want):
         v = got["k"].iloc[i]
         assert (pd.isna(v) and w is None) or v == w, (i, v, w)
+
+
+def test_conversation_profiles(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import conversation_profiles
+
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "role": ["user", "assistant", "tool", "user", "assistant"],
+        "text": ["hi there", "hello back friend", "ran", "x", ""],
+        "tool": ["", "", "bash", "", ""],
+    })
+    got = (conversation_profiles(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    a = got.iloc[0]
+    assert (a.n_turns, a.user_tokens, a.assistant_tokens, a.tool_turns,
+            a.total_tokens) == (3, 2, 3, 1, 6)
+    b = got.iloc[1]
+    assert (b.n_turns, b.user_tokens, b.assistant_tokens, b.tool_turns,
+            b.total_tokens) == (2, 1, 0, 0, 1)
