@@ -3426,6 +3426,48 @@ ORDER BY user_id
 """
 
 
+def _q_winsorized_price(sf_dir: str):
+    """Winsorized mean of o_totalprice (stages/stats.winsorized_mean):
+    cents-quantized values clipped at the EXACT binary-exact
+    1/16 and 15/16 percentile_disc bounds, then one exact-int clipped
+    sum.  SQL restates the rank rule as (k*n+15)//16 and the clip with
+    least/greatest."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import winsorized_mean
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "orders.parquet"),
+                         columns=["o_totalprice"])
+    r = winsorized_mean(ds, "o_totalprice", scale=100)
+    return pd.DataFrame({k: pd.Series([v], dtype=np.int64)
+                         for k, v in r.items()})
+
+
+_SQL_WINSORIZED_PRICE = """
+WITH q AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS qv
+  FROM orders
+),
+n AS (SELECT count(*)::BIGINT AS n FROM q),
+r AS (
+  SELECT qv, row_number() OVER (ORDER BY qv) AS rn FROM q
+),
+b AS (
+  SELECT max(CASE WHEN rn = greatest(1, ((SELECT n FROM n) + 15) // 16)
+                  THEN qv END) AS lo,
+         max(CASE WHEN rn = greatest(1, (15 * (SELECT n FROM n) + 15) // 16)
+                  THEN qv END) AS hi
+  FROM r
+)
+SELECT (SELECT n FROM n) AS n, b.lo, b.hi,
+       CAST(FLOOR(CAST((SELECT sum(least(greatest(qv, b.lo), b.hi))
+                        FROM q) AS DOUBLE)
+                  / (SELECT n FROM n) / 100.0 * 1e6 + 0.5) AS BIGINT)
+         AS mean_e6
+FROM b
+"""
+
+
 def _q_conv_profiles(sf_dir: str):
     """Per-conversation profile (stages/windows.conversation_profiles —
     the transcript-domain summary): turn count, user/assistant token
@@ -6858,6 +6900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_terms": _q_trending_terms,
         "rocchio_predictions": _q_rocchio_predictions,
         "conv_profiles": _q_conv_profiles,
+        "winsorized_price": _q_winsorized_price,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9081,6 +9124,7 @@ def oracle_sql() -> dict[str, str]:
         "trending_terms": _sql_trending_terms(),
         "rocchio_predictions": _SQL_ROCCHIO,
         "conv_profiles": _sql_conv_profiles(),
+        "winsorized_price": _SQL_WINSORIZED_PRICE,
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -472,3 +472,43 @@ def profile_columns(ds, cols: list[str]) -> pd.DataFrame:
     for c2 in ("n_rows", "n_null", "n_distinct"):
         df[c2] = df[c2].astype(np.int64)
     return df
+
+
+def winsorized_mean(ds, col: str, scale: int = 100,
+                    p_lo: float = 0.0625, p_hi: float = 0.9375) -> dict:
+    """Robust (winsorized) mean: values quantize to ints, clip at the
+    EXACT percentile_disc bounds (the distributed histogram-refinement
+    quantiles — values never leave their shards), then ONE combiner scan
+    sums the clipped integers exactly.  Returns
+    {n, lo, hi, mean_e6} with mean_e6 = floor(S / n / scale * 1e6 +
+    0.5).  Default percentiles are BINARY-EXACT (1/16, 15/16) so the
+    float rank ceil(q*n) equals the SQL oracle's integer (k*n+15)//16
+    at every n."""
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+
+    if not (0.0 <= p_lo < p_hi <= 1.0):
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+
+    def quant(batch: pa.Table) -> pa.Table:
+        return pa.table({"qv": pa.array(_quant(batch[col], scale),
+                                        pa.int64())})
+
+    qds = ds.select_columns([col]).map_batches(
+        quant, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+    b = quantile_disc(qds, "qv", [p_lo, p_hi])
+    lo = int(b["value"].iloc[0])
+    hi = int(b["value"].iloc[1])
+
+    def clipped(batch: pa.Table) -> pa.Table:
+        v = np.clip(np.asarray(batch["qv"], dtype=np.int64), lo, hi)
+        return pa.table({"s": pa.array([int(v.sum())], pa.int64()),
+                         "n": pa.array([len(v)], pa.int64())})
+
+    t = qds.map_batches(clipped, batch_format="pyarrow",
+                        runtime_env=_rte()).sum(["s", "n"])
+    s, n = int(t["sum(s)"]), int(t["sum(n)"])
+    mean_e6 = (math.floor(s / n / float(scale) * 1e6 + 0.5) if n else 0)
+    return {"n": n, "lo": lo, "hi": hi, "mean_e6": mean_e6}
