@@ -3426,6 +3426,82 @@ ORDER BY user_id
 """
 
 
+_ROLE_TERMS_K = 20
+
+
+def _q_role_term_stats(sf_dir: str):
+    """Per-field term statistics (the per-channel dictionary split): per
+    role, the top-20 terms by within-role document frequency — a
+    (role, term)-keyed df combiner + the shared per-group top-k
+    reduction (stages/groupwise.topk_per_group).  Ties (df desc, term
+    asc)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.groupwise import topk_per_group
+    from horus_ner_ray.stages.tokenize import tokenize_column
+    from horus_ner_ray.util import worker_runtime_env
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch["text"])
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        role = np.asarray(batch["role"], dtype=object)[parents]
+        conv = np.asarray(batch["conv_id"], dtype=object)[parents]
+        tix = np.asarray(batch["turn_idx"], dtype=np.int64)[parents]
+        df = (_pd.DataFrame({"role": role, "term": flat, "c": conv,
+                             "t": tix})
+              .drop_duplicates(["role", "term", "c", "t"])
+              .groupby(["role", "term"], sort=False)
+              .size().reset_index(name="df"))
+        return pa.table({
+            "role": pa.array(df["role"].to_numpy(object), pa.string()),
+            "term": pa.array(df["term"].to_numpy(object), pa.string()),
+            "df": pa.array(df["df"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fine = (tr.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           runtime_env=worker_runtime_env())
+            .groupby(["role", "term"]).aggregate(Sum("df",
+                                                     alias_name="df")))
+    top = topk_per_group(fine, "role", ["df", "term"],
+                         ascending=[False, True], k=_ROLE_TERMS_K)
+    out = (top.to_pandas().sort_values(["role", "term"])
+           .reset_index(drop=True))
+    out["df"] = out["df"].astype(np.int64)
+    return out[["role", "term", "df"]]
+
+
+def _sql_role_term_stats() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT role, conv_id, turn_idx, unnest({_sql_tok()}) AS term
+  FROM read_parquet('{glob}')
+),
+dfv AS (SELECT role, term, count(*)::BIGINT AS df
+        FROM tok GROUP BY 1, 2),
+r AS (
+  SELECT role, term, df,
+         row_number() OVER (PARTITION BY role
+                            ORDER BY df DESC, term) AS rk
+  FROM dfv
+)
+SELECT role, term, df FROM r WHERE rk <= {_ROLE_TERMS_K}
+ORDER BY role, term
+"""
+
+
 def _q_winsorized_price(sf_dir: str):
     """Winsorized mean of o_totalprice (stages/stats.winsorized_mean):
     cents-quantized values clipped at the EXACT binary-exact
@@ -6901,6 +6977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rocchio_predictions": _q_rocchio_predictions,
         "conv_profiles": _q_conv_profiles,
         "winsorized_price": _q_winsorized_price,
+        "role_term_stats": _q_role_term_stats,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9125,6 +9202,7 @@ def oracle_sql() -> dict[str, str]:
         "rocchio_predictions": _SQL_ROCCHIO,
         "conv_profiles": _sql_conv_profiles(),
         "winsorized_price": _SQL_WINSORIZED_PRICE,
+        "role_term_stats": _sql_role_term_stats(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,
