@@ -3426,6 +3426,43 @@ ORDER BY user_id
 """
 
 
+_CHURN_IV = 86_400_000_000  # daily buckets
+
+
+def _q_bucket_churn(sf_dir: str):
+    """Per-day churn (stages/cohort.bucket_churn): active users per day,
+    retained = also active the NEXT day (strict adjacency), churned =
+    active - retained.  Distinct (day, user) pairs from a combiner;
+    coarse user groups vectorize the adjacency flag.  SQL: distinct
+    pairs LEFT JOINed to their next-day row."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.cohort import bucket_churn
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = (bucket_churn(ev, _CHURN_IV).to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    out["n_churned"] = out["n_active"] - out["n_retained"]
+    return out.astype(np.int64)
+
+
+_SQL_BUCKET_CHURN = f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         ((epoch_us(ts)
+           - ((epoch_us(ts) % {_CHURN_IV} + {_CHURN_IV}) % {_CHURN_IV}))
+          // {_CHURN_IV})::BIGINT AS b
+  FROM events
+)
+SELECT p.b AS bucket, count(*)::BIGINT AS n_active,
+       count(n.user_id)::BIGINT AS n_retained,
+       (count(*) - count(n.user_id))::BIGINT AS n_churned
+FROM p LEFT JOIN p n ON n.user_id = p.user_id AND n.b = p.b + 1
+GROUP BY p.b ORDER BY bucket
+"""
+
+
 _ROLE_TERMS_K = 20
 
 
@@ -6978,6 +7015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_profiles": _q_conv_profiles,
         "winsorized_price": _q_winsorized_price,
         "role_term_stats": _q_role_term_stats,
+        "bucket_churn": _q_bucket_churn,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9203,6 +9241,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_profiles": _sql_conv_profiles(),
         "winsorized_price": _SQL_WINSORIZED_PRICE,
         "role_term_stats": _sql_role_term_stats(),
+        "bucket_churn": _SQL_BUCKET_CHURN,
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

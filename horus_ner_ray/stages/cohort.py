@@ -93,3 +93,64 @@ def cohort_retention(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby(["cohort_week_us", "week_offset"])
         .aggregate(Sum("n", alias_name="n_users"))
     )
+
+
+def bucket_churn(ds, interval_us: int, key_col: str = "user_id",
+                 ts_col: str = "ts", n_buckets: int = 256):
+    """Per-time-bucket churn: (bucket, n_active, n_retained, n_churned)
+    with retained = active users ALSO active in bucket+1 (strict
+    adjacency), churned = active - retained.  The last active bucket of
+    a user counts as churn by construction.
+
+    Shape: distinct (bucket, user) pairs from a per-batch combiner;
+    users coarse-hash-grouped so the retained flag computes vectorized
+    per group (sorted buckets, next-bucket adjacency — never a per-user
+    Python call); a tiny groupby(bucket) folds the counts."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if interval_us <= 0:
+        raise ValueError(f"interval_us must be > 0, got {interval_us}")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tsv = np.asarray(pc.cast(batch[ts_col], pa.int64()),
+                         dtype=np.int64)
+        bkt = np.floor_divide(tsv, np.int64(interval_us))
+        u = np.asarray(batch[key_col], dtype=np.int64)
+        g = (pd.DataFrame({"u": u, "b": bkt})
+             .drop_duplicates(["u", "b"]))
+        ub = g["u"].to_numpy(np.int64).astype(np.uint64)
+        cg = ((ub * np.uint64(0x9E3779B97F4A7C15))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(np.int64), pa.int64()),
+            "b": pa.array(g["b"].to_numpy(np.int64), pa.int64()),
+            "cg": pa.array(cg, pa.int64()),
+        })
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "b"])
+        u = g["u"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, u))
+        u, b = u[order], b[order]
+        retained = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            adj = (u[1:] == u[:-1]) & (b[1:] == b[:-1] + 1)
+            retained[:-1][adj] = 1
+        out = (pd.DataFrame({"bucket": b, "n_active": np.int64(1),
+                             "n_retained": retained})
+               .groupby("bucket", sort=False).sum().reset_index())
+        return out
+
+    return (ds.select_columns([key_col, ts_col])
+            .map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True, runtime_env=_rte())
+            .groupby("cg")
+            .map_groups(lambda g: per_group(g.drop(columns=["cg"])),
+                        batch_format="pandas", runtime_env=_rte())
+            .groupby("bucket")
+            .aggregate(Sum("n_active", alias_name="n_active"),
+                       Sum("n_retained", alias_name="n_retained")))
