@@ -3426,6 +3426,95 @@ ORDER BY user_id
 """
 
 
+_TDI_K = 10
+_TDI_SEED = 7
+
+
+def _tdi_schedule(qid: int, k: int) -> list[str]:
+    """The team-draft coin schedule — a pure function of (qid, round,
+    seed), precomputed identically for the Ray run and the SQL builder
+    (the engine test pins the splitmix64 rule)."""
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    teams = []
+    for i in range(2 * k):
+        rnd = i // 2
+        h = int(splitmix64(np.array(
+            [np.uint64(qid * 1024 + rnd) ^ np.uint64(_TDI_SEED)],
+            dtype=np.uint64))[0])
+        first = "a" if h % 2 == 0 else "b"
+        teams.append(first if i % 2 == 0 else
+                     ("b" if first == "a" else "a"))
+    return teams
+
+
+def _q_interleaved(sf_dir: str):
+    """Team-draft interleaving (stages/evalmetrics
+    team_draft_interleave): the BM25 e6-top-10 (team a) mixed with the
+    Dirichlet-LM e6-top-10 (team b) under the deterministic splitmix64
+    coin schedule — the online-eval mixer.  SQL replays the picks as an
+    unrolled NOT-IN chain under the same precomputed schedule."""
+    from horus_ner_ray.stages.evalmetrics import team_draft_interleave
+
+    bm = _bm25_topk_frame(sf_dir, DOC_QUERIES, "or")
+    lm = _q_lm_topk(sf_dir)
+    rows = {"query_id": [], "rank": [], "doc_id": [], "team": []}
+    for qid in range(len(DOC_QUERIES)):
+        a = bm.loc[bm["query_id"] == qid].sort_values("rank")[
+            "doc_id"].tolist()
+        b = lm.loc[lm["query_id"] == qid].sort_values("rank")[
+            "doc_id"].tolist()
+        for r, d, t in team_draft_interleave(a, b, qid, k=_TDI_K,
+                                             seed=_TDI_SEED):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+            rows["team"].append(t)
+    out = pd.DataFrame(rows)
+    return out.astype({c: np.int64 for c in ("query_id", "rank",
+                                             "doc_id")})
+
+
+def _sql_interleaved() -> str:
+    ctes = []
+    selects = []
+    for qid in range(len(DOC_QUERIES)):
+        sched = _tdi_schedule(qid, _TDI_K)
+        prev: list[str] = []
+        for i, team in enumerate(sched):
+            src = "bm" if team == "a" else "lmr"
+            notin = (f"AND doc_id NOT IN (SELECT doc_id FROM "
+                     f"({' UNION ALL '.join(f'SELECT doc_id FROM {p}' for p in prev)}))"
+                     if prev else "")
+            name = f"s{qid}_{i}"
+            # MATERIALIZED is load-bearing: later steps' NOT-IN chains
+            # reference every earlier step — inlined CTEs re-execute
+            # exponentially (the pq_codes lesson)
+            ctes.append(f"""
+{name} AS MATERIALIZED (
+  SELECT {qid} AS query_id, doc_id, {i} AS step, '{team}' AS team
+  FROM {src} WHERE query_id = {qid} {notin}
+  ORDER BY rank LIMIT 1
+)""")
+            prev.append(name)
+        selects.extend(f"SELECT * FROM s{qid}_{i}"
+                       for i in range(len(sched)))
+    return f"""
+WITH bm AS MATERIALIZED ({_sql_bm25(DOC_QUERIES, conjunctive=False)}),
+lmr AS MATERIALIZED ({_sql_lm_topk()}),
+{",".join(ctes)},
+allp AS ({" UNION ALL ".join(selects)}),
+ranked AS (
+  SELECT query_id, doc_id, team,
+         row_number() OVER (PARTITION BY query_id ORDER BY step) AS rank
+  FROM allp
+)
+SELECT query_id, rank, doc_id, team FROM ranked
+WHERE rank <= {_TDI_K}
+ORDER BY query_id, rank
+"""
+
+
 _CHURN_IV = 86_400_000_000  # daily buckets
 
 
@@ -7016,6 +7105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_price": _q_winsorized_price,
         "role_term_stats": _q_role_term_stats,
         "bucket_churn": _q_bucket_churn,
+        "interleaved_eval": _q_interleaved,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9242,6 +9332,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_price": _SQL_WINSORIZED_PRICE,
         "role_term_stats": _sql_role_term_stats(),
         "bucket_churn": _SQL_BUCKET_CHURN,
+        "interleaved_eval": _sql_interleaved(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,

@@ -97,3 +97,38 @@ def ranking_metrics_row(run_ids, qrel_ids, k: int = 10) -> dict:
     out["ndcg_e6"] = math.floor(out["dcg_e9"] / out["idcg_e9"] * 1e6 + 0.5)
     out["recall_e6"] = math.floor(len(hit_ranks) / n_rel * 1e6 + 0.5)
     return out
+
+
+def team_draft_interleave(run_a, run_b, qid: int, k: int = 10,
+                          seed: int = 7) -> list[tuple[int, int, str]]:
+    """Team-draft interleaving (Radlinski et al. 2008) of two ranked
+    lists — the online-eval mixer: step i (0-based) belongs to round
+    i // 2; the round's FIRST pick goes to team
+    ['a', 'b'][splitmix64((qid * 1024 + round) XOR seed) % 2], the
+    second to the other; each step picks its team's highest-ranked doc
+    not yet interleaved.  Documented variant shared with the SQL oracle:
+    a step whose team is exhausted emits NO pick (no cross-team
+    fallback).  Returns [(rank, doc_id, team)] with rank = 1-based
+    sequence of successful picks, at most k."""
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    a = [int(d) for d in run_a]
+    b = [int(d) for d in run_b]
+    picked: set[int] = set()
+    out: list[tuple[int, int, str]] = []
+    for i in range(2 * k):
+        if len(out) >= k:
+            break
+        rnd = i // 2
+        h = int(splitmix64(np.array(
+            [np.uint64(qid * 1024 + rnd) ^ np.uint64(seed)],
+            dtype=np.uint64))[0])
+        first = "a" if h % 2 == 0 else "b"
+        team = first if i % 2 == 0 else ("b" if first == "a" else "a")
+        lst = a if team == "a" else b
+        pick = next((d for d in lst if d not in picked), None)
+        if pick is None:
+            continue
+        picked.add(pick)
+        out.append((len(out) + 1, pick, team))
+    return out

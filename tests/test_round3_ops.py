@@ -157,3 +157,32 @@ def test_ranking_metrics_hand_computed():
     # k truncation: a hit at rank 11 doesn't count with k=10
     m = ranking_metrics_row(list(range(100, 110)) + [1], [1], k=10)
     assert m["n_hit"] == 0
+
+
+def test_team_draft_interleave_rules():
+    from horus_ner_ray.stages.evalmetrics import team_draft_interleave
+    from horus_ner_ray.stages.sketches import splitmix64
+    import numpy as np
+
+    a = [1, 2, 3, 4]
+    b = [3, 4, 5, 6]
+    out = team_draft_interleave(a, b, qid=0, k=6, seed=7)
+    # every pick unique, ranks sequential, teams alternate within rounds
+    docs = [d for _r, d, _t in out]
+    assert len(set(docs)) == len(docs)
+    assert [r for r, _d, _t in out] == list(range(1, len(out) + 1))
+    # the coin schedule is the documented pure function
+    h0 = int(splitmix64(np.array([np.uint64(0) ^ np.uint64(7)],
+                                 dtype=np.uint64))[0])
+    first = "a" if h0 % 2 == 0 else "b"
+    assert out[0][2] == first
+    other = "b" if first == "a" else "a"
+    assert out[1][2] == other
+    # each team's picks preserve its own ranking order
+    for team, lst in (("a", a), ("b", b)):
+        picks = [d for _r, d, t in out if t == team]
+        idx = [lst.index(d) for d in picks]
+        assert idx == sorted(idx)
+    # exhaustion variant: a team with an empty list emits no picks
+    out2 = team_draft_interleave([1], [], qid=3, k=4)
+    assert [(d, t) for _r, d, t in out2] == [(1, "a")]
