@@ -3426,6 +3426,63 @@ ORDER BY user_id
 """
 
 
+_SUBSTR_PROBES = ["error", "scan", "data st", "Batch", "zzq"]
+
+
+def _q_substring_counts(sf_dir: str):
+    """Raw-substring occurrence counts (CASE-SENSITIVE, non-overlapping
+    left-to-right — Arrow's count_substring == SQL's replace-length
+    trick): per probe, total occurrences and matching-doc count over
+    the RAW text (no tokenizer) — the grep-style probe the tokenized
+    index can't answer (multi-word and case-sensitive probes
+    included)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.util import worker_runtime_env
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"probe": [], "n_occ": [], "n_docs": []}
+        for p in _SUBSTR_PROBES:
+            c = pc.count_substring(batch["text"], p)
+            cv = np.asarray(c, dtype=np.int64)
+            rows["probe"].append(p)
+            rows["n_occ"].append(int(cv.sum()))
+            rows["n_docs"].append(int((cv > 0).sum()))
+        return pa.table({"probe": pa.array(rows["probe"], pa.string()),
+                         "n_occ": pa.array(rows["n_occ"], pa.int64()),
+                         "n_docs": pa.array(rows["n_docs"], pa.int64())})
+
+    out = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            runtime_env=worker_runtime_env())
+           .groupby("probe")
+           .aggregate(Sum("n_occ", alias_name="n_occ"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas().sort_values("probe").reset_index(drop=True))
+    for c in ("n_occ", "n_docs"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _sql_substring_counts() -> str:
+    rows = []
+    for p in _SUBSTR_PROBES:
+        esc = p.replace("'", "''")
+        rows.append(f"""
+  SELECT '{esc}' AS probe,
+         sum((length(text) - length(replace(text, '{esc}', '')))
+             // {len(p)})::BIGINT AS n_occ,
+         count(*) FILTER (text LIKE '%' || '{esc}' || '%')::BIGINT
+           AS n_docs
+  FROM documents""")
+    return " UNION ALL ".join(rows) + " ORDER BY probe"
+
+
 _TDI_K = 10
 _TDI_SEED = 7
 
@@ -7106,6 +7163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_term_stats": _q_role_term_stats,
         "bucket_churn": _q_bucket_churn,
         "interleaved_eval": _q_interleaved,
+        "substring_counts": _q_substring_counts,
         "rare_terms": _q_rare_terms,
         "group_split": _q_group_split,
         "term_pagerank": _q_term_pagerank,
@@ -9333,6 +9391,7 @@ def oracle_sql() -> dict[str, str]:
         "role_term_stats": _sql_role_term_stats(),
         "bucket_churn": _SQL_BUCKET_CHURN,
         "interleaved_eval": _sql_interleaved(),
+        "substring_counts": _sql_substring_counts(),
         "sample_by_source_temp": f"""
             WITH h AS (
               SELECT source, doc_id, n_chars,
