@@ -482,3 +482,51 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
     (paths.root / "compacting.json").unlink(missing_ok=True)
     return {"deleted": int(len(deleted)), "compacted": True,
             "n_docs": n_docs, "avgdl": avgdl, "compaction_gen": gen}
+
+
+def delete_older_than(index_dir: str | Path, cutoff_us: int) -> int:
+    """TTL / retention delete: tombstone every doc whose STORED timestamp
+    is strictly older than ``cutoff_us`` (epoch microseconds).  Docs
+    without a stored ts are KEPT (no evidence of age).  Same shape as
+    ``delete_by_conv``: a column-pruned distributed docstore scan
+    resolves the ids (no shuffle), then the ordinary tombstone union —
+    stats stay stale until ``compact_index``, and the whole
+    delete -> compact -> append algebra applies unchanged."""
+    import ray
+
+    paths = IndexPaths(index_dir)
+    files = sorted(str(p) for p in paths.docstore.glob("part-*.parquet"))
+    if not files:
+        return delete_docs(index_dir, [])
+    schema = pq.ParquetFile(files[0]).schema_arrow.names
+    if "ts" not in schema:
+        raise ValueError(
+            "docstore has no ts column — build with a ts source column "
+            "to use retention deletes")
+    cutoff = int(cutoff_us)
+
+    def pick_t(t: pa.Table) -> np.ndarray:
+        tsv = pc.cast(t["ts"], pa.int64())
+        m = pc.and_(pc.is_valid(tsv), pc.less(tsv, cutoff))
+        return np.asarray(t.filter(m)["doc_id"], dtype=np.int64)
+
+    if ray.is_initialized():
+        import ray.data as rd
+
+        from horus_ner_ray.util import worker_runtime_env
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": pa.array(pick_t(batch), pa.int64())})
+
+        pdf = (rd.read_parquet(files, columns=["doc_id", "ts"])
+               .map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            runtime_env=worker_runtime_env())
+               .to_pandas())
+        ids = (pdf["doc_id"].to_numpy(np.int64)
+               if "doc_id" in pdf.columns else np.zeros(0, np.int64))
+    else:  # sequential unit-test fallback (no session)
+        parts = [pick_t(pq.read_table(f, columns=["doc_id", "ts"]))
+                 for f in files]
+        ids = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    return delete_docs(index_dir, ids)

@@ -500,3 +500,39 @@ def test_job_change_clears_tombstones(small_corpus, tmp_path_factory,
     eng2 = QueryEngine(idx)
     hits = {d for d, _ in eng2.search("the sessionmark", 10**6)}
     assert hits & set(dead.tolist())
+
+
+def test_delete_older_than(small_corpus, tmp_path_factory, ray_session):
+    """TTL delete masks exactly the docs with stored ts < cutoff; docs
+    keep serving through the engine with stale stats (the tombstone
+    contract); compact folds it in like any other delete."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_older_than
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import IndexPaths
+
+    idx = tmp_path_factory.mktemp("ttlidx") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=4))
+    paths = IndexPaths(str(idx))
+    parts = sorted(str(p) for p in paths.docstore.glob("part-*.parquet"))
+    t = pq.read_table(parts[0], columns=["doc_id", "ts"])
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tsv = np.asarray(pc.cast(t["ts"], pa.int64()), dtype=np.int64)
+    tsv = tsv[tsv != np.iinfo(np.int64).min]
+    cutoff = int(np.percentile(tsv, 30))
+    n = delete_older_than(str(idx), cutoff)
+    assert n > 0
+    eng = QueryEngine(str(idx))
+    hits = eng.search("sessionmark", k=10 ** 6)
+    # every surviving hit's stored ts is >= cutoff (or missing)
+    st = eng.field_stats("sessionmark")
+    assert st["min"] >= cutoff
+    assert len(hits) < eng.n_docs  # something was actually masked
+    # idempotent
+    assert delete_older_than(str(idx), cutoff) == n
