@@ -2304,6 +2304,81 @@ def _q_bm25_after_compact(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _ttl_cutoff_us(files: list[str]) -> int:
+    """Deterministic retention cutoff shared by the Ray side and the SQL
+    builder: min_ts + 30% of the corpus ts span, exact int64 microsecond
+    arithmetic over the SAME part files both sides read."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(list(files), columns=["ts"])
+    v = np.asarray(_pc.cast(t["ts"], _pa.int64()), dtype=np.int64)
+    lo, hi = int(v.min()), int(v.max())
+    return lo + (hi - lo) * 3 // 10
+
+
+def _q_bm25_after_ttl(sf_dir: str):
+    """TTL / retention deletion (``delete_older_than``): every doc whose
+    STORED timestamp is strictly older than the deterministic cutoff
+    (min + 30% of the corpus ts span) is tombstoned via a column-pruned
+    distributed docstore scan; searches mask them BEFORE top-k while
+    collection statistics stay STALE (the live-docs contract shared with
+    ``bm25_after_delete``).  The SQL oracle states the expected outcome
+    directly: full-corpus BM25 with a rank-time ts >= cutoff filter and
+    global statistics."""
+    import shutil
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_older_than
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_ttl_v{INDEX_FORMAT_VERSION}_{sf}"
+    marker = idx / "state.done"
+    if not marker.exists():
+        shutil.rmtree(idx, ignore_errors=True)  # never resume a half-mutated tree
+        build_index(files, idx, PipelineConfig(num_shards=8))
+        delete_older_than(idx, _ttl_cutoff_us(files))
+        marker.write_text("ok")
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(q["text"], TOPK * 3 + 20) for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_after_ttl() -> str:
+    """TTL-delete oracle: the transcripts pre carries ts; ranked docs
+    post-filter on ts >= cutoff (survivor set of a strict < delete) while
+    every collection statistic stays full-corpus — stale-stats masking."""
+    from horus_ner_ray.synth import reference_queries
+
+    files, glob = _transcript_corpus(_oracle_sf())
+    cutoff = pd.Timestamp(_ttl_cutoff_us(files), unit="us")
+    lo = cutoff.strftime("%Y-%m-%d %H:%M:%S.%f")
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()],
+                     conjunctive=False, pre=pre,
+                     ts_window=(lo, "9999-12-31 00:00:00"))
+
+
 def _q_bm25_topk_fuzzy(sf_dir: str):
     """Typo-tolerant ('did you mean') search: each query token expands to
     its edit-distance-1 dictionary neighborhood (length-banded vocab scan
@@ -7134,6 +7209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_after_ttl": _q_bm25_after_ttl,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8477,6 +8553,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
     """
     return {
+        "bm25_after_ttl": _sql_bm25_after_ttl(),
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents
