@@ -909,26 +909,21 @@ FROM rnk WHERE rk <= {SIG_K}
 """
 
 
-def _q_bm25_after_merge(sf_dir: str):
-    """Index MERGE (the Lucene addIndexes maintenance op): the documents
-    table splits into even/odd doc_id halves, each half builds its OWN
-    index, and merge_indexes combines them WITHOUT re-tokenizing —
-    fragment runs re-route under the union id space (provided mode) and
-    phase B re-merges.  The merged index answers DOC_QUERIES; the oracle
-    is the ordinary BM25 SQL over the FULL documents table, so the merge's
-    stats/postings composition is what's actually checked.  (Byte-identity
-    of the merged tree vs a fresh union build is pinned in
-    tests/test_merge_indexes.py.)"""
+def _merge_tree(sf_dir: str) -> tuple[str, str, str]:
+    """Build (once, cached) the even/odd half-corpus index pair and their
+    merged union — shared by ``bm25_after_merge`` (offline merge) and
+    ``bm25_federated`` (query-time federation over the SAME halves).
+    Returns (idx_a, idx_b, merged)."""
     import pyarrow.parquet as pq
 
     from horus_ner_ray.pipelines.merge import merge_indexes
-    from horus_ner_ray.pipelines.query import QueryEngine
     from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
 
     key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
     base = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
         f"horus_docidx_merged_v{INDEX_FORMAT_VERSION}_{key}")
     merged = base / "merged"
+    idx_a, idx_b = base / "a", base / "b"
     marker = base / "state.done"
     if not marker.exists():
         import shutil
@@ -947,13 +942,46 @@ def _q_bm25_after_merge(sf_dir: str):
             pq.write_table(t.filter(_pa.array(keep)), f)
             halves.append(str(f))
         cfg = PipelineConfig(num_shards=4, doc_id_mode="provided")
-        idx_a, idx_b = base / "a", base / "b"
         build_index([halves[0]], idx_a, cfg)
         build_index([halves[1]], idx_b, cfg)
         merge_indexes([idx_a, idx_b], merged)
         marker.write_text("ok")
-    eng = QueryEngine(str(merged))
+    return str(idx_a), str(idx_b), str(merged)
+
+
+def _q_bm25_after_merge(sf_dir: str):
+    """Index MERGE (the Lucene addIndexes maintenance op): the documents
+    table splits into even/odd doc_id halves, each half builds its OWN
+    index, and merge_indexes combines them WITHOUT re-tokenizing —
+    fragment runs re-route under the union id space (provided mode) and
+    phase B re-merges.  The merged index answers DOC_QUERIES; the oracle
+    is the ordinary BM25 SQL over the FULL documents table, so the merge's
+    stats/postings composition is what's actually checked.  (Byte-identity
+    of the merged tree vs a fresh union build is pinned in
+    tests/test_merge_indexes.py.)"""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    _a, _b, merged = _merge_tree(sf_dir)
+    eng = QueryEngine(merged)
     hits = [eng.search(q, TOPK * 3 + 20) for q in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _q_bm25_federated(sf_dir: str):
+    """Query-time FEDERATION over the same half-corpus index pair
+    (pipelines/federate.py — Lucene MultiReader / ES
+    dfs_query_then_fetch): each member's in-memory statistics rewrite to
+    the federation-combined N/avgdl/df/cf, every member scores its own
+    shards, and the exact per-member top-k merge under (score desc,
+    doc_id asc).  Bitwise identical to searching the merged index
+    (tests/test_federate.py), so the oracle is the same full-corpus BM25
+    SQL as ``bm25_after_merge`` — what's checked is that two independent
+    indexes rank as one without any offline merge."""
+    from horus_ner_ray.pipelines.federate import FederatedEngine
+
+    idx_a, idx_b, _merged = _merge_tree(sf_dir)
+    fed = FederatedEngine([idx_a, idx_b])
+    hits = [fed.search(q, TOPK * 3 + 20) for q in DOC_QUERIES]
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
@@ -7210,6 +7238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_after_ttl": _q_bm25_after_ttl,
+        "bm25_federated": _q_bm25_federated,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8554,6 +8583,7 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "bm25_after_ttl": _sql_bm25_after_ttl(),
+        "bm25_federated": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents
