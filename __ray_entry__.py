@@ -2899,6 +2899,33 @@ def _q_ann_topk(sf_dir: str):
     return _e6_rerank(res, "cosine", "vec_id", "cosine_e6")
 
 
+def _q_ann_filtered(sf_dir: str):
+    """FILTERED vector search (ES ``knn`` with ``filter``; pre-filter
+    semantics): each query vector's exact cosine top-k restricted to
+    vectors sharing ITS OWN label — the predicate masks inside each batch
+    BEFORE the partial top-k, so the result is exactly top-k of the
+    filtered universe.  Oracle: the cosine cross-join with the same
+    equality predicate."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(
+        path, columns=["vec_id", "embedding", "label"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    res = ann_topk_bruteforce(
+        rd.read_parquet(path),
+        qt["vec_id"].to_numpy(np.int64),
+        np.array(qt["embedding"].tolist(), dtype=np.float64),
+        k=TOPK * 3 + 20,
+        filter_col="label",
+        query_filter_vals=qt["label"].to_numpy(np.int64),
+    )
+    return _e6_rerank(res, "cosine", "vec_id", "cosine_e6")
+
+
 def _q_embedding_dups(sf_dir: str):
     import ray.data as rd
 
@@ -7239,6 +7266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_after_ttl": _q_bm25_after_ttl,
         "bm25_federated": _q_bm25_federated,
+        "ann_filtered": _q_ann_filtered,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8581,9 +8609,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
     """
+    sql_cosine_filtered = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                   FROM embeddings WHERE vec_id < 5),
+        s AS (
+          SELECT q.qid AS query_id, e.vec_id,
+                 list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS c
+          FROM q JOIN embeddings e ON e.label = q.ql
+        ),
+        r AS (
+          SELECT query_id, vec_id, CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
+                 row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(FLOOR(c * 1e6 + 0.5) AS BIGINT) DESC, vec_id
+                 ) AS rk
+          FROM s
+        )
+        SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+    """
     return {
         "bm25_after_ttl": _sql_bm25_after_ttl(),
         "bm25_federated": _sql_bm25(DOC_QUERIES, conjunctive=False),
+        "ann_filtered": sql_cosine_filtered,
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents

@@ -29,30 +29,48 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def ann_topk_bruteforce(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
-                        k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+                        k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+                        filter_col: str | None = None,
+                        query_filter_vals: np.ndarray | None = None):
     """Dataset(embeddings) -> (query_id, vec_id, cosine) exact top-k.
 
     Per-batch partial top-k (vectorized argpartition keeping score ties) ->
     driver-side exact merge of the small candidate set, tie-broken
     (cosine desc, vec_id asc).
+
+    ``filter_col`` + ``query_filter_vals`` (one value per query) turn this
+    into FILTERED vector search with PRE-filter semantics (ES ``knn`` with
+    ``filter``): query i only competes against rows whose ``filter_col``
+    equals ``query_filter_vals[i]``, so exactly top-k of the FILTERED
+    universe returns (never fewer than k because the filter ate the
+    candidates).  The predicate masks inside each batch before the partial
+    top-k — no second pass, no per-row Python.
     """
     import ray
 
     qm = np.asarray(query_mat, dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
     qn[qn == 0] = 1.0
-    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, qn)) if ray.is_initialized() else (
-        np.asarray(query_ids, dtype=np.int64), qm, qn
+    if (filter_col is None) != (query_filter_vals is None):
+        raise ValueError("filter_col and query_filter_vals go together")
+    qf = (np.asarray(query_filter_vals, dtype=np.int64)
+          if query_filter_vals is not None else None)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qm, qn, qf)) if ray.is_initialized() else (
+        np.asarray(query_ids, dtype=np.int64), qm, qn, qf
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        qids, q, qnorm = ray.get(ref) if ray.is_initialized() else ref
+        qids, q, qnorm, qfv = ray.get(ref) if ray.is_initialized() else ref
         ids = np.asarray(batch[id_col], dtype=np.int64)
         mat = list_column_to_matrix(batch[vec_col])
         mn = np.linalg.norm(mat, axis=1)
         mn[mn == 0] = 1.0
         # dot / (|a||b|) — same arithmetic shape as list_cosine_similarity
         sims = (q @ mat.T) / (qnorm[:, None] * mn[None, :])  # (nq, nb)
+        if qfv is not None:
+            labels = np.asarray(batch[filter_col], dtype=np.int64)
+            # pre-filter: mismatching rows leave the competition entirely
+            sims = np.where(qfv[:, None] == labels[None, :], sims, -np.inf)
         out_q, out_v, out_s = [], [], []
         kk = min(k, sims.shape[1])
         for qi in range(len(qids)):
@@ -62,6 +80,8 @@ def ann_topk_bruteforce(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
                 sel = np.flatnonzero(row >= kth)  # keep boundary ties
             else:
                 sel = np.arange(len(row))
+            if qfv is not None:
+                sel = sel[row[sel] > -np.inf]  # drop filtered-out rows
             out_q.append(np.full(len(sel), qids[qi], dtype=np.int64))
             out_v.append(ids[sel])
             out_s.append(row[sel])
@@ -73,7 +93,8 @@ def ann_topk_bruteforce(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
             }
         )
 
-    cand = emb_ds.select_columns([id_col, vec_col]).map_batches(
+    cols = [id_col, vec_col] + ([filter_col] if filter_col is not None else [])
+    cand = emb_ds.select_columns(cols).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, runtime_env=_rte()
     ).to_pandas()  # small: O(n_batches * nq * k)
     out = []

@@ -275,6 +275,46 @@ def test_ann_bruteforce_and_ivf(ray_session):
     assert hits >= 10  # >= 2/3 recall on average
 
 
+def test_ann_filtered(ray_session):
+    """Pre-filter semantics: each query competes only against rows with
+    its label; survivors' cosines are bitwise the unfiltered ones; a
+    label with < k members returns exactly its members; a label with
+    zero members returns nothing."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+
+    rng = np.random.RandomState(7)
+    mat = rng.normal(size=(150, 16))
+    labels = np.r_[np.zeros(100, np.int64), np.ones(47, np.int64),
+                   np.full(3, 2, np.int64)]
+    rows = [{"vec_id": i, "embedding": mat[i].tolist(),
+             "label": int(labels[i])} for i in range(150)]
+    ds = rd.from_items(rows)
+    qids = np.array([0, 100, 147, 5], dtype=np.int64)
+    qm = mat[qids]
+    qf = np.array([0, 1, 2, 9], dtype=np.int64)  # 9: no such label
+    res = ann_topk_bruteforce(ds, np.arange(4), qm, k=5,
+                              filter_col="label", query_filter_vals=qf)
+    n = mat / np.linalg.norm(mat, axis=1)[:, None]
+    for qi in range(4):
+        allowed = np.flatnonzero(labels == qf[qi])
+        sims = n[qids[qi]] @ n[allowed].T
+        want = allowed[np.lexsort((allowed, -sims))][:5]
+        got = res[res.query_id == qi].sort_values("rank")
+        assert (got["vec_id"].to_numpy() == want).all()
+        # survivor cosines match the unfiltered run (same formula; BLAS
+        # blocking varies with matmul shape, so last-ulp, not bitwise)
+        full = ann_topk_bruteforce(ds, np.array([0]), qm[qi:qi + 1], k=150)
+        fm = dict(zip(full["vec_id"], full["cosine"]))
+        for v, c in zip(got["vec_id"], got["cosine"]):
+            assert abs(c - fm[v]) < 1e-12
+    assert len(res[res.query_id == 2]) == 3   # label 2 has 3 members
+    assert len(res[res.query_id == 3]) == 0   # label 9 empty
+    with pytest.raises(ValueError):
+        ann_topk_bruteforce(ds, np.arange(1), qm[:1], k=3, filter_col="label")
+
+
 def test_multimodal_plumbing(ray_session):
     import ray.data as rd
 
