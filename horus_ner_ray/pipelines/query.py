@@ -3869,12 +3869,21 @@ class ScorerActor:
 
     def __init__(self, index_dir: str, mode: str = "or",
                  shard_subset: list[int] | None = None,
-                 cache_postings: int = 8_000_000):
+                 cache_postings: int = 8_000_000,
+                 stats_override=None):
         # ~8M cached postings x ~20 B = <=160 MB per actor, spread across
         # its shard readers; hot-term decode+searchsorted amortize to one
         # per actor lifetime (serving is long-lived)
         self.engine = QueryEngine(index_dir, shard_subset=shard_subset,
                                   cache_postings=cache_postings)
+        if stats_override is not None:
+            # federation: rewrite this member's collection statistics to
+            # the combined values (pipelines/federate.py; passed as a
+            # ray.put ref — Ray dereferences top-level actor args, so one
+            # object-store copy serves the whole pool)
+            from horus_ner_ray.pipelines.federate import apply_stats_override
+
+            apply_stats_override(self.engine, *stats_override)
         self.mode = mode
 
     def warm(self) -> int:

@@ -85,6 +85,14 @@ class QueryService:
         refs = [fn(a) for a in self.actors]
         return [self._gather_one(i, ref, fn) for i, ref in enumerate(refs)]
 
+    def _fetch_rows(self, doc_ids, columns=None) -> pd.DataFrame:
+        """Docstore rows for the given ids — the one doc-content seam the
+        text routes share (FederatedQueryService overrides it to probe
+        every member index)."""
+        from horus_ner_ray.pipelines.query import fetch_docs
+
+        return fetch_docs(self.index_dir, doc_ids, columns=columns)
+
     def search(self, text: str, k: int = 10, mode: str | None = None,
                return_text: bool = False, role: str | None = None,
                tool: str | None = None,
@@ -134,10 +142,10 @@ class QueryService:
             for r, (d, s) in enumerate(zip(g["doc_id"], g["score"]))
         ]
         if return_text and hits:
-            from horus_ner_ray.pipelines.query import fetch_docs, highlight_spans
+            from horus_ner_ray.pipelines.query import highlight_spans
 
-            rows = fetch_docs(self.index_dir, [h["doc_id"] for h in hits],
-                              columns=["doc_id", "text"])
+            rows = self._fetch_rows([h["doc_id"] for h in hits],
+                                    columns=["doc_id", "text"])
             txt = dict(zip(rows["doc_id"], rows["text"]))
             for h in hits:
                 h["text"] = txt.get(h["doc_id"])
@@ -487,7 +495,7 @@ class QueryService:
         from the one actor owning its shard (positional index), and the
         serving thread joins the k texts from the docstore — identical
         strings to QueryEngine.search_snippets (shared snippet_text)."""
-        from horus_ner_ray.pipelines.query import fetch_docs, snippet_text
+        from horus_ner_ray.pipelines.query import snippet_text
 
         hits = self.search(text, k=k, mode="or")
         if not hits:
@@ -497,7 +505,7 @@ class QueryService:
         anchors: dict[int, int] = {}
         for p in parts:  # each doc answered by exactly one subset
             anchors.update({int(d): int(a) for d, a in p.items()})
-        rows = fetch_docs(self.index_dir, ids, columns=["doc_id", "text"])
+        rows = self._fetch_rows(ids, columns=["doc_id", "text"])
         tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
         for h in hits:
             h["snippet"] = snippet_text(
@@ -512,7 +520,6 @@ class QueryService:
         applies the shared greedy selection + snippet rule — identical
         strings to QueryEngine.search_fragments."""
         from horus_ner_ray.pipelines.query import (
-            fetch_docs,
             select_fragment_anchors,
             snippet_text,
         )
@@ -525,7 +532,7 @@ class QueryService:
         pos: dict[int, list[int]] = {}
         for p in parts:  # each doc answered by exactly one subset
             pos.update({int(d): list(v) for d, v in p.items()})
-        rows = fetch_docs(self.index_dir, ids, columns=["doc_id", "text"])
+        rows = self._fetch_rows(ids, columns=["doc_id", "text"])
         tmap = {int(d): str(t) for d, t in zip(rows["doc_id"], rows["text"])}
         for h in hits:
             anchors = select_fragment_anchors(pos.get(h["doc_id"], ()),
@@ -684,8 +691,6 @@ def make_http_server(
                 return
             if u.path == "/docs":
                 # multi-get: original docstore rows for a (small) id list
-                from horus_ner_ray.pipelines.query import fetch_docs
-
                 qs = parse_qs(u.query)
                 try:
                     raw = (qs.get("ids") or [""])[0]
@@ -698,7 +703,7 @@ def make_http_server(
                     self.send_error(400, str(e))
                     return
                 try:
-                    rows = fetch_docs(service.index_dir, ids)
+                    rows = service._fetch_rows(ids)
                 except Exception as e:
                     self.send_error(500, str(e))
                     return
