@@ -1706,6 +1706,117 @@ SELECT query_id, rk AS rank, doc_id, rrf FROM ranked WHERE rk <= {TOPK}
 """
 
 
+def _q_hybrid_rrf(sf_dir: str):
+    """TEXT + VECTOR hybrid retrieval (the ES 8 hybrid-search shape:
+    lexical BM25 leg + dense-embedding kNN leg fused by RRF): query i
+    pairs DOC_QUERIES[i] with the embedding of vec_id = i (embeddings
+    align 1:1 with documents), both legs fetch padded candidate lists,
+    and the shared ``rrf_fuse`` integer rule fuses them — contributions
+    1e6 // (60 + e6-domain rank), exact integer sums on both sides."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.pipelines.query import QueryEngine, rrf_fuse
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+
+    pad = RESCORE_WINDOW * 3 + 20
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    epath = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(epath, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < len(DOC_QUERIES)].sort_values("vec_id")
+    ann = ann_topk_bruteforce(
+        rd.read_parquet(epath),
+        qt["vec_id"].to_numpy(np.int64),
+        np.array(qt["embedding"].tolist(), dtype=np.float64),
+        k=pad,
+    )
+    rows = {"query_id": [], "rank": [], "doc_id": [], "rrf": []}
+    for qid, text in enumerate(DOC_QUERIES):
+        bm = eng.search(text, k=pad)
+        g = ann[ann.query_id == qid]
+        vec = list(zip(g["vec_id"].astype(int), g["cosine"].astype(float)))
+        fused = rrf_fuse([bm, vec], k=TOPK, window=RESCORE_WINDOW,
+                         k_rrf=RRF_K)
+        for r, (d, s) in enumerate(fused, start=1):
+            rows["query_id"].append(qid)
+            rows["rank"].append(r)
+            rows["doc_id"].append(d)
+            rows["rrf"].append(s)
+    return pd.DataFrame(rows).astype(np.int64)
+
+
+def _sql_hybrid_rrf() -> str:
+    """Hybrid oracle: the shared BM25 body ranks the lexical leg, a
+    cosine cross-join over embeddings ranks the dense leg (vec_id IS the
+    doc id), both in the e6 integer domain; contributions and the fused
+    ordering restate ``rrf_fuse`` verbatim."""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+bm AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+vq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE vec_id < {len(DOC_QUERIES)}),
+ann AS (
+  SELECT vq.query_id, e.vec_id AS doc_id,
+         list_cosine_similarity(CAST(vq.qe AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS score
+  FROM vq CROSS JOIN embeddings e
+),
+bmrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM bm
+),
+annrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM ann
+),
+contrib AS (
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk) AS c
+  FROM bmrank WHERE rk <= {RESCORE_WINDOW}
+  UNION ALL
+  SELECT query_id, doc_id, 1000000 // ({RRF_K} + rk)
+  FROM annrank WHERE rk <= {RESCORE_WINDOW}
+),
+fused AS (
+  SELECT query_id, doc_id, sum(c)::BIGINT rrf FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rrf DESC, doc_id
+         ) rk
+  FROM fused
+)
+SELECT query_id, rk AS rank, doc_id, rrf FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_lm_topk() -> str:
     mu = LM_MU
     return f"""
@@ -7267,6 +7378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_ttl": _q_bm25_after_ttl,
         "bm25_federated": _q_bm25_federated,
         "ann_filtered": _q_ann_filtered,
+        "hybrid_rrf": _q_hybrid_rrf,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8631,6 +8743,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_after_ttl": _sql_bm25_after_ttl(),
         "bm25_federated": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "ann_filtered": sql_cosine_filtered,
+        "hybrid_rrf": _sql_hybrid_rrf(),
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents
