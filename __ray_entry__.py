@@ -2045,6 +2045,68 @@ FROM qn LEFT JOIN agg USING (query_id)
 """
 
 
+def _q_conv_turns(sf_dir: str):
+    """Conversation multi-get from the DOCSTORE (fetch_conv_docs): every
+    stored turn of three deterministically chosen conversations (first /
+    middle / last in sorted conv order), doc_id-ordered.  This states the
+    north-star per-turn text-equality invariant inside the driver gate:
+    the SQL reads the SAME corpus files and re-derives the rank doc-id
+    rule, so the docstore's (doc_id, conv_id, turn_idx, role, text) rows
+    must match the source table exactly."""
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import fetch_conv_docs
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    convs = np.unique(np.asarray(
+        pq.read_table(files, columns=["conv_id"])["conv_id"], dtype=str))
+    pick = [str(convs[0]), str(convs[len(convs) // 2]), str(convs[-1])]
+    df = fetch_conv_docs(str(idx), pick,
+                         columns=["doc_id", "conv_id", "turn_idx",
+                                  "role", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["turn_idx"] = df["turn_idx"].astype(np.int64)
+    return df[["doc_id", "conv_id", "turn_idx", "role", "text"]]
+
+
+def _sql_conv_turns() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, conv_id,
+         turn_idx::BIGINT AS turn_idx, role, text
+  FROM raw JOIN offs USING (conv_id)
+),
+sel AS (
+  SELECT conv_id,
+         row_number() OVER (ORDER BY conv_id) - 1 AS r,
+         count(*) OVER () AS c
+  FROM (SELECT DISTINCT conv_id FROM raw)
+),
+chosen AS (SELECT conv_id FROM sel WHERE r = 0 OR r = c // 2 OR r = c - 1)
+SELECT d.doc_id, d.conv_id, d.turn_idx, d.role, d.text
+FROM docs d JOIN chosen USING (conv_id)
+ORDER BY d.doc_id
+"""
+
+
 def _q_bm25_sorted_by_time(sf_dir: str):
     """Field-sorted retrieval (Lucene Sort-by-field): each query's match
     set over the transcript index ordered by the stored turn timestamp
@@ -7379,6 +7441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_federated": _q_bm25_federated,
         "ann_filtered": _q_ann_filtered,
         "hybrid_rrf": _q_hybrid_rrf,
+        "conv_turns": _q_conv_turns,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8744,6 +8807,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_federated": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "ann_filtered": sql_cosine_filtered,
         "hybrid_rrf": _sql_hybrid_rrf(),
+        "conv_turns": _sql_conv_turns(),
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents

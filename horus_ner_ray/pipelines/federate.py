@@ -230,6 +230,21 @@ class FederatedQueryService(QueryService):
             return pd.DataFrame(columns=columns or [])
         return pd.concat(parts, ignore_index=True)
 
+    def _fetch_conv_rows(self, conv_ids):
+        """A conversation's turns live in one member's docstore — probe
+        all members, concat."""
+        import pandas as pd
+
+        from horus_ner_ray.pipelines.query import fetch_conv_docs
+
+        parts = [fetch_conv_docs(d, conv_ids) for d in self.index_dirs]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame()
+        return (pd.concat(parts, ignore_index=True)
+                .sort_values("doc_id", kind="stable")
+                .reset_index(drop=True))
+
     def _per_index_call(self, fn):
         """One actor per member index (dictionary routes)."""
         refs = [fn(self.actors[i]) for i in self._index_first_actor]

@@ -4430,3 +4430,36 @@ def fetch_docs(index_dir: str | Path, doc_ids, columns: list[str] | None = None)
     if columns is not None and "doc_id" not in columns:
         df = df[columns]
     return df.reset_index(drop=True)
+
+
+def fetch_conv_docs(index_dir: str | Path, conv_ids,
+                    columns: list[str] | None = None) -> pd.DataFrame:
+    """Conversation multi-get: every stored turn of the given conv_ids,
+    doc_id-ordered (turn order under the rank doc-id rule) — the
+    'show me the whole conversation around this hit' companion to
+    ``fetch_docs``.  Same access path: docstore parts are Parquet with
+    column statistics, the conv_id predicate prunes row groups, and the
+    request is conversations-sized, not corpus-sized.  Raises if the
+    index's docstore has no conv_id column (documents-mode builds)."""
+    import pyarrow.dataset as pads
+
+    cids = sorted({str(c) for c in conv_ids})
+    store = IndexPaths(index_dir).docstore
+    files = sorted(str(p) for p in store.glob("part-*.parquet"))
+    if not files:
+        return pd.DataFrame({c: [] for c in (columns or [])})
+    schema = pq.ParquetFile(files[0]).schema_arrow.names
+    if "conv_id" not in schema:
+        raise ValueError(
+            "docstore has no conv_id column — conversation fetch needs a "
+            "transcript-mode build")
+    read_cols = None if columns is None else (
+        columns if "doc_id" in columns else ["doc_id", *columns])
+    if not cids:
+        return pd.DataFrame({c: [] for c in (read_cols or schema)})
+    tbl = pads.dataset(files).to_table(
+        filter=pads.field("conv_id").isin(cids), columns=read_cols)
+    df = tbl.to_pandas().sort_values("doc_id", kind="stable")
+    if columns is not None and "doc_id" not in columns:
+        df = df[columns]
+    return df.reset_index(drop=True)

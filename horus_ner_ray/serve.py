@@ -355,6 +355,18 @@ class QueryService:
         return [{"term": t, "tf": int(f), "df": int(df)}
                 for t, f, df in rows]
 
+    def _fetch_conv_rows(self, conv_ids):
+        from horus_ner_ray.pipelines.query import fetch_conv_docs
+
+        return fetch_conv_docs(self.index_dir, conv_ids)
+
+    def conv(self, conv_id: str) -> list[dict]:
+        """Conversation view (GET /conv): every stored turn of one
+        conversation, doc_id-ordered — the 'read the whole thread around
+        this hit' route (docstore row-group-pruned read, no actors)."""
+        rows = self._fetch_conv_rows([str(conv_id)])
+        return json.loads(rows.to_json(orient="records"))
+
     def search_corrected(self, text: str, k: int = 10,
                          max_dist: int = 2) -> dict:
         """'Did you mean' search: one actor rewrites the query (global
@@ -709,6 +721,19 @@ def make_http_server(
                     return
                 self._json({"docs": json.loads(
                     rows.to_json(orient="records"))})
+                return
+            if u.path == "/conv":
+                # conversation view: all stored turns of one conv_id
+                qs = parse_qs(u.query)
+                cid = (qs.get("id") or [""])[0]
+                if not cid:
+                    self.send_error(400, "id= is required")
+                    return
+                try:
+                    self._json({"conv_id": cid,
+                                "turns": service.conv(cid)})
+                except Exception as e:
+                    self.send_error(500, str(e))
                 return
             if u.path == "/stats":
                 try:

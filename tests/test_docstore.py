@@ -70,3 +70,37 @@ def test_conv_offsets_from_dataset_matches_local(ray_session, small_corpus):
     assert local.n_docs == dist.n_docs
     assert (local.conv_ids == dist.conv_ids).all()
     assert (local.offsets == dist.offsets).all()
+
+
+def test_fetch_conv_docs_matches_source(built_index, small_corpus):
+    """Conversation multi-get returns every stored turn of the requested
+    convs, doc_id-ordered, with per-turn text EQUAL to the source table
+    (the north-star invariant through the docstore)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from horus_ner_ray.pipelines.query import fetch_conv_docs
+
+    idx, _res = built_index
+    src = pq.read_table(
+        small_corpus,
+        columns=["conv_id", "turn_idx", "role", "text"]).to_pandas()
+    convs = np.unique(src["conv_id"].astype(str).to_numpy())
+    pick = [str(convs[0]), str(convs[len(convs) // 2]), str(convs[-1])]
+    got = fetch_conv_docs(idx, pick)
+    assert set(got["conv_id"]) == set(pick)
+    assert (got["doc_id"].to_numpy()[1:]
+            > got["doc_id"].to_numpy()[:-1]).all()  # doc-ordered
+    want = (src[src["conv_id"].isin(pick)]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    g = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(g) == len(want)
+    pd.testing.assert_frame_equal(
+        g[["conv_id", "turn_idx", "role", "text"]].astype(
+            {"turn_idx": np.int64}),
+        want.astype({"turn_idx": np.int64}))
+    # unknown conv -> empty; empty request -> empty
+    assert len(fetch_conv_docs(idx, ["zzz-no-such-conv"])) == 0
+    assert len(fetch_conv_docs(idx, [])) == 0

@@ -547,3 +547,29 @@ def test_http_batch_new_modes(http_service, built_index):
     got = {e["id"]: [(h["doc_id"], h["score"]) for h in e["hits"]]
            for e in res}
     assert got["b"] == want_b and got["d"] == want_d
+
+
+def test_http_conv_route(http_service, small_corpus):
+    """GET /conv returns every stored turn of the conv, doc-ordered,
+    text-equal to the source table; missing id= is a clean 400."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(small_corpus,
+                        columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    cid = sorted(src["conv_id"].astype(str).unique())[0]
+    url = http_service.replace("/search?", "") + "/conv?" + \
+        urllib.parse.urlencode({"id": cid})
+    with urllib.request.urlopen(url, timeout=30) as r:
+        got = json.loads(r.read())
+    assert got["conv_id"] == cid
+    turns = got["turns"]
+    want = src[src["conv_id"].astype(str) == cid].sort_values("turn_idx")
+    assert len(turns) == len(want)
+    assert [t["text"] for t in turns] == want["text"].tolist()
+    docs = [t["doc_id"] for t in turns]
+    assert docs == sorted(docs)
+    try:
+        urllib.request.urlopen(http_service + "/conv", timeout=10)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
