@@ -2580,6 +2580,60 @@ documents AS (
                      ts_window=(lo, "9999-12-31 00:00:00"))
 
 
+def _q_bm25_matches_export(sf_dir: str):
+    """The search -> Dataset bridge (functions/export.matches_dataset):
+    each query's FULL match set scored shard-by-shard inside an actor
+    pool and returned as a streaming Dataset — retrieval feeding a
+    pipeline, no top-k, nothing driver-materialized until this small
+    driver collect.  Scores are the exhaustive exact path, so the SQL
+    scored relation IS the oracle (no rank cut)."""
+    from horus_ner_ray.functions.export import matches_dataset
+
+    idx = _doc_index_dir(sf_dir)
+    frames = []
+    for qid, text in enumerate(DOC_QUERIES[:3]):
+        df = matches_dataset(idx, text).to_pandas()
+        df["query_id"] = qid
+        frames.append(df)
+    out = pd.concat(frames, ignore_index=True)
+    if len(out) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("query_id", "doc_id", "score_e6")})
+    out["score_e6"] = _e6(out["score"])
+    return (out[["query_id", "doc_id", "score_e6"]]
+            .sort_values(["query_id", "doc_id"])
+            .reset_index(drop=True).astype(np.int64))
+
+
+def _sql_bm25_matches_export() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES[:3])}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id,
+       CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS score_e6
+FROM scored ORDER BY query_id, doc_id
+"""
+
+
 def _q_bm25_topk_fuzzy(sf_dir: str):
     """Typo-tolerant ('did you mean') search: each query token expands to
     its edit-distance-1 dictionary neighborhood (length-banded vocab scan
@@ -7442,6 +7496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": _q_ann_filtered,
         "hybrid_rrf": _q_hybrid_rrf,
         "conv_turns": _q_conv_turns,
+        "bm25_matches_export": _q_bm25_matches_export,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8808,6 +8863,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_filtered": sql_cosine_filtered,
         "hybrid_rrf": _sql_hybrid_rrf(),
         "conv_turns": _sql_conv_turns(),
+        "bm25_matches_export": _sql_bm25_matches_export(),
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents

@@ -271,3 +271,25 @@ def test_negative_pairs(ray_session):
 
     with pytest.raises(ValueError, match="k must be"):
         negative_pairs(rd.from_pandas(df), k=0)
+
+
+def test_matches_dataset_full_set(built_index, ray_session):
+    """matches_dataset returns the FULL match set with the engine's exact
+    floats (exhaustive path) — the search -> Dataset bridge."""
+    from horus_ner_ray.functions.export import matches_dataset
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    for q, mode in (("the session", "or"), ("the session", "and"),
+                    ("sessionmark", "or")):
+        df = matches_dataset(idx, q, mode=mode).to_pandas()
+        want = sorted(eng.search(q, k=10 ** 9, mode=mode))
+        if len(df) == 0:
+            # an all-empty match set drops its blocks: no columns either
+            assert want == [], (q, mode)
+            continue
+        got = sorted(zip(df["doc_id"].astype(int),
+                         df["score"].astype(float)))
+        assert got == want, (q, mode)
+    assert len(matches_dataset(idx, "zzzqnotfound").to_pandas()) == 0
