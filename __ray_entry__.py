@@ -7427,6 +7427,27 @@ def _q_price_stats_by_flag(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_price_mad(sf_dir: str):
+    """Grouped MEDIAN ABSOLUTE DEVIATION (stages/quantiles.mad_by_group —
+    the robust dispersion complement to grouped variance): exact group
+    medians, broadcast searchsorted attach of |x - median|, exact group
+    medians of the deviations.  DISC medians are order statistics (stored
+    floats, never averages), so both sides' abs/subtract chains are
+    identical IEEE ops and the e6 publication hash-matches DuckDB's
+    quantile_disc/abs restatement exactly."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import mad_by_group
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    out = mad_by_group(li, "l_returnflag", "l_extendedprice")
+    out["median_e6"] = _e6(out["median"])
+    out["mad_e6"] = _e6(out["mad"])
+    return (out[["l_returnflag", "median_e6", "mad_e6"]]
+            .sort_values("l_returnflag").reset_index(drop=True))
+
+
 def _q_qty_price_corr(sf_dir: str):
     """Exact per-group Pearson correlation of quantity vs extended price
     (stages/stats.py grouped_corr): five integer sufficient statistics per
@@ -7497,6 +7518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "conv_turns": _q_conv_turns,
         "bm25_matches_export": _q_bm25_matches_export,
+        "price_mad": _q_price_mad,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8864,6 +8886,23 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "conv_turns": _sql_conv_turns(),
         "bm25_matches_export": _sql_bm25_matches_export(),
+        "price_mad": """
+            WITH med AS (
+              SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
+              FROM lineitem GROUP BY 1
+            ),
+            dev AS (
+              SELECT l.l_returnflag, med.m,
+                     abs(l.l_extendedprice - med.m) AS d
+              FROM lineitem l JOIN med USING (l_returnflag)
+            )
+            SELECT l_returnflag,
+                   CAST(FLOOR(any_value(m) * 1e6 + 0.5) AS BIGINT)
+                     AS median_e6,
+                   CAST(FLOOR(quantile_disc(d, 0.5) * 1e6 + 0.5) AS BIGINT)
+                     AS mad_e6
+            FROM dev GROUP BY 1 ORDER BY 1
+        """,
         "term_df": f"""
             SELECT term, count(*)::BIGINT AS df FROM (
               SELECT doc_id, unnest(list_distinct({_sql_tok()})) AS term FROM documents

@@ -263,3 +263,48 @@ def quantile_disc_by_group(ds, key: str, col: str, qs: list[float],
                     batch_format="pandas", runtime_env=_rte())
     )
     return parts
+
+
+def mad_by_group(ds, key: str, col: str, n_buckets: int = 64) -> pd.DataFrame:
+    """Grouped MEDIAN ABSOLUTE DEVIATION (the robust dispersion statistic)
+    — exact, in two passes of the same machinery:
+
+    1. exact per-group discrete medians (``quantile_disc_by_group``,
+       ceil(q*n)-1 rank rule);
+    2. the small (one row per distinct key) median table broadcasts via
+       ``ray.put``; a streaming map attaches |x - median(group)| by
+       searchsorted (no shuffle); a second grouped median over the
+       deviations is the MAD.
+
+    Exactness: a DISC median is an order statistic — an actual stored
+    float, never an average — so both medians, the subtraction and the
+    abs are reproducible IEEE ops, and results hash-compare against
+    DuckDB's quantile_disc/abs chain without tolerance.  Driver state is
+    one row per distinct key (the by_group precondition already bounds
+    this).  Returns (key, median, mad) rows."""
+    import pyarrow.compute as pc
+    import ray
+
+    med = quantile_disc_by_group(ds, key, col, [0.5], n_buckets).to_pandas()
+    mk = med[key].to_numpy()
+    mv = med["value"].to_numpy(np.float64)
+    order = np.argsort(mk)
+    mk, mv = mk[order], mv[order]
+    ref = ray.put((mk, mv)) if ray.is_initialized() else (mk, mv)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        kk, vv = ray.get(ref) if ray.is_initialized() else ref
+        keys = np.asarray(batch[key])
+        m = vv[np.searchsorted(kk, keys)]
+        x = np.asarray(pc.cast(batch[col], pa.float64()), dtype=np.float64)
+        return pa.table({key: batch[key],
+                         "dev": pa.array(np.abs(x - m), pa.float64())})
+
+    dv = ds.select_columns([key, col]).map_batches(
+        dev, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+    mad = (quantile_disc_by_group(dv, key, "dev", [0.5], n_buckets)
+           .to_pandas().rename(columns={"value": "mad"}))
+    out = med.rename(columns={"value": "median"})[[key, "median"]].merge(
+        mad[[key, "mad"]], on=key)
+    return out.sort_values(key).reset_index(drop=True)

@@ -140,3 +140,33 @@ def test_quantile_cont_empty(ray_session):
         rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)})),
         "x", [0.5])
     assert np.isnan(e["value"].iloc[0])
+
+
+def test_mad_by_group(ray_session):
+    """Grouped MAD equals the local rank-rule computation exactly (both
+    medians are order statistics — no tolerance needed)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import mad_by_group
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=500),
+        "v": rng.normal(100.0, 25.0, size=500),
+    })
+    got = mad_by_group(rd.from_pandas(df), "g", "v")
+
+    def disc_med(a):
+        a = np.sort(np.asarray(a, dtype=np.float64))
+        return a[max(0, math.ceil(0.5 * len(a)) - 1)]
+
+    for _, row in got.iterrows():
+        vals = df.loc[df.g == row["g"], "v"].to_numpy(np.float64)
+        m = disc_med(vals)
+        assert row["median"] == m
+        assert row["mad"] == disc_med(np.abs(vals - m))
+    assert list(got["g"]) == ["a", "b", "c"]
