@@ -2505,6 +2505,38 @@ def _q_bm25_after_compact(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+DELETE_QUERY_TERMS = ("batch", "join")  # delete_by_query("batch join")
+
+
+def _q_bm25_after_delete_query(sf_dir: str):
+    """delete_by_query (the ES ``_delete_by_query`` maintenance op): every
+    doc matching 'batch join' (OR — either term) tombstones via the
+    distributed match-set scorer, then DOC_QUERIES search with stale
+    statistics and the live-docs mask.  The SQL oracle restates the
+    outcome with the boolean-NOT machinery: full-corpus scoring, ranked
+    docs containing either deleted term dropped before top-k."""
+    import shutil
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_by_query
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    idx = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_docidx_qdel_v{INDEX_FORMAT_VERSION}_{key}")
+    marker = idx / "state.done"
+    if not marker.exists():
+        shutil.rmtree(idx, ignore_errors=True)  # never resume a half-mutated tree
+        build_index([_docs(sf_dir)], idx,
+                    PipelineConfig(num_shards=4, doc_id_mode="provided"))
+        delete_by_query(idx, " ".join(DELETE_QUERY_TERMS), mode="or")
+        marker.write_text("ok")
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
 def _ttl_cutoff_us(files: list[str]) -> int:
     """Deterministic retention cutoff shared by the Ray side and the SQL
     builder: min_ts + 30% of the corpus ts span, exact int64 microsecond
@@ -7519,6 +7551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_turns": _q_conv_turns,
         "bm25_matches_export": _q_bm25_matches_export,
         "price_mad": _q_price_mad,
+        "bm25_after_delete_query": _q_bm25_after_delete_query,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8886,6 +8919,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _sql_hybrid_rrf(),
         "conv_turns": _sql_conv_turns(),
         "bm25_matches_export": _sql_bm25_matches_export(),
+        "bm25_after_delete_query": _sql_bm25(
+            DOC_QUERIES, conjunctive=False,
+            exclude_rows=", ".join(
+                f"({qid}, '{t}')" for qid in range(len(DOC_QUERIES))
+                for t in DELETE_QUERY_TERMS)),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

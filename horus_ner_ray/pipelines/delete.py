@@ -484,6 +484,25 @@ def compact_index(index_dir: str | Path, concurrency: int | None = None) -> dict
             "n_docs": n_docs, "avgdl": avgdl, "compaction_gen": gen}
 
 
+def delete_by_query(index_dir: str | Path, text: str, mode: str = "or",
+                    concurrency: int = 2) -> int:
+    """ES ``_delete_by_query`` re-expressed on immutable segments: every
+    live doc matching the query (OR = any term, AND = all terms)
+    tombstones in one shot.  The match set comes from the distributed
+    per-shard exhaustive scorer (``functions/export.matches_dataset`` —
+    an actor-pool Dataset, nothing corpus-sized on the driver beyond the
+    matched ids themselves), then the ordinary tombstone union: stats
+    stay stale until ``compact_index``, search masks immediately, and
+    the delete -> compact -> append algebra applies unchanged."""
+    from horus_ner_ray.functions.export import matches_dataset
+
+    df = matches_dataset(index_dir, text, mode=mode,
+                         concurrency=concurrency).to_pandas()
+    ids = (df["doc_id"].to_numpy(np.int64)
+           if "doc_id" in df.columns else np.zeros(0, np.int64))
+    return delete_docs(index_dir, ids)
+
+
 def delete_older_than(index_dir: str | Path, cutoff_us: int) -> int:
     """TTL / retention delete: tombstone every doc whose STORED timestamp
     is strictly older than ``cutoff_us`` (epoch microseconds).  Docs

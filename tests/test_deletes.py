@@ -536,3 +536,30 @@ def test_delete_older_than(small_corpus, tmp_path_factory, ray_session):
     assert len(hits) < eng.n_docs  # something was actually masked
     # idempotent
     assert delete_older_than(str(idx), cutoff) == n
+
+
+def test_delete_by_query(small_corpus, tmp_path_factory, ray_session):
+    """delete_by_query tombstones exactly the query's match set (OR and
+    AND modes), masks immediately with stale stats, and is idempotent."""
+    from horus_ner_ray.config import PipelineConfig
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.delete import delete_by_query
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    idx = tmp_path_factory.mktemp("qdelidx") / "idx"
+    build_index(small_corpus, idx, PipelineConfig(num_shards=4))
+    eng0 = QueryEngine(str(idx))
+    matched = {d for d, _ in eng0.search("sessionmark", k=10 ** 9)}
+    assert matched
+    n = delete_by_query(str(idx), "sessionmark")
+    assert n == len(matched)
+    eng = QueryEngine(str(idx))
+    assert eng.search("sessionmark", k=10) == []          # all masked
+    assert eng.n_docs == eng0.n_docs                       # stats stale
+    # survivors of other queries exclude the deleted set
+    left = {d for d, _ in eng.search("the session", k=10 ** 9)}
+    assert not (left & matched)
+    # idempotent (returns total tombstones after union)
+    assert delete_by_query(str(idx), "sessionmark") == n
+    # absent query deletes nothing
+    assert delete_by_query(str(idx), "zzzqnotfound") == n
