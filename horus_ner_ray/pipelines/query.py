@@ -1204,6 +1204,10 @@ class QueryEngine:
         (HORUS_TERM_SEARCH probe-then-insert, util.py:947-1016); values are
         unchanged — only varint decode + searchsorted are skipped on hot
         terms."""
+        if Path(index_dir).is_file():  # alias pointer (pipelines/alias.py)
+            from horus_ner_ray.pipelines.alias import resolve_index
+
+            index_dir = resolve_index(index_dir)
         self.paths = IndexPaths(index_dir)
         if (self.paths.root / "resharding.json").exists():
             raise RuntimeError(
