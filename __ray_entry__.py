@@ -255,6 +255,68 @@ def _q_term_df(sf_dir: str):
     return term_df_dataset(_read_docs(sf_dir))
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps'-law diagnostic,
+    stages/termstats.vocab_growth) over the TRANSCRIPT corpus (the
+    documents table's 31-term vocabulary saturates in 9 docs — no curve):
+    distinct terms among turns with rank doc_id < checkpoint, every 200
+    turns.  The input is the transcript index's own DOCSTORE (rank ids +
+    text already materialized); per-term first-doc combiner partials, one
+    vocab-sized groupby Min, tiny driver cumsum.  Exact integers; the SQL
+    re-derives the rank rule over the same part files."""
+    import ray.data as rd
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION, IndexPaths
+    from horus_ner_ray.stages.termstats import vocab_growth
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    store = sorted(str(p)
+                   for p in IndexPaths(str(idx)).docstore.glob("part-*.parquet"))
+    out = vocab_growth(rd.read_parquet(store, columns=["doc_id", "text"]),
+                       every=200)
+    return out.astype(np.int64)
+
+
+def _sql_vocab_growth() -> str:
+    """Heaps-curve oracle: rank-rule doc ids over the synth transcript
+    files, per-term first doc, 200-turn checkpoint buckets densified
+    with generate_series, cumulative sum."""
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+docs AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, text FROM raw JOIN offs USING (conv_id)
+),
+tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM docs),
+f AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+b AS (SELECT fd // 200 AS bucket, count(*)::BIGINT AS n_new
+      FROM f GROUP BY 1),
+dense AS (
+  SELECT unnest(generate_series(0, (SELECT max(bucket) FROM b))) AS bucket
+),
+c AS (SELECT d.bucket, coalesce(b.n_new, 0) AS n
+      FROM dense d LEFT JOIN b USING (bucket))
+SELECT ((bucket + 1) * 200)::BIGINT AS checkpoint,
+       (sum(n) OVER (ORDER BY bucket))::BIGINT AS vocab
+FROM c ORDER BY bucket
+"""
+
+
 def _q_collection_stats(sf_dir: str):
     from horus_ner_ray.stages.docstore import collection_stats_from_dataset
 
@@ -7552,6 +7614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_matches_export": _q_bm25_matches_export,
         "price_mad": _q_price_mad,
         "bm25_after_delete_query": _q_bm25_after_delete_query,
+        "vocab_growth": _q_vocab_growth,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8924,6 +8987,7 @@ def oracle_sql() -> dict[str, str]:
             exclude_rows=", ".join(
                 f"({qid}, '{t}')" for qid in range(len(DOC_QUERIES))
                 for t in DELETE_QUERY_TERMS)),
+        "vocab_growth": _sql_vocab_growth(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

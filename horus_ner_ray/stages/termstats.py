@@ -14,6 +14,7 @@ term — the combiner IS the skew handling for these aggregates.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from horus_ner_ray.stages.tokenize import token_counts, tokenize_column
@@ -461,3 +462,52 @@ def trending_terms(ds, interval_us: int, min_count: int = 5,
             .groupby("bb")
             .map_groups(lambda g: bucket_topk(g.drop(columns=["bb"])),
                         batch_format="pandas", runtime_env=_rte()))
+
+
+def vocab_growth(ds, every: int = 100, text_col: str = "text",
+                 id_col: str = "doc_id") -> pd.DataFrame:
+    """Vocabulary growth curve (the Heaps'-law diagnostic a corpus audit
+    wants): DISTINCT terms seen among docs with id < c, at checkpoints
+    c = every, 2*every, ...
+
+    One pass of per-batch (term, min doc) combiner partials -> a
+    term-keyed groupby Min (the only shuffle, vocab-sized like term_df)
+    -> per-term checkpoint bucket counts -> a tiny driver cumsum over
+    n_checkpoints rows.  Exact integers end to end; assumes dense
+    ascending ids (the documents table contract)."""
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, ids = _explode_pairs(batch, text_col, id_col)
+        t = pa.table({"term": flat, "first_doc": pa.array(ids, pa.int64())})
+        g = t.group_by("term", use_threads=False).aggregate(
+            [("first_doc", "min")])
+        return pa.table({"term": g["term"], "first_doc": g["first_doc_min"]})
+
+    firsts = (ds.select_columns([id_col, text_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None,
+                           runtime_env=_rte())
+              .groupby("term")
+              .aggregate(Min("first_doc", alias_name="first_doc")))
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["first_doc"], dtype=np.int64) // int(every)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n_new": pa.array(c.astype(np.int64), pa.int64())})
+
+    bc = firsts.map_batches(bucket_counts, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            runtime_env=_rte()).to_pandas()  # n_checkpoints rows
+    if len(bc) == 0:
+        return pd.DataFrame({"checkpoint": pd.Series([], dtype=np.int64),
+                             "vocab": pd.Series([], dtype=np.int64)})
+    agg = bc.groupby("bucket")["n_new"].sum().sort_index()
+    mx = int(agg.index.max())
+    dense = np.zeros(mx + 1, dtype=np.int64)
+    dense[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    return pd.DataFrame({
+        "checkpoint": (np.arange(mx + 1, dtype=np.int64) + 1) * int(every),
+        "vocab": np.cumsum(dense),
+    })
