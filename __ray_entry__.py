@@ -4063,6 +4063,83 @@ GROUP BY p.b ORDER BY bucket
 _ROLE_TERMS_K = 20
 
 
+def _q_role_log_odds(sf_dir: str):
+    """Corpus-comparison log-odds (Monroe et al. 'fightin' words' with a
+    flat add-one prior): per term, ln((yu+1)/(nu-yu+1)) -
+    ln((ya+1)/(na-ya+1)) between user and assistant token counts — which
+    vocabulary each side of the conversation over-uses.  One (term,
+    yu, ya) combiner pass + a vocab-bounded groupby sum; the
+    vocab-bounded table finishes driver-side vectorized (the PMI
+    broadcast precedent).  Terms with total count < 5 drop; rows sort by
+    term so no ranking fragility enters the hash."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.tokenize import tokenize_column
+    from horus_ner_ray.util import worker_runtime_env
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files, columns=["role", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch["text"])
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        roles = np.asarray(batch["role"], dtype=object)[parents]
+        t = pa.table({
+            "term": flat,
+            "yu": pa.array((roles == "user").astype(np.int64), pa.int64()),
+            "ya": pa.array((roles == "assistant").astype(np.int64),
+                           pa.int64()),
+        })
+        g = t.group_by("term", use_threads=False).aggregate(
+            [("yu", "sum"), ("ya", "sum")])
+        return pa.table({"term": g["term"], "yu": g["yu_sum"],
+                         "ya": g["ya_sum"]})
+
+    env = worker_runtime_env()
+    kw = {"runtime_env": env} if env else {}
+    cnt = (tr.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, **kw)
+           .groupby("term")
+           .aggregate(Sum("yu", alias_name="yu"),
+                      Sum("ya", alias_name="ya"))
+           .to_pandas())  # vocab-bounded
+    yu = cnt["yu"].to_numpy(np.int64)
+    ya = cnt["ya"].to_numpy(np.int64)
+    nu, na = int(yu.sum()), int(ya.sum())
+    delta = (np.log((yu + 1.0) / (nu - yu + 1.0))
+             - np.log((ya + 1.0) / (na - ya + 1.0)))
+    out = pd.DataFrame({"term": cnt["term"].astype(str), "yu": yu,
+                        "ya": ya, "delta_e6": _e6(delta)})
+    out = out[(yu + ya) >= 5]
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _sql_role_log_odds() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH raw AS (SELECT role, text FROM read_parquet('{glob}')),
+tok AS (SELECT role, unnest({_sql_tok()}) AS term FROM raw),
+c AS (
+  SELECT term,
+         sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT AS yu,
+         sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT AS ya
+  FROM tok GROUP BY 1
+),
+n AS (SELECT sum(yu)::BIGINT AS nu, sum(ya)::BIGINT AS na FROM c)
+SELECT term, yu, ya,
+       CAST(FLOOR((ln((yu + 1.0) / (nu - yu + 1.0))
+                   - ln((ya + 1.0) / (na - ya + 1.0))) * 1e6 + 0.5)
+            AS BIGINT) AS delta_e6
+FROM c, n WHERE yu + ya >= 5 ORDER BY term
+"""
+
+
 def _q_role_term_stats(sf_dir: str):
     """Per-field term statistics (the per-channel dictionary split): per
     role, the top-20 terms by within-role document frequency — a
@@ -7615,6 +7692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_mad": _q_price_mad,
         "bm25_after_delete_query": _q_bm25_after_delete_query,
         "vocab_growth": _q_vocab_growth,
+        "role_log_odds": _q_role_log_odds,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -8988,6 +9066,7 @@ def oracle_sql() -> dict[str, str]:
                 f"({qid}, '{t}')" for qid in range(len(DOC_QUERIES))
                 for t in DELETE_QUERY_TERMS)),
         "vocab_growth": _sql_vocab_growth(),
+        "role_log_odds": _sql_role_log_odds(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
