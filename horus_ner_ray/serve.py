@@ -564,6 +564,7 @@ class QueryService:
 def make_http_server(
     index_dir: str, host: str = "127.0.0.1", port: int = 0,
     n_actors: int = 4, mode: str = "or",
+    service: "QueryService | None" = None,
 ) -> tuple[ThreadingHTTPServer, QueryService]:
     """HTTP front mirroring the reference's REST route (rest.py:47-61):
     GET /search?q=<text>&k=<int>
@@ -647,7 +648,11 @@ def make_http_server(
     the lifecycle: server.serve_forever() (typically in a thread), then
     server.shutdown() + service.close().
     """
-    service = QueryService(index_dir, n_actors=n_actors, mode=mode)
+    # a prebuilt service (e.g. pipelines/federate.FederatedQueryService)
+    # plugs the same routes over multiple indexes; index_dir is then
+    # ignored
+    if service is None:
+        service = QueryService(index_dir, n_actors=n_actors, mode=mode)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj) -> None:

@@ -87,3 +87,52 @@ def test_federated_service_route_parity(fed_serve_tree):
         assert st["n_docs"] > 0
     finally:
         svc.close()
+
+
+def test_federated_http_front(fed_serve_tree):
+    """make_http_server(service=FederatedQueryService(...)): the same
+    HTTP routes over two indexes answer exactly like the merged-index
+    server."""
+    import json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from horus_ner_ray.pipelines.federate import FederatedQueryService
+    from horus_ner_ray.serve import make_http_server
+
+    a, b, full = fed_serve_tree
+
+    def fetch(base, path, **params):
+        url = base + path + "?" + urllib.parse.urlencode(params)
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return json.loads(r.read())
+
+    # expected: merged-index server (collect, then tear down)
+    server, svc = make_http_server(full, port=0, n_actors=2)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    exp_search = fetch(base, "/search", q="the session", k=5)
+    exp_sugg = fetch(base, "/suggest", q="sesion", k=3)
+    cid = None
+    rows = svc._fetch_rows([exp_search["hits"][0]["doc_id"]])
+    cid = str(rows["conv_id"].iloc[0])
+    exp_conv = fetch(base, "/conv", id=cid)
+    server.shutdown()
+    svc.close()
+
+    fed = FederatedQueryService([a, b], n_actors_per_index=1)
+    server2, _svc2 = make_http_server(None, port=0, service=fed)
+    t2 = threading.Thread(target=server2.serve_forever, daemon=True)
+    t2.start()
+    base2 = f"http://127.0.0.1:{server2.server_address[1]}"
+    try:
+        assert fetch(base2, "/search", q="the session", k=5) == exp_search
+        assert fetch(base2, "/suggest", q="sesion", k=3) == exp_sugg
+        assert fetch(base2, "/conv", id=cid) == exp_conv
+        st = fetch(base2, "/stats")
+        assert st["n_indexes"] == 2
+    finally:
+        server2.shutdown()
+        fed.close()
