@@ -132,3 +132,56 @@ def test_federated_empty_and_absent_terms(fed_tree):
     assert fed.search("", k=5) == []
     assert fed.search("zzzqnotfound the", k=5, mode="and") == []
     assert fed.match_count("zzzqnotfound") == 0
+
+
+def test_federation_fuzz_any_partition(small_corpus, tmp_path_factory,
+                                       ray_session):
+    """Property: ANY partition of the corpus fragments into member
+    indexes (with any shard counts) federates bitwise-identically to the
+    union index, for OR and AND search and for match counts."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    files = list(small_corpus)  # 3 fragments
+    cfg_full = PipelineConfig(num_shards=3, doc_id_mode="hash")
+    base = tmp_path_factory.mktemp("fedfuzz")
+    full = base / "full"
+    build_index(files, full, cfg_full)
+    eng = QueryEngine(str(full))
+    built: dict[tuple, str] = {}
+
+    def member(sub: tuple, shards: int) -> str:
+        key = (sub, shards)
+        if key not in built:
+            d = base / f"m{len(built)}"
+            build_index([files[i] for i in sub], d,
+                        PipelineConfig(num_shards=shards,
+                                       doc_id_mode="hash"))
+            built[key] = str(d)
+        return built[key]
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def run(data):
+        n_groups = data.draw(st.integers(2, 3), label="n_groups")
+        assign = data.draw(
+            st.lists(st.integers(0, n_groups - 1), min_size=len(files),
+                     max_size=len(files)).filter(
+                lambda a: len(set(a)) == n_groups),
+            label="assign")
+        groups = [tuple(i for i, g in enumerate(assign) if g == gi)
+                  for gi in range(n_groups)]
+        shards = [data.draw(st.integers(1, 4), label=f"shards{gi}")
+                  for gi in range(n_groups)]
+        fed = FederatedEngine([member(g, s)
+                               for g, s in zip(groups, shards)])
+        assert fed.n_docs == eng.n_docs
+        assert fed.avgdl == eng.avgdl
+        for q in ("the session", "sessionmark user", "alpha beta"):
+            for mode in ("or", "and"):
+                assert fed.search(q, k=25, mode=mode) == \
+                    eng.search(q, k=25, mode=mode), (q, mode)
+            assert fed.match_count(q) == eng.match_count(q)
+
+    run()
