@@ -2169,6 +2169,69 @@ ORDER BY d.doc_id
 """
 
 
+def _q_bm25_conv_topk(sf_dir: str):
+    """CONVERSATION-granularity retrieval (the granularity switch: doc =
+    whole conversation, not one turn): stages/docstore.conv_text_dataset
+    joins every conversation's turns in turn order (one bucket shuffle +
+    vectorized binary_join), conv rank order assigns provided doc ids,
+    and an ordinary index builds over the conversation documents.  The
+    SQL re-derives the same concatenation with string_agg ORDER BY
+    turn_idx and the same row_number ids, then runs the shared BM25
+    body."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.stages.docstore import conv_text_dataset
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_convidx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+        ct = conv_text_dataset(ds).to_pandas()  # conv-bounded (one row/conv)
+        ct = ct.sort_values("conv_id").reset_index(drop=True)
+        f = tmp / f"horus_convdocs_{sf}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(np.arange(len(ct), dtype=np.int64),
+                                         pa.int64()),
+                      "text": pa.array(ct["text"].tolist(), pa.string())}),
+            f)
+        build_index([str(f)], idx,
+                    PipelineConfig(num_shards=4, doc_id_mode="provided"))
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(q["text"], TOPK * 3 + 20) for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_conv() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    # AS MATERIALIZED is load-bearing: the string_agg/window chain
+    # propagates no statistics, and the inlined form drove DuckDB's join
+    # order into a ~91M-row cross product (52 s at sf0.001 -> 0.1 s)
+    pre = f"""raw AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
+),
+conv AS MATERIALIZED (
+  SELECT conv_id, string_agg(text, ' ' ORDER BY turn_idx) AS text
+  FROM raw GROUP BY 1
+),
+documents AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY conv_id) - 1)::BIGINT AS doc_id, text
+  FROM conv
+),
+"""
+    return _sql_bm25([q["text"] for q in reference_queries()],
+                     conjunctive=False, pre=pre)
+
+
 def _q_bm25_sorted_by_time(sf_dir: str):
     """Field-sorted retrieval (Lucene Sort-by-field): each query's match
     set over the transcript index ordered by the stored turn timestamp
@@ -7693,6 +7756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_after_delete_query": _q_bm25_after_delete_query,
         "vocab_growth": _q_vocab_growth,
         "role_log_odds": _q_role_log_odds,
+        "bm25_conv_topk": _q_bm25_conv_topk,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9067,6 +9131,7 @@ def oracle_sql() -> dict[str, str]:
                 for t in DELETE_QUERY_TERMS)),
         "vocab_growth": _sql_vocab_growth(),
         "role_log_odds": _sql_role_log_odds(),
+        "bm25_conv_topk": _sql_bm25_conv(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

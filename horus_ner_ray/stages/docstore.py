@@ -344,3 +344,48 @@ def collection_stats_from_dataset(ds) -> CollectionStats:
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, runtime_env=_rte()
     ).to_pandas()
     return CollectionStats(int(parts["n"].sum()), int(parts["tok"].sum()))
+
+
+def conv_text_dataset(ds, key_col: str = "conv_id", ord_col: str = "turn_idx",
+                      text_col: str = "text", sep: str = " ",
+                      n_buckets: int = 256):
+    """Granularity switch: per-conversation full text — every turn's text
+    joined in ``ord_col`` order — as a Dataset(key, text).  The input to
+    CONVERSATION-level indexing/dedup/analysis (doc = conversation
+    instead of doc = turn).
+
+    One coarse hash-bucket shuffle co-locates each conversation, then per
+    bucket: one lexsort orders every conversation's turns at once, run
+    boundaries build a ListArray, and ``pyarrow.compute.binary_join``
+    concatenates — no per-conversation Python (the event_paths pattern,
+    stages/funnel.py)."""
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(batch[key_col]), categorize=False)
+        return batch.append_column(
+            "bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                            pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy(object)
+        o = g[ord_col].to_numpy(np.int64)
+        t = g[text_col].to_numpy(object)
+        order = np.lexsort((o, k))
+        ks, ts = k[order], t[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        offsets = np.r_[starts, len(ks)].astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                       pa.array(ts, pa.string()))
+        joined = pc.binary_join(lst, sep)
+        return pd.DataFrame({key_col: ks[starts],
+                             text_col: np.asarray(joined, dtype=object)})
+
+    return (
+        ds.select_columns([key_col, ord_col, text_col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )

@@ -104,3 +104,25 @@ def test_fetch_conv_docs_matches_source(built_index, small_corpus):
     # unknown conv -> empty; empty request -> empty
     assert len(fetch_conv_docs(idx, ["zzz-no-such-conv"])) == 0
     assert len(fetch_conv_docs(idx, [])) == 0
+
+
+def test_conv_text_dataset(small_corpus, ray_session):
+    """Per-conversation text join matches a pandas groupby string join in
+    turn order, for every conversation."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.docstore import conv_text_dataset
+
+    src = pq.read_table(small_corpus,
+                        columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    got = conv_text_dataset(
+        rd.read_parquet(small_corpus,
+                        columns=["conv_id", "turn_idx", "text"])
+    ).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    want = (src.sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id")["text"].agg(" ".join)
+            .reset_index().sort_values("conv_id").reset_index(drop=True))
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
