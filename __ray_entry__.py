@@ -5870,6 +5870,65 @@ def _q_conll_roundtrip(sf_dir: str):
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+def _jsonl_export_dir(sf_dir: str) -> str:
+    """Deterministic JSONL export of the transcript corpus (written once
+    under GRAFT_TMP; the SQL oracle reads the SAME bytes)."""
+    import ray.data as rd
+
+    from horus_ner_ray.sources.jsonl import write_jsonl
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    out = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_jsonl_{sf}"
+    marker = out / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_jsonl(rd.read_parquet(files), out)
+        marker.write_text("ok")
+    return str(out)
+
+
+def _q_jsonl_source(sf_dir: str):
+    """JSONL transcript source (sources/jsonl.py — the line-delimited
+    interchange format; S2/S6 pair with write_jsonl): the corpus exports
+    to one JSONL file per conversation (lossless, ISO-8601 ts), the
+    reader parses it back into the transcript schema, and the oracle
+    reads the SAME bytes with DuckDB read_json.  Published as per-turn
+    (conv_id, turn_idx, role, n_chars, ts_us) — integers + strings, no
+    float fragility."""
+    from horus_ner_ray.sources.jsonl import read_jsonl_transcripts
+
+    d = _jsonl_export_dir(sf_dir)
+    files = sorted(str(p) for p in Path(d).glob("*.jsonl"))
+    df = read_jsonl_transcripts(files).to_pandas()
+    out = pd.DataFrame({
+        "conv_id": df["conv_id"].astype(str),
+        "turn_idx": df["turn_idx"].astype(np.int64),
+        "role": df["role"].astype(str),
+        "n_chars": df["text"].str.len().astype(np.int64),
+        "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+    })
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+def _sql_jsonl_source() -> str:
+    d = _jsonl_export_dir(f"sf{_oracle_sf()}")
+    return f"""
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+       length(text)::BIGINT AS n_chars,
+       epoch_us(CAST(ts AS TIMESTAMP))::BIGINT AS ts_us
+FROM read_json('{d}/*.jsonl',
+               columns={{'conv_id': 'VARCHAR', 'turn_idx': 'BIGINT',
+                         'role': 'VARCHAR', 'text': 'VARCHAR',
+                         'tool': 'VARCHAR', 'ts': 'VARCHAR'}},
+               format='newline_delimited')
+ORDER BY conv_id, turn_idx
+"""
+
+
 _TRANSLATE_MAP = {"el": "the", "la": "the", "der": "the", "die": "the"}
 _TRANSLATE_LANGS = ("de", "es", "fr")
 
@@ -7757,6 +7816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "role_log_odds": _q_role_log_odds,
         "bm25_conv_topk": _q_bm25_conv_topk,
+        "jsonl_source": _q_jsonl_source,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9132,6 +9192,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": _sql_vocab_growth(),
         "role_log_odds": _sql_role_log_odds(),
         "bm25_conv_topk": _sql_bm25_conv(),
+        "jsonl_source": _sql_jsonl_source(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
