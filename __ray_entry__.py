@@ -5870,6 +5870,52 @@ def _q_conll_roundtrip(sf_dir: str):
     return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
 
+GREP_CONTEXT_PATTERN = "tok00042"  # case-sensitive substring probe
+# ("sessionmark" sits in ~all turns — no context structure to check)
+
+
+def _q_grep_context(sf_dir: str):
+    """Distributed grep with context (stages/windows.grep_context_dataset
+    — ``grep -C 1`` over conversations): matching turns plus their ±1
+    neighbors in the same conversation, flagged is_match.  One bucket
+    shuffle + vectorized match/shift masks; the SQL restates the
+    predicate with EXISTS over |turn distance| <= window."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import grep_context_dataset
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+    out = grep_context_dataset(ds, GREP_CONTEXT_PATTERN,
+                               window=1).to_pandas()
+    out["turn_idx"] = out["turn_idx"].astype(np.int64)
+    out["n_chars"] = out["text"].str.len().astype(np.int64)
+    return (out[["conv_id", "turn_idx", "role", "n_chars", "is_match"]]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def _sql_grep_context() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    p = GREP_CONTEXT_PATTERN
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')
+),
+m AS (SELECT conv_id, turn_idx FROM raw WHERE contains(text, '{p}'))
+SELECT r.conv_id, r.turn_idx::BIGINT AS turn_idx, r.role,
+       length(r.text)::BIGINT AS n_chars,
+       CASE WHEN contains(r.text, '{p}') THEN 1 ELSE 0 END::BIGINT
+         AS is_match
+FROM raw r
+WHERE EXISTS (SELECT 1 FROM m
+              WHERE m.conv_id = r.conv_id
+                AND abs(m.turn_idx - r.turn_idx) <= 1)
+ORDER BY r.conv_id, r.turn_idx
+"""
+
+
 def _jsonl_export_dir(sf_dir: str) -> str:
     """Deterministic JSONL export of the transcript corpus (written once
     under GRAFT_TMP; the SQL oracle reads the SAME bytes)."""
@@ -7817,6 +7863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_log_odds": _q_role_log_odds,
         "bm25_conv_topk": _q_bm25_conv_topk,
         "jsonl_source": _q_jsonl_source,
+        "grep_context": _q_grep_context,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9193,6 +9240,7 @@ def oracle_sql() -> dict[str, str]:
         "role_log_odds": _sql_role_log_odds(),
         "bm25_conv_topk": _sql_bm25_conv(),
         "jsonl_source": _sql_jsonl_source(),
+        "grep_context": _sql_grep_context(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

@@ -389,3 +389,62 @@ def conversation_profiles(ds, conv_col: str = "conv_id",
             .map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True, runtime_env=_rte())
             .groupby("conv_id").aggregate(*aggs))
+
+
+def grep_context_dataset(ds, pattern: str, window: int = 1,
+                         key_col: str = "conv_id",
+                         ord_col: str = "turn_idx",
+                         text_col: str = "text",
+                         n_buckets: int = 256):
+    """Distributed grep with context (the log-investigation primitive:
+    ``grep -C`` over conversations): every turn whose text contains
+    ``pattern`` (case-sensitive substring), PLUS the turns within
+    ``window`` positions of a match in the same conversation, each row
+    flagged ``is_match``.
+
+    One coarse hash-bucket shuffle co-locates conversations; per bucket
+    one lexsort orders every conversation at once, the match mask comes
+    from ``pyarrow.compute.match_substring`` (vectorized, before the
+    shuffle would even be needed — but context crosses rows, so the
+    neighbor expansion runs on the sorted runs), and the context mask is
+    an OR over ±window shifts guarded by run boundaries — no per-row
+    Python."""
+    import pyarrow.compute as pc
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(batch[key_col]), categorize=False)
+        m = pc.match_substring(pc.cast(batch[text_col], pa.string()),
+                               pattern)
+        return (batch.append_column(
+                    "bkt", pa.array((h % np.uint64(n_buckets))
+                                    .astype(np.int64), pa.int64()))
+                .append_column("m", m))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy(object)
+        o = g[ord_col].to_numpy(np.int64)
+        order = np.lexsort((o, k))
+        g = g.iloc[order]
+        k, o = k[order], o[order]
+        m = g["m"].to_numpy(bool)
+        keep = m.copy()
+        # turn_idx is strictly increasing within a conversation, so any
+        # row within turn-distance <= window is within row-distance <=
+        # window; the guard compares TURN distance, exact under gaps
+        for s in range(1, int(window) + 1):
+            fwd = np.zeros(len(m), dtype=bool)  # match s rows above
+            fwd[s:] = m[:-s] & (k[s:] == k[:-s]) & (o[s:] - o[:-s] <= window)
+            bwd = np.zeros(len(m), dtype=bool)  # match s rows below
+            bwd[:-s] = m[s:] & (k[:-s] == k[s:]) & (o[s:] - o[:-s] <= window)
+            keep |= fwd | bwd
+        out = g.loc[keep].drop(columns=["m"]).copy()
+        out["is_match"] = m[keep].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                       runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
