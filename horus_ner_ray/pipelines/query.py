@@ -183,6 +183,30 @@ def mmr_select(docs: list[int], toksets: dict[int, set[str]], k: int,
     return selected
 
 
+def resolve_msm(spec, n_should: int) -> int:
+    """Lucene/Solr ``minimum_should_match`` spec -> concrete count, THE
+    shared rule (engine, brute oracle, HTTP all call this):
+
+    - non-negative int (or digit string): that many;
+    - negative int: ``n_should`` minus that many (Solr's "all but m"),
+      floored at 0;
+    - ``"N%"``: floor(N% of n_should) — the fractional part is DROPPED
+      (Solr mm spec); negative percentage = all but floor(|N|%).
+    """
+    if isinstance(spec, str):
+        s = spec.strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            if pct >= 0:
+                return (pct * n_should) // 100
+            return max(0, n_should - ((-pct) * n_should) // 100)
+        spec = int(s)
+    m = int(spec)
+    if m < 0:
+        return max(0, n_should + m)
+    return m
+
+
 def rrf_fuse(rankings: list[list[tuple[int, float]]], k: int,
              window: int = 50, k_rrf: int = 60) -> list[tuple[int, int]]:
     """Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of several
@@ -531,7 +555,7 @@ class BruteForceBM25:
         should_terms = sorted(
             {t for t in query_terms(should) if t in self.postings}
             - set(must_terms))
-        msm = int(min_should_match)
+        msm = resolve_msm(min_should_match, len(should_terms))
         if msm > len(should_terms):
             return []
         cand: set[int] | None = None
@@ -2243,7 +2267,7 @@ class QueryEngine:
         should_terms = sorted(
             {t for t in query_terms(should) if self.global_df(t) > 0}
             - set(must_terms))
-        msm = int(min_should_match)
+        msm = resolve_msm(min_should_match, len(should_terms))
         if msm > len(should_terms):
             return []
         union = sorted(set(must_terms) | set(should_terms))

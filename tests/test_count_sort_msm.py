@@ -371,3 +371,33 @@ def test_histogram_pipeline_on_engine_histogram(engines):
     assert got == want and got
     # cumulative total equals the histogram total
     assert got[-1][2] == sum(n for _b, n, _c, _d in got)
+
+
+def test_msm_percentage_and_negative_specs(built_index, small_corpus):
+    """resolve_msm (Solr mm subset): percentages floor, negative = all
+    but m; engine and brute agree bitwise under every spec form."""
+    from horus_ner_ray.pipelines.query import (
+        BruteForceBM25,
+        QueryEngine,
+        resolve_msm,
+    )
+
+    assert resolve_msm(2, 5) == 2
+    assert resolve_msm("2", 5) == 2
+    assert resolve_msm("75%", 4) == 3
+    assert resolve_msm("75%", 5) == 3      # floor, fraction dropped
+    assert resolve_msm("100%", 3) == 3
+    assert resolve_msm("0%", 3) == 0
+    assert resolve_msm(-1, 3) == 2
+    assert resolve_msm(-5, 3) == 0
+    assert resolve_msm("-50%", 4) == 2     # all but floor(50%)
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    for spec in (0, 1, "50%", "100%", -1, "2"):
+        got = eng.search_boolean("the", should="session user batch",
+                                 k=12, min_should_match=spec)
+        want = bf.search_boolean("the", should="session user batch",
+                                 k=12, min_should_match=spec)
+        assert got == want, spec
