@@ -115,3 +115,21 @@ def snapshot_index(index_dir: str | Path, dst_dir: str | Path) -> dict:
             "snapshot was discarded; retry when the index is quiescent")
     return {"files": n_files, "bytes": n_bytes,
             "wall_s": round(time.time() - t0, 3)}
+
+
+def restore_snapshot(snapshot_dir: str | Path, dst_dir: str | Path,
+                     alias_path: str | Path | None = None) -> dict:
+    """Restore a snapshot into a NEW index directory (hard-link copy —
+    the inverse direction of ``snapshot_index``, same O(files) metadata
+    cost and the same tmp+rename publish discipline that makes snapshots
+    consistent forever).  The restored tree is a full, independent index
+    (QueryEngine opens it, maintenance ops apply to it); optionally
+    repoint ``alias_path`` at it atomically for the zero-downtime
+    restore-and-swap flow (pipelines/alias.py)."""
+    out = snapshot_index(snapshot_dir, dst_dir)  # snapshots ARE index dirs
+    if alias_path is not None:
+        from horus_ner_ray.pipelines.alias import write_alias
+
+        write_alias(alias_path, dst_dir)
+        out = {**out, "alias": str(alias_path)}
+    return out

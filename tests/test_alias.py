@@ -66,3 +66,31 @@ def test_alias_chain_and_refusals(two_indexes, tmp_path):
         resolve_index(c1)
     with pytest.raises(FileNotFoundError):
         resolve_index(base / "missing.alias")
+
+
+def test_restore_snapshot_with_alias_swap(two_indexes, tmp_path):
+    """Snapshot -> mutate live -> restore + alias swap: the restored tree
+    serves the point-in-time results; the live tree keeps its mutation."""
+    from horus_ner_ray.pipelines.delete import delete_by_query
+    from horus_ner_ray.pipelines.snapshot import (
+        restore_snapshot,
+        snapshot_index,
+    )
+
+    import shutil
+
+    base, a, _b = two_indexes
+    live = tmp_path / "live"
+    shutil.copytree(a, live)
+    snap = tmp_path / "snap"
+    snapshot_index(live, snap)
+    before = QueryEngine(str(live)).search("sessionmark", k=10)
+    assert before
+    delete_by_query(str(live), "sessionmark")
+    assert QueryEngine(str(live)).search("sessionmark", k=10) == []
+    al = tmp_path / "serving.alias"
+    restored = tmp_path / "restored"
+    out = restore_snapshot(snap, restored, alias_path=al)
+    assert out["alias"] == str(al)
+    eng = QueryEngine(str(al))  # opens through the alias
+    assert eng.search("sessionmark", k=10) == before
