@@ -136,3 +136,25 @@ def test_federated_http_front(fed_serve_tree):
     finally:
         server2.shutdown()
         fed.close()
+
+
+def test_federated_service_actor_churn(fed_serve_tree):
+    """A killed federated actor respawns on its (index, shard subset)
+    placement WITH the stats override — results stay identical after
+    worker loss (the churn-retry path runs the overridden _spawn)."""
+    import ray
+
+    from horus_ner_ray.pipelines.federate import FederatedQueryService
+
+    a, b, _full = fed_serve_tree
+    svc = FederatedQueryService([a, b], n_actors_per_index=1)
+    try:
+        before = svc.search("the session", k=8)
+        cnt = svc.count("the session")
+        ray.kill(svc.actors[0])   # member a's only actor
+        assert svc.search("the session", k=8) == before
+        ray.kill(svc.actors[1])   # member b's only actor
+        assert svc.search("the session", k=8) == before
+        assert svc.count("the session") == cnt
+    finally:
+        svc.close()
