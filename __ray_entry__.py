@@ -6552,34 +6552,108 @@ def _q_gopher_filter(sf_dir: str):
     return gopher_quality_dataset(_read_docs(sf_dir))
 
 
+def _pii_aug_batch(batch):
+    """Deterministic synthetic-PII augmentation (every third doc gains an
+    email/phone/IPv4 suffix derived from its id) — shared by pii_redact
+    and the transform-then-reindex query; the SQL restates it verbatim."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    did = np.asarray(batch["doc_id"], dtype=np.int64)
+    text = np.asarray(pc.fill_null(batch["text"], ""), dtype=object).astype(str)
+    ds = did.astype(str)
+    full = np.char.add(
+        np.char.add(np.char.add(" contact user", ds),
+                    "@example.com or 555-123-4567 at 10.0."),
+        np.char.add((did % 256).astype(str), ".77"),
+    )
+    suffix = np.where(did % 3 == 0, full, "")
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pa.array(np.char.add(text, suffix))})
+
+
 def _q_pii_redact(sf_dir: str):
     """PII redaction (email/phone/IPv4 -> sentinels) with per-doc match
     counts.  The corpus carries no natural PII, so every third doc is
     deterministically augmented with synthetic PII derived from its doc_id
     — the SQL oracle applies the identical augmentation, so counts AND the
     redacted text hash-match."""
-    import pyarrow.compute as pc
-
     from horus_ner_ray.stages.analysis import redact_pii_dataset
 
-    def aug(batch):
-        did = np.asarray(batch["doc_id"], dtype=np.int64)
-        text = np.asarray(pc.fill_null(batch["text"], ""), dtype=object).astype(str)
-        ds = did.astype(str)
-        full = np.char.add(
-            np.char.add(np.char.add(" contact user", ds),
-                        "@example.com or 555-123-4567 at 10.0."),
-            np.char.add((did % 256).astype(str), ".77"),
-        )
-        suffix = np.where(did % 3 == 0, full, "")
-        import pyarrow as pa
-
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pa.array(np.char.add(text, suffix))})
+    aug = _pii_aug_batch
 
     docs = _read_docs(sf_dir).map_batches(aug, batch_format="pyarrow",
                                           zero_copy_batch=True)
     return redact_pii_dataset(docs)
+
+
+def _q_bm25_redacted(sf_dir: str):
+    """TRANSFORM-THEN-REINDEX (the curation composition a production
+    pipeline runs before serving): augment -> redact PII
+    (stages/analysis.redact_pii_dataset) -> land the redacted corpus as a
+    fragment -> ordinary provided-mode build -> BM25.  The SQL chains the
+    identical augmentation + regexp_replace stack into a documents CTE
+    and runs the shared scoring body, so what's checked is that the
+    SERVED index reflects the transform exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.stages.analysis import redact_pii_dataset
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    key = hashlib.sha256(str(Path(sf_dir).resolve()).encode()).hexdigest()[:12]
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    idx = tmp / f"horus_docidx_red_v{INDEX_FORMAT_VERSION}_{key}"
+    marker = idx / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(idx, ignore_errors=True)
+        docs = _read_docs(sf_dir).map_batches(
+            _pii_aug_batch, batch_format="pyarrow", zero_copy_batch=True)
+        red = redact_pii_dataset(docs).to_pandas()  # sf-test-sized
+        red = red.sort_values("doc_id").reset_index(drop=True)
+        f = tmp / f"horus_red_docs_{key}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": pa.array(red["doc_id"].to_numpy(np.int64),
+                                         pa.int64()),
+                      "text": pa.array(red["redacted"].astype(str),
+                                       pa.string())}), f)
+        build_index([str(f)], idx,
+                    PipelineConfig(num_shards=4, doc_id_mode="provided"))
+        marker.write_text("ok")
+    eng = QueryEngine(str(idx))
+    hits = [eng.search(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_redacted() -> str:
+    """The redaction chain (same regex stack as the pii_redact oracle)
+    becomes the documents CTE; MATERIALIZED so the scoring body's many
+    references don't re-run the regexp_replace stack."""
+    pre = r"""aug AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+         THEN text || ' contact user' || doc_id
+              || '@example.com or 555-123-4567 at 10.0.'
+              || (doc_id % 256) || '.77'
+         ELSE text END AS t
+  FROM main.documents
+),
+documents AS MATERIALIZED (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t,
+          '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{3}[\- ]\d{3}[\- ]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS text
+  FROM aug
+),
+"""
+    return _sql_bm25(DOC_QUERIES, conjunctive=False, pre=pre)
 
 
 def _q_bpe_pairs(sf_dir: str):
@@ -7864,6 +7938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_conv_topk": _q_bm25_conv_topk,
         "jsonl_source": _q_jsonl_source,
         "grep_context": _q_grep_context,
+        "bm25_redacted": _q_bm25_redacted,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9241,6 +9316,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_conv_topk": _sql_bm25_conv(),
         "jsonl_source": _sql_jsonl_source(),
         "grep_context": _sql_grep_context(),
+        "bm25_redacted": _sql_bm25_redacted(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
