@@ -23,7 +23,9 @@ from horus_ner_ray.config import PipelineConfig
 from horus_ner_ray.pipelines.build_index import append_fragments, build_index
 from horus_ner_ray.pipelines.delete import (
     compact_index,
+    delete_by_query,
     delete_docs,
+    delete_older_than,
     read_tombstones,
 )
 from horus_ner_ray.pipelines.merge import merge_indexes
@@ -55,9 +57,9 @@ def _disjoint_conv_files(src_dir: Path, tag: str) -> list[str]:
         out.append(str(dst))
     return out
 
-def _live_keys(idx) -> list[tuple[int, str, int]]:
-    """(doc_id, conv_id, turn_idx) of every docstore row not currently
-    tombstoned."""
+def _all_keys(idx) -> list[tuple[int, str, int]]:
+    """(doc_id, conv_id, turn_idx) of every docstore row, tombstoned or
+    not."""
     from horus_ner_ray.state.shards import IndexPaths
 
     parts = sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))
@@ -66,9 +68,29 @@ def _live_keys(idx) -> list[tuple[int, str, int]]:
         t = pq.read_table(p, columns=["doc_id", "conv_id", "turn_idx"])
         rows.extend(zip(t["doc_id"].to_pylist(), t["conv_id"].to_pylist(),
                         t["turn_idx"].to_pylist()))
+    return sorted(rows)
+
+
+def _live_keys(idx) -> list[tuple[int, str, int]]:
+    """(doc_id, conv_id, turn_idx) of every docstore row not currently
+    tombstoned."""
     dead = read_tombstones(idx)
     dead = set() if dead is None else set(dead.tolist())
-    return sorted((d, c, ti) for d, c, ti in rows if d not in dead)
+    return [(d, c, ti) for d, c, ti in _all_keys(idx) if d not in dead]
+
+
+def _tombstone_set(idx) -> set[int]:
+    t = read_tombstones(idx)
+    return set() if t is None else set(t.tolist())
+
+
+def _note_new_tombstones(idx, before: set[int], pending: dict) -> None:
+    """Record whatever a bulk delete (by query / by TTL) tombstoned."""
+    new = _tombstone_set(idx) - before
+    if new:
+        keymap = {d: (c, t) for d, c, t in _all_keys(idx)}
+        for d in new:
+            pending[d] = keymap[d]
 
 
 @settings(max_examples=4, deadline=None,
@@ -92,12 +114,13 @@ def test_any_maintenance_chain_matches_reconstruction(data,
     snapshots: list[tuple[Path, dict]] = []
     n_merges = 0
     ops = data.draw(st.lists(
-        st.sampled_from(["delete", "append", "compact", "reshard",
-                         "snapshot", "merge"]),
+        st.sampled_from(["delete", "delete_query", "delete_ttl", "append",
+                         "compact", "reshard", "snapshot", "merge"]),
         min_size=3, max_size=5), label="ops")
-    # every example exercises the point-in-time and the cross-index ops
-    # at least once (random position for the rest of the chain)
-    ops += [o for o in ("snapshot", "merge") if o not in ops]
+    # every example exercises the point-in-time, cross-index and bulk
+    # delete ops at least once (random position for the rest of the chain)
+    ops += [o for o in ("snapshot", "merge", "delete_query", "delete_ttl")
+            if o not in ops]
     for op in ops:
         if op == "delete":
             live = _live_keys(idx)
@@ -108,6 +131,30 @@ def test_any_maintenance_chain_matches_reconstruction(data,
             delete_docs(idx, [d for d, _c, _t in chosen])
             for d, c, t in chosen:
                 pending[d] = (c, t)
+        elif op == "delete_query":
+            # bulk delete of a query's whole match set (delete_by_query)
+            term = data.draw(st.sampled_from(["tok00042", "alpha",
+                                              "uniqueedge1"]),
+                             label="dq_term")
+            before = _tombstone_set(idx)
+            delete_by_query(idx, term)
+            _note_new_tombstones(idx, before, pending)
+        elif op == "delete_ttl":
+            # retention delete: everything older than a drawn percentile
+            # of the LIVE stored timestamps
+            from horus_ner_ray.state.shards import IndexPaths
+
+            parts = sorted(IndexPaths(idx).docstore.glob("part-*.parquet"))
+            t = pq.read_table(parts, columns=["doc_id", "ts"]).to_pandas()
+            dead0 = _tombstone_set(idx)
+            live_ts = t.loc[~t["doc_id"].isin(dead0), "ts"].dropna()
+            if len(live_ts) == 0:
+                continue
+            pct = data.draw(st.sampled_from([10, 25, 40]), label="ttl_pct")
+            cutoff = int(np.percentile(
+                live_ts.astype("datetime64[us]").astype(np.int64), pct))
+            delete_older_than(idx, cutoff)
+            _note_new_tombstones(idx, dead0, pending)
         elif op == "append":
             n_appends += 1
             d = base / f"extra{n_appends}"
