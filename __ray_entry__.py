@@ -2232,6 +2232,103 @@ documents AS MATERIALIZED (
                      conjunctive=False, pre=pre)
 
 
+def _q_bm25_common_terms(sf_dir: str):
+    """Lucene CommonTermsQuery over the transcript index (true stopword
+    structure: 'the'/'sessionmark'/role tokens sit in ~every turn, the
+    tokNNNNN vocabulary is rare): terms with df*100 >= 50*N only SCORE,
+    candidacy needs >= 1 low-frequency term; all-high queries fall back
+    to plain OR.  The SQL restates the integer split predicate from its
+    own df table, the DISTINCT low-term candidacy, and the shared scoring
+    body."""
+    from horus_ner_ray.pipelines.build_index import build_index
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    tmp = Path(os.environ.get("GRAFT_TMP", "/tmp"))
+    files, _glob = _transcript_corpus(sf)
+    idx = tmp / f"horus_tridx_v{INDEX_FORMAT_VERSION}_{sf}"
+    if not (idx / "stats.json").exists():
+        build_index(files, idx, PipelineConfig(num_shards=8))
+    eng = QueryEngine(str(idx))
+    hits = [eng.search_common_terms(q["text"], TOPK * 3 + 20,
+                                    cutoff_pct=50)
+            for q in reference_queries()]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_common_terms() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS MATERIALIZED (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, text FROM raw JOIN offs USING (conv_id)
+),
+tok AS MATERIALIZED (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS MATERIALIZED (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+qlow AS (
+  SELECT q.query_id, q.term
+  FROM q JOIN dfv USING (term) CROSS JOIN stats s
+  WHERE dfv.df * 100 < 50 * s.n_docs
+),
+nlow AS (SELECT query_id, count(*)::BIGINT c FROM qlow GROUP BY 1),
+cand AS (
+  SELECT DISTINCT qlow.query_id, tf.doc_id
+  FROM qlow JOIN tf USING (term)
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+kept AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scored sc
+  LEFT JOIN nlow USING (query_id)
+  LEFT JOIN cand ON cand.query_id = sc.query_id
+                AND cand.doc_id = sc.doc_id
+  WHERE nlow.c IS NULL OR cand.doc_id IS NOT NULL
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM kept
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _q_bm25_sorted_by_time(sf_dir: str):
     """Field-sorted retrieval (Lucene Sort-by-field): each query's match
     set over the transcript index ordered by the stored turn timestamp
@@ -7939,6 +8036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_source": _q_jsonl_source,
         "grep_context": _q_grep_context,
         "bm25_redacted": _q_bm25_redacted,
+        "bm25_common_terms": _q_bm25_common_terms,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9317,6 +9415,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": _sql_jsonl_source(),
         "grep_context": _sql_grep_context(),
         "bm25_redacted": _sql_bm25_redacted(),
+        "bm25_common_terms": _sql_bm25_common_terms(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

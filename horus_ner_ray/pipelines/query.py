@@ -540,6 +540,33 @@ class BruteForceBM25:
             out[k] = out.get(k, 0) + 1
         return out
 
+    def search_common_terms(self, text: str, k: int = 10,
+                            cutoff_pct: int = 50) -> list[tuple[int, float]]:
+        """Oracle CommonTermsQuery: candidacy = docs with >= 1
+        LOW-frequency term (df * 100 < cutoff_pct * N); all-high falls
+        back to plain OR; scores over all present terms ascending."""
+        terms = [t for t in query_terms(text) if t in self.postings]
+        if not terms:
+            return []
+        low = [t for t in terms
+               if len({d for d, _ in self.postings[t]}) * 100
+               < int(cutoff_pct) * self.n_docs]
+        cand: set[int] | None = None
+        if low:
+            cand = set()
+            for t in low:
+                cand |= {d for d, _ in self.postings[t]}
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                if d in self.deleted:
+                    continue
+                if cand is not None and d not in cand:
+                    continue
+                scores[d] += self._contrib(idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def search_boolean(self, must: str, should: str = "",
                        must_not: str = "",
                        k: int = 10,
@@ -2630,6 +2657,68 @@ class QueryEngine:
                 out[int(b)] = out.get(int(b), 0) + int(c)
         return out
 
+    def _include_mask(self, si: int, terms: list[str]) -> np.ndarray | None:
+        """Local-index bool mask that is True for every doc containing ANY
+        of ``terms`` (the candidacy half of CommonTermsQuery): one
+        postings decode per term.  None when no term exists in this
+        shard (nothing can qualify)."""
+        r = self._reader(si)
+        mask: np.ndarray | None = None
+        for t in terms:
+            ti = r.term_index(t)
+            if ti is None:
+                continue
+            _d, _tf, li = r.postings_local(ti)
+            if mask is None:
+                mask = np.zeros(len(r.docids), dtype=bool)
+            mask[li] = True
+        return mask
+
+    def search_common_terms(self, text: str, k: int = 10,
+                            cutoff_pct: int = 50) -> list[tuple[int, float]]:
+        """Lucene CommonTermsQuery: query terms split into LOW-frequency
+        (df * 100 < cutoff_pct * N — an integer predicate, shared verbatim
+        with the oracle SQL) and HIGH-frequency (stopword-class) terms;
+        candidacy requires >= 1 low-frequency term, high-frequency terms
+        only contribute score — the classic way to keep 'the sessionmark
+        tok00042' from drowning in stopword matches without a stoplist.
+        When every present term is high-frequency the query falls back to
+        plain OR (Lucene's fallback).  Scores are the exhaustive
+        ascending-term accumulation over ALL present terms, so survivors
+        score bitwise-identically to ``search``."""
+        base = query_terms(text)
+        terms = [t for t in base if self.global_df(t) > 0]
+        if not terms:
+            return []
+        low = [t for t in terms
+               if self.global_df(t) * 100 < int(cutoff_pct) * self.n_docs]
+        idfs = [bm25_idf(self.n_docs, self.global_df(t)) for t in terms]
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            ds_ = self._shard_scores_full(si, terms, idfs, "or")
+            if ds_ is None:
+                continue
+            d, s = ds_
+            if low:
+                inc = self._include_mask(si, low)
+                if inc is None:
+                    continue
+                r = self._reader(si)
+                li = np.searchsorted(np.asarray(r.docids), d)
+                keep = inc[li]
+                d, s = d[keep], s[keep]
+            docs_out.append(d)
+            scores_out.append(s)
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        s = np.concatenate(scores_out)
+        if len(d) == 0:
+            return []
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
     def _exclude_mask(self, si: int, terms: list[str]) -> np.ndarray | None:
         """Local-index bool mask that is False for every doc containing ANY
         of ``terms`` (boolean NOT): one postings decode per excluded term,
@@ -4133,6 +4222,17 @@ class ScorerActor:
                                            and fn_ != fn_) else int(fn_)
                 hits = self.engine.search_span_first(row.text, int(row.k),
                                                      first_n=fn_)
+            elif mode == "common":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='common' does not compose with role/tool/"
+                        "exclude filters")
+                co = getattr(row, "cutoff", None)
+                co = 50 if co is None or (isinstance(co, float)
+                                          and co != co) else int(co)
+                hits = self.engine.search_common_terms(row.text,
+                                                       int(row.k),
+                                                       cutoff_pct=co)
             elif mode == "boosting":
                 if role or tool or exclude:
                     raise ValueError(

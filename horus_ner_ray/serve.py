@@ -107,7 +107,8 @@ class QueryService:
                negative_boost: float = 0.5,
                tie_breaker: float = 0.5,
                max_expansions: int = 50,
-               dist: int = 2) -> list[dict]:
+               dist: int = 2,
+               cutoff_pct: int = 50) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -127,6 +128,7 @@ class QueryService:
               "negative": negative or "",
               "nb": float(negative_boost), "tie": float(tie_breaker),
               "max_exp": int(max_expansions), "dist": int(dist),
+              "cutoff": int(cutoff_pct),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -183,6 +185,7 @@ class QueryService:
                 "tie": float(e.get("tie", 0.5)),
                 "max_exp": int(e.get("max_exp", 50)),
                 "dist": int(e.get("dist", 2)),
+                "cutoff": int(e.get("cutoff", 50)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -678,7 +681,7 @@ def make_http_server(
                     m = e.get("mode", service.mode)
                     if m not in ("or", "and", "phrase", "near", "boolean",
                                  "prefix", "fuzzy", "contains", "lm",
-                                 "regex", "boosting", "dismax",
+                                 "regex", "boosting", "dismax", "common",
                                  "phrase_prefix", "span_not"):
                         raise ValueError(f"unknown mode {m!r}")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
@@ -1184,7 +1187,7 @@ def make_http_server(
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains", "lm",
-                                    "regex", "stemmed", "first",
+                                    "regex", "stemmed", "first", "common",
                                     "boosting", "dismax", "phrase_prefix",
                                     "span_not"):
                     raise ValueError(f"unknown mode {req_mode!r}")
@@ -1203,7 +1206,7 @@ def make_http_server(
                 req_exclude = (qs.get("exclude") or [""])[0] or None
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
                                 "regex", "stemmed", "first", "boosting",
-                                "dismax", "phrase_prefix",
+                                "dismax", "phrase_prefix", "common",
                                 "span_not") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
@@ -1230,6 +1233,12 @@ def make_http_server(
                         f"tie must be in [0, 1], got {req_tie}")
                 if qs.get("tie") and req_mode != "dismax":
                     raise ValueError("tie= requires mode=dismax")
+                req_cutoff = int((qs.get("cutoff") or ["50"])[0])
+                if not (0 <= req_cutoff <= 100):
+                    raise ValueError(
+                        f"cutoff must be in [0, 100], got {req_cutoff}")
+                if qs.get("cutoff") and req_mode != "common":
+                    raise ValueError("cutoff= requires mode=common")
                 req_max_exp = int((qs.get("max_exp") or ["50"])[0])
                 if req_max_exp < 1:
                     raise ValueError(
@@ -1291,7 +1300,8 @@ def make_http_server(
                                       negative_boost=req_nb,
                                       tie_breaker=req_tie,
                                       max_expansions=req_max_exp,
-                                      dist=req_dist)
+                                      dist=req_dist,
+                                      cutoff_pct=req_cutoff)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

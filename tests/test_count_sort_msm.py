@@ -401,3 +401,35 @@ def test_msm_percentage_and_negative_specs(built_index, small_corpus):
         want = bf.search_boolean("the", should="session user batch",
                                  k=12, min_should_match=spec)
         assert got == want, spec
+
+
+def test_common_terms_query_parity(built_index, small_corpus):
+    """CommonTermsQuery: bitwise engine/brute parity across cutoffs; the
+    candidacy rule actually excludes stopword-only docs; all-high falls
+    back to plain OR."""
+    from horus_ner_ray.pipelines.query import BruteForceBM25, QueryEngine
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    queries = ["the tok00042", "sessionmark the user",
+               "the sessionmark uniqueedge1", "alpha beta the",
+               "zzzqnotfound"]
+    for q in queries:
+        for pct in (5, 30, 50, 99):
+            got = eng.search_common_terms(q, k=15, cutoff_pct=pct)
+            want = bf.search_common_terms(q, k=15, cutoff_pct=pct)
+            assert got == want, (q, pct)
+    # all-high fallback == plain OR
+    assert eng.search_common_terms("the sessionmark", k=10,
+                                   cutoff_pct=1) == \
+        eng.search("the sessionmark", k=10)
+    # candidacy bites: with a rare low term, every hit contains it
+    hits = eng.search_common_terms("the tok00042", k=10 ** 6,
+                                   cutoff_pct=50)
+    full = eng.search("tok00042", k=10 ** 6)
+    assert {d for d, _ in hits} == {d for d, _ in full}
+    # and survivors score as plain OR scores (bitwise)
+    orr = dict(eng.search("the tok00042", k=10 ** 6))
+    for d, s in hits:
+        assert s == orr[d]

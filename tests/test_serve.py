@@ -573,3 +573,19 @@ def test_http_conv_route(http_service, small_corpus):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_common_terms_mode(http_service, small_corpus):
+    """mode=common through the pool/HTTP: rank-identical to the oracle's
+    CommonTermsQuery; cutoff= gated to the mode."""
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    for q, pct in (("the tok00042", 50), ("sessionmark the user", 30)):
+        got = _get(http_service, q=q, k=8, mode="common", cutoff=pct)["hits"]
+        want = bf.search_common_terms(q, k=8, cutoff_pct=pct)
+        assert [(h["doc_id"], h["score"]) for h in got] == \
+            [(d, s) for d, s in want], (q, pct)
+    try:
+        _get(http_service, q="the", k=3, cutoff=40)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
