@@ -317,6 +317,77 @@ FROM c ORDER BY bucket
 """
 
 
+def _q_term_burstiness(sf_dir: str):
+    """Term burstiness (Church & Gale: the variance-to-mean ratio of tf
+    over the docs CONTAINING the term — bursty content words score >> 1,
+    evenly-spread function words ~= 1): per term the exact integer
+    sufficient statistics (df, cf, sum tf^2) from one combiner pass +
+    vocab-bounded groupby, finished by the ONE float division
+    vmr = (sumsq*df - cf^2) / (df*cf) — bitwise the SQL's arithmetic."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.tokenize import tokenize_column
+    from horus_ner_ray.util import worker_runtime_env
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch["text"])
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[parents]
+        t = pa.table({"term": flat, "doc_id": pa.array(ids, pa.int64())})
+        g = t.group_by(["term", "doc_id"], use_threads=False).aggregate(
+            [([], "count_all")])
+        tf = np.asarray(g["count_all"], dtype=np.int64)
+        p = pa.table({"term": g["term"],
+                      "df": pa.array(np.ones(len(tf), np.int64), pa.int64()),
+                      "cf": pa.array(tf, pa.int64()),
+                      "sumsq": pa.array(tf * tf, pa.int64())})
+        q = p.group_by("term", use_threads=False).aggregate(
+            [("df", "sum"), ("cf", "sum"), ("sumsq", "sum")])
+        return pa.table({"term": q["term"], "df": q["df_sum"],
+                         "cf": q["cf_sum"], "sumsq": q["sumsq_sum"]})
+
+    env = worker_runtime_env()
+    kw = {"runtime_env": env} if env else {}
+    cnt = (_read_docs(sf_dir)
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True, **kw)
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("cf", alias_name="cf"),
+                      Sum("sumsq", alias_name="sumsq"))
+           .to_pandas())  # vocab-bounded
+    df = cnt["df"].to_numpy(np.int64)
+    cf = cnt["cf"].to_numpy(np.int64)
+    sq = cnt["sumsq"].to_numpy(np.int64)
+    vmr = (sq * df - cf * cf).astype(np.float64) / (df * cf).astype(
+        np.float64)
+    out = pd.DataFrame({"term": cnt["term"].astype(str), "df": df,
+                        "cf": cf, "vmr_e6": _e6(vmr)})
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _sql_term_burstiness() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+s AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+         sum(tf * tf)::BIGINT AS sumsq
+  FROM tf GROUP BY 1
+)
+SELECT term, df, cf,
+       CAST(FLOOR(CAST(sumsq * df - cf * cf AS DOUBLE)
+                  / CAST(df * cf AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS vmr_e6
+FROM s ORDER BY term
+"""
+
+
 def _q_collection_stats(sf_dir: str):
     from horus_ner_ray.stages.docstore import collection_stats_from_dataset
 
@@ -8037,6 +8108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_context": _q_grep_context,
         "bm25_redacted": _q_bm25_redacted,
         "bm25_common_terms": _q_bm25_common_terms,
+        "term_burstiness": _q_term_burstiness,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9416,6 +9488,7 @@ def oracle_sql() -> dict[str, str]:
         "grep_context": _sql_grep_context(),
         "bm25_redacted": _sql_bm25_redacted(),
         "bm25_common_terms": _sql_bm25_common_terms(),
+        "term_burstiness": _sql_term_burstiness(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
