@@ -317,6 +317,44 @@ FROM c ORDER BY bucket
 """
 
 
+def _q_event_gap_quantiles(sf_dir: str):
+    """Inter-arrival cadence (stages/windows.event_gaps_dataset + exact
+    distributed quantiles): per-user consecutive-event gaps in int64
+    microseconds, then the EXACT 25/50/75th percentiles over all gaps
+    (quantile_disc — order statistics over integers, no float anywhere).
+    The sessionization-threshold calibration every event pipeline runs."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+    from horus_ner_ray.stages.windows import event_gaps_dataset
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+    gaps = event_gaps_dataset(ev)
+    out = quantile_disc(gaps, "gap_us", [0.25, 0.5, 0.75])
+    return pd.DataFrame({
+        "q_pct": np.array([25, 50, 75], dtype=np.int64),
+        "gap_us": out["value"].to_numpy(np.float64).astype(np.int64),
+    })
+
+
+def _sql_event_gap_quantiles() -> str:
+    return """
+WITH g AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL)
+SELECT 25::BIGINT AS q_pct, quantile_disc(gap_us, 0.25)::BIGINT AS gap_us FROM gg
+UNION ALL
+SELECT 50::BIGINT, quantile_disc(gap_us, 0.5)::BIGINT FROM gg
+UNION ALL
+SELECT 75::BIGINT, quantile_disc(gap_us, 0.75)::BIGINT FROM gg
+ORDER BY q_pct
+"""
+
+
 def _q_term_burstiness(sf_dir: str):
     """Term burstiness (Church & Gale: the variance-to-mean ratio of tf
     over the docs CONTAINING the term — bursty content words score >> 1,
@@ -8109,6 +8147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_redacted": _q_bm25_redacted,
         "bm25_common_terms": _q_bm25_common_terms,
         "term_burstiness": _q_term_burstiness,
+        "event_gap_quantiles": _q_event_gap_quantiles,
         "bm25_boosting": _q_bm25_boosting,
         "bm25_dismax": _q_bm25_dismax,
         "bm25_phrase_prefix": _q_bm25_phrase_prefix,
@@ -9489,6 +9528,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_redacted": _sql_bm25_redacted(),
         "bm25_common_terms": _sql_bm25_common_terms(),
         "term_burstiness": _sql_term_burstiness(),
+        "event_gap_quantiles": _sql_event_gap_quantiles(),
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

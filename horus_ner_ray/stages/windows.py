@@ -448,3 +448,40 @@ def grep_context_dataset(ds, pattern: str, window: int = 1,
         .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
                     batch_format="pandas", runtime_env=_rte())
     )
+
+
+def event_gaps_dataset(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id", n_buckets: int = 256):
+    """Per-key INTER-ARRIVAL GAPS (the latency/cadence primitive behind
+    sessionization thresholds and retention models): for each key's
+    events in (ts, id) order, the int64-microsecond difference between
+    consecutive events — Dataset(key, gap_us), one row per consecutive
+    pair.  One coarse hash-bucket shuffle, one lexsort per bucket, one
+    vectorized diff guarded by run boundaries."""
+    def bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[key_col], dtype=np.int64).astype(np.uint64)
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        bkt = ((ids * mix) % np.uint64(n_buckets)).astype(np.int64)
+        return batch.append_column("bkt", pa.array(bkt, pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[key_col].to_numpy(np.int64)
+        tv = g[ts_col].to_numpy()
+        t = (tv.view(np.int64) if np.issubdtype(tv.dtype, np.datetime64)
+             else tv.astype(np.int64))
+        i = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((i, t, u))
+        us, ts_ = u[order], t[order]
+        same = us[1:] == us[:-1]
+        gaps = (ts_[1:] - ts_[:-1])[same]
+        return pd.DataFrame({key_col: us[1:][same],
+                             "gap_us": gaps.astype(np.int64)})
+
+    return (
+        ds.select_columns([key_col, ts_col, id_col])
+        .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bkt")
+        .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )
