@@ -8046,6 +8046,27 @@ def _q_price_stats_by_flag(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_value_boxplot(sf_dir: str):
+    """ES boxplot aggregation over events.value, EXACT where ES settles
+    for TDigest (stages/quantiles.boxplot): interpolated quartiles from
+    the histogram-refinement engine, Tukey fences q1/q3 -+ 1.5*IQR, and
+    whiskers = actual stored values at the fence clip (the upper whisker
+    genuinely clips on this long-tailed column).  Three bounded streaming
+    passes; the e6 publication hash-matches DuckDB's quantile_cont +
+    FILTER min/max restatement with zero tolerance."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import boxplot
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["value"])
+    out = boxplot(ev, "value")
+    res = {"n": out["n"].astype(np.int64)}
+    for c in ["min", "max", "q1", "q2", "q3", "lo_whisker", "hi_whisker"]:
+        res[f"{c}_e6"] = _e6(out[c]).astype(np.int64)
+    return pd.DataFrame(res)
+
+
 def _q_price_mad(sf_dir: str):
     """Grouped MEDIAN ABSOLUTE DEVIATION (stages/quantiles.mad_by_group —
     the robust dispersion complement to grouped variance): exact group
@@ -8131,6 +8152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
         "bm25_federated": _q_bm25_federated,
         "ann_filtered": _q_ann_filtered,
@@ -9529,6 +9551,33 @@ def oracle_sql() -> dict[str, str]:
         "bm25_common_terms": _sql_bm25_common_terms(),
         "term_burstiness": _sql_term_burstiness(),
         "event_gap_quantiles": _sql_event_gap_quantiles(),
+        "value_boxplot": """
+            WITH q AS (
+              SELECT count(*)::BIGINT n, min(value) vmin, max(value) vmax,
+                     quantile_cont(value, [0.25, 0.5, 0.75]) qs
+              FROM events
+            ),
+            f AS (
+              SELECT n, vmin, vmax, qs[1] q1, qs[2] q2, qs[3] q3,
+                     qs[1] - 1.5 * (qs[3] - qs[1]) lo_fence,
+                     qs[3] + 1.5 * (qs[3] - qs[1]) hi_fence
+              FROM q
+            ),
+            w AS (
+              SELECT min(e.value) FILTER (WHERE e.value >= f.lo_fence) lo_w,
+                     max(e.value) FILTER (WHERE e.value <= f.hi_fence) hi_w
+              FROM events e CROSS JOIN f
+            )
+            SELECT f.n,
+                   CAST(FLOOR(f.vmin * 1e6 + 0.5) AS BIGINT) min_e6,
+                   CAST(FLOOR(f.vmax * 1e6 + 0.5) AS BIGINT) max_e6,
+                   CAST(FLOOR(f.q1 * 1e6 + 0.5) AS BIGINT) q1_e6,
+                   CAST(FLOOR(f.q2 * 1e6 + 0.5) AS BIGINT) q2_e6,
+                   CAST(FLOOR(f.q3 * 1e6 + 0.5) AS BIGINT) q3_e6,
+                   CAST(FLOOR(w.lo_w * 1e6 + 0.5) AS BIGINT) lo_whisker_e6,
+                   CAST(FLOOR(w.hi_w * 1e6 + 0.5) AS BIGINT) hi_whisker_e6
+            FROM f CROSS JOIN w
+        """,
         "price_mad": """
             WITH med AS (
               SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m

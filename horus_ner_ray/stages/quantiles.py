@@ -308,3 +308,57 @@ def mad_by_group(ds, key: str, col: str, n_buckets: int = 64) -> pd.DataFrame:
     out = med.rename(columns={"value": "median"})[[key, "median"]].merge(
         mad[[key, "mad"]], on=key)
     return out.sort_values(key).reset_index(drop=True)
+
+
+def boxplot(ds, col: str, n_bins: int = 4096,
+            gather_limit: int = 2_000_000) -> pd.DataFrame:
+    """ES ``boxplot`` aggregation — EXACT, where ES itself settles for a
+    TDigest sketch (reference analogue: the corpus statistics family,
+    SURVEY §2 G5).  One row: (n, min, max, q1, q2, q3, lo_whisker,
+    hi_whisker) with interpolated quartiles (``quantile_cont``
+    semantics), Tukey fences ``q1 - 1.5*IQR`` / ``q3 + 1.5*IQR``, and
+    whiskers = the smallest stored value >= the lower fence / the
+    largest stored value <= the upper fence.
+
+    Scale shape: three bounded streaming passes — min/max/count,
+    histogram-refinement quartiles (O(bins) driver state), and ONE
+    combiner pass for both whiskers (per-batch conditional min/max,
+    driver reduces a row per block).  Nothing materializes.
+
+    Exactness: quartiles interpolate with the same float association
+    DuckDB's quantile_cont evaluates; the fence arithmetic is two IEEE
+    ops on identical operands; whiskers are actual stored values — so
+    e6 publications hash-compare against SQL without tolerance."""
+    n, vmin, vmax = _minmax_count(ds, col)
+    cols = ["n", "min", "max", "q1", "q2", "q3", "lo_whisker", "hi_whisker"]
+    if n == 0:
+        return pd.DataFrame({c: pd.Series([0 if c == "n" else np.nan])
+                             for c in cols})
+    q = quantile_cont(ds, col, [0.25, 0.5, 0.75], n_bins, gather_limit)
+    q1, q2, q3 = (float(v) for v in q["value"])
+    iqr = q3 - q1
+    lo_fence = q1 - 1.5 * iqr
+    hi_fence = q3 + 1.5 * iqr
+
+    def whisk(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch[col], dtype=np.float64)
+        wl = a[a >= lo_fence]
+        wh = a[a <= hi_fence]
+        if len(wl) == 0 and len(wh) == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({
+            "lo": pa.array([float(wl.min()) if len(wl) else np.inf],
+                           pa.float64()),
+            "hi": pa.array([float(wh.max()) if len(wh) else -np.inf],
+                           pa.float64())})
+
+    w = ds.select_columns([col]).map_batches(
+        whisk, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte()).to_pandas()
+    lo_w = float(w["lo"].min()) if len(w) else np.nan
+    hi_w = float(w["hi"].max()) if len(w) else np.nan
+    return pd.DataFrame({"n": pd.Series([n], dtype=np.int64),
+                         "min": [vmin], "max": [vmax],
+                         "q1": [q1], "q2": [q2], "q3": [q3],
+                         "lo_whisker": [lo_w], "hi_whisker": [hi_w]})

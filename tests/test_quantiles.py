@@ -170,3 +170,45 @@ def test_mad_by_group(ray_session):
         assert row["median"] == m
         assert row["mad"] == disc_med(np.abs(vals - m))
     assert list(got["g"]) == ["a", "b", "c"]
+
+
+def test_boxplot_clips_whiskers(ray_session):
+    """Long-tailed data: whiskers are actual stored values strictly inside
+    min/max; every field equals the numpy reference computation."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import boxplot
+
+    rng = np.random.RandomState(11)
+    vals = np.r_[rng.normal(50, 5, 4000), rng.exponential(200, 100)]
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(5)
+    out = boxplot(ds, "x").iloc[0]
+
+    v = np.sort(vals)
+    n = len(v)
+
+    def cont(q):
+        rn = q * (n - 1)
+        f, c = math.floor(rn), math.ceil(rn)
+        return v[f] if f == c else (c - rn) * v[f] + (rn - f) * v[c]
+
+    q1, q2, q3 = cont(0.25), cont(0.5), cont(0.75)
+    lo_f = q1 - 1.5 * (q3 - q1)
+    hi_f = q3 + 1.5 * (q3 - q1)
+    assert int(out["n"]) == n
+    assert out["min"] == v[0] and out["max"] == v[-1]
+    assert (out["q1"], out["q2"], out["q3"]) == (q1, q2, q3)
+    assert out["lo_whisker"] == v[v >= lo_f].min()
+    assert out["hi_whisker"] == v[v <= hi_f].max()
+    # the synthetic tail guarantees a real clip on the high side
+    assert out["hi_whisker"] < out["max"]
+
+
+def test_boxplot_empty(ray_session):
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import boxplot
+
+    ds = rd.from_pandas(pd.DataFrame({"x": pd.Series([], dtype=np.float64)}))
+    out = boxplot(ds, "x").iloc[0]
+    assert int(out["n"]) == 0 and np.isnan(out["q2"])
