@@ -8046,6 +8046,30 @@ def _q_price_stats_by_flag(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def _q_price_ttest(sf_dir: str):
+    """ES t_test aggregation (Welch, heteroscedastic): is the mean
+    extended price of returned lineitems (flag A) different from flag R?
+    One combiner pass of exact split-integer (n, Sx, Sxx) per group
+    (stages/stats.welch_ttest); t and the Welch-Satterthwaite df finish
+    in float divisions of exactly-representable bigints, so both publish
+    e6-hash-stable against the HUGEINT/DOUBLE SQL restatement."""
+    import math
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import welch_ttest
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice"])
+    r = welch_ttest(li, "l_returnflag", "l_extendedprice", "A", "R")
+    return pd.DataFrame({
+        "n_a": pd.Series([r["n_a"]], dtype=np.int64),
+        "n_b": pd.Series([r["n_b"]], dtype=np.int64),
+        "t_e6": pd.Series([math.floor(r["t"] * 1e6 + 0.5)], dtype=np.int64),
+        "df_e6": pd.Series([math.floor(r["df"] * 1e6 + 0.5)], dtype=np.int64),
+    })
+
+
 def _q_value_boxplot(sf_dir: str):
     """ES boxplot aggregation over events.value, EXACT where ES settles
     for TDigest (stages/quantiles.boxplot): interpolated quartiles from
@@ -8152,6 +8176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
         "bm25_federated": _q_bm25_federated,
@@ -9551,6 +9576,33 @@ def oracle_sql() -> dict[str, str]:
         "bm25_common_terms": _sql_bm25_common_terms(),
         "term_burstiness": _sql_term_burstiness(),
         "event_gap_quantiles": _sql_event_gap_quantiles(),
+        "price_ttest": """
+            WITH q AS (
+              SELECT l_returnflag k,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) x
+              FROM lineitem WHERE l_returnflag IN ('A', 'R')
+            ),
+            s AS (SELECT k, count(*)::HUGEINT n, sum(x) sx, sum(x*x) sxx
+                  FROM q GROUP BY 1),
+            f AS (SELECT a.n na, b.n nb, a.sx sa, b.sx sb,
+                         a.sxx qa, b.sxx qb
+                  FROM s a, s b WHERE a.k = 'A' AND b.k = 'R'),
+            g AS (SELECT na, nb,
+                    CAST(na*qa - sa*sa AS DOUBLE)
+                      / CAST(na*na*(na-1) AS DOUBLE) aa,
+                    CAST(nb*qb - sb*sb AS DOUBLE)
+                      / CAST(nb*nb*(nb-1) AS DOUBLE) ab,
+                    CAST(sa*nb - sb*na AS DOUBLE)
+                      / CAST(na*nb AS DOUBLE) md
+                  FROM f)
+            SELECT na::BIGINT n_a, nb::BIGINT n_b,
+                   CAST(FLOOR(md / sqrt(aa + ab) * 1e6 + 0.5) AS BIGINT) t_e6,
+                   CAST(FLOOR((aa+ab)*(aa+ab)
+                        / (aa*aa/CAST(na-1 AS DOUBLE)
+                           + ab*ab/CAST(nb-1 AS DOUBLE)) * 1e6 + 0.5)
+                        AS BIGINT) df_e6
+            FROM g
+        """,
         "value_boxplot": """
             WITH q AS (
               SELECT count(*)::BIGINT n, min(value) vmin, max(value) vmax,

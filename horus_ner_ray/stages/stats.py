@@ -512,3 +512,43 @@ def winsorized_mean(ds, col: str, scale: int = 100,
     s, n = int(t["sum(s)"]), int(t["sum(n)"])
     mean_e6 = (math.floor(s / n / float(scale) * 1e6 + 0.5) if n else 0)
     return {"n": n, "lo": lo, "hi": hi, "mean_e6": mean_e6}
+
+
+def welch_ttest(ds, key_col: str, x_col: str, group_a, group_b,
+                scale: int = 100) -> dict:
+    """ES ``t_test`` aggregation, heteroscedastic (Welch) flavor — EXACT
+    sufficient statistics, deterministic float tail (reference analogue:
+    the per-class score statistics family, SURVEY §2 G5).
+
+    One streaming combiner pass (``grouped_moment_sums``) accumulates the
+    two groups' (n, Sx, Sxx) in exact split-integer domains; the finish
+    evaluates, in Python-bigint-then-float64 steps mirrored verbatim by
+    the SQL oracle's HUGEINT/DOUBLE casts:
+
+        A_g = (n*Sxx - Sx^2) / (n^2 * (n-1))      # s_g^2 / n_g (quantized)
+        md  = (Sa*nb - Sb*na) / (na*nb)           # mean_a - mean_b
+        t   = md / sqrt(Aa + Ab)
+        df  = (Aa+Ab)^2 / (Aa^2/(na-1) + Ab^2/(nb-1))   # Welch-Satterthwaite
+
+    Every division is ONE float op on exactly-representable integer
+    operands (both sides correctly round the same bigints), so t/df
+    publish e6-hash-stable.  The quantization scale cancels in t and df.
+    Returns {n_a, n_b, t, df}."""
+    sums = grouped_moment_sums(ds, key_col, x_col, x_col,
+                               x_scale=scale, y_scale=scale).to_pandas()
+    sxx = _recombine(sums, "sxx")
+    recs = {k: (int(n), int(sx), int(q))
+            for k, n, sx, q in zip(sums[key_col], sums["n"], sums["sx"], sxx)}
+    if group_a not in recs or group_b not in recs:
+        raise ValueError(f"group missing from {sorted(recs)}")
+    na, sa, qa = recs[group_a]
+    nb, sb, qb = recs[group_b]
+    if na < 2 or nb < 2:
+        raise ValueError("Welch t-test needs n >= 2 per group")
+    a_a = float(na * qa - sa * sa) / float(na * na * (na - 1))
+    a_b = float(nb * qb - sb * sb) / float(nb * nb * (nb - 1))
+    md = float(sa * nb - sb * na) / float(na * nb)
+    t = md / math.sqrt(a_a + a_b)
+    dof = ((a_a + a_b) * (a_a + a_b)
+           / (a_a * a_a / float(na - 1) + a_b * a_b / float(nb - 1)))
+    return {"n_a": na, "n_b": nb, "t": t, "df": dof}

@@ -333,3 +333,47 @@ def test_trending_terms_matches_pandas(ray_session):
     spike_bucket = int(base // iv) + 3
     top = got[(got.bucket == spike_bucket) & (got["rank"] == 1)]
     assert top.iloc[0]["term"] == "spike" and top.iloc[0]["prev_n"] == 0
+
+
+def test_welch_ttest_matches_textbook(ray_session):
+    """t and df equal the closed-form Welch computation on raw arrays;
+    result invariant to partitioning; same-distribution sanity."""
+    import math
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import welch_ttest
+
+    rng = np.random.RandomState(5)
+    a = np.round(rng.normal(100, 10, 700), 2)
+    b = np.round(rng.normal(103, 25, 450), 2)
+    df = pd.DataFrame({"k": ["a"] * len(a) + ["b"] * len(b),
+                       "x": np.r_[a, b]})
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        r = welch_ttest(ds, "k", "x", "a", "b", scale=100)
+        qa = np.floor(a * 100 + 0.5).astype(np.int64)
+        qb = np.floor(b * 100 + 0.5).astype(np.int64)
+        na, nb = len(qa), len(qb)
+        va = qa.var(ddof=1) / na / 1e4
+        vb = qb.var(ddof=1) / nb / 1e4
+        md = qa.mean() / 100 - qb.mean() / 100
+        t_ref = md / math.sqrt(va + vb)
+        df_ref = (va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1))
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["t"] - t_ref) < 1e-9
+        assert abs(r["df"] - df_ref) < 1e-6 * df_ref
+
+
+def test_welch_ttest_guards(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import welch_ttest
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "a", "b"],
+                                      "x": [1.0, 2.0, 3.0]}))
+    with _pytest.raises(ValueError):
+        welch_ttest(ds, "k", "x", "a", "b")  # n_b < 2
+    with _pytest.raises(ValueError):
+        welch_ttest(ds, "k", "x", "a", "zz")
