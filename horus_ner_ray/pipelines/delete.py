@@ -231,6 +231,17 @@ class _CompactDocstoreWorker:
             t = pq.read_table(path)
             ids = np.asarray(t["doc_id"], dtype=np.int64)
             kill = _isin_sorted(ids, self.deleted)
+            if kill.all() and len(t):
+                # every row of this part is tombstoned: a fresh build over
+                # the filtered corpus writes NO docstore part for an empty
+                # fragment, so compaction must REMOVE the file, not publish
+                # a 0-row parquet — byte-identity (and the merge hard-link
+                # path downstream) depends on the layouts matching
+                import os
+
+                os.remove(path)
+                out.append({"path": str(path), "n_rows": 0, "sum_dl": 0})
+                continue
             if kill.any():
                 live = t.filter(pa.array(~kill))
                 tmp = path.with_name(path.name + ".tmp")

@@ -143,8 +143,12 @@ class _ImportFragWorker:
                     and m.get("version") == INDEX_FORMAT_VERSION):
                 return m
         t0 = time.time()
-        _link_or_copy(Path(docstore_part),
-                      self.out.docstore / f"part-{new_fid:05d}.parquet")
+        if Path(docstore_part).exists():
+            _link_or_copy(Path(docstore_part),
+                          self.out.docstore / f"part-{new_fid:05d}.parquet")
+        # a fully-compacted-away fragment has NO docstore part (compaction
+        # removes an all-tombstoned part to match the fresh-build layout);
+        # the merged output must likewise omit it
         if self.fast:
             new_files: list[str] = []
             for f in run_files:
