@@ -76,6 +76,85 @@ def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
     return sorted(lits), sorted(pres)
 
 
+_QS_CLAUSE_RE = re.compile(r'([+-]?)"([^"]*)"|(\S+)')
+_QS_FUZZY_RE = re.compile(r"([a-z0-9]+)~([0-2]?)$")
+
+
+def parse_query_string(qs: str) -> dict:
+    """One-box query-string mini-language (a deterministic subset of the
+    Lucene QueryParser syntax the reference's evidence queries imply,
+    SURVEY.md §2.10):
+
+      ``+term``        required (MUST)
+      ``-term``        banned (MUST_NOT)
+      ``term``         optional (SHOULD) — scores candidates; when no MUST
+                       clause exists, >=1 SHOULD match is required
+      ``"a b"``        exact-adjacency phrase, required; ``-"a b"`` banned
+      ``pre*``         trailing wildcard — dictionary prefix expansion,
+                       always SHOULD (signs ignored on expansions)
+      ``word~``/``word~2``  fuzzy — Levenshtein<=d expansion, SHOULD
+                       (d defaults to 1, capped at 2 by the suffix grammar)
+      ``role:x`` / ``tool:x``  stored-field filters (mask before top-k,
+                       collection statistics stay global; signs ignored)
+
+    Flat clause algebra by design — no parentheses or OR operator — so
+    candidacy + scoring stay SQL-stateable for the driver oracle.  A
+    plain token contributes every tokenizer term it yields under its
+    sign; unknown ``field:`` prefixes degrade to plain tokens.  Returns
+    the clause spec; dictionary expansion happens in
+    ``resolve_query_string`` so the engine and the brute-force oracle
+    share ONE resolution rule."""
+    spec: dict = {"must": set(), "should": set(), "must_not": set(),
+                  "phrases": [], "not_phrases": [],
+                  "prefixes": set(), "fuzzies": set(),
+                  "role": None, "tool": None}
+    for m in _QS_CLAUSE_RE.finditer(qs.lower()):
+        if m.group(3) is None:  # quoted phrase clause
+            words = _TOKEN_RE.findall(m.group(2))
+            if words:
+                key = "not_phrases" if m.group(1) == "-" else "phrases"
+                spec[key].append(words)
+            continue
+        tok = m.group(3)
+        sign = ""
+        if tok[0] in "+-":
+            sign, tok = tok[0], tok[1:]
+        field, sep, value = tok.partition(":")
+        if sep and field in ("role", "tool") and value:
+            spec[field] = value
+            continue
+        if tok.endswith("*") and _TOKEN_RE.fullmatch(tok[:-1]):
+            spec["prefixes"].add(tok[:-1])
+            continue
+        fz = _QS_FUZZY_RE.fullmatch(tok)
+        if fz:
+            spec["fuzzies"].add((fz.group(1), int(fz.group(2) or 1)))
+            continue
+        dest = {"+": "must", "-": "must_not"}.get(sign, "should")
+        spec[dest].update(_TOKEN_RE.findall(tok))
+    return spec
+
+
+def resolve_query_string(spec: dict, expand_prefix, expand_fuzzy
+                         ) -> tuple[list[str], list[str], list[str],
+                                    list[list[str]], list[list[str]],
+                                    str | None, str | None]:
+    """Folds the spec's prefix/fuzzy clauses into SHOULD via the given
+    dictionary expanders and returns ``(must, should, must_not, phrases,
+    not_phrases, role, tool)`` — every term list deduplicated + sorted,
+    SHOULD minus the MUST overlap.  The one resolution rule shared by
+    QueryEngine, BruteForceBM25 and the SQL oracle builder."""
+    should = set(spec["should"])
+    for p in sorted(spec["prefixes"]):
+        should.update(expand_prefix(p))
+    for w, d in sorted(spec["fuzzies"]):
+        should.update(expand_fuzzy(w, d))
+    must = sorted(spec["must"])
+    return (must, sorted(should - set(must)), sorted(spec["must_not"]),
+            spec["phrases"], spec["not_phrases"],
+            spec["role"], spec["tool"])
+
+
 def s_stem(w: str) -> str:
     """Harman S-stemmer (the light plural stemmer of classic IR): three
     ordered suffix rules — ies->y (unless -eies/-aies), -es drops the s
@@ -797,19 +876,96 @@ class BruteForceBM25:
                     scores[d] += self._contrib(idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def _expand_fuzzy_vocab(self, term: str, max_dist: int = 1) -> list[str]:
+        """Edit-distance-``max_dist`` neighborhood of one term in the
+        brute vocabulary (shared by search_fuzzy and search_querystring)."""
+        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+
+        vocab = np.array(sorted(self.postings), dtype=object)
+        d = levenshtein_distances(
+            np.full(len(vocab), term, dtype=object), vocab.astype(str))
+        return [str(x) for x in vocab[d <= max_dist]]
+
     def search_fuzzy(self, text: str, k: int = 10,
                      max_dist: int = 1) -> list[tuple[int, float]]:
         """Oracle typo-tolerant search: brute edit-distance scan of the
         vocabulary per query token, union scored as OR."""
-        from horus_ner_ray.stages.fuzzy import levenshtein_distances
-
-        vocab = np.array(sorted(self.postings), dtype=object)
         sel: set[str] = set()
         for t in query_terms(text):
-            d = levenshtein_distances(
-                np.full(len(vocab), t, dtype=object), vocab.astype(str))
-            sel.update(str(x) for x in vocab[d <= max_dist])
+            sel.update(self._expand_fuzzy_vocab(t, max_dist))
         return self._score_term_set(sorted(sel), k)
+
+    def _phrase_match_set(self, phrase: list[str]) -> set[int]:
+        """Docs whose UNFILTERED token stream contains the exact adjacent
+        phrase (the search_phrase scan as a set primitive; tombstones NOT
+        applied here — callers own the live mask)."""
+        uniq = sorted(set(phrase))
+        if any(t not in self.postings for t in uniq):
+            return set()
+        cand: set[int] | None = None
+        for t in uniq:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        n = len(phrase)
+        out = set()
+        for d in cand or ():
+            toks = self.doc_tokens[d]
+            if any(toks[i:i + n] == phrase for i in range(len(toks) - n + 1)):
+                out.add(d)
+        return out
+
+    def search_querystring(self, qs: str, k: int = 10
+                           ) -> list[tuple[int, float]]:
+        """Oracle query-string search (``parse_query_string`` dialect):
+        candidacy = every MUST term present AND every phrase matches AND
+        (>=1 SHOULD present when no MUST/phrase clause exists) AND no
+        MUST_NOT term / banned phrase AND the field filters; score = BM25
+        sum over distinct (must + phrase + present-should) terms in
+        ascending-term order."""
+        spec = parse_query_string(qs)
+        must, should, mnot, phrases, nphrases, role, tool = \
+            resolve_query_string(
+                spec,
+                lambda p: [t for t in self.postings if t.startswith(p)],
+                self._expand_fuzzy_vocab)
+        should = [t for t in should if t in self.postings]
+        if any(t not in self.postings for t in must):
+            return []
+        for ph in phrases:
+            if any(t not in self.postings for t in ph):
+                return []
+        if not must and not phrases and not should:
+            return []
+        cand: set[int] | None = None
+        for t in must:
+            docs = {d for d, _ in self.postings[t]}
+            cand = docs if cand is None else (cand & docs)
+        for ph in phrases:
+            m = self._phrase_match_set(ph)
+            cand = m if cand is None else (cand & m)
+        if cand is None:
+            cand = set()
+            for t in should:
+                cand |= {d for d, _ in self.postings[t]}
+        banned: set[int] = set()
+        for t in mnot:
+            banned.update(d for d, _ in self.postings.get(t, ()))
+        for ph in nphrases:
+            banned |= self._phrase_match_set(ph)
+        filtered = role is not None or tool is not None
+        cand = {d for d in cand if d not in banned
+                and (self._passes(d, role, tool) if filtered
+                     else d not in self.deleted)}
+        union = sorted(set(must) | set(should)
+                       | {t for ph in phrases for t in ph})
+        scores: dict[int, float] = {}
+        for t in union:
+            idf = bm25_idf(self.n_docs, len(self.postings[t]))
+            for d, f in self.postings[t]:
+                if d in cand:
+                    scores[d] = scores.get(d, 0.0) + self._contrib(
+                        idf, f, self.dl[d])
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     def search_contains(self, text: str, k: int = 10) -> list[tuple[int, float]]:
         """Oracle infix search: substring scan of the vocabulary."""
@@ -3261,6 +3417,160 @@ class QueryEngine:
                 scores[int(doc)] = float(s)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def _phrase_docs(self, si: int, phrase: list[str],
+                     cand: np.ndarray | None = None) -> np.ndarray:
+        """Shard ``si``'s doc ids matching the exact-adjacency phrase
+        (the ``search_phrase`` positional verify as a set primitive),
+        optionally restricted to a sorted candidate subset.  No live/field
+        masks here — callers own them.  Requires cfg.with_positions."""
+        from horus_ner_ray.pipelines.build_index import gather_segments
+
+        empty = np.zeros(0, dtype=np.int64)
+        r = self._reader(si)
+        uniq = sorted(set(phrase))
+        tis = {t: r.term_index(t) for t in uniq}
+        if any(v is None for v in tis.values()):
+            return empty
+        dec = {t: r.postings(ti) for t, ti in tis.items()}
+        c: np.ndarray | None = None
+        for t in uniq:
+            c = dec[t][0] if c is None else np.intersect1d(
+                c, dec[t][0], assume_unique=True)
+            if len(c) == 0:
+                return empty
+        if cand is not None:
+            c = np.intersect1d(c, cand, assume_unique=True)
+            if len(c) == 0:
+                return empty
+        pos = {t: r.positions(tis[t], dec[t][1]) for t in uniq}
+        keys: np.ndarray | None = None
+        for off, t in enumerate(phrase):
+            d_arr, _tf = dec[t]
+            j_arr = np.searchsorted(d_arr, c)
+            flat, offs = pos[t]
+            seg = gather_segments(flat.astype(np.int64), offs, j_arr)
+            lens = (offs[j_arr + 1] - offs[j_arr]).astype(np.int64)
+            cidx = np.repeat(np.arange(len(c), dtype=np.int64), lens)
+            kt = (cidx << np.int64(32)) | (seg - off)
+            kt = kt[seg >= off]
+            keys = kt if keys is None else np.intersect1d(
+                keys, kt, assume_unique=True)
+            if len(keys) == 0:
+                return empty
+        return c[np.unique(keys >> np.int64(32))]
+
+    def search_querystring(self, qs: str, k: int = 10
+                           ) -> list[tuple[int, float]]:
+        """Query-string search — the one-box syntax over the index
+        (``parse_query_string`` dialect: +must -not "phrase" pre* word~
+        role:x tool:x).  Candidacy = every MUST term present AND every
+        phrase matches AND (>=1 SHOULD present when no MUST/phrase clause
+        exists), minus MUST_NOT terms / banned phrases, under the field
+        filters; score = BM25 over distinct (must + phrase +
+        present-should) terms, ascending-term accumulation — bitwise
+        rank-identical to ``BruteForceBM25.search_querystring``.  Prefix/
+        fuzzy clauses expand against the GLOBAL dictionary, so every
+        partitioned-serving actor resolves identically.  Phrase clauses
+        require cfg.with_positions."""
+        spec = parse_query_string(qs)
+        must, should, mnot, phrases, nphrases, role, tool = \
+            resolve_query_string(spec, self.expand_prefix, self.expand_fuzzy)
+        should = [t for t in should if self.global_df(t) > 0]
+        if any(self.global_df(t) == 0 for t in must):
+            return []
+        for ph in phrases:
+            if any(self.global_df(t) == 0 for t in ph):
+                return []
+        if not must and not phrases and not should:
+            return []
+        union = sorted(set(must) | set(should)
+                       | {t for ph in phrases for t in ph})
+        idfs = {t: bm25_idf(self.n_docs, self.global_df(t)) for t in union}
+        excl = [t for t in mnot if self.global_df(t) > 0]
+        filtered = role is not None or tool is not None
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            if len(r.docids) == 0:
+                continue
+            tis = {t: r.term_index(t) for t in union}
+            if any(tis[t] is None for t in must):
+                continue
+            decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            cand: np.ndarray | None = None
+            for t in must:
+                decoded[t] = r.postings(tis[t])
+                cand = decoded[t][0] if cand is None else np.intersect1d(
+                    cand, decoded[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    break
+            if cand is not None and len(cand) == 0:
+                continue
+            for ph in phrases:
+                cand = self._phrase_docs(si, ph, cand=cand)
+                if len(cand) == 0:
+                    break
+            if cand is not None and len(cand) == 0:
+                continue
+            if cand is None:  # pure-SHOULD query: OR candidacy
+                parts = []
+                for t in should:
+                    if tis[t] is None:
+                        continue
+                    decoded[t] = r.postings(tis[t])
+                    parts.append(decoded[t][0])
+                if not parts:
+                    continue
+                cand = np.unique(np.concatenate(parts))
+            m = self._filter_mask(si, role, tool) if filtered else None
+            if excl:
+                em = self._exclude_mask(si, excl)
+                if em is not None:
+                    m = em if m is None else (m & em)
+            lm = self._live_mask(si)
+            if lm is not None:
+                m = lm if m is None else (m & lm)
+            if m is not None:
+                cand = cand[m[np.searchsorted(np.asarray(r.docids), cand)]]
+                if len(cand) == 0:
+                    continue
+            for ph in nphrases:
+                bad = self._phrase_docs(si, ph)
+                if len(bad) == 0:
+                    continue
+                j = np.minimum(np.searchsorted(bad, cand), len(bad) - 1)
+                cand = cand[bad[j] != cand]
+                if len(cand) == 0:
+                    break
+            if len(cand) == 0:
+                continue
+            dls = r.doc_length(cand).astype(np.float64)
+            acc = np.zeros(len(cand), dtype=np.float64)
+            for t in union:  # ascending-term accumulation (determinism)
+                ti = tis[t]
+                if ti is None:
+                    continue
+                d_arr, tf_arr = decoded.get(t) or r.postings(ti)
+                pos = np.minimum(np.searchsorted(d_arr, cand),
+                                 max(len(d_arr) - 1, 0))
+                hit = d_arr[pos] == cand
+                if not hit.any():
+                    continue
+                tff = tf_arr[pos[hit]].astype(np.float64)
+                denom = tff + self.k1 * (
+                    1.0 - self.b + self.b * dls[hit] / self.avgdl)
+                acc[hit] += idfs[t] * (tff * (self.k1 + 1.0)) / denom
+            d, s = _topk_with_ties(cand, acc, k)
+            docs_out.append(d)
+            scores_out.append(s)
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        s = np.concatenate(scores_out)
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
     def search_near(self, text: str, k: int = 10, window: int = 8,
                     role: str | None = None,
                     tool: str | None = None) -> list[tuple[int, float]]:
@@ -4294,6 +4604,15 @@ class ScorerActor:
                 hits = self.engine.search_boolean(
                     row.text, should, exclude or "", int(row.k),
                     min_should_match=int(msm))
+            elif mode == "qs":
+                if role or tool or exclude:
+                    # the query string carries its OWN -term / role: /
+                    # tool: clauses — external filter params would be a
+                    # second, silently-merged filter channel
+                    raise ValueError(
+                        "mode='qs' takes filters inside the query string "
+                        "(role:x tool:x -term), not as parameters")
+                hits = self.engine.search_querystring(row.text, int(row.k))
             elif mode == "near":
                 if exclude:
                     raise ValueError("mode='near' does not compose with "

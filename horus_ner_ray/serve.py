@@ -1189,7 +1189,7 @@ def make_http_server(
                                     "prefix", "fuzzy", "contains", "lm",
                                     "regex", "stemmed", "first", "common",
                                     "boosting", "dismax", "phrase_prefix",
-                                    "span_not"):
+                                    "span_not", "qs"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -1207,11 +1207,13 @@ def make_http_server(
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
                                 "regex", "stemmed", "first", "boosting",
                                 "dismax", "phrase_prefix", "common",
-                                "span_not") and (
+                                "span_not", "qs") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "
-                        "role/tool/exclude")
+                        "role/tool/exclude"
+                        + (" (mode=qs takes them inside the query string)"
+                           if req_mode == "qs" else ""))
                 req_negative = (qs.get("negative") or [""])[0] or None
                 if req_negative and req_mode not in ("boosting", "span_not"):
                     raise ValueError(
