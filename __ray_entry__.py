@@ -6032,6 +6032,173 @@ def _q_bm25_phrase(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+QS_QUERIES = [
+    '+data s* -dup "table hash"',     # must + prefix expansion + NOT + phrase
+    "merge group fasx~1",             # OR with a fuzzy expansion clause
+    "+scan +filter slow",             # conjunctive musts + should boost
+    '"customer join" -small que*',    # phrase-only candidacy + NOT + prefix
+    '-"table hash" table hash',       # banned phrase over an OR match set
+]
+
+
+def _q_bm25_query_string(sf_dir: str):
+    """One-box query-string search (mode=qs; the Lucene-QueryParser
+    subset of pipelines/query.parse_query_string): must/not terms,
+    required and banned exact phrases, trailing-wildcard and fuzzy
+    dictionary expansions — one flat clause algebra, BM25 over the
+    distinct clause terms.  The SQL oracle re-parses the SAME strings
+    through parse_query_string and restates candidacy (must counts,
+    phrase adjacency, NOT-exists) plus the dfv-side expansions (LIKE /
+    levenshtein), so the dialect's semantics are what's checked."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir, positions=True))
+    hits = [eng.search_querystring(q, TOPK * 3 + 20) for q in QS_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_query_string() -> str:
+    """Query-string oracle: clause sets come from the SHARED parser
+    (parse_query_string — the spec under test is the resolution rule,
+    like _sql_bm25_prefix's reuse of parse_prefix_query); expansion,
+    candidacy and scoring all restate in SQL."""
+    from horus_ner_ray.pipelines.query import parse_query_string
+
+    qm_rows = ["(-1, '###none###')"]   # sentinels keep VALUES non-empty
+    qex_rows = ["(-1, '###none###')"]
+    qph_rows = ["(-1, '###none###')"]
+    meta_rows: list[str] = []
+    qs_parts: list[str] = []
+    ph_parts: list[str] = []
+    phban_parts: list[str] = []
+
+    def _adj_select(qid: int, pidx: int, words: list[str]) -> str:
+        n = len(words)
+        cond = " AND ".join(f"arr[i+{j}] = '{t}'"
+                            for j, t in enumerate(words))
+        return (f"SELECT {qid} AS query_id, {pidx} AS ph, doc_id FROM tok "
+                f"WHERE len(arr) >= {n} AND list_contains(list_transform("
+                f"generate_series(1, len(arr) - {n - 1}), i -> {cond}), true)")
+
+    for qid, qs in enumerate(QS_QUERIES):
+        spec = parse_query_string(qs)
+        must = sorted(spec["must"])
+        for t in must:
+            qm_rows.append(f"({qid}, '{t}')")
+        meta_rows.append(f"({qid}, {len(must)}, {len(spec['phrases'])})")
+        for t in sorted(spec["must_not"]):
+            qex_rows.append(f"({qid}, '{t}')")
+        lits = sorted(spec["should"])
+        if lits:
+            rows = ", ".join(f"({qid}, '{t}')" for t in lits)
+            qs_parts.append(
+                f"SELECT * FROM (VALUES {rows}) v(query_id, term)")
+        for p in sorted(spec["prefixes"]):
+            qs_parts.append(f"SELECT {qid} AS query_id, term FROM dfv "
+                            f"WHERE term LIKE '{p}%'")
+        for w, d in sorted(spec["fuzzies"]):
+            qs_parts.append(f"SELECT {qid} AS query_id, term FROM dfv "
+                            f"WHERE levenshtein(term, '{w}') <= {d}")
+        for pidx, words in enumerate(spec["phrases"]):
+            ph_parts.append(_adj_select(qid, pidx, words))
+            for t in sorted(set(words)):
+                qph_rows.append(f"({qid}, '{t}')")
+        for words in spec["not_phrases"]:
+            phban_parts.append(_adj_select(qid, 0, words))
+    empty = ("SELECT -1 AS query_id, 0 AS ph, -1 AS doc_id WHERE 1 = 0")
+    qs_sql = " UNION ".join(qs_parts) if qs_parts else (
+        "SELECT -1 AS query_id, '###none###' AS term WHERE 1 = 0")
+    ph_sql = "\n  UNION ALL ".join(ph_parts) if ph_parts else empty
+    phban_sql = "\n  UNION ALL ".join(phban_parts) if phban_parts else empty
+    return f"""
+WITH tok AS (SELECT doc_id, {_sql_tok()} AS arr FROM documents),
+flat AS (SELECT doc_id, unnest(arr) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM flat GROUP BY 1, 2),
+dl AS (SELECT doc_id, len(arr)::BIGINT dl FROM tok),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+qm(query_id, term) AS (VALUES {", ".join(qm_rows)}),
+qex(query_id, term) AS (VALUES {", ".join(qex_rows)}),
+qph(query_id, term) AS (VALUES {", ".join(qph_rows)}),
+meta(query_id, nm, np) AS (VALUES {", ".join(meta_rows)}),
+qsraw AS ({qs_sql}),
+qsd AS (  -- SHOULD = literals + expansions, minus the MUST overlap
+  SELECT DISTINCT u.query_id, u.term FROM qsraw u
+  WHERE NOT EXISTS (SELECT 1 FROM qm
+                    WHERE qm.query_id = u.query_id AND qm.term = u.term)
+),
+qall AS (  -- the distinct scoring set: must + should + phrase members
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM qm WHERE query_id >= 0
+    UNION ALL SELECT query_id, term FROM qsd
+    UNION ALL SELECT query_id, term FROM qph WHERE query_id >= 0)
+),
+must_hit AS (
+  SELECT qm.query_id, tf.doc_id, count(DISTINCT qm.term) mc
+  FROM qm JOIN tf USING (term) WHERE qm.query_id >= 0 GROUP BY 1, 2
+),
+ph_hit AS (
+  SELECT query_id, doc_id, count(DISTINCT ph) pc FROM (
+  {ph_sql}
+  ) GROUP BY 1, 2
+),
+should_hit AS (
+  SELECT qsd.query_id, tf.doc_id FROM qsd JOIN tf USING (term) GROUP BY 1, 2
+),
+phban AS (
+  SELECT DISTINCT query_id, doc_id FROM (
+  {phban_sql}
+  )
+),
+base AS (
+  SELECT query_id, doc_id FROM must_hit
+  UNION SELECT query_id, doc_id FROM ph_hit
+  UNION SELECT query_id, doc_id FROM should_hit
+),
+cand AS (
+  SELECT b.query_id, b.doc_id
+  FROM base b
+  JOIN meta USING (query_id)
+  LEFT JOIN must_hit mh ON mh.query_id = b.query_id AND mh.doc_id = b.doc_id
+  LEFT JOIN ph_hit ph ON ph.query_id = b.query_id AND ph.doc_id = b.doc_id
+  LEFT JOIN should_hit sh ON sh.query_id = b.query_id AND sh.doc_id = b.doc_id
+  WHERE coalesce(mh.mc, 0) = meta.nm
+    AND coalesce(ph.pc, 0) = meta.np
+    AND (meta.nm + meta.np > 0 OR sh.doc_id IS NOT NULL)
+    AND NOT EXISTS (SELECT 1 FROM qex e JOIN tf x ON x.term = e.term
+                    AND x.doc_id = b.doc_id WHERE e.query_id = b.query_id)
+    AND NOT EXISTS (SELECT 1 FROM phban pb WHERE pb.query_id = b.query_id
+                    AND pb.doc_id = b.doc_id)
+),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM cand c
+  JOIN qall a ON a.query_id = c.query_id
+  JOIN tf ON tf.doc_id = c.doc_id AND tf.term = a.term
+  JOIN dfv ON dfv.term = a.term
+  JOIN dl ON dl.doc_id = c.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _conll_sample_files() -> tuple[str, str, str]:
     """Deterministic CoNLL sample files (idempotent; written under
     GRAFT_TMP so the SQL oracle's read_text glob sees the SAME bytes).
@@ -8176,6 +8343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "bm25_query_string": _q_bm25_query_string,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -9576,6 +9744,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_common_terms": _sql_bm25_common_terms(),
         "term_burstiness": _sql_term_burstiness(),
         "event_gap_quantiles": _sql_event_gap_quantiles(),
+        "bm25_query_string": _sql_bm25_query_string(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,
