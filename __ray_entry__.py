@@ -6199,6 +6199,87 @@ SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
 """
 
 
+_DSIR_K = 40
+_DSIR_B = 16
+_DSIR_SEED = 7
+_DSIR_TARGET = "src0"
+
+
+def _q_dsir_select(sf_dir: str):
+    """DSIR data selection (stages/dsir.py — Xie et al., NeurIPS 2023):
+    hashed-unigram bucket models (B=16, the shared SipHash term hash) of
+    the TARGET slice (source='src0') vs the RAW pool, per-doc log
+    importance weights as order-free e9-int sums, Gumbel-top-k resample
+    keyed by splitmix64(doc_id XOR seed).  SQL restates the bucket
+    models, the smoothing/ln arithmetic, the e9 quantization and the
+    Gumbel draw; term hashes inline via _doc_vocab_hash_values (the
+    closed-vocab precedent)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dsir import dsir_select
+
+    raw = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "source"])
+    raw = raw.map_batches(
+        lambda b: b.append_column(
+            "is_target", pc_.equal(b["source"], _DSIR_TARGET)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = dsir_select(raw, k=_DSIR_K, n_buckets=_DSIR_B, seed=_DSIR_SEED,
+                      target_mask_col="is_target")
+    return out[["rank", "doc_id", "w_e9", "key_e6"]].astype(np.int64)
+
+
+def _sql_dsir_select() -> str:
+    B = _DSIR_B
+    h = _sql_splitmix64(f"xor(CAST(doc_id AS UBIGINT), "
+                        f"CAST({_DSIR_SEED} AS UBIGINT))")
+    return f"""
+WITH th(term, h) AS (VALUES {_doc_vocab_hash_values()}),
+tok AS (
+  SELECT doc_id, source, unnest({_sql_tok()}) AS term FROM documents
+),
+tb AS (
+  SELECT t.doc_id, t.source, CAST(th.h % {B} AS BIGINT) AS b
+  FROM tok t JOIN th USING (term)
+),
+tcnt AS (SELECT b, count(*)::BIGINT n FROM tb
+         WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+rcnt AS (SELECT b, count(*)::BIGINT n FROM tb GROUP BY 1),
+tt AS (SELECT coalesce(sum(n), 0)::BIGINT n FROM tcnt),
+rt AS (SELECT coalesce(sum(n), 0)::BIGINT n FROM rcnt),
+lr AS (
+  SELECT bb.b,
+         ln((coalesce(tc.n, 0) + 1.0) / ((SELECT n FROM tt) + {B}))
+         - ln((coalesce(rc.n, 0) + 1.0) / ((SELECT n FROM rt) + {B})) AS lr
+  FROM (SELECT unnest(generate_series(0, {B - 1}))::BIGINT AS b) bb
+  LEFT JOIN tcnt tc USING (b) LEFT JOIN rcnt rc USING (b)
+),
+docb AS (SELECT doc_id, b, count(*)::DOUBLE c FROM tb GROUP BY 1, 2),
+w AS (
+  SELECT d.doc_id,
+         sum(CAST(FLOOR(docb.c * lr.lr * 1e9 + 0.5) AS BIGINT)) AS w_e9
+  FROM documents d
+  LEFT JOIN docb ON docb.doc_id = d.doc_id
+  LEFT JOIN lr ON lr.b = docb.b
+  GROUP BY 1
+),
+g AS (
+  SELECT doc_id, CAST(coalesce(w_e9, 0) AS BIGINT) AS w_e9,
+         CAST(FLOOR((coalesce(w_e9, 0)::DOUBLE / 1e9
+                     + (-ln(-ln((CAST(({h}) AS DOUBLE) + 1.0)
+                                / 18446744073709551616.0))))
+                    * 1e6 + 0.5) AS BIGINT) AS key_e6
+  FROM w
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS rank,
+         doc_id, w_e9, key_e6
+  FROM g
+)
+SELECT rank, doc_id, w_e9, key_e6 FROM ranked WHERE rank <= {_DSIR_K}
+"""
+
+
 def _conll_sample_files() -> tuple[str, str, str]:
     """Deterministic CoNLL sample files (idempotent; written under
     GRAFT_TMP so the SQL oracle's read_text glob sees the SAME bytes).
@@ -8344,6 +8425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_query_string": _q_bm25_query_string,
+        "dsir_select": _q_dsir_select,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -9745,6 +9827,7 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": _sql_term_burstiness(),
         "event_gap_quantiles": _sql_event_gap_quantiles(),
         "bm25_query_string": _sql_bm25_query_string(),
+        "dsir_select": _sql_dsir_select(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,
