@@ -6280,6 +6280,61 @@ SELECT rank, doc_id, w_e9, key_e6 FROM ranked WHERE rank <= {_DSIR_K}
 """
 
 
+_TBM_BUDGET = 1500
+_TBM_SEED = 13
+
+
+def _q_token_budget_mix(sf_dir: str):
+    """Token-budget mixture (functions/sampling.token_budget_mix — "take
+    at most B tokens per source, pseudo-randomly"): maximal per-source
+    prefix in splitmix64(doc_id XOR seed) hash order whose cumulative
+    token count stays <= the budget.  Distributed as histogram
+    refinement (bucketed token-sum combiner -> boundary-bucket resolve
+    -> broadcast-cutoff filter map); the SQL states the defining window
+    rule directly — sum(dl) OVER (PARTITION BY source ORDER BY h,
+    doc_id) <= B."""
+    import pyarrow as pa_
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import token_budget_mix
+    from horus_ner_ray.stages.tokenize import token_counts
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "source"])
+
+    def add_dl(b: pa_.Table) -> pa_.Table:
+        return pa_.table({"source": b["source"], "doc_id": b["doc_id"],
+                          "dl": pa_.array(token_counts(b["text"])
+                                          .astype(np.int64), pa_.int64())})
+
+    withdl = docs.map_batches(add_dl, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = token_budget_mix(withdl, "source", "doc_id", "dl",
+                           budget=_TBM_BUDGET, seed=_TBM_SEED,
+                           n_buckets=64).to_pandas()
+    return (out[["source", "doc_id", "dl"]].astype({"doc_id": np.int64,
+                                                    "dl": np.int64})
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+
+
+def _sql_token_budget_mix() -> str:
+    h = _sql_splitmix64(f"xor(CAST(doc_id AS UBIGINT), "
+                        f"CAST({_TBM_SEED} AS UBIGINT))")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({_sql_tok()})::BIGINT AS dl,
+         {h} AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, dl,
+         sum(dl) OVER (PARTITION BY source ORDER BY h, doc_id) AS cum
+  FROM d
+)
+SELECT source, doc_id, dl FROM c WHERE cum <= {_TBM_BUDGET}
+ORDER BY source, doc_id
+"""
+
+
 def _conll_sample_files() -> tuple[str, str, str]:
     """Deterministic CoNLL sample files (idempotent; written under
     GRAFT_TMP so the SQL oracle's read_text glob sees the SAME bytes).
@@ -8426,6 +8481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "bm25_query_string": _q_bm25_query_string,
         "dsir_select": _q_dsir_select,
+        "token_budget_mix": _q_token_budget_mix,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -9828,6 +9884,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gap_quantiles": _sql_event_gap_quantiles(),
         "bm25_query_string": _sql_bm25_query_string(),
         "dsir_select": _sql_dsir_select(),
+        "token_budget_mix": _sql_token_budget_mix(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,

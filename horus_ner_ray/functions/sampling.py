@@ -148,6 +148,137 @@ def weighted_sample_per_group(ds, group_col: str, key_col: str,
                                                batch_format="pandas")
 
 
+def token_budget_mix(ds, group_col: str, id_col: str, dl_col: str,
+                     budget, seed: int = 42, n_buckets: int = 1024):
+    """Token-budget mixture selection — the pretraining-data mixing step
+    "take AT MOST ``budget`` tokens from each source/domain, chosen
+    pseudo-randomly": every row draws ``h = splitmix64(id XOR seed)``
+    and each group keeps the maximal prefix, in (h, id) order, whose
+    cumulative ``dl_col`` stays <= its budget (exactly the SQL window
+    rule ``sum(dl) OVER (PARTITION BY group ORDER BY h, id) <= budget``
+    — the oracle).  ``budget`` is one int for every group or a
+    ``{group: int}`` dict (missing groups get nothing).
+
+    Scale shape (the quantile histogram-refinement pattern): pass 1 is a
+    per-batch combiner of (group, h-prefix-bucket) token sums — at most
+    groups x ``n_buckets`` tiny rows leave each task — whose driver-side
+    cumsum locates each group's BOUNDARY bucket; pass 2 collects only
+    the boundary buckets' rows (~N/n_buckets per group) to resolve the
+    exact (h, id) cutoff; pass 3 filters the pool with the broadcast
+    cutoff table, a pure map.  The corpus never shuffles and the driver
+    never holds more than the boundary buckets.
+
+    Returns the selected rows as a streaming Dataset with the original
+    columns of (group_col, id_col, dl_col)."""
+    import pandas as pd
+
+    from horus_ner_ray.stages.sketches import splitmix64
+
+    if n_buckets < 2 or (n_buckets & (n_buckets - 1)):
+        raise ValueError(f"n_buckets must be a power of two >= 2, "
+                         f"got {n_buckets}")
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def _budget_of(g) -> int:
+        if isinstance(budget, dict):
+            return int(budget.get(g, 0))
+        return int(budget)
+
+    cols = [group_col, id_col, dl_col]
+
+    def _hb(batch: pa.Table):
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        return ids, h, (h >> shift).astype(np.int64)
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        _ids, _h, b = _hb(batch)
+        dl = np.asarray(batch[dl_col], dtype=np.int64)
+        grp = np.asarray(batch[group_col], dtype=object)
+        uniq, codes = np.unique(grp, return_inverse=True)
+        key = codes * n_buckets + b
+        sums = np.bincount(key, weights=dl,
+                           minlength=len(uniq) * n_buckets)
+        nz = np.flatnonzero(sums)
+        return pa.table({
+            group_col: pa.array(uniq[nz // n_buckets].astype(str)),
+            "bucket": pa.array(nz % n_buckets, pa.int64()),
+            "tok": pa.array(sums[nz].astype(np.int64), pa.int64())})
+
+    parts = (ds.select_columns(cols)
+             .map_batches(pass1, batch_format="pyarrow",
+                          zero_copy_batch=True, runtime_env=_rte())
+             .to_pandas())
+    agg = parts.groupby([group_col, "bucket"], sort=True)["tok"].sum()
+
+    # per group: boundary bucket (where the cumsum crosses the budget)
+    # and the budget remaining on entry to it
+    boundary: dict = {}   # group -> (b_star, remaining)
+    cutoff: dict = {}     # group -> (h_cut uint64, id_cut int64)
+    _all = (np.uint64(2**64 - 1), np.int64(2**63 - 1))
+    _none = (np.uint64(0), np.int64(-1))
+    for g in agg.index.get_level_values(0).unique():
+        bud = _budget_of(g)
+        s = agg.loc[g]
+        cum = s.cumsum()
+        over = cum[cum > bud]
+        if len(over) == 0:
+            cutoff[g] = _all  # whole group fits
+            continue
+        b_star = int(over.index[0])
+        before = int(cum.loc[b_star]) - int(s.loc[b_star])
+        boundary[g] = (b_star, bud - before)
+
+    if boundary:
+        def pass2(batch: pa.Table) -> pa.Table:
+            ids, h, b = _hb(batch)
+            dl = np.asarray(batch[dl_col], dtype=np.int64)
+            grp = np.asarray(batch[group_col], dtype=object)
+            keep = np.zeros(len(ids), dtype=bool)
+            for g, (b_star, _rem) in boundary.items():
+                keep |= (grp == g) & (b == b_star)
+            return pa.table({
+                group_col: pa.array(grp[keep].astype(str)),
+                id_col: pa.array(ids[keep], pa.int64()),
+                "h": pa.array(h[keep], pa.uint64()),
+                dl_col: pa.array(dl[keep], pa.int64())})
+
+        edge = (ds.select_columns(cols)
+                .map_batches(pass2, batch_format="pyarrow",
+                             zero_copy_batch=True, runtime_env=_rte())
+                .to_pandas())  # ~N/n_buckets rows per group — bounded
+        for g, (b_star, rem) in boundary.items():
+            rows = edge[edge[group_col] == g]
+            order = np.lexsort((rows[id_col].to_numpy(np.int64),
+                                rows["h"].to_numpy(np.uint64)))
+            cum = np.cumsum(rows[dl_col].to_numpy(np.int64)[order])
+            n_sel = int(np.searchsorted(cum, rem, side="right"))
+            if n_sel == 0:
+                # nothing in the boundary bucket fits, but every row of
+                # the EARLIER buckets is still selected: cut at the
+                # bucket base (h < b_star << shift; id -1 never matches)
+                cutoff[g] = (np.uint64(b_star) << shift, np.int64(-1))
+            else:
+                last = order[n_sel - 1]
+                cutoff[g] = (rows["h"].to_numpy(np.uint64)[last],
+                             np.int64(rows[id_col].to_numpy(np.int64)[last]))
+
+    def pass3(batch: pa.Table) -> pa.Table:
+        ids, h, _b = _hb(batch)
+        grp = np.asarray(batch[group_col], dtype=object)
+        uniq, codes = np.unique(grp, return_inverse=True)
+        hc = np.array([cutoff.get(g, _none)[0] for g in uniq],
+                      dtype=np.uint64)[codes]
+        ic = np.array([cutoff.get(g, _none)[1] for g in uniq],
+                      dtype=np.int64)[codes]
+        keep = (h < hc) | ((h == hc) & (ids <= ic))
+        return batch.filter(pa.array(keep))
+
+    return ds.select_columns(cols).map_batches(
+        pass3, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())
+
+
 def split_proportions(ds, id_col: str = "doc_id", train_pct: int = 80):
     """(split, n) counts for the hash split — combiner + tiny groupby."""
     from ray.data.aggregate import Sum
