@@ -5884,6 +5884,147 @@ ORDER BY query_id, bucket
 """
 
 
+_AUTO_HISTO_TARGET = 24
+_MOVING_W = 3
+
+
+def _q_auto_date_histogram(sf_dir: str):
+    """auto_date_histogram (ES aggregation): the interval is CHOSEN by
+    the shared ladder rule (choose_auto_interval — smallest of 1s..365d
+    whose densified span over the match set's ts bounds fits the target
+    bucket count), then the ordinary date histogram at that interval.
+    SQL restates the bounds, the ladder choice and the nonneg-mod floor
+    bucketing."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    rows = {"query_id": [], "interval_us": [], "bucket": [], "n_docs": []}
+    for qid, q in enumerate(reference_queries()):
+        iv, hist = eng.auto_date_histogram(q["text"],
+                                           target_buckets=_AUTO_HISTO_TARGET)
+        for b, n in sorted(hist.items()):
+            rows["query_id"].append(qid)
+            rows["interval_us"].append(iv)
+            rows["bucket"].append(b)
+            rows["n_docs"].append(n)
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                         for k, v in rows.items()})
+
+
+def _sql_auto_date_histogram() -> str:
+    from horus_ner_ray.pipelines.query import AUTO_HISTO_LADDER_US
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    ladder = ", ".join(f"({iv})" for iv in AUTO_HISTO_LADDER_US)
+
+    def fdiv(x: str, iv: str) -> str:  # floor division via nonneg mod
+        return f"(({x} - (({x} % {iv} + {iv}) % {iv})) // {iv})"
+
+    return f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{glob}')
+),
+convs AS (SELECT conv_id, count(*) n FROM raw GROUP BY 1),
+offs AS (
+  SELECT conv_id,
+         coalesce(sum(n) OVER (ORDER BY conv_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM convs
+),
+documents AS (
+  SELECT (off + turn_idx)::BIGINT AS doc_id, ts, text
+  FROM raw JOIN offs USING (conv_id)
+),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({_sql_tok()}) AS term FROM documents
+),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+matched AS (
+  SELECT DISTINCT q.query_id, t.doc_id FROM q JOIN tok t USING (term)
+),
+mts AS (
+  SELECT m.query_id, epoch_us(d.ts) AS t
+  FROM matched m JOIN documents d USING (doc_id) WHERE d.ts IS NOT NULL
+),
+bounds AS (SELECT query_id, min(t) lo, max(t) hi FROM mts GROUP BY 1),
+ladder(iv) AS (VALUES {ladder}),
+feas AS (
+  SELECT b.query_id, l.iv,
+         {fdiv('b.hi', 'l.iv')} - {fdiv('b.lo', 'l.iv')} + 1 AS span
+  FROM bounds b CROSS JOIN ladder l
+),
+chosen AS (
+  SELECT query_id,
+         coalesce(min(iv) FILTER (WHERE span <= {_AUTO_HISTO_TARGET}),
+                  (SELECT max(iv) FROM ladder)) AS iv
+  FROM feas GROUP BY 1
+)
+SELECT mts.query_id, c.iv::BIGINT AS interval_us,
+       {fdiv('mts.t', 'c.iv')}::BIGINT AS bucket,
+       count(*)::BIGINT AS n_docs
+FROM mts JOIN chosen c USING (query_id)
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_moving_avg_histogram(sf_dir: str):
+    """ES moving-function average over the date histogram: densified
+    buckets, trailing-{_MOVING_W}-bucket count sum and its exact integer
+    floor-mean (the shared histogram_moving rule; w_eff = min(W, buckets
+    so far) keeps the warm-up exact).  SQL = window sum/count over ROWS
+    W-1 PRECEDING with integer division."""
+    from horus_ner_ray.pipelines.query import QueryEngine, histogram_moving
+    from horus_ner_ray.synth import reference_queries
+
+    eng = QueryEngine(_tr_index_dir(sf_dir))
+    rows = {"query_id": [], "bucket": [], "n_docs": [], "mov_sum": [],
+            "mavg_e6": []}
+    for qid, q in enumerate(reference_queries()):
+        hist = eng.date_histogram(q["text"], interval_us=_HISTO_INTERVAL_US)
+        for b, n, s, a in histogram_moving(hist, _MOVING_W):
+            rows["query_id"].append(qid)
+            rows["bucket"].append(b)
+            rows["n_docs"].append(n)
+            rows["mov_sum"].append(s)
+            rows["mavg_e6"].append(a)
+    return pd.DataFrame({k: pd.Series(v, dtype=np.int64)
+                         for k, v in rows.items()})
+
+
+def _sql_moving_avg_histogram() -> str:
+    base = _sql_bm25_date_histogram().strip()
+    w = _MOVING_W
+    return f"""
+WITH hist AS ({base}),
+bounds AS (SELECT query_id, min(bucket) lo, max(bucket) hi
+           FROM hist GROUP BY 1),
+series AS (
+  SELECT b.query_id, unnest(generate_series(b.lo, b.hi)) AS bucket
+  FROM bounds b
+),
+dense AS (
+  SELECT s.query_id, s.bucket, coalesce(h.n_docs, 0)::BIGINT AS n_docs
+  FROM series s LEFT JOIN hist h USING (query_id, bucket)
+),
+win AS (
+  SELECT query_id, bucket, n_docs,
+         sum(n_docs) OVER (PARTITION BY query_id ORDER BY bucket
+                           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+                           )::BIGINT AS mov_sum,
+         count(*) OVER (PARTITION BY query_id ORDER BY bucket
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+                        )::BIGINT AS w_eff
+  FROM dense
+)
+SELECT query_id, bucket, n_docs, mov_sum,
+       ((mov_sum * 1000000) // w_eff)::BIGINT AS mavg_e6
+FROM win ORDER BY query_id, bucket
+"""
+
+
 def _sql_bm25_facets() -> str:
     """Facet oracle: DISTINCT matching docs per (query, role) over the
     same transcript derivation as the role-scoped BM25 oracle."""
@@ -8482,6 +8623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_query_string": _q_bm25_query_string,
         "dsir_select": _q_dsir_select,
         "token_budget_mix": _q_token_budget_mix,
+        "auto_date_histogram": _q_auto_date_histogram,
+        "moving_avg_histogram": _q_moving_avg_histogram,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -9885,6 +10028,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_query_string": _sql_bm25_query_string(),
         "dsir_select": _sql_dsir_select(),
         "token_budget_mix": _sql_token_budget_mix(),
+        "auto_date_histogram": _sql_auto_date_histogram(),
+        "moving_avg_histogram": _sql_moving_avg_histogram(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,

@@ -847,6 +847,18 @@ class BruteForceBM25:
             out[b] = out.get(b, 0) + 1
         return out
 
+    def auto_date_histogram(self, text: str, target_buckets: int = 20
+                            ) -> tuple[int, dict[int, int]]:
+        """Oracle auto_date_histogram: interval = choose_auto_interval
+        over the OR match set's stored-ts bounds (field_stats), then the
+        ordinary date histogram at that interval.  Returns
+        (interval_us, hist); ts-less match sets return (0, {})."""
+        st = self.field_stats(text, "ts")
+        if st["count"] == 0:
+            return 0, {}
+        iv = choose_auto_interval(st["min"], st["max"], target_buckets)
+        return iv, self.date_histogram(text, interval_us=iv)
+
     def more_like_this(self, doc_id: int, k: int = 10,
                        m_terms: int = 5) -> list[tuple[int, float]]:
         """Oracle query-by-example: same tf*ln(N/df) top-m selection and
@@ -2769,6 +2781,20 @@ class QueryEngine:
                             "idf": idf, "contribution": contrib})
             break
         return out
+
+    def auto_date_histogram(self, text: str, target_buckets: int = 20
+                            ) -> tuple[int, dict[int, int]]:
+        """auto_date_histogram (the ES aggregation of the same name):
+        interval = ``choose_auto_interval`` over the OR match set's
+        stored-ts bounds (one field_stats pass), then the ordinary date
+        histogram at the chosen interval.  Returns (interval_us, hist);
+        ts-less match sets return (0, {}).  Shared rule with the
+        brute-force oracle and the serving pool."""
+        st = self.field_stats(text, "ts")
+        if st["count"] == 0:
+            return 0, {}
+        iv = choose_auto_interval(st["min"], st["max"], target_buckets)
+        return iv, self.date_histogram(text, interval_us=iv)
 
     def date_histogram(self, text: str,
                        interval_us: int = 86_400_000_000) -> dict[int, int]:
@@ -4786,6 +4812,55 @@ def histogram_pipeline(hist: dict[int, int]
         cum += n
         out.append((b, n, cum, n - prev))
         prev = n
+    return out
+
+
+AUTO_HISTO_LADDER_US: tuple[int, ...] = (
+    1_000_000, 10_000_000, 60_000_000, 600_000_000, 3_600_000_000,
+    10_800_000_000, 43_200_000_000, 86_400_000_000, 604_800_000_000,
+    2_592_000_000_000, 7_776_000_000_000, 31_536_000_000_000,
+)  # 1s 10s 1m 10m 1h 3h 12h 1d 7d 30d 90d 365d
+
+
+def choose_auto_interval(lo_us: int, hi_us: int, target_buckets: int,
+                         ladder: tuple[int, ...] = AUTO_HISTO_LADDER_US
+                         ) -> int:
+    """ES auto_date_histogram's interval rule: the SMALLEST ladder
+    interval whose densified bucket span over [lo, hi] fits
+    ``target_buckets`` (the largest interval when none does).  Pure
+    integer floor division — THE shared rule for engine, brute force,
+    serving and the SQL oracle (which restates the floor with the
+    nonneg-mod idiom for negative epochs)."""
+    if target_buckets <= 0:
+        raise ValueError(f"target_buckets must be > 0, got {target_buckets}")
+    for iv in ladder:
+        if hi_us // iv - lo_us // iv + 1 <= target_buckets:
+            return int(iv)
+    return int(ladder[-1])
+
+
+def histogram_moving(hist: dict[int, int], window: int
+                     ) -> list[tuple[int, int, int, int]]:
+    """ES moving-function average over a (date-)histogram: buckets
+    densified min..max (min_doc_count=0), each row (bucket, n, mov_sum,
+    mavg_e6) where mov_sum is the trailing-``window``-bucket count sum
+    INCLUDING the current bucket and ``mavg_e6 = mov_sum * 1e6 //
+    w_eff`` with ``w_eff = min(window, buckets so far)`` — pure integer
+    math, THE shared rule across engine / serving / SQL.  Empty
+    histogram -> []."""
+    if window <= 0:
+        raise ValueError(f"window must be > 0, got {window}")
+    if not hist:
+        return []
+    lo, hi = min(hist), max(hist)
+    out = []
+    ns: list[int] = []
+    for i, b in enumerate(range(int(lo), int(hi) + 1)):
+        n = int(hist.get(b, 0))
+        ns.append(n)
+        w_eff = min(window, i + 1)
+        mov = sum(ns[-window:])
+        out.append((b, n, mov, mov * 1_000_000 // w_eff))
     return out
 
 

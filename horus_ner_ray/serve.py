@@ -248,6 +248,21 @@ class QueryService:
                 out[int(b)] = out.get(int(b), 0) + int(c)
         return out
 
+    def auto_date_histogram(self, text: str, target_buckets: int = 20
+                            ) -> tuple[int, dict[int, int]]:
+        """auto_date_histogram through the pool: one field_stats scatter
+        bounds the match set's stored ts, ``choose_auto_interval`` picks
+        the ladder interval (the shared rule), one histogram scatter at
+        that interval — identical (interval, buckets) to
+        QueryEngine.auto_date_histogram."""
+        from horus_ner_ray.pipelines.query import choose_auto_interval
+
+        st = self.field_stats(text, "ts")
+        if st["count"] == 0:
+            return 0, {}
+        iv = choose_auto_interval(st["min"], st["max"], target_buckets)
+        return iv, self.date_histogram(text, interval_us=iv)
+
     def count(self, text: str, mode: str = "or", role: str | None = None,
               tool: str | None = None) -> int:
         """Total-hits count: per-subset partial counts sum exactly
@@ -771,17 +786,42 @@ def make_http_server(
                     iv = int((qs.get("interval") or ["86400000000"])[0])
                     if iv <= 0:
                         raise ValueError(f"interval must be > 0, got {iv}")
+                    auto = int((qs.get("auto") or ["0"])[0])
+                    if auto < 0:
+                        raise ValueError(f"auto must be > 0, got {auto}")
+                    if auto and qs.get("interval"):
+                        raise ValueError(
+                            "auto= picks the interval itself; don't also "
+                            "pass interval=")  # ASCII only: http.server
+                        # encodes the status line latin-1
+                    moving = int((qs.get("moving") or ["0"])[0])
+                    if moving < 0:
+                        raise ValueError(f"moving must be > 0, got {moving}")
                 except ValueError as e:
                     self.send_error(400, str(e))
                     return
                 try:
-                    hist = service.date_histogram(text, interval_us=iv)
+                    if auto:
+                        iv, hist = service.auto_date_histogram(
+                            text, target_buckets=auto)
+                    else:
+                        hist = service.date_histogram(text, interval_us=iv)
                 except Exception as e:
                     self.send_error(500, str(e))
                     return
                 body = {"query": text, "interval_us": iv,
                         "buckets": {str(b): c
                                     for b, c in sorted(hist.items())}}
+                if moving:
+                    # ES moving-function average (shared rule)
+                    from horus_ner_ray.pipelines.query import (
+                        histogram_moving,
+                    )
+
+                    body["moving"] = [
+                        {"bucket": b, "n": n, "mov_sum": s,
+                         "mavg_e6": a}
+                        for b, n, s, a in histogram_moving(hist, moving)]
                 if (qs.get("pipeline") or ["0"])[0] not in ("0", "",
                                                             "false"):
                     # ES pipeline aggs: densified buckets with

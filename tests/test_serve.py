@@ -589,3 +589,57 @@ def test_http_common_terms_mode(http_service, small_corpus):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_http_auto_and_moving_histogram(http_service, built_index):
+    """/histogram&auto= picks the ladder interval via the shared rule
+    (identical to QueryEngine.auto_date_histogram); &moving= appends the
+    moving-average rows; interval+auto together is a clean 400."""
+    from horus_ner_ray.pipelines.query import QueryEngine, histogram_moving
+
+    idx, _ = built_index
+    eng = QueryEngine(idx)
+    url = http_service + "/histogram?" + urllib.parse.urlencode(
+        {"q": "the session data", "auto": 10, "moving": 3})
+    with urllib.request.urlopen(url, timeout=30) as r:
+        body = json.loads(r.read())
+    iv, hist = eng.auto_date_histogram("the session data",
+                                       target_buckets=10)
+    assert body["interval_us"] == iv
+    assert body["buckets"] == {str(b): c for b, c in sorted(hist.items())}
+    assert body["moving"] == [
+        {"bucket": b, "n": n, "mov_sum": s, "mavg_e6": a}
+        for b, n, s, a in histogram_moving(hist, 3)]
+    for bad in ["/histogram?q=x&auto=5&interval=1000",
+                "/histogram?q=x&auto=-1", "/histogram?q=x&moving=-2"]:
+        _expect_code(http_service, bad, 400)
+
+
+def test_auto_histogram_rules_and_parity(built_index, small_corpus):
+    """choose_auto_interval ladder semantics + engine vs brute parity of
+    the full auto histogram (interval AND buckets)."""
+    import pytest as _pytest
+
+    from horus_ner_ray.pipelines.query import (
+        AUTO_HISTO_LADDER_US,
+        BruteForceBM25,
+        QueryEngine,
+        choose_auto_interval,
+        histogram_moving,
+    )
+
+    # rule unit: tight span -> smallest interval; huge span -> capped
+    assert choose_auto_interval(0, 5_000_000, 20) == 1_000_000
+    assert choose_auto_interval(0, 10**18, 2) == AUTO_HISTO_LADDER_US[-1]
+    with _pytest.raises(ValueError):
+        choose_auto_interval(0, 1, 0)
+    # moving rule: warm-up divides by buckets-so-far
+    assert histogram_moving({0: 4, 2: 2}, 2) == [
+        (0, 4, 4, 4_000_000), (1, 0, 4, 2_000_000), (2, 2, 2, 1_000_000)]
+    with _pytest.raises(ValueError):
+        histogram_moving({0: 1}, 0)
+    idx, _res = built_index
+    eng = QueryEngine(idx)
+    bf = BruteForceBM25.from_corpus_files(small_corpus)
+    for q in ["the session data", "tok00042", "zzznotfound"]:
+        assert eng.auto_date_histogram(q, 12) == bf.auto_date_histogram(q, 12)
