@@ -6625,6 +6625,66 @@ ORDER BY conv_id, turn_idx
 """
 
 
+def _csv_export_dir(sf_dir: str) -> str:
+    """Deterministic CSV export of the transcript corpus (written once
+    under GRAFT_TMP; the SQL oracle reads the SAME bytes)."""
+    import ray.data as rd
+
+    from horus_ner_ray.sources.csvfile import write_csv
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    out = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_csv_{sf}"
+    marker = out / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_csv(rd.read_parquet(files), out)
+        marker.write_text("ok")
+    return str(out)
+
+
+def _q_csv_source(sf_dir: str):
+    """CSV transcript source (sources/csvfile.py — S2/S6 pair with
+    write_csv): the corpus exports to one quoted CSV per conversation
+    (lossless, ISO-8601 ts), the reader parses it back into the
+    transcript schema, and the oracle reads the SAME bytes with DuckDB
+    read_csv.  Published as per-turn (conv_id, turn_idx, role, n_chars,
+    ts_us) — integers + strings, no float fragility."""
+    from horus_ner_ray.sources.csvfile import read_csv_transcripts
+
+    d = _csv_export_dir(sf_dir)
+    files = sorted(str(p) for p in Path(d).glob("*.csv"))
+    df = read_csv_transcripts(files).to_pandas()
+    out = pd.DataFrame({
+        "conv_id": df["conv_id"].astype(str),
+        "turn_idx": df["turn_idx"].astype(np.int64),
+        "role": df["role"].astype(str),
+        "n_chars": df["text"].str.len().astype(np.int64),
+        "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+    })
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+def _sql_csv_source() -> str:
+    d = _csv_export_dir(f"sf{_oracle_sf()}")
+    return f"""
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+       -- DuckDB reads an UNQUOTED empty CSV field as NULL where the
+       -- Arrow reader keeps '' (both are faithful CSV; the writer only
+       -- quotes when needed) — normalize to the empty string
+       length(coalesce(text, ''))::BIGINT AS n_chars,
+       epoch_us(CAST(ts AS TIMESTAMP))::BIGINT AS ts_us
+FROM read_csv('{d}/*.csv', header=true,
+              columns={{'conv_id': 'VARCHAR', 'turn_idx': 'BIGINT',
+                        'role': 'VARCHAR', 'text': 'VARCHAR',
+                        'tool': 'VARCHAR', 'ts': 'VARCHAR'}})
+ORDER BY conv_id, turn_idx
+"""
+
+
 _TRANSLATE_MAP = {"el": "the", "la": "the", "der": "the", "die": "the"}
 _TRANSLATE_LANGS = ("de", "es", "fr")
 
@@ -8625,6 +8685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_mix": _q_token_budget_mix,
         "auto_date_histogram": _q_auto_date_histogram,
         "moving_avg_histogram": _q_moving_avg_histogram,
+        "csv_source": _q_csv_source,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -10030,6 +10091,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _sql_token_budget_mix(),
         "auto_date_histogram": _sql_auto_date_histogram(),
         "moving_avg_histogram": _sql_moving_avg_histogram(),
+        "csv_source": _sql_csv_source(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,
