@@ -8686,6 +8686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auto_date_histogram": _q_auto_date_histogram,
         "moving_avg_histogram": _q_moving_avg_histogram,
         "csv_source": _q_csv_source,
+        "bm25_rollover": _q_bm25_rollover,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -9247,6 +9248,129 @@ documents AS (
 ),
 """
     return _sql_bm25([q["text"] for q in reference_queries()], conjunctive=False, pre=pre)
+
+
+_ROLLOVER_CAP = 1600
+
+
+def _rollover_root(sf_dir: str) -> str:
+    """Build (once, cached) a rollover TARGET over the transcript corpus:
+    fragments ingest in order under the max_docs policy, so the target
+    holds several sealed generations plus the active one, with at least
+    one append event per generation."""
+    from horus_ner_ray.pipelines.rollover import rollover_ingest
+    from horus_ner_ray.state.shards import INDEX_FORMAT_VERSION
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    root = Path(os.environ.get("GRAFT_TMP", "/tmp")) / (
+        f"horus_rollover_v{INDEX_FORMAT_VERSION}_{sf}")
+    marker = root / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = PipelineConfig(num_shards=2, doc_id_mode="hash")
+        rollover_ingest(root, files, max_docs=_ROLLOVER_CAP, cfg=cfg)
+        marker.write_text("ok")
+    return str(root)
+
+
+def _q_bm25_rollover(sf_dir: str):
+    """Index rollover / ILM write path (pipelines/rollover.py — ES
+    _rollover max_docs): the transcript corpus ingests fragment by
+    fragment, appending to the active generation until the cap seals it
+    and a new index starts; the whole target then queries as ONE through
+    rollover_engine (FederatedEngine — combined stats, merged-index
+    parity).  Hash-mode doc ids aren't SQL-derivable, so hits translate
+    to (conv_id, turn_idx) via per-generation docstore point reads and
+    BOTH sides rank by (score_e6 desc, conv_id, turn_idx); the oracle is
+    plain full-corpus BM25 — what's checked is that the rolled-over
+    sequence answers exactly like the unpartitioned corpus."""
+    from horus_ner_ray.pipelines.query import fetch_docs
+    from horus_ner_ray.pipelines.rollover import (
+        rollover_engine,
+        rollover_indexes,
+    )
+    from horus_ner_ray.synth import reference_queries
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    root = _rollover_root(sf_dir)
+    fed = rollover_engine(root)
+    texts = [q["text"] for q in reference_queries()]
+    hits = [fed.search(t, TOPK * 3 + 20) for t in texts]
+    ids = sorted({d for h in hits for d, _s in h})
+    key: dict[int, tuple[str, int]] = {}
+    for gdir in rollover_indexes(root):  # point reads, k-bounded
+        rows = fetch_docs(gdir, ids, columns=["doc_id", "conv_id",
+                                              "turn_idx"])
+        for r in rows.itertuples():
+            key[int(r.doc_id)] = (str(r.conv_id), int(r.turn_idx))
+    out = []
+    for qid, h in enumerate(hits):
+        g = pd.DataFrame({
+            "query_id": qid,
+            "conv_id": [key[d][0] for d, _s in h],
+            "turn_idx": np.array([key[d][1] for d, _s in h], np.int64),
+            "score_e6": _e6(np.array([s for _d, s in h], np.float64)),
+        })
+        g = g.sort_values(["score_e6", "conv_id", "turn_idx"],
+                          ascending=[False, True, True],
+                          kind="stable").head(TOPK)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g[["query_id", "rank", "conv_id", "turn_idx",
+                      "score_e6"]])
+    return pd.concat(out, ignore_index=True)
+
+
+def _sql_bm25_rollover() -> str:
+    from horus_ner_ray.synth import reference_queries
+
+    _files, glob = _transcript_corpus(_oracle_sf())
+    texts = [q["text"] for q in reference_queries()]
+    return f"""
+WITH documents AS (
+  SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')
+),
+tok AS (
+  SELECT conv_id, turn_idx, unnest({_sql_tok()}) AS term FROM documents
+),
+tf AS (SELECT conv_id, turn_idx, term, count(*)::BIGINT tf
+       FROM tok GROUP BY 1, 2, 3),
+dl AS (SELECT conv_id, turn_idx, count(*)::BIGINT dl
+       FROM tok GROUP BY 1, 2),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) avgdl
+),
+dfv AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY 1),
+q(query_id, term) AS (VALUES {_sql_values_queries(texts)}),
+scored AS (
+  SELECT q.query_id, tf.conv_id, tf.turn_idx,
+         sum( ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+              * tf.tf * ({BM25_K1} + 1)
+              / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl)) ) score
+  FROM q
+  JOIN dfv USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.conv_id = tf.conv_id AND dl.turn_idx = tf.turn_idx
+  CROSS JOIN stats s
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT query_id, conv_id, turn_idx::BIGINT AS turn_idx,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC,
+                    conv_id, turn_idx
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, conv_id, turn_idx, score_e6
+FROM ranked WHERE rk <= {TOPK}
+"""
 
 
 def _sql_grouping_core(attr: str) -> str:
@@ -10092,6 +10216,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_date_histogram": _sql_auto_date_histogram(),
         "moving_avg_histogram": _sql_moving_avg_histogram(),
         "csv_source": _sql_csv_source(),
+        "bm25_rollover": _sql_bm25_rollover(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,
