@@ -3489,6 +3489,63 @@ def _q_ann_topk(sf_dir: str):
     return _e6_rerank(res, "cosine", "vec_id", "cosine_e6")
 
 
+def _q_sq_ann(sf_dir: str):
+    """Scalar-quantization ANN (stages/sq.py — FAISS SQ8 / Lucene int8
+    quantization): per-dimension min/max fit, 8-bit codes via one shared
+    float64 floor/clamp expression, EXACT int64 squared-L2 ranking over
+    the codes (dist asc, vec_id asc) — the whole publication is
+    integers.  SQL restates the fit, the quantization expression and the
+    integer distances over the unnested dimension table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.sq import sq_ann
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    return sq_ann(rd.read_parquet(path),
+                  qt["vec_id"].to_numpy(np.int64),
+                  np.array(qt["embedding"].tolist(), dtype=np.float64),
+                  k=TOPK)
+
+
+def _sql_sq_ann() -> str:
+    code = ("LEAST(255, GREATEST(0, CAST(FLOOR((x - mn) / den * 255 + 0.5)"
+            " AS BIGINT)))")
+    return f"""
+WITH dims AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+),
+mm AS (
+  SELECT d, min(x) mn, max(x) mx,
+         CASE WHEN max(x) = min(x) THEN 1.0 ELSE max(x) - min(x) END den
+  FROM dims GROUP BY 1
+),
+codes AS (
+  SELECT dims.vec_id, dims.d, {code} AS c
+  FROM dims JOIN mm USING (d)
+),
+qc AS (SELECT vec_id AS query_id, d, c FROM codes WHERE vec_id < 5),
+dist AS (
+  SELECT qc.query_id, codes.vec_id,
+         sum((qc.c - codes.c) * (qc.c - codes.c))::BIGINT AS dist
+  FROM qc JOIN codes USING (d)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist, vec_id) rk
+  FROM dist
+)
+SELECT query_id, rk AS rank, vec_id, dist FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _q_ann_filtered(sf_dir: str):
     """FILTERED vector search (ES ``knn`` with ``filter``; pre-filter
     semantics): each query vector's exact cosine top-k restricted to
@@ -6741,6 +6798,95 @@ def _q_nb_predictions(sf_dir: str):
             .reset_index(drop=True))
 
 
+_CV_K = 3
+_CV_SEED = 17
+
+
+def _q_cv_predictions(sf_dir: str):
+    """k-fold cross-validated NB (stages/crossval.py — the reference's
+    benchmark-split evaluation loop, deterministic + distributed):
+    content-keyed folds splitmix64(doc_id XOR seed) % k, per-fold fit on
+    the complement, out-of-fold scoring, streaming union.  The SQL
+    re-derives the folds and restates per-fold counts/vocab/priors plus
+    the e9-int NB arithmetic — what's checked is that every fold's model
+    really saw only its training complement."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.crossval import nb_cross_val
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"])
+    out = nb_cross_val(docs, k_folds=_CV_K, seed=_CV_SEED).to_pandas()
+    out = out.rename(columns={"pred_label": "pred_lang"})
+    return (out[["doc_id", "fold", "lang", "pred_lang", "score_e9"]]
+            .astype({"doc_id": np.int64, "fold": np.int64,
+                     "score_e9": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _sql_cv_predictions() -> str:
+    h = _sql_splitmix64(f"xor(CAST(doc_id AS UBIGINT), "
+                        f"CAST({_CV_SEED} AS UBIGINT))")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, lang, text,
+         CAST(({h}) % {_CV_K} AS BIGINT) AS fold
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, fold, unnest({_sql_tok()}) AS term FROM docs
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM toks GROUP BY 1, 2),
+folds AS (SELECT DISTINCT fold FROM docs),
+-- per held-out fold f: training statistics over fold <> f
+cnt AS (
+  SELECT f.fold, t.lang, t.term, count(*)::BIGINT c
+  FROM folds f JOIN toks t ON t.fold <> f.fold GROUP BY 1, 2, 3
+),
+tot AS (SELECT fold, lang, sum(c)::BIGINT tot FROM cnt GROUP BY 1, 2),
+vq AS (
+  SELECT f.fold, count(DISTINCT t.term)::BIGINT v
+  FROM folds f JOIN toks t ON t.fold <> f.fold GROUP BY 1
+),
+ndq AS (
+  SELECT f.fold, count(*)::BIGINT n
+  FROM folds f JOIN docs d ON d.fold <> f.fold GROUP BY 1
+),
+ndc AS (
+  SELECT f.fold, d.lang, count(*)::BIGINT nc
+  FROM folds f JOIN docs d ON d.fold <> f.fold GROUP BY 1, 2
+),
+contrib AS (
+  SELECT d.doc_id, cl.lang AS cls,
+         sum(tf.tf * CAST(FLOOR(ln(
+             (coalesce(cnt.c, 0) + 1)::DOUBLE / (tot.tot + vq.v)
+           ) * 1e9 + 0.5) AS BIGINT))::BIGINT AS sum_llh
+  FROM tf
+  JOIN docs d USING (doc_id)
+  JOIN ndc cl ON cl.fold = d.fold
+  JOIN tot ON tot.fold = d.fold AND tot.lang = cl.lang
+  JOIN vq ON vq.fold = d.fold
+  LEFT JOIN cnt ON cnt.fold = d.fold AND cnt.lang = cl.lang
+              AND cnt.term = tf.term
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT d.doc_id, d.fold, d.lang AS lang_true, cl.lang AS cls,
+         coalesce(co.sum_llh, 0)
+         + CAST(FLOOR(ln(cl.nc::DOUBLE / ndq.n) * 1e9 + 0.5) AS BIGINT)
+           AS score_e9
+  FROM docs d
+  JOIN ndc cl ON cl.fold = d.fold
+  JOIN ndq ON ndq.fold = d.fold
+  LEFT JOIN contrib co ON co.doc_id = d.doc_id AND co.cls = cl.lang
+)
+SELECT doc_id, fold, lang_true AS lang, cls AS pred_lang, score_e9
+FROM scores
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY score_e9 DESC, cls) = 1
+ORDER BY doc_id
+"""
+
+
 def _q_eval_confusion(sf_dir: str):
     """Confusion matrix (reference src/eval.py:67-134): groupby over
     (true label, predicted label) via the combiner pattern."""
@@ -8687,6 +8833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_avg_histogram": _q_moving_avg_histogram,
         "csv_source": _q_csv_source,
         "bm25_rollover": _q_bm25_rollover,
+        "sq_ann": _q_sq_ann,
+        "cv_predictions": _q_cv_predictions,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -10217,6 +10365,8 @@ def oracle_sql() -> dict[str, str]:
         "moving_avg_histogram": _sql_moving_avg_histogram(),
         "csv_source": _sql_csv_source(),
         "bm25_rollover": _sql_bm25_rollover(),
+        "sq_ann": _sql_sq_ann(),
+        "cv_predictions": _sql_cv_predictions(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,

@@ -185,7 +185,7 @@ class _NBScorer:
 
 def nb_score_dataset(ds, model: NBModel, text_col: str = "text",
                      keep_cols: list[str] | None = None,
-                     concurrency: int = 2):
+                     concurrency: int | tuple[int, int] = 2):
     # concurrency default stays below the smallest test cluster (4 CPUs):
     # an actor pool HOLDS its CPUs while idle, and sizing it to the whole
     # cluster starves the upstream task-pool read/prep stages
