@@ -6887,6 +6887,53 @@ ORDER BY doc_id
 """
 
 
+def _q_chi2_terms(sf_dir: str):
+    """Chi-square term selection by class (stages/chisq.py — Manning/
+    Schuetze one-vs-rest 2x2 chi2; the class-discriminative-vocabulary
+    pass of a curation pipeline).  One combiner map_batches builds the
+    (term, label) document-frequency contingency (per-doc distinct via
+    in-batch arrow group_by), the vocab x classes-bounded table finishes
+    driver-side with PYTHON-int exact ``chi2_e6 = N(ad-bc)^2 * 1e6 //
+    ((a+b)(c+d)(a+c)(b+d))``; the SQL restates the same integer division
+    in HUGEINT.  Degenerate margins publish 0."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.chisq import chi2_terms
+
+    docs = rd.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+    return chi2_terms(docs, label_col="lang", text_col="text")
+
+
+def _sql_chi2_terms() -> str:
+    h = "CAST(a AS HUGEINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_distinct({_sql_tok()})) AS term
+  FROM documents
+),
+cont AS (
+  SELECT term, lang AS label, count(*)::BIGINT AS a FROM toks GROUP BY 1, 2
+),
+dft AS (SELECT term, sum(a)::BIGINT AS df_t FROM cont GROUP BY 1),
+cls AS (SELECT lang AS label, count(*)::BIGINT AS nc
+        FROM documents GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+wide AS (
+  SELECT cont.label, cont.term, {h} AS a,
+         CAST(df_t - a AS HUGEINT) AS b,
+         CAST(nc - a AS HUGEINT) AS c,
+         CAST(nn - nc - (df_t - a) AS HUGEINT) AS d,
+         CAST(nn AS HUGEINT) AS nn, df_t
+  FROM cont JOIN dft USING (term) JOIN cls USING (label), n
+)
+SELECT label, term, CAST(a AS BIGINT) AS df_in_class, df_t AS df_total,
+       CAST(CASE WHEN (a+b)*(c+d)*(a+c)*(b+d) = 0 THEN 0
+            ELSE nn * (a*d - b*c) * (a*d - b*c) * 1000000
+                 // ((a+b)*(c+d)*(a+c)*(b+d)) END AS BIGINT) AS chi2_e6
+FROM wide ORDER BY label, term
+"""
+
+
 def _q_eval_confusion(sf_dir: str):
     """Confusion matrix (reference src/eval.py:67-134): groupby over
     (true label, predicted label) via the combiner pattern."""
@@ -8835,6 +8882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_rollover": _q_bm25_rollover,
         "sq_ann": _q_sq_ann,
         "cv_predictions": _q_cv_predictions,
+        "chi2_terms": _q_chi2_terms,
         "price_ttest": _q_price_ttest,
         "value_boxplot": _q_value_boxplot,
         "bm25_after_ttl": _q_bm25_after_ttl,
@@ -10367,6 +10415,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rollover": _sql_bm25_rollover(),
         "sq_ann": _sql_sq_ann(),
         "cv_predictions": _sql_cv_predictions(),
+        "chi2_terms": _sql_chi2_terms(),
         "price_ttest": """
             WITH q AS (
               SELECT l_returnflag k,
