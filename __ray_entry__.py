@@ -8865,6 +8865,89 @@ def _q_kmeans(sf_dir: str):
     return kmeans_assign(ds, cent)
 
 
+_DAY_US = 86400 * 10**6
+
+
+def _q_weighted_avg_price(sf_dir: str):
+    """ES weighted_avg aggregation: per return flag, the quantity-weighted
+    mean extended price (stages/aggs.grouped_weighted_avg).  One streaming
+    combiner pass of exact split-int sums; wavg publishes as a pure
+    big-int floor division both sides compute identically."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import grouped_weighted_avg
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    return grouped_weighted_avg(li, "l_returnflag", "l_extendedprice",
+                                "l_quantity", x_scale=100, w_scale=1)
+
+
+def _q_string_stats_docs(sf_dir: str):
+    """ES string_stats aggregation: per source, count/min/max/total/avg
+    code-point length of the document text (stages/aggs.
+    grouped_string_stats) — exact ints, avg as big-int floor division."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import grouped_string_stats
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["source", "text"])
+    return grouped_string_stats(docs, "source", "text")
+
+
+def _q_top_metrics_events(sf_dir: str):
+    """ES top_metrics aggregation (size=1, sort=ts desc): per event type,
+    the value carried by the LATEST event (tie-break max event_id) —
+    an associative arg-max reduced from per-batch partials
+    (stages/aggs.top_metrics)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import top_metrics
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_type", "ts", "event_id", "value"])
+    out = top_metrics(ev, "event_type", "ts", "event_id", ["value"])
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "ts_us": out["ts"].astype(np.int64),
+        "event_id": out["event_id"].astype(np.int64),
+        "value_e6": _e6(out["value"]).astype(np.int64),
+    })
+
+
+def _q_daily_new_users(sf_dir: str):
+    """ES cumulative_cardinality pipeline agg, EXACT where ES settles for
+    a sketch: per day, users appearing for the first time + the running
+    distinct-user total (stages/aggs.cumulative_new_keys: one
+    groupby-min shuffle, O(buckets) finish)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import cumulative_new_keys
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["user_id", "ts"])
+    return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
+
+
+def _q_histogram_top_buckets(sf_dir: str):
+    """ES bucket_selector + bucket_sort pipeline aggs over a daily
+    date_histogram: drop buckets below total//40 docs, rank the rest by
+    (count desc, day asc), keep 10 (stages/aggs.bucket_sort_histogram).
+    The threshold derives from the row count on BOTH sides, so the
+    selector genuinely splits at every scale factor."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import bucket_sort_histogram
+
+    n = _n_rows(str(Path(sf_dir) / "events.parquet"))
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts"])
+    return bucket_sort_histogram(ev, "ts", _DAY_US,
+                                 min_count=n // 40, limit=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER is deliberate: the driver's correctness gate walks it
     # front to back under a budget (round 4's file truncated at entry 50),
@@ -8873,6 +8956,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "weighted_avg_price": _q_weighted_avg_price,
+        "string_stats_docs": _q_string_stats_docs,
+        "top_metrics_events": _q_top_metrics_events,
+        "daily_new_users": _q_daily_new_users,
+        "histogram_top_buckets": _q_histogram_top_buckets,
         "bm25_query_string": _q_bm25_query_string,
         "dsir_select": _q_dsir_select,
         "token_budget_mix": _q_token_budget_mix,
@@ -10386,6 +10474,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
     """
     return {
+        "weighted_avg_price": """
+            WITH q AS (
+              SELECT l_returnflag,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS HUGEINT) x,
+                     CAST(FLOOR(l_quantity + 0.5) AS HUGEINT) w
+              FROM lineitem
+            )
+            SELECT l_returnflag, count(*)::BIGINT n_rows,
+                   sum(w)::BIGINT wsum,
+                   ((sum(x * w) * 1000000) // (100 * sum(w)))::BIGINT
+                     AS wavg_e6
+            FROM q GROUP BY 1 ORDER BY 1
+        """,
+        "string_stats_docs": """
+            SELECT source, count(*)::BIGINT n_rows,
+                   min(length(text))::BIGINT min_len,
+                   max(length(text))::BIGINT max_len,
+                   sum(length(text))::BIGINT sum_len,
+                   ((sum(length(text)::HUGEINT) * 1000000)
+                     // count(*))::BIGINT AS avg_len_e6
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "top_metrics_events": """
+            WITH r AS (
+              SELECT event_type, epoch_us(ts)::BIGINT ts_us, event_id,
+                     CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) value_e6,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) rk
+              FROM events
+            )
+            SELECT event_type, ts_us, event_id, value_e6
+            FROM r WHERE rk = 1 ORDER BY event_type
+        """,
+        "daily_new_users": """
+            WITH f AS (
+              SELECT user_id, min(epoch_us(ts))::BIGINT first_us
+              FROM events GROUP BY 1
+            ),
+            c AS (
+              SELECT (first_us // 86400000000) * 86400000000 AS bucket_us,
+                     count(*)::BIGINT new_keys
+              FROM f GROUP BY 1
+            )
+            SELECT bucket_us, new_keys,
+                   sum(new_keys) OVER (ORDER BY bucket_us)::BIGINT
+                     AS cum_keys
+            FROM c ORDER BY bucket_us
+        """,
+        "histogram_top_buckets": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 86400000000) * 86400000000
+                       AS bucket_us,
+                     count(*)::BIGINT n_docs
+              FROM events GROUP BY 1
+            ),
+            k AS (
+              SELECT bucket_us, n_docs,
+                     row_number() OVER (
+                       ORDER BY n_docs DESC, bucket_us) rk
+              FROM c
+              WHERE n_docs >= (SELECT count(*) // 40 FROM events)
+            )
+            SELECT rk, bucket_us, n_docs FROM k WHERE rk <= 10
+            ORDER BY rk
+        """,
         "bm25_after_ttl": _sql_bm25_after_ttl(),
         "bm25_federated": _sql_bm25(DOC_QUERIES, conjunctive=False),
         "ann_filtered": sql_cosine_filtered,

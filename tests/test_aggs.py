@@ -1,0 +1,96 @@
+"""ES-style aggregations (stages/aggs.py): weighted_avg, string_stats,
+top_metrics, cumulative new-key cardinality, bucket_sort/selector —
+each checked against a plain pandas restatement, plus a chunking-
+invariance pass (results must not depend on block boundaries)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from horus_ner_ray.stages.aggs import (bucket_sort_histogram,
+                                       cumulative_new_keys,
+                                       grouped_string_stats,
+                                       grouped_weighted_avg, top_metrics)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    n = 1000
+    return pd.DataFrame({
+        "k": rng.choice(list("abcd"), n),
+        "x": np.round(rng.uniform(1, 100, n), 2),
+        "w": rng.integers(1, 9, n).astype(float),
+        "txt": ["t" * int(v) for v in rng.integers(1, 40, n)],
+        "uid": rng.integers(0, 60, n),
+        "eid": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 30 * 86400, n) * 10**6, unit="us"),
+    })
+
+
+def _ds(frame, blocks):
+    import ray.data as rd
+
+    return rd.from_pandas(frame).repartition(blocks)
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_weighted_avg(ray_session, frame, blocks):
+    out = grouped_weighted_avg(_ds(frame, blocks), "k", "x", "w",
+                               x_scale=100, w_scale=1)
+    for _, r in out.iterrows():
+        sub = frame[frame["k"] == r["k"]]
+        xq = np.floor(sub["x"] * 100 + 0.5).astype(np.int64)
+        wq = np.floor(sub["w"] + 0.5).astype(np.int64)
+        sxw = int((xq * wq).sum())
+        assert r["n_rows"] == len(sub)
+        assert r["wsum"] == int(wq.sum())
+        assert r["wavg_e6"] == (sxw * 10**6) // (100 * int(wq.sum()))
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_string_stats(ray_session, frame, blocks):
+    out = grouped_string_stats(_ds(frame, blocks), "k", "txt")
+    for _, r in out.iterrows():
+        ln = frame[frame["k"] == r["k"]]["txt"].str.len()
+        assert (r["n_rows"], r["min_len"], r["max_len"], r["sum_len"]) == \
+            (len(ln), ln.min(), ln.max(), ln.sum())
+        assert r["avg_len_e6"] == (int(ln.sum()) * 10**6) // len(ln)
+
+
+@pytest.mark.parametrize("blocks", [1, 9])
+def test_top_metrics(ray_session, frame, blocks):
+    out = top_metrics(_ds(frame, blocks), "k", "ts", "eid", ["x", "w"])
+    want = (frame.sort_values(["ts", "eid"]).groupby("k").tail(1)
+            .sort_values("k").reset_index(drop=True))
+    assert list(out["eid"]) == list(want["eid"])
+    assert np.allclose(out["x"], want["x"])
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_cumulative_new_keys(ray_session, frame, blocks):
+    day = 86400 * 10**6
+    out = cumulative_new_keys(_ds(frame, blocks), "uid", "ts", day)
+    firsts = frame.groupby("uid")["ts"].min().astype(np.int64)
+    buckets = (firsts // day) * day
+    want = buckets.value_counts().sort_index()
+    assert list(out["bucket_us"]) == list(want.index)
+    assert list(out["new_keys"]) == list(want.values)
+    assert list(out["cum_keys"]) == list(want.cumsum().values)
+    assert out["cum_keys"].iloc[-1] == frame["uid"].nunique()
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bucket_sort(ray_session, frame, blocks):
+    day = 86400 * 10**6
+    out = bucket_sort_histogram(_ds(frame, blocks), "ts", day,
+                                min_count=20, limit=5)
+    cnt = ((frame["ts"].astype(np.int64) // day) * day).value_counts()
+    kept = cnt[cnt >= 20].reset_index()
+    kept.columns = ["bucket_us", "n"]
+    kept = kept.sort_values(["n", "bucket_us"], ascending=[False, True])
+    want = kept.head(5).reset_index(drop=True)
+    assert list(out["bucket_us"]) == list(want["bucket_us"])
+    assert list(out["n_docs"]) == list(want["n"])
+    assert list(out["rk"]) == list(range(1, len(want) + 1))
