@@ -1471,6 +1471,54 @@ def _q_lm_topk(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _q_classic_topk(sf_dir: str):
+    """Lucene ClassicSimilarity ranking (vector-space TF-IDF, the
+    pluggable third similarity beside BM25 and Dirichlet-LM): per
+    matching term sqrt(tf) * idf^2 / sqrt(dl), idf = 1 + ln(N/(df+1)),
+    queryNorm dropped (rank-neutral constant).  The SQL restates the
+    formula with the identical association (sqrt is IEEE-correctly
+    rounded on both sides; ln follows the lm_topk precedent)."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_classic(t, TOPK * 3 + 20) for t in DOC_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_classic_topk() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_sql_tok()}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT dl FROM tok GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE n FROM documents),
+dfi AS (
+  SELECT term,
+         (1 + ln((SELECT n FROM nd) / (count(DISTINCT doc_id) + 1.0))) idf
+  FROM tok GROUP BY term
+),
+q(query_id, term) AS (VALUES {_sql_values_queries(DOC_QUERIES)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( (sqrt(tf.tf) * (dfi.idf * dfi.idf)) / sqrt(dl.dl) ) score
+  FROM q
+  JOIN dfi USING (term)
+  JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) score_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+         ) rk
+  FROM scored
+)
+SELECT query_id, rk AS rank, doc_id, score_e6 FROM ranked WHERE rk <= {TOPK}
+"""
+
+
 def _sql_bm25_rescore() -> str:
     """Rescore oracle: the shared BM25 body picks the e6-domain top-20
     window per query; the shared LM body scores exactly the window rows;
@@ -8956,6 +9004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "classic_topk": _q_classic_topk,
         "weighted_avg_price": _q_weighted_avg_price,
         "string_stats_docs": _q_string_stats_docs,
         "top_metrics_events": _q_top_metrics_events,
@@ -10474,6 +10523,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
     """
     return {
+        "classic_topk": _sql_classic_topk(),
         "weighted_avg_price": """
             WITH q AS (
               SELECT l_returnflag,

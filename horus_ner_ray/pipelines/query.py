@@ -715,6 +715,34 @@ class BruteForceBM25:
                                    + np.log(mu / (self.dl[d] + mu)))
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def search_classic(self, text: str, k: int = 10,
+                       mode: str = "or") -> list[tuple[int, float]]:
+        """Oracle Lucene ClassicSimilarity (the pre-BM25 default TF-IDF):
+        per matching query term ``sqrt(tf) * idf^2 / sqrt(dl)`` with
+        ``idf = 1 + ln(N / (df + 1))``; queryNorm is dropped (a constant
+        per query — rank-neutral).  Same np.sqrt/np.log kernels, term
+        order and float64 accumulation as QueryEngine.search_classic, so
+        parity is bitwise."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if t in self.postings]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        cand: set[int] | None = None
+        if mode == "and":
+            for t in terms:
+                docs = {d for d, _ in self.postings[t]}
+                cand = docs if cand is None else (cand & docs)
+        scores: dict[int, float] = defaultdict(float)
+        for t in terms:
+            df = len(self.postings[t])
+            idf = float(1.0 + np.log(self.n_docs / (df + 1.0)))
+            for d, f in self.postings[t]:
+                if d in self.deleted or (cand is not None and d not in cand):
+                    continue
+                scores[d] += float(np.sqrt(float(f)) * (idf * idf)
+                                   / np.sqrt(float(self.dl[d])))
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def lm_scores(self, text: str, doc_ids,
                   mu: float = 1000.0) -> dict[int, float]:
         """Dirichlet query-likelihood scores for SPECIFIC docs (the
@@ -1567,6 +1595,68 @@ class QueryEngine:
                 p = self.global_cf(t) / tt
                 acc[li] += (np.log(1.0 + tf.astype(np.float64) / (mu * p))
                             + np.log(mu / (dl[li] + mu)))
+                cnt[li] += 1
+            if missing:
+                continue
+            hit = cnt >= need
+            lm = self._live_mask(si)
+            if lm is not None:
+                hit &= lm
+            idx = np.flatnonzero(hit)
+            if not len(idx):
+                continue
+            d, s = _topk_with_ties(np.asarray(r.docids)[idx], acc[idx], k)
+            docs_out.append(d)
+            scores_out.append(s)
+        if not docs_out:
+            return []
+        d = np.concatenate(docs_out)
+        s = np.concatenate(scores_out)
+        order = np.lexsort((d, -s))[:k]
+        return [(int(d[i]), float(s[i])) for i in order]
+
+    def search_classic(self, text: str, k: int = 10,
+                       mode: str = "or") -> list[tuple[int, float]]:
+        """Lucene ClassicSimilarity ranking (the vector-space TF-IDF that
+        preceded BM25 as Lucene's default; Salton & Buckley SMART
+        weights): per matching query term,
+            sqrt(tf) * idf^2 / sqrt(dl),  idf = 1 + ln(N / (df + 1)),
+        summed per doc over float64 in query-term order (bitwise
+        brute-force parity; np.sqrt is IEEE-correctly-rounded everywhere
+        and np.log is the shared kernel, per search_lm's precedent).
+        queryNorm is dropped — constant per query, rank-neutral.
+        Collection statistics (N, df) come from the prebuilt df table and
+        stay global; tombstones mask before top-k.  Exhaustive per shard,
+        the same vectorized postings_local pass as search_lm (the BM25
+        block-max bounds don't transfer to this score shape)."""
+        all_terms = query_terms(text)
+        terms = [t for t in all_terms if self.global_df(t) > 0]
+        if not terms or (mode == "and" and len(terms) != len(all_terms)):
+            return []
+        need = len(terms) if mode == "and" else 1
+        n = float(self.n_docs)
+        docs_out: list[np.ndarray] = []
+        scores_out: list[np.ndarray] = []
+        for si in range(len(self._shard_dirs)):
+            r = self._reader(si)
+            nd = len(r.docids)
+            if nd == 0:
+                continue
+            dl = np.asarray(r.dl, dtype=np.float64)
+            acc = np.zeros(nd, dtype=np.float64)
+            cnt = np.zeros(nd, dtype=np.int64)
+            missing = False
+            for t in terms:  # same term order as the brute oracle
+                ti = r.term_index(t)
+                if ti is None:
+                    if mode == "and":
+                        missing = True
+                        break
+                    continue
+                _d, tf, li = r.postings_local(ti)
+                idf = float(1.0 + np.log(n / (self.global_df(t) + 1.0)))
+                acc[li] += (np.sqrt(tf.astype(np.float64)) * (idf * idf)
+                            / np.sqrt(dl[li]))
                 cnt[li] += 1
             if missing:
                 continue
@@ -4653,6 +4743,12 @@ class ScorerActor:
                         "mode='lm' does not compose with role/tool/exclude "
                         "filters")
                 hits = self.engine.search_lm(row.text, int(row.k))
+            elif mode == "classic":
+                if role or tool or exclude:
+                    raise ValueError(
+                        "mode='classic' does not compose with role/tool/"
+                        "exclude filters")
+                hits = self.engine.search_classic(row.text, int(row.k))
             elif mode == "phrase":
                 sl = getattr(row, "slop", None)
                 sl = 0 if sl is None or (isinstance(sl, float)
