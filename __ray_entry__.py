@@ -8996,6 +8996,63 @@ def _q_histogram_top_buckets(sf_dir: str):
                                  min_count=n // 40, limit=10)
 
 
+_EPOCH_FACTORS = {"src1": 3, "src7": 2, "src13": 4}
+
+
+def _q_epoch_repeats(sf_dir: str):
+    """Per-source epoch upsampling for data mixtures (functions/
+    sampling.epoch_repeats): sources at k epochs emit every doc k times
+    tagged repeat_idx 0..k-1 — a pure streaming map, no shuffle.  The
+    SQL replays the factor table with generate_series."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.sampling import epoch_repeats
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "source"])
+    return epoch_repeats(docs, "source", "doc_id", _EPOCH_FACTORS)
+
+
+def _sql_epoch_repeats() -> str:
+    vals = ", ".join(f"('{s}', {k})" for s, k in _EPOCH_FACTORS.items())
+    return f"""
+WITH f(source, k) AS (VALUES {vals})
+SELECT d.doc_id, d.source,
+       unnest(generate_series(0, coalesce(f.k, 1) - 1))::BIGINT
+         AS repeat_idx
+FROM documents d LEFT JOIN f USING (source)
+"""
+
+
+def _q_token_fertility(sf_dir: str):
+    """Tokenizer fertility by source (stages/aggs.fertility_by_group):
+    docs / tokens (shared [a-z0-9]+ rule) / chars / tokens-per-1000-
+    chars as an exact big-int floor division — the pre-training
+    mixture health check."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import fertility_by_group
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["source", "text"])
+    return fertility_by_group(docs, "source", "text")
+
+
+def _sql_token_fertility() -> str:
+    return f"""
+WITH d AS (
+  SELECT source, len({_sql_tok()})::BIGINT tok,
+         length(text)::HUGEINT ch
+  FROM documents
+)
+SELECT source, count(*)::BIGINT n_docs, sum(tok)::BIGINT n_tokens,
+       sum(ch)::BIGINT n_chars,
+       ((sum(tok)::HUGEINT * 1000 * 1000000) // sum(ch))::BIGINT
+         AS tok_per_kchar_e6
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER is deliberate: the driver's correctness gate walks it
     # front to back under a budget (round 4's file truncated at entry 50),
@@ -9004,6 +9061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the r04 driver run follow.
     return {
         # --- never driver-checked (r04 truncated before these) + round-5 --
+        "epoch_repeats": _q_epoch_repeats,
+        "token_fertility": _q_token_fertility,
         "classic_topk": _q_classic_topk,
         "weighted_avg_price": _q_weighted_avg_price,
         "string_stats_docs": _q_string_stats_docs,
@@ -10523,6 +10582,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
     """
     return {
+        "epoch_repeats": _sql_epoch_repeats(),
+        "token_fertility": _sql_token_fertility(),
         "classic_topk": _sql_classic_topk(),
         "weighted_avg_price": """
             WITH q AS (

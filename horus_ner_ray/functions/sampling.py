@@ -365,3 +365,34 @@ def negative_pairs(ds, id_col: str = "doc_id", n_ids: int | None = None,
     return ds.select_columns([id_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True,
         runtime_env=_rte())
+
+
+def epoch_repeats(ds, group_col: str, id_col: str,
+                  factors: dict[str, int]):
+    """Deterministic per-source UPSAMPLING by integer repeat factors —
+    the 'epochs per dataset' knob of LLM data-mixture recipes (a corpus
+    listed at 3 epochs emits every doc 3x, tagged ``repeat_idx``
+    0..k-1 so downstream shuffles can interleave copies).  Groups absent
+    from ``factors`` default to 1.
+
+    Pure streaming map: each batch expands independently via np.repeat —
+    no shuffle, no driver state, partitioning-invariant, and the output
+    is a pure function of the rows (SQL-oracle-checkable with
+    generate_series)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_pandas()
+        k = g.map(factors).fillna(1).to_numpy(np.int64)
+        idx = np.repeat(np.arange(len(k), dtype=np.int64), k)
+        total = int(k.sum())
+        starts = np.repeat(np.cumsum(k) - k, k)
+        rep = np.arange(total, dtype=np.int64) - starts
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(idx)),
+            group_col: batch[group_col].take(pa.array(idx)),
+            "repeat_idx": pa.array(rep, pa.int64()),
+        })
+
+    return ds.select_columns([id_col, group_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte())

@@ -22,8 +22,6 @@ cardinality is bounded by the key domain, not the corpus).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -240,3 +238,49 @@ def bucket_sort_histogram(ds, ts_col: str, interval_us: int,
     kept = kept.head(limit).reset_index(drop=True)
     kept["rk"] = np.arange(1, len(kept) + 1, dtype=np.int64)
     return kept[["rk", "bucket_us", "n_docs"]]
+
+
+def fertility_by_group(ds, key_col: str, text_col: str) -> pd.DataFrame:
+    """Tokenizer fertility profile per group — the tokens-per-character
+    health check run before committing a tokenizer to a data mixture:
+    per key, doc count, token count (the shared ``[a-z0-9]+`` rule),
+    code-point char count, and tokens-per-1000-chars published as
+    ``tok_per_kchar_e6 = (tokens * 1000 * 10**6) // chars`` (exact
+    big-int floor division).  One streaming combiner pass.
+    """
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.tokenize import token_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tok = token_counts(batch[text_col]).astype(np.int64)
+        ln = pc.utf8_length(batch[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "k": batch[key_col].to_pandas().to_numpy(),
+            "n": np.int64(1), "tok": tok, "ch": ln,
+        })
+        g = df.groupby("k", sort=False).sum().reset_index()
+        cols = {key_col: pa.array(g["k"])}
+        for c in ("n", "tok", "ch"):
+            cols[c] = pa.array(g[c].to_numpy(np.int64), pa.int64())
+        return pa.table(cols)
+
+    sums = (
+        ds.select_columns([key_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "tok", "ch")])
+    ).to_pandas()
+    out = pd.DataFrame({
+        key_col: sums[key_col],
+        "n_docs": sums["n"].astype(np.int64),
+        "n_tokens": sums["tok"].astype(np.int64),
+        "n_chars": sums["ch"].astype(np.int64),
+        "tok_per_kchar_e6": np.array(
+            [(int(t) * 1000 * 10**6) // int(c)
+             for t, c in zip(sums["tok"].astype(object),
+                             sums["ch"].astype(object))], dtype=np.int64),
+    })
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -94,3 +94,35 @@ def test_bucket_sort(ray_session, frame, blocks):
     assert list(out["bucket_us"]) == list(want["bucket_us"])
     assert list(out["n_docs"]) == list(want["n"])
     assert list(out["rk"]) == list(range(1, len(want) + 1))
+
+
+@pytest.mark.parametrize("blocks", [1, 8])
+def test_epoch_repeats(ray_session, frame, blocks):
+    from horus_ner_ray.functions.sampling import epoch_repeats
+
+    factors = {"a": 3, "c": 2}
+    out = epoch_repeats(_ds(frame, blocks), "k", "eid", factors).to_pandas()
+    want_rows = sum(factors.get(k, 1) for k in frame["k"])
+    assert len(out) == want_rows
+    # every doc present with exactly its factor's worth of copies
+    got = out.groupby("eid")["repeat_idx"].agg(["count", "max"])
+    for eid, k in zip(frame["eid"], frame["k"]):
+        f = factors.get(k, 1)
+        assert got.loc[eid, "count"] == f
+        assert got.loc[eid, "max"] == f - 1
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_fertility(ray_session, frame, blocks):
+    from horus_ner_ray.stages.aggs import fertility_by_group
+
+    f2 = frame.assign(txt=frame["txt"] + " ab12 zz")
+    out = fertility_by_group(_ds(f2, blocks), "k", "txt")
+    for _, r in out.iterrows():
+        sub = f2[f2["k"] == r["k"]]["txt"]
+        toks = sub.str.count(r"[a-z0-9]+").sum()
+        chars = sub.str.len().sum()
+        assert r["n_docs"] == len(sub)
+        assert r["n_tokens"] == toks
+        assert r["n_chars"] == chars
+        assert r["tok_per_kchar_e6"] == (int(toks) * 1000 * 10**6) // int(chars)
