@@ -1471,6 +1471,36 @@ def _q_lm_topk(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+OSA_QUERIES = ["bacth jion", "qeury", "straem tabel", "vecotr"]
+
+
+def _q_fuzzy_osa_topk(sf_dir: str):
+    """Transposition-aware fuzzy search (Lucene FuzzyQuery's default
+    transpositions=true — the OSA metric counts an adjacent swap as ONE
+    edit, so 'bacth' reaches 'batch' at distance 1 where plain
+    Levenshtein needs 2).  max_dist=1 is the operating point where OSA
+    and full Damerau-Levenshtein coincide, so DuckDB's native
+    damerau_levenshtein() is an exact oracle for the expansion."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_fuzzy(t, TOPK * 3 + 20, transpositions=True)
+            for t in OSA_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_fuzzy_osa() -> str:
+    import re
+
+    parts: list[str] = []
+    for qid, text in enumerate(OSA_QUERIES):
+        for tok in sorted(set(re.findall(_TOKRE, text.lower()))):
+            parts.append(
+                f"SELECT {qid} AS query_id, term FROM dfv "
+                f"WHERE damerau_levenshtein(term, '{tok}') <= 1")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
 def _q_classic_topk(sf_dir: str):
     """Lucene ClassicSimilarity ranking (vector-space TF-IDF, the
     pluggable third similarity beside BM25 and Dirichlet-LM): per
@@ -9063,6 +9093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "fuzzy_osa_topk": _q_fuzzy_osa_topk,
         "classic_topk": _q_classic_topk,
         "weighted_avg_price": _q_weighted_avg_price,
         "string_stats_docs": _q_string_stats_docs,
@@ -10584,6 +10615,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "fuzzy_osa_topk": _sql_fuzzy_osa(),
         "classic_topk": _sql_classic_topk(),
         "weighted_avg_price": """
             WITH q AS (

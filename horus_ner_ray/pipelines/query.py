@@ -916,23 +916,29 @@ class BruteForceBM25:
                     scores[d] += self._contrib(idf, f, self.dl[d])
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
-    def _expand_fuzzy_vocab(self, term: str, max_dist: int = 1) -> list[str]:
+    def _expand_fuzzy_vocab(self, term: str, max_dist: int = 1,
+                            transpositions: bool = False) -> list[str]:
         """Edit-distance-``max_dist`` neighborhood of one term in the
-        brute vocabulary (shared by search_fuzzy and search_querystring)."""
-        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+        brute vocabulary (shared by search_fuzzy and search_querystring);
+        ``transpositions`` switches to the OSA metric (adjacent swap =
+        one edit, Lucene FuzzyQuery(transpositions=true))."""
+        from horus_ner_ray.stages.fuzzy import (levenshtein_distances,
+                                                osa_distances)
 
+        dist_fn = osa_distances if transpositions else levenshtein_distances
         vocab = np.array(sorted(self.postings), dtype=object)
-        d = levenshtein_distances(
+        d = dist_fn(
             np.full(len(vocab), term, dtype=object), vocab.astype(str))
         return [str(x) for x in vocab[d <= max_dist]]
 
-    def search_fuzzy(self, text: str, k: int = 10,
-                     max_dist: int = 1) -> list[tuple[int, float]]:
+    def search_fuzzy(self, text: str, k: int = 10, max_dist: int = 1,
+                     transpositions: bool = False) -> list[tuple[int, float]]:
         """Oracle typo-tolerant search: brute edit-distance scan of the
         vocabulary per query token, union scored as OR."""
         sel: set[str] = set()
         for t in query_terms(text):
-            sel.update(self._expand_fuzzy_vocab(t, max_dist))
+            sel.update(self._expand_fuzzy_vocab(t, max_dist,
+                                                transpositions))
         return self._score_term_set(sorted(sel), k)
 
     def _phrase_match_set(self, phrase: list[str]) -> set[int]:
@@ -1805,20 +1811,26 @@ class QueryEngine:
                         key=lambda td: (-td[1], td[0]))
         return ranked[:k]
 
-    def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
-        """Dictionary terms within Levenshtein ``max_dist`` of ``term``
-        (the 'did you mean' expansion; includes the term itself when
+    def expand_fuzzy(self, term: str, max_dist: int = 1,
+                     transpositions: bool = False) -> list[str]:
+        """Dictionary terms within edit ``max_dist`` of ``term`` (the
+        'did you mean' expansion; includes the term itself when
         present): length-banded vocab scan (+-max_dist lengths only) +
-        the pair-axis-vectorized DP of ``stages/fuzzy``."""
-        from horus_ner_ray.stages.fuzzy import levenshtein_distances
+        the pair-axis-vectorized DP of ``stages/fuzzy``.
+        ``transpositions=True`` uses the OSA metric — adjacent swap is
+        ONE edit (Lucene FuzzyQuery(transpositions=true)); the length
+        band is unchanged (a transposition preserves length)."""
+        from horus_ner_ray.stages.fuzzy import (levenshtein_distances,
+                                                osa_distances)
 
+        dist_fn = osa_distances if transpositions else levenshtein_distances
         if self._vocab_lens is None:
             self._vocab_lens = np.array([len(str(t)) for t in self._vocab],
                                         dtype=np.int64)
         cand = self._vocab[np.abs(self._vocab_lens - len(term)) <= max_dist]
         if len(cand) == 0:
             return []
-        d = levenshtein_distances(
+        d = dist_fn(
             np.full(len(cand), term, dtype=object), cand.astype(str))
         return sorted(str(t) for t in cand[d <= max_dist])
 
@@ -1831,14 +1843,16 @@ class QueryEngine:
         hit = np.char.find(self._vocab.astype(str), sub) >= 0
         return sorted(str(t) for t in self._vocab[hit])
 
-    def search_fuzzy(self, text: str, k: int = 10,
-                     max_dist: int = 1) -> list[tuple[int, float]]:
+    def search_fuzzy(self, text: str, k: int = 10, max_dist: int = 1,
+                     transpositions: bool = False) -> list[tuple[int, float]]:
         """Typo-tolerant search: each query token expands to its
         edit-distance-``max_dist`` dictionary neighborhood; the union
-        scores as a plain OR query (same arithmetic as ``search``)."""
+        scores as a plain OR query (same arithmetic as ``search``).
+        ``transpositions=True`` counts an adjacent swap as one edit
+        (OSA metric, Lucene's fuzzy default)."""
         terms: set[str] = set()
         for t in query_terms(text):
-            terms.update(self.expand_fuzzy(t, max_dist))
+            terms.update(self.expand_fuzzy(t, max_dist, transpositions))
         return self._search_terms(sorted(terms), k)
 
     def search_contains(self, text: str, k: int = 10) -> list[tuple[int, float]]:
@@ -4612,6 +4626,12 @@ class ScorerActor:
                              and _msm_probe != _msm_probe)
                     and int(_msm_probe) > 0 and mode != "boolean"):
                 raise ValueError("msm= requires mode='boolean'")
+            _tr_probe = getattr(row, "transpose", None)
+            if (_tr_probe is not None
+                    and not (isinstance(_tr_probe, float)
+                             and _tr_probe != _tr_probe)
+                    and int(_tr_probe) and mode != "fuzzy"):
+                raise ValueError("transpose= requires mode='fuzzy'")
             after_doc = getattr(row, "after_doc", None)
             if after_doc is not None and (
                     isinstance(after_doc, float) and after_doc != after_doc):
@@ -4632,12 +4652,19 @@ class ScorerActor:
                     raise ValueError(
                         f"mode={mode!r} does not compose with role/tool/"
                         "exclude filters")
-                fn = {"prefix": self.engine.search_prefix,
-                      "fuzzy": self.engine.search_fuzzy,
-                      "contains": self.engine.search_contains,
-                      "regex": self.engine.search_regex,
-                      "stemmed": self.engine.search_stemmed}[mode]
-                hits = fn(row.text, int(row.k))
+                if mode == "fuzzy":
+                    tr = getattr(row, "transpose", None)
+                    tr = (False if tr is None
+                          or (isinstance(tr, float) and tr != tr)
+                          else bool(int(tr)))
+                    hits = self.engine.search_fuzzy(row.text, int(row.k),
+                                                    transpositions=tr)
+                else:
+                    fn = {"prefix": self.engine.search_prefix,
+                          "contains": self.engine.search_contains,
+                          "regex": self.engine.search_regex,
+                          "stemmed": self.engine.search_stemmed}[mode]
+                    hits = fn(row.text, int(row.k))
             elif mode == "first":
                 if role or tool or exclude:
                     raise ValueError(

@@ -108,7 +108,8 @@ class QueryService:
                tie_breaker: float = 0.5,
                max_expansions: int = 50,
                dist: int = 2,
-               cutoff_pct: int = 50) -> list[dict]:
+               cutoff_pct: int = 50,
+               transpositions: bool = False) -> list[dict]:
         """One query: scatter to every actor, merge exact partials.
         ``return_text`` joins the hits back to the docstore rows (the
         reference's route returns the sentence text, rest.py:47-61).
@@ -129,6 +130,7 @@ class QueryService:
               "nb": float(negative_boost), "tie": float(tie_breaker),
               "max_exp": int(max_expansions), "dist": int(dist),
               "cutoff": int(cutoff_pct),
+              "transpose": int(bool(transpositions)),
               "after_doc": None if after is None else int(after[0]),
               "after_score": float("nan") if after is None
               else float(after[1])}]
@@ -186,6 +188,7 @@ class QueryService:
                 "max_exp": int(e.get("max_exp", 50)),
                 "dist": int(e.get("dist", 2)),
                 "cutoff": int(e.get("cutoff", 50)),
+                "transpose": int(e.get("transpose", 0)),
                 "after_doc": None, "after_score": float("nan"),
             })
         qdf = pd.DataFrame(rows)
@@ -1287,6 +1290,10 @@ def make_http_server(
                         f"max_exp must be >= 1, got {req_max_exp}")
                 if qs.get("max_exp") and req_mode != "phrase_prefix":
                     raise ValueError("max_exp= requires mode=phrase_prefix")
+                req_transpose = (qs.get("transpose") or ["0"])[0] \
+                    not in ("0", "", "false")
+                if req_transpose and req_mode != "fuzzy":
+                    raise ValueError("transpose= requires mode=fuzzy")
                 if req_mode == "near" and req_exclude:
                     raise ValueError("mode='near' does not compose with "
                                      "exclude")
@@ -1343,7 +1350,8 @@ def make_http_server(
                                       tie_breaker=req_tie,
                                       max_expansions=req_max_exp,
                                       dist=req_dist,
-                                      cutoff_pct=req_cutoff)
+                                      cutoff_pct=req_cutoff,
+                                      transpositions=req_transpose)
             except Exception as e:  # surface scoring errors, not a hang
                 self.send_error(500, str(e))
                 return

@@ -77,6 +77,54 @@ def levenshtein_distances(a, b) -> np.ndarray:
     return res
 
 
+def osa_distances(a, b) -> np.ndarray:
+    """Optimal-string-alignment distance (Damerau restricted: Levenshtein
+    + ADJACENT TRANSPOSITION as one edit, no substring re-edit) for each
+    aligned pair — Lucene's ``FuzzyQuery(transpositions=true)`` metric.
+
+    Same pair-axis vectorization as ``levenshtein_distances``, with one
+    extra DP row kept for the transposition case.  NOTE: OSA, not full
+    Damerau-Levenshtein — OSA('ca','abc') = 3 while full DL = 2; the two
+    agree for all pairs at distance <= 1 (a single edit never re-edits),
+    which is the fuzzy-query operating point."""
+    a = np.asarray(a, dtype="U")
+    b = np.asarray(b, dtype="U")
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    La = a.dtype.itemsize // 4
+    Lb = b.dtype.itemsize // 4
+    Am = (a.view(np.uint32).reshape(n, La) if La
+          else np.zeros((n, 0), np.uint32))
+    Bm = (b.view(np.uint32).reshape(n, Lb) if Lb
+          else np.zeros((n, 0), np.uint32))
+    la = (Am != 0).sum(axis=1)
+    lb = (Bm != 0).sum(axis=1)
+    res = np.where(lb == 0, la, 0).astype(np.int64)
+    prev2 = np.tile(np.arange(La + 1, dtype=np.int64), (n, 1))  # row j-2
+    prev = prev2.copy()                                         # row j-1
+    cur = np.empty_like(prev)
+    rows = np.arange(n)
+    for j in range(1, Lb + 1):
+        bj = Bm[:, j - 1]
+        cur[:, 0] = j
+        for i in range(1, La + 1):
+            cost = (Am[:, i - 1] != bj).astype(np.int64)
+            np.minimum(cur[:, i - 1] + 1, prev[:, i] + 1, out=cur[:, i])
+            np.minimum(cur[:, i], prev[:, i - 1] + cost, out=cur[:, i])
+            if i >= 2 and j >= 2:
+                tr = (Am[:, i - 1] == Bm[:, j - 2]) \
+                    & (Am[:, i - 2] == bj) & (cost == 1)
+                if tr.any():
+                    cur[tr, i] = np.minimum(cur[tr, i],
+                                            prev2[tr, i - 2] + 1)
+        done = lb == j
+        if done.any():
+            res[done] = cur[rows[done], la[done]]
+        prev2, prev, cur = prev, cur, prev2
+    return res
+
+
 def _band_pairs(g: pd.DataFrame, key: str, max_dist: int,
                 max_block: int) -> pd.DataFrame:
     """One length band: home x home + visitor x home candidate pairs,
