@@ -1471,6 +1471,67 @@ def _q_lm_topk(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """SemDeDup keep-rule: embedding near-dup clusters (the dup_components
+    composition) each keep their HIGHEST-QUALITY member (vocab richness
+    n_unique desc, doc asc) — dedup that preserves the best copy instead
+    of an arbitrary one (stages/clustering.keep_best_per_component: one
+    hash join + an associative per-component arg-max combiner).
+    embeddings.vec_id aligns 1:1 with documents.doc_id."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analysis import quality_dataset
+    from horus_ner_ray.stages.clustering import (keep_best_per_component,
+                                                 semantic_dup_components)
+    from horus_ner_ray.stages.dedupe import buckets_for_rows, salts_for_rows
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    n = _n_rows(str(Path(sf_dir) / "embeddings.parquet"))
+    emb = rd.read_parquet(str(Path(sf_dir) / "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    comps = semantic_dup_components(emb, threshold=0.4, exact=True,
+                                    n_buckets=buckets_for_rows(n),
+                                    n_salts=salts_for_rows(n))
+    q = quality_dataset(_read_docs(sf_dir)).select_columns(
+        ["doc_id", "n_unique"])
+    q = q.map_batches(lambda b: b.rename_columns(["vec_id", "n_unique"]),
+                      batch_format="pyarrow", zero_copy_batch=True,
+                      runtime_env=_rte())
+    return keep_best_per_component(comps, q, id_col="vec_id")
+
+
+def _sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+),
+edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node AS doc_id, min(lab) AS component
+         FROM reach GROUP BY node),
+qual AS (SELECT doc_id,
+                len(list_distinct({_sql_tok()}))::BIGINT AS n_unique
+         FROM documents),
+j AS (
+  SELECT c.component, c.doc_id, q.n_unique,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.n_unique DESC, c.doc_id) rk,
+         count(*) OVER (PARTITION BY c.component) cnt
+  FROM comp c JOIN qual q USING (doc_id)
+)
+SELECT component::BIGINT AS component, doc_id::BIGINT AS kept_doc,
+       n_unique, cnt::BIGINT AS n_members
+FROM j WHERE rk = 1 ORDER BY component
+"""
+
+
 OSA_QUERIES = ["bacth jion", "qeury", "straem tabel", "vecotr"]
 
 
@@ -9093,6 +9154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "dedup_keep_best": _q_dedup_keep_best,
         "fuzzy_osa_topk": _q_fuzzy_osa_topk,
         "classic_topk": _q_classic_topk,
         "weighted_avg_price": _q_weighted_avg_price,
@@ -10615,6 +10677,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "dedup_keep_best": _sql_dedup_keep_best(),
         "fuzzy_osa_topk": _sql_fuzzy_osa(),
         "classic_topk": _sql_classic_topk(),
         "weighted_avg_price": """

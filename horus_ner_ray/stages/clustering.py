@@ -468,3 +468,53 @@ def nearest_centroid_classify(ds, vec_col: str = "embedding",
     return ds.select_columns([id_col, vec_col, label_col]).map_batches(
         classify, batch_format="pyarrow", zero_copy_batch=True,
         runtime_env=_rte())
+
+
+def keep_best_per_component(comp_ds, score_ds, id_col: str = "doc_id",
+                            comp_col: str = "component",
+                            score_col: str = "n_unique",
+                            n_buckets: int = 64) -> "pd.DataFrame":
+    """Curation keep-rule over duplicate clusters: for every component,
+    KEEP the member with the highest quality score (ties -> lowest id) —
+    the SemDeDup/'keep best, drop rest' policy, composed from the
+    component table and a per-doc score table.
+
+    Shape: one hash join (both sides corpus-sized) + an associative
+    per-component arg-max combiner; the published table is O(components).
+    Returns ``(component, kept_doc, score, n_members)`` sorted by
+    component.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from horus_ner_ray.stages.aggs import top_metrics
+    from horus_ner_ray.stages.joins import hash_join_dataset
+
+    joined = hash_join_dataset(
+        comp_ds, score_ds, key=id_col,
+        left_cols=[comp_col], right_cols=[score_col],
+        n_buckets=n_buckets)
+
+    def add_neg(batch: pa.Table) -> pa.Table:
+        # hash_join_dataset suffixes right-side payload columns with _r
+        if f"{score_col}_r" in batch.column_names:
+            batch = batch.rename_columns(
+                [score_col if c == f"{score_col}_r" else c
+                 for c in batch.column_names])
+        return batch.append_column(
+            "_neg_id", pc.negate(pc.cast(batch[id_col], pa.int64())))
+
+    joined = joined.map_batches(add_neg, batch_format="pyarrow",
+                                zero_copy_batch=True, runtime_env=_rte())
+    best = top_metrics(joined, comp_col, score_col, "_neg_id", [id_col])
+    members = (joined.groupby(comp_col)
+               .aggregate(Count(alias_name="n_members"))).to_pandas()
+    out = best.merge(members, on=comp_col)
+    out = pd.DataFrame({
+        comp_col: out[comp_col].astype(np.int64),
+        "kept_doc": out[id_col].astype(np.int64),
+        score_col: out[score_col].astype(np.int64),
+        "n_members": out["n_members"].astype(np.int64),
+    })
+    return out.sort_values(comp_col).reset_index(drop=True)

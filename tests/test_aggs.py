@@ -126,3 +126,28 @@ def test_fertility(ray_session, frame, blocks):
         assert r["n_tokens"] == toks
         assert r["n_chars"] == chars
         assert r["tok_per_kchar_e6"] == (int(toks) * 1000 * 10**6) // int(chars)
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_keep_best_per_component(ray_session, blocks):
+    from horus_ner_ray.stages.clustering import keep_best_per_component
+
+    rng = np.random.default_rng(3)
+    n = 400
+    comp = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "component": rng.integers(0, 50, n).astype(np.int64),
+    })
+    score = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_unique": rng.integers(1, 100, n).astype(np.int64),
+    })
+    out = keep_best_per_component(_ds(comp, blocks), _ds(score, blocks))
+    j = comp.merge(score, on="doc_id")
+    want = (j.sort_values(["n_unique", "doc_id"],
+                          ascending=[False, True], kind="stable")
+            .groupby("component").head(1).sort_values("component"))
+    assert list(out["kept_doc"]) == list(want["doc_id"])
+    assert list(out["n_unique"]) == list(want["n_unique"])
+    assert list(out["n_members"]) == list(
+        j.groupby("component").size().sort_index())
