@@ -1471,6 +1471,62 @@ def _q_lm_topk(sf_dir: str):
     return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
 
 
+def _ipc_export_dir(sf_dir: str) -> str:
+    """Deterministic Arrow IPC export of the transcript corpus (written
+    once under GRAFT_TMP; the Ray reader consumes these bytes while the
+    oracle reads the ORIGINAL parquet parts — losslessness IS the
+    check)."""
+    import ray.data as rd
+
+    from horus_ner_ray.sources.ipc import write_ipc
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    out = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_ipc_{sf}"
+    marker = out / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        write_ipc(rd.read_parquet(files), out)
+        marker.write_text("ok")
+    return str(out)
+
+
+def _q_ipc_source(sf_dir: str):
+    """Arrow IPC transcript source (sources/ipc.py — the zero-parse
+    binary interchange; S2/S6 pair with write_ipc): the corpus exports
+    to one .arrow container per conversation, the reader decodes them
+    back, and the ORACLE reads the ORIGINAL parquet parts — any byte the
+    IPC round-trip loses or mangles breaks the hash.  Published as
+    per-turn (conv_id, turn_idx, role, n_chars, ts_us)."""
+    from horus_ner_ray.sources.ipc import read_ipc_transcripts
+
+    d = _ipc_export_dir(sf_dir)
+    files = sorted(str(p) for p in Path(d).glob("*.arrow"))
+    df = read_ipc_transcripts(files).to_pandas()
+    out = pd.DataFrame({
+        "conv_id": df["conv_id"].astype(str),
+        "turn_idx": df["turn_idx"].astype(np.int64),
+        "role": df["role"].astype(str),
+        "n_chars": df["text"].str.len().astype(np.int64),
+        "ts_us": df["ts"].astype("datetime64[us]").astype(np.int64),
+    })
+    return (out.sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True))
+
+
+def _sql_ipc_source() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+SELECT conv_id, turn_idx::BIGINT AS turn_idx, role,
+       length(text)::BIGINT AS n_chars,
+       epoch_us(ts)::BIGINT AS ts_us
+FROM read_parquet('{glob}')
+ORDER BY conv_id, turn_idx
+"""
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """SemDeDup keep-rule: embedding near-dup clusters (the dup_components
     composition) each keep their HIGHEST-QUALITY member (vocab richness
@@ -9154,6 +9210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "ipc_source": _q_ipc_source,
         "dedup_keep_best": _q_dedup_keep_best,
         "fuzzy_osa_topk": _q_fuzzy_osa_topk,
         "classic_topk": _q_classic_topk,
@@ -10677,6 +10734,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "ipc_source": _sql_ipc_source(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "fuzzy_osa_topk": _sql_fuzzy_osa(),
         "classic_topk": _sql_classic_topk(),
