@@ -1588,6 +1588,33 @@ FROM j WHERE rk = 1 ORDER BY component
 """
 
 
+WILDCARD_QUERIES = ["cust*", "t?ble *alue", "s??n gr*p", "w*d?w"]
+
+
+def _q_bm25_wildcard(sf_dir: str):
+    """Wildcard term query (Lucene WildcardQuery / ES wildcard: * = any
+    run, ? = one char, mid-pattern allowed): dictionary expansion via the
+    shared wildcard_to_regex translation, union scored as OR.  The SQL
+    performs the SAME expansion with LIKE (* -> %, ? -> _) over its df
+    table — the translation rule itself is what the oracle pins."""
+    from horus_ner_ray.pipelines.query import QueryEngine
+
+    eng = QueryEngine(_doc_index_dir(sf_dir))
+    hits = [eng.search_wildcard(t, TOPK * 3 + 20)
+            for t in WILDCARD_QUERIES]
+    return _e6_rerank(_hits_frame(hits), "score", "doc_id", "score_e6")
+
+
+def _sql_bm25_wildcard() -> str:
+    parts: list[str] = []
+    for qid, text in enumerate(WILDCARD_QUERIES):
+        for pat in sorted(set(text.split())):
+            like = pat.replace("*", "%").replace("?", "_")
+            parts.append(f"SELECT {qid} AS query_id, term FROM dfv "
+                         f"WHERE term LIKE '{like}'")
+    return _sql_bm25([], conjunctive=False, q_sql=" UNION ".join(parts))
+
+
 OSA_QUERIES = ["bacth jion", "qeury", "straem tabel", "vecotr"]
 
 
@@ -9210,6 +9237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "bm25_wildcard": _q_bm25_wildcard,
         "ipc_source": _q_ipc_source,
         "dedup_keep_best": _q_dedup_keep_best,
         "fuzzy_osa_topk": _q_fuzzy_osa_topk,
@@ -10734,6 +10762,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "bm25_wildcard": _sql_bm25_wildcard(),
         "ipc_source": _sql_ipc_source(),
         "dedup_keep_best": _sql_dedup_keep_best(),
         "fuzzy_osa_topk": _sql_fuzzy_osa(),

@@ -171,6 +171,25 @@ def s_stem(w: str) -> str:
     return w
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery translation: ``*`` = any run (incl. empty),
+    ``?`` = exactly one char, everything else literal.  THE one
+    implementation — engine, brute oracle and the SQL builder's LIKE
+    translation (``*``->``%``, ``?``->``_``) must express the same
+    language."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -1149,6 +1168,19 @@ class BruteForceBM25:
             sel.update(t for t in self.postings if rx.fullmatch(t))
         return self._score_term_set(sorted(sel), k)
 
+    def search_wildcard(self, pattern_text: str,
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Oracle wildcard term query: each whitespace-separated pattern
+        (``*`` any run, ``?`` one char) expands over the vocabulary via
+        the shared translation; union scores as OR."""
+        import re as _re
+
+        sel: set[str] = set()
+        for p in pattern_text.split():
+            rx = _re.compile(wildcard_to_regex(p))
+            sel.update(t for t in self.postings if rx.fullmatch(t))
+        return self._score_term_set(sorted(sel), k)
+
     def field_stats(self, text: str, field: str = "ts",
                     mode: str = "or") -> dict[str, int]:
         """Oracle match-set stats: count/min/max/floor-mean of the stored
@@ -1895,6 +1927,25 @@ class QueryEngine:
         vs = pd.Series(self._vocab, dtype=object)
         for p in pattern_text.split():
             m = vs.str.fullmatch(p).to_numpy(dtype=bool)
+            sel.update(str(t) for t in self._vocab[m])
+        return self._search_terms(sorted(sel), k)
+
+    def search_wildcard(self, pattern_text: str,
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Wildcard term query (Lucene WildcardQuery / ES wildcard):
+        ``*`` matches any run (including empty), ``?`` exactly one
+        character, everything else literal — each whitespace-separated
+        pattern expands over the dictionary through the shared
+        ``wildcard_to_regex`` translation and the union scores as a
+        plain OR.  Same linear-vocab-scan cost class as regex/infix
+        (a leading literal could use the sorted-range shortcut; kept
+        uniform for simplicity).  The SQL oracle expresses the SAME
+        language with LIKE (``*``->``%``, ``?``->``_``; the [a-z0-9]+
+        dictionary contains no LIKE metacharacters)."""
+        sel: set[str] = set()
+        vs = pd.Series(self._vocab, dtype=object)
+        for p in pattern_text.split():
+            m = vs.str.fullmatch(wildcard_to_regex(p)).to_numpy(dtype=bool)
             sel.update(str(t) for t in self._vocab[m])
         return self._search_terms(sorted(sel), k)
 
@@ -4645,7 +4696,8 @@ class ScorerActor:
                 hits = self.engine.search_after(
                     row.text, int(row.k), mode=mode,
                     cursor=(int(after_doc), float(row.after_score)))
-            elif mode in ("prefix", "fuzzy", "contains", "regex", "stemmed"):
+            elif mode in ("prefix", "fuzzy", "contains", "regex", "stemmed",
+                          "wildcard"):
                 # dictionary-expansion modes: field filters don't compose
                 # (fail loudly rather than silently ignoring a filter)
                 if role or tool or exclude:
@@ -4663,7 +4715,8 @@ class ScorerActor:
                     fn = {"prefix": self.engine.search_prefix,
                           "contains": self.engine.search_contains,
                           "regex": self.engine.search_regex,
-                          "stemmed": self.engine.search_stemmed}[mode]
+                          "stemmed": self.engine.search_stemmed,
+                          "wildcard": self.engine.search_wildcard}[mode]
                     hits = fn(row.text, int(row.k))
             elif mode == "first":
                 if role or tool or exclude:

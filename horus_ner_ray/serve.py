@@ -699,8 +699,9 @@ def make_http_server(
                     m = e.get("mode", service.mode)
                     if m not in ("or", "and", "phrase", "near", "boolean",
                                  "prefix", "fuzzy", "contains", "lm",
-                                 "classic", "regex", "boosting", "dismax",
-                                 "common", "phrase_prefix", "span_not"):
+                                 "classic", "regex", "wildcard", "boosting",
+                                 "dismax", "common", "phrase_prefix",
+                                 "span_not"):
                         raise ValueError(f"unknown mode {m!r}")
             except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self.send_error(400, str(e))
@@ -1230,9 +1231,10 @@ def make_http_server(
                 req_mode = (qs.get("mode") or [service.mode])[0]
                 if req_mode not in ("or", "and", "phrase", "near", "boolean",
                                     "prefix", "fuzzy", "contains", "lm",
-                                    "classic", "regex", "stemmed", "first",
-                                    "common", "boosting", "dismax",
-                                    "phrase_prefix", "span_not", "qs"):
+                                    "classic", "regex", "wildcard",
+                                    "stemmed", "first", "common", "boosting",
+                                    "dismax", "phrase_prefix", "span_not",
+                                    "qs"):
                     raise ValueError(f"unknown mode {req_mode!r}")
                 req_should = (qs.get("should") or [""])[0] or None
                 req_msm = int((qs.get("msm") or ["0"])[0])
@@ -1248,9 +1250,10 @@ def make_http_server(
                 req_tool = (qs.get("tool") or [""])[0] or None
                 req_exclude = (qs.get("exclude") or [""])[0] or None
                 if req_mode in ("prefix", "fuzzy", "contains", "lm",
-                                "classic", "regex", "stemmed", "first",
-                                "boosting", "dismax", "phrase_prefix",
-                                "common", "span_not", "qs") and (
+                                "classic", "regex", "wildcard", "stemmed",
+                                "first", "boosting", "dismax",
+                                "phrase_prefix", "common", "span_not",
+                                "qs") and (
                         req_role or req_tool or req_exclude):
                     raise ValueError(
                         f"mode={req_mode!r} does not compose with "

@@ -76,3 +76,32 @@ def test_classic_served(built_index, ray_session, engines):
     finally:
         server.shutdown()
         service.close()
+
+
+def test_wildcard_parity_and_semantics(engines):
+    """Wildcard mode (see also tests covering regex): engine/brute
+    parity + the translation rule's semantics."""
+    eng, bf = engines
+    for q in ("th*", "t?e", "*ing", "a?out b*"):
+        assert eng.search_wildcard(q, 10) == bf.search_wildcard(q, 10), q
+    # '?' is exactly one char (not optional), '*' may be empty
+    vocab = {str(t) for t in eng._vocab}
+    word = next(t for t in vocab if len(t) >= 3)
+    assert eng.search_wildcard(word, 5) == eng.search(word, 5)  # literal
+    q_star = word + "*"
+    assert {d for d, _ in eng.search_wildcard(q_star, 10 ** 6)} >= \
+        {d for d, _ in eng.search(word, 10 ** 6)}
+
+
+def test_wildcard_served(built_index, ray_session, engines):
+    from horus_ner_ray.serve import QueryService
+
+    idx, _ = built_index
+    eng, _bf = engines
+    svc = QueryService(idx, n_actors=2)
+    try:
+        got = svc.search("th* a?out", k=5, mode="wildcard")
+        want = eng.search_wildcard("th* a?out", 5)
+        assert [(h["doc_id"], h["score"]) for h in got] == want
+    finally:
+        svc.close()
