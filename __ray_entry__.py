@@ -9153,6 +9153,21 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_bucket_stats_pipeline(sf_dir: str):
+    """ES sibling pipeline aggs (stats_bucket / avg_bucket / min_bucket /
+    max_bucket / sum_bucket) over the daily event histogram: statistics
+    OF the bucket counts, argmin/argmax bucket keys tie-broken earliest,
+    mean as an exact big-int floor division
+    (stages/aggs.sibling_bucket_stats)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import sibling_bucket_stats
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts"])
+    return sibling_bucket_stats(ev, "ts", _DAY_US)
+
+
 def _q_histogram_top_buckets(sf_dir: str):
     """ES bucket_selector + bucket_sort pipeline aggs over a daily
     date_histogram: drop buckets below total//40 docs, rank the rest by
@@ -9237,6 +9252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "bucket_stats_pipeline": _q_bucket_stats_pipeline,
         "bm25_wildcard": _q_bm25_wildcard,
         "ipc_source": _q_ipc_source,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -10762,6 +10778,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "bucket_stats_pipeline": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 86400000000) * 86400000000
+                       AS bucket_us,
+                     count(*)::BIGINT n
+              FROM events GROUP BY 1
+            )
+            SELECT count(*)::BIGINT n_buckets, sum(n)::BIGINT sum_docs,
+                   (SELECT n FROM c ORDER BY n, bucket_us LIMIT 1)::BIGINT
+                     AS min_docs,
+                   (SELECT bucket_us FROM c ORDER BY n, bucket_us
+                    LIMIT 1)::BIGINT AS min_bucket_us,
+                   (SELECT n FROM c ORDER BY n DESC, bucket_us
+                    LIMIT 1)::BIGINT AS max_docs,
+                   (SELECT bucket_us FROM c ORDER BY n DESC, bucket_us
+                    LIMIT 1)::BIGINT AS max_bucket_us,
+                   ((sum(n)::HUGEINT * 1000000) // count(*))::BIGINT
+                     AS avg_docs_e6
+            FROM c
+        """,
         "bm25_wildcard": _sql_bm25_wildcard(),
         "ipc_source": _sql_ipc_source(),
         "dedup_keep_best": _sql_dedup_keep_best(),

@@ -284,3 +284,47 @@ def fertility_by_group(ds, key_col: str, text_col: str) -> pd.DataFrame:
                              sums["ch"].astype(object))], dtype=np.int64),
     })
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+def sibling_bucket_stats(ds, ts_col: str, interval_us: int) -> pd.DataFrame:
+    """ES sibling pipeline aggs (stats_bucket / avg_bucket / min_bucket /
+    max_bucket / sum_bucket) over a date_histogram: bucket the stream by
+    ``interval_us``, then publish statistics OF THE BUCKET COUNTS — how
+    many buckets, total docs, min/max bucket size with their (earliest)
+    bucket keys, and the mean bucket size as an exact big-int floor
+    division.  The bucket table is O(time range / interval); the sibling
+    reduction is O(buckets) on the driver.
+    Returns one row: ``(n_buckets, sum_docs, min_docs, min_bucket_us,
+    max_docs, max_bucket_us, avg_docs_e6)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (ts // interval_us) * interval_us
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket_us": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket_us").aggregate(Sum("n", alias_name="n_docs"))
+    ).to_pandas().sort_values("bucket_us").reset_index(drop=True)
+    n = counts["n_docs"].astype(np.int64).to_numpy()
+    b = counts["bucket_us"].astype(np.int64).to_numpy()
+    total = int(n.sum())
+    imin = int(np.lexsort((b, n))[0])
+    imax = int(np.lexsort((b, -n))[0])
+    return pd.DataFrame({
+        "n_buckets": pd.Series([len(n)], dtype=np.int64),
+        "sum_docs": pd.Series([total], dtype=np.int64),
+        "min_docs": pd.Series([int(n[imin])], dtype=np.int64),
+        "min_bucket_us": pd.Series([int(b[imin])], dtype=np.int64),
+        "max_docs": pd.Series([int(n[imax])], dtype=np.int64),
+        "max_bucket_us": pd.Series([int(b[imax])], dtype=np.int64),
+        "avg_docs_e6": pd.Series([(total * 10**6) // len(n)],
+                                 dtype=np.int64),
+    })

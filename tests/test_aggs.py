@@ -151,3 +151,20 @@ def test_keep_best_per_component(ray_session, blocks):
     assert list(out["n_unique"]) == list(want["n_unique"])
     assert list(out["n_members"]) == list(
         j.groupby("component").size().sort_index())
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_sibling_bucket_stats(ray_session, frame, blocks):
+    from horus_ner_ray.stages.aggs import sibling_bucket_stats
+
+    day = 86400 * 10**6
+    out = sibling_bucket_stats(_ds(frame, blocks), "ts", day)
+    cnt = ((frame["ts"].astype(np.int64) // day) * day).value_counts() \
+        .sort_index()
+    assert out["n_buckets"][0] == len(cnt)
+    assert out["sum_docs"][0] == len(frame)
+    assert out["min_docs"][0] == cnt.min()
+    assert out["max_docs"][0] == cnt.max()
+    assert out["min_bucket_us"][0] == cnt[cnt == cnt.min()].index.min()
+    assert out["max_bucket_us"][0] == cnt[cnt == cnt.max()].index.min()
+    assert out["avg_docs_e6"][0] == (len(frame) * 10**6) // len(cnt)
