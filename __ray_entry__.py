@@ -9153,6 +9153,44 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_orders_left_join(sf_dir: str):
+    """LEFT OUTER hash join (orders x high-quantity lineitems on
+    orderkey) with explicit COALESCE fills — unmatched orders survive
+    carrying -1 (stages/joins.hash_join_dataset(how='left'): both sides
+    bucket by the same key hash, so emitting unmatched rows is
+    bucket-local; int payloads stay int64, no nullable promotion)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.dedupe import buckets_for_rows
+    from horus_ner_ray.stages.joins import hash_join_dataset
+
+    orders = rd.read_parquet(str(Path(sf_dir) / "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda b: b.rename_columns(["k", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_quantity"])
+    li = (li.filter(expr="l_quantity >= 49")
+          .select_columns(["l_orderkey", "l_linenumber"])
+          .map_batches(lambda b: b.rename_columns(["k", "l_linenumber"]),
+                       batch_format="pyarrow", zero_copy_batch=True))
+    j = hash_join_dataset(
+        orders, li, key="k",
+        left_cols=["o_custkey"], right_cols=["l_linenumber"],
+        n_buckets=buckets_for_rows(
+            _n_rows(str(Path(sf_dir) / "orders.parquet"))),
+        how="left", left_fill={"l_linenumber": -1})
+    out = j.to_pandas()
+    out = out.rename(columns={"k": "o_orderkey",
+                              "l_linenumber_r": "line_no"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["o_orderkey", "line_no"])
+            .reset_index(drop=True))
+
+
 def _q_bucket_stats_pipeline(sf_dir: str):
     """ES sibling pipeline aggs (stats_bucket / avg_bucket / min_bucket /
     max_bucket / sum_bucket) over the daily event histogram: statistics
@@ -9252,6 +9290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "orders_left_join": _q_orders_left_join,
         "bucket_stats_pipeline": _q_bucket_stats_pipeline,
         "bm25_wildcard": _q_bm25_wildcard,
         "ipc_source": _q_ipc_source,
@@ -10778,6 +10817,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "orders_left_join": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   coalesce(l.l_linenumber, -1)::BIGINT AS line_no
+            FROM orders o
+            LEFT JOIN (SELECT l_orderkey, l_linenumber FROM lineitem
+                       WHERE l_quantity >= 49) l
+              ON l.l_orderkey = o.o_orderkey
+            ORDER BY o.o_orderkey, line_no
+        """,
         "bucket_stats_pipeline": """
             WITH c AS (
               SELECT (epoch_us(ts) // 86400000000) * 86400000000

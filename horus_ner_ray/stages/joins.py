@@ -199,7 +199,9 @@ def hash_join_dataset(left_ds, right_ds, key: str,
                       left_cols: list[str], right_cols: list[str],
                       n_buckets: int = 64, suffix: str = "_r",
                       max_bucket_rows: int = 5_000_000,
-                      on_overflow: str = "raise"):
+                      on_overflow: str = "raise",
+                      how: str = "inner",
+                      left_fill: dict | None = None):
     """General inner equi-join with BOTH sides large: tag each side into a
     unified Arrow schema, one coarse-bucket shuffle on ``hash(key)``, and a
     vectorized ``pd.merge`` per bucket — one-to-many and many-to-many keys
@@ -222,9 +224,25 @@ def hash_join_dataset(left_ds, right_ds, key: str,
     bounds peak intermediates, not the inherent output size).
 
     Output columns: ``[key, *left_cols, *right_cols+suffix]``.
+
+    ``how='left'`` is the LEFT OUTER join: every left row survives, and
+    unmatched rows carry ``left_fill[right_col]`` in the right columns —
+    an explicit COALESCE built into the operator (typed fills instead of
+    nullable-int promotion, so integer payloads stay int64 end-to-end).
+    Both sides bucket by the same key hash, so a left row's matches are
+    always co-located; emitting unmatched rows is bucket-local.
     """
     if on_overflow not in ("raise", "chunk"):
         raise ValueError("on_overflow must be 'raise' or 'chunk'")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    if how == "left":
+        missing = [c for c in right_cols if c not in (left_fill or {})]
+        if missing:
+            raise ValueError(
+                f"how='left' requires left_fill values for every right "
+                f"column; missing {missing} — pick the COALESCE value "
+                "unmatched rows should carry (e.g. -1, '')")
     r_suff = [c + suffix for c in right_cols]
     clash = ({key, *left_cols} & set(r_suff)) | ({key} & set(left_cols))
     if clash:
@@ -273,14 +291,27 @@ def hash_join_dataset(left_ds, right_ds, key: str,
                     _arrow_type(l_schema if c in left_cols else r_schema, o))}
     int_like[key] = np.int64
 
+    def _with_fills(lf: pd.DataFrame) -> pd.DataFrame:
+        m = lf.copy()
+        for c, o in zip(r_suff, right_cols):
+            m[c] = left_fill[o]
+        return m
+
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["__side"] == 0][[key, *left_cols]]
         rf = g[g["__side"] == 1][[key, *r_suff]]
         empty = pd.DataFrame(
             {c: pd.Series([], dtype=int_like.get(c, g[c].dtype))
              for c in out_cols})
-        if len(lf) == 0 or len(rf) == 0:
+        if len(lf) == 0:
             return empty
+        if len(rf) == 0:
+            if how != "left":
+                return empty
+            m = _with_fills(lf)
+            for c, dt in int_like.items():
+                m[c] = m[c].astype(dt)
+            return m[out_cols]
         nl = lf[key].value_counts()
         nr = rf[key].value_counts()
         common = nl.index.intersection(nr.index)
@@ -325,6 +356,11 @@ def hash_join_dataset(left_ds, right_ds, key: str,
             m = pd.concat(out, ignore_index=True) if out else empty
         else:
             m = lf.merge(rf, on=key, how="inner")
+        if how == "left":
+            unmatched = lf[~lf[key].isin(nr.index)]
+            if len(unmatched):
+                m = pd.concat([m, _with_fills(unmatched)],
+                              ignore_index=True)
         if len(m) == 0:
             return empty
         for c, dt in int_like.items():

@@ -325,3 +325,39 @@ def test_join_column_collision_raises(ray_session):
     with pytest.raises(ValueError, match="collision"):
         asof_join_dataset(rd.from_pandas(l), rd.from_pandas(r), by="k",
                           on="ts", left_cols=["v_r"], right_cols=["v"])
+
+
+def test_hash_join_left_outer(ray_session):
+    """how='left': every left row survives; unmatched rows carry the
+    declared fills; matched region identical to the inner join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.joins import hash_join_dataset
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 40, 200).astype(np.int64),
+                         "lv": np.arange(200, dtype=np.int64)})
+    right = pd.DataFrame({"k": rng.integers(20, 60, 80).astype(np.int64),
+                          "rv": np.arange(80, dtype=np.int64)})
+    j = hash_join_dataset(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        key="k", left_cols=["lv"], right_cols=["rv"], n_buckets=8,
+        how="left", left_fill={"rv": -1}).to_pandas()
+    want = left.merge(right, on="k", how="left")
+    want["rv"] = want["rv"].fillna(-1).astype(np.int64)
+    key_cols = ["k", "lv", "rv_r"]
+    got = j.sort_values(key_cols).reset_index(drop=True)
+    want = want.rename(columns={"rv": "rv_r"}).sort_values(
+        key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[key_cols], want[key_cols])
+    # missing fill fails loudly
+    try:
+        hash_join_dataset(rd.from_pandas(left), rd.from_pandas(right),
+                          key="k", left_cols=["lv"], right_cols=["rv"],
+                          how="left")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "left_fill" in str(e)
