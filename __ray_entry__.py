@@ -9153,6 +9153,68 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_percentiles_bucket(sf_dir: str):
+    """ES percentiles_bucket pipeline agg over the daily event
+    histogram: exact discrete percentiles of the bucket counts
+    (stages/aggs.percentiles_bucket, the shared 1-based ceil(p*n/100)
+    order-statistic rule)."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import percentiles_bucket
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts"])
+    return percentiles_bucket(ev, "ts", _DAY_US, [25, 50, 75, 99])
+
+
+def _q_ann_refine(sf_dir: str):
+    """Two-stage ANN with exact refinement (FAISS IndexRefineFlat over
+    IVFPQ): PQ asymmetric distance proposes each query's top-20, the
+    exact cosine re-scores ONLY those candidates in one masked streaming
+    pass (stages/pq.ivfpq_refine) — the recall-repair step after lossy
+    compression.  The SQL chains the full IVFPQ oracle for the candidate
+    window, then re-ranks with list_cosine_similarity."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from horus_ner_ray.stages.pq import ivfpq_refine
+
+    path = str(Path(sf_dir) / "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qt = qt[qt.vec_id < 5].sort_values("vec_id")
+    qm = np.array(qt["embedding"].tolist(), dtype=np.float64)
+    pqi, _emb = _pq_fitted(sf_dir)
+    return ivfpq_refine(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]),
+        qt["vec_id"].to_numpy(np.int64), qm, k=TOPK, r=20,
+        n_centroids=_IVF_K, nprobe=_IVF_NPROBE, m=_PQ_M, ks=_PQ_KS,
+        n_iter=_PQ_ITERS, pq=pqi)
+
+
+def _sql_ann_refine() -> str:
+    return f"""
+WITH cand AS (SELECT * FROM ({_sql_ivfpq_ann(20)})),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS cs
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         CAST(FLOOR(cs * 1e6 + 0.5) AS BIGINT) AS cosine_e6,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(FLOOR(cs * 1e6 + 0.5) AS BIGINT) DESC, vec_id
+         ) AS rk
+  FROM s
+)
+SELECT query_id, rk AS rank, vec_id, cosine_e6 FROM r WHERE rk <= {TOPK}
+"""
+
+
 def _q_orders_left_join(sf_dir: str):
     """LEFT OUTER hash join (orders x high-quantity lineitems on
     orderkey) with explicit COALESCE fills — unmatched orders survive
@@ -9290,6 +9352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "percentiles_bucket": _q_percentiles_bucket,
+        "ann_refine": _q_ann_refine,
         "orders_left_join": _q_orders_left_join,
         "bucket_stats_pipeline": _q_bucket_stats_pipeline,
         "bm25_wildcard": _q_bm25_wildcard,
@@ -10817,6 +10881,23 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "percentiles_bucket": """
+            WITH c AS (
+              SELECT (epoch_us(ts) // 86400000000) * 86400000000
+                       AS bucket_us,
+                     count(*)::BIGINT n
+              FROM events GROUP BY 1
+            ),
+            o AS (SELECT n, row_number() OVER (ORDER BY n) rn FROM c),
+            nb AS (SELECT count(*)::BIGINT nb FROM c),
+            p(pct) AS (VALUES (25), (50), (75), (99))
+            SELECT p.pct::BIGINT AS pct, nb.nb AS n_buckets,
+                   o.n::BIGINT AS value
+            FROM p CROSS JOIN nb
+            JOIN o ON o.rn = greatest(1, (p.pct * nb.nb + 99) // 100)
+            ORDER BY pct
+        """,
+        "ann_refine": _sql_ann_refine(),
         "orders_left_join": """
             SELECT o.o_orderkey, o.o_custkey,
                    coalesce(l.l_linenumber, -1)::BIGINT AS line_no

