@@ -9153,6 +9153,56 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_curriculum_order(sf_dir: str):
+    """Curriculum ordering: every document globally ranked by an exact
+    integer difficulty score (vocabulary-richness ratio
+    (n_unique * 1e6) // n_tokens, ascending -> easiest-first) WITHOUT
+    driver collection (stages/analytic.global_rank_by: order-preserving
+    range buckets + O(B) prefix offsets + bucket-local sort — the
+    distributed row_number() OVER (ORDER BY ...))."""
+    from horus_ner_ray.stages.analysis import quality_dataset
+    from horus_ner_ray.stages.analytic import global_rank_by
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    q = quality_dataset(_read_docs(sf_dir))
+
+    def score(batch):
+        import pyarrow as pa
+
+        u = np.asarray(batch["n_unique"], dtype=np.int64)
+        t = np.asarray(batch["n_tokens"], dtype=np.int64)
+        s = np.where(t > 0, (u * 10**6) // np.maximum(t, 1), 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "score": pa.array(s, pa.int64())})
+
+    scored = q.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True, runtime_env=_rte())
+    out = global_rank_by(scored, ["score"], "doc_id",
+                         bounds=[0, 10**6 + 1]).to_pandas()
+    out = out[["doc_id", "score", "rank"]].astype(np.int64)
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+def _sql_curriculum_order() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         len(list_distinct({_sql_tok()}))::BIGINT u,
+         len({_sql_tok()})::BIGINT t
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN t > 0 THEN (u * 1000000) // t ELSE 0 END::BIGINT
+           AS score
+  FROM q
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score, doc_id)::BIGINT AS rank
+FROM s ORDER BY rank
+"""
+
+
 def _q_percentiles_bucket(sf_dir: str):
     """ES percentiles_bucket pipeline agg over the daily event
     histogram: exact discrete percentiles of the bucket counts
@@ -9352,6 +9402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "curriculum_order": _q_curriculum_order,
         "percentiles_bucket": _q_percentiles_bucket,
         "ann_refine": _q_ann_refine,
         "orders_left_join": _q_orders_left_join,
@@ -10881,6 +10932,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "curriculum_order": _sql_curriculum_order(),
         "percentiles_bucket": """
             WITH c AS (
               SELECT (epoch_us(ts) // 86400000000) * 86400000000

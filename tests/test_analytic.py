@@ -117,3 +117,32 @@ def test_extended_ranking_matches_duckdb(ray_session):
                          "cume_e6"]]
            .astype(np.int64).sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, _dd_ranking(df))
+
+
+def test_global_rank_by(ray_session):
+    """Distributed global ORDER BY + rank: equals the driver-side sort
+    at every block count, including heavy ties and empty buckets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.analytic import global_rank_by
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "score": rng.integers(0, 9, 500).astype(np.int64),  # heavy ties
+        "doc_id": rng.permutation(500).astype(np.int64),
+    })
+    for blocks in (1, 7):
+        out = (global_rank_by(rd.from_pandas(df).repartition(blocks),
+                              ["score"], "doc_id", n_buckets=16)
+               .to_pandas().sort_values("rank").reset_index(drop=True))
+        want = df.sort_values(["score", "doc_id"]).reset_index(drop=True)
+        assert list(out["doc_id"]) == list(want["doc_id"])
+        assert list(out["rank"]) == list(range(1, len(df) + 1))
+    # explicit bounds route identically
+    out2 = (global_rank_by(rd.from_pandas(df), ["score"], "doc_id",
+                           n_buckets=16, bounds=[0, 9])
+            .to_pandas().sort_values("rank").reset_index(drop=True))
+    assert list(out2["doc_id"]) == list(
+        df.sort_values(["score", "doc_id"])["doc_id"])
