@@ -9153,6 +9153,53 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+_INGEST_STEPS = [
+    {"op": "extract", "field": "text", "pattern": "[0-9]+",
+     "target": "first_num"},
+    {"op": "gsub", "field": "text", "pattern": r"\s+",
+     "replacement": " "},
+    {"op": "trim", "field": "text"},
+    {"op": "uppercase", "field": "lang"},
+    {"op": "rename", "field": "lang", "target": "lang_uc"},
+    {"op": "set", "field": "pipeline", "value": "v1"},
+    {"op": "length", "field": "text", "target": "clean_len"},
+]
+
+
+def _q_ingest_processors(sf_dir: str):
+    """Declarative ingest-processor chain (the ES ingest-pipeline shape,
+    stages/ingest.apply_ingest): extract-first-number, whitespace
+    collapse, trim, uppercase+rename, constant tag, post-clean length —
+    ONE streaming map_batches of columnar Arrow kernels; the SQL
+    restates the chain processor by processor."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.ingest import apply_ingest
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    out = apply_ingest(docs, _INGEST_STEPS).to_pandas()
+    cols = ["doc_id", "first_num", "text", "lang_uc", "pipeline",
+            "clean_len"]
+    out = out[cols]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["clean_len"] = out["clean_len"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_ingest_processors() -> str:
+    return r"""
+SELECT doc_id,
+       regexp_extract(text, '[0-9]+') AS first_num,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS text,
+       upper(lang) AS lang_uc,
+       'v1' AS pipeline,
+       length(trim(regexp_replace(text, '\s+', ' ', 'g')))::BIGINT
+         AS clean_len
+FROM documents ORDER BY doc_id
+"""
+
+
 def _q_curriculum_order(sf_dir: str):
     """Curriculum ordering: every document globally ranked by an exact
     integer difficulty score (vocabulary-richness ratio
@@ -9402,6 +9449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "ingest_processors": _q_ingest_processors,
         "curriculum_order": _q_curriculum_order,
         "percentiles_bucket": _q_percentiles_bucket,
         "ann_refine": _q_ann_refine,
@@ -10932,6 +10980,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "ingest_processors": _sql_ingest_processors(),
         "curriculum_order": _sql_curriculum_order(),
         "percentiles_bucket": """
             WITH c AS (

@@ -206,3 +206,39 @@ def test_ivfpq_refine_improves_recall(ray_session):
         assert set(g["vec_id"]) <= pool
         # exact ranking inside the pool: cosine_e6 non-increasing
         assert list(g["cosine_e6"]) == sorted(g["cosine_e6"], reverse=True)
+
+
+def test_apply_ingest(ray_session):
+    from horus_ner_ray.stages.ingest import apply_ingest
+
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "txt": ["  Hello   World 42 ", "no digits", "a  1 b 2", ""],
+        "src": ["Web", "wiki", "WEB", "x"],
+    })
+    import ray.data as rd
+
+    out = apply_ingest(rd.from_pandas(df).repartition(2), [
+        {"op": "extract", "field": "txt", "pattern": "[0-9]+",
+         "target": "num"},
+        {"op": "gsub", "field": "txt", "pattern": r"\s+",
+         "replacement": " "},
+        {"op": "trim", "field": "txt"},
+        {"op": "lowercase", "field": "src"},
+        {"op": "rename", "field": "src", "target": "source"},
+        {"op": "set", "field": "tag", "value": "v1"},
+        {"op": "length", "field": "txt", "target": "ln"},
+    ]).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out["num"]) == ["42", "", "1", ""]
+    assert list(out["txt"]) == ["Hello World 42", "no digits",
+                                "a 1 b 2", ""]
+    assert list(out["source"]) == ["web", "wiki", "web", "x"]
+    assert list(out["tag"]) == ["v1"] * 4
+    assert list(out["ln"]) == [14, 9, 7, 0]
+    assert "src" not in out.columns
+    # unknown op fails at plan time
+    try:
+        apply_ingest(rd.from_pandas(df), [{"op": "nope", "field": "txt"}])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unknown op" in str(e)
