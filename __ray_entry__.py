@@ -9153,6 +9153,48 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_partitioned_export(sf_dir: str):
+    """Hive-partitioned Parquet sink + PRUNED read-back (functions/
+    export.write_partitioned_parquet: one source=<v>/ dir per partition,
+    atomic + skip-if-exists — the resumable-output layout; the reader
+    opens ONLY the requested partitions).  Round-trips three sources
+    and publishes their rows; the oracle selects the same slice from
+    the original table — any row the layout loses or duplicates breaks
+    the hash."""
+    import ray.data as rd
+
+    from horus_ner_ray.functions.export import (read_partitioned_parquet,
+                                                write_partitioned_parquet)
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    out = Path(os.environ.get("GRAFT_TMP", "/tmp")) / f"horus_part_{sf}"
+    marker = out / "state.done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+        write_partitioned_parquet(docs, out, "source")
+        marker.write_text("ok")
+    want = ["src3", "src7", "src15"]
+    back = read_partitioned_parquet(out, "source", values=want).to_pandas()
+    res = pd.DataFrame({
+        "doc_id": back["doc_id"].astype(np.int64),
+        "source": back["source"].astype(str),
+        "n_chars": back["text"].str.len().astype(np.int64),
+    })
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+_SQL_PARTITIONED_EXPORT = """
+SELECT doc_id, source, length(text)::BIGINT AS n_chars
+FROM documents
+WHERE source IN ('src3', 'src7', 'src15')
+ORDER BY doc_id
+"""
+
+
 _INGEST_STEPS = [
     {"op": "extract", "field": "text", "pattern": "[0-9]+",
      "target": "first_num"},
@@ -9449,6 +9491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "partitioned_export": _q_partitioned_export,
         "ingest_processors": _q_ingest_processors,
         "curriculum_order": _q_curriculum_order,
         "percentiles_bucket": _q_percentiles_bucket,
@@ -10980,6 +11023,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "partitioned_export": _SQL_PARTITIONED_EXPORT,
         "ingest_processors": _sql_ingest_processors(),
         "curriculum_order": _sql_curriculum_order(),
         "percentiles_bucket": """

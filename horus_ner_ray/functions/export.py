@@ -76,3 +76,114 @@ def matches_dataset(index_dir: str | Path, text: str, mode: str = "or",
     ).repartition(n_shards).map_batches(
         ShardMatcher, batch_format="pandas", batch_size=1,
         concurrency=min(concurrency, max(1, n_shards)), **kw)
+
+
+def write_partitioned_parquet(ds, out_dir, partition_col: str,
+                              n_buckets: int = 64) -> int:
+    """Hive-partitioned Parquet sink: one ``<col>=<value>/part.parquet``
+    directory per distinct partition value, rows sorted within a
+    partition by the remaining columns — the resumable-output layout
+    (atomic tmp+rename per file, skip-if-exists, so a failed run skips
+    finished partitions on retry; never one giant file).
+
+    Partition values must be path-safe scalars (the key domain of a
+    curated corpus: source, lang, date bucket).  Returns the number of
+    partition files written or found.  ``read_partitioned_parquet``
+    reads back with partition pruning (only the requested directories
+    are opened).
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_str = str(out_dir)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(batch[partition_col]),
+                               categorize=False)
+        return batch.append_column(
+            "__bkt", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                              pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        wrote = 0
+        other = [c for c in g.columns if c not in (partition_col, "__bkt")]
+        for val, rows in g.groupby(partition_col, sort=True):
+            d = Path(out_str) / f"{partition_col}={val}"
+            d.mkdir(parents=True, exist_ok=True)
+            dst = d / "part.parquet"
+            if dst.exists():
+                wrote += 1
+                continue
+            # the partition value lives in the directory name (hive
+            # layout) — storing the column too would duplicate it
+            body = rows.drop(columns=["__bkt", partition_col]).sort_values(
+                other, kind="stable").reset_index(drop=True)
+            tmp = dst.with_name(dst.name + f".tmp-{os.getpid()}")
+            pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                           tmp)
+            os.replace(tmp, dst)
+            wrote += 1
+        return pd.DataFrame({"n": [wrote]})
+
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    parts = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True,
+                       runtime_env=_rte())
+        .groupby("__bkt")
+        .map_groups(per_bucket, batch_format="pandas", runtime_env=_rte())
+        .to_pandas()
+    )
+    return int(parts["n"].sum()) if len(parts) else 0
+
+
+def read_partitioned_parquet(out_dir, partition_col: str,
+                             values: list | None = None):
+    """Read back a ``write_partitioned_parquet`` layout with PARTITION
+    PRUNING: only the directories for ``values`` are opened (all when
+    None); the partition column is restored from the directory name.
+    Returns a Dataset."""
+    import ray.data as rd
+
+    out_dir = Path(out_dir)
+    dirs = sorted(p for p in out_dir.iterdir()
+                  if p.is_dir() and p.name.startswith(f"{partition_col}="))
+    if values is not None:
+        want = {str(v) for v in values}
+        dirs = [p for p in dirs
+                if p.name.split("=", 1)[1] in want]
+    files = [str(p / "part.parquet") for p in dirs
+             if (p / "part.parquet").exists()]
+    if not files:
+        raise FileNotFoundError(
+            f"no partitions under {out_dir} for {partition_col}="
+            f"{sorted(values) if values else 'ALL'}")
+    vals = [p.name.split("=", 1)[1] for p in dirs
+            if (p / "part.parquet").exists()]
+    vmap = dict(zip(files, vals))
+    ds = rd.read_parquet(files, include_paths=True)
+
+    def restore(batch):
+        import pyarrow as pa
+
+        paths = [vmap[p] for p in batch["path"].to_pylist()]
+        drop = ["path"]
+        if partition_col in batch.column_names:
+            # some readers hive-parse <col>=<val>/ dirs themselves;
+            # re-derive from the path either way so the TYPE is a plain
+            # string, not a discovered dictionary
+            drop.append(partition_col)
+        out = batch.drop_columns(drop)
+        return out.append_column(partition_col,
+                                 pa.array(paths, pa.string()))
+
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    return ds.map_batches(restore, batch_format="pyarrow",
+                          runtime_env=_rte())

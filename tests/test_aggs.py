@@ -242,3 +242,40 @@ def test_apply_ingest(ray_session):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "unknown op" in str(e)
+
+
+def test_partitioned_parquet_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from horus_ner_ray.functions.export import (read_partitioned_parquet,
+                                                write_partitioned_parquet)
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "v": rng.integers(0, 99, 300).astype(np.int64),
+        "grp": rng.choice(["a", "b", "c", "d"], 300),
+    })
+    n = write_partitioned_parquet(rd.from_pandas(df).repartition(4),
+                                  tmp_path / "p", "grp")
+    assert n == df["grp"].nunique()
+    # resumable: second write skips existing partitions
+    assert write_partitioned_parquet(rd.from_pandas(df),
+                                     tmp_path / "p", "grp") == n
+    # full read-back is lossless
+    back = read_partitioned_parquet(tmp_path / "p", "grp").to_pandas()
+    assert len(back) == len(df)
+    assert (back.sort_values("id")["v"].to_numpy()
+            == df.sort_values("id")["v"].to_numpy()).all()
+    # pruned read opens only requested partitions
+    some = read_partitioned_parquet(tmp_path / "p", "grp",
+                                    values=["a", "c"]).to_pandas()
+    want = df[df["grp"].isin(["a", "c"])]
+    assert len(some) == len(want)
+    assert set(some["grp"]) == {"a", "c"}
+    # unknown partition fails loudly
+    try:
+        read_partitioned_parquet(tmp_path / "p", "grp", values=["zzz"])
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass
