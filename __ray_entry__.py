@@ -9153,6 +9153,47 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_price_robust_scaled(sf_dir: str):
+    """Per-row robust scaling ((x - median) / MAD within l_returnflag —
+    sklearn RobustScaler; stages/stats.grouped_robust_scale): median/MAD
+    are exact order statistics from the MAD engine, the row expression
+    is three IEEE ops, e6-published.  The SQL chains quantile_disc
+    medians + deviation medians + the same expression."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.stats import grouped_robust_scale
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_returnflag", "l_extendedprice"])
+    return grouped_robust_scale(li, "l_returnflag", "l_extendedprice",
+                                id_cols=["l_orderkey", "l_linenumber"])
+
+
+_SQL_PRICE_ROBUST = """
+WITH med AS (
+  SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS m
+  FROM lineitem GROUP BY 1
+),
+dev AS (
+  SELECT l.l_returnflag, abs(l.l_extendedprice - med.m) AS d
+  FROM lineitem l JOIN med USING (l_returnflag)
+),
+mad AS (
+  SELECT l_returnflag, quantile_disc(d, 0.5) AS md
+  FROM dev GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       CASE WHEN mad.md > 0
+            THEN CAST(FLOOR((l.l_extendedprice - med.m) / mad.md * 1e6
+                            + 0.5) AS BIGINT)
+            ELSE 0 END AS r_e6
+FROM lineitem l
+JOIN med USING (l_returnflag)
+JOIN mad USING (l_returnflag)
+"""
+
+
 def _q_partitioned_export(sf_dir: str):
     """Hive-partitioned Parquet sink + PRUNED read-back (functions/
     export.write_partitioned_parquet: one source=<v>/ dir per partition,
@@ -9491,6 +9532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "price_robust_scaled": _q_price_robust_scaled,
         "partitioned_export": _q_partitioned_export,
         "ingest_processors": _q_ingest_processors,
         "curriculum_order": _q_curriculum_order,
@@ -11023,6 +11065,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "price_robust_scaled": _SQL_PRICE_ROBUST,
         "partitioned_export": _SQL_PARTITIONED_EXPORT,
         "ingest_processors": _sql_ingest_processors(),
         "curriculum_order": _sql_curriculum_order(),

@@ -552,3 +552,47 @@ def welch_ttest(ds, key_col: str, x_col: str, group_a, group_b,
     dof = ((a_a + a_b) * (a_a + a_b)
            / (a_a * a_a / float(na - 1) + a_b * a_b / float(nb - 1)))
     return {"n_a": na, "n_b": nb, "t": t, "df": dof}
+
+
+def grouped_robust_scale(ds, key_col: str, x_col: str, id_cols: list[str],
+                         out_col: str = "r_e6"):
+    """Per-row ROBUST scaling within each group — (x - median) / MAD, the
+    outlier-resistant complement to ``grouped_zscore`` (sklearn
+    RobustScaler with the disc-median centering of quantiles.mad_by_group).
+
+    median and MAD are exact order statistics (STORED float values, never
+    averages — stages/quantiles.mad_by_group), so the per-row expression
+    is three IEEE ops (subtract, divide, e6 floor) both sides compute
+    identically.  Zero-MAD groups emit 0.  One broadcast of the tiny
+    per-group table + one vectorized streaming pass.
+    """
+    import ray
+
+    from horus_ner_ray.stages.dedupe import _resolve_ref
+    from horus_ner_ray.stages.quantiles import mad_by_group
+
+    mm = mad_by_group(ds, key_col, x_col)
+    order = np.argsort(mm[key_col].to_numpy())
+    keys = mm[key_col].to_numpy()[order]
+    med = mm["median"].to_numpy(np.float64)[order]
+    mad = mm["mad"].to_numpy(np.float64)[order]
+    ref = ray.put((keys, med, mad)) if ray.is_initialized() \
+        else (keys, med, mad)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys_b, med_b, mad_b = _resolve_ref(ref)
+        x = np.asarray(batch[x_col], dtype=np.float64)
+        g = np.asarray(batch[key_col])
+        j = np.searchsorted(keys_b, g)
+        d = mad_b[j]
+        r = np.where(d > 0, (x - med_b[j]) / np.where(d > 0, d, 1.0), 0.0)
+        cols = {c: batch[c] for c in id_cols}
+        cols[out_col] = pa.array(
+            np.floor(r * 1e6 + 0.5).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.select_columns(list(dict.fromkeys([*id_cols, key_col, x_col])))
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+    )

@@ -279,3 +279,24 @@ def test_partitioned_parquet_roundtrip(ray_session, tmp_path):
         raise AssertionError("expected FileNotFoundError")
     except FileNotFoundError:
         pass
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_grouped_robust_scale(ray_session, frame, blocks):
+    import math
+
+    from horus_ner_ray.stages.stats import grouped_robust_scale
+
+    out = grouped_robust_scale(_ds(frame, blocks), "k", "x",
+                               id_cols=["eid"]).to_pandas()
+    assert len(out) == len(frame)
+    merged = out.merge(frame[["eid", "k", "x"]], on="eid")
+    for kk, g in merged.groupby("k"):
+        xs = np.sort(frame[frame["k"] == kk]["x"].to_numpy())
+        med = xs[(50 * len(xs) + 99) // 100 - 1]
+        dv = np.sort(np.abs(frame[frame["k"] == kk]["x"] - med).to_numpy())
+        mad = dv[(50 * len(dv) + 99) // 100 - 1]
+        for _, r in g.iterrows():
+            want = (math.floor((r["x"] - med) / mad * 1e6 + 0.5)
+                    if mad > 0 else 0)
+            assert r["r_e6"] == want
