@@ -9153,6 +9153,38 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_anomalous_hours(sf_dir: str):
+    """Histogram anomaly detection with ZERO float ops (stages/aggs.
+    anomalous_buckets): hourly buckets whose count deviates from the
+    mean by > k sigma, decided by the exact integer inequality
+    (B*n - S)^2 > k^2 (B*Sxx - S^2) — no division, no sqrt, nothing to
+    round; the SQL states the identical HUGEINT inequality."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import anomalous_buckets
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts"])
+    return anomalous_buckets(ev, "ts", 3600 * 10**6, k_sigma=1)
+
+
+_SQL_ANOMALOUS_HOURS = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+         count(*)::HUGEINT n
+  FROM events GROUP BY 1
+),
+t AS (SELECT count(*)::HUGEINT b, sum(n) s, sum(n*n) sxx FROM c)
+SELECT c.bucket_us::BIGINT AS bucket_us, c.n::BIGINT AS n_docs,
+       (CASE WHEN t.b * c.n - t.s > 0 THEN 1 ELSE -1 END)::BIGINT
+         AS dev_sign
+FROM c, t
+WHERE (t.b * c.n - t.s) * (t.b * c.n - t.s)
+      > 1 * (t.b * t.sxx - t.s * t.s)
+ORDER BY bucket_us
+"""
+
+
 def _q_price_robust_scaled(sf_dir: str):
     """Per-row robust scaling ((x - median) / MAD within l_returnflag —
     sklearn RobustScaler; stages/stats.grouped_robust_scale): median/MAD
@@ -9532,6 +9564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "anomalous_hours": _q_anomalous_hours,
         "price_robust_scaled": _q_price_robust_scaled,
         "partitioned_export": _q_partitioned_export,
         "ingest_processors": _q_ingest_processors,
@@ -11065,6 +11098,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "anomalous_hours": _SQL_ANOMALOUS_HOURS,
         "price_robust_scaled": _SQL_PRICE_ROBUST,
         "partitioned_export": _SQL_PARTITIONED_EXPORT,
         "ingest_processors": _sql_ingest_processors(),

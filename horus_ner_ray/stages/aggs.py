@@ -365,3 +365,50 @@ def percentiles_bucket(ds, ts_col: str, interval_us: int,
         rows["n_buckets"].append(n)
         rows["value"].append(int(vals[idx - 1]))
     return pd.DataFrame(rows).astype(np.int64)
+
+
+def anomalous_buckets(ds, ts_col: str, interval_us: int,
+                      k_sigma: int = 2) -> pd.DataFrame:
+    """Histogram anomaly detection with ZERO float operations: flag time
+    buckets whose doc count deviates from the mean by more than
+    ``k_sigma`` standard deviations, decided entirely in exact integer
+    arithmetic —
+
+        (B*n - S)^2  >  k^2 * (B*Sxx - S^2)
+
+    (B buckets, S = sum counts, Sxx = sum of squared counts) is the
+    |n - mean| > k*sigma predicate with both sides multiplied by B^2, so
+    there is no division, no sqrt, and nothing to round: the SQL oracle
+    states the identical HUGEINT inequality.  Returns the flagged
+    ``(bucket_us, n_docs, dev_sign)`` rows sorted by bucket (dev_sign =
+    +1 spike / -1 dip).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (ts // interval_us) * interval_us
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket_us": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket_us").aggregate(Sum("n", alias_name="n_docs"))
+    ).to_pandas().sort_values("bucket_us").reset_index(drop=True)
+    n = [int(v) for v in counts["n_docs"]]
+    b_cnt = len(n)
+    s = sum(n)
+    sxx = sum(v * v for v in n)
+    rows = {"bucket_us": [], "n_docs": [], "dev_sign": []}
+    rhs = k_sigma * k_sigma * (b_cnt * sxx - s * s)
+    for bu, v in zip(counts["bucket_us"], n):
+        lhs = (b_cnt * v - s) ** 2
+        if lhs > rhs:
+            rows["bucket_us"].append(int(bu))
+            rows["n_docs"].append(v)
+            rows["dev_sign"].append(1 if b_cnt * v - s > 0 else -1)
+    return pd.DataFrame(rows).astype(np.int64)

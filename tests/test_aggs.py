@@ -300,3 +300,20 @@ def test_grouped_robust_scale(ray_session, frame, blocks):
             want = (math.floor((r["x"] - med) / mad * 1e6 + 0.5)
                     if mad > 0 else 0)
             assert r["r_e6"] == want
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_anomalous_buckets(ray_session, frame, blocks):
+    from horus_ner_ray.stages.aggs import anomalous_buckets
+
+    day = 86400 * 10**6
+    out = anomalous_buckets(_ds(frame, blocks), "ts", day, k_sigma=1)
+    cnt = ((frame["ts"].astype(np.int64) // day) * day).value_counts() \
+        .sort_index()
+    n = cnt.to_numpy().astype(object)
+    b, s, sxx = len(n), int(sum(n)), int(sum(v * v for v in n))
+    want = [(int(bu), int(v)) for bu, v in cnt.items()
+            if (b * int(v) - s) ** 2 > (b * sxx - s * s)]
+    assert list(zip(out["bucket_us"], out["n_docs"])) == want
+    for _, r in out.iterrows():
+        assert r["dev_sign"] == (1 if b * r["n_docs"] - s > 0 else -1)
