@@ -9153,6 +9153,65 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+_TOPIC_BOUNDARY_E6 = 200_000
+
+
+def _q_topic_boundaries(sf_dir: str):
+    """TextTiling-style topic-shift segmentation (stages/windows.
+    adjacent_turn_jaccard): exact integer Jaccard of adjacent turns'
+    distinct token sets per conversation; a pair under 0.2 flags a
+    boundary.  Conv-bucketed shuffle + relational intersection — no
+    per-pair Python.  The SQL restates the exploded self-join."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.windows import adjacent_turn_jaccard
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    ds = rd.read_parquet(files, columns=["conv_id", "turn_idx", "text"])
+    out = adjacent_turn_jaccard(
+        ds, boundary_below_e6=_TOPIC_BOUNDARY_E6).to_pandas()
+    return (out.sort_values(["conv_id", "turn"])
+            .reset_index(drop=True))
+
+
+def _sql_topic_boundaries() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, {_sql_tok()} AS arr
+  FROM read_parquet('{glob}')
+),
+sz AS (SELECT conv_id, turn_idx,
+              len(list_distinct(arr))::HUGEINT s
+       FROM t),
+d AS (SELECT conv_id, turn_idx, unnest(list_distinct(arr)) AS term
+      FROM t),
+ix AS (
+  SELECT a.conv_id, a.turn_idx, count(*)::HUGEINT i
+  FROM d a JOIN d b ON b.conv_id = a.conv_id
+                   AND b.turn_idx = a.turn_idx + 1
+                   AND b.term = a.term
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT a.conv_id, a.turn_idx, a.s sa, b.s sb, coalesce(ix.i, 0) i
+  FROM sz a
+  JOIN sz b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+  LEFT JOIN ix ON ix.conv_id = a.conv_id AND ix.turn_idx = a.turn_idx
+)
+SELECT conv_id, turn_idx::BIGINT AS turn,
+       (CASE WHEN sa + sb - i > 0
+             THEN (i * 1000000) // (sa + sb - i) ELSE 0 END)::BIGINT
+         AS jaccard_e6,
+       (CASE WHEN (CASE WHEN sa + sb - i > 0
+                        THEN (i * 1000000) // (sa + sb - i)
+                        ELSE 0 END) < {_TOPIC_BOUNDARY_E6}
+             THEN 1 ELSE 0 END)::BIGINT AS boundary
+FROM p ORDER BY conv_id, turn
+"""
+
+
 def _q_anomalous_hours(sf_dir: str):
     """Histogram anomaly detection with ZERO float ops (stages/aggs.
     anomalous_buckets): hourly buckets whose count deviates from the
@@ -9564,6 +9623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "topic_boundaries": _q_topic_boundaries,
         "anomalous_hours": _q_anomalous_hours,
         "price_robust_scaled": _q_price_robust_scaled,
         "partitioned_export": _q_partitioned_export,
@@ -11098,6 +11158,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "topic_boundaries": _sql_topic_boundaries(),
         "anomalous_hours": _SQL_ANOMALOUS_HOURS,
         "price_robust_scaled": _SQL_PRICE_ROBUST,
         "partitioned_export": _SQL_PARTITIONED_EXPORT,

@@ -485,3 +485,100 @@ def event_gaps_dataset(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_groups(lambda g: per_bucket(g.drop(columns=["bkt"])),
                     batch_format="pandas", runtime_env=_rte())
     )
+
+
+def adjacent_turn_jaccard(ds, conv_col: str = "conv_id",
+                          turn_col: str = "turn_idx",
+                          text_col: str = "text",
+                          boundary_below_e6: int = 200_000,
+                          n_buckets: int = 256):
+    """TextTiling-style topic-shift segmentation over conversations:
+    for every ADJACENT turn pair (i, i+1) within a conversation, the
+    exact integer Jaccard of their distinct token sets (the shared
+    ``[a-z0-9]+`` rule) —
+
+        jaccard_e6 = (|A n B| * 10**6) // |A u B|
+
+    — and a boundary flag where it falls below ``boundary_below_e6``
+    (low lexical overlap = topic shift; Hearst 1997's block comparison
+    at turn granularity).  Empty-union pairs score 0.
+
+    Plan: conv-hash coarse buckets (a conversation's turns co-locate),
+    ONE sort per bucket, then a fully relational intersection — explode
+    to distinct (conv, turn, term) rows and self-merge on
+    (conv, term, turn+1); set sizes come from the same exploded frame.
+    No per-pair Python.  Returns (conv, turn, jaccard_e6, boundary)
+    where ``turn`` is the EARLIER turn of the pair.
+    """
+    from horus_ner_ray.stages.tokenize import tokenize_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[conv_col])
+        h = pd.util.hash_array(
+            keys if keys.dtype != object else keys.astype(object),
+            categorize=False)
+        return batch.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets)).astype(np.int64),
+                               pa.int64()))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as _pa
+
+        g = g.sort_values([conv_col, turn_col],
+                          kind="stable").reset_index(drop=True)
+        toks = tokenize_column(_pa.array(g[text_col].astype(str)))
+        flat = toks.flatten().to_pandas().to_numpy(dtype=object)
+        parents = np.repeat(np.arange(len(g)),
+                            np.asarray(toks.value_lengths()))
+        tt = pd.DataFrame({
+            "row": parents,
+            conv_col: g[conv_col].to_numpy()[parents],
+            "turn": g[turn_col].to_numpy()[parents],
+            "term": flat,
+        }).drop_duplicates([conv_col, "turn", "term"])
+        sizes = tt.groupby([conv_col, "turn"]).size().rename("sz")
+        nxt = tt.copy()
+        nxt["turn"] = nxt["turn"] - 1
+        inter = (tt.merge(nxt, on=[conv_col, "turn", "term"])
+                 .groupby([conv_col, "turn"]).size().rename("ix"))
+        convs = g[conv_col].to_numpy()
+        turns = g[turn_col].to_numpy(np.int64)
+        ok = np.zeros(max(len(g) - 1, 0), dtype=bool)
+        if len(g) > 1:
+            ok = (convs[1:] == convs[:-1]) & (turns[1:] == turns[:-1] + 1)
+        if not ok.any():
+            return pd.DataFrame({conv_col: pd.Series([], dtype="string"),
+                                 "turn": pd.Series([], dtype=np.int64),
+                                 "jaccard_e6": pd.Series([], dtype=np.int64),
+                                 "boundary": pd.Series([], dtype=np.int64)})
+        P = pd.DataFrame({conv_col: convs[:-1][ok],
+                          "turn": turns[:-1][ok]})
+        sz = sizes.reset_index()
+        P = P.merge(sz, on=[conv_col, "turn"], how="left")
+        P = P.rename(columns={"sz": "sa"})
+        nx = sz.copy()
+        nx["turn"] = nx["turn"] - 1
+        P = P.merge(nx.rename(columns={"sz": "sb"}),
+                    on=[conv_col, "turn"], how="left")
+        P = P.merge(inter.reset_index(), on=[conv_col, "turn"],
+                    how="left")
+        sa = P["sa"].fillna(0).to_numpy(np.int64)
+        sb = P["sb"].fillna(0).to_numpy(np.int64)
+        ix = P["ix"].fillna(0).to_numpy(np.int64)
+        un = sa + sb - ix
+        j = np.where(un > 0, (ix * 10**6) // np.maximum(un, 1), 0)
+        return pd.DataFrame({
+            conv_col: P[conv_col],
+            "turn": P["turn"].astype(np.int64),
+            "jaccard_e6": j.astype(np.int64),
+            "boundary": (j < boundary_below_e6).astype(np.int64),
+        })
+
+    return (
+        ds.select_columns([conv_col, turn_col, text_col])
+        .map_batches(add_bucket, batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby("bucket")
+        .map_groups(lambda g: pairs(g.drop(columns=["bucket"])),
+                    batch_format="pandas", runtime_env=_rte())
+    )

@@ -317,3 +317,38 @@ def test_anomalous_buckets(ray_session, frame, blocks):
     assert list(zip(out["bucket_us"], out["n_docs"])) == want
     for _, r in out.iterrows():
         assert r["dev_sign"] == (1 if b * r["n_docs"] - s > 0 else -1)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_adjacent_turn_jaccard(ray_session, blocks):
+    import re
+
+    from horus_ner_ray.stages.windows import adjacent_turn_jaccard
+
+    df = pd.DataFrame({
+        "conv_id": ["c1"] * 4 + ["c2"] * 3,
+        "turn_idx": [0, 1, 2, 4, 0, 1, 2],  # c1 has a gap 2->4
+        "text": ["alpha beta gamma", "beta gamma delta",
+                 "totally new words", "after the gap",
+                 "same same tokens", "same tokens again", "!!!"],
+    })
+    out = (adjacent_turn_jaccard(_ds(df, blocks), boundary_below_e6=300000)
+           .to_pandas().sort_values(["conv_id", "turn"])
+           .reset_index(drop=True))
+    # adjacent pairs only: (c1: 0-1, 1-2), (c2: 0-1, 1-2); the 2->4 gap
+    # emits nothing
+    assert list(zip(out["conv_id"], out["turn"])) == [
+        ("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)]
+
+    def jac(a, b):
+        sa = set(re.findall(r"[a-z0-9]+", a.lower()))
+        sb = set(re.findall(r"[a-z0-9]+", b.lower()))
+        un = len(sa | sb)
+        return (len(sa & sb) * 10**6) // un if un else 0
+
+    want = [jac("alpha beta gamma", "beta gamma delta"),
+            jac("beta gamma delta", "totally new words"),
+            jac("same same tokens", "same tokens again"),
+            jac("same tokens again", "!!!")]
+    assert list(out["jaccard_e6"]) == want
+    assert list(out["boundary"]) == [int(j < 300000) for j in want]
