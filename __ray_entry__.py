@@ -9153,6 +9153,107 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+_CTX_PREFIXES = ["th", "re", "ba", "con"]
+_CTX_COMPLETE_K = 5
+
+
+def _q_complete_by_role(sf_dir: str):
+    """Context-filtered completion (the ES context suggester): prefix
+    autocomplete ranked by document frequency WITHIN a role — the
+    per-channel dictionary split applied to the suggest surface.  The
+    (role, term) df combiner is role_term_stats'; each (role, prefix)
+    cell keeps its top-5 (df desc, term asc) through the shared
+    per-group top-k reduction."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.stages.groupwise import topk_per_group
+    from horus_ner_ray.stages.tokenize import tokenize_column
+    from horus_ner_ray.util import worker_runtime_env
+
+    sf = Path(sf_dir).name.replace("sf", "")
+    files, _glob = _transcript_corpus(sf)
+    tr = rd.read_parquet(files, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch["text"])
+        flat = np.asarray(pc.list_flatten(toks), dtype=object)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        role = np.asarray(batch["role"], dtype=object)[parents]
+        conv = np.asarray(batch["conv_id"], dtype=object)[parents]
+        tix = np.asarray(batch["turn_idx"], dtype=np.int64)[parents]
+        df = (_pd.DataFrame({"role": role, "term": flat, "c": conv,
+                             "t": tix})
+              .drop_duplicates(["role", "term", "c", "t"])
+              .groupby(["role", "term"], sort=False)
+              .size().reset_index(name="df"))
+        return pa.table({
+            "role": pa.array(df["role"].to_numpy(object), pa.string()),
+            "term": pa.array(df["term"].to_numpy(object), pa.string()),
+            "df": pa.array(df["df"].to_numpy(np.int64), pa.int64()),
+        })
+
+    fine = (tr.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           runtime_env=worker_runtime_env())
+            .groupby(["role", "term"]).aggregate(Sum("df",
+                                                     alias_name="df")))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        df = batch.to_pandas()
+        parts = []
+        for p in _CTX_PREFIXES:
+            m = df[df["term"].str.startswith(p)].copy()
+            m["prefix"] = p
+            parts.append(m)
+        out = (_pd.concat(parts, ignore_index=True) if parts
+               else df.head(0).assign(prefix=""))
+        out["rp"] = out["role"] + "|" + out["prefix"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    tagged = fine.map_batches(tag, batch_format="pyarrow",
+                              runtime_env=_rte())
+    top = topk_per_group(tagged, "rp", ["df", "term"],
+                         ascending=[False, True], k=_CTX_COMPLETE_K)
+    out = top.to_pandas()
+    out["df"] = out["df"].astype(np.int64)
+    return (out[["role", "prefix", "term", "df"]]
+            .sort_values(["role", "prefix", "df", "term"],
+                         ascending=[True, True, False, True])
+            .reset_index(drop=True))
+
+
+def _sql_complete_by_role() -> str:
+    _files, glob = _transcript_corpus(_oracle_sf())
+    pf = ", ".join(f"('{p}')" for p in _CTX_PREFIXES)
+    return f"""
+WITH d AS (
+  SELECT role, unnest(list_distinct({_sql_tok()})) AS term
+  FROM read_parquet('{glob}')
+),
+dfv AS (SELECT role, term, count(*)::BIGINT df FROM d GROUP BY 1, 2),
+p(prefix) AS (VALUES {pf}),
+m AS (
+  SELECT dfv.role, p.prefix, dfv.term, dfv.df,
+         row_number() OVER (
+           PARTITION BY dfv.role, p.prefix
+           ORDER BY dfv.df DESC, dfv.term) rk
+  FROM dfv JOIN p ON dfv.term LIKE p.prefix || '%'
+)
+SELECT role, prefix, term, df FROM m WHERE rk <= {_CTX_COMPLETE_K}
+ORDER BY role, prefix, df DESC, term
+"""
+
+
 _TOPIC_BOUNDARY_E6 = 200_000
 
 
@@ -9623,6 +9724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "complete_by_role": _q_complete_by_role,
         "topic_boundaries": _q_topic_boundaries,
         "anomalous_hours": _q_anomalous_hours,
         "price_robust_scaled": _q_price_robust_scaled,
@@ -11158,6 +11260,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "complete_by_role": _sql_complete_by_role(),
         "topic_boundaries": _sql_topic_boundaries(),
         "anomalous_hours": _SQL_ANOMALOUS_HOURS,
         "price_robust_scaled": _SQL_PRICE_ROBUST,
