@@ -9153,6 +9153,48 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+_JW_MIN_E6 = 800_000
+
+
+def _q_jw_name_pairs(sf_dir: str):
+    """Record linkage under Jaro-Winkler (the dedup family's 4th metric
+    after set-overlap / cosine / Levenshtein): distinct part names
+    blocked by FIRST CHARACTER, pairwise JW >= 0.8 — stages/fuzzy.
+    jw_key_pairs (pair-axis-vectorized greedy Jaro matching + cumsum-
+    scatter transposition count, probed bitwise against DuckDB's
+    jaro_winkler_similarity: boost threshold 0.7 strict, prefix cap 4,
+    transpositions = mismatches // 2 truncated).
+    The blocking predicate is part of the contract and stated in the
+    SQL."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.fuzzy import jw_key_pairs
+
+    part = rd.read_parquet(str(Path(sf_dir) / "part.parquet"),
+                           columns=["p_name"])
+    out = jw_key_pairs(part, "p_name", min_sim_e6=_JW_MIN_E6).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"name_a": pd.Series([], dtype="string"),
+                             "name_b": pd.Series([], dtype="string"),
+                             "jw_e6": pd.Series([], dtype=np.int64)})
+    return (out.sort_values(["name_a", "name_b"])
+            .reset_index(drop=True))
+
+
+_SQL_JW_NAME_PAIRS = f"""
+WITH d AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
+                  + 0.5) AS BIGINT) AS jw_e6
+FROM d a JOIN d b
+  ON a.p_name < b.p_name
+ AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+WHERE CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name) * 1e6
+                 + 0.5) AS BIGINT) >= {_JW_MIN_E6}
+ORDER BY name_a, name_b
+"""
+
+
 _CTX_PREFIXES = ["th", "re", "ba", "con"]
 _CTX_COMPLETE_K = 5
 
@@ -9724,6 +9766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "jw_name_pairs": _q_jw_name_pairs,
         "complete_by_role": _q_complete_by_role,
         "topic_boundaries": _q_topic_boundaries,
         "anomalous_hours": _q_anomalous_hours,
@@ -11260,6 +11303,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "jw_name_pairs": _SQL_JW_NAME_PAIRS,
         "complete_by_role": _sql_complete_by_role(),
         "topic_boundaries": _sql_topic_boundaries(),
         "anomalous_hours": _SQL_ANOMALOUS_HOURS,

@@ -202,3 +202,138 @@ def fuzzy_key_pairs(ds, key_col: str, max_dist: int = 3,
         .map_groups(lambda g: _band_pairs(g, key_col, max_dist, max_block),
                     batch_format="pandas", runtime_env=_rte())
     )
+
+
+def jaro_winkler_similarities(a, b) -> np.ndarray:
+    """Jaro-Winkler similarity for each aligned pair (a[i], b[i]) —
+    the standard Winkler variant DuckDB's jaro_winkler_similarity
+    implements (probed: boost threshold 0.7 strict, prefix cap 4,
+    p = 0.1, match window max(|a|,|b|)//2 - 1).
+
+    Pair-axis vectorized like the edit-distance DPs: the greedy Jaro
+    matching advances one (i, j) character cell at a time but every
+    update is a whole-ndarray op; transposition counting compacts the
+    matched characters with cumsum scatter — no per-pair Python."""
+    a = np.asarray(a, dtype="U")
+    b = np.asarray(b, dtype="U")
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    La = a.dtype.itemsize // 4
+    Lb = b.dtype.itemsize // 4
+    Am = (a.view(np.uint32).reshape(n, La) if La
+          else np.zeros((n, 0), np.uint32))
+    Bm = (b.view(np.uint32).reshape(n, Lb) if Lb
+          else np.zeros((n, 0), np.uint32))
+    la = (Am != 0).sum(axis=1).astype(np.int64)
+    lb = (Bm != 0).sum(axis=1).astype(np.int64)
+    w = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    used_b = np.zeros((n, Lb), dtype=bool)
+    matched_a = np.zeros((n, La), dtype=bool)
+    for i in range(La):
+        ai = Am[:, i]
+        found = np.zeros(n, dtype=bool)
+        lo = np.maximum(i - w, 0)
+        hi = np.minimum(i + w + 1, lb)
+        for j in range(Lb):
+            ok = ((ai != 0) & ~found & (j >= lo) & (j < hi)
+                  & (Bm[:, j] == ai) & ~used_b[:, j])
+            if ok.any():
+                used_b[ok, j] = True
+                found |= ok
+        matched_a[:, i] = found
+    m = matched_a.sum(axis=1).astype(np.int64)
+    t = np.zeros(n, dtype=np.float64)
+    maxm = int(m.max()) if n else 0
+    if maxm:
+        ca = np.zeros((n, maxm), dtype=np.uint32)
+        cb = np.zeros((n, maxm), dtype=np.uint32)
+        idxa = matched_a.cumsum(axis=1) - 1
+        rows, cols = np.nonzero(matched_a)
+        ca[rows, idxa[rows, cols]] = Am[rows, cols]
+        idxb = used_b.cumsum(axis=1) - 1
+        rows, cols = np.nonzero(used_b)
+        cb[rows, idxb[rows, cols]] = Bm[rows, cols]
+        # RapidFuzz (DuckDB's implementation) TRUNCATES: an odd mismatch
+        # count floors to mismatches // 2 transpositions (probed: the
+        # divergent pairs all have odd mismatch counts)
+        t = (((ca != cb) & (ca != 0)).sum(axis=1) // 2).astype(np.float64)
+    jaro = np.zeros(n, dtype=np.float64)
+    nz = m > 0
+    mf = m.astype(np.float64)
+    jaro[nz] = (mf[nz] / la[nz] + mf[nz] / lb[nz]
+                + (mf[nz] - t[nz]) / mf[nz]) / 3.0
+    l = np.zeros(n, dtype=np.int64)
+    live = np.ones(n, dtype=bool)
+    for i in range(min(4, La, Lb)):
+        live = live & (Am[:, i] == Bm[:, i]) & (Am[:, i] != 0)
+        l += live
+    return np.where(jaro > 0.7, jaro + l * 0.1 * (1.0 - jaro), jaro)
+
+
+def _jw_block_pairs(g: pd.DataFrame, key: str, min_sim_e6: int,
+                    max_block: int) -> pd.DataFrame:
+    if len(g) > max_block:
+        raise ValueError(
+            f"JW block holds {len(g)} distinct keys (> max_block="
+            f"{max_block}): the first-character block is too dense for "
+            "pairwise similarity — pre-filter the key table or extend "
+            "the blocking key")
+    keys = np.sort(g[key].to_numpy(dtype=object))
+    if len(keys) < 2:
+        return pd.DataFrame({"name_a": pd.Series([], dtype="string"),
+                             "name_b": pd.Series([], dtype="string"),
+                             "jw_e6": pd.Series([], dtype=np.int64)})
+    ii, jj = np.triu_indices(len(keys), k=1)
+    sim = jaro_winkler_similarities(keys[ii], keys[jj])
+    e6 = np.floor(sim * 1e6 + 0.5).astype(np.int64)
+    keep = e6 >= min_sim_e6
+    return pd.DataFrame({"name_a": keys[ii][keep],
+                         "name_b": keys[jj][keep],
+                         "jw_e6": e6[keep]})
+
+
+def jw_key_pairs(ds, key_col: str, min_sim_e6: int = 900_000,
+                 max_block: int = 20_000):
+    """Dataset -> Dataset(name_a, name_b, jw_e6): unordered distinct-
+    value pairs of ``key_col`` with Jaro-Winkler similarity >=
+    ``min_sim_e6`` (name_a < name_b) — the record-linkage companion to
+    ``fuzzy_key_pairs`` under the similarity metric instead of edit
+    distance.
+
+    Blocking: FIRST CHARACTER (JW has no length-band bound like
+    Levenshtein's; first-char blocking is the classic ER choice and
+    matches Winkler's prefix emphasis — a pair differing in its first
+    character is both unboosted and rarely above threshold).  The
+    blocking is part of the operator's CONTRACT (the SQL oracle states
+    the same predicate), not a silent recall loss."""
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col]).group_by(
+            key_col, use_threads=False).aggregate([])
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pandas().astype(str)
+        nonempty = keys.str.len() > 0
+        keys = keys[nonempty]
+        first = keys.str[0].map(ord).astype(np.int64)
+        return pa.table({key_col: pa.array(keys.to_numpy(object),
+                                           pa.string()),
+                         "blk": pa.array(first.to_numpy(np.int64),
+                                         pa.int64())})
+
+    distinct = (
+        ds.select_columns([key_col])
+        .map_batches(distinct_partial, batch_format="pyarrow",
+                     zero_copy_batch=True, runtime_env=_rte())
+        .groupby(key_col).count()
+        .drop_columns(["count()"])
+    )
+    return (
+        distinct.map_batches(to_blocks, batch_format="pyarrow",
+                             runtime_env=_rte())
+        .groupby("blk")
+        .map_groups(lambda g: _jw_block_pairs(g, key_col, min_sim_e6,
+                                              max_block),
+                    batch_format="pandas", runtime_env=_rte())
+    )

@@ -86,3 +86,57 @@ def test_fuzzy_max_block_raises(ray_session):
     with pytest.raises(Exception, match="max_block"):
         fuzzy_key_pairs(ds, "p_name", max_dist=3,
                         max_block=10).to_pandas()
+
+
+def test_jaro_winkler_vs_duckdb_random():
+    """The vectorized JW agrees with DuckDB's jaro_winkler_similarity on
+    random short strings (the oracle dependency, pinned)."""
+    import duckdb
+    import numpy as np
+
+    from horus_ner_ray.stages.fuzzy import jaro_winkler_similarities
+
+    rng = np.random.default_rng(17)
+    alphabet = list("abcdef")
+    pairs = []
+    for _ in range(400):
+        la, lb = rng.integers(0, 10, 2)
+        pairs.append(("".join(rng.choice(alphabet, la)),
+                      "".join(rng.choice(alphabet, lb))))
+    a = np.array([p[0] for p in pairs], dtype=object)
+    b = np.array([p[1] for p in pairs], dtype=object)
+    got = jaro_winkler_similarities(a, b)
+    con = duckdb.connect()
+    for (x, y), g in zip(pairs, got):
+        want = con.sql(
+            "select jaro_winkler_similarity(?, ?)", params=[x, y]
+        ).fetchall()[0][0]
+        assert abs(g - want) < 1e-12, (x, y, g, want)
+
+
+def test_jw_key_pairs(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from horus_ner_ray.stages.fuzzy import (jaro_winkler_similarities,
+                                            jw_key_pairs)
+
+    names = ["martha", "marhta", "marta", "bob", "bobby", "rob", "", "m"]
+    df = pd.DataFrame({"k": names * 3})  # duplicates collapse
+    out = (jw_key_pairs(rd.from_pandas(df).repartition(3), "k",
+                        min_sim_e6=850_000)
+           .to_pandas().sort_values(["name_a", "name_b"])
+           .reset_index(drop=True))
+    # expected: same-first-char pairs above threshold
+    import itertools
+
+    cand = [(a, b) for a, b in itertools.combinations(
+        sorted(set(names) - {""}), 2) if a[0] == b[0]]
+    sims = jaro_winkler_similarities(
+        np.array([c[0] for c in cand], dtype=object),
+        np.array([c[1] for c in cand], dtype=object))
+    want = sorted((a, b, int(np.floor(s * 1e6 + 0.5)))
+                  for (a, b), s in zip(cand, sims)
+                  if np.floor(s * 1e6 + 0.5) >= 850_000)
+    assert [tuple(r) for r in out.itertuples(index=False)] == want
