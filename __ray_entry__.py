@@ -9153,6 +9153,74 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_soundex_terms(sf_dir: str):
+    """Phonetic encoding (American Soundex, the US-Census h/w-
+    transparent variant) of every distinct document-vocabulary term —
+    stages/phonetic.soundex_batch, vectorized over the name axis with
+    the cumsum-scatter compactions of the fuzzy family (digits are
+    dropped like h/w).  The SQL restates all four rule steps with
+    generate_series + lag() + a FILTERed string_agg."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horus_ner_ray.stages.phonetic import soundex_dataset
+    from horus_ner_ray.stages.tokenize import tokenize_column
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    def terms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_column(batch["text"])
+        flat = pc.list_flatten(toks)
+        return pa.table({"term": flat})
+
+    docs = rd.read_parquet(str(Path(sf_dir) / "documents.parquet"),
+                           columns=["text"])
+    vocab = docs.map_batches(terms, batch_format="pyarrow",
+                             zero_copy_batch=True, runtime_env=_rte())
+    out = soundex_dataset(vocab, "term").to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def _sql_soundex_terms() -> str:
+    return f"""
+WITH v AS (SELECT DISTINCT unnest({_sql_tok()}) AS term FROM documents),
+ch AS (
+  SELECT term, i, substr(term, i, 1) AS c
+  FROM v, unnest(generate_series(1, length(term))) AS g(i)
+),
+m AS (
+  SELECT term, i,
+         CASE WHEN c IN ('b','f','p','v') THEN 1
+              WHEN c IN ('c','g','j','k','q','s','x','z') THEN 2
+              WHEN c IN ('d','t') THEN 3
+              WHEN c = 'l' THEN 4
+              WHEN c IN ('m','n') THEN 5
+              WHEN c = 'r' THEN 6
+              ELSE 0 END AS code
+  FROM ch
+  WHERE c BETWEEN 'a' AND 'z' AND c NOT IN ('h', 'w')
+),
+r AS (SELECT term, i, code,
+             lag(code) OVER (PARTITION BY term ORDER BY i) prev
+      FROM m),
+k AS (SELECT term, i, code FROM r
+      WHERE (prev IS NULL OR code != prev) AND i > 1 AND code > 0),
+k2 AS (SELECT term, i, code,
+              row_number() OVER (PARTITION BY term ORDER BY i) rn
+       FROM k),
+d AS (SELECT term,
+             string_agg(code::VARCHAR, '' ORDER BY i)
+               FILTER (WHERE rn <= 3) AS s
+      FROM k2 GROUP BY term)
+SELECT v.term,
+       upper(substr(v.term, 1, 1))
+         || substr(coalesce(d.s, '') || '000', 1, 3) AS soundex
+FROM v LEFT JOIN d USING (term)
+ORDER BY term
+"""
+
+
 _JW_MIN_E6 = 800_000
 
 
@@ -9766,6 +9834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "soundex_terms": _q_soundex_terms,
         "jw_name_pairs": _q_jw_name_pairs,
         "complete_by_role": _q_complete_by_role,
         "topic_boundaries": _q_topic_boundaries,
@@ -11303,6 +11372,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "soundex_terms": _sql_soundex_terms(),
         "jw_name_pairs": _SQL_JW_NAME_PAIRS,
         "complete_by_role": _sql_complete_by_role(),
         "topic_boundaries": _sql_topic_boundaries(),
