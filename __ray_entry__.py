@@ -9153,6 +9153,95 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_hourly_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of the densified hourly event-count series
+    (stages/aggs.lag1_autocorr_dense): exact big-int sufficient stats,
+    float finish at the SQL oracle's CAST points."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.aggs import lag1_autocorr_dense
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts"])
+    return lag1_autocorr_dense(ev, "ts", 3600 * 10**6)
+
+
+_SQL_HOURLY_AUTOCORR = """
+WITH c AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS b,
+         count(*)::HUGEINT n
+  FROM events GROUP BY 1
+),
+series AS (
+  SELECT unnest(generate_series((SELECT min(b) FROM c),
+                                (SELECT max(b) FROM c),
+                                3600000000)) AS b
+),
+dense AS (
+  SELECT s.b, coalesce(c.n, 0)::HUGEINT n
+  FROM series s LEFT JOIN c USING (b)
+),
+p AS (
+  SELECT n AS x, lead(n) OVER (ORDER BY b) AS y
+  FROM dense QUALIFY y IS NOT NULL
+),
+s AS (
+  SELECT count(*)::HUGEINT n, sum(x) sx, sum(y) sy,
+         sum(x*x) sxx, sum(y*y) syy, sum(x*y) sxy
+  FROM p
+)
+SELECT n::BIGINT AS n_pairs,
+       CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+                  / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) * 1e6 + 0.5)
+            AS BIGINT) AS r_e6
+FROM s
+"""
+
+
+def _q_price_quartile_bins(sf_dir: str):
+    """Equal-frequency discretization (the ML preprocessing staple):
+    per-row quartile bin of l_extendedprice against the EXACT
+    distributed disc quantiles (stages/quantiles.quantile_disc — values
+    never leave shards), bin = 1 + #(boundaries < x-or-equal rule x >
+    q).  Comparisons are on stored floats, nothing to round."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from horus_ner_ray.stages.quantiles import quantile_disc
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    li = rd.read_parquet(str(Path(sf_dir) / "lineitem.parquet"),
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_extendedprice"])
+    qs = quantile_disc(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    q25, q50, q75 = [float(v) for v in qs["value"]]
+
+    def bin_rows(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        b = 1 + (x > q25).astype(np.int64) + (x > q50) + (x > q75)
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_linenumber": batch["l_linenumber"],
+                         "bin": pa.array(b.astype(np.int64), pa.int64())})
+
+    return li.map_batches(bin_rows, batch_format="pyarrow",
+                          zero_copy_batch=True, runtime_env=_rte())
+
+
+_SQL_PRICE_QUARTILE_BINS = """
+WITH q AS (
+  SELECT quantile_disc(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       (1 + CASE WHEN l_extendedprice > qs[1] THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice > qs[2] THEN 1 ELSE 0 END
+          + CASE WHEN l_extendedprice > qs[3] THEN 1 ELSE 0 END)::BIGINT
+         AS bin
+FROM lineitem, q
+"""
+
+
 def _q_soundex_terms(sf_dir: str):
     """Phonetic encoding (American Soundex, the US-Census h/w-
     transparent variant) of every distinct document-vocabulary term —
@@ -9834,6 +9923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "hourly_autocorr": _q_hourly_autocorr,
+        "price_quartile_bins": _q_price_quartile_bins,
         "soundex_terms": _q_soundex_terms,
         "jw_name_pairs": _q_jw_name_pairs,
         "complete_by_role": _q_complete_by_role,
@@ -11372,6 +11463,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "hourly_autocorr": _SQL_HOURLY_AUTOCORR,
+        "price_quartile_bins": _SQL_PRICE_QUARTILE_BINS,
         "soundex_terms": _sql_soundex_terms(),
         "jw_name_pairs": _SQL_JW_NAME_PAIRS,
         "complete_by_role": _sql_complete_by_role(),

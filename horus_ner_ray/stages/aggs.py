@@ -412,3 +412,52 @@ def anomalous_buckets(ds, ts_col: str, interval_us: int,
             rows["n_docs"].append(v)
             rows["dev_sign"].append(1 if b_cnt * v - s > 0 else -1)
     return pd.DataFrame(rows).astype(np.int64)
+
+
+def lag1_autocorr_dense(ds, ts_col: str, interval_us: int) -> pd.DataFrame:
+    """Lag-1 Pearson autocorrelation of the DENSIFIED bucket-count
+    series (missing buckets count 0) — the seasonality/burstiness probe
+    ES approximates with moving_fn.  Pairs (x_t, x_{t+1}) accumulate the
+    five sufficient statistics as exact Python ints off the O(buckets)
+    driver table; the only float ops are the final casts and divides at
+    the SQL oracle's exact CAST points.
+    Returns one row (n_pairs, r_e6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        b = (ts // interval_us) * interval_us
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket_us": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                     runtime_env=_rte())
+        .groupby("bucket_us").aggregate(Sum("n", alias_name="n_docs"))
+    ).to_pandas().sort_values("bucket_us").reset_index(drop=True)
+    lo = int(counts["bucket_us"].min())
+    hi = int(counts["bucket_us"].max())
+    dense = {int(b): int(v) for b, v in zip(counts["bucket_us"],
+                                            counts["n_docs"])}
+    xs = [dense.get(b, 0)
+          for b in range(lo, hi + interval_us, interval_us)]
+    x, y = xs[:-1], xs[1:]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    syy = sum(v * v for v in y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    import math
+
+    num = float(n * sxy - sx * sy)
+    da = math.sqrt(float(n * sxx - sx * sx))
+    db = math.sqrt(float(n * syy - sy * sy))
+    r = num / (da * db) if da > 0 and db > 0 else 0.0
+    return pd.DataFrame({
+        "n_pairs": pd.Series([n], dtype=np.int64),
+        "r_e6": pd.Series([math.floor(r * 1e6 + 0.5)], dtype=np.int64),
+    })

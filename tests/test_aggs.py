@@ -352,3 +352,26 @@ def test_adjacent_turn_jaccard(ray_session, blocks):
             jac("same tokens again", "!!!")]
     assert list(out["jaccard_e6"]) == want
     assert list(out["boundary"]) == [int(j < 300000) for j in want]
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_lag1_autocorr(ray_session, frame, blocks):
+    import math
+
+    from horus_ner_ray.stages.aggs import lag1_autocorr_dense
+
+    day = 86400 * 10**6
+    out = lag1_autocorr_dense(_ds(frame, blocks), "ts", day)
+    cnt = ((frame["ts"].astype(np.int64) // day) * day).value_counts() \
+        .sort_index()
+    lo, hi = cnt.index.min(), cnt.index.max()
+    xs = [int(cnt.get(b, 0)) for b in range(lo, hi + day, day)]
+    x, y = xs[:-1], xs[1:]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    num = float(n * sum(a * b for a, b in zip(x, y)) - sx * sy)
+    da = math.sqrt(float(n * sum(v * v for v in x) - sx * sx))
+    db = math.sqrt(float(n * sum(v * v for v in y) - sy * sy))
+    want = math.floor(num / (da * db) * 1e6 + 0.5) if da and db else 0
+    assert out["n_pairs"][0] == n
+    assert out["r_e6"][0] == want
