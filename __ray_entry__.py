@@ -9153,6 +9153,72 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+_FRAME_SAMPLE_N = 20
+_FRAME_SAMPLE_K = 2
+
+
+def _q_gif_frame_sample(sf_dir: str):
+    """Frame sampling over REAL animated GIFs (the brief's frame-sample
+    multimodal op): genuine multi-frame GIF89a payloads decode in a
+    load-once actor pool and every 2nd frame publishes exact integer
+    stats (stages/multimodal.frame_sample_stats_dataset).  ORACLE: the
+    frame patterns are a closed form in (media_id, frame, row, col), so
+    the SQL re-derives every SAMPLED frame with generate_series — the
+    position-weighted sum pins deinterlace and frame order."""
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        frame_sample_stats_dataset,
+        synth_animated_gif_table,
+    )
+
+    ds = rd.from_arrow(synth_animated_gif_table(n=_FRAME_SAMPLE_N))
+    out = frame_sample_stats_dataset(ds, every_k=_FRAME_SAMPLE_K).to_pandas()
+    return (out.sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+
+
+def _sql_gif_frame_sample() -> str:
+    n, k = _FRAME_SAMPLE_N, _FRAME_SAMPLE_K
+    return f"""
+WITH imgs AS (
+  SELECT i::BIGINT AS media_id,
+         (5 + (i*7) % 13)::BIGINT AS h,
+         (5 + (i*11) % 17)::BIGINT AS w,
+         (2 + i % 4)::BIGINT AS nf,
+         (1 + i % 5)::BIGINT AS a,
+         (1 + i % 7)::BIGINT AS b
+  FROM (SELECT unnest(generate_series(0, {n - 1})) AS i)
+),
+frames AS (
+  SELECT media_id, h, w, a, b, unnest(generate_series(0, nf - 1)) AS f
+  FROM imgs
+),
+kept AS (SELECT * FROM frames WHERE f % {k} = 0),
+px AS (
+  SELECT media_id, f, w,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM kept
+),
+cells AS (
+  SELECT p.media_id, p.f, p.r, p.w,
+         unnest(generate_series(0, p.w - 1)) AS c
+  FROM px p
+),
+vals AS (
+  SELECT cl.media_id, cl.f,
+         ((k2.a * cl.r + k2.b * cl.c) + 17 * cl.f + 13 * cl.media_id)
+           % 256 AS val,
+         cl.r * cl.w + cl.c + 1 AS pos
+  FROM cells cl
+  JOIN kept k2 ON k2.media_id = cl.media_id AND k2.f = cl.f
+)
+SELECT media_id, f AS frame_idx, count(*)::BIGINT AS n_px,
+       sum(val)::BIGINT AS vsum, sum(val * pos)::BIGINT AS wsum
+FROM vals GROUP BY 1, 2 ORDER BY media_id, frame_idx
+"""
+
+
 def _q_hourly_autocorr(sf_dir: str):
     """Lag-1 autocorrelation of the densified hourly event-count series
     (stages/aggs.lag1_autocorr_dense): exact big-int sufficient stats,
@@ -9923,6 +9989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "gif_frame_sample": _q_gif_frame_sample,
         "hourly_autocorr": _q_hourly_autocorr,
         "price_quartile_bins": _q_price_quartile_bins,
         "soundex_terms": _q_soundex_terms,
@@ -11463,6 +11530,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "gif_frame_sample": _sql_gif_frame_sample(),
         "hourly_autocorr": _SQL_HOURLY_AUTOCORR,
         "price_quartile_bins": _SQL_PRICE_QUARTILE_BINS,
         "soundex_terms": _sql_soundex_terms(),

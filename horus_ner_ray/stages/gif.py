@@ -355,3 +355,145 @@ def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
         out += chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def gif_decode_frames(data: bytes) -> list[np.ndarray]:
+    """GIF bytes -> EVERY frame of an animated GIF as uint8 arrays
+    ((h, w) gray / (h, w, 3) RGB per frame) — the multi-image walk the
+    single-frame ``gif_decode`` stops short of.  Same scope rules:
+    full-canvas frames only, global or local color tables, interlace
+    honoured per frame; extensions (incl. Graphic Control) are
+    skipped — disposal/transparency compositing is out of scope, every
+    frame stands alone."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct, pos = _read_color_table(data, pos, packed & 0x07)
+    frames: list[np.ndarray] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= len(data):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+            _, pos = _read_subblocks(data, pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB",
+                                                   data[pos:pos + 9])
+        pos += 9
+        if (left, top) != (0, 0) or (iw, ih) != (sw, sh):
+            raise ValueError(
+                "partial-canvas GIF frame not supported (decoder scope: "
+                "full-frame left=top=0, frame dims == screen dims)")
+        pal = gct
+        if ipacked & 0x80:
+            pal, pos = _read_color_table(data, pos, ipacked & 0x07)
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        if pos >= len(data):
+            raise ValueError("truncated GIF before LZW data")
+        mcs = data[pos]
+        pos += 1
+        raw, pos = _read_subblocks(data, pos)
+        idx = lzw_decode(raw, mcs, expected=iw * ih)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("GIF pixel index exceeds color table")
+        rows = idx.reshape(ih, iw)
+        if ipacked & 0x40:
+            order = _interlace_order(ih)
+            out_rows = np.empty_like(rows)
+            out_rows[order] = rows
+            rows = out_rows
+        rgb = pal[rows]
+        if np.array_equal(rgb[:, :, 0], rgb[:, :, 1]) \
+                and np.array_equal(rgb[:, :, 0], rgb[:, :, 2]):
+            frames.append(np.ascontiguousarray(rgb[:, :, 0]))
+        else:
+            frames.append(rgb)
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def _frame_block(a: np.ndarray, interlace: bool) -> bytes:
+    """One image descriptor + LOCAL color table + LZW sub-blocks for a
+    single full-canvas frame (the gif_encode palette/LZW logic, emitted
+    as a local table so animated frames stay independent)."""
+    h, w = a.shape[:2]
+    if a.ndim == 2:
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        idx = a
+    else:
+        packed = (
+            a[:, :, 0].astype(np.int64) << 16
+            | a[:, :, 1].astype(np.int64) << 8
+            | a[:, :, 2].astype(np.int64)
+        ).reshape(-1)
+        colors, idx_flat = np.unique(packed, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"GIF needs <=256 distinct colors, got {len(colors)}")
+        pal = np.stack(
+            [(colors >> 16) & 0xFF, (colors >> 8) & 0xFF, colors & 0xFF],
+            axis=1).astype(np.uint8)
+        idx = idx_flat.astype(np.uint8).reshape(h, w)
+    n_colors = len(pal)
+    size_field = 0
+    while (2 << size_field) < n_colors:
+        size_field += 1
+    table_entries = 2 << size_field
+    pal_padded = np.zeros((table_entries, 3), dtype=np.uint8)
+    pal_padded[:n_colors] = pal
+    mcs = max(2, size_field + 1)
+    rows = idx
+    ipacked = 0x80 | size_field  # local color table
+    if interlace:
+        rows = idx[_interlace_order(h)]
+        ipacked |= 0x40
+    code_bytes = lzw_encode(rows.reshape(-1), mcs)
+    out = bytearray()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    out += pal_padded.tobytes()
+    out.append(mcs)
+    for i in range(0, len(code_bytes), 255):
+        chunk = code_bytes[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def gif_encode_animation(frames: list[np.ndarray],
+                         interlace: bool = False) -> bytes:
+    """Frame list -> one animated GIF89a: shared logical screen, one
+    full-canvas image block per frame with its own LOCAL color table
+    (no disposal/timing extensions — frames stand alone, matching
+    ``gif_decode_frames``).  All frames must share (h, w)."""
+    if not frames:
+        raise ValueError("gif_encode_animation wants >= 1 frame")
+    shapes = {f.shape[:2] for f in frames}
+    if len(shapes) != 1:
+        raise ValueError(f"animated frames must share dims, got {shapes}")
+    h, w = next(iter(shapes))
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("GIF dimensions out of range")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)  # no global table
+    for f in frames:
+        a = np.asarray(f)
+        if a.dtype != np.uint8 or a.ndim not in (2, 3):
+            raise ValueError("frames must be uint8 (h,w) or (h,w,3)")
+        out += _frame_block(a, interlace)
+    out += b"\x3b"
+    return bytes(out)

@@ -558,3 +558,91 @@ def decode_features_dataset(media_ds, decoder: str = "fake", concurrency: int = 
         num_cpus=1,
         runtime_env=worker_runtime_env(),
     )
+
+
+def animated_gif_frame_pixels(i: int, f: int) -> np.ndarray:
+    """Closed-form GRAY pixel pattern for frame ``f`` of synth animated
+    GIF #i — pure integer arithmetic in (i, f, row, col) so the SQL
+    oracle re-derives every sampled frame with generate_series (GIF LZW
+    is lossless; the Ray side decodes the real bytes)."""
+    h = 5 + (i * 7) % 13
+    w = 5 + (i * 11) % 17
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    a, b = 1 + i % 5, 1 + i % 7
+    return (((a * r + b * c) + 17 * f + 13 * i) % 256).astype(np.uint8)
+
+
+def synth_animated_gif_table(n: int = 20) -> pa.Table:
+    """Deterministic table of GENUINE animated GIF89a payloads
+    (stages/gif.gif_encode_animation): 2 + i%4 full-canvas frames per
+    media over the closed-form patterns above, every third animation
+    interlaced so the per-frame deinterlacer is on the verified path."""
+    from horus_ner_ray.stages.gif import gif_encode_animation
+
+    mids, types, payloads, ws, hs = [], [], [], [], []
+    for i in range(n):
+        frames = [animated_gif_frame_pixels(i, f)
+                  for f in range(2 + i % 4)]
+        payloads.append(gif_encode_animation(frames,
+                                             interlace=(i % 3 == 0)))
+        types.append("image/gif")
+        mids.append(i)
+        hs.append(frames[0].shape[0])
+        ws.append(frames[0].shape[1])
+    return pa.table({
+        "media_id": pa.array(mids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+    }, schema=MEDIA_SCHEMA)
+
+
+class FrameSampleStats:
+    """Actor-pool stage: REAL animated-GIF decode -> every ``k``-th
+    frame's exact integer stats (the brief's frame-sample op): per kept
+    frame (media_id, frame_idx, n_px, vsum, wsum) — the position-
+    weighted sum pins every sample to its raster slot, so deinterlace /
+    frame-order defects break the hash.  Decoder loads once per actor."""
+
+    def __init__(self, every_k: int = 2):
+        from horus_ner_ray.stages.gif import gif_decode_frames
+
+        self._decode = gif_decode_frames
+        self._k = int(every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, n_px, vsum, wsum = [], [], [], [], []
+        for mid, p in zip(batch["media_id"], batch["payload"]):
+            frames = self._decode(p.as_py())
+            for f, arr in enumerate(frames):
+                if f % self._k:
+                    continue
+                flat = arr.reshape(-1).astype(np.int64)
+                mids.append(mid.as_py())
+                fidx.append(f)
+                n_px.append(len(flat))
+                vsum.append(int(flat.sum()))
+                wsum.append(int(np.dot(
+                    flat, np.arange(1, len(flat) + 1, dtype=np.int64))))
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "n_px": pa.array(n_px, pa.int64()),
+            "vsum": pa.array(vsum, pa.int64()),
+            "wsum": pa.array(wsum, pa.int64()),
+        })
+
+
+def frame_sample_stats_dataset(media_ds, every_k: int = 2,
+                               batch_size: int = 64, concurrency: int = 2):
+    from horus_ner_ray.util import worker_runtime_env
+
+    return media_ds.select_columns(["media_id", "payload"]).map_batches(
+        FrameSampleStats, fn_constructor_kwargs={"every_k": every_k},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        runtime_env=worker_runtime_env(),
+    )

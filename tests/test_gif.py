@@ -169,3 +169,58 @@ def test_encode_bytes_are_pinned():
         h.update(p)
     assert h.hexdigest() == (
         "6035a62fb88f95aa9809291d2579366b7de30534667ecfc9e0fd3a7048257af9")
+
+
+def test_animated_gif_roundtrip():
+    import numpy as np
+
+    from horus_ner_ray.stages.gif import (gif_decode, gif_decode_frames,
+                                          gif_encode_animation)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (9, 7)).astype(np.uint8)
+              for _ in range(4)]
+    data = gif_encode_animation(frames)
+    back = gif_decode_frames(data)
+    assert len(back) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, back))
+    # the single-frame decoder sees frame 0 of an animation
+    assert np.array_equal(gif_decode(data), frames[0])
+    # RGB + interlace path
+    fr = [rng.integers(0, 5, (6, 8, 3)).astype(np.uint8) * 40
+          for _ in range(3)]
+    b2 = gif_decode_frames(gif_encode_animation(fr, interlace=True))
+    assert all(np.array_equal(x, y) for x, y in zip(fr, b2))
+    # mixed dims refuse
+    try:
+        gif_encode_animation([frames[0], frames[0][:5]])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "share dims" in str(e)
+
+
+def test_frame_sample_stats(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from horus_ner_ray.stages.multimodal import (
+        animated_gif_frame_pixels,
+        frame_sample_stats_dataset,
+        synth_animated_gif_table,
+    )
+
+    ds = rd.from_arrow(synth_animated_gif_table(n=8))
+    out = (frame_sample_stats_dataset(ds, every_k=2).to_pandas()
+           .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    for _, r in out.iterrows():
+        assert r["frame_idx"] % 2 == 0
+        px = animated_gif_frame_pixels(int(r["media_id"]),
+                                       int(r["frame_idx"]))
+        flat = px.reshape(-1).astype(np.int64)
+        assert r["n_px"] == len(flat)
+        assert r["vsum"] == flat.sum()
+        assert r["wsum"] == int(np.dot(
+            flat, np.arange(1, len(flat) + 1, dtype=np.int64)))
+    # every media contributes ceil(nf / 2) sampled frames
+    want = sum((2 + i % 4 + 1) // 2 for i in range(8))
+    assert len(out) == want
