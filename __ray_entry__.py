@@ -9153,6 +9153,54 @@ def _q_daily_new_users(sf_dir: str):
     return cumulative_new_keys(ev, "user_id", "ts", _DAY_US)
 
 
+def _q_weekday_profile(sf_dir: str):
+    """Seasonality profile: event counts + exact e6 value sums per ISO
+    weekday (1=Mon..7=Sun) — the day-of-week facet every activity
+    dashboard carries.  Weekday derives from the raw epoch
+    ((days + 3) % 7 + 1; 1970-01-01 was a Thursday), so both sides
+    compute pure integer arithmetic."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from horus_ner_ray.util import worker_runtime_env as _rte
+
+    ev = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dow = (ts // _DAY_US + 3) % 7 + 1
+        v = _e6(np.asarray(batch["value"], dtype=np.float64))
+        df = pd.DataFrame({"dow": dow.astype(np.int64), "n": np.int64(1),
+                           "s": v})
+        g = df.groupby("dow", sort=False).sum().reset_index()
+        return pa.table({
+            "isodow": pa.array(g["dow"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+        })
+
+    out = (ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, runtime_env=_rte())
+           .groupby("isodow")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("s", alias_name="sum_value_e6"))).to_pandas()
+    out = out.astype(np.int64)
+    return out.sort_values("isodow").reset_index(drop=True)
+
+
+_SQL_WEEKDAY_PROFILE = """
+SELECT isodow(ts)::BIGINT AS isodow, count(*)::BIGINT AS n_events,
+       sum(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT))::BIGINT
+         AS sum_value_e6
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 _FRAME_SAMPLE_N = 20
 _FRAME_SAMPLE_K = 2
 
@@ -9989,6 +10037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-checked (r04 truncated before these) + round-5 --
         "epoch_repeats": _q_epoch_repeats,
         "token_fertility": _q_token_fertility,
+        "weekday_profile": _q_weekday_profile,
         "gif_frame_sample": _q_gif_frame_sample,
         "hourly_autocorr": _q_hourly_autocorr,
         "price_quartile_bins": _q_price_quartile_bins,
@@ -11530,6 +11579,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "epoch_repeats": _sql_epoch_repeats(),
         "token_fertility": _sql_token_fertility(),
+        "weekday_profile": _SQL_WEEKDAY_PROFILE,
         "gif_frame_sample": _sql_gif_frame_sample(),
         "hourly_autocorr": _SQL_HOURLY_AUTOCORR,
         "price_quartile_bins": _SQL_PRICE_QUARTILE_BINS,
